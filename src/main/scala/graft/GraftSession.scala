@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession factory — one config point for every main/test.
+  *
+  * local[N] with N shuffle partitions; at cluster scale the same code runs
+  * unchanged with `spark.sql.shuffle.partitions` sized to the cluster (AQE
+  * coalesces the rest).
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(master: String = s"local[$cpus]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+
+  /** Get-or-create and register the SQL-callable function surface. */
+  def get(master: String = s"local[$cpus]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    graft.functions.Co2Functions.registerAll(spark)
+    graft.functions.TextFunctions.registerAll(spark)
+    spark
+  }
+}

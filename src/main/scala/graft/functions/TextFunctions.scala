@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline, all
+  * built from codegen'd `org.apache.spark.sql.functions` so they stay inside
+  * whole-stage codegen (no Scala UDF in the hot path).
+  *
+  * These go beyond the reference's surface (which is numeric-only) — they are
+  * the text-pipeline operators a 100 TB documents table needs.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. NULL/empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Approximate BPE-ish subword count: words plus extra tokens for long
+    * words (roughly 1 token per 4 chars beyond the first 4), mirroring the
+    * common chars/4 heuristic for byte-pair encoders.
+    */
+  def approxBpeTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(
+        aggregate(
+          split(trim(text), "\\s+"),
+          lit(0),
+          (acc, w) => acc + greatest(lit(1), ceil(length(w) / 4d).cast("int"))
+        )
+      )
+
+  /** Punctuation-character ratio in [0,1]; 0 for empty text. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(length(text) === 0, lit(0d))
+      .otherwise(punct.cast("double") / length(text))
+  }
+
+  /** Uppercase-letter ratio among letters; 0 when no letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val uppers  = length(regexp_replace(text, "[^\\p{Lu}]", ""))
+    when(letters === 0, lit(0d)).otherwise(uppers.cast("double") / letters)
+  }
+
+  private val enStopwords =
+    Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
+      "on", "was", "with", "as", "be", "at", "by", "this", "are", "or")
+
+  /** Fraction of whitespace tokens that are common English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(enStopwords: _*)))
+    when(size(toks) === 0 || length(trim(text)) === 0, lit(0d))
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, plausible
+    * mean word length, presence of stopwords; penalizes punctuation spam and
+    * shouting. Deterministic arithmetic only — safe for oracle comparison.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok     = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 100d, lit(1d))
+    val meanWordLen =
+      when(nTok === 0, lit(0d))
+        .otherwise(length(regexp_replace(trim(text), "\\s+", "")) / nTok)
+    val wordLenScore =
+      when(meanWordLen >= 3d && meanWordLen <= 10d, lit(1d)).otherwise(lit(0.5d))
+    val stopScore  = least(stopwordRatio(text) * 4d, lit(1d))
+    val punctPen   = greatest(lit(0d), lit(1d) - punctRatio(text) * 4d)
+    val shoutPen   = greatest(lit(0d), lit(1d) - upperRatio(text))
+    when(text.isNull || length(trim(text)) === 0, lit(0d)).otherwise(
+      round(
+        (lenScore + wordLenScore + stopScore + punctPen + shoutPen) / 5d, 4))
+  }
+
+  /** Cheap n-gram language heuristic: scores text against tiny per-language
+    * marker-token sets and returns the best label ('en','de','fr','es','und').
+    * Marker lists are public high-frequency function words.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers: _*)))
+    val en = score(Seq("the", "and", "of", "is", "that", "with", "for", "this"))
+    val de = score(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+    val fr = score(Seq("le", "la", "les", "et", "est", "une", "que", "pas"))
+    val es = score(Seq("el", "los", "las", "es", "que", "una", "por", "con"))
+    when(text.isNull || length(trim(text)) === 0, lit("und"))
+      .when(greatest(en, de, fr, es) === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** 64-bit document fingerprint via xxhash64 of normalized text (lowercased,
+    * whitespace-collapsed) — the exact-dedup key at scale.
+    */
+  def docFingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** SQL-callable shims (the Column API above stays fully codegen'd; these
+    * exist only so `spark.sql("SELECT TOKEN_COUNT(text) ...")` works).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("TOKEN_COUNT",
+      (s: String) =>
+        if (s == null || s.trim.isEmpty) 0 else s.trim.split("\\s+").length)
+    spark.udf.register("TOKEN_COUNT_APPROX_BPE",
+      (s: String) =>
+        if (s == null || s.trim.isEmpty) 0
+        else s.trim.split("\\s+")
+          .map(w => math.max(1, math.ceil(w.length / 4.0).toInt)).sum)
+  }
+}
