@@ -1,0 +1,421 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.{Co2Functions, TextFunctions}
+import graft.operators.MergeInto
+
+/** The engine's query catalog: one entry per operator family from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each paired with ANSI SQL
+  * for the DuckDB oracle in [[Queries.oracle]].
+  *
+  * Determinism discipline (hash-exact vs the oracle):
+  *  - sums over doubles go through DECIMAL(18,2) (exact in both engines),
+  *    then cast back to double;
+  *  - per-row double arithmetic is IEEE-identical, so it stays double;
+  *  - `date_trunc` is cast to DATE on both sides (Spark returns timestamp);
+  *  - window orderings always end in a unique key;
+  *  - aliases are lowercase and identical on both sides (the driver sorts
+  *    columns by name before hashing).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private val dec = DecimalType(18, 2)
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  // ---------------------------------------------------------------------
+  // Aggregations (SURVEY §2.4)
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: grouped hash agg with derived
+    * measures (A4-family).
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Global ungrouped min/max/count — the reference's _CO2_MINMAX pattern
+    * (A1) on lineitem.
+    */
+  def q02GlobalMinMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      count(lit(1)).as("n_rows"))
+
+  /** Weekly time-bucket aggregation (A4/F5): date_trunc('week') buckets. */
+  def q03WeeklyOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        (sum(col("o_totalprice").cast(dec)).cast("double") / count(lit(1))).as("avg_price"))
+
+  // ---------------------------------------------------------------------
+  // Joins (SURVEY §2.3 + scale-path extensions)
+  // ---------------------------------------------------------------------
+
+  /** Shuffled 3-way join + top-k by revenue (TPC-H Q3 shape). */
+  def q04TopRevenueOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
+    val li = t(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Star join through broadcast dims: region→nation→customer→orders. */
+  def q05RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Broadcast dim join + agg by brand. */
+  def q06BrandVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  def q07CustomersWithOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers inactive in the last year. */
+  def q08CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("2001-01-01"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** MERGE-as-a-query (J1): per-customer totals, pre-cutoff target upserted
+    * with post-cutoff source — full-outer + coalesce, source wins.
+    */
+  def q09MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def totals(f: Column): DataFrame = o.filter(f)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+    val target = totals(col("o_orderdate") < lit("1998-01-01"))
+    val source = totals(col("o_orderdate") >= lit("1998-01-01"))
+    MergeInto.mergedPlan(target, source, Seq("custkey"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Windows (SURVEY §2.5)
+  // ---------------------------------------------------------------------
+
+  /** lag() per key — the PREV_DAY pattern (W1) over events, with the
+    * reference's percent-change + volatility UDFs (U1/U2) applied.
+    */
+  def q10EventLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev.withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(
+        col("event_id"), col("user_id"), col("value"), col("prev_value"),
+        Co2Functions.co2PercentChange(col("prev_value"), col("value")).as("pct_change"),
+        Co2Functions.co2Volatility(col("value"), col("prev_value")).as("volatility"))
+  }
+
+  /** row_number ranking: top-3 orders per customer. */
+  def q11TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Running sum (frame window): cumulative spend per customer by date. */
+  def q12RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("running_total"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Sort / limit / set ops / scalar functions (SURVEY §2.6-2.8)
+  // ---------------------------------------------------------------------
+
+  /** Multi-column sort + limit (O1/O2). */
+  def q13SortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .limit(5)
+
+  /** Set op: distinct union of nation keys present on either side (§2.7). */
+  def q14UnionNations(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  /** Derived DATE from parts via LPAD/CONCAT_WS/TO_DATE — the reference's
+    * P2/F1–F4 date assembly, round-tripped against the real date.
+    */
+  def q15DerivedDate(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(
+      to_date(concat_ws("-",
+        lpad(year(col("o_orderdate")).cast("string"), 4, "0"),
+        lpad(month(col("o_orderdate")).cast("string"), 2, "0"),
+        lpad(dayofmonth(col("o_orderdate")).cast("string"), 2, "0")),
+        "yyyy-MM-dd").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Min-max normalization with collect-to-literal global bounds — the
+    * reference's _CO2_MINMAX + NORMALIZE_CO2_UDF pattern (A1+U4) on orders.
+    */
+  def q16NormalizePrice(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val mm = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).collect().head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    o.select(col("o_orderkey"),
+      Co2Functions.normalizeCo2(col("o_totalprice"), lit(lo), lit(hi)).as("norm_price"))
+  }
+
+  /** Incremental high-watermark predicate (P3/A2): events in the last 7
+    * days before the max timestamp.
+    */
+  def q17RecentEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val boundary = ev.agg(max(col("ts")) - expr("INTERVAL 7 DAY")).collect().head.getTimestamp(0)
+    ev.filter(col("ts") > lit(boundary))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  /** Conditional CASE WHEN buckets + string functions (F7 family). */
+  def q18PriorityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("high"))
+        .when(col("o_orderpriority") === "3-MEDIUM", lit("mid"))
+        .otherwise(lit("low")).as("bucket"),
+      col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Text / dedup (LLM-pipeline extensions; documents table)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup by content hash (md5 groupBy): survivor + multiplicity. */
+  def q19DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Token statistics per language label (whitespace tokenization). */
+  def q20TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("lang"), TextFunctions.tokenCount(col("text")).as("ntok"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("ntok")).as("sum_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Catalog
+  // ---------------------------------------------------------------------
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_global_minmax" -> (q02GlobalMinMax _),
+    "q03_weekly_orders" -> (q03WeeklyOrders _),
+    "q04_top_revenue_orders" -> (q04TopRevenueOrders _),
+    "q05_region_revenue" -> (q05RegionRevenue _),
+    "q06_brand_volume" -> (q06BrandVolume _),
+    "q07_customers_with_orders" -> (q07CustomersWithOrders _),
+    "q08_customers_without_orders" -> (q08CustomersWithoutOrders _),
+    "q09_merge_upsert" -> (q09MergeUpsert _),
+    "q10_event_lag" -> (q10EventLag _),
+    "q11_top_orders_per_customer" -> (q11TopOrdersPerCustomer _),
+    "q12_running_total" -> (q12RunningTotal _),
+    "q13_sort_limit" -> (q13SortLimit _),
+    "q14_union_nations" -> (q14UnionNations _),
+    "q15_derived_date" -> (q15DerivedDate _),
+    "q16_normalize_price" -> (q16NormalizePrice _),
+    "q17_recent_events" -> (q17RecentEvents _),
+    "q18_priority_buckets" -> (q18PriorityBuckets _),
+    "q19_dedup_exact" -> (q19DedupExact _),
+    "q20_token_stats" -> (q20TokenStats _)
+  )
+
+  /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_global_minmax" ->
+      """SELECT MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  COUNT(*) AS n_rows FROM lineitem""".stripMargin,
+    "q03_weekly_orders" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q04_top_revenue_orders" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q05_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q06_brand_volume" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q07_customers_with_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q08_customers_without_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q09_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    COUNT(*) AS n
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |source AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    COUNT(*) AS n
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1)
+        |SELECT COALESCE(s.custkey, t.custkey) AS custkey,
+        |  COALESCE(s.total, t.total) AS total,
+        |  COALESCE(s.n, t.n) AS n
+        |FROM target t FULL OUTER JOIN source s ON t.custkey = s.custkey""".stripMargin,
+    "q10_event_lag" ->
+      """SELECT event_id, user_id, value,
+        |  LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |  CASE WHEN LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |         OR LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) = 0 THEN 0.0
+        |       ELSE (value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id))
+        |            / LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) * 100.0 END AS pct_change,
+        |  CASE WHEN LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) > 0 AND value > 0
+        |       THEN ROUND(ABS(value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id))
+        |            / ((value + LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)) / 2.0) * 100.0, 4)
+        |       ELSE NULL END AS volatility
+        |FROM events""".stripMargin,
+    "q11_top_orders_per_customer" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q12_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin,
+    "q13_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5""".stripMargin,
+    "q14_union_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q15_derived_date" ->
+      """SELECT make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT),
+        |  CAST(day(o_orderdate) AS INT)) AS d, COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q16_normalize_price" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN (SELECT MAX(o_totalprice) FROM orders) = (SELECT MIN(o_totalprice) FROM orders) THEN 0.5
+        |       ELSE ROUND((o_totalprice - (SELECT MIN(o_totalprice) FROM orders))
+        |            / ((SELECT MAX(o_totalprice) FROM orders) - (SELECT MIN(o_totalprice) FROM orders)), 3) END AS norm_price
+        |FROM orders""".stripMargin,
+    "q17_recent_events" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >
+        |  (SELECT CAST(MAX(ts) AS TIMESTAMP) - INTERVAL 7 DAY FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q18_priority_buckets" ->
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+        |  WHEN o_orderpriority = '3-MEDIUM' THEN 'mid' ELSE 'low' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q19_dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q20_token_stats" ->
+      """SELECT lang,
+        |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin
+  )
+}

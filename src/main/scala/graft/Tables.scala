@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the benchmark tables at /root/testdata/sf*.
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 rejects
+  * outright; we read it as a long (legacy conf) and convert to a microsecond
+  * timestamp with integer division (ts is ~1.7e18 — a double round-trip
+  * would lose precision). DuckDB truncates the same way on
+  * `CAST(ts AS TIMESTAMP)`, so oracle comparisons line up exactly.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case n =>
+        spark.read.parquet(s"$sfDir/$n.parquet")
+    }
+
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}

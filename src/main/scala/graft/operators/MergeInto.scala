@@ -28,6 +28,26 @@ object MergeInto {
 
   final case class MergeResult(updated: Long, inserted: Long, version: Long)
 
+  /** The merge as a pure plan: full-outer join on `keys`, matched rows take
+    * source values, unmatched keep target — no write. Shared by the table
+    * writer below and usable directly as a query operator.
+    */
+  def mergedPlan(target: DataFrame, source: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    val joined = joinedPlan(target, source, keys)
+    joined.select(
+      target.columns.toSeq.map { c =>
+        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+      }: _*)
+  }
+
+  private def joinedPlan(target: DataFrame, source: DataFrame,
+                         keys: Seq[String]): DataFrame = {
+    val cond: Column =
+      keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    target.as("t").join(source.as("s"), cond, "full_outer")
+  }
+
   def apply(
       spark: SparkSession,
       target: VersionedTable,
@@ -64,16 +84,8 @@ object MergeInto {
     require(tgt.columns.sorted.sameElements(src0.columns.sorted),
       s"merge schema mismatch: target ${tgt.columns.mkString(",")} vs source ${src0.columns.mkString(",")}")
 
-    val t = tgt.as("t")
-    val s = src0.as("s")
-    val cond: Column = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-
-    val joined = t.join(s, cond, "full_outer")
-    val merged = joined.select(
-      tgt.columns.toSeq.map { c =>
-        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
-      }: _*
-    )
+    val joined = joinedPlan(tgt, src0, keys)
+    val merged = mergedPlan(tgt, src0, keys)
 
     // counts computed on the same joined plan (cheap at these key widths)
     val counts = joined.agg(

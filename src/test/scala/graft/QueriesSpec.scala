@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke-level checks at sf0.001: every catalog query runs, returns rows
+  * (where expected), and every query has a matching oracle entry. Value
+  * correctness is the DuckDB-oracle gate (tools/check_oracle.py at sf0.01).
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every query has an oracle and vice versa") {
+    val qn = Queries.all.map(_._1).toSet
+    assert(Queries.oracle.keySet == qn,
+      s"mismatch: ${Queries.oracle.keySet.diff(qn)} / ${qn.diff(Queries.oracle.keySet)}")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- Queries.all) {
+    test(s"$name runs at sf0.001 with lowercase-aliased schema") {
+      val df = fn(spark, dir)
+      val cols = df.columns
+      assert(cols.forall(c => c == c.toLowerCase), cols.mkString(","))
+      // q08 can be empty at tiny scale; all others must produce rows
+      if (name != "q08_customers_without_orders") assert(df.count() > 0)
+    }
+  }
+}
