@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.expressions.{simhash64, rollingFingerprint}
+
+/** Document deduplication for training-data pipelines, at three fidelities:
+  *
+  *  - exact: normalized-content fingerprint groupBy (one shuffle);
+  *  - MinHash + LSH banding: near-dup candidate pairs without the O(n²)
+  *    cross join — shingle → k-wise minhash signature → band buckets →
+  *    self-join only within buckets → exact Jaccard confirm;
+  *  - SimHash: 64-bit fingerprint, near-dups = small Hamming distance,
+  *    bucketed by 16-bit chunks (any pair within distance d ≤ 3 shares at
+  *    least one of 4 chunks — pigeonhole).
+  *
+  * All shuffles key on the bucket/fingerprint, so at 100 TB each stage is
+  * an ordinary hash-partitioned exchange; nothing collects to the driver.
+  */
+object Dedup {
+
+  /** Normalized word shingles of size k (distinct, order-insensitive set). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** k-wise MinHash signature of a shingle set: element i is
+    * min over shingles of xxhash64(i, shingle).
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** Exact Jaccard between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Exact dedup: keep the smallest id per normalized content fingerprint. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = rollingFingerprint(col(textCol))
+    df.withColumn("_fp", fp)
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("_fp")
+  }
+
+  /** MinHash-LSH near-duplicate pairs with Jaccard ≥ threshold.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
+    * buckets. bands*rowsPerBand must equal numHashes.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val withSig = df.select(
+        col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // explode into (band, bucketHash) — the LSH key
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
+      }: _*)).as(Seq("band", "bucket")))
+
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
+  /** MinHash-LSH dedup: drop near-duplicates, keeping the smallest id of
+    * each connected pair (single-linkage approximation: b survives only if
+    * no smaller id is near-duplicate with it).
+    */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val dupIds = minhashPairs(df, textCol, idCol, shingleSize, numHashes,
+      bands, threshold)
+      .select(col("id_b").as("_dup_id")).distinct()
+    df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
+  }
+
+  /** SimHash fingerprints with 4×16-bit band buckets for Hamming-≤3 pairs. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val banded = withFp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Direct n-gram Jaccard similarity for a bounded candidate set (exact,
+    * no LSH) — quadratic, use only behind a pre-filter or at small n.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    val l = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.plans.expressions._
+
+/** Behavioral tests for dedup operators + the custom Catalyst expressions
+  * backing them (SimHash64, RollingFingerprint, CosineSimilarity).
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "THE  Quick Brown   Fox jumps over the lazy dog"), // normalized dup of 1
+    (4L, "the quick brown fox jumps over the sleepy dog"), // near-dup of 1
+    (5L, "completely different content about spark catalyst optimizer rules"),
+    (6L, "an unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per normalized fingerprint") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // 1,2,3 collapse (case/whitespace-insensitive), 4,5,6 survive
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L, 5L, 6L))
+    assert(out.head.getLong(1) == 3L) // n_copies for the collapsed group
+  }
+
+  test("rollingFingerprint is whitespace/case-insensitive but content-sensitive") {
+    val fps = docs.select(rollingFingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) == fps(2))
+    assert(fps(0) != fps(3) && fps(0) != fps(4))
+  }
+
+  test("minhash LSH finds the near-duplicate pair and only real pairs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2, 1-3, 2-3 are identical; 4 is near-dup of 1/2/3
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("minhash dedup keeps one survivor per near-dup cluster") {
+    val kept = Dedup.minhashDedup(docs, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(5L) && kept.contains(6L))
+    assert(!kept.contains(2L) && !kept.contains(3L))
+  }
+
+  test("simhash: identical text -> identical fp; near-dup -> small hamming") {
+    val fp = docs.select(simhash64(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) == fp(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0), fp(3)) < ham(fp(0), fp(4)))
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs: exact quadratic variant agrees on the dup cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("cosineSimilarity expression: correctness + null/zero semantics") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 2f), Array(2f, 4f, 4f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))
+    ).toDF("a", "b")
+    val out = df.select(cosineSimilarity(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+    assert(math.abs(out(2) - 1.0) < 1e-12)
+    assert(out(3) == 0.0)
+    // length mismatch -> NULL
+    val m = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(cosineSimilarity(col("a"), col("b"))).collect()
+    assert(m.head.isNullAt(0))
+  }
+
+  test("dotConst matches manual dot product") {
+    val df = Seq(Array(1f, 2f, 3f)).toDF("v")
+    val out = df.select(dotConst(col("v"), Array(2.0, 0.5, 1.0))).head.getDouble(0)
+    assert(math.abs(out - (2.0 + 1.0 + 3.0)) < 1e-12)
+  }
+}
