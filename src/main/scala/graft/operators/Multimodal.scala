@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image / audio / video) column handling for training-data
+  * pipelines: the payload is an opaque `binary` column plus a typed metadata
+  * struct; decode / featurize / resize / frame-sample run as partition-local
+  * batch transforms (`mapPartitions`), so each executor touches only its own
+  * rows — no shuffle, no driver materialization, valid at any table size.
+  *
+  * DECODE IS A STUB: this container ships no image/audio codecs, so
+  * [[StubCodec]] derives deterministic pseudo-content from the bytes. The
+  * Spark-side plumbing — schemas, encoders, batch iteration, partitioning,
+  * column contracts — is real and is what the pipeline depends on; swap
+  * [[StubCodec]] for a JNI/javax.imageio codec in production.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),        // e.g. "jpeg", "wav", "mp4"
+    StructField("width", IntegerType),        // px (images/video)
+    StructField("height", IntegerType),
+    StructField("n_channels", IntegerType),   // 3=RGB, 1=mono audio…
+    StructField("duration_ms", LongType),     // audio/video
+    StructField("size_bytes", LongType)))
+
+  /** Canonical media-table schema: id, modality, payload, metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** ======== STUB ======== deterministic fake codec.
+    * Every function here is a placeholder for a real decoder; outputs are
+    * pure functions of the input bytes so tests are reproducible.
+    */
+  object StubCodec {
+    private def mix(h0: Long): Long = {
+      var h = h0
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33); h
+    }
+    def hashBytes(b: Array[Byte]): Long = {
+      var h = 0xCBF29CE484222325L
+      var i = 0
+      while (i < b.length) { h ^= b(i); h *= 0x100000001B3L; i += 1 }
+      mix(h)
+    }
+    /** "Decode" → fixed 8×8 grayscale pixel block derived from the bytes. */
+    def decodeImage(payload: Array[Byte]): Array[Float] = {
+      val h = hashBytes(payload)
+      Array.tabulate(64)(i => ((mix(h + i) & 0xFF).toFloat) / 255f)
+    }
+    /** "Resize" → average-pool the stubbed pixel block to w×h. */
+    def resize(pixels: Array[Float], srcW: Int, srcH: Int, w: Int, h: Int): Array[Float] =
+      Array.tabulate(w * h) { i =>
+        val (x, y) = (i % w, i / w)
+        val sx = x * srcW / w; val sy = y * srcH / h
+        pixels(math.min(srcH - 1, sy) * srcW + math.min(srcW - 1, sx))
+      }
+    /** "Feature-extract" → dim-length embedding from payload bytes. */
+    def featurize(payload: Array[Byte], dim: Int): Array[Float] = {
+      val h = hashBytes(payload)
+      Array.tabulate(dim)(i => ((mix(h * 31 + i) % 1000L).toFloat) / 1000f)
+    }
+    /** "Frame-sample" → every-nth fixed-size slice of the payload. */
+    def sampleFrames(payload: Array[Byte], frameBytes: Int, everyN: Int): Seq[Array[Byte]] = {
+      if (payload == null || payload.isEmpty || frameBytes <= 0) Seq.empty
+      else (0 until payload.length by frameBytes * everyN)
+        .map(off => payload.slice(off, math.min(payload.length, off + frameBytes)))
+    }
+  }
+
+  /** Attach a metadata struct derived from the payload (size is real; the
+    * decoded dimensions come from the stub codec).
+    */
+  def withMeta(df: DataFrame, payloadCol: String, format: String): DataFrame =
+    df.withColumn("meta", struct(
+      lit(format).as("format"),
+      lit(8).as("width"), lit(8).as("height"), lit(1).as("n_channels"),
+      (length(col(payloadCol)).cast("long") * 10L).as("duration_ms"),
+      length(col(payloadCol)).cast("long").as("size_bytes")))
+
+  /** Decode + resize in one partition-local batch pass. Output schema:
+    * input columns + `pixels: array<float>` (w·h row-major).
+    */
+  def decodeResize(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("pixels", ArrayType(FloatType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val px =
+          if (payload == null) null
+          else StubCodec.resize(StubCodec.decodeImage(payload), 8, 8, w, h)
+        Row.fromSeq(r.toSeq :+ px)
+      }
+    }(enc)
+  }
+
+  /** Embedding column from media payloads — feeds straight into
+    * [[Similarity]] (ANN / near-dup) like any text embedding.
+    */
+  def featurize(df: DataFrame, payloadCol: String, dim: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("embedding", ArrayType(FloatType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val e = if (payload == null) null else StubCodec.featurize(payload, dim)
+        Row.fromSeq(r.toSeq :+ e)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video payloads: one output row per sampled frame,
+    * `(… , frame_no: int, frame: binary)`. Partition-local explode — row
+    * count grows but nothing shuffles.
+    */
+  def sampleFrames(df: DataFrame, payloadCol: String,
+                   frameBytes: Int, everyN: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        StubCodec.sampleFrames(payload, frameBytes, everyN).zipWithIndex.map {
+          case (frame, i) => Row.fromSeq(r.toSeq ++ Seq(i, frame))
+        }
+      }
+    }(enc)
+  }
+
+  /** Exact payload dedup — binary columns group directly on content hash. */
+  def dedupPayloads(df: DataFrame, payloadCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(payloadCol), 256).as("payload_sha256"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+}

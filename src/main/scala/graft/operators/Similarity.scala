@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.expressions.{cosineSimilarity, dotConst}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`), for training-data pipelines (retrieval, embedding
+  * near-dup, clustering prep).
+  *
+  * Three tiers, trading recall for scan cost:
+  *
+  *  - `topK`: exact brute-force cosine top-k. One pass over the table with a
+  *    fused dot-product expression and a `TakeOrderedAndProject` — no shuffle
+  *    of the vectors themselves, only k rows reach the driver. At 100 TB this
+  *    is the per-partition-scan baseline (and the recall oracle for the
+  *    approximate tiers).
+  *  - `lshTopK`: random-hyperplane LSH. Vectors bucket by an nbits sign
+  *    signature; the query probes its own bucket plus all buckets within
+  *    `probeHamming` bit flips. Scan cost drops to the probed buckets'
+  *    partitions (a partition-pruned scan when the table is written
+  *    partitioned/bucketed by `_lsh_bucket`).
+  *  - IVF (`ivfAssign` + `ivfTopK`): inverted-file index with sampled
+  *    k-means centroids. Build once (`fit` = driver-side Lloyd iterations on
+  *    a bounded sample — the classic IVF coarse quantizer), assign each
+  *    vector to its nearest centroid (broadcast centroids, one map pass),
+  *    then queries scan only the `nprobe` nearest inverted lists.
+  *
+  * Near-duplicate detection by embedding cosine (`cosinePairs`) reuses the
+  * LSH buckets to avoid the O(n²) cross join.
+  */
+object Similarity {
+
+  /** Cosine scores against a constant query vector; computed in double
+    * precision regardless of the stored float width.
+    */
+  def cosineScore(vec: Column, query: Array[Double]): Column = {
+    val qnorm = math.sqrt(query.map(x => x * x).sum)
+    val dot = dotConst(vec, query)
+    val vnorm = sqrt(aggregate(vec, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(vnorm === 0d || lit(qnorm) === 0d, lit(0d))
+      .otherwise(dot / (vnorm * lit(qnorm)))
+  }
+
+  /** Exact brute-force cosine top-k. */
+  def topK(df: DataFrame, vecCol: String, idCol: String,
+           query: Array[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosineScore(col(vecCol), query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  // ---------------------------------------------------------------------
+  // Random-hyperplane LSH
+  // ---------------------------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane b is a
+    * hash-derived value in [-1,1]. Same seed → same planes on every executor
+    * and on the driver (needed to bucket the query vector identically).
+    */
+  private def plane(bit: Int, dim: Int, seed: Long): Array[Double] =
+    Array.tabulate(dim) { j =>
+      var h = seed ^ (bit * 0x9E3779B97F4A7C15L) ^ (j * 0xC2B2AE3D27D4EB4FL)
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+      (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    }
+
+  /** Sign-signature column: bit b set iff vec · plane(b) > 0. */
+  def lshSignature(vec: Column, dim: Int, nbits: Int, seed: Long): Column =
+    (0 until nbits).map { b =>
+      when(dotConst(vec, plane(b, dim, seed)) > 0d, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side signature of one query vector (same planes as above). */
+  def signatureOf(query: Array[Double], nbits: Int, seed: Long): Long =
+    (0 until nbits).foldLeft(0L) { (acc, b) =>
+      val p = plane(b, query.length, seed)
+      val dot = query.zip(p).map { case (x, y) => x * y }.sum
+      if (dot > 0d) acc | (1L << b) else acc
+    }
+
+  /** All signatures within `maxFlips` bit flips of `sig` (multi-probe). */
+  def probeSignatures(sig: Long, nbits: Int, maxFlips: Int): Seq[Long] = {
+    require(maxFlips <= 2, "probeHamming > 2 explodes the probe set")
+    val one = (0 until nbits).map(b => sig ^ (1L << b))
+    val two = if (maxFlips < 2) Seq.empty
+      else for { a <- 0 until nbits; b <- (a + 1) until nbits }
+        yield sig ^ (1L << a) ^ (1L << b)
+    (Seq(sig) ++ (if (maxFlips >= 1) one else Seq.empty) ++ two).distinct
+  }
+
+  /** ANN top-k via hyperplane LSH: scan only rows whose signature is within
+    * `probeHamming` flips of the query's signature, then exact-rank those.
+    */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Array[Double], k: Int, nbits: Int = 16,
+              probeHamming: Int = 1, seed: Long = 42L): DataFrame = {
+    val sig = lshSignature(col(vecCol), query.length, nbits, seed)
+    val probes = probeSignatures(signatureOf(query, nbits, seed), nbits, probeHamming)
+    df.withColumn("_sig", sig)
+      .filter(col("_sig").isin(probes: _*))
+      .select(col(idCol), cosineScore(col(vecCol), query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold)
+    * without a full cross join: candidates must share an LSH bucket (or a
+    * 1-flip neighbor bucket via the probe explosion on the left side).
+    */
+  def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
+                  threshold: Double, nbits: Int = 12,
+                  seed: Long = 42L): DataFrame = {
+    // dim probe: read one row's vector length (metadata-cheap at any scale)
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val sig = lshSignature(col(vecCol), dim, nbits, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("_sig"))
+    // left side probes its own + 1-flip buckets so near-boundary pairs meet
+    val probes = base.select(col("id"), col("v"),
+      explode(array(
+        (col("_sig") +: (0 until nbits).map(b => col("_sig").bitwiseXOR(lit(1L << b)))): _*
+      )).as("_bucket"))
+    val l = probes.select(col("_bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = base.select(col("_sig").as("_bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) index
+  // ---------------------------------------------------------------------
+
+  /** Coarse quantizer: k-means centroids from a bounded driver-side sample
+    * (classic IVF build — the sample cap keeps the driver O(sample·dim)
+    * regardless of table size).
+    */
+  def fitCentroids(df: DataFrame, vecCol: String, k: Int,
+                   iters: Int = 10, sampleCap: Int = 10000,
+                   seed: Long = 42L): Array[Array[Double]] = {
+    val n = df.count()
+    val frac = math.min(1.0, sampleCap.toDouble / math.max(1L, n))
+    val sample = df.sample(withReplacement = false, frac, seed)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty table")
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.toVector).take(k).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestIdx(centroids, v)
+        val s = sums(c); var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestIdx(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val cc = cents(c)
+      while (i < v.length) { val t = v(i) - cc(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Nearest-centroid list id for every row (broadcast centroids; one
+    * codegen'd map pass — at scale, write the table partitioned by this).
+    */
+  def ivfAssign(df: DataFrame, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
+    // argmin over ||v-c||² = ||v||² - 2·v·c + ||c||²; ||v||² is common, so
+    // rank by (||c||² - 2·v·c) — one fused dot per centroid, no UDF.
+    val scored = centroids.zipWithIndex.map { case (cv, i) =>
+      val c2 = cv.map(x => x * x).sum
+      struct((lit(c2) - dotConst(col(vecCol), cv.map(_ * 2))).as("d"),
+        lit(i).as("i"))
+    }
+    df.withColumn("_list", array_min(array(scored: _*)).getField("i"))
+  }
+
+  /** IVF ANN top-k: scan only the `nprobe` inverted lists nearest to the
+    * query, exact-rank within them.
+    */
+  def ivfTopK(assigned: DataFrame, vecCol: String, idCol: String,
+              centroids: Array[Array[Double]], query: Array[Double],
+              k: Int, nprobe: Int = 3): DataFrame = {
+    val byDist = centroids.zipWithIndex.map { case (cv, i) =>
+      val d = cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+    assigned.filter(col("_list").isin(byDist: _*))
+      .select(col(idCol), cosineScore(col(vecCol), query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}

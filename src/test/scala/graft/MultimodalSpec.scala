@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, Similarity}
+
+/** Multimodal plumbing: schemas, batch transforms, and the bridge into the
+  * similarity operators. The codec is a deterministic stub (see
+  * Multimodal.StubCodec); these tests pin the plumbing contracts.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Synthesize a media table from document text bytes (no codecs here). */
+  private lazy val media =
+    Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+      .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+        col("text").cast("binary").as("payload"))
+
+  test("withMeta attaches the typed metadata struct with real sizes") {
+    val df = Multimodal.withMeta(media, "payload", "jpeg")
+    val got = df.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(got.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.mediaMetaType.fields.map(f => (f.name, f.dataType)).toSeq)
+    val r = df.select(col("meta.size_bytes"), length(col("payload"))).head
+    assert(r.getLong(0) == r.getInt(1).toLong)
+  }
+
+  test("decodeResize yields w*h pixel arrays, partition-local") {
+    val out = Multimodal.decodeResize(media, "payload", 4, 4)
+    val px = out.select("pixels").head.getSeq[Float](0)
+    assert(px.length == 16)
+    assert(px.forall(p => p >= 0f && p <= 1f))
+    // deterministic: same payload -> same pixels
+    val again = Multimodal.decodeResize(media, "payload", 4, 4)
+      .select("pixels").head.getSeq[Float](0)
+    assert(px == again)
+  }
+
+  test("featurize produces embeddings usable by Similarity.topK") {
+    val emb = Multimodal.featurize(media, "payload", dim = 16).cache()
+    assert(emb.select(size(col("embedding"))).head.getInt(0) == 16)
+    val q = emb.filter(col("media_id") === 3)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+    val top = Similarity.topK(emb, "embedding", "media_id", q, 3).collect()
+    assert(top.head.getLong(0) == 3L) // self is nearest
+    emb.unpersist()
+  }
+
+  test("sampleFrames: one row per sampled frame, frame bytes bounded") {
+    val out = Multimodal.sampleFrames(media, "payload", frameBytes = 16, everyN = 2)
+    val counts = out.groupBy("media_id").agg(count(lit(1)).as("n"))
+    assert(counts.agg(min("n")).head.getLong(0) >= 1)
+    val fl = out.select(length(col("frame"))).agg(max(col("length(frame)")))
+    assert(out.select(length(col("frame")).as("l")).agg(max("l")).head.getInt(0) <= 16)
+  }
+
+  test("dedupPayloads groups identical binary content") {
+    val dup = media.union(media.limit(5)) // 5 exact dup payloads
+    val out = Multimodal.dedupPayloads(dup, "payload", "media_id")
+    assert(out.count() == 50)
+    assert(out.agg(sum("n_copies")).head.getLong(0) == 55L)
+  }
+}
