@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.{Co2Functions, TextFunctions}
-import graft.operators.MergeInto
+import graft.operators.{Dedup, MergeInto, Similarity}
 
 /** The engine's query catalog: one entry per operator family from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each paired with ANSI SQL
@@ -263,6 +263,110 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // Similarity search / dedup tiers / text analysis (LLM-pipeline
+  // extensions over documents + embeddings)
+  // ---------------------------------------------------------------------
+
+  /** Brute-force cosine top-k ANN (exact tier): query vector collected from
+    * the table (the reference's collect-to-literal pattern), scored with the
+    * fused DotConst expression, ranked by TakeOrderedAndProject.
+    */
+  def q21AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    Similarity.topK(emb, "embedding", "vec_id", q, 10)
+  }
+
+  /** Per-label embedding stats: count + decimal-exact sum of first
+    * component (float→decimal is deterministic on both engines).
+    */
+  def q22EmbeddingStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(element_at(col("embedding"), 1).cast("double").cast(DecimalType(18, 9)))
+          .cast("double").as("sum_first"),
+        max(size(col("embedding"))).as("dim"))
+
+  /** MinHash-LSH near-dup survivors per language (approximate dedup tier —
+    * no SQL oracle; driver records rows-only).
+    */
+  def q23MinhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.minhashDedup(d, "text", "doc_id", shingleSize = 3,
+      numHashes = 64, bands = 16, threshold = 0.7)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_survivors"))
+  }
+
+  /** SimHash near-dup candidate pairs at hamming ≤ 3 (rows-only check). */
+  def q24SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** Language-ID distribution: the n-gram-marker heuristic vs the labeled
+    * lang column (confusion counts).
+    */
+  def q25LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Integer-exact text metrics per source: token/punct/letter/upper/
+    * stopword totals — the building blocks of the quality score, all
+    * integer-summed so the oracle compare is exact.
+    */
+  def q26TextMetrics(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col("text"))).as("sum_tokens"),
+      sum(TextFunctions.approxBpeTokenCount(col("text"))).as("sum_bpe_tokens"),
+      sum(length(regexp_replace(col("text"), "[^\\p{L}]", ""))).as("sum_letters"),
+      sum(length(regexp_replace(col("text"), "[^\\p{Lu}]", ""))).as("sum_uppers"),
+      sum(size(filter(toks, tk => tk.isin("the", "of", "and", "to", "in", "a",
+        "is", "that", "it", "for", "on", "was", "with", "as", "be", "at",
+        "by", "this", "are", "or")))).as("sum_stopwords"))
+  }
+
+  /** Composite quality score histogram (deciles) per source. */
+  def q27QualityBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        floor(TextFunctions.qualityScore(col("text")) * 10).cast("int").as("decile"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n"))
+
+  /** ROLLUP aggregation (multi-level grouping): doc counts by lang, source. */
+  def q28Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Exact distinct aggregation: distinct parts/suppliers per return flag. */
+  def q29CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_rows"))
+
+  /** IVF ANN top-k (approximate tier, deterministic seed; rows-only). */
+  def q30IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val cents = Similarity.fitCentroids(emb, "embedding", k = 16, iters = 5)
+    val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+    Similarity.ivfTopK(assigned, "embedding", "vec_id", cents, q, 10, nprobe = 4)
+      .drop("score") // approximate tier: assert membership, not float scores
+  }
+
+  // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
 
@@ -286,7 +390,17 @@ object Queries {
     "q17_recent_events" -> (q17RecentEvents _),
     "q18_priority_buckets" -> (q18PriorityBuckets _),
     "q19_dedup_exact" -> (q19DedupExact _),
-    "q20_token_stats" -> (q20TokenStats _)
+    "q20_token_stats" -> (q20TokenStats _),
+    "q21_ann_topk" -> (q21AnnTopK _),
+    "q22_embedding_stats" -> (q22EmbeddingStats _),
+    "q23_minhash_dedup" -> (q23MinhashDedup _),
+    "q24_simhash_pairs" -> (q24SimhashPairs _),
+    "q25_lang_id" -> (q25LangId _),
+    "q26_text_metrics" -> (q26TextMetrics _),
+    "q27_quality_buckets" -> (q27QualityBuckets _),
+    "q28_rollup" -> (q28Rollup _),
+    "q29_count_distinct" -> (q29CountDistinct _),
+    "q30_ivf_topk" -> (q30IvfTopK _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -416,6 +530,92 @@ object Queries {
         |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  COUNT(*) AS n_docs
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q21_ann_topk" ->
+      """SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+        |FROM embeddings,
+        |  (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7) q
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "q22_embedding_stats" ->
+      """SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_first,
+        |  MAX(len(embedding)) AS dim
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "q25_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang,
+        |    coalesce(len(list_filter(toks, t -> t IN ('the','and','of','is','that','with','for','this'))), 0) AS en,
+        |    coalesce(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))), 0) AS de,
+        |    coalesce(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','que','pas'))), 0) AS fr,
+        |    coalesce(len(list_filter(toks, t -> t IN ('el','los','las','es','que','una','por','con'))), 0) AS es,
+        |    toks IS NULL AS empty
+        |  FROM scored)
+        |SELECT lang,
+        |  CASE WHEN empty THEN 'und'
+        |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |    WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |    WHEN de >= fr AND de >= es THEN 'de'
+        |    WHEN fr >= es THEN 'fr'
+        |    ELSE 'es' END AS lang_pred,
+        |  COUNT(*) AS n
+        |FROM counts GROUP BY 1, 2""".stripMargin,
+    "q26_text_metrics" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
+        |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |        w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))) END) AS sum_bpe_tokens,
+        |  SUM(length(regexp_replace(text, '[^\p{L}]', '', 'g'))) AS sum_letters,
+        |  SUM(length(regexp_replace(text, '[^\p{Lu}]', '', 'g'))) AS sum_uppers,
+        |  SUM(coalesce(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> t IN ('the','of','and','to','in','a','is','that','it','for',
+        |               'on','was','with','as','be','at','by','this','are','or'))), 0)) AS sum_stopwords
+        |FROM documents GROUP BY source""".stripMargin,
+    "q27_quality_buckets" ->
+      """WITH m AS (
+        |  SELECT source, text,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END AS ntok,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS nonspace,
+        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS nletter,
+        |    CAST(length(regexp_replace(text, '[^\p{Lu}]', '', 'g')) AS DOUBLE) AS nupper,
+        |    CAST(coalesce(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','of','and','to','in','a','is','that','it','for',
+        |                 'on','was','with','as','be','at','by','this','are','or'))), 0) AS DOUBLE) AS nstop,
+        |    CAST(length(text) AS DOUBLE) AS nchar
+        |  FROM documents),
+        |q AS (
+        |  SELECT source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0.0 ELSE
+        |      round((
+        |        least(ntok / 100.0, 1.0)
+        |        + (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0 ELSE nonspace / ntok END) >= 3.0
+        |               AND (CASE WHEN ntok = 0 THEN 0.0 ELSE nonspace / ntok END) <= 10.0
+        |            THEN 1.0 ELSE 0.5 END)
+        |        + least((CASE WHEN ntok = 0 OR length(trim(text)) = 0 THEN 0.0
+        |                 ELSE nstop / ntok END) * 4.0, 1.0)
+        |        + greatest(0.0, 1.0 - (CASE WHEN nchar = 0 THEN 0.0 ELSE npunct / nchar END) * 4.0)
+        |        + greatest(0.0, 1.0 - (CASE WHEN nletter = 0 THEN 0.0 ELSE nupper / nletter END))
+        |      ) / 5.0, 4) END AS quality
+        |  FROM m)
+        |SELECT source, CAST(floor(quality * 10) AS INT) AS decile, COUNT(*) AS n
+        |FROM q GROUP BY 1, 2""".stripMargin,
+    "q28_rollup" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q29_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

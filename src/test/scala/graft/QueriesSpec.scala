@@ -10,10 +10,17 @@ class QueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   private val dir = "/root/testdata/sf0.001"
 
-  test("every query has an oracle and vice versa") {
+  /** Approximate/LSH-tier queries whose semantics are not ANSI-SQL
+    * expressible — the driver records a rows-only check for these.
+    */
+  private val rowsOnly = Set("q23_minhash_dedup", "q24_simhash_pairs", "q30_ivf_topk")
+
+  test("every oracle matches a query; non-oracle queries are declared rows-only") {
     val qn = Queries.all.map(_._1).toSet
-    assert(Queries.oracle.keySet == qn,
-      s"mismatch: ${Queries.oracle.keySet.diff(qn)} / ${qn.diff(Queries.oracle.keySet)}")
+    assert(Queries.oracle.keySet.subsetOf(qn),
+      s"orphan oracles: ${Queries.oracle.keySet.diff(qn)}")
+    assert(qn.diff(Queries.oracle.keySet) == rowsOnly,
+      s"undeclared rows-only: ${qn.diff(Queries.oracle.keySet).diff(rowsOnly)}")
   }
 
   test("entry() returns rows") {
