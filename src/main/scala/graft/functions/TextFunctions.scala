@@ -45,9 +45,17 @@ object TextFunctions {
     when(letters === 0, lit(0d)).otherwise(uppers.cast("double") / letters)
   }
 
-  private val enStopwords =
+  val enStopwords: Seq[String] =
     Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
       "on", "was", "with", "as", "be", "at", "by", "this", "are", "or")
+
+  /** Single-pass text statistics struct (n_chars, n_tokens, n_nonspace,
+    * n_punct, n_letters, n_uppers, n_stopwords, n_bpe_tokens) — one scan of
+    * the string instead of five regex passes. Field semantics match the
+    * regex formulations of the functions above exactly.
+    */
+  def textStats(text: Column): Column =
+    graft.plans.expressions.textStats(text, enStopwords.toSet)
 
   /** Fraction of whitespace tokens that are common English stopwords. */
   def stopwordRatio(text: Column): Column = {
@@ -60,19 +68,37 @@ object TextFunctions {
   /** Composite quality score in [0,1]: rewards mid-length docs, plausible
     * mean word length, presence of stopwords; penalizes punctuation spam and
     * shouting. Deterministic arithmetic only — safe for oracle comparison.
+    * Computed from one [[textStats]] scan (n_tokens == 0 ⟺ blank text, so
+    * the guards match the regex formulation exactly).
     */
-  def qualityScore(text: Column): Column = {
-    val nTok     = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    when(text.isNull, lit(0d))
+      .otherwise(graft.plans.expressions.qualityScore(text, enStopwords.toSet))
+
+  /** Quality score over an already-computed [[textStats]] struct — use this
+    * form when other metrics share the same stats pass.
+    */
+  def qualityScoreFromStats(text: Column, st: Column): Column = {
+    val nTok     = st.getField("n_tokens").cast("double")
     val lenScore = least(nTok / 100d, lit(1d))
     val meanWordLen =
       when(nTok === 0, lit(0d))
-        .otherwise(length(regexp_replace(trim(text), "\\s+", "")) / nTok)
+        .otherwise(st.getField("n_nonspace") / nTok)
     val wordLenScore =
       when(meanWordLen >= 3d && meanWordLen <= 10d, lit(1d)).otherwise(lit(0.5d))
-    val stopScore  = least(stopwordRatio(text) * 4d, lit(1d))
-    val punctPen   = greatest(lit(0d), lit(1d) - punctRatio(text) * 4d)
-    val shoutPen   = greatest(lit(0d), lit(1d) - upperRatio(text))
-    when(text.isNull || length(trim(text)) === 0, lit(0d)).otherwise(
+    val stopRatio =
+      when(st.getField("n_tokens") === 0, lit(0d))
+        .otherwise(st.getField("n_stopwords").cast("double") / st.getField("n_tokens"))
+    val stopScore  = least(stopRatio * 4d, lit(1d))
+    val pRatio =
+      when(st.getField("n_chars") === 0, lit(0d))
+        .otherwise(st.getField("n_punct").cast("double") / st.getField("n_chars"))
+    val punctPen   = greatest(lit(0d), lit(1d) - pRatio * 4d)
+    val uRatio =
+      when(st.getField("n_letters") === 0, lit(0d))
+        .otherwise(st.getField("n_uppers").cast("double") / st.getField("n_letters"))
+    val shoutPen   = greatest(lit(0d), lit(1d) - uRatio)
+    when(text.isNull || st.getField("n_tokens") === 0, lit(0d)).otherwise(
       round(
         (lenScore + wordLenScore + stopScore + punctPen + shoutPen) / 5d, 4))
   }
@@ -81,21 +107,12 @@ object TextFunctions {
     * marker-token sets and returns the best label ('en','de','fr','es','und').
     * Marker lists are public high-frequency function words.
     */
-  def langId(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    def score(markers: Seq[String]): Column =
-      size(filter(toks, t => t.isin(markers: _*)))
-    val en = score(Seq("the", "and", "of", "is", "that", "with", "for", "this"))
-    val de = score(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
-    val fr = score(Seq("le", "la", "les", "et", "est", "une", "que", "pas"))
-    val es = score(Seq("el", "los", "las", "es", "que", "una", "por", "con"))
-    when(text.isNull || length(trim(text)) === 0, lit("und"))
-      .when(greatest(en, de, fr, es) === 0, lit("und"))
-      .when(en >= de && en >= fr && en >= es, lit("en"))
-      .when(de >= fr && de >= es, lit("de"))
-      .when(fr >= es, lit("fr"))
-      .otherwise(lit("es"))
-  }
+  def langId(text: Column): Column =
+    when(text.isNull, lit("und")).otherwise(graft.plans.expressions.langId(text,
+      Set("the", "and", "of", "is", "that", "with", "for", "this"),
+      Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+      Set("le", "la", "les", "et", "est", "une", "que", "pas"),
+      Set("el", "los", "las", "es", "que", "una", "por", "con")))
 
   /** 64-bit document fingerprint via xxhash64 of normalized text (lowercased,
     * whitespace-collapsed) — the exact-dedup key at scale.

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.plans.expressions.{simhash64, rollingFingerprint}
+import graft.plans.expressions.{minhashSig, minhashText, rollingFingerprint, sigAgreement, simhash64}
 
 /** Document deduplication for training-data pipelines, at three fidelities:
   *
@@ -29,13 +29,12 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
-  /** k-wise MinHash signature of a shingle set: element i is
-    * min over shingles of xxhash64(i, shingle).
+  /** k-wise MinHash signature of a shingle set — a single-pass custom
+    * expression (each shingle string-hashed once, k derived mixes), not
+    * k × array_min(transform(...)) which re-hashes every shingle k times.
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
+    minhashSig(sh, numHashes)
 
   /** Exact Jaccard between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -50,9 +49,15 @@ object Dedup {
       .drop("_fp")
   }
 
-  /** MinHash-LSH near-duplicate pairs with Jaccard ≥ threshold.
+  /** MinHash-LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
     * buckets. bands*rowsPerBand must equal numHashes.
+    *
+    * The confirm step uses the MinHash agreement estimate (matching
+    * signature components / k) so only the k-long signature shuffles —
+    * never the shingle sets. Exact Jaccard rescoring, when needed, is a
+    * join of the surviving pairs back to the text ([[ngramJaccardPairs]]
+    * logic on a bounded candidate set).
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3, numHashes: Int = 64,
@@ -60,28 +65,28 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
+    // fused text→shingle→signature expression: one scan, no array<string>
     val withSig = df.select(
-        col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      col(idCol).as("id"),
+      minhashText(col(textCol), shingleSize, numHashes).as("sig"))
 
     // explode into (band, bucketHash) — the LSH key
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
       }: _*)).as(Seq("band", "bucket")))
 
     val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
+      col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+      col("id").as("id_b"), col("sig").as("sig_b"))
 
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        sigAgreement(col("sig_a"), col("sig_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))
