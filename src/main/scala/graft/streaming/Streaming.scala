@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.co2.Co2Pipeline
+import graft.operators.MergeInto
+
+/** Structured-Streaming surface of the engine. The reference's "streaming"
+  * is batch CDC (a Snowflake stream consumed on a daily cron —
+  * /root/reference/templates/orchestrate_tasks.sql.j2:28-47); these
+  * operators re-express that on Spark's native streaming runtime and add
+  * the event-time operators a true stream needs (watermarked windows,
+  * custom keyed state), which the reference's engine (Snowflake) provides
+  * only through the same task/stream machinery.
+  *
+  * Scale design: every operator is keyed (partition-parallel state),
+  * watermarks bound state size, and the change-log source is the same
+  * append-only parquet layout the batch ChangeFeed writes — one storage
+  * substrate, two consumption modes.
+  */
+object Streaming {
+
+  /** Streaming read of a ChangeFeed's append-only parquet log. Checkpoint
+    * location (set on the query) replaces the batch offsets table: each
+    * micro-batch sees only newly appended files — the stream semantics of
+    * SURVEY §1.1 with Spark-managed exactly-once offsets.
+    */
+  def readChangeLog(spark: SparkSession, logDir: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1000) // bound micro-batch size at scale
+      .parquet(logDir)
+
+  /** Watermarked tumbling-window aggregation: per-window count/avg/min/max
+    * of `valueCol` grouped by `keyCol`. Late rows beyond the watermark are
+    * dropped (bounded state at 100 TB/day rates).
+    */
+  def windowedStats(events: DataFrame, tsCol: String, keyCol: String,
+                    valueCol: String, window: String = "1 hour",
+                    watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window).as("win"),
+        col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col(valueCol)).as("avg_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(col("win.start").as("window_start"), col(keyCol),
+        col("n"), col("avg_value"), col("min_value"), col("max_value"))
+
+  /** Sliding-window variant (windowDuration, slideDuration). */
+  def slidingStats(events: DataFrame, tsCol: String, keyCol: String,
+                   valueCol: String, windowDuration: String,
+                   slideDuration: String, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), windowDuration, slideDuration).as("win"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("win.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  /** Keyed running state: per-key count / sum / last value, updated per
+    * micro-batch via mapGroupsWithState — the custom-state primitive for
+    * anything the built-in aggs can't express (the streaming analogue of
+    * the reference's incremental MERGE accumulation).
+    */
+  case class KeyedEvent(key: String, value: Double)
+  case class RunningStats(key: String, n: Long, sum: Double, last: Double)
+
+  def runningStats(events: Dataset[KeyedEvent]): Dataset[RunningStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[RunningStats, RunningStats](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[RunningStats]) =>
+          val prev = state.getOption.getOrElse(RunningStats(key, 0L, 0.0, 0.0))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            RunningStats(key, acc.n + 1, acc.sum + e.value, e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming harmonize: consume a Co2Pipeline's change-log directory with
+    * Trigger.AvailableNow and upsert each micro-batch through the same
+    * MergeInto used by the batch path (foreachBatch = the exactly-once
+    * sink pattern for non-idempotent writes). Blocks until drained.
+    * Returns micro-batches processed.
+    */
+  def harmonizeAvailableNow(spark: SparkSession, pipeline: Co2Pipeline,
+                            checkpointDir: String): Long = {
+    // the commit-log part dirs are v_00000001/… — glob them as the source
+    val logDir = pipeline.feed.log.root + "/v_*"
+    val schema = pipeline.feed.log.read.schema
+    var batches = 0L
+    val q = readChangeLog(spark, logDir, schema)
+      .filter(col(graft.changefeed.ChangeFeed.ACTION) === "INSERT")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val source = batch
+          .drop(graft.changefeed.ChangeFeed.metaColumns: _*)
+          .withColumn("DATE",
+            to_date(concat_ws("-",
+              col("YEAR").cast("string"),
+              col("MONTH").cast("string"),
+              col("DAY").cast("string")), "yyyy-M-d"))
+          .select(col("DATE"), col("YEAR"), col("MONTH"), col("DAY"),
+            col("CO2_PPM"), current_timestamp().as("META_UPDATED_AT"))
+        if (!source.isEmpty) {
+          MergeInto(spark, pipeline.harmonized, source, Seq("DATE"),
+            dedupeSource = true)
+          batches += 1
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
+}
