@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties (pushdown, column
+  * pruning, broadcast joins, shuffle-free top-k) are asserted, not assumed.
+  * A change that silently turns a broadcast join into a shuffle join or
+  * loses a pushed filter fails here, not at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = Queries.all.toMap.apply(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: ship-date filter is pushed to the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: column pruning — scan reads only the 6 needed columns") {
+    val p = planOf("q01_pricing_summary")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!read.contains("l_partkey") && !read.contains("l_orderkey"), read)
+  }
+
+  test("q04: dims broadcast; fact side never shuffle-joins") {
+    val p = planOf("q04_top_revenue_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q05: star joins through broadcast exchanges") {
+    val p = planOf("q05_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q13: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q13_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q21 ANN: no exchange before the top-k — vectors never shuffle") {
+    val p = planOf("q21_ann_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q19 dedup: exactly one shuffle (the groupBy on the hash)") {
+    val p = planOf("q19_dedup_exact")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q01: aggregation is partial (map-side) before the exchange") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    // partial agg must appear below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
