@@ -109,19 +109,19 @@ object expressions {
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String].toString
       var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-      var prevSpace = true
+      var pendingSep = false // separator mixed lazily → leading/trailing ws ignored
+      var any = false
       var i = 0
       val n = s.length
       while (i < n) {
         val c0 = s.charAt(i)
-        val isSpace = Character.isWhitespace(c0)
-        if (!isSpace) {
+        if (Character.isWhitespace(c0)) {
+          if (any) pendingSep = true
+        } else {
+          if (pendingSep) { h ^= ' '.toLong; h *= 0x100000001b3L; pendingSep = false }
           h ^= Character.toLowerCase(c0).toLong
           h *= 0x100000001b3L
-          prevSpace = false
-        } else if (!prevSpace) {
-          h ^= ' '.toLong; h *= 0x100000001b3L
-          prevSpace = true
+          any = true
         }
         i += 1
       }

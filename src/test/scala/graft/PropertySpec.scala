@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Co2Functions, TextFunctions}
+
+/** Property-based checks over the scalar-function edge domains (SURVEY §5),
+  * evaluated through the real Column expressions on a local session.
+  * Samples are drawn from ScalaCheck generators with a fixed seed
+  * (deterministic CI); each property batch-evaluates one DataFrame so the
+  * property runs through the same codegen path as production queries.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val N = 200
+  private def samples[A](g: Gen[A]): Seq[A] =
+    (0 until N).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val posCo2: Gen[Double] = Gen.choose(1.0, 1000.0)
+
+  test("volatility is symmetric, non-negative; NULL on invalid domain") {
+    val pairs = samples(Gen.zip(posCo2, posCo2))
+    val rows = pairs.toDF("a", "b").select(
+      Co2Functions.co2Volatility(col("a"), col("b")).as("ab"),
+      Co2Functions.co2Volatility(col("b"), col("a")).as("ba")).collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && r.getDouble(0) >= 0.0)
+      assert(r.getDouble(0) == r.getDouble(1)) // symmetry
+    }
+    // invalid domain: non-positive or null partner
+    val inv = samples(posCo2).toDF("a").select(
+      Co2Functions.co2Volatility(col("a"), lit(-1.0)),
+      Co2Functions.co2Volatility(col("a"), lit(null).cast("double"))).collect()
+    inv.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("normalize stays in [0,1] for in-range values; 0.5 on degenerate range") {
+    val trips = samples(Gen.zip(posCo2, posCo2, posCo2)).map { case (x0, a, b) =>
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      (math.max(lo, math.min(hi, x0)), lo, hi)
+    }
+    val rows = trips.toDF("x", "lo", "hi").select(
+      Co2Functions.normalizeCo2(col("x"), col("lo"), col("hi")).as("n"),
+      col("lo"), col("hi")).collect()
+    rows.foreach { r =>
+      val n = r.getDouble(0)
+      if (r.getDouble(1) == r.getDouble(2)) assert(n == 0.5)
+      else assert(n >= 0.0 && n <= 1.0)
+    }
+  }
+
+  test("percent change recovers the applied factor within fp tolerance") {
+    val pairs = samples(Gen.zip(posCo2, Gen.choose(-0.9, 9.0)))
+    val rows = pairs.map { case (p, f) => (p, p * (1 + f), f) }
+      .toDF("prev", "cur", "f")
+      .select(Co2Functions.co2PercentChange(col("prev"), col("cur")).as("pct"), col("f"))
+      .collect()
+    rows.foreach { r =>
+      val pct = r.getDouble(0); val f = r.getDouble(1)
+      assert(math.abs(pct - f * 100.0) < 1e-6 * math.max(1.0, math.abs(f * 100)))
+    }
+  }
+
+  private val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+
+  test("quality score is always in [0,1]; token count matches regex split") {
+    val ts = samples(text)
+    val rows = ts.toDF("text").select(
+      col("text"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.tokenCount(col("text")).as("n")).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val q = r.getDouble(1)
+      assert(q >= 0.0 && q <= 1.0, s"quality $q for '$t'")
+      val expected = if (t.trim.isEmpty) 0 else t.trim.split("\\s+").length
+      assert(r.getInt(2) == expected, s"tokens for '$t'")
+    }
+  }
+
+  test("fingerprint is invariant to case and whitespace runs, sensitive to content") {
+    val ws = samples(Gen.nonEmptyListOf(word)).filter(_.nonEmpty)
+    val pairs = ws.map { w =>
+      (w.mkString(" "), "  " + w.map(_.toUpperCase).mkString("   ") + " ")
+    }
+    val rows = pairs.toDF("a", "b").select(
+      graft.plans.expressions.rollingFingerprint(col("a")),
+      graft.plans.expressions.rollingFingerprint(col("b"))).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // content sensitivity: distinct token lists hash apart (no collision in sample)
+    val fps = ws.map(_.mkString(" ")).distinct.toDF("t")
+      .select(graft.plans.expressions.rollingFingerprint(col("t")))
+      .collect().map(_.getLong(0))
+    assert(fps.distinct.length == fps.length)
+  }
+
+  test("minhash signature agreement equals 1 iff same shingle content") {
+    val ws = samples(Gen.nonEmptyListOf(word)).filter(_.length >= 4).take(50)
+    val docs = ws.map(_.mkString(" "))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val sig = graft.plans.expressions.minhashText(col("t"), 3, 64)
+    val rows = df.select(sig.as("s1"),
+      graft.plans.expressions.minhashText(upper(col("t")), 3, 64).as("s2")).collect()
+    // lowercasing inside the expression → case-insensitive signatures
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+}
