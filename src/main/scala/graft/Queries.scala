@@ -366,6 +366,26 @@ object Queries {
       .drop("score") // approximate tier: assert membership, not float scores
   }
 
+  /** PIVOT: quantity totals per linestatus, one column per return flag. */
+  def q31Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus").as("linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
+        col("R").as("qty_r"))
+
+  /** Set ops beyond union: nations with customers but no suppliers
+    * (EXCEPT) and with both (INTERSECT).
+    */
+  def q32SetOps(s: SparkSession, dir: String): DataFrame = {
+    val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val only = cn.except(sn).withColumn("which", lit("customers_only"))
+    val both = cn.intersect(sn).withColumn("which", lit("both"))
+    only.unionByName(both)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -400,7 +420,9 @@ object Queries {
     "q27_quality_buckets" -> (q27QualityBuckets _),
     "q28_rollup" -> (q28Rollup _),
     "q29_count_distinct" -> (q29CountDistinct _),
-    "q30_ivf_topk" -> (q30IvfTopK _)
+    "q30_ivf_topk" -> (q30IvfTopK _),
+    "q31_pivot" -> (q31Pivot _),
+    "q32_set_ops" -> (q32SetOps _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -616,6 +638,20 @@ object Queries {
     "q29_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q31_pivot" ->
+      """SELECT l_linestatus AS linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q32_set_ops" ->
+      """SELECT nationkey, 'customers_only' AS which FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'both' AS which FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)""".stripMargin
   )
 }
