@@ -29,7 +29,31 @@ object Bench {
     // JVM/codegen warmup on the first catalog entry, unmeasured
     Queries.all.headOption.foreach { case (_, fn) => run(fn) }
 
-    val results = Queries.all.map { case (name, fn) => name -> run(fn) }
+    // reference-shaped pipeline: ingest → harmonize → analytics over a
+    // ~19k-row NOAA-format fixture (BASELINE.md "seconds on local[*]" tier)
+    def runPipeline(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("bench_co2")
+      try {
+        val sb = new StringBuilder("# bench fixture\n")
+        var d = java.time.LocalDate.of(1974, 1, 1)
+        val until = java.time.LocalDate.of(2026, 1, 1)
+        while (d.isBefore(until)) {
+          val co2 = 330.0 + (d.toEpochDay % 19000) * 0.005
+          sb.append(s"${d.getYear} ${d.getMonthValue} ${d.getDayOfMonth} " +
+            f"${d.getYear + d.getDayOfYear / 365.25}%.3f $co2%.2f\n")
+          d = d.plusDays(1)
+        }
+        val feed = dir.resolve("feed.txt")
+        java.nio.file.Files.writeString(feed, sb.toString)
+        val t0 = System.nanoTime()
+        val p = graft.co2.Co2Pipeline(spark, dir.resolve("wh").toString)
+        p.runPipeline(feed.toString)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+
+    val results = Queries.all.map { case (name, fn) => name -> run(fn) } :+
+      ("co2_pipeline_19k" -> runPipeline())
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

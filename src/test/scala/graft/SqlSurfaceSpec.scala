@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EP3 parity: the raw-SQL entry point. Tables registered as temp views,
+  * queries expressed as SQL text through SparkSqlParser — including the
+  * SQL-registered function surface (call_udf names).
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def register(): Unit =
+    Seq("lineitem", "orders", "customer", "documents").foreach { n =>
+      Tables(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  test("aggregation + window + EXISTS all parse and run as SQL text") {
+    register()
+    val agg = spark.sql(
+      """SELECT l_returnflag, SUM(l_quantity) s FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+    assert(agg.nonEmpty && agg.forall(_.getDouble(1) > 0))
+
+    val win = spark.sql(
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) rk
+        |  FROM orders) WHERE rk = 1""".stripMargin)
+    assert(win.count() > 0)
+
+    val exists = spark.sql(
+      """SELECT count(*) FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+      .head.getLong(0)
+    assert(exists > 0)
+  }
+
+  test("registered scalar functions are callable from SQL") {
+    register()
+    val r = spark.sql(
+      """SELECT CALCULATE_CO2_VOLATILITY(420.5, 418.2) v,
+        |       CO2_DAILY_PERCENT_CHANGE(418.2, 420.5) p,
+        |       NORMALIZE_CO2_UDF(5.0, 0.0, 10.0) n,
+        |       TOKEN_COUNT('one two three') t""".stripMargin).head
+    assert(r.getDouble(0) > 0 && r.getDouble(1) > 0)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getInt(3) == 3)
+  }
+
+  test("documents text analysis via SQL over the same engine") {
+    register()
+    val n = spark.sql(
+      "SELECT count(DISTINCT md5(text)) FROM documents").head.getLong(0)
+    assert(n > 0)
+  }
+}
