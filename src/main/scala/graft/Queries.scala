@@ -386,6 +386,39 @@ object Queries {
     only.unionByName(both)
   }
 
+  /** Sessionization (gaps-and-islands): events within 1 hour of the
+    * previous event of the same user share a session. Emits per-user
+    * session count, event total, and longest session (by events).
+    */
+  def q33Sessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_session",
+        when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 3600L, 1)
+          .when(lag(col("ts"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("longest_session"))
+  }
+
+  /** Exact percentiles (median / p95) per priority bucket — Spark's exact
+    * `percentile` (sort + linear interpolation).
+    */
+  def q34Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -422,7 +455,9 @@ object Queries {
     "q29_count_distinct" -> (q29CountDistinct _),
     "q30_ivf_topk" -> (q30IvfTopK _),
     "q31_pivot" -> (q31Pivot _),
-    "q32_set_ops" -> (q32SetOps _)
+    "q32_set_ops" -> (q32SetOps _),
+    "q33_sessions" -> (q33Sessions _),
+    "q34_percentiles" -> (q34Percentiles _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -652,6 +687,33 @@ object Queries {
         |UNION ALL
         |SELECT nationkey, 'both' AS which FROM
         |  (SELECT c_nationkey AS nationkey FROM customer
-        |   INTERSECT SELECT s_nationkey FROM supplier)""".stripMargin
+        |   INTERSECT SELECT s_nationkey FROM supplier)""".stripMargin,
+    "q33_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |                        CAST(ts AS TIMESTAMP)) > 3600 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |per_session AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+        |  MAX(n_events) AS longest_session
+        |FROM per_session GROUP BY user_id""".stripMargin,
+    "q34_percentiles" ->
+      """SELECT o_orderpriority AS priority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }
