@@ -1,0 +1,249 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static per-row kernels shared by the interpreted eval AND the generated
+  * code of graft's custom expressions: `doGenCode` emits a single static
+  * call, so the expressions stay inside whole-stage codegen instead of
+  * falling back (CodegenFallback splits the codegen span and boxes rows).
+  */
+object ExprKernels {
+
+  @inline private def fmix(h0: Long): Long = {
+    var h = h0
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33); h
+  }
+
+  def simhash64(u: UTF8String): Long = {
+    val s = u.toString
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        var h: Long = 1125899906842597L
+        var j = start
+        while (j < i) { h = h * 31 + s.charAt(j); j += 1 }
+        h = fmix(h)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def cosineSimilarity(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  def dotConst(a: ArrayData, query: Array[Double]): Double = {
+    val n = math.min(a.numElements(), query.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * query(i); i += 1 }
+    dot
+  }
+
+  def rollingFingerprint(u: UTF8String): Long = {
+    val s = u.toString
+    var h = 0xcbf29ce484222325L
+    var pendingSep = false
+    var any = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c0 = s.charAt(i)
+      if (Character.isWhitespace(c0)) {
+        if (any) pendingSep = true
+      } else {
+        if (pendingSep) { h ^= ' '.toLong; h *= 0x100000001b3L; pendingSep = false }
+        h ^= Character.toLowerCase(c0).toLong
+        h *= 0x100000001b3L
+        any = true
+      }
+      i += 1
+    }
+    h
+  }
+
+  def minhashSig(arr: ArrayData, k: Int): UnsafeArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var s = 0
+    while (s < n) {
+      val bytes = arr.getUTF8String(s).getBytes
+      var h = 0xCBF29CE484222325L
+      var bi = 0
+      while (bi < bytes.length) { h ^= (bytes(bi) & 0xFF); h *= 0x100000001B3L; bi += 1 }
+      h = fmix(h)
+      updateMins(mins, k, h)
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  @inline private def updateMins(mins: Array[Long], k: Int, base: Long): Unit = {
+    var hi = base
+    var i = 0
+    while (i < k) {
+      hi += 0x9E3779B97F4A7C15L
+      var m = hi
+      m ^= (m >>> 30); m *= 0xBF58476D1CE4E5B9L
+      m ^= (m >>> 27); m *= 0x94D049BB133111EBL
+      m ^= (m >>> 31)
+      if (m < mins(i)) mins(i) = m
+      i += 1
+    }
+  }
+
+  def minhashText(u: UTF8String, shingleSize: Int, k: Int): UnsafeArrayData = {
+    val s = u.toString
+    val mins = Array.fill(k)(Long.MaxValue)
+    val tokenHashes = new java.util.ArrayList[java.lang.Long](64)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      var h = 0xCBF29CE484222325L
+      while (i < n && !Character.isWhitespace(s.charAt(i))) {
+        h ^= Character.toLowerCase(s.charAt(i)).toLong
+        h *= 0x100000001B3L
+        i += 1
+      }
+      if (i > start) tokenHashes.add(h)
+    }
+    val m = tokenHashes.size
+    if (m > 0 && m < shingleSize) {
+      var base = 0L
+      var t = 0
+      while (t < m) { base = base * 0x9E3779B97F4A7C15L + tokenHashes.get(t); t += 1 }
+      updateMins(mins, k, fmix(base))
+    } else {
+      var w = 0
+      while (w + shingleSize <= m) {
+        var base = 0L
+        var t = w
+        while (t < w + shingleSize) { base = base * 0x9E3779B97F4A7C15L + tokenHashes.get(t); t += 1 }
+        updateMins(mins, k, fmix(base))
+        w += 1
+      }
+    }
+    if (m == 0) updateMins(mins, k, fmix(0L))
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  def sigAgreement(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return null
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) same += 1
+      i += 1
+    }
+    java.lang.Double.valueOf(same.toDouble / n)
+  }
+
+  @inline private def isJavaRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isAsciiPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  def qualityScore(u: UTF8String, stopwords: Set[String]): Double = {
+    val s = u.toString
+    val n = s.length
+    var nTokens = 0; var nonspace = 0; var punct = 0
+    var letters = 0; var uppers = 0; var stops = 0
+    val tok = new java.lang.StringBuilder(24)
+    var i = 0
+    while (i <= n) {
+      val atEnd = i == n
+      val c = if (atEnd) ' ' else s.charAt(i)
+      if (!atEnd && !isJavaRegexSpace(c)) {
+        nonspace += 1
+        if (isAsciiPunct(c)) punct += 1
+        if (Character.isLetter(c)) {
+          letters += 1
+          if (Character.getType(c) == Character.UPPERCASE_LETTER) uppers += 1
+        }
+        tok.append(Character.toLowerCase(c))
+      } else if (tok.length > 0) {
+        nTokens += 1
+        if (stopwords.contains(tok.toString)) stops += 1
+        tok.setLength(0)
+      }
+      i += 1
+    }
+    if (nTokens == 0) return 0.0
+    val ntokD = nTokens.toDouble
+    val lenScore = math.min(ntokD / 100.0, 1.0)
+    val meanWordLen = nonspace / ntokD
+    val wordLenScore = if (meanWordLen >= 3.0 && meanWordLen <= 10.0) 1.0 else 0.5
+    val stopScore = math.min((stops.toDouble / nTokens) * 4.0, 1.0)
+    val pRatio = if (n == 0) 0.0 else punct.toDouble / n
+    val punctPen = math.max(0.0, 1.0 - pRatio * 4.0)
+    val uRatio = if (letters == 0) 0.0 else uppers.toDouble / letters
+    val shoutPen = math.max(0.0, 1.0 - uRatio)
+    val raw = (lenScore + wordLenScore + stopScore + punctPen + shoutPen) / 5.0
+    java.math.BigDecimal.valueOf(raw)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  def langId(u: UTF8String, en: Set[String], de: Set[String],
+             fr: Set[String], es: Set[String]): UTF8String = {
+    val s = u.toString
+    var cEn = 0; var cDe = 0; var cFr = 0; var cEs = 0
+    var any = false
+    val tok = new java.lang.StringBuilder(16)
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      val atEnd = i == n
+      val c = if (atEnd) ' ' else s.charAt(i)
+      if (!atEnd && !isJavaRegexSpace(c)) {
+        tok.append(Character.toLowerCase(c))
+      } else if (tok.length > 0) {
+        any = true
+        val t = tok.toString
+        if (en.contains(t)) cEn += 1
+        if (de.contains(t)) cDe += 1
+        if (fr.contains(t)) cFr += 1
+        if (es.contains(t)) cEs += 1
+        tok.setLength(0)
+      }
+      i += 1
+    }
+    val out =
+      if (!any) "und"
+      else if (cEn == 0 && cDe == 0 && cFr == 0 && cEs == 0) "und"
+      else if (cEn >= cDe && cEn >= cFr && cEn >= cEs) "en"
+      else if (cDe >= cFr && cDe >= cEs) "de"
+      else if (cFr >= cEs) "fr"
+      else "es"
+    UTF8String.fromString(out)
+  }
+}
