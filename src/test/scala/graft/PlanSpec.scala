@@ -55,6 +55,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("partitioned layout prunes: only the filtered partition is scanned") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("prune").toString
+    Tables(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.partitionBy("order_year").mode("overwrite").parquet(root)
+    val pruned = spark.read.parquet(root).filter(col("order_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("order_year") && !plan.contains("PartitionFilters: []"), plan)
+    // row parity with the unpartitioned filter
+    val expected = Tables(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(pruned.count() == expected)
+  }
+
   test("q01: aggregation is partial (map-side) before the exchange") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
