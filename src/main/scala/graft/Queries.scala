@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.{Co2Functions, TextFunctions}
-import graft.operators.{Dedup, MergeInto, Similarity}
+import graft.operators.{AsofJoin, Dedup, MergeInto, Similarity}
 
 /** The engine's query catalog: one entry per operator family from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each paired with ANSI SQL
@@ -419,6 +419,20 @@ object Queries {
         expr("percentile(o_totalprice, 0.95)").as("p95"),
         count(lit(1)).as("n"))
 
+  /** As-of join (operator Spark lacks natively): each event picks up the
+    * user's most recent order price at event time — union+window form, one
+    * key shuffle, no theta join. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def q35AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(s, dir, "orders").select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").as("ots"),
+      col("o_totalprice").as("last_order_price"))
+    AsofJoin.leftAsof(ev, ord, "user_id", "user_id", "ts", "ots")
+      .select(col("event_id"), col("user_id"), col("last_order_price"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -457,7 +471,8 @@ object Queries {
     "q31_pivot" -> (q31Pivot _),
     "q32_set_ops" -> (q32SetOps _),
     "q33_sessions" -> (q33Sessions _),
-    "q34_percentiles" -> (q34Percentiles _)
+    "q34_percentiles" -> (q34Percentiles _),
+    "q35_asof_join" -> (q35AsofJoin _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -714,6 +729,14 @@ object Queries {
         |  quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.95) AS p95,
         |  COUNT(*) AS n
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q35_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |    MAX(o_totalprice) AS last_order_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.last_order_price
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) >= r.ots""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the most recent right row of the same
+  * key with `rightTime <= leftTime`. Spark has no native ASOF JOIN (DuckDB
+  * and kdb do); the naive formulation is a non-equi theta join that
+  * Catalyst can only plan as a broadcast-nested-loop.
+  *
+  * This implementation is the scalable union+window form:
+  *
+  *   1. tag left (1) and right (0) rows, union them (right's payload
+  *      columns carried as one struct, null on left rows);
+  *   2. one window per key ordered by (time, tag): running
+  *      `last(payload, ignoreNulls)` carries the latest right payload
+  *      forward onto every subsequent left row — right rows sort before
+  *      left rows at equal times, giving inclusive (<=) semantics;
+  *   3. keep the left rows, unpack the carried struct.
+  *
+  * Cost: ONE shuffle of (left ∪ right) on the key — same exchange count as
+  * an ordinary equi-join, no theta-join blowup, no driver materialization.
+  * Right side must be unique per (key, time); pre-aggregate it otherwise
+  * (enforced here with a deterministic `max` struct pick, mirroring the
+  * MERGE dup-key discipline).
+  */
+object AsofJoin {
+
+  /** Left as-of join. Right payload columns are appended to every left row
+    * (null where no right row precedes it).
+    *
+    * @param leftKey / rightKey equi-key columns
+    * @param leftTime / rightTime event-time columns (same type)
+    */
+  def leftAsof(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
+    require(payloadCols.nonEmpty, "right side needs at least one payload column")
+
+    // unique (key, time) on the right: deterministic max-struct survivor
+    val rightUnique = right
+      .groupBy(col(rightKey), col(rightTime))
+      .agg(max(struct(payloadCols.map(col): _*)).as("_asof_payload"))
+
+    val K = "_asof_key"; val T = "_asof_t"; val TAG = "_asof_tag"; val P = "_asof_payload"
+    val taggedLeft = left
+      .withColumn(K, col(leftKey)).withColumn(T, col(leftTime))
+      .withColumn(TAG, lit(1)).withColumn(P,
+        lit(null).cast(rightUnique.schema(P).dataType))
+    val taggedRight = rightUnique.select(
+      col(rightKey).as(K), col(rightTime).as(T), lit(0).as(TAG), col(P))
+      // left columns become null on right rows
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(K)).orderBy(col(T), col(TAG))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn(P, last(col(P), ignoreNulls = true).over(w))
+
+    carried.filter(col(TAG) === 1)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"$P.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsofJoin
+
+/** As-of join semantics: latest right row at-or-before each left time. */
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("leftAsof picks the latest right row at or before the left time") {
+    val quotes = Seq(
+      ("A", ts("2026-01-01 10:00:00"), 100.0),
+      ("A", ts("2026-01-01 10:05:00"), 101.0),
+      ("A", ts("2026-01-01 10:10:00"), 102.0),
+      ("B", ts("2026-01-01 10:03:00"), 50.0)
+    ).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2026-01-01 10:04:00"), 10),  // sees 100.0
+      ("A", ts("2026-01-01 10:05:00"), 20),  // inclusive: sees 101.0
+      ("A", ts("2026-01-01 10:30:00"), 30),  // sees 102.0
+      ("B", ts("2026-01-01 10:00:00"), 40),  // before any quote: null
+      ("C", ts("2026-01-01 10:00:00"), 50)   // no key match: null
+    ).toDF("sym", "tts", "qty")
+
+    val out = AsofJoin.leftAsof(trades, quotes, "sym", "sym", "tts", "qts")
+      .orderBy("qty").collect()
+    assert(out.length == 5)
+    assert(out(0).getDouble(3) == 100.0)
+    assert(out(1).getDouble(3) == 101.0)
+    assert(out(2).getDouble(3) == 102.0)
+    assert(out(3).isNullAt(3) && out(4).isNullAt(3))
+  }
+
+  test("duplicate right (key,time) rows resolve deterministically") {
+    val right = Seq(("A", 1L, 5.0), ("A", 1L, 9.0)).toDF("k", "t", "v")
+    val left = Seq(("A", 2L)).toDF("k", "t")
+    val out = AsofJoin.leftAsof(left, right, "k", "k", "t", "t").collect()
+    assert(out.head.getDouble(2) == 9.0) // max-struct survivor
+  }
+
+  test("no theta-join blowup: union+window plan, no nested-loop join") {
+    val right = Seq(("A", 1L, 5.0)).toDF("k", "t", "v")
+    val left = Seq(("A", 2L)).toDF("k", "t")
+    val plan = AsofJoin.leftAsof(left, right, "k", "k", "t", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // exactly: one exchange for the right-side (key,time) dedup, one for the
+    // union window on the key — the left side shuffles once
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("Window"), plan)
+  }
+}
