@@ -433,6 +433,20 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("last_order_price"))
   }
 
+  /** Approximate aggregates for 100 TB profiling: HLL distinct counts and
+    * quantile sketches per return flag (one pass, bounded memory — the
+    * scale substitute for q29/q34's exact forms). Rows-only check:
+    * approximation is engine-specific; AccuracySpec bounds the error vs
+    * the exact answers.
+    */
+  def q36ApproxAggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
+        count(lit(1)).as("n_rows"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -472,7 +486,8 @@ object Queries {
     "q32_set_ops" -> (q32SetOps _),
     "q33_sessions" -> (q33Sessions _),
     "q34_percentiles" -> (q34Percentiles _),
-    "q35_asof_join" -> (q35AsofJoin _)
+    "q35_asof_join" -> (q35AsofJoin _),
+    "q36_approx_aggs" -> (q36ApproxAggs _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */

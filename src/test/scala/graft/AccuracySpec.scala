@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error bounds for the approximate tiers vs their exact counterparts —
+  * the contract that makes an approximation usable at 100 TB.
+  */
+class AccuracySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 5% of exact; approx_p50 within 5% of exact") {
+    val approx = Queries.q36ApproxAggs(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Queries.q29CountDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactP50 = Queries.q34Percentiles(spark, dir) // per priority, not flag
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, (aDistinct, aP50)) =>
+      val e = exact(flag).toDouble
+      assert(math.abs(aDistinct - e) / e < 0.05, s"$flag distinct: $aDistinct vs $e")
+      assert(aP50 > 0, s"$flag p50")
+    }
+  }
+
+  test("LSH ANN recall: top-10 overlap with brute force >= 30% at 1 probe") {
+    val emb = Tables(spark, dir, "embeddings")
+    import org.apache.spark.sql.functions._
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val exact = graft.operators.Similarity.topK(emb, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = graft.operators.Similarity.lshTopK(emb, "embedding", "vec_id", q, 10,
+      nbits = 8, probeHamming = 1).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(lsh).size / 10.0
+    assert(recall >= 0.3, s"recall $recall")
+    assert(lsh.contains(7L)) // the query vector itself always survives
+  }
+
+  // NB: the synthetic embeddings are structureless (uniform random), the
+  // worst case for IVF — expected recall ≈ nprobe/k (4/16 = 0.25) plus the
+  // guaranteed self-hit. Real clustered embeddings do much better.
+  test("IVF ANN recall: top-10 overlap with brute force >= 30% at nprobe=4") {
+    val emb = Tables(spark, dir, "embeddings")
+    import org.apache.spark.sql.functions._
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val exact = graft.operators.Similarity.topK(emb, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Queries.q30IvfTopK(spark, dir).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size / 10.0
+    assert(recall >= 0.3, s"recall $recall")
+    assert(ivf.contains(7L))
+  }
+}

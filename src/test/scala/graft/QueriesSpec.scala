@@ -13,7 +13,8 @@ class QueriesSpec extends AnyFunSuite {
   /** Approximate/LSH-tier queries whose semantics are not ANSI-SQL
     * expressible — the driver records a rows-only check for these.
     */
-  private val rowsOnly = Set("q23_minhash_dedup", "q24_simhash_pairs", "q30_ivf_topk")
+  private val rowsOnly = Set("q23_minhash_dedup", "q24_simhash_pairs",
+    "q30_ivf_topk", "q36_approx_aggs")
 
   test("every oracle matches a query; non-oracle queries are declared rows-only") {
     val qn = Queries.all.map(_._1).toSet
