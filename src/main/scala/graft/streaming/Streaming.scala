@@ -89,6 +89,17 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
+    * with state bounded by the event-time watermark (a late duplicate past
+    * the watermark is dropped by the watermark itself). The streaming
+    * counterpart of Dedup.exact for continuous ingestion.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming harmonize: consume a Co2Pipeline's change-log directory with
     * Trigger.AvailableNow and upsert each micro-batch through the same
     * MergeInto used by the batch path (foreachBatch = the exactly-once

@@ -92,6 +92,26 @@ class StorageSpec extends AnyFunSuite {
     assert(t.offsets("S") == 7L)
   }
 
+  test("commit claim is atomic: double-create of a version file fails; losers don't corrupt") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vt_conflict").toString
+    val t = graft.storage.VersionedTable(spark, root)
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the protocol's primitive: create(overwrite=false) succeeds exactly once
+    val claim = new org.apache.hadoop.fs.Path(root, "_commits/00000002.json")
+    val out = fs.create(claim, false)
+    out.write("{\"version\":2,\"parts\":[\"v_00000001\"],\"offsets\":{}}".getBytes)
+    out.close()
+    intercept[java.io.IOException] { fs.create(claim, false).close() }
+    // a writer that lost the race re-reads state and lands AFTER the winner,
+    // never overwriting it — monotonic versions, consistent reads throughout
+    val v = t.append(Seq((2, "b")).toDF("k", "v"))
+    assert(v == 3L)
+    assert(t.read.count() == 2) // winner's state (v2 = parts[v1]) + appended part
+  }
+
   test("OrderedLag matches global-window lag exactly (incl. bucket boundaries)") {
     import org.apache.spark.sql.expressions.Window
     // dates spanning 3 years with gaps; a year entirely missing

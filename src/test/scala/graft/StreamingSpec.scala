@@ -62,6 +62,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("y", 1L, 10.0)))
   }
 
+  test("dedupStream drops in-watermark duplicates, keeps distinct keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = graft.streaming.Streaming.dedupStream(
+      in.toDF().toDF("ts", "doc_key", "value"), "ts", "1 hour", Seq("doc_key"))
+    val q = out.writeStream.format("memory").queryName("dedup_s")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      (ts("2026-01-01 10:00:00"), "a", 1.0),
+      (ts("2026-01-01 10:01:00"), "a", 2.0), // dup key in-watermark
+      (ts("2026-01-01 10:02:00"), "b", 3.0))
+    q.processAllAvailable()
+    in.addData((ts("2026-01-01 10:03:00"), "a", 4.0)) // still dup across batches
+    q.processAllAvailable()
+    val keys = spark.table("dedup_s").collect().map(_.getString(1)).toSeq
+    q.stop()
+    assert(keys.sorted == Seq("a", "b"))
+  }
+
   test("harmonizeAvailableNow: streaming merge from the change log") {
     val root = Files.createTempDirectory("graft_stream_co2").toString
     val p = Co2Pipeline(spark, s"$root/wh")
