@@ -48,6 +48,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getInt(3) == 3)
   }
 
+  test("extension-injected native functions plan as Catalyst expressions") {
+    register()
+    val r = spark.sql(
+      """SELECT simhash64('the quick brown fox') s1,
+        |       simhash64('the quick  BROWN fox') s2,
+        |       rolling_fingerprint(' Hello  World ') f1,
+        |       rolling_fingerprint('hello world') f2,
+        |       quality_score('the quick brown fox jumps over the lazy dog') q,
+        |       lang_id('der hund ist nicht da') l,
+        |       cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) c,
+        |       sig_agreement(minhash_text('a b c d e', 3, 64),
+        |                     minhash_text('a b c d e', 3, 64)) a""".stripMargin).head
+    assert(r.getLong(0) != 0L)
+    assert(r.getLong(2) == r.getLong(3)) // fingerprint normalization
+    assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1)
+    assert(r.getString(5) == "de")
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-12)
+    assert(r.getDouble(7) == 1.0)
+    // planned as native expressions, not UDF wrappers
+    val plan = spark.sql("SELECT quality_score(text) FROM documents")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("quality_score") && !plan.contains("UDF"), plan)
+  }
+
   test("documents text analysis via SQL over the same engine") {
     register()
     val n = spark.sql(
