@@ -84,18 +84,23 @@ object MergeInto {
     require(tgt.columns.sorted.sameElements(src0.columns.sorted),
       s"merge schema mismatch: target ${tgt.columns.mkString(",")} vs source ${src0.columns.mkString(",")}")
 
+    // merged rows + update/insert counters in ONE pass: flag columns ride
+    // the plan and an Observation collects their sums during the write job
+    // itself (no second execution of the join for counting).
     val joined = joinedPlan(tgt, src0, keys)
-    val merged = mergedPlan(tgt, src0, keys)
+    val sKey = col(s"s.${keys.head}"); val tKey = col(s"t.${keys.head}")
+    val flagged = joined.select(
+      tgt.columns.toSeq.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)) ++ Seq(
+        when(sKey.isNotNull && tKey.isNotNull, 1L).otherwise(0L).as("_merge_upd"),
+        when(sKey.isNotNull && tKey.isNull, 1L).otherwise(0L).as("_merge_ins")): _*)
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = flagged
+      .observe(obs, sum(col("_merge_upd")).as("upd"), sum(col("_merge_ins")).as("ins"))
+      .drop("_merge_upd", "_merge_ins")
 
-    // counts computed on the same joined plan (cheap at these key widths)
-    val counts = joined.agg(
-      sum(when(col(s"s.${keys.head}").isNotNull && col(s"t.${keys.head}").isNotNull, 1L).otherwise(0L)).as("upd"),
-      sum(when(col(s"s.${keys.head}").isNotNull && col(s"t.${keys.head}").isNull, 1L).otherwise(0L)).as("ins")
-    ).collect().head
-    val updated = Option(counts.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val inserted = Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-
-    val v = target.overwrite(merged, consumeOffsets)
-    MergeResult(updated, inserted, v)
+    val v = target.overwrite(observed, consumeOffsets)
+    val metrics = obs.get
+    def cnt(k: String) = Option(metrics(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    MergeResult(cnt("upd"), cnt("ins"), v)
   }
 }
