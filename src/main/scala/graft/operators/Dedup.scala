@@ -92,16 +92,96 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
-  /** MinHash-LSH dedup: drop near-duplicates, keeping the smallest id of
-    * each connected pair (single-linkage approximation: b survives only if
-    * no smaller id is near-duplicate with it).
+  /** Connected components over a pair graph by iterative min-label
+    * propagation: each node adopts the smallest label among itself and its
+    * neighbors until fixpoint. Converges in O(component diameter)
+    * iterations — near-dup components are shallow in practice, and each
+    * iteration is one shuffle-join, so the whole resolution is
+    * cluster-parallel. Returns (id, component) with component = the
+    * smallest id in the node's component.
+    */
+  /** Hybrid: a near-dup pair graph is usually MUCH smaller than the table
+    * (it holds only candidate duplicates). Below `driverEdgeLimit` edges,
+    * union-find on the driver resolves components in one collect — the
+    * same bounded-driver-state trade as IVF's sampled centroids. Above it,
+    * fall back to the distributed min-label-propagation loop.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10,
+                          driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val cached = pairs.select(col("id_a"), col("id_b")).cache()
+    val nEdges = cached.count()
+    if (nEdges <= driverEdgeLimit) {
+      val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      cached.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "component")
+    }
+    distributedComponents(cached, maxIters)
+  }
+
+  private def distributedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min(col("component")).as("_nbr_min"))
+      // ONE job per iteration: the new labels materialize into cache while
+      // an Observation tallies how many changed (no separate compare join)
+      val obs = new org.apache.spark.sql.Observation()
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("_old"),
+          least(col("component"), coalesce(col("_nbr_min"), col("component")))
+            .as("component"))
+        .withColumn("_chg", (col("component") =!= col("_old")).cast("long"))
+        .observe(obs, sum(col("_chg")).as("changed"))
+        .drop("_old", "_chg")
+        .cache()
+      updated.count()
+      labels.unpersist()
+      labels = updated
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** MinHash-LSH dedup: drop near-duplicates, keeping exactly the smallest
+    * id of each CONNECTED near-dup component (true single-linkage: resolved
+    * with connected components over the candidate-pair graph, so chains
+    * like a~b, b~c collapse to one survivor even when a~c was never a
+    * direct candidate pair).
     */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3, numHashes: Int = 64,
                    bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    val dupIds = minhashPairs(df, textCol, idCol, shingleSize, numHashes,
+    val pairs = minhashPairs(df, textCol, idCol, shingleSize, numHashes,
       bands, threshold)
-      .select(col("id_b").as("_dup_id")).distinct()
+    val dupIds = connectedComponents(pairs)
+      .filter(col("id") =!= col("component")) // non-minimum of its component
+      .select(col("id").as("_dup_id"))
     df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
   }
 

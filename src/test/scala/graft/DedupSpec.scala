@@ -53,6 +53,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!kept.contains(2L) && !kept.contains(3L))
   }
 
+  test("connectedComponents: chain components collapse to the min id") {
+    import spark.implicits._
+    // component {3,5,9} with edges touching 9 only; singleton pair {20,21}
+    val pairs = Seq((5L, 9L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(3L) == 3L && cc(5L) == 3L && cc(9L) == 3L)
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+  }
+
   test("simhash: identical text -> identical fp; near-dup -> small hamming") {
     val fp = docs.select(simhash64(col("text"))).collect().map(_.getLong(0))
     assert(fp(0) == fp(1))
