@@ -18,6 +18,13 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime re-planning at scale: coalesce small shuffle partitions,
+      // split skewed ones (the automatic complement to SaltedJoin)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scan-split sizing: 128 MiB splits keep one task's working set well
+      // inside executor memory even with wide rows at 100 TB table sizes
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
