@@ -89,6 +89,20 @@ object NoaaIngest {
       .mode("overwrite")
       .csv(stageDir)
 
+  /** Stage cleanup (S12): delete staged files matching a glob pattern —
+    * `REMOVE @RAW_CO2.USER_TEMP_STAGE PATTERN='co2_data_.*'` parity
+    * (loading_data_sp/function.py:362). Returns paths removed.
+    */
+  def removeStaged(spark: SparkSession, globPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(globPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    matches.map { st =>
+      fs.delete(st.getPath, true)
+      st.getPath.toString
+    }.toSeq
+  }
+
   /** Ingest high-watermark: MAX(TO_DATE(CONCAT(LPAD(YEAR..),-,LPAD(MONTH..),
     * -,LPAD(DAY..)))) (loading_data_sp/function.py:41-49). None on empty.
     */

@@ -130,6 +130,17 @@ class Co2PipelineSpec extends AnyFunSuite {
     assert(rx.count() == 2)
   }
 
+  test("removeStaged deletes only glob-matched stage files (S12)") {
+    val stage = Files.createTempDirectory("rm_stage_")
+    Files.writeString(stage.resolve("co2_data_1.csv"), "x")
+    Files.writeString(stage.resolve("co2_data_2.csv"), "x")
+    Files.writeString(stage.resolve("keep.csv"), "x")
+    val removed = NoaaIngest.removeStaged(spark, s"$stage/co2_data_*")
+    assert(removed.length == 2)
+    assert(Files.exists(stage.resolve("keep.csv")))
+    assert(!Files.exists(stage.resolve("co2_data_1.csv")))
+  }
+
   test("staged CSV roundtrip (partitioned write + typed tolerant read)") {
     val stage = Files.createTempDirectory("stage_").toString
     val df = Seq((2024, 1, 1, 2024.0, 420.1), (2025, 1, 1, 2025.0, 423.4))
