@@ -560,7 +560,8 @@ object Queries {
       """SELECT event_id, user_id, value,
         |  LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
         |  CASE WHEN LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
-        |         OR LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) = 0 THEN 0.0
+        |         OR LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) = 0
+        |         OR value IS NULL THEN 0.0
         |       ELSE (value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id))
         |            / LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) * 100.0 END AS pct_change,
         |  CASE WHEN LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) > 0 AND value > 0
@@ -613,8 +614,8 @@ object Queries {
         |FROM documents GROUP BY 1""".stripMargin,
     "q20_token_stats" ->
       """SELECT lang,
-        |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
+        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang""".stripMargin,
@@ -656,16 +657,16 @@ object Queries {
         |FROM counts GROUP BY 1, 2""".stripMargin,
     "q26_text_metrics" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
-        |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
         |      ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
-        |        w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))) END) AS sum_bpe_tokens,
-        |  SUM(length(regexp_replace(text, '[^\p{L}]', '', 'g'))) AS sum_letters,
-        |  SUM(length(regexp_replace(text, '[^\p{Lu}]', '', 'g'))) AS sum_uppers,
-        |  SUM(coalesce(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))) END) AS BIGINT) AS sum_bpe_tokens,
+        |  CAST(SUM(length(regexp_replace(text, '[^\p{L}]', '', 'g'))) AS BIGINT) AS sum_letters,
+        |  CAST(SUM(length(regexp_replace(text, '[^\p{Lu}]', '', 'g'))) AS BIGINT) AS sum_uppers,
+        |  CAST(SUM(coalesce(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
         |    t -> t IN ('the','of','and','to','in','a','is','that','it','for',
-        |               'on','was','with','as','be','at','by','this','are','or'))), 0)) AS sum_stopwords
+        |               'on','was','with','as','be','at','by','this','are','or'))), 0)) AS BIGINT) AS sum_stopwords
         |FROM documents GROUP BY source""".stripMargin,
     "q27_quality_buckets" ->
       """WITH m AS (
@@ -698,7 +699,7 @@ object Queries {
         |SELECT source, CAST(floor(quality * 10) AS INT) AS decile, COUNT(*) AS n
         |FROM q GROUP BY 1, 2""".stripMargin,
     "q28_rollup" ->
-      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
     "q29_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
@@ -736,7 +737,7 @@ object Queries {
         |per_session AS (
         |  SELECT user_id, session_id, COUNT(*) AS n_events
         |  FROM s GROUP BY user_id, session_id)
-        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
         |  MAX(n_events) AS longest_session
         |FROM per_session GROUP BY user_id""".stripMargin,
     "q34_percentiles" ->
