@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.plans.expressions.{minhashSig, minhashText, rollingFingerprint, sigAgreement, simhash64}
 
@@ -18,6 +19,8 @@ import graft.plans.expressions.{minhashSig, minhashText, rollingFingerprint, sig
   * an ordinary hash-partitioned exchange; nothing collects to the driver.
   */
 object Dedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Normalized word shingles of size k (distinct, order-insensitive set). */
   def shingles(text: Column, k: Int): Column = {
@@ -49,6 +52,42 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** All (a, b) member pairs within each capped bucket, via ONE shuffle:
+    * window-cap the bucket membership (hot-bucket guard), collect the
+    * capped members per bucket (bounded array, ≤ cap structs), and expand
+    * the pairs with a nested `transform` — so the signature relation is
+    * scanned ONCE and shuffled ONCE, instead of the classic self-join's
+    * two scans + two shuffle sides. The groupBy after the window reuses
+    * the window's hash partitioning on the same keys (no second exchange).
+    *
+    * The cap bounds the worst case: a degenerate corpus that lands n docs
+    * in one bucket (mass-duplicated text — the normal case at 100 TB)
+    * otherwise produces n² pairs on a single reducer. Members are kept in
+    * ascending id order, so the survivors of a capped bucket still chain
+    * to the smallest id; run [[exact]] first (see [[minhashDedup]]) so
+    * identical docs never reach LSH at all.
+    */
+  private def cappedBucketPairs(banded: DataFrame, keyCols: Seq[String],
+                                cap: Int, score: (Column, Column) => Column,
+                                scoreName: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val member = struct(col("id"), col("payload"))
+    val capped = banded
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("id"))))
+      .filter(col("_rn") <= cap)
+    val buckets = capped
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(member)).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val ms = col("ms")
+    val pairsCol = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), size(ms)), y =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          score(x.getField("payload"), y.getField("payload")).as(scoreName)))))
+    buckets.select(explode(pairsCol).as("p")).select(col("p.*"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
     * buckets. bands*rowsPerBand must equal numHashes.
@@ -58,10 +97,17 @@ object Dedup {
     * never the shingle sets. Exact Jaccard rescoring, when needed, is a
     * join of the surviving pairs back to the text ([[ngramJaccardPairs]]
     * logic on a bounded candidate set).
+    *
+    * `maxBucketSize` caps candidates per (band, bucket) — see
+    * [[cappedBucketPairs]]. Pairs beyond the cap in EVERY band are
+    * dropped; with 16 bands a true near-dup pair is only lost if both
+    * docs sit past the cap in all its matching bands, and the intended
+    * guard against that is the [[exact]] pre-pass.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3, numHashes: Int = 64,
-                   bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                   bands: Int = 16, threshold: Double = 0.7,
+                   maxBucketSize: Int = 512): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
@@ -72,21 +118,14 @@ object Dedup {
 
     // explode into (band, bucketHash) — the LSH key
     val banded = withSig.select(
-      col("id"), col("sig"),
+      col("id"), col("sig").as("payload"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
       }: _*)).as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        sigAgreement(col("sig_a"), col("sig_b")).as("jaccard"))
+    cappedBucketPairs(banded, Seq("band", "bucket"), maxBucketSize,
+      (a, b) => sigAgreement(a, b), "jaccard")
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))
@@ -106,10 +145,15 @@ object Dedup {
     * same bounded-driver-state trade as IVF's sampled centroids. Above it,
     * fall back to the distributed min-label-propagation loop.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10,
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val cached = pairs.select(col("id_a"), col("id_b")).cache()
+    // ids normalized to long up front so the union-find path never sees
+    // int/short-typed id columns (getLong would ClassCastException)
+    val cached = pairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .cache()
     val nEdges = cached.count()
     if (nEdges <= driverEdgeLimit) {
       val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -164,6 +208,11 @@ object Dedup {
       converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       i += 1
     }
+    if (!converged)
+      log.warn(
+        s"connectedComponents: min-label propagation stopped at maxIters=$maxIters " +
+          "without converging — components with diameter > maxIters are split; " +
+          "raise maxIters for deep duplicate chains")
     edges.unpersist()
     labels
   }
@@ -176,29 +225,41 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3, numHashes: Int = 64,
-                   bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashPairs(df, textCol, idCol, shingleSize, numHashes,
-      bands, threshold)
+                   bands: Int = 16, threshold: Double = 0.7,
+                   maxBucketSize: Int = 512): DataFrame = {
+    // Exact pre-pass (CCNet-style): identical texts collapse to their
+    // min-id representative BEFORE LSH, in one fingerprint-keyed window.
+    // This removes the degenerate hot-bucket input (mass-duplicated text,
+    // the normal shape at 100 TB) so the per-bucket cap almost never
+    // fires on real duplicates. Survivors are unchanged vs. pure LSH:
+    // an exact group's members all share one signature, so they'd land in
+    // one component whose minimum is exactly the representative we keep.
+    val reps = df
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(rollingFingerprint(col(textCol)))
+          .orderBy(col(idCol))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    val pairs = minhashPairs(reps, textCol, idCol, shingleSize, numHashes,
+      bands, threshold, maxBucketSize)
     val dupIds = connectedComponents(pairs)
       .filter(col("id") =!= col("component")) // non-minimum of its component
       .select(col("id").as("_dup_id"))
-    df.join(dupIds, col(idCol) === col("_dup_id"), "left_anti")
+    reps.join(dupIds, col(idCol).cast("long") === col("_dup_id"), "left_anti")
   }
 
-  /** SimHash fingerprints with 4×16-bit band buckets for Hamming-≤3 pairs. */
+  /** SimHash fingerprints with 4×16-bit band buckets for Hamming-≤3 pairs.
+    * Same one-shuffle capped-bucket expansion as [[minhashPairs]].
+    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 512): DataFrame = {
     val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
-    val banded = withFp.select(col("id"), col("fp"),
+    val banded = withFp.select(col("id"), col("fp").as("payload"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("band", "chunk")))
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+    cappedBucketPairs(banded, Seq("band", "chunk"), maxBucketSize,
+      (a, b) => bit_count(a.bitwiseXOR(b)), "hamming")
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))

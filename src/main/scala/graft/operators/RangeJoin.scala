@@ -28,10 +28,16 @@ object RangeJoin {
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val pts = left.withColumn(CELL, floor(col(t).cast("long") / bucketWidth))
-    val ivs = right.withColumn(CELL,
-      explode(sequence(
-        floor(col(start).cast("long") / bucketWidth),
-        floor((col(end).cast("long") - 1) / bucketWidth))))
+    // Degenerate intervals (end <= start) match nothing under the half-open
+    // predicate, but a start > stop sequence() would generate a DESCENDING
+    // cell list and replicate such rows across many cells before the exact
+    // filter drops them — so drop them before the explode.
+    val ivs = right
+      .filter(col(end) > col(start))
+      .withColumn(CELL,
+        explode(sequence(
+          floor(col(start).cast("long") / bucketWidth),
+          floor((col(end).cast("long") - 1) / bucketWidth))))
     pts.join(ivs, Seq(CELL))
       .filter(col(start) <= col(t) && col(t) < col(end))
       .drop(CELL)

@@ -63,6 +63,29 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(20L) == 20L && cc(21L) == 20L)
   }
 
+  test("hot bucket capped: 1k identical docs yield bounded pairs, one survivor") {
+    val big = spark.range(1000).select(
+      col("id").as("doc_id"),
+      lit("same text repeated verbatim across the whole corpus").as("text"))
+    // every doc shares every band bucket; the cap bounds the blowup at
+    // cap*(cap-1)/2 distinct pairs instead of ~500k
+    val nPairs = Dedup.minhashPairs(big, "text", "doc_id", maxBucketSize = 16).count()
+    assert(nPairs <= 16L * 15 / 2)
+    val nSim = Dedup.simhashPairs(big, "text", "doc_id", maxBucketSize = 16).count()
+    assert(nSim <= 16L * 15 / 2)
+    // the exact pre-pass collapses the group before LSH: one survivor, id 0
+    val kept = Dedup.minhashDedup(big, "text", "doc_id", maxBucketSize = 16)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(0L))
+  }
+
+  test("connectedComponents accepts non-long id columns") {
+    val pairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b") // IntegerType ids
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+  }
+
   test("simhash: identical text -> identical fp; near-dup -> small hamming") {
     val fp = docs.select(simhash64(col("text"))).collect().map(_.getLong(0))
     assert(fp(0) == fp(1))

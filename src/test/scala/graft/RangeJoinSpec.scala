@@ -29,6 +29,16 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate intervals (end <= start) are dropped before the explode") {
+    val points = Seq((1L, 5L)).toDF("pid", "t")
+    // end < start would produce a long DESCENDING cell sequence if exploded
+    val intervals = Seq((1L, 9000L, 3L), (2L, 5L, 5L), (3L, 0L, 10L))
+      .toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 4L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L)))
+  }
+
   test("plan is an equi-join on the cell, not a cartesian product") {
     val points = Seq((1L, 5L)).toDF("pid", "t")
     val intervals = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
