@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // the synthetic events table is parquet TIMESTAMP(NANOS), which
+      // Spark 4 rejects without this (session-level setup, not a loader
+      // side effect — see Tables.events for the conversion)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Get-or-create and register the SQL-callable function surface. */
   def get(master: String = s"local[$cpus]"): SparkSession = {

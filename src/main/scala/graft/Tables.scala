@@ -18,7 +18,9 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // needs spark.sql.legacy.parquet.nanosAsLong=true, set once at
+        // session build (GraftSession) — a loader must not mutate session
+        // conf as a side effect
         spark.read.parquet(s"$sfDir/events.parquet")
           .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case n =>

@@ -38,7 +38,10 @@ final class ChangeFeed(spark: SparkSession, val name: String, root: String) {
     val stamped = df
       .withColumn(ACTION, lit(action))
       .withColumn(IS_UPDATE, lit(isUpdate))
-      .withColumn(ROW_ID, sha1(to_json(struct(df.columns.map(col): _*))))
+      // opaque row id straight off the columns — codegen'd hash, no JSON
+      // serialization in the ingest hot path (row ids only need to identify,
+      // not to be cryptographic)
+      .withColumn(ROW_ID, lower(hex(xxhash64(df.columns.map(col): _*))))
       .withColumn(BATCH_ID, lit(batchId))
     log.append(stamped, Map(PRODUCER_KEY -> batchId))
     batchId

@@ -35,8 +35,16 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
     * publish the delta on the change stream. Returns rows loaded.
     * (loading_co2_data_sp semantics: loading_data_sp/function.py:171-377.)
     */
-  def load(feedPath: String): Long = {
-    val parsed = NoaaIngest.parseText(spark, feedPath)
+  def load(feedPath: String): Long =
+    ingest(NoaaIngest.parseText(spark, feedPath))
+
+  /** Ingest through a pluggable [[FeedSource]] (HTTP in production — the
+    * reference's lambda fetch — a local file in tests/replays).
+    */
+  def load(source: FeedSource): Long =
+    ingest(NoaaIngest.parseFeed(spark, source))
+
+  private def ingest(parsed: DataFrame): Long = {
     val wm = if (raw.exists) NoaaIngest.watermark(raw.read) else None
     val fresh = NoaaIngest.newerThan(parsed, wm).cache()
     val n = fresh.count()
@@ -77,8 +85,12 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
         col("CO2_PPM"),
         batchTs.as("META_UPDATED_AT"))
 
+    // Partition-scoped merge: harmonized is committed partitioned by YEAR
+    // (functionally determined by the DATE key), so an incremental load
+    // rewrites only the touched years — never the full history snapshot.
     val r = MergeInto(spark, harmonized, source, Seq("DATE"),
-      consumeOffsets = Map(STREAM_NAME -> latestBatch), dedupeSource = true)
+      consumeOffsets = Map(STREAM_NAME -> latestBatch), dedupeSource = true,
+      partitionBy = Some("YEAR"))
 
     // CTAS _CO2_MINMAX (co2_harmonized_sp/function.py:74-91)
     val mm = harmonized.read.agg(
@@ -173,6 +185,14 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
     * stream view with metadata columns, so `spark.sql` covers the
     * reference's raw-SQL entry point (EP3).
     */
+  /** Register the warehouse as a real `spark.catalog` catalog: every layer
+    * becomes addressable as `<name>.<SCHEMA>.<TABLE>` with SHOW TABLES /
+    * DESCRIBE / SELECT / INSERT working as SQL text against the versioned
+    * commit protocol (reference EP3 full parity, not SELECT-only views).
+    */
+  def registerCatalog(name: String = "co2"): Unit =
+    graft.sql.GraftCatalog.register(spark, name, warehouseRoot)
+
   def registerViews(): Unit = {
     if (raw.exists) raw.read.createOrReplaceTempView("RAW_CO2_CO2_DATA")
     if (harmonized.exists) harmonized.read.createOrReplaceTempView("HARMONIZED_CO2_HARMONIZED_CO2")

@@ -19,8 +19,20 @@ object NoaaIngest {
     * an optional 6th column is tolerated and ignored; malformed numerics
     * coerce to null (pandas errors="coerce" parity).
     */
-  def parseText(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
+  def parseText(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
+
+  /** Parse a feed delivered by any [[FeedSource]] (HTTP in production,
+    * local file in tests). The text arrives driver-side — same as the
+    * reference's `requests.get().text` — and parsing/typing still runs as
+    * distributed column expressions.
+    */
+  def parseFeed(spark: SparkSession, source: FeedSource): DataFrame = {
+    import spark.implicits._
+    parseLines(source.fetchText().split("\n", -1).toSeq.toDF("value"))
+  }
+
+  private def parseLines(lines: DataFrame): DataFrame = {
     val t = trim(col("value"))
     val parts = split(t, "\\s+")
     // cast failures and textual NaN coerce to null (pandas errors="coerce")

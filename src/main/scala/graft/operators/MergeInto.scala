@@ -20,13 +20,23 @@ import graft.storage.VersionedTable
   *    merged data — exactly-once consume.
   *
   * Scale: one shuffle on the merge keys (Catalyst picks broadcast for small
-  * sources automatically); output rewrite is a full snapshot here — a
-  * partition-scoped overwrite (`replaceWhere`-style) is the 100 TB upgrade
-  * path and slots into the same commit protocol.
+  * sources automatically). With `partitionBy` set, the write is a
+  * partition-scoped commit (`replaceWhere`-style): only the partitions the
+  * source touches are joined and rewritten — a daily merge of a few
+  * thousand rows rewrites one partition, not the 100 TB snapshot.
   */
 object MergeInto {
 
   final case class MergeResult(updated: Long, inserted: Long, version: Long)
+
+  /** Row-presence markers: a matched row takes the WHOLE source row —
+    * NULLs included (the reference's update clause sets every column to
+    * the source value; CO2_PPM can legitimately be NULL after its
+    * errors='coerce' parse) — so matching is flagged with an explicit
+    * non-null marker instead of per-column coalesce.
+    */
+  private val SRC = "_src_present"
+  private val TGT = "_tgt_present"
 
   /** The merge as a pure plan: full-outer join on `keys`, matched rows take
     * source values, unmatched keep target — no write. Shared by the table
@@ -37,7 +47,7 @@ object MergeInto {
     val joined = joinedPlan(target, source, keys)
     joined.select(
       target.columns.toSeq.map { c =>
-        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+        when(col(s"s.$SRC"), col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       }: _*)
   }
 
@@ -45,18 +55,30 @@ object MergeInto {
                          keys: Seq[String]): DataFrame = {
     val cond: Column =
       keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    target.as("t").join(source.as("s"), cond, "full_outer")
+    target.withColumn(TGT, lit(true)).as("t")
+      .join(source.withColumn(SRC, lit(true)).as("s"), cond, "full_outer")
   }
 
+  /** Merge `source` into `target`. With `partitionBy = Some(col)`, only the
+    * target partitions whose value appears in the source are joined and
+    * rewritten (the touched-value set is a bounded collect — one value per
+    * touched partition, e.g. a handful of years); untouched partition data
+    * directories are not even opened.
+    */
   def apply(
       spark: SparkSession,
       target: VersionedTable,
       source: DataFrame,
       keys: Seq[String],
       consumeOffsets: Map[String, Long] = Map.empty,
-      dedupeSource: Boolean = false
+      dedupeSource: Boolean = false,
+      partitionBy: Option[String] = None
   ): MergeResult = {
     require(keys.nonEmpty, "merge requires at least one key column")
+    // CONTRACT: the partition column must be functionally determined by the
+    // merge keys (e.g. partition year derived from a DATE key) — otherwise
+    // an update could move a row across partitions while the stale copy
+    // survives in an untouched partition.
 
     val srcCols = source.columns.toSeq
     val src0 = if (dedupeSource) {
@@ -76,29 +98,49 @@ object MergeInto {
     }
 
     if (!target.exists) {
-      val v = target.overwrite(src0, consumeOffsets)
+      val v = partitionBy match {
+        case Some(p) => target.overwritePartitions(src0, p, consumeOffsets)
+        case None    => target.overwrite(src0, consumeOffsets)
+      }
       return MergeResult(0L, src0.count(), v)
     }
 
-    val tgt = target.read
+    // Partition-scoped merge: join ONLY the touched slice of the target.
+    // The touched-value collect is bounded by the number of partitions the
+    // source spans (the reference's daily load touches one year).
+    val tgt = partitionBy match {
+      case Some(p) =>
+        val touched = src0.select(col(p)).distinct().collect().map(_.get(0))
+        val full = target.read
+        if (touched.exists(_ == null))
+          full.filter(col(p).isin(touched.filter(_ != null): _*) || col(p).isNull)
+        else full.filter(col(p).isin(touched: _*))
+      case None => target.read
+    }
     require(tgt.columns.sorted.sameElements(src0.columns.sorted),
       s"merge schema mismatch: target ${tgt.columns.mkString(",")} vs source ${src0.columns.mkString(",")}")
 
     // merged rows + update/insert counters in ONE pass: flag columns ride
     // the plan and an Observation collects their sums during the write job
-    // itself (no second execution of the join for counting).
+    // itself (no second execution of the join for counting). Presence is
+    // tracked with explicit markers, so NULL-keyed matches count correctly
+    // and matched rows take whole source rows (NULLs included).
     val joined = joinedPlan(tgt, src0, keys)
-    val sKey = col(s"s.${keys.head}"); val tKey = col(s"t.${keys.head}")
+    val sOn = col(s"s.$SRC").isNotNull; val tOn = col(s"t.$TGT").isNotNull
     val flagged = joined.select(
-      tgt.columns.toSeq.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)) ++ Seq(
-        when(sKey.isNotNull && tKey.isNotNull, 1L).otherwise(0L).as("_merge_upd"),
-        when(sKey.isNotNull && tKey.isNull, 1L).otherwise(0L).as("_merge_ins")): _*)
+      tgt.columns.toSeq.map(c =>
+        when(sOn, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)) ++ Seq(
+        when(sOn && tOn, 1L).otherwise(0L).as("_merge_upd"),
+        when(sOn && !tOn, 1L).otherwise(0L).as("_merge_ins")): _*)
     val obs = new org.apache.spark.sql.Observation()
     val observed = flagged
       .observe(obs, sum(col("_merge_upd")).as("upd"), sum(col("_merge_ins")).as("ins"))
       .drop("_merge_upd", "_merge_ins")
 
-    val v = target.overwrite(observed, consumeOffsets)
+    val v = partitionBy match {
+      case Some(p) => target.overwritePartitions(observed, p, consumeOffsets)
+      case None    => target.overwrite(observed, consumeOffsets)
+    }
     val metrics = obs.get
     def cnt(k: String) = Option(metrics(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
     MergeResult(cnt("upd"), cnt("ins"), v)

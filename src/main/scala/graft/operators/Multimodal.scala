@@ -10,13 +10,59 @@ import org.apache.spark.sql.types._
   * batch transforms (`mapPartitions`), so each executor touches only its own
   * rows — no shuffle, no driver materialization, valid at any table size.
   *
-  * DECODE IS A STUB: this container ships no image/audio codecs, so
-  * [[StubCodec]] derives deterministic pseudo-content from the bytes. The
-  * Spark-side plumbing — schemas, encoders, batch iteration, partitioning,
-  * column contracts — is real and is what the pipeline depends on; swap
-  * [[StubCodec]] for a JNI/javax.imageio codec in production.
+  * IMAGES decode for real through the JDK's `javax.imageio`
+  * (PNG/JPEG/GIF/BMP — [[ImageIoCodec]]); payloads ImageIO cannot parse
+  * fall back to [[StubCodec]]'s deterministic pseudo-content so synthetic
+  * fixtures keep flowing through the same plumbing. AUDIO/VIDEO remain
+  * stubbed (no codecs in this environment) behind the same
+  * partition-local batch shape.
   */
 object Multimodal {
+
+  /** Real image decode via the JDK's ImageIO — no external dependencies.
+    * Pixels are grayscale floats in [0,1], row-major (ITU-R BT.601 luma).
+    */
+  object ImageIoCodec {
+    /** Decode to (pixels, width, height); None if ImageIO can't parse. */
+    def decodeImage(payload: Array[Byte]): Option[(Array[Float], Int, Int)] = {
+      if (payload == null || payload.isEmpty) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          px(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+          x += 1
+        }
+        y += 1
+      }
+      Some((px, w, h))
+    }
+
+    /** Deterministic box-average resample to w×h (no AWT rendering
+      * pipeline involved, so results are identical across JVMs).
+      */
+    def resize(pixels: Array[Float], srcW: Int, srcH: Int, w: Int, h: Int): Array[Float] =
+      Array.tabulate(w * h) { i =>
+        val (x, y) = (i % w, i / w)
+        val x0 = x * srcW / w; val x1 = math.max(x0 + 1, (x + 1) * srcW / w)
+        val y0 = y * srcH / h; val y1 = math.max(y0 + 1, (y + 1) * srcH / h)
+        var s = 0f; var yy = y0
+        while (yy < y1 && yy < srcH) {
+          var xx = x0
+          while (xx < x1 && xx < srcW) { s += pixels(yy * srcW + xx); xx += 1 }
+          yy += 1
+        }
+        s / ((math.min(x1, srcW) - x0) * (math.min(y1, srcH) - y0))
+      }
+  }
 
   /** Typed metadata carried next to every media payload. */
   val mediaMetaType: StructType = StructType(Seq(
@@ -34,9 +80,10 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("meta", mediaMetaType)))
 
-  /** ======== STUB ======== deterministic fake codec.
-    * Every function here is a placeholder for a real decoder; outputs are
-    * pure functions of the input bytes so tests are reproducible.
+  /** ======== STUB ======== deterministic fake codec for audio/video (no
+    * codecs in this environment) and for image payloads ImageIO cannot
+    * parse; outputs are pure functions of the input bytes so tests are
+    * reproducible.
     */
   object StubCodec {
     private def mix(h0: Long): Long = {
@@ -85,7 +132,9 @@ object Multimodal {
       length(col(payloadCol)).cast("long").as("size_bytes")))
 
   /** Decode + resize in one partition-local batch pass. Output schema:
-    * input columns + `pixels: array<float>` (w·h row-major).
+    * input columns + `pixels: array<float>` (w·h row-major, grayscale in
+    * [0,1]). Real images (PNG/JPEG/GIF/BMP) decode via [[ImageIoCodec]];
+    * unparseable payloads fall back to the deterministic stub.
     */
   def decodeResize(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -97,7 +146,11 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         val px =
           if (payload == null) null
-          else StubCodec.resize(StubCodec.decodeImage(payload), 8, 8, w, h)
+          else ImageIoCodec.decodeImage(payload) match {
+            case Some((pixels, sw, sh)) => ImageIoCodec.resize(pixels, sw, sh, w, h)
+            case None =>
+              StubCodec.resize(StubCodec.decodeImage(payload), 8, 8, w, h)
+          }
         Row.fromSeq(r.toSeq :+ px)
       }
     }(enc)

@@ -1,0 +1,285 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.storage.VersionedTable
+
+/** A DataSource V2 `TableCatalog` over [[VersionedTable]] directories — the
+  * raw-SQL surface the reference drives through Snowflake's catalog
+  * (CREATE/INSERT in loading_data_sp/function.py:285-314, SHOW TABLES LIKE /
+  * DESC in co2_harmonized_sp/function.py:50, raw_co2_data.py:103-105).
+  *
+  * Register with
+  * {{{
+  *   GraftCatalog.register(spark, "co2", warehouseRoot)
+  *   spark.sql("SHOW TABLES IN co2.RAW_CO2")
+  *   spark.sql("INSERT INTO co2.RAW_CO2.CO2_DATA VALUES (...)")   // a real versioned commit
+  *   spark.sql("DESCRIBE TABLE co2.HARMONIZED_CO2.HARMONIZED_CO2")
+  * }}}
+  *
+  * Layout mapping: `root/<namespace>/<table>` — a table is any directory
+  * with a `_commits` log. Reads go through a V1Scan bridge that delegates
+  * to the table's own DataFrame (so parquet column pruning applies, and
+  * translatable filters are pushed into the underlying scan); writes go
+  * through a V1Write bridge that lands an atomic [[VersionedTable]] commit
+  * — INSERT INTO appends a part, INSERT OVERWRITE / TRUNCATE replaces.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark = SparkSession.active
+  private def fs =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root=<warehouse dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirFor(ident: Identifier): String =
+    (Seq(root) ++ ident.namespace.toSeq :+ ident.name).mkString("/")
+  private def table(ident: Identifier) = VersionedTable(spark, dirFor(ident))
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_commits"))
+
+  // ------------------------------------------------------------- tables --
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = new Path((Seq(root) ++ namespace.toSeq).mkString("/"))
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace.toSeq)
+    fs.listStatus(nsPath).filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(new Path(dirFor(ident))) && table(ident).exists
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+    new GraftSqlTable(table(ident), ident)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables declare no DDL partitioning; use " +
+        "MergeInto(partitionBy=...) / overwritePartitions for partition-scoped commits")
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+    val vt = table(ident)
+    vt.createEmpty(schema)
+    new GraftSqlTable(vt, ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(dirFor(ident))
+    if (!isTableDir(p)) false else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent))
+      throw new NoSuchTableException(
+        Seq(catalogName) ++ oldIdent.namespace.toSeq :+ oldIdent.name)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(
+        Seq(catalogName) ++ newIdent.namespace.toSeq :+ newIdent.name)
+    fs.mkdirs(new Path(dirFor(newIdent)).getParent)
+    if (!fs.rename(new Path(dirFor(oldIdent)), new Path(dirFor(newIdent))))
+      throw new IllegalStateException(s"rename failed for $oldIdent -> $newIdent")
+  }
+
+  // --------------------------------------------------------- namespaces --
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) return Array.empty
+    fs.listStatus(r).filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      fs.exists(new Path((Seq(root) ++ namespace.toSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(new Path((Seq(root) ++ namespace.toSeq).mkString("/")))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path((Seq(root) ++ namespace.toSeq).mkString("/"))
+    if (!fs.exists(p)) false
+    else {
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(p, true)
+    }
+  }
+}
+
+object GraftCatalog {
+  /** Point a session catalog name at a warehouse root (lazy — the catalog
+    * instantiates on first SQL reference).
+    */
+  def register(spark: SparkSession, name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+  }
+}
+
+/** V2 table façade over one [[VersionedTable]]. */
+final class GraftSqlTable(vt: VersionedTable, ident: Identifier)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = (ident.namespace.toSeq :+ ident.name).mkString(".")
+  override def schema(): StructType = vt.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(vt)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(vt)
+}
+
+/** Pushes column pruning and the translatable subset of filters into the
+  * table's own DataFrame plan, then bridges to V1 — so `.explain` on a SQL
+  * SELECT shows a pruned parquet ReadSchema and PushedFilters, same as the
+  * programmatic path.
+  */
+final class GraftScanBuilder(vt: VersionedTable)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val fullSchema = vt.schema
+  private var prunedSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(f => GraftScanBuilder.toColumn(f).isDefined)
+    pushed = ok
+    rest // unhandled — Spark re-applies them above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve the table's column order for the surviving subset
+    val keep = requiredSchema.fieldNames.toSet
+    prunedSchema = StructType(fullSchema.fields.filter(f => keep(f.name)))
+  }
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = prunedSchema
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val df0 = vt.read
+      val filtered = pushed.flatMap(GraftScanBuilder.toColumn)
+        .foldLeft(df0)((d, c) => d.filter(c))
+      val relation = new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = prunedSchema
+        override def buildScan(): RDD[Row] =
+          if (prunedSchema.fields.isEmpty)
+            // COUNT(*)-style scan: read no data columns, emit empty rows
+            filtered.select(lit(1)).rdd.map(_ => Row.empty)
+          else if (prunedSchema.fieldNames.sameElements(df0.columns))
+            filtered.rdd
+          else
+            filtered.select(prunedSchema.fieldNames.map(col).toSeq: _*).rdd
+      }
+      relation.asInstanceOf[T]
+    }
+  }
+}
+
+object GraftScanBuilder {
+  /** sources.Filter → Column for the standard predicate set; None means
+    * "can't push — let Spark evaluate it above the scan".
+    */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c)                   => toColumn(c).map(not)
+    case sources.AlwaysTrue()             => Some(lit(true))
+    case sources.AlwaysFalse()            => Some(lit(false))
+    case _                                => None
+  }
+}
+
+/** INSERT INTO → versioned append; INSERT OVERWRITE / truncate → versioned
+  * replace. The V1 bridge hands us the source as a DataFrame, which drops
+  * straight into the table's atomic commit protocol.
+  */
+final class GraftWriteBuilder(vt: VersionedTable)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        if (replace || overwrite) vt.overwrite(data) else vt.append(data)
+      }
+    }
+  }
+}

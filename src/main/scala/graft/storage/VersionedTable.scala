@@ -1,7 +1,8 @@
 package graft.storage
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.types.StructType
 import java.nio.charset.StandardCharsets
 
@@ -14,22 +15,44 @@ import java.nio.charset.StandardCharsets
   * Layout:
   * {{{
   *   root/
-  *     _commits/00000001.json   // {"version":1,"parts":[...],"offsets":{...}}
-  *     v_00000001/ *.parquet    // data directory referenced by commits
+  *     _commits/00000001.json       // {"version":1,"partcol":"year","parts":[{"dir":...,"vals":[...]}],"offsets":{...}}
+  *     v_00000001_3fa9c1d2/ ...     // data dir; name is UNIQUE per attempt
   * }}}
   *
   * Correctness at scale:
   *  - A commit is a single O(1) file created with overwrite=false — an
   *    atomic claim on HDFS and object stores with conditional create.
-  *    Readers list `_commits` and take the max committed version; a crashed
-  *    writer leaves only an unreferenced data dir (garbage, never corruption).
+  *    Readers list `_commits` and take the max committed version. Data dirs
+  *    carry a per-attempt random suffix, so two writers racing for the same
+  *    version write to DIFFERENT directories; the claim loser's dir is
+  *    deleted, never the winner's (a crash leaves only unreferenced
+  *    garbage, never corruption).
   *  - `offsets` piggyback consumed change-feed positions on the same commit,
   *    giving merge-consumes-stream the reference's exactly-once contract.
   *  - Appends add a new part directory; no rewrite of existing data.
+  *  - [[overwritePartitions]] is the replaceWhere-style incremental commit:
+  *    a new part shadows ONLY the partition values it contains, so a daily
+  *    merge touching one year rewrites that year, not the table. Untouched
+  *    part directories are never opened. Shadowed values are pruned at read
+  *    time: parts written partitioned carry hive-style `_pt=<value>` dirs,
+  *    so the anti-filter is partition PRUNING, not a scan filter.
   */
 final class VersionedTable(spark: SparkSession, val root: String) {
 
-  case class State(version: Long, parts: Seq[String], offsets: Map[String, Long])
+  /** One committed data directory. `vals` = the partition values this part
+    * contains, as raw hive-escaped `_pt=` directory names (empty for
+    * unpartitioned full/append parts); a later part's vals shadow the same
+    * values in every earlier part.
+    */
+  case class Part(dir: String, vals: Seq[String])
+
+  case class State(version: Long, partitionCol: Option[String],
+                   parts: Seq[Part], offsets: Map[String, Long],
+                   schemaDdl: Option[String] = None)
+
+  /** Hive-default-safe encoding of a partition value (NULLs included). */
+  private val NULL_PT = "__GRAFT_NULL__"
+  private val PT = "_pt"
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,10 +70,64 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   }
 
   def read: DataFrame = state match {
-    case Some(s) if s.parts.nonEmpty =>
-      spark.read.parquet(s.parts.map(p => s"$root/$p"): _*)
+    case Some(s) if s.parts.nonEmpty => readState(s)
+    case Some(s) if s.schemaDdl.isDefined =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(s.schemaDdl.get))
     case _ =>
       throw new IllegalStateException(s"table at $root has no committed data")
+  }
+
+  /** Committed schema without opening data files (every commit records its
+    * DataFrame schema as DDL; pre-schema commits fall back to a footer read).
+    */
+  def schema: StructType = state match {
+    case Some(s) if s.schemaDdl.isDefined => StructType.fromDDL(s.schemaDdl.get)
+    case Some(s) if s.parts.nonEmpty => readState(s).schema
+    case _ =>
+      throw new IllegalStateException(s"table at $root has no committed schema")
+  }
+
+  /** Commit an empty table with just a schema (CREATE TABLE semantics). */
+  def createEmpty(schema: StructType): Long = {
+    val prev = state
+    val version = prev.map(_.version).getOrElse(0L) + 1
+    val offs = prev.map(_.offsets).getOrElse(Map.empty)
+    writeCommit(version,
+      State(version, None, Seq.empty, offs, Some(schema.toDDL)))
+    version
+  }
+
+  private def ptKey(c: Column): Column =
+    coalesce(c.cast("string"), lit(NULL_PT))
+
+  private def readState(s: State): DataFrame = {
+    val anyPartitioned = s.parts.exists(_.vals.nonEmpty)
+    if (!anyPartitioned)
+      return spark.read.parquet(s.parts.map(p => s"$root/${p.dir}"): _*)
+    val pcol = s.partitionCol.getOrElse(
+      throw new IllegalStateException(s"partitioned parts but no partcol at $root"))
+    // Later parts shadow earlier ones. Partitioned parts are pruned by PATH
+    // (only live `_pt=<v>` subdirs are even listed — the data files inside
+    // carry the full original schema, so no partition-column inference is
+    // involved); legacy unpartitioned parts fall back to an exact
+    // anti-filter on the real column.
+    val slices = s.parts.zipWithIndex.map { case (p, i) =>
+      val shadowed = s.parts.drop(i + 1).flatMap(_.vals).toSet
+      if (p.vals.nonEmpty) {
+        val live = p.vals.filterNot(shadowed)
+        if (live.isEmpty) null
+        else spark.read.parquet(live.map(v => s"$root/${p.dir}/$PT=$v"): _*)
+      } else if (shadowed.isEmpty) {
+        spark.read.parquet(s"$root/${p.dir}")
+      } else {
+        val vals = shadowed.toSeq.map(hiveUnescape)
+        spark.read.parquet(s"$root/${p.dir}")
+          .filter(not(ptKey(col(pcol)).isin(vals: _*)))
+      }
+    }.filter(_ != null)
+    slices.reduce(_ unionByName _)
   }
 
   def readOr(schema: StructType): DataFrame =
@@ -61,24 +138,92 @@ final class VersionedTable(spark: SparkSession, val root: String) {
 
   /** Replace table contents (CREATE OR REPLACE / CTAS semantics). */
   def overwrite(df: DataFrame, offsets: Map[String, Long] = Map.empty): Long =
-    commit(df, replace = true, offsets)
+    commit(df, Commit.Replace, offsets)
 
   /** Append a new part (COPY INTO / INSERT semantics). */
   def append(df: DataFrame, offsets: Map[String, Long] = Map.empty): Long =
-    commit(df, replace = false, offsets)
+    commit(df, Commit.Append, offsets)
 
-  private def commit(df: DataFrame, replace: Boolean,
+  /** Replace ONLY the partitions present in `df` (replaceWhere semantics):
+    * rows of earlier commits whose `partitionCol` value appears in `df` are
+    * shadowed; everything else is untouched — no data dir is rewritten.
+    * All commits to a table must use the same `partitionCol`.
+    */
+  def overwritePartitions(df: DataFrame, partitionCol: String,
+                          offsets: Map[String, Long] = Map.empty): Long = {
+    state.flatMap(_.partitionCol).foreach { p =>
+      require(p == partitionCol,
+        s"table at $root is partitioned by $p, not $partitionCol")
+    }
+    commit(df, Commit.ReplacePartitions(partitionCol), offsets)
+  }
+
+  private sealed trait CommitMode
+  private object Commit {
+    case object Replace extends CommitMode
+    case object Append extends CommitMode
+    case class ReplacePartitions(col: String) extends CommitMode
+  }
+
+  private def commit(df: DataFrame, mode: CommitMode,
                      newOffsets: Map[String, Long]): Long = {
     val prev = state
     val version = prev.map(_.version).getOrElse(0L) + 1
-    val partName = f"v_$version%08d"
-    df.write.mode("overwrite").parquet(s"$root/$partName")
-    val parts =
-      if (replace) Seq(partName)
-      else prev.map(_.parts).getOrElse(Seq.empty) :+ partName
+    // unique per attempt: a racing writer targeting the same version writes
+    // elsewhere; only the commit-file claim decides the winner
+    val partName = f"v_$version%08d_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val dataDir = s"$root/$partName"
+
+    val newPart = mode match {
+      case Commit.ReplacePartitions(pcol) =>
+        require(df.columns.contains(pcol), s"missing partition column $pcol")
+        df.withColumn(PT, ptKey(col(pcol)))
+          .write.partitionBy(PT).mode("overwrite").parquet(dataDir)
+        // the values this part contains = the hive dirs it produced (an FS
+        // listing, no extra Spark job). Stored RAW (hive-escaped) so read
+        // can reconstruct the subdir paths verbatim.
+        val vals = fs.listStatus(new Path(dataDir)).map(_.getPath.getName)
+          .filter(_.startsWith(s"$PT="))
+          .map(_.stripPrefix(s"$PT="))
+          .toSeq.sorted
+        Part(partName, vals)
+      case _ =>
+        df.write.mode("overwrite").parquet(dataDir)
+        Part(partName, Seq.empty)
+    }
+
+    val parts = mode match {
+      case Commit.Replace => Seq(newPart)
+      case _ => prev.map(_.parts).getOrElse(Seq.empty) :+ newPart
+    }
+    val pcol = mode match {
+      case Commit.ReplacePartitions(c) => Some(c)
+      case _ => prev.flatMap(_.partitionCol)
+    }
     val offs = prev.map(_.offsets).getOrElse(Map.empty) ++ newOffsets
-    writeCommit(version, State(version, parts, offs))
+    try writeCommit(version, State(version, pcol, parts, offs, Some(df.schema.toDDL)))
+    catch {
+      case e: java.io.IOException =>
+        // claim lost (or FS error): remove our orphan dir, surface the race
+        fs.delete(new Path(dataDir), true)
+        throw new java.util.ConcurrentModificationException(
+          s"commit claim for version $version of $root failed", e)
+    }
     version
+  }
+
+  private def hiveUnescape(s: String): String = {
+    // partitionBy hive-escapes special chars as %XX in directory names
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   private def writeCommit(version: Long, s: State): Unit = {
@@ -98,22 +243,46 @@ final class VersionedTable(spark: SparkSession, val root: String) {
 
   // Tiny hand-rolled JSON for the fixed-shape state record (no extra deps).
   private def renderState(s: State): String = {
-    val parts = s.parts.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+    def q(x: String) = "\"" + x + "\""
+    val parts = s.parts.map { p =>
+      s"""{"dir":${q(p.dir)},"vals":${p.vals.map(q).mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
     val offs = s.offsets.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    s"""{"version":${s.version},"parts":$parts,"offsets":$offs}"""
+      .map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val pc = s.partitionCol.map(c => s""""partcol":${q(c)},""").getOrElse("")
+    val sc = s.schemaDdl.map { d =>
+      s""","schema":${q(d.replace("\\", "\\\\").replace("\"", "\\\""))}"""
+    }.getOrElse("")
+    s"""{"version":${s.version},$pc"parts":$parts,"offsets":$offs$sc}"""
   }
 
   private def parseState(json: String): State = {
     val version = """"version":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
-    val parts = """"parts":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    val pcol = """"partcol":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    val partsBlob = """"parts":\[(.*)\],"offsets"""".r
+      .findFirstMatchIn(json).get.group(1)
+    val parts =
+      if (partsBlob.trim.isEmpty) Seq.empty
+      else if (!partsBlob.contains("{")) // legacy round-1 plain-string form
+        partsBlob.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq.map(Part(_, Seq.empty))
+      else
+        """\{"dir":"([^"]+)","vals":\[([^\]]*)\]\}""".r.findAllMatchIn(partsBlob)
+          .map { m =>
+            // hive-escaping guarantees no raw quotes inside vals, so quoted
+            // tokens are unambiguous (commas inside values are fine)
+            val vals = """"([^"]*)"""".r.findAllMatchIn(m.group(2))
+              .map(_.group(1)).toSeq
+            Part(m.group(1), vals)
+          }.toSeq
     val offsets = """"offsets":\{([^}]*)\}""".r.findFirstMatchIn(json).get.group(1)
       .split(",").filter(_.contains(":")).map { kv =>
         val Array(k, v) = kv.split(":", 2)
         k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
       }.toMap
-    State(version, parts, offsets)
+    val schemaDdl = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    State(version, pcol, parts, offsets, schemaDdl)
   }
 }
 

@@ -130,6 +130,24 @@ class Co2PipelineSpec extends AnyFunSuite {
     assert(rx.count() == 2)
   }
 
+  test("pipeline ingests through the pluggable FeedSource trait (S1)") {
+    val dir = Files.createTempDirectory("co2_feed_")
+    val feed = dir.resolve("feed.txt")
+    writeFeed(feed, LocalDate.of(2024, 1, 1), LocalDate.of(2024, 2, 1))
+    val p = graft.co2.Co2Pipeline(spark, dir.resolve("wh").toString)
+    val n = p.load(graft.co2.LocalFileSource(feed.toString))
+    assert(n > 0 && p.raw.read.count() == n)
+    // parseFeed and parseText agree on the same bytes
+    val viaPath = NoaaIngest.parseText(spark, feed.toString).collect().toSet
+    val viaSrc = NoaaIngest
+      .parseFeed(spark, graft.co2.LocalFileSource(feed.toString)).collect().toSet
+    assert(viaPath == viaSrc)
+    // the HTTP impl is API-compatible (can't fetch in this sandbox):
+    // construction + error surface only
+    val http = graft.co2.HttpFeedSource("http://127.0.0.1:1/feed.txt", timeoutMs = 200)
+    intercept[Exception] { http.fetchText() }
+  }
+
   test("removeStaged deletes only glob-matched stage files (S12)") {
     val stage = Files.createTempDirectory("rm_stage_")
     Files.writeString(stage.resolve("co2_data_1.csv"), "x")

@@ -39,6 +39,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(px == again)
   }
 
+  test("decodeResize decodes a REAL PNG through ImageIO (not the stub)") {
+    // 2×2 checkerboard: black/white/white/black
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFFFFFF)
+    img.setRGB(0, 1, 0xFFFFFF); img.setRGB(1, 1, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val df = Seq((1L, png)).toDF("media_id", "payload")
+    // identity-size decode: exact luma values back out
+    val full = Multimodal.decodeResize(df, "payload", 2, 2)
+      .select("pixels").head.getSeq[Float](0)
+    assert(full.length == 4)
+    assert(full(0) == 0f && full(3) == 0f)
+    assert(math.abs(full(1) - 1f) < 1e-3 && math.abs(full(2) - 1f) < 1e-3)
+    // box-average downsample to 1×1: mean of the checkerboard = 0.5
+    val one = Multimodal.decodeResize(df, "payload", 1, 1)
+      .select("pixels").head.getSeq[Float](0)
+    assert(math.abs(one.head - 0.5f) < 1e-3)
+    // non-image payloads still flow through via the stub fallback
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val px = Multimodal.decodeResize(junk, "payload", 4, 4)
+      .select("pixels").head.getSeq[Float](0)
+    assert(px.length == 16)
+  }
+
   test("featurize produces embeddings usable by Similarity.topK") {
     val emb = Multimodal.featurize(media, "payload", dim = 16).cache()
     assert(emb.select(size(col("embedding"))).head.getInt(0) == 16)

@@ -79,4 +79,70 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT count(DISTINCT md5(text)) FROM documents").head.getLong(0)
     assert(n > 0)
   }
+
+  test("GraftCatalog: CREATE/SHOW/DESC/INSERT land on the versioned commit log") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    graft.sql.GraftCatalog.register(spark, "g1", root)
+    spark.sql("CREATE NAMESPACE g1.NS")
+    spark.sql("CREATE TABLE g1.NS.T (k INT, v STRING)")
+    assert(spark.sql("SHOW TABLES IN g1.NS").collect().map(_.getString(1)).contains("T"))
+
+    spark.sql("INSERT INTO g1.NS.T VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO g1.NS.T VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM g1.NS.T").head.getLong(0) == 3)
+    // each DML landed an atomic commit: create + 2 appends
+    val vt = graft.storage.VersionedTable(spark, s"$root/NS/T")
+    assert(vt.state.get.version == 3)
+
+    spark.sql("INSERT OVERWRITE g1.NS.T VALUES (9, 'z')")
+    assert(spark.sql("SELECT v FROM g1.NS.T").collect().map(_.getString(0)).toSeq == Seq("z"))
+    assert(vt.state.get.version == 4)
+
+    val desc = spark.sql("DESCRIBE TABLE g1.NS.T").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("k") == "int" && desc("v") == "string")
+
+    // CTAS goes through createTable + append
+    spark.sql("CREATE TABLE g1.NS.T2 AS SELECT 42 AS answer")
+    assert(spark.sql("SELECT answer FROM g1.NS.T2").head.getInt(0) == 42)
+  }
+
+  test("GraftCatalog reads prune columns and push filters into the table scan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cat2_").toString
+    val vt = graft.storage.VersionedTable(spark, s"$root/ANALYTICS/METRICS")
+    vt.overwrite(Seq((2022, 1.5, "x"), (2023, 2.5, "y")).toDF("year", "v", "note"))
+    graft.sql.GraftCatalog.register(spark, "g2", root)
+
+    val q = spark.sql("SELECT v FROM g2.ANALYTICS.METRICS WHERE year = 2023")
+    assert(q.collect().map(_.getDouble(0)).toSeq == Seq(2.5))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("year"), plan)
+
+    // a VersionedTable written by the programmatic API is visible to SQL
+    assert(spark.sql("SHOW TABLES IN g2.ANALYTICS").count() == 1)
+  }
+
+  test("Co2Pipeline.registerCatalog exposes all layers to SQL catalog ops") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat3_").toString
+    val feedFile = java.nio.file.Files.createTempFile("noaa", ".txt")
+    java.nio.file.Files.writeString(feedFile,
+      "# comment\n2024 1 2 2024.004 421.1\n2024 1 5 2024.012 422.3\n")
+    val p = graft.co2.Co2Pipeline(spark, wh)
+    p.runPipeline(feedFile.toString)
+    p.registerCatalog("co2t")
+    val raw = spark.sql("SHOW TABLES IN co2t.RAW_CO2").collect().map(_.getString(1)).toSet
+    assert(raw.contains("CO2_DATA"))
+    val n = spark.sql("SELECT count(*) FROM co2t.HARMONIZED_CO2.HARMONIZED_CO2")
+      .head.getLong(0)
+    assert(n == 2)
+    // SQL INSERT into the harmonized layer lands a versioned commit
+    val before = p.harmonized.state.get.version
+    spark.sql(
+      """INSERT INTO co2t.HARMONIZED_CO2.HARMONIZED_CO2
+        |SELECT DATE '2024-01-03', 2024, 1, 3, 421.7, current_timestamp()""".stripMargin)
+    assert(p.harmonized.state.get.version == before + 1)
+    assert(spark.sql("SELECT count(*) FROM co2t.HARMONIZED_CO2.HARMONIZED_CO2")
+      .head.getLong(0) == 3)
+  }
 }

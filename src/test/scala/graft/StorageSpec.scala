@@ -97,12 +97,14 @@ class StorageSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("vt_conflict").toString
     val t = graft.storage.VersionedTable(spark, root)
     t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    val v1dir = t.state.get.parts.head.dir
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the protocol's primitive: create(overwrite=false) succeeds exactly once
     val claim = new org.apache.hadoop.fs.Path(root, "_commits/00000002.json")
     val out = fs.create(claim, false)
-    out.write("{\"version\":2,\"parts\":[\"v_00000001\"],\"offsets\":{}}".getBytes)
+    // legacy round-1 plain-string parts format — parse compatibility covered
+    out.write(s"""{"version":2,"parts":["$v1dir"],"offsets":{}}""".getBytes)
     out.close()
     intercept[java.io.IOException] { fs.create(claim, false).close() }
     // a writer that lost the race re-reads state and lands AFTER the winner,
@@ -110,6 +112,90 @@ class StorageSpec extends AnyFunSuite {
     val v = t.append(Seq((2, "b")).toDF("k", "v"))
     assert(v == 3L)
     assert(t.read.count() == 2) // winner's state (v2 = parts[v1]) + appended part
+  }
+
+  private def dataDirs(root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.getName).filterNot(_ == "_commits").toSet
+  }
+
+  private def fileSnapshot(dir: String): Set[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Set.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      b += ((f.getPath.toString, f.getLen, f.getModificationTime))
+    }
+    b.result()
+  }
+
+  test("overwritePartitions rewrites only touched partitions; untouched dirs byte-identical") {
+    val root = tmp() + "/pt1"
+    val t = VersionedTable(spark, root)
+    t.overwritePartitions(
+      Seq((2022, 1, "a"), (2022, 2, "b"), (2023, 3, "c")).toDF("year", "id", "v"),
+      "year")
+    val v1dir = t.state.get.parts.head.dir
+    val before = fileSnapshot(s"$root/$v1dir")
+    // second commit touches ONLY 2023
+    t.overwritePartitions(
+      Seq((2023, 3, "C"), (2023, 4, "d")).toDF("year", "id", "v"), "year")
+    assert(fileSnapshot(s"$root/$v1dir") == before) // v1 never reopened
+    assert(t.state.get.parts.map(_.dir).contains(v1dir)) // still referenced
+    val got = t.read.orderBy("id").as[(Int, Int, String)].collect().toSeq
+    assert(got == Seq((2022, 1, "a"), (2022, 2, "b"), (2023, 3, "C"), (2023, 4, "d")))
+    // partition col mismatch is rejected
+    intercept[IllegalArgumentException] {
+      t.overwritePartitions(Seq((1, 1, "x")).toDF("year", "id", "v"), "id")
+    }
+  }
+
+  test("MergeInto partitionBy: incremental merge leaves untouched partition dirs alone") {
+    val root = tmp() + "/pt2"
+    val t = VersionedTable(spark, root)
+    MergeInto(spark, t,
+      Seq((2022, 1, 1.0), (2022, 2, 2.0), (2023, 3, 3.0)).toDF("year", "k", "v"),
+      Seq("k"), partitionBy = Some("year"))
+    val v1dir = t.state.get.parts.head.dir
+    val before = fileSnapshot(s"$root/$v1dir")
+    val r = MergeInto(spark, t,
+      Seq((2023, 3, 3.5), (2023, 4, 4.0)).toDF("year", "k", "v"),
+      Seq("k"), partitionBy = Some("year"))
+    assert(r.updated == 1 && r.inserted == 1)
+    assert(fileSnapshot(s"$root/$v1dir") == before)
+    val m = t.read.as[(Int, Int, Double)].collect().map(x => x._2 -> (x._1, x._3)).toMap
+    assert(m == Map(1 -> (2022, 1.0), 2 -> (2022, 2.0), 3 -> (2023, 3.5), 4 -> (2023, 4.0)))
+  }
+
+  test("MergeInto: matched rows take the WHOLE source row — NULLs overwrite") {
+    val t = VersionedTable(spark, tmp() + "/m5")
+    t.overwrite(Seq((1, Some(1.5)), (2, Some(2.5))).toDF("k", "v"))
+    val r = MergeInto(spark, t, Seq((1, None: Option[Double])).toDF("k", "v"), Seq("k"))
+    assert(r.updated == 1 && r.inserted == 0)
+    val m = t.read.as[(Int, Option[Double])].collect().toMap
+    assert(m == Map(1 -> None, 2 -> Some(2.5)))
+  }
+
+  test("concurrent appenders: claim losers clean up, winners never clobbered") {
+    val root = tmp() + "/cc"
+    val t = VersionedTable(spark, root)
+    t.overwrite(Seq(0).toDF("x"))
+    val threads = (1 to 3).map { i =>
+      new Thread(() => {
+        try VersionedTable(spark, root).append(Seq(i).toDF("x"))
+        catch { case _: java.util.ConcurrentModificationException => () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // every data dir on disk is referenced by the final state (losers swept
+    // their unique dirs; no winner's dir was ever deleted or overwritten)
+    assert(dataDirs(root) == t.state.get.parts.map(_.dir).toSet)
+    // one row per committed version: reads stay consistent
+    val nCommits = t.state.get.version
+    assert(t.read.count() == nCommits)
   }
 
   test("OrderedLag matches global-window lag exactly (incl. bucket boundaries)") {
