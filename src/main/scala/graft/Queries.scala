@@ -294,17 +294,39 @@ object Queries {
     */
   def q23MinhashDedup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    Dedup.minhashDedup(d, "text", "doc_id", shingleSize = 3,
-      numHashes = 64, bands = 16, threshold = 0.7)
+    // LSH candidates + EXACT Jaccard confirm: equals the all-pairs
+    // exact-Jaccard single-linkage dedup (oracle-checkable in SQL) while
+    // the heavy join stays bucket-bounded
+    Dedup.minhashDedupExact(d, "text", "doc_id", shingleSize = 3,
+      numHashes = 64, bands = 32, threshold = 0.7)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_survivors"))
   }
 
-  /** SimHash near-dup candidate pairs at hamming ≤ 3 (rows-only check). */
-  def q24SimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+  /** SimHash near-dup pairs at hamming ≤ 3, over a 60-bit md5-derived
+    * fingerprint whose spec is bit-reproducible in ANSI SQL — so the pair
+    * set is oracle-EXACT (the 4-chunk pigeonhole candidate set is a strict
+    * superset of all pairs within distance 3; the bit_count filter then
+    * makes it exact). The custom simhash64 kernel remains the fast default
+    * in [[Dedup.simhashPairs]], pinned by DedupSpec.
+    */
+  def q24SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val words = d.select(col("doc_id").as("id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val fp = (0 until 60).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val withFp = words.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fp.as("fp"))
+    Dedup.simhashPairsOn(withFp, maxHamming = 3)
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
 
   /** Language-ID distribution: the n-gram-marker heuristic vs the labeled
     * lang column (confusion counts).
@@ -632,6 +654,62 @@ object Queries {
         |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_first,
         |  MAX(len(embedding)) AS dim
         |FROM embeddings GROUP BY label""".stripMargin,
+    // all-pairs exact 3-gram Jaccard + recursive-CTE connected components:
+    // the ground truth the LSH+exact-rescore pipeline must equal. The
+    // length-ratio prefilter is exact-preserving (J >= 0.7 forces
+    // |A|/|B| >= 0.7).
+    "q23_minhash_dedup" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+        |                           for i in range(1, len(w) - 1)]) END AS s
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |    AND len(a.s) * 10 >= len(b.s) * 7 AND len(b.s) * 10 >= len(a.s) * 7
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |dups AS (
+        |  SELECT id FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+        |  WHERE comp <> id)
+        |SELECT d2.lang, COUNT(*) AS n_survivors
+        |FROM documents d2 LEFT JOIN dups ON d2.doc_id = dups.id
+        |WHERE dups.id IS NULL
+        |GROUP BY d2.lang""".stripMargin,
+    // the 60-bit md5-SimHash spec, reproduced bit-for-bit: word hash =
+    // first 15 hex chars of md5, per-bit +/-1 vote, bit set iff sum > 0
+    "q24_simhash_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |words AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(u.word), 1, 15)) AS BIGINT) AS h
+        |  FROM d, unnest(d.w) AS u(word)),
+        |bits AS (
+        |  SELECT doc_id, bb.b AS b,
+        |    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM words, (SELECT unnest(range(0, 60)) AS b) bb
+        |  GROUP BY doc_id, bb.b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS fp
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT bit_count(xor(a.fp, b.fp)) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+        |SELECT hamming, COUNT(*) AS n_pairs FROM pairs GROUP BY hamming""".stripMargin,
     "q25_lang_id" ->
       """WITH scored AS (
         |  SELECT lang,

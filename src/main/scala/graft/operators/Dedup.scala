@@ -248,12 +248,62 @@ object Dedup {
     reps.join(dupIds, col(idCol).cast("long") === col("_dup_id"), "left_anti")
   }
 
+  /** MinHash-LSH dedup with EXACT Jaccard confirmation (the CCNet-grade
+    * pipeline): LSH proposes candidates, then every candidate pair is
+    * rescored with true shingle-set Jaccard before clustering — estimate
+    * noise can neither drop nor add a pair. Defaults use 2-row bands
+    * (32 bands × 2 rows), putting candidate recall at J ≥ 0.7 above
+    * 1 − 5e-10, so the output equals the all-pairs exact-Jaccard
+    * single-linkage dedup while the join stays bucket-bounded. The
+    * candidate filter runs `candidateSlack` BELOW the exact threshold so
+    * estimator variance can't pre-drop a borderline true pair.
+    */
+  def minhashDedupExact(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 64,
+                        bands: Int = 32, threshold: Double = 0.7,
+                        candidateSlack: Double = 0.25,
+                        maxBucketSize: Int = 512): DataFrame = {
+    val reps = df
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(rollingFingerprint(col(textCol)))
+          .orderBy(col(idCol))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    val cand = minhashPairs(reps, textCol, idCol, shingleSize, numHashes,
+      bands, math.max(0.0, threshold - candidateSlack), maxBucketSize)
+    // exact rescore: join the candidate pairs (a bounded set) back to text
+    val sh = reps.select(col(idCol).cast("long").as("_id"),
+      shingles(col(textCol), shingleSize).as("_sh"))
+    val exactPairs = cand
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val dupIds = connectedComponents(exactPairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("_dup_id"))
+    reps.join(dupIds, col(idCol).cast("long") === col("_dup_id"), "left_anti")
+  }
+
   /** SimHash fingerprints with 4×16-bit band buckets for Hamming-≤3 pairs.
     * Same one-shuffle capped-bucket expansion as [[minhashPairs]].
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 512): DataFrame = {
-    val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+                   maxHamming: Int = 3, maxBucketSize: Int = 512): DataFrame =
+    simhashPairsOn(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")),
+      maxHamming, maxBucketSize)
+
+  /** Hamming-≤d pairs over a precomputed 64-bit fingerprint relation
+    * `(id, fp)`. The 4×16-bit pigeonhole makes the candidate set a strict
+    * SUPERSET of all pairs within distance d ≤ 3, so after the exact
+    * bit_count filter the result is exact — any fingerprint function
+    * (the fast [[graft.plans.expressions.simhash64]] kernel, or an
+    * SQL-reproducible one) plugs in.
+    */
+  def simhashPairsOn(withFp: DataFrame, maxHamming: Int = 3,
+                     maxBucketSize: Int = 512): DataFrame = {
     val banded = withFp.select(col("id"), col("fp").as("payload"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))
