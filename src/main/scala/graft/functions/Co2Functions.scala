@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** The reference's four scalar UDFs re-expressed as native Column functions
   * (codegen'd, no serialization boundary), plus `spark.udf.register` shims so
@@ -47,6 +47,19 @@ object Co2Functions {
     when(maxV === minV, lit(0.5d))
       .otherwise(round((x - minV) / (maxV - minV), 3))
 
+  /** The reference's DECLARED signature — NUMBER(35,4) in and out
+    * (normalize_co2.sql:1-13): inputs coerced to DECIMAL(35,4), the ratio
+    * rounded to 3, result cast back to DECIMAL(35,4). The double-based
+    * [[normalizeCo2]] stays the engine default (SURVEY §1.2); this variant
+    * closes the typed-signature parity gap.
+    */
+  def normalizeCo2Decimal(x: Column, minV: Column, maxV: Column): Column = {
+    val d = DecimalType(35, 4)
+    val (xd, mn, mx) = (x.cast(d), minV.cast(d), maxV.cast(d))
+    when(mx === mn, lit(BigDecimal("0.5")).cast(d))
+      .otherwise(round((xd - mn) / (mx - mn), 3).cast(d))
+  }
+
   /** SQL-callable surface mirroring the reference's registered names. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register(
@@ -74,6 +87,18 @@ object Co2Functions {
       "CO2_WEEKLY_PERCENT_CHANGE",
       (p: java.lang.Double, c: java.lang.Double) =>
         if (p == null || c == null || p == 0d) 0d else (c - p) / p * 100d
+    )
+    spark.udf.register(
+      "NORMALIZE_CO2_DECIMAL",
+      (x: java.math.BigDecimal, mn: java.math.BigDecimal, mx: java.math.BigDecimal) =>
+        if (x == null || mn == null || mx == null) null
+        else if (mx.compareTo(mn) == 0)
+          new java.math.BigDecimal("0.5000").setScale(4)
+        else
+          x.subtract(mn)
+            .divide(mx.subtract(mn), java.math.MathContext.DECIMAL128)
+            .setScale(3, java.math.RoundingMode.HALF_UP)
+            .setScale(4)
     )
     spark.udf.register(
       "NORMALIZE_CO2_UDF",

@@ -88,6 +88,56 @@ object Dedup {
     buckets.select(explode(pairsCol).as("p")).select(col("p.*"))
   }
 
+  /** DISTINCT (id_a, id_b) co-bucket pairs — the id-only variant of
+    * [[cappedBucketPairs]] for pipelines that rescore candidates exactly
+    * afterwards: no signature payload shuffles with the bucket rows and no
+    * per-pair estimate is computed (a pair colliding in many bands costs
+    * one long-pair per band, deduplicated by the distinct).
+    */
+  private def cappedBucketIdPairs(banded: DataFrame, keyCols: Seq[String],
+                                  cap: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val capped = banded
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("id"))))
+      .filter(col("_rn") <= cap)
+    val buckets = capped
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("id"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val ms = col("ms")
+    val pairsCol = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), size(ms)), y =>
+        struct(x.as("id_a"), y.as("id_b")))))
+    buckets.select(explode(pairsCol).as("p")).select(col("p.*")).distinct()
+  }
+
+  /** (band, bucket) LSH keys for a precomputed signature relation
+    * `(id, sig)` — shared by the estimate and exact-rescore pipelines.
+    */
+  private def bandedBuckets(withSig: DataFrame, bands: Int, rows: Int): DataFrame =
+    withSig.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
+      }: _*)).as(Seq("band", "bucket")))
+
+  /** Candidate near-dup id pairs from MinHash banding alone (no Jaccard
+    * estimate): the cheap front end of an LSH → exact-rescore pipeline.
+    */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 64,
+                            bands: Int = 32, maxBucketSize: Int = 512): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val withSig = df.select(
+      col(idCol).cast("long").as("id"),
+      minhashText(col(textCol), shingleSize, numHashes).as("sig"))
+    cappedBucketIdPairs(
+      bandedBuckets(withSig, bands, numHashes / bands),
+      Seq("band", "bucket"), maxBucketSize)
+  }
+
   /** MinHash-LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
     * buckets. bands*rowsPerBand must equal numHashes.
@@ -249,31 +299,43 @@ object Dedup {
   }
 
   /** MinHash-LSH dedup with EXACT Jaccard confirmation (the CCNet-grade
-    * pipeline): LSH proposes candidates, then every candidate pair is
-    * rescored with true shingle-set Jaccard before clustering — estimate
+    * pipeline): LSH proposes candidate id pairs (banding only — no
+    * estimate, see [[minhashCandidatePairs]]), then every candidate is
+    * rescored with true shingle-set Jaccard before clustering — estimator
     * noise can neither drop nor add a pair. Defaults use 2-row bands
     * (32 bands × 2 rows), putting candidate recall at J ≥ 0.7 above
     * 1 − 5e-10, so the output equals the all-pairs exact-Jaccard
-    * single-linkage dedup while the join stays bucket-bounded. The
-    * candidate filter runs `candidateSlack` BELOW the exact threshold so
-    * estimator variance can't pre-drop a borderline true pair.
+    * single-linkage dedup while the join stays bucket-bounded.
     */
   def minhashDedupExact(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 32, threshold: Double = 0.7,
-                        candidateSlack: Double = 0.25,
                         maxBucketSize: Int = 512): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // ONE text scan computes both the exact fingerprint (pre-pass key) and
+    // the MinHash signature; the cached reps then feed three plan branches
+    // (candidates, rescore, output) without rescanning the corpus
     val reps = df
+      .withColumn("_sig", minhashText(col(textCol), shingleSize, numHashes))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(rollingFingerprint(col(textCol)))
           .orderBy(col(idCol))))
       .filter(col("_rn") === 1)
       .drop("_rn")
-    val cand = minhashPairs(reps, textCol, idCol, shingleSize, numHashes,
-      bands, math.max(0.0, threshold - candidateSlack), maxBucketSize)
-    // exact rescore: join the candidate pairs (a bounded set) back to text
-    val sh = reps.select(col(idCol).cast("long").as("_id"),
-      shingles(col(textCol), shingleSize).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = cappedBucketIdPairs(
+      bandedBuckets(
+        reps.select(col(idCol).cast("long").as("id"), col("_sig").as("sig")),
+        bands, numHashes / bands),
+      Seq("band", "bucket"), maxBucketSize)
+    // exact rescore: join the candidate pairs (a bounded set) back to text.
+    // Shingle sets are built ONLY for docs that appear in a candidate pair
+    // (semi-join first) — typically a tiny fraction of the corpus.
+    val candIds = cand.select(col("id_a").as("_id"))
+      .union(cand.select(col("id_b").as("_id"))).distinct()
+    val sh = reps.select(col(idCol).cast("long").as("_id"), col(textCol))
+      .join(candIds, Seq("_id"), "left_semi")
+      .select(col("_id"), shingles(col(textCol), shingleSize).as("_sh"))
     val exactPairs = cand
       .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
       .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
@@ -284,6 +346,7 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as("_dup_id"))
     reps.join(dupIds, col(idCol).cast("long") === col("_dup_id"), "left_anti")
+      .drop("_sig")
   }
 
   /** SimHash fingerprints with 4×16-bit band buckets for Hamming-≤3 pairs.

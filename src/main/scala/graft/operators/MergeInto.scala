@@ -81,7 +81,7 @@ object MergeInto {
     // survives in an untouched partition.
 
     val srcCols = source.columns.toSeq
-    val src0 = if (dedupeSource) {
+    val src1 = if (dedupeSource) {
       // deterministic survivor per key: max over all non-key columns' struct
       val nonKey = srcCols.filterNot(keys.contains)
       source.groupBy(keys.map(col): _*)
@@ -96,7 +96,22 @@ object MergeInto {
             "(Snowflake raises on nondeterministic MERGE); pass dedupeSource=true")
       source
     }
+    // the source feeds several jobs inside this (eager) merge — touched-
+    // partition collect, counters, write; a merge source is the incremental
+    // batch, small by definition, so cache it for the call's duration
+    val src0 = src1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeImpl(spark, target, src0, keys, consumeOffsets, partitionBy)
+    finally src0.unpersist()
+  }
 
+  private def mergeImpl(
+      spark: SparkSession,
+      target: VersionedTable,
+      src0: DataFrame,
+      keys: Seq[String],
+      consumeOffsets: Map[String, Long],
+      partitionBy: Option[String]
+  ): MergeResult = {
     if (!target.exists) {
       val v = partitionBy match {
         case Some(p) => target.overwritePartitions(src0, p, consumeOffsets)

@@ -246,4 +246,44 @@ object ExprKernels {
       else "es"
     UTF8String.fromString(out)
   }
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** 60-bit SimHash whose word hash is the first 15 hex chars of md5 —
+    * a fingerprint spec reproducible bit-for-bit in ANSI SQL
+    * (`CAST('0x' || substr(md5(word),1,15) AS BIGINT)`), unlike the
+    * engine-private [[simhash64]]. Tokenization mirrors Spark's
+    * `split(lower(trim(text)), "\\s+")` exactly (limit -1 semantics:
+    * leading/trailing separators produce empty tokens, and an empty
+    * trimmed text is the single empty token).
+    */
+  def md5SimHash60(u: UTF8String): Long = {
+    val md = md5Local.get()
+    val counts = new Array[Int](60)
+    val toks = u.toLowerCase.trim().toString.split("\\s+", -1)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0..6 + the high nibble of byte 7
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+      h = (h << 4) | ((d(7) & 0xF0L) >>> 4)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 }

@@ -33,6 +33,20 @@ object expressions {
     override def prettyName: String = "simhash64"
   }
 
+  /** 60-bit md5-based SimHash — the SQL-reproducible fingerprint spec
+    * (see [[ExprKernels.md5SimHash60]]); one fused scan instead of
+    * explode + md5 + 60 aggregates.
+    */
+  case class Md5SimHash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.md5SimHash60(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.md5SimHash60($c)")
+    override protected def withNewChildInternal(c: Expression): Md5SimHash60 = copy(c)
+    override def prettyName: String = "md5_simhash60"
+  }
+
   /** Cosine similarity of two float-array embeddings — one fused loop.
     * NULL if either side is NULL or lengths differ; 0.0 on zero norm.
     */
@@ -230,6 +244,7 @@ object expressions {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
 
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def md5SimHash60(c: Column): Column = col(Md5SimHash60(ex(c)))
   def minhashSig(c: Column, k: Int): Column = col(MinHashSig(ex(c), k))
   def minhashText(c: Column, shingleSize: Int, k: Int): Column =
     col(MinHashText(ex(c), shingleSize, k))

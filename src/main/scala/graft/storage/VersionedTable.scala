@@ -178,7 +178,11 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     val newPart = mode match {
       case Commit.ReplacePartitions(pcol) =>
         require(df.columns.contains(pcol), s"missing partition column $pcol")
+        // cluster rows by partition value before the dynamic-partition
+        // write: each value lands in one task → one file per partition
+        // instead of (tasks × values) small files
         df.withColumn(PT, ptKey(col(pcol)))
+          .repartition(col(PT))
           .write.partitionBy(PT).mode("overwrite").parquet(dataDir)
         // the values this part contains = the hive dirs it produced (an FS
         // listing, no extra Spark job). Stored RAW (hive-escaped) so read
@@ -229,10 +233,16 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   private def writeCommit(version: Long, s: State): Unit = {
     fs.mkdirs(commitsDir)
     val path = new Path(commitsDir, f"$version%08d.json")
-    // overwrite=false → create is an atomic claim; a concurrent writer loses.
-    val out = fs.create(path, false)
-    try out.write(renderState(s).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // overwrite=false → create is an atomic claim; a concurrent writer
+    // loses. HDFS and conditional-create object stores provide that
+    // atomicity natively; the local filesystem's create has a
+    // check-then-create window, so in-process claims additionally
+    // serialize on a per-root lock.
+    VersionedTable.claimLock(root).synchronized {
+      val out = fs.create(path, false)
+      try out.write(renderState(s).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   private def readString(p: Path): String = {
@@ -287,6 +297,11 @@ final class VersionedTable(spark: SparkSession, val root: String) {
 }
 
 object VersionedTable {
+  private val claimLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[storage] def claimLock(root: String): Object =
+    claimLocks.computeIfAbsent(root, _ => new Object)
+
   def apply(spark: SparkSession, root: String): VersionedTable =
     new VersionedTable(spark, root)
 }

@@ -9,17 +9,25 @@ class AccuracySpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   private val dir = "/root/testdata/sf0.01"
 
-  test("approx_count_distinct within 5% of exact; approx_p50 within 5% of exact") {
+  test("approx_count_distinct within 5% of exact; approx_p50 inside the p45–p55 rank window") {
+    import org.apache.spark.sql.functions._
     val approx = Queries.q36ApproxAggs(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val exact = Queries.q29CountDistinct(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exactP50 = Queries.q34Percentiles(spark, dir) // per priority, not flag
+    // rank-error contract: approx_percentile(accuracy=1000) guarantees rank
+    // error <= n/1000 = 0.1% of rows; the p45–p55 exact window is 50× wider
+    val win = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.45)).as("lo"),
+        percentile(col("l_extendedprice"), lit(0.55)).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (flag, (aDistinct, aP50)) =>
       val e = exact(flag).toDouble
       assert(math.abs(aDistinct - e) / e < 0.05, s"$flag distinct: $aDistinct vs $e")
-      assert(aP50 > 0, s"$flag p50")
+      val (lo, hi) = win(flag)
+      assert(aP50 >= lo && aP50 <= hi, s"$flag p50 $aP50 outside [$lo, $hi]")
     }
   }
 

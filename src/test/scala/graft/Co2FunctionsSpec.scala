@@ -11,6 +11,27 @@ import graft.functions.Co2Functions._
   * and udfs_and_spoc/normalize_co2.sql.
   */
 class Co2FunctionsSpec extends AnyFunSuite {
+
+  test("normalizeCo2Decimal: NUMBER(35,4) signature parity (normalize_co2.sql)") {
+    val spark0 = TestSpark.session
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (BigDecimal("420.1234"), BigDecimal("400.0000"), BigDecimal("440.0000")),
+      (BigDecimal("400.0000"), BigDecimal("400.0000"), BigDecimal("400.0000")) // max==min
+    ).toDF("x", "mn", "mx")
+    val out = df.select(
+      graft.functions.Co2Functions.normalizeCo2Decimal(col("x"), col("mn"), col("mx")).as("n"))
+    assert(out.schema("n").dataType ==
+      org.apache.spark.sql.types.DecimalType(35, 4))
+    val vals = out.collect().map(_.getDecimal(0))
+    assert(vals(0) == new java.math.BigDecimal("0.5030").setScale(4))
+    assert(vals(1) == new java.math.BigDecimal("0.5000").setScale(4))
+    // SQL-registered decimal surface
+    val viaSql = spark0.sql(
+      "SELECT NORMALIZE_CO2_DECIMAL(CAST(420.1234 AS DECIMAL(35,4)), CAST(400 AS DECIMAL(35,4)), CAST(440 AS DECIMAL(35,4)))").head.getDecimal(0)
+    assert(viaSql.compareTo(new java.math.BigDecimal("0.503")) == 0)
+  }
   lazy val spark: SparkSession = TestSpark.session
   import spark.implicits._
 

@@ -96,6 +96,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("md5SimHash60 kernel equals its SQL spec (explode + md5 + bit votes)") {
+    val d = docs
+    val words = d.select(col("doc_id").as("id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val fpCol = (0 until 60).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val sqlFp = words.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fpCol.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernelFp = d.select(col("doc_id"), md5SimHash60(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernelFp == sqlFp)
+  }
+
   test("ngram jaccard pairs: exact quadratic variant agrees on the dup cluster") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       shingleSize = 2, threshold = 0.5)
