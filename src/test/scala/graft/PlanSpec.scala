@@ -71,6 +71,56 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("q24: fingerprints come from the fused kernel — no word explode") {
+    val p = planOf("q24_simhash_pairs")
+    assert(p.contains("md5_simhash60"), p)
+    // the two Generates are the band posexplode and the bucket-pair
+    // explode; a per-word tokenization would show explode(split(text ...))
+    assert("Generate".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("split("), p)
+  }
+
+  test("LSH bucket cap plans as a map-side WindowGroupLimit before the shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir, "documents")
+    val p = graft.operators.Dedup
+      .minhashCandidatePairs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // Partial (pre-shuffle) + Final: a hot bucket ships at most cap rows
+    // per mapper instead of flooding one reducer
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("partition-scoped table read prunes shadowed partitions by PATH") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("plan_pt_").toString
+    val t = graft.storage.VersionedTable(spark, root)
+    t.overwritePartitions(
+      Seq((2022, 1L), (2023, 2L)).toDF("year", "v"), "year")
+    t.overwritePartitions(Seq((2023, 3L)).toDF("year", "v"), "year")
+    val files = t.read.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.split("\n")).mkString("\n")
+    // v1's 2023 subdir is shadowed by v2 and never appears in any scan
+    val v1dir = t.state.get.parts.head.dir
+    assert(!files.contains(s"$v1dir/_pt=2023"), files)
+    assert(t.read.as[(Int, Long)].collect().toSet == Set((2022, 1L), (2023, 3L)))
+  }
+
+  test("GraftCatalog SQL read pushes filters and prunes columns") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("plan_cat_").toString
+    graft.storage.VersionedTable(spark, s"$root/NS/T")
+      .overwrite(Seq((1, 1.0, "a"), (2, 2.0, "b")).toDF("k", "v", "w"))
+    graft.sql.GraftCatalog.register(spark, "plancat", root)
+    val q = spark.sql("SELECT v FROM plancat.NS.T WHERE k = 2")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(k,2)"), p)
+    assert(p.contains("ReadSchema: struct<v:double>"), p)
+    assert(q.collect().map(_.getDouble(0)).toSeq == Seq(2.0))
+  }
+
   test("q01: aggregation is partial (map-side) before the exchange") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
