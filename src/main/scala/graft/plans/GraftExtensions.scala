@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL MERGE INTO over graft catalog tables — post-hoc resolution
+    // rewrite into an eagerly-executed command (see graft.sql.GraftMergeRule)
+    ext.injectPostHocResolutionRule(spark => graft.sql.GraftMergeRule(spark))
+
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash of whitespace-tokenized text"),
       (args: Seq[Expression]) => expressions.SimHash64(args.head)))

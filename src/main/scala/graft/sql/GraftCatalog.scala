@@ -172,6 +172,9 @@ object GraftCatalog {
 final class GraftSqlTable(vt: VersionedTable, ident: Identifier)
     extends Table with SupportsRead with SupportsWrite {
 
+  /** The backing table — used by the SQL MERGE rewrite ([[GraftMergeRule]]). */
+  private[graft] def versionedTable: VersionedTable = vt
+
   override def name(): String = (ident.namespace.toSeq :+ ident.name).mkString(".")
   override def schema(): StructType = vt.schema
   override def capabilities(): util.Set[TableCapability] =

@@ -123,6 +123,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN g2.ANALYTICS").count() == 1)
   }
 
+  test("SQL MERGE INTO a graft table runs the atomic versioned merge") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mrg_").toString
+    val vt = graft.storage.VersionedTable(spark, s"$root/NS/T")
+    vt.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    graft.sql.GraftCatalog.register(spark, "gm", root)
+    Seq((2, "B"), (3, "c")).toDF("k", "v").createOrReplaceTempView("mrg_src")
+
+    val res = spark.sql(
+      """MERGE INTO gm.NS.T t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+    assert(spark.sql("SELECT * FROM gm.NS.T").as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 2 -> "B", 3 -> "c"))
+    assert(vt.state.get.version == 2) // the merge landed ONE atomic commit
+
+    // unsupported shapes fail loudly, not silently wrong
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gm.NS.T t USING mrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("graft MERGE INTO supports"), e.getMessage)
+    // non-graft targets are untouched by the rule (Spark's own error)
+    Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("plain_t")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO plain_t t USING mrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
+
   test("Co2Pipeline.registerCatalog exposes all layers to SQL catalog ops") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat3_").toString
     val feedFile = java.nio.file.Files.createTempFile("noaa", ".txt")
