@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -79,7 +79,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
-    new GraftSqlTable(table(ident), ident)
+    new GraftSqlTable(table(ident), ident, readProps(ident))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -93,11 +93,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
     val vt = table(ident)
     vt.createEmpty(schema)
-    new GraftSqlTable(vt, ident)
+    val props = properties.asScala.toMap
+    if (props.nonEmpty) writeProps(ident, props)
+    new GraftSqlTable(vt, ident, props)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  /** COMMENT ON TABLE / SET-UNSET TBLPROPERTIES (the reference's
+    * raw_co2_data.py:103-105 table comments). Properties live in a
+    * sidecar `_table_meta.json` — DDL metadata, not a versioned commit.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+    val updated = changes.foldLeft(readProps(ident)) { (props, change) =>
+      change match {
+        case sp: TableChange.SetProperty =>
+          props + (sp.property -> sp.value)
+        case rp: TableChange.RemoveProperty =>
+          props - rp.property
+        case other =>
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE change $other is not supported (properties/comment only)")
+      }
+    }
+    writeProps(ident, updated)
+    new GraftSqlTable(table(ident), ident, updated)
+  }
+
+  private def metaPath(ident: Identifier) =
+    new Path(dirFor(ident), "_table_meta.json")
+
+  private def readProps(ident: Identifier): Map[String, String] = {
+    val p = metaPath(ident)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(json).map { m =>
+      def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      un(m.group(1)) -> un(m.group(2))
+    }.toMap
+  }
+
+  private def writeProps(ident: Identifier, props: Map[String, String]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val out = fs.create(metaPath(ident), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(dirFor(ident))
@@ -168,15 +215,22 @@ object GraftCatalog {
   }
 }
 
-/** V2 table façade over one [[VersionedTable]]. */
-final class GraftSqlTable(vt: VersionedTable, ident: Identifier)
-    extends Table with SupportsRead with SupportsWrite {
+/** V2 table façade over one [[VersionedTable]]. DELETE is served through
+  * the v1-filter bridge: rows matching ALL pushed predicates are dropped
+  * in one versioned overwrite (rows where the predicate is NULL are KEPT,
+  * per SQL DELETE semantics).
+  */
+final class GraftSqlTable(vt: VersionedTable, ident: Identifier,
+                          props: Map[String, String] = Map.empty)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  /** The backing table — used by the SQL MERGE rewrite ([[GraftMergeRule]]). */
+  /** The backing table — used by the SQL MERGE/UPDATE rewrites. */
   private[graft] def versionedTable: VersionedTable = vt
 
   override def name(): String = (ident.namespace.toSeq :+ ident.name).mkString(".")
   override def schema(): StructType = vt.schema
+  override def properties(): util.Map[String, String] = props.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -186,6 +240,17 @@ final class GraftSqlTable(vt: VersionedTable, ident: Identifier)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(vt)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val conds = filters.flatMap(GraftScanBuilder.toColumn)
+    val deletePred = conds.reduceOption(_ && _).getOrElse(lit(true))
+    // keep rows where the predicate is FALSE or NULL (DELETE only removes
+    // rows where the condition is true)
+    vt.overwrite(vt.read.filter(not(coalesce(deletePred, lit(false)))))
+  }
 }
 
 /** Pushes column pruning and the translatable subset of filters into the

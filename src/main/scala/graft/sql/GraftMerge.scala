@@ -36,6 +36,24 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       validateActions(name, target, source, matched, notMatched, bySource)
       val keys = extractKeys(name, cond, target, source)
       GraftMergeCommand(vt, name, source, keys)
+
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved && graftTable(target).isDefined =>
+      val (vt, name) = graftTable(target).get
+      val sets = assignments.map {
+        case Assignment(k: AttributeReference, v) => k.name -> ExprBox(unresolve(v))
+        case a => unsupported(name, s"unsupported UPDATE assignment '${a.sql}' " +
+          "(only plain columns can be assigned)")
+      }
+      GraftUpdateCommand(vt, name, sets, condition.map(e => ExprBox(unresolve(e))))
+  }
+
+  /** Rebind a resolved expression by NAME so it can re-resolve against a
+    * fresh read of the same table inside the executed command.
+    */
+  private def unresolve(e: Expression): Expression = e transform {
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
   }
 
   private def graftTable(p: LogicalPlan): Option[(VersionedTable, String)] =
@@ -126,4 +144,49 @@ case class GraftMergeCommand(@transient vt: VersionedTable, tableName: String,
 
   override def simpleString(maxFields: Int): String =
     s"GraftMergeCommand $tableName keys=${keys.mkString(",")}"
+}
+
+/** Opaque expression holder: keeps deliberately-unresolved expressions
+  * out of a command's `expressions` traversal (they re-resolve against a
+  * fresh table read at execution).
+  */
+case class ExprBox(e: Expression)
+
+/** SQL `UPDATE <graft table> SET col = expr, ... [WHERE cond]`: rows
+  * matching the condition take the assigned expressions, everything else
+  * is kept verbatim — one versioned overwrite commit. Returns the number
+  * of rows that matched the condition.
+  */
+case class GraftUpdateCommand(@transient vt: VersionedTable, tableName: String,
+                              sets: Seq[(String, ExprBox)],
+                              condition: Option[ExprBox])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_updated_rows", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val df = vt.read
+    val condCol = condition.map(b => bridge.column(b.e)).getOrElse(lit(true))
+    val setMap = sets.map { case (n, b) => n.toLowerCase -> bridge.column(b.e) }.toMap
+    val updatedCols = df.columns.toSeq.map { c =>
+      setMap.get(c.toLowerCase) match {
+        case Some(v) => when(condCol, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    val obs = new org.apache.spark.sql.Observation()
+    val flagged = df
+      .select(updatedCols :+ when(condCol, 1L).otherwise(0L).as("_upd"): _*)
+      .observe(obs, sum(col("_upd")).as("n"))
+      .drop("_upd")
+    vt.overwrite(flagged)
+    val n = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    Seq(Row(n))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftUpdateCommand $tableName sets=${sets.map(_._1).mkString(",")}"
 }

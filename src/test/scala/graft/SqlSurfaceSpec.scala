@@ -157,6 +157,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DELETE / UPDATE / COMMENT ON against graft tables") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dml_").toString
+    val vt = graft.storage.VersionedTable(spark, s"$root/NS/T")
+    vt.overwrite(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v"))
+    graft.sql.GraftCatalog.register(spark, "gd", root)
+
+    // DELETE via the pushed-filter path — one versioned commit
+    spark.sql("DELETE FROM gd.NS.T WHERE k = 2")
+    assert(spark.sql("SELECT k FROM gd.NS.T ORDER BY k").as[Int].collect().toSeq == Seq(1, 3))
+    assert(vt.state.get.version == 2)
+
+    // UPDATE with an expression over existing columns + WHERE
+    val upd = spark.sql("UPDATE gd.NS.T SET v = v * 2 WHERE k >= 3").collect()
+    assert(upd.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT v FROM gd.NS.T ORDER BY k").as[Double].collect().toSeq ==
+      Seq(10.0, 60.0))
+    assert(vt.state.get.version == 3)
+
+    // unconditional UPDATE touches every row
+    assert(spark.sql("UPDATE gd.NS.T SET v = 0.0").head.getLong(0) == 2L)
+    assert(spark.sql("SELECT sum(v) FROM gd.NS.T").head.getDouble(0) == 0.0)
+
+    // COMMENT ON TABLE persists and survives a reload
+    spark.sql("COMMENT ON TABLE gd.NS.T IS 'co2 harmonized layer'")
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED gd.NS.T").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.exists { case (k, v) =>
+      k.toLowerCase.contains("comment") && v.contains("co2 harmonized layer") },
+      desc.mkString("; "))
+  }
+
   test("Co2Pipeline.registerCatalog exposes all layers to SQL catalog ops") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat3_").toString
     val feedFile = java.nio.file.Files.createTempFile("noaa", ".txt")
