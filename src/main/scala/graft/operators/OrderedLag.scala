@@ -38,10 +38,13 @@ object OrderedLag {
       .groupBy(col(B))
       .agg(max(struct(col(orderCol), col(valueCol))).as("_m"))
       .select(col(B), col(s"_m.$valueCol").as("_last_v"))
-    // previous non-empty bucket's last value (tiny frame — single partition OK)
+    // previous non-empty bucket's last value. This window runs over ONE ROW
+    // PER BUCKET (years), so a single partition is by design — the constant
+    // partition key just states that explicitly (and silences WindowExec's
+    // no-partition warning, which is aimed at full-data windows).
     val prevBucketLast = lastPerBucket
       .withColumn("_prev_last", lag(col("_last_v"), 1)
-        .over(Window.orderBy(col(B))))
+        .over(Window.partitionBy(lit(0)).orderBy(col(B))))
       .select(col(B), col("_prev_last"))
 
     withLocal

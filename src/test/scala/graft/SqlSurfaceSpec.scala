@@ -189,6 +189,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
       desc.mkString("; "))
   }
 
+  test("SQL ALTER TABLE RENAME and DROP TABLE against the catalog") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ddl_").toString
+    graft.storage.VersionedTable(spark, s"$root/NS/OLD")
+      .overwrite(Seq((1, "a")).toDF("k", "v"))
+    graft.sql.GraftCatalog.register(spark, "gr", root)
+
+    spark.sql("ALTER TABLE gr.NS.OLD RENAME TO NS.NEW")
+    val names = spark.sql("SHOW TABLES IN gr.NS").collect().map(_.getString(1)).toSet
+    assert(names == Set("NEW"))
+    assert(spark.sql("SELECT count(*) FROM gr.NS.NEW").head.getLong(0) == 1)
+
+    spark.sql("DROP TABLE gr.NS.NEW")
+    assert(spark.sql("SHOW TABLES IN gr.NS").count() == 0)
+    intercept[Exception] { spark.sql("SELECT * FROM gr.NS.NEW").collect() }
+  }
+
   test("Co2Pipeline.registerCatalog exposes all layers to SQL catalog ops") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat3_").toString
     val feedFile = java.nio.file.Files.createTempFile("noaa", ".txt")
