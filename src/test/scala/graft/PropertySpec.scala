@@ -99,6 +99,42 @@ class PropertySpec extends AnyFunSuite {
     assert(fps.distinct.length == fps.length)
   }
 
+  test("md5SimHash60 kernel == SQL-expression spec over adversarial strings") {
+    // The q24 oracle depends on the kernel reproducing the ANSI-SQL
+    // formulation bit-for-bit, INCLUDING tokenization edge cases: leading/
+    // trailing tabs and newlines (split keeps their empty tokens), unicode
+    // letters, runs of mixed whitespace, and empty/whitespace-only text.
+    val token: Gen[String] = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.oneOf("Größe", "naïve", "ÉLAN", "日本語", "a-b_c", "x!?"))
+    val sep: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", " \t ", "\r\n")
+    val text: Gen[String] = for {
+      toks <- Gen.listOfN(6, token)
+      seps <- Gen.listOfN(7, sep)
+      lead <- Gen.oneOf("", " ", "\t", "\n")
+      tail <- Gen.oneOf("", " ", "\t", "\n")
+    } yield lead + toks.zip(seps).map { case (t, s) => t + s }.mkString + tail
+    val docs = (samples(text) ++ Seq("", " ", "\t", "\n", "  \t\n  ")).distinct
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+    val words = df.select(col("id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val fpCol = (0 until 60).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val sqlFp = words.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fpCol.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernelFp = df.select(col("id"),
+      graft.plans.expressions.md5SimHash60(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernelFp == sqlFp)
+  }
+
   test("minhash signature agreement equals 1 iff same shingle content") {
     val ws = samples(Gen.nonEmptyListOf(word)).filter(_.length >= 4).take(50)
     val docs = ws.map(_.mkString(" "))
