@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64", "simhash64(text) - 64-bit SimHash of whitespace-tokenized text"),
       (args: Seq[Expression]) => expressions.SimHash64(args.head)))
 
+    ext.injectFunction((FunctionIdentifier("md5_simhash60"),
+      info("md5_simhash60",
+        "md5_simhash60(text) - 60-bit SimHash with md5 word hashes (ANSI-SQL-reproducible spec)"),
+      (args: Seq[Expression]) => expressions.Md5SimHash60(args.head)))
+
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays"),
       (args: Seq[Expression]) => expressions.CosineSimilarity(args(0), args(1))))

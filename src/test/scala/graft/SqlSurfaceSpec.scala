@@ -63,6 +63,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |                     minhash_text('a b c d e', 3, 64)) a""".stripMargin).head
     assert(r.getLong(0) != 0L)
     assert(r.getLong(2) == r.getLong(3)) // fingerprint normalization
+    // SQL-reproducible simhash spec is SQL-callable too
+    val m = spark.sql(
+      "SELECT md5_simhash60('the quick brown fox'), md5_simhash60('the quick  BROWN fox')").head
+    assert(m.getLong(0) == m.getLong(1) && m.getLong(0) != 0L)
     assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1)
     assert(r.getString(5) == "de")
     assert(math.abs(r.getDouble(6) - 1.0) < 1e-12)
