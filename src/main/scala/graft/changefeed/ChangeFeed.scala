@@ -35,13 +35,20 @@ final class ChangeFeed(spark: SparkSession, val name: String, root: String) {
   def publish(df: DataFrame, action: String = "INSERT",
               isUpdate: Boolean = false): Long = {
     val batchId = lastBatchId + 1
+    // Opaque 128-bit row id straight off the columns — codegen'd hashes, no
+    // JSON serialization in the ingest hot path. xxhash64 SKIPS null inputs
+    // (the accumulator is unchanged), so per-column null flags are
+    // interleaved to keep null POSITIONS distinguishing; two different
+    // column orders give two quasi-independent 64-bit halves.
+    val cols = df.columns.toSeq.map(col)
+    val flags = df.columns.toSeq.map(c => isnull(col(c)).cast("int"))
+    val interleaved = cols.zip(flags).flatMap { case (c, f) => Seq(c, f) }
     val stamped = df
       .withColumn(ACTION, lit(action))
       .withColumn(IS_UPDATE, lit(isUpdate))
-      // opaque row id straight off the columns — codegen'd hash, no JSON
-      // serialization in the ingest hot path (row ids only need to identify,
-      // not to be cryptographic)
-      .withColumn(ROW_ID, lower(hex(xxhash64(df.columns.map(col): _*))))
+      .withColumn(ROW_ID, concat(
+        lower(hex(xxhash64(interleaved: _*))),
+        lower(hex(xxhash64(interleaved.reverse: _*)))))
       .withColumn(BATCH_ID, lit(batchId))
     log.append(stamped, Map(PRODUCER_KEY -> batchId))
     batchId

@@ -51,10 +51,24 @@ object PipelineConfig {
     val scalars = scala.collection.mutable.Map[String, String]()
     val lists = scala.collection.mutable.Map[String, Vector[String]]()
     var currentList: Option[String] = None
+    // quote-aware comment strip: '#' only starts a comment OUTSIDE quotes
+    def stripComment(raw: String): String = {
+      var inQuote: Char = 0
+      val sb = new StringBuilder
+      var i = 0
+      var done = false
+      while (i < raw.length && !done) {
+        val c = raw.charAt(i)
+        if (inQuote != 0) { if (c == inQuote) inQuote = 0; sb.append(c) }
+        else if (c == '"' || c == '\'') { inQuote = c; sb.append(c) }
+        else if (c == '#') done = true
+        else sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
     for (raw <- text.linesIterator) {
-      // strip comments outside quotes (the reference only uses trailing
-      // comments after unquoted scalars or whole-line comments)
-      val line = raw.takeWhile(_ != '#')
+      val line = stripComment(raw)
       val t = line.trim
       if (t.nonEmpty) {
         if (t.startsWith("- ") || t == "-") {
@@ -84,8 +98,9 @@ object PipelineConfig {
       feedUrl = scalars.getOrElse("s3_url", ""),
       schemas = lists.getOrElse("schemas", Vector.empty).distinct,
       taskSchedule = scalars.getOrElse("task_schedule", ""),
+      // absent key → FALSE: "run the task DAG right now" must be opt-in
       executeTasksImmediately =
-        scalars.get("execute_tasks_immediately").forall(_.toBoolean),
+        scalars.get("execute_tasks_immediately").exists(_.toBoolean),
       storageIntegrationName = scalars.get("storage_integration_name"))
   }
 

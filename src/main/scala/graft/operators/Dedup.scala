@@ -22,6 +22,27 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** The near-dup pipelines key their joins on `idCol` cast to long; a
+    * non-integral id would cast to NULL and silently disable dedup, so
+    * fail loudly instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op needs an integral id column, but $idCol is $other; derive a " +
+          s"surrogate first, e.g. .withColumn(\"_id\", xxhash64(col(\"$idCol\")))")
+    }
+
+  /** One cached representative relation per session (see
+    * [[minhashDedupExact]]): a lazy operator cannot unpersist its own
+    * cache, so each new call releases the previous call's — bounding
+    * cached corpus copies to one per session instead of leaking.
+    */
+  private val repsCacheSlot =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
   /** Normalized word shingles of size k (distinct, order-insensitive set). */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
@@ -198,6 +219,8 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
+    requireIntegralId(pairs, "id_a", "connectedComponents")
+    requireIntegralId(pairs, "id_b", "connectedComponents")
     // ids normalized to long up front so the union-find path never sees
     // int/short-typed id columns (getLong would ClassCastException)
     val cached = pairs
@@ -277,6 +300,7 @@ object Dedup {
                    shingleSize: Int = 3, numHashes: Int = 64,
                    bands: Int = 16, threshold: Double = 0.7,
                    maxBucketSize: Int = 512): DataFrame = {
+    requireIntegralId(df, idCol, "minhashDedup")
     // Exact pre-pass (CCNet-style): identical texts collapse to their
     // min-id representative BEFORE LSH, in one fingerprint-keyed window.
     // This removes the degenerate hot-bucket input (mass-duplicated text,
@@ -306,12 +330,21 @@ object Dedup {
     * (32 bands × 2 rows), putting candidate recall at J ≥ 0.7 above
     * 1 − 5e-10, so the output equals the all-pairs exact-Jaccard
     * single-linkage dedup while the join stays bucket-bounded.
+    *
+    * EXACTNESS CONTRACT: equality with the all-pairs ground truth holds
+    * while every (band, bucket) population stays ≤ `maxBucketSize`. The
+    * exact pre-pass collapses case/whitespace-normalized identical texts
+    * first, so only DISTINCT near-identical docs count toward a bucket;
+    * for heavy-boilerplate corpora raise the cap (id-only bucket rows make
+    * that cheap) — past it, pairs beyond the cap in every matching band
+    * are dropped, trading recall for a bounded worst case.
     */
   def minhashDedupExact(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 32, threshold: Double = 0.7,
                         maxBucketSize: Int = 512): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    requireIntegralId(df, idCol, "minhashDedupExact")
     // ONE text scan computes both the exact fingerprint (pre-pass key) and
     // the MinHash signature; the cached reps then feed three plan branches
     // (candidates, rescore, output) without rescanning the corpus
@@ -323,6 +356,8 @@ object Dedup {
       .filter(col("_rn") === 1)
       .drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(repsCacheSlot.put(df.sparkSession, reps))
+      .foreach(_.unpersist(blocking = false))
     val cand = cappedBucketIdPairs(
       bandedBuckets(
         reps.select(col(idCol).cast("long").as("id"), col("_sig").as("sig")),

@@ -27,8 +27,11 @@ object Multimodal {
     def decodeImage(payload: Array[Byte]): Option[(Array[Float], Int, Int)] = {
       if (payload == null || payload.isEmpty) return None
       val img =
+        // ImageIO readers throw RuntimeExceptions too on malformed payloads
+        // (IllegalArgumentException, CMMException, AIOOBE…) — any failure
+        // means "not decodable", which the caller maps to the stub
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return None
       val (w, h) = (img.getWidth, img.getHeight)
       val px = new Array[Float](w * h)

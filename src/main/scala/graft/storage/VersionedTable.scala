@@ -191,15 +191,21 @@ final class VersionedTable(spark: SparkSession, val root: String) {
           .filter(_.startsWith(s"$PT="))
           .map(_.stripPrefix(s"$PT="))
           .toSeq.sorted
-        Part(partName, vals)
+        if (vals.isEmpty) {
+          // dynamic partitionBy of an EMPTY batch writes no data files at
+          // all — referencing the dir would make every later read fail, so
+          // commit version + offsets with the parts unchanged instead
+          fs.delete(new Path(dataDir), true)
+          None
+        } else Some(Part(partName, vals))
       case _ =>
         df.write.mode("overwrite").parquet(dataDir)
-        Part(partName, Seq.empty)
+        Some(Part(partName, Seq.empty))
     }
 
-    val parts = mode match {
-      case Commit.Replace => Seq(newPart)
-      case _ => prev.map(_.parts).getOrElse(Seq.empty) :+ newPart
+    val parts = (mode, newPart) match {
+      case (Commit.Replace, _) => newPart.toSeq
+      case (_, p) => prev.map(_.parts).getOrElse(Seq.empty) ++ p.toSeq
     }
     val pcol = mode match {
       case Commit.ReplacePartitions(c) => Some(c)

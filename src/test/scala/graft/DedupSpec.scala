@@ -79,6 +79,20 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L))
   }
 
+  test("non-integral id columns are rejected loudly (silent cast-to-null trap)") {
+    val strDocs = Seq(("doc-1", "some text here"), ("doc-2", "some text here"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDedup(strDocs, "text", "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDedupExact(strDocs, "text", "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(Seq(("a", "b")).toDF("id_a", "id_b"))
+    }
+  }
+
   test("connectedComponents accepts non-long id columns") {
     val pairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b") // IntegerType ids
     val cc = Dedup.connectedComponents(pairs).collect()

@@ -50,6 +50,18 @@ class PipelineConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { PipelineConfig.parse("env: dev\n") }
   }
 
+  test("'#' inside quoted values is data, not a comment; absent run-now flag is false") {
+    val cfg = PipelineConfig.parse(
+      """env: dev
+        |database_name: "DB"
+        |s3_url: "s3://bucket/data#v2"   # trailing comment
+        |task_schedule: 'CRON 0 10 * * * # not a comment'
+        |""".stripMargin)
+    assert(cfg.feedUrl == "s3://bucket/data#v2")
+    assert(cfg.taskSchedule == "CRON 0 10 * * * # not a comment")
+    assert(!cfg.executeTasksImmediately) // opt-in, not vacuous-true
+  }
+
   test("bootstrap creates database root + schema namespaces and registers the catalog") {
     val base = Files.createTempDirectory("cfg_boot_").toString
     val cfg = PipelineConfig.parse(devYml)

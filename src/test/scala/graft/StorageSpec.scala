@@ -170,6 +170,30 @@ class StorageSpec extends AnyFunSuite {
     assert(m == Map(1 -> (2022, 1.0), 2 -> (2022, 2.0), 3 -> (2023, 3.5), 4 -> (2023, 4.0)))
   }
 
+  test("empty-source partition commit keeps the table readable (no dataless part)") {
+    val root = tmp() + "/pt3"
+    val t = VersionedTable(spark, root)
+    t.overwritePartitions(Seq((2022, 1, "a")).toDF("year", "id", "v"), "year")
+    val empty = Seq.empty[(Int, Int, String)].toDF("year", "id", "v")
+    // a merge of an empty batch must still commit its offsets atomically…
+    val r = MergeInto(spark, t, empty, Seq("id"),
+      consumeOffsets = Map("S" -> 9L), partitionBy = Some("year"))
+    assert(r.updated == 0 && r.inserted == 0)
+    assert(t.offsets("S") == 9L)
+    // …without referencing a data-file-less part dir
+    assert(t.read.count() == 1)
+    assert(t.state.get.parts.forall(_.vals.nonEmpty))
+  }
+
+  test("ROW_ID distinguishes null positions (xxhash64 skips null inputs)") {
+    val f = ChangeFeed(spark, "N", tmp() + "/nfeed")
+    f.publish(Seq(
+      (Some(2024), None: Option[Int], 5),
+      (None: Option[Int], Some(2024), 5)).toDF("a", "b", "c"))
+    val ids = f.pending(0).select(ChangeFeed.ROW_ID).collect().map(_.getString(0))
+    assert(ids.distinct.length == 2, ids.mkString(","))
+  }
+
   test("MergeInto: matched rows take the WHOLE source row — NULLs overwrite") {
     val t = VersionedTable(spark, tmp() + "/m5")
     t.overwrite(Seq((1, Some(1.5)), (2, Some(2.5))).toDF("k", "v"))
