@@ -465,6 +465,18 @@ object Queries {
         approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
         count(lit(1)).as("n_rows"))
 
+  /** Batch ANN: exact cosine top-5 for a SET of query vectors in one
+    * corpus pass — queries broadcast, per-query rank via map-side
+    * WindowGroupLimit. Oracle-exact like q21 (same double-sequential
+    * cosine on both sides).
+    */
+  def q37AnnBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(3, 7, 11))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.topKBatch(emb, "embedding", "vec_id", queries, "qid", "qvec", 5)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -505,7 +517,8 @@ object Queries {
     "q33_sessions" -> (q33Sessions _),
     "q34_percentiles" -> (q34Percentiles _),
     "q35_asof_join" -> (q35AsofJoin _),
-    "q36_approx_aggs" -> (q36ApproxAggs _)
+    "q36_approx_aggs" -> (q36ApproxAggs _),
+    "q37_ann_batch" -> (q37AnnBatch _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -827,6 +840,21 @@ object Queries {
         |  FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, r.last_order_price
         |FROM events e ASOF LEFT JOIN r
-        |  ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) >= r.ots""".stripMargin
+        |  ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) >= r.ots""".stripMargin,
+    "q37_ann_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id IN (3, 7, 11)),
+        |s AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |      / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+        |  FROM embeddings e, q),
+        |r AS (
+        |  SELECT qid, vec_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+        |  FROM s)
+        |SELECT qid, vec_id, score FROM r WHERE rk <= 5""".stripMargin
   )
 }

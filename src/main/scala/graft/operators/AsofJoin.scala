@@ -28,21 +28,34 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** Left as-of join. Right payload columns are appended to every left row
-    * (null where no right row precedes it).
+    * (null where no right row matches).
     *
     * @param leftKey / rightKey equi-key columns
     * @param leftTime / rightTime event-time columns (same type)
+    * @param direction "backward" (default): most recent right row with
+    *        `rightTime <= leftTime`; "forward": earliest right row with
+    *        `rightTime >= leftTime` — pandas merge_asof's direction knob.
+    * @param tolerance maximum allowed |leftTime − matchedRightTime|, in the
+    *        units of `cast(time as long)` (seconds for timestamps); a match
+    *        farther away yields nulls, same as no match.
     */
   def leftAsof(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
+    require(!payloadCols.contains("_asof_rt"), "_asof_rt is reserved")
 
-    // unique (key, time) on the right: deterministic max-struct survivor
+    // unique (key, time) on the right: deterministic max-struct survivor;
+    // the matched right TIME rides in the payload for the tolerance check
     val rightUnique = right
       .groupBy(col(rightKey), col(rightTime))
-      .agg(max(struct(payloadCols.map(col): _*)).as("_asof_payload"))
+      .agg(max(struct((col(rightTime).as("_asof_rt") +: payloadCols.map(col)): _*))
+        .as("_asof_payload"))
 
     val K = "_asof_key"; val T = "_asof_t"; val TAG = "_asof_tag"; val P = "_asof_payload"
     val taggedLeft = left
@@ -54,12 +67,26 @@ object AsofJoin {
       // left columns become null on right rows
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
-    val w = Window.partitionBy(col(K)).orderBy(col(T), col(TAG))
+    // right rows sort before left rows at equal times in BOTH directions
+    // (TAG ascending), giving inclusive semantics
+    val ordering =
+      if (direction == "backward") Seq(col(T).asc, col(TAG).asc)
+      else Seq(col(T).desc, col(TAG).asc)
+    val w = Window.partitionBy(col(K)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn(P, last(col(P), ignoreNulls = true).over(w))
 
+    val matchOk = tolerance match {
+      case None => col(P).isNotNull
+      case Some(tol) =>
+        val diff =
+          if (direction == "backward")
+            col(T).cast("long") - col(s"$P._asof_rt").cast("long")
+          else col(s"$P._asof_rt").cast("long") - col(T).cast("long")
+        col(P).isNotNull && diff <= tol
+    }
     carried.filter(col(TAG) === 1)
       .select(left.columns.map(col) ++
-        payloadCols.map(c => col(s"$P.$c").as(c)): _*)
+        payloadCols.map(c => when(matchOk, col(s"$P.$c")).as(c)): _*)
   }
 }

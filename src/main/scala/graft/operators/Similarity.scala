@@ -50,6 +50,31 @@ object Similarity {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
+  /** Exact cosine top-k for a BATCH of query vectors — the
+    * retrieval-pipeline shape (score a whole query set against the
+    * corpus in one pass). `queries` is a bounded relation
+    * `(qidCol, qvecCol: array<float>)`:
+    *
+    *  - queries broadcast; the corpus NEVER shuffles — each partition
+    *    scores its rows against every query with the fused
+    *    [[cosineSimilarity]] kernel;
+    *  - the per-query rank filter plans as a map-side WindowGroupLimit,
+    *    so only queries × k rows per mapper reach the one shuffle.
+    */
+  def topKBatch(df: DataFrame, vecCol: String, idCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.crossJoin(broadcast(queries))
+      .select(col(qidCol), col(idCol),
+        cosineSimilarity(col(vecCol), col(qvecCol)).as("score"))
+    scored
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(desc("score"), col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   // ---------------------------------------------------------------------
   // Random-hyperplane LSH
   // ---------------------------------------------------------------------

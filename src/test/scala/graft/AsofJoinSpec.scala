@@ -35,6 +35,33 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(3).isNullAt(3) && out(4).isNullAt(3))
   }
 
+  test("forward direction picks the earliest right row at or after the left time") {
+    val quotes = Seq(
+      ("A", 10L, 100.0), ("A", 20L, 101.0), ("B", 5L, 50.0)
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", 10L, 1), // inclusive: sees 100.0
+      ("A", 11L, 2), // next at 20 -> 101.0
+      ("A", 25L, 3), // nothing after: null
+      ("B", 1L, 4)   // sees 50.0
+    ).toDF("sym", "tt", "qty")
+    val out = AsofJoin.leftAsof(trades, quotes, "sym", "sym", "tt", "qt",
+      direction = "forward").orderBy("qty").collect()
+    assert(out(0).getDouble(3) == 100.0)
+    assert(out(1).getDouble(3) == 101.0)
+    assert(out(2).isNullAt(3))
+    assert(out(3).getDouble(3) == 50.0)
+  }
+
+  test("tolerance nulls out matches farther than the window") {
+    val quotes = Seq(("A", 10L, 100.0)).toDF("sym", "qt", "px")
+    val trades = Seq(("A", 12L, 1), ("A", 100L, 2)).toDF("sym", "tt", "qty")
+    val out = AsofJoin.leftAsof(trades, quotes, "sym", "sym", "tt", "qt",
+      tolerance = Some(5L)).orderBy("qty").collect()
+    assert(out(0).getDouble(3) == 100.0) // 2 units away, inside tolerance
+    assert(out(1).isNullAt(3))           // 90 units away, outside
+  }
+
   test("duplicate right (key,time) rows resolve deterministically") {
     val right = Seq(("A", 1L, 5.0), ("A", 1L, 9.0)).toDF("k", "t", "v")
     val left = Seq(("A", 2L)).toDF("k", "t")

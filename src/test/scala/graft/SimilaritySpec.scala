@@ -22,6 +22,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("topKBatch equals per-query brute-force topK; no corpus shuffle") {
+    val queries = emb.filter(col("vec_id").isin(3L, 7L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = graft.operators.Similarity
+      .topKBatch(emb, "embedding", "vec_id", queries, "qid", "qvec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for (q <- Seq(3L, 7L)) {
+      val qv = emb.filter(col("vec_id") === q)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+      val single = graft.operators.Similarity.topK(emb, "embedding", "vec_id", qv, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch(q) == single, s"query $q")
+    }
+    // plan shape: broadcast queries + map-side WindowGroupLimit, ONE exchange
+    val plan = graft.operators.Similarity
+      .topKBatch(emb, "embedding", "vec_id", queries, "qid", "qvec", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("LSH topK: probed-bucket scan still finds the exact winner") {
     val top = Similarity.lshTopK(emb, "embedding", "vec_id", query, 5,
       nbits = 8, probeHamming = 1).collect()
