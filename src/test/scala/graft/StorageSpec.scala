@@ -170,6 +170,27 @@ class StorageSpec extends AnyFunSuite {
     assert(m == Map(1 -> (2022, 1.0), 2 -> (2022, 2.0), 3 -> (2023, 3.5), 4 -> (2023, 4.0)))
   }
 
+  test("partition values with NULLs and hive-escaped characters round-trip") {
+    val root = tmp() + "/pt4"
+    val t = VersionedTable(spark, root)
+    // ':' and '/' are hive-escaped in dir names; null gets the sentinel
+    t.overwritePartitions(
+      Seq((Some("a:b"), 1), (Some("c d"), 2), (None: Option[String], 3))
+        .toDF("part", "id"),
+      "part")
+    assert(t.read.count() == 3)
+    // replace ONLY the null partition; escaped ones survive untouched
+    t.overwritePartitions(
+      Seq((None: Option[String], 30)).toDF("part", "id"), "part")
+    val got = t.read.orderBy("id").as[(Option[String], Int)].collect().toSeq
+    assert(got == Seq(Some("a:b") -> 1, Some("c d") -> 2, None -> 30))
+    // and replacing an escaped value shadows exactly that one
+    t.overwritePartitions(
+      Seq((Some("a:b"), 100)).toDF("part", "id"), "part")
+    assert(t.read.orderBy("id").as[(Option[String], Int)].collect().toSeq ==
+      Seq(Some("c d") -> 2, None -> 30, Some("a:b") -> 100))
+  }
+
   test("empty-source partition commit keeps the table readable (no dataless part)") {
     val root = tmp() + "/pt3"
     val t = VersionedTable(spark, root)
