@@ -89,6 +89,56 @@ object Streaming {
       }
   }
 
+  /** Streaming sessionization (the continuous twin of the batch q33
+    * sessions query): events of a user belong to one session while gaps
+    * stay ≤ `gapMs`; a CLOSED session is emitted either when a later
+    * event opens the next session or when the event-time watermark passes
+    * the session's gap horizon (flatMapGroupsWithState +
+    * EventTimeTimeout). State is one small record per ACTIVE user —
+    * watermark-bounded, keyed parallel.
+    */
+  case class SessionEvent(user: String, ts: java.sql.Timestamp)
+  /** public: the state encoder's generated code instantiates it */
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class ClosedSession(user: String, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long = 3600000L,
+                 watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, t(s.start), t(s.last), s.n))
+          } else {
+            val times = rows.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            for (ts <- times) cur match {
+              case Some(s) if ts - s.last <= gapMs =>
+                cur = Some(s.copy(last = math.max(s.last, ts), n = s.n + 1))
+              case Some(s) =>
+                closed ::= ClosedSession(user, t(s.start), t(s.last), s.n)
+                cur = Some(SessionState(ts, ts, 1))
+              case None =>
+                cur = Some(SessionState(ts, ts, 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
     * with state bounded by the event-time watermark (a late duplicate past
     * the watermark is dropped by the watermark itself). The streaming

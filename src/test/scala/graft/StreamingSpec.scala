@@ -62,6 +62,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("y", 1L, 10.0)))
   }
 
+  test("sessionize: gap-closed and timeout-closed sessions via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.SessionEvent]
+    val out = Streaming.sessionize(in.toDS(), gapMs = 3600000L, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    // user a: two events 10 min apart (one session), then a 2h gap (next
+    // session) — arrival of the later event closes the first session
+    in.addData(
+      Streaming.SessionEvent("a", ts("2026-01-01 10:00:00")),
+      Streaming.SessionEvent("a", ts("2026-01-01 10:10:00")),
+      Streaming.SessionEvent("b", ts("2026-01-01 10:00:00")))
+    q.processAllAvailable()
+    in.addData(Streaming.SessionEvent("a", ts("2026-01-01 12:30:00")))
+    q.processAllAvailable()
+    // push the watermark far past everyone's gap horizon → timeouts fire
+    in.addData(Streaming.SessionEvent("z", ts("2026-01-02 10:00:00")))
+    q.processAllAvailable()
+    in.addData(Streaming.SessionEvent("z", ts("2026-01-03 10:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    q.stop()
+    // a's first session: 10:00–10:10, 2 events (closed by the next session)
+    assert(rows.contains(("a", ts("2026-01-01 10:00:00"), ts("2026-01-01 10:10:00"), 2L)))
+    // a's second and b's only session close by TIMEOUT once the watermark passes
+    assert(rows.contains(("a", ts("2026-01-01 12:30:00"), ts("2026-01-01 12:30:00"), 1L)))
+    assert(rows.contains(("b", ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:00"), 1L)))
+  }
+
   test("dedupStream drops in-watermark duplicates, keeps distinct keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
