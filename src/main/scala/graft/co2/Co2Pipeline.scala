@@ -175,6 +175,23 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
 
   def taskHistory: DataFrame = runLog.read.orderBy(desc("SCHEDULED_TIME"))
 
+  /** SHOW TASKS parity: the DAG's task definitions — root task on the cron
+    * schedule, children chained with AFTER + the stream-gate condition
+    * (orchestrate_tasks.sql.j2:28-54, SHOW TASKS at :81). The schedule
+    * string comes from config (PipelineConfig.taskSchedule); execution
+    * itself is external (cron/Airflow calling runPipeline), matching the
+    * reference's scheduler-driven tasks.
+    */
+  def tasks(schedule: String = "USING CRON 0 10 * * * UTC"): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("CO2_RAW_DATA_TASK", schedule, null: String),
+      ("CO2_HARMONIZED_TASK", "AFTER CO2_RAW_DATA_TASK",
+        s"SYSTEM$$STREAM_HAS_DATA('$STREAM_NAME')"),
+      ("CO2_ANALYTICS_TASK", "AFTER CO2_HARMONIZED_TASK", null: String)
+    ).toDF("NAME", "SCHEDULE", "CONDITION")
+  }
+
   /** SYSTEM$STREAM_HAS_DATA surface for the harmonized consumer. */
   def streamHasData: Boolean =
     feed.hasData(harmonized.offsets.getOrElse(STREAM_NAME, 0L))

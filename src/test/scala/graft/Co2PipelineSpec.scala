@@ -103,6 +103,15 @@ class Co2PipelineSpec extends AnyFunSuite {
     val hist = p.taskHistory.collect()
     assert(hist.length == res1.length + res2.length + res3.length)
 
+    // SHOW TASKS parity: the DAG definition (root cron, AFTER chain, gate)
+    val defs = p.tasks().collect().map(r => r.getString(0) ->
+      (r.getString(1), Option(r.getString(2)))).toMap
+    assert(defs("CO2_RAW_DATA_TASK")._1.startsWith("USING CRON"))
+    assert(defs("CO2_HARMONIZED_TASK") ==
+      ("AFTER CO2_RAW_DATA_TASK",
+        Some("SYSTEM$STREAM_HAS_DATA('RAW_CO2.CO2_DATA_STREAM')")))
+    assert(defs("CO2_ANALYTICS_TASK")._1 == "AFTER CO2_HARMONIZED_TASK")
+
     // SQL surface (EP3): stream + tables resolvable from raw SQL
     p.registerViews()
     assert(spark.sql(
