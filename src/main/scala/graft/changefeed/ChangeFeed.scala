@@ -47,8 +47,8 @@ final class ChangeFeed(spark: SparkSession, val name: String, root: String) {
       .withColumn(ACTION, lit(action))
       .withColumn(IS_UPDATE, lit(isUpdate))
       .withColumn(ROW_ID, concat(
-        lower(hex(xxhash64(interleaved: _*))),
-        lower(hex(xxhash64(interleaved.reverse: _*)))))
+        lpad(lower(hex(xxhash64(interleaved: _*))), 16, "0"),
+        lpad(lower(hex(xxhash64(interleaved.reverse: _*))), 16, "0")))
       .withColumn(BATCH_ID, lit(batchId))
     log.append(stamped, Map(PRODUCER_KEY -> batchId))
     batchId

@@ -51,18 +51,29 @@ object PipelineConfig {
     val scalars = scala.collection.mutable.Map[String, String]()
     val lists = scala.collection.mutable.Map[String, Vector[String]]()
     var currentList: Option[String] = None
-    // quote-aware comment strip: '#' only starts a comment OUTSIDE quotes
+    // quote-aware comment strip: '#' only starts a comment OUTSIDE quotes,
+    // and a quote only QUOTES when it begins a value (right after ':' or a
+    // list '-') — an apostrophe inside an unquoted scalar is just data
     def stripComment(raw: String): String = {
       var inQuote: Char = 0
+      var atValueStart = false
+      var seenContent = false
       val sb = new StringBuilder
       var i = 0
       var done = false
       while (i < raw.length && !done) {
         val c = raw.charAt(i)
-        if (inQuote != 0) { if (c == inQuote) inQuote = 0; sb.append(c) }
-        else if (c == '"' || c == '\'') { inQuote = c; sb.append(c) }
-        else if (c == '#') done = true
-        else sb.append(c)
+        if (inQuote != 0) {
+          if (c == inQuote) inQuote = 0
+          sb.append(c)
+        } else c match {
+          case '#' => done = true
+          case ':' => atValueStart = true; sb.append(c)
+          case '-' if !seenContent => atValueStart = true; seenContent = true; sb.append(c)
+          case '"' | '\'' if atValueStart => inQuote = c; atValueStart = false; sb.append(c)
+          case ' ' | '\t' => sb.append(c)
+          case other => atValueStart = false; seenContent = true; sb.append(other)
+        }
         i += 1
       }
       sb.toString

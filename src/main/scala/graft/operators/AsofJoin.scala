@@ -51,8 +51,11 @@ object AsofJoin {
     require(!payloadCols.contains("_asof_rt"), "_asof_rt is reserved")
 
     // unique (key, time) on the right: deterministic max-struct survivor;
-    // the matched right TIME rides in the payload for the tolerance check
+    // the matched right TIME rides in the payload for the tolerance check.
+    // NULL-time right rows can never be "as of" anything — dropped (they
+    // would otherwise sort to an ordering edge and pollute the carry).
     val rightUnique = right
+      .filter(col(rightTime).isNotNull)
       .groupBy(col(rightKey), col(rightTime))
       .agg(max(struct((col(rightTime).as("_asof_rt") +: payloadCols.map(col)): _*))
         .as("_asof_payload"))
@@ -76,14 +79,17 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn(P, last(col(P), ignoreNulls = true).over(w))
 
+    // NULL-time LEFT rows match nothing in either direction (desc ordering
+    // would otherwise sort them after every right row and hand them a
+    // spurious carried payload in forward mode)
     val matchOk = tolerance match {
-      case None => col(P).isNotNull
+      case None => col(T).isNotNull && col(P).isNotNull
       case Some(tol) =>
         val diff =
           if (direction == "backward")
             col(T).cast("long") - col(s"$P._asof_rt").cast("long")
           else col(s"$P._asof_rt").cast("long") - col(T).cast("long")
-        col(P).isNotNull && diff <= tol
+        col(T).isNotNull && col(P).isNotNull && diff <= tol
     }
     carried.filter(col(TAG) === 1)
       .select(left.columns.map(col) ++

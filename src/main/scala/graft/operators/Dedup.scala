@@ -38,10 +38,15 @@ object Dedup {
   /** One cached representative relation per session (see
     * [[minhashDedupExact]]): a lazy operator cannot unpersist its own
     * cache, so each new call releases the previous call's — bounding
-    * cached corpus copies to one per session instead of leaking.
+    * cached corpus copies to one per session instead of leaking. WEAK
+    * session keys: a stopped/collected session drops its entry instead of
+    * pinning the plan forever. (Single-slot policy: concurrent
+    * minhashDedupExact calls on ONE session share the slot — serialize
+    * such calls or accept recomputation.)
     */
-  private val repsCacheSlot =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+  private val repsCacheSlot: java.util.Map[org.apache.spark.sql.SparkSession, DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
 
   /** Normalized word shingles of size k (distinct, order-insensitive set). */
   def shingles(text: Column, k: Int): Column = {

@@ -65,6 +65,10 @@ object Similarity {
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(qidCol) && !df.columns.contains(qvecCol),
+      s"query columns ($qidCol, $qvecCol) must not collide with corpus " +
+        s"columns ${df.columns.mkString(",")} — rename the query side, " +
+        "e.g. .select(col(\"vec_id\").as(\"qid\"), col(\"embedding\").as(\"qvec\"))")
     val scored = df.crossJoin(broadcast(queries))
       .select(col(qidCol), col(idCol),
         cosineSimilarity(col(vecCol), col(qvecCol)).as("score"))

@@ -122,11 +122,21 @@ object Streaming {
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
             for (ts <- times) cur match {
-              case Some(s) if ts - s.last <= gapMs =>
-                cur = Some(s.copy(last = math.max(s.last, ts), n = s.n + 1))
-              case Some(s) =>
+              case Some(s) if ts > s.last + gapMs =>
+                // future gap: close the current session, open the next
                 closed ::= ClosedSession(user, t(s.start), t(s.last), s.n)
                 cur = Some(SessionState(ts, ts, 1))
+              case Some(s) if ts < s.start - gapMs =>
+                // late out-of-order island BEFORE the open session: emit it
+                // standalone (streaming can't re-open already-emitted
+                // history; batch q33 over the same data may merge it with
+                // an earlier session — documented approximation)
+                closed ::= ClosedSession(user, t(ts), t(ts), 1L)
+              case Some(s) =>
+                // within gap of either edge: extend (start can move BACK
+                // for in-watermark out-of-order arrivals)
+                cur = Some(SessionState(math.min(s.start, ts),
+                  math.max(s.last, ts), s.n + 1))
               case None =>
                 cur = Some(SessionState(ts, ts, 1))
             }

@@ -62,6 +62,19 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(1).isNullAt(3))           // 90 units away, outside
   }
 
+  test("NULL times match nothing in either direction") {
+    val quotes = Seq(("A", Some(10L), 100.0), ("A", None: Option[Long], 999.0))
+      .toDF("sym", "qt", "px")
+    val trades = Seq(("A", Some(5L), 1), ("A", None: Option[Long], 2))
+      .toDF("sym", "tt", "qty")
+    val fwd = AsofJoin.leftAsof(trades, quotes, "sym", "sym", "tt", "qt",
+      direction = "forward").orderBy("qty").collect()
+    assert(fwd(0).getDouble(3) == 100.0) // t=5 forward → qt=10
+    assert(fwd(1).isNullAt(3))           // null left time: no match
+    val bwd = AsofJoin.leftAsof(trades, quotes, "sym", "sym", "tt", "qt").orderBy("qty").collect()
+    assert(bwd(0).isNullAt(3) && bwd(1).isNullAt(3)) // nothing at/before 5; null time
+  }
+
   test("duplicate right (key,time) rows resolve deterministically") {
     val right = Seq(("A", 1L, 5.0), ("A", 1L, 9.0)).toDF("k", "t", "v")
     val left = Seq(("A", 2L)).toDF("k", "t")

@@ -60,6 +60,10 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(cfg.feedUrl == "s3://bucket/data#v2")
     assert(cfg.taskSchedule == "CRON 0 10 * * * # not a comment")
     assert(!cfg.executeTasksImmediately) // opt-in, not vacuous-true
+    // an apostrophe INSIDE an unquoted scalar is data, not a quote opener
+    val cfg2 = PipelineConfig.parse(
+      "env: dev\ndatabase_name: TOM'S_DB  # prod box\n")
+    assert(cfg2.databaseName == "TOM'S_DB")
   }
 
   test("bootstrap creates database root + schema namespaces and registers the catalog") {

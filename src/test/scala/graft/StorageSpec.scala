@@ -213,6 +213,8 @@ class StorageSpec extends AnyFunSuite {
       (None: Option[Int], Some(2024), 5)).toDF("a", "b", "c"))
     val ids = f.pending(0).select(ChangeFeed.ROW_ID).collect().map(_.getString(0))
     assert(ids.distinct.length == 2, ids.mkString(","))
+    // fixed-width 128-bit ids: zero-padded halves, no boundary ambiguity
+    assert(ids.forall(_.length == 32), ids.mkString(","))
   }
 
   test("MergeInto: matched rows take the WHOLE source row — NULLs overwrite") {

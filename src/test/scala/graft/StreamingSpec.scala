@@ -88,9 +88,35 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     // a's first session: 10:00–10:10, 2 events (closed by the next session)
     assert(rows.contains(("a", ts("2026-01-01 10:00:00"), ts("2026-01-01 10:10:00"), 2L)))
+    // no session may END before it STARTS, and counts are positive
+    assert(rows.forall { case (_, s, e, n) => !e.before(s) && n >= 1 })
     // a's second and b's only session close by TIMEOUT once the watermark passes
     assert(rows.contains(("a", ts("2026-01-01 12:30:00"), ts("2026-01-01 12:30:00"), 1L)))
     assert(rows.contains(("b", ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:00"), 1L)))
+  }
+
+  test("sessionize: in-watermark out-of-order event extends the session BACKWARD") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.SessionEvent]
+    val out = Streaming.sessionize(in.toDS(), gapMs = 3600000L, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Streaming.SessionEvent("a", ts("2026-01-01 11:00:00")))
+    q.processAllAvailable()
+    // late but in-watermark (wm = 10:30) and within gap of the open session
+    in.addData(Streaming.SessionEvent("a", ts("2026-01-01 10:45:00")))
+    q.processAllAvailable()
+    // push the watermark far ahead → timeout closes a's session
+    in.addData(Streaming.SessionEvent("z", ts("2026-01-02 12:00:00")))
+    q.processAllAvailable()
+    in.addData(Streaming.SessionEvent("z", ts("2026-01-03 12:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_ooo").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    q.stop()
+    assert(rows.contains(("a", ts("2026-01-01 10:45:00"), ts("2026-01-01 11:00:00"), 2L)),
+      rows.mkString("; "))
   }
 
   test("dedupStream drops in-watermark duplicates, keeps distinct keys") {
