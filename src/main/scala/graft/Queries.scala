@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.{Co2Functions, TextFunctions}
-import graft.operators.{AsofJoin, Dedup, MergeInto, Similarity}
+import graft.operators.{AsofJoin, Dedup, MergeInto, Sampling, Similarity}
 
 /** The engine's query catalog: one entry per operator family from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each paired with ANSI SQL
@@ -477,6 +477,16 @@ object Queries {
     Similarity.topKBatch(emb, "embedding", "vec_id", queries, "qid", "qvec", 5)
   }
 
+  /** Deterministic 90/10 train/val split of documents, counted per
+    * (split, lang) — membership is a pure function of doc_id (no rand()),
+    * reproducible in ANSI SQL, hence oracle-exact.
+    */
+  def q38TrainSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitByHash(t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -518,7 +528,8 @@ object Queries {
     "q34_percentiles" -> (q34Percentiles _),
     "q35_asof_join" -> (q35AsofJoin _),
     "q36_approx_aggs" -> (q36ApproxAggs _),
-    "q37_ann_batch" -> (q37AnnBatch _)
+    "q37_ann_batch" -> (q37AnnBatch _),
+    "q38_train_split" -> (q38TrainSplit _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -855,6 +866,13 @@ object Queries {
         |  SELECT qid, vec_id, score,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
         |  FROM s)
-        |SELECT qid, vec_id, score FROM r WHERE rk <= 5""".stripMargin
+        |SELECT qid, vec_id, score FROM r WHERE rk <= 5""".stripMargin,
+    "q38_train_split" ->
+      """SELECT CASE WHEN
+        |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |   + 10000) % 10000 < 9000
+        |  THEN 'train' ELSE 'val' END AS split,
+        |  lang, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling and dataset splitting for
+  * training-data pipelines. Both operators key on a STABLE hash of the id
+  * — not `rand()` — so:
+  *
+  *  - membership is a pure function of the id: re-running the pipeline,
+  *    adding executors, or reordering partitions never reshuffles a row
+  *    between train and validation (the leakage-avoidance property);
+  *  - the hash is the md5-derived 60-bit spec (first 15 hex chars), so
+  *    split membership is reproducible OUTSIDE the engine in ANSI SQL —
+  *    `CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT)` —
+  *    and therefore oracle-checkable;
+  *  - everything is a stateless single scan: no shuffle, no driver state,
+  *    any table size.
+  */
+object Sampling {
+
+  private val BUCKETS = 10000L
+
+  /** Uniform bucket in [0, 10000) from the id's md5 (stable across runs,
+    * engines, and languages).
+    */
+  def hashBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(BUCKETS))
+
+  /** Adds `split` ∈ the given names, assigned by cumulative weight over the
+    * id's hash bucket. Weights need not sum to 1 — the remainder falls into
+    * the LAST split (so `("train", 0.9), ("val", 0.1)` and
+    * `("train", 0.9), ("val", 1.0)` agree).
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).forall(w => w > 0 && w <= 1), "weights in (0,1]")
+    val b = hashBucket(col(idCol))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.map(c => math.min(BUCKETS, math.round(c * BUCKETS)))
+    val expr = splits.zip(thresholds).init.foldRight(
+      lit(splits.last._1): Column) { case (((name, _), thr), acc) =>
+      when(b < thr, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic `fraction` sample: keeps ids whose hash bucket falls
+    * below the cutoff — the same rows survive on every run and engine.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction in (0,1]")
+    df.filter(hashBucket(col(idCol)) < math.round(fraction * BUCKETS))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+
+/** Deterministic splits/samples: pure function of the id, stable across
+  * runs, partitions disjoint and exhaustive, fractions honored.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("splitByHash: disjoint, exhaustive, deterministic, ~right-sized") {
+    val split = Sampling.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum == n) // exhaustive
+    assert(counts("train") > n * 7 / 10 && counts("train") < n * 9 / 10)
+    // deterministic: identical assignment on a second evaluation
+    val again = Sampling.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).isEmpty)
+    // membership is id-pure: shuffling the input changes nothing
+    val shuffled = Sampling.splitByHash(docs.orderBy(rand(7)), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split").except(
+      shuffled.select("doc_id", "split")).isEmpty)
+  }
+
+  test("sampleByHash: stable subset, nested fractions agree") {
+    val s10 = Sampling.sampleByHash(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val s30 = Sampling.sampleByHash(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s30)) // smaller fraction nests inside the larger
+    val n = docs.count().toDouble
+    assert(s10.size > n * 0.03 && s10.size < n * 0.2)
+  }
+
+  test("weights not summing to 1 put the remainder in the last split") {
+    val a = Sampling.splitByHash(docs, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+    val b = Sampling.splitByHash(docs, "doc_id", Seq("train" -> 0.9, "val" -> 1.0))
+    assert(a.select("doc_id", "split").except(b.select("doc_id", "split")).isEmpty)
+  }
+}
