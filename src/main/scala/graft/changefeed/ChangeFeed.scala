@@ -38,17 +38,19 @@ final class ChangeFeed(spark: SparkSession, val name: String, root: String) {
     // Opaque 128-bit row id straight off the columns — codegen'd hashes, no
     // JSON serialization in the ingest hot path. xxhash64 SKIPS null inputs
     // (the accumulator is unchanged), so per-column null flags are
-    // interleaved to keep null POSITIONS distinguishing; two different
-    // column orders give two quasi-independent 64-bit halves.
+    // interleaved to keep null POSITIONS distinguishing. The two 64-bit
+    // halves hash the SAME column list under two distinct literal seed
+    // prefixes — independently-seeded streams, not the correlated
+    // forward/reversed trick (reversal preserves pairwise structure, so
+    // adversarial inputs could collide both halves together).
     val cols = df.columns.toSeq.map(col)
     val flags = df.columns.toSeq.map(c => isnull(col(c)).cast("int"))
     val interleaved = cols.zip(flags).flatMap { case (c, f) => Seq(c, f) }
+    def half(seed: String) = lpad(lower(hex(xxhash64(lit(seed) +: interleaved: _*))), 16, "0")
     val stamped = df
       .withColumn(ACTION, lit(action))
       .withColumn(IS_UPDATE, lit(isUpdate))
-      .withColumn(ROW_ID, concat(
-        lpad(lower(hex(xxhash64(interleaved: _*))), 16, "0"),
-        lpad(lower(hex(xxhash64(interleaved.reverse: _*))), 16, "0")))
+      .withColumn(ROW_ID, concat(half("graft_rowid_h1"), half("graft_rowid_h2")))
       .withColumn(BATCH_ID, lit(batchId))
     log.append(stamped, Map(PRODUCER_KEY -> batchId))
     batchId

@@ -38,15 +38,20 @@ object Dedup {
   /** One cached representative relation per session (see
     * [[minhashDedupExact]]): a lazy operator cannot unpersist its own
     * cache, so each new call releases the previous call's — bounding
-    * cached corpus copies to one per session instead of leaking. WEAK
-    * session keys: a stopped/collected session drops its entry instead of
-    * pinning the plan forever. (Single-slot policy: concurrent
-    * minhashDedupExact calls on ONE session share the slot — serialize
-    * such calls or accept recomputation.)
+    * cached corpus copies to one per session instead of leaking. The value
+    * is held through a WeakReference because the DataFrame strongly
+    * references its own SparkSession — a strong value would resurrect the
+    * weak key and pin a stopped session's plan for the JVM lifetime (the
+    * WeakHashMap javadoc's value-references-key trap). A collected value
+    * needs no unpersist: its session is gone with it. (Single-slot policy:
+    * concurrent minhashDedupExact calls on ONE session share the slot —
+    * serialize such calls or accept recomputation.)
     */
-  private val repsCacheSlot: java.util.Map[org.apache.spark.sql.SparkSession, DataFrame] =
+  private val repsCacheSlot
+      : java.util.Map[org.apache.spark.sql.SparkSession, java.lang.ref.WeakReference[DataFrame]] =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.lang.ref.WeakReference[DataFrame]]())
 
   /** Normalized word shingles of size k (distinct, order-insensitive set). */
   def shingles(text: Column, k: Int): Column = {
@@ -138,16 +143,22 @@ object Dedup {
     buckets.select(explode(pairsCol).as("p")).select(col("p.*")).distinct()
   }
 
+  /** One 64-bit bucket key per band: xxhash64 straight over the band's
+    * signature components (longs) — no string materialization; the band
+    * index itself is hashed in so identical component values in different
+    * bands cannot collide into one bucket.
+    */
+  private def bandBucketHash(sig: Column, band: Int, rows: Int): Column =
+    xxhash64(lit(band) +: (0 until rows).map(i => element_at(sig, band * rows + i + 1)): _*)
+
   /** (band, bucket) LSH keys for a precomputed signature relation
     * `(id, sig)` — shared by the estimate and exact-rescore pipelines.
     */
   private def bandedBuckets(withSig: DataFrame, bands: Int, rows: Int): DataFrame =
     withSig.select(
       col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(array((0 until bands).map(b =>
+        bandBucketHash(col("sig"), b, rows)): _*)).as(Seq("band", "bucket")))
 
   /** Candidate near-dup id pairs from MinHash banding alone (no Jaccard
     * estimate): the cheap front end of an LSH → exact-rescore pipeline.
@@ -156,6 +167,7 @@ object Dedup {
                             shingleSize: Int = 3, numHashes: Int = 64,
                             bands: Int = 32, maxBucketSize: Int = 512): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    requireIntegralId(df, idCol, "minhashCandidatePairs")
     val withSig = df.select(
       col(idCol).cast("long").as("id"),
       minhashText(col(textCol), shingleSize, numHashes).as("sig"))
@@ -185,6 +197,7 @@ object Dedup {
                    bands: Int = 16, threshold: Double = 0.7,
                    maxBucketSize: Int = 512): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    requireIntegralId(df, idCol, "minhashPairs")
     val rows = numHashes / bands
 
     // fused text→shingle→signature expression: one scan, no array<string>
@@ -195,10 +208,8 @@ object Dedup {
     // explode into (band, bucketHash) — the LSH key
     val banded = withSig.select(
       col("id"), col("sig").as("payload"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(array((0 until bands).map(b =>
+        bandBucketHash(col("sig"), b, rows)): _*)).as(Seq("band", "bucket")))
 
     cappedBucketPairs(banded, Seq("band", "bucket"), maxBucketSize,
       (a, b) => sigAgreement(a, b), "jaccard")
@@ -361,30 +372,42 @@ object Dedup {
       .filter(col("_rn") === 1)
       .drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(repsCacheSlot.put(df.sparkSession, reps))
+    Option(repsCacheSlot.put(df.sparkSession, new java.lang.ref.WeakReference(reps)))
+      .flatMap(ref => Option(ref.get))
       .foreach(_.unpersist(blocking = false))
+    // The candidate-pair relation feeds THREE plan branches below (the id
+    // extraction and both sides of the rescore join); cached so the
+    // banding window + bucket expansion runs once, not three times. It is
+    // a bounded set (≤ cap²/2 per bucket) — tiny next to the corpus — and
+    // connectedComponents resolves eagerly, so the cache can be released
+    // before this operator returns.
     val cand = cappedBucketIdPairs(
       bandedBuckets(
         reps.select(col(idCol).cast("long").as("id"), col("_sig").as("sig")),
         bands, numHashes / bands),
       Seq("band", "bucket"), maxBucketSize)
-    // exact rescore: join the candidate pairs (a bounded set) back to text.
-    // Shingle sets are built ONLY for docs that appear in a candidate pair
-    // (semi-join first) — typically a tiny fraction of the corpus.
-    val candIds = cand.select(col("id_a").as("_id"))
-      .union(cand.select(col("id_b").as("_id"))).distinct()
-    val sh = reps.select(col(idCol).cast("long").as("_id"), col(textCol))
-      .join(candIds, Seq("_id"), "left_semi")
-      .select(col("_id"), shingles(col(textCol), shingleSize).as("_sh"))
-    val exactPairs = cand
-      .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
-      .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    val dupIds = connectedComponents(exactPairs)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("_dup_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupIds = try {
+      // exact rescore: join the candidate pairs (a bounded set) back to
+      // text. Shingle sets are built ONLY for docs that appear in a
+      // candidate pair (semi-join first) — typically a tiny fraction of
+      // the corpus — and each such doc is shingled ONCE even when it
+      // appears in many pairs.
+      val candIds = cand
+        .select(explode(array(col("id_a"), col("id_b"))).as("_id")).distinct()
+      val sh = reps.select(col(idCol).cast("long").as("_id"), col(textCol))
+        .join(candIds, Seq("_id"), "left_semi")
+        .select(col("_id"), shingles(col(textCol), shingleSize).as("_sh"))
+      val exactPairs = cand
+        .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+        .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      connectedComponents(exactPairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("_dup_id"))
+    } finally cand.unpersist(blocking = false)
     reps.join(dupIds, col(idCol).cast("long") === col("_dup_id"), "left_anti")
       .drop("_sig")
   }
@@ -393,10 +416,12 @@ object Dedup {
     * Same one-shuffle capped-bucket expansion as [[minhashPairs]].
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 512): DataFrame =
+                   maxHamming: Int = 3, maxBucketSize: Int = 512): DataFrame = {
+    requireIntegralId(df, idCol, "simhashPairs")
     simhashPairsOn(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")),
       maxHamming, maxBucketSize)
+  }
 
   /** Hamming-≤d pairs over a precomputed 64-bit fingerprint relation
     * `(id, fp)`. The 4×16-bit pigeonhole makes the candidate set a strict

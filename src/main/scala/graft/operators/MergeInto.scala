@@ -64,6 +64,18 @@ object MergeInto {
     * rewritten (the touched-value set is a bounded collect — one value per
     * touched partition, e.g. a handful of years); untouched partition data
     * directories are not even opened.
+    *
+    * PARTITION CONTRACT: the partition column must be functionally
+    * determined by the merge keys (e.g. partition year derived from a DATE
+    * key). A violation — a source row whose key already exists in the
+    * target under a DIFFERENT partition value — falls outside the touched
+    * slice: the merge inserts a second copy of the key while the stale row
+    * survives in the untouched partition, silently. This cannot be
+    * detected from the touched slice alone; `validatePartitionKeys = true`
+    * buys the check with one key/partition-column scan of the UNTOUCHED
+    * partitions (column-pruned, but still a near-full-table scan at 100 TB
+    * — default off; turn it on when the key→partition derivation isn't
+    * statically obvious).
     */
   def apply(
       spark: SparkSession,
@@ -72,13 +84,10 @@ object MergeInto {
       keys: Seq[String],
       consumeOffsets: Map[String, Long] = Map.empty,
       dedupeSource: Boolean = false,
-      partitionBy: Option[String] = None
+      partitionBy: Option[String] = None,
+      validatePartitionKeys: Boolean = false
   ): MergeResult = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    // CONTRACT: the partition column must be functionally determined by the
-    // merge keys (e.g. partition year derived from a DATE key) — otherwise
-    // an update could move a row across partitions while the stale copy
-    // survives in an untouched partition.
 
     val srcCols = source.columns.toSeq
     val src1 = if (dedupeSource) {
@@ -100,7 +109,8 @@ object MergeInto {
     // partition collect, counters, write; a merge source is the incremental
     // batch, small by definition, so cache it for the call's duration
     val src0 = src1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try mergeImpl(spark, target, src0, keys, consumeOffsets, partitionBy)
+    try mergeImpl(spark, target, src0, keys, consumeOffsets, partitionBy,
+      validatePartitionKeys)
     finally src0.unpersist()
   }
 
@@ -110,7 +120,8 @@ object MergeInto {
       src0: DataFrame,
       keys: Seq[String],
       consumeOffsets: Map[String, Long],
-      partitionBy: Option[String]
+      partitionBy: Option[String],
+      validatePartitionKeys: Boolean
   ): MergeResult = {
     if (!target.exists) {
       val v = partitionBy match {
@@ -127,9 +138,27 @@ object MergeInto {
       case Some(p) =>
         val touched = src0.select(col(p)).distinct().collect().map(_.get(0))
         val full = target.read
-        if (touched.exists(_ == null))
-          full.filter(col(p).isin(touched.filter(_ != null): _*) || col(p).isNull)
-        else full.filter(col(p).isin(touched: _*))
+        val touchedFilter =
+          if (touched.exists(_ == null))
+            col(p).isin(touched.filter(_ != null): _*) || col(p).isNull
+          else col(p).isin(touched: _*)
+        if (validatePartitionKeys) {
+          // partition-contract check: a source key living in an UNTOUCHED
+          // target partition would be duplicated by this merge — scan the
+          // untouched slice's key columns (column-pruned) and fail loudly.
+          val untouched = full.filter(!coalesce(touchedFilter, lit(false)))
+            .select(keys.map(c => col(c).as(s"t_$c")): _*)
+          val cond = keys.map(k => col(s"t_$k") <=> col(k)).reduce(_ && _)
+          val bad = untouched.join(src0.select(keys.map(col): _*), cond, "left_semi")
+          val sample = bad.limit(3).collect()
+          if (sample.nonEmpty)
+            throw new IllegalStateException(
+              s"merge partition contract violated: source keys exist in " +
+                s"untouched '$p' partitions (e.g. ${sample.mkString("; ")}) — " +
+                "the partition column is not functionally determined by the " +
+                "merge keys; merging would duplicate these keys")
+        }
+        full.filter(touchedFilter)
       case None => target.read
     }
     require(tgt.columns.sorted.sameElements(src0.columns.sorted),

@@ -170,6 +170,29 @@ class StorageSpec extends AnyFunSuite {
     assert(m == Map(1 -> (2022, 1.0), 2 -> (2022, 2.0), 3 -> (2023, 3.5), 4 -> (2023, 4.0)))
   }
 
+  test("MergeInto validatePartitionKeys catches a key moved across partitions") {
+    val root = tmp() + "/pt5"
+    val t = VersionedTable(spark, root)
+    MergeInto(spark, t,
+      Seq((2022, 1, 1.0), (2023, 2, 2.0)).toDF("year", "k", "v"),
+      Seq("k"), partitionBy = Some("year"))
+    // key 1 lives in year=2022; a source row claiming year=2023 for the same
+    // key violates the key→partition functional dependency
+    val moved = Seq((2023, 1, 9.9)).toDF("year", "k", "v")
+    val e = intercept[IllegalStateException] {
+      MergeInto(spark, t, moved, Seq("k"), partitionBy = Some("year"),
+        validatePartitionKeys = true)
+    }
+    assert(e.getMessage.contains("partition contract violated"))
+    // without validation the documented hazard happens: duplicate key rows
+    MergeInto(spark, t, moved, Seq("k"), partitionBy = Some("year"))
+    assert(t.read.filter($"k" === 1).count() == 2)
+    // a contract-respecting merge passes validation
+    val ok = MergeInto(spark, t, Seq((2023, 5, 5.0)).toDF("year", "k", "v"),
+      Seq("k"), partitionBy = Some("year"), validatePartitionKeys = true)
+    assert(ok.inserted == 1)
+  }
+
   test("partition values with NULLs and hive-escaped characters round-trip") {
     val root = tmp() + "/pt4"
     val t = VersionedTable(spark, root)
