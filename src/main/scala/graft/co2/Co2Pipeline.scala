@@ -127,7 +127,10 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
         Co2Functions.co2Volatility(col("CO2_PPM"), col("PREV_DAY_CO2")).as("DAILY_VOLATILITY"),
         Co2Functions.normalizeCo2(col("CO2_PPM"), lit(minCo2), lit(maxCo2)).as("NORMALIZED_CO2"),
         batchTs.as("META_UPDATED_AT"))
-    val dr = MergeInto(spark, dailyStats, daily, Seq("DATE"))
+    // key-unique by construction: harmonized is keyed by DATE and OrderedLag
+    // emits one output row per input row — skip the duplicate-source pass
+    val dr = MergeInto(spark, dailyStats, daily, Seq("DATE"),
+      checkDuplicateKeys = false)
 
     // weekly: Monday-truncated buckets; the reference labels the weekly
     // MIN/MAX as WEEK_START_CO2/WEEK_END_CO2 — replicated faithfully, and
@@ -145,7 +148,9 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
         Co2Functions.co2Volatility(col("WEEK_END_CO2"), col("WEEK_START_CO2")).as("WEEKLY_VOLATILITY"),
         Co2Functions.normalizeCo2(col("AVG_WEEKLY_CO2"), lit(minCo2), lit(maxCo2)).as("NORMALIZED_WEEKLY_CO2"),
         batchTs.as("META_UPDATED_AT"))
-    val wr = MergeInto(spark, weeklyStats, weekly, Seq("WEEK_START"))
+    // key-unique by construction: weekly IS a groupBy on WEEK_START
+    val wr = MergeInto(spark, weeklyStats, weekly, Seq("WEEK_START"),
+      checkDuplicateKeys = false)
 
     s"Analytics: daily ${dr.updated}u/${dr.inserted}i, weekly ${wr.updated}u/${wr.inserted}i"
   }

@@ -102,10 +102,24 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   private def ptKey(c: Column): Column =
     coalesce(c.cast("string"), lit(NULL_PT))
 
+  /** Parquet read with the COMMITTED schema when one is recorded: skips the
+    * footer-read/schema-inference pass that `spark.read.parquet` otherwise
+    * runs per call — a visible per-commit cost in commit-heavy pipelines.
+    * Fields are relaxed to nullable (an older part may hold NULLs in a
+    * column the latest batch happened to commit as NOT NULL).
+    */
+  private def parquetRead(s: State, paths: Seq[String]): DataFrame =
+    s.schemaDdl match {
+      case Some(d) =>
+        val relaxed = StructType(StructType.fromDDL(d).map(_.copy(nullable = true)))
+        spark.read.schema(relaxed).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
   private def readState(s: State): DataFrame = {
     val anyPartitioned = s.parts.exists(_.vals.nonEmpty)
     if (!anyPartitioned)
-      return spark.read.parquet(s.parts.map(p => s"$root/${p.dir}"): _*)
+      return parquetRead(s, s.parts.map(p => s"$root/${p.dir}"))
     val pcol = s.partitionCol.getOrElse(
       throw new IllegalStateException(s"partitioned parts but no partcol at $root"))
     // Later parts shadow earlier ones. Partitioned parts are pruned by PATH
@@ -118,12 +132,12 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       if (p.vals.nonEmpty) {
         val live = p.vals.filterNot(shadowed)
         if (live.isEmpty) null
-        else spark.read.parquet(live.map(v => s"$root/${p.dir}/$PT=$v"): _*)
+        else parquetRead(s, live.map(v => s"$root/${p.dir}/$PT=$v"))
       } else if (shadowed.isEmpty) {
-        spark.read.parquet(s"$root/${p.dir}")
+        parquetRead(s, Seq(s"$root/${p.dir}"))
       } else {
         val vals = shadowed.toSeq.map(hiveUnescape)
-        spark.read.parquet(s"$root/${p.dir}")
+        parquetRead(s, Seq(s"$root/${p.dir}"))
           .filter(not(ptKey(col(pcol)).isin(vals: _*)))
       }
     }.filter(_ != null)
