@@ -26,32 +26,23 @@ object Dedup {
     * non-integral id would cast to NULL and silently disable dedup, so
     * fail loudly instead.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
-    df.schema(idCol).dataType match {
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    // resolve the field the way column references resolve (case-insensitive
+    // under the default caseSensitive=false), not via the exact-match
+    // schema(name) lookup — "DOC_ID" for column "doc_id" must hit the
+    // type check below, not a Field-does-not-exist error
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val field = df.schema.find(f => resolver(f.name, idCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: no column $idCol in [${df.columns.mkString(", ")}]"))
+    field.dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
       case other => throw new IllegalArgumentException(
         s"$op needs an integral id column, but $idCol is $other; derive a " +
           s"surrogate first, e.g. .withColumn(\"_id\", xxhash64(col(\"$idCol\")))")
     }
-
-  /** One cached representative relation per session (see
-    * [[minhashDedupExact]]): a lazy operator cannot unpersist its own
-    * cache, so each new call releases the previous call's — bounding
-    * cached corpus copies to one per session instead of leaking. The value
-    * is held through a WeakReference because the DataFrame strongly
-    * references its own SparkSession — a strong value would resurrect the
-    * weak key and pin a stopped session's plan for the JVM lifetime (the
-    * WeakHashMap javadoc's value-references-key trap). A collected value
-    * needs no unpersist: its session is gone with it. (Single-slot policy:
-    * concurrent minhashDedupExact calls on ONE session share the slot —
-    * serialize such calls or accept recomputation.)
-    */
-  private val repsCacheSlot
-      : java.util.Map[org.apache.spark.sql.SparkSession, java.lang.ref.WeakReference[DataFrame]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-        java.lang.ref.WeakReference[DataFrame]]())
+  }
 
   /** Normalized word shingles of size k (distinct, order-insensitive set). */
   def shingles(text: Column, k: Int): Column = {
@@ -264,7 +255,10 @@ object Dedup {
       import spark.implicits._
       return rows.toDF("id", "component")
     }
-    distributedComponents(cached, maxIters)
+    // distributedComponents returns an eager localCheckpoint, so the input
+    // cache can be dropped as soon as it does
+    try distributedComponents(cached, maxIters)
+    finally cached.unpersist(blocking = false)
   }
 
   private def distributedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
@@ -302,8 +296,15 @@ object Dedup {
         s"connectedComponents: min-label propagation stopped at maxIters=$maxIters " +
           "without converging — components with diameter > maxIters are split; " +
           "raise maxIters for deep duplicate chains")
-    edges.unpersist()
-    labels
+    // hand back an EAGER localCheckpoint instead of the cached relation: a
+    // lazy operator cannot unpersist a cache its result still references
+    // (it would sit in CacheManager for the session lifetime), but
+    // checkpoint blocks are freed by the ContextCleaner when the result is
+    // garbage-collected — no explicit lifecycle needed from the caller
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** MinHash-LSH dedup: drop near-duplicates, keeping exactly the smallest
@@ -361,41 +362,49 @@ object Dedup {
                         maxBucketSize: Int = 512): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireIntegralId(df, idCol, "minhashDedupExact")
-    // ONE text scan computes both the exact fingerprint (pre-pass key) and
-    // the MinHash signature; the cached reps then feed three plan branches
-    // (candidates, rescore, output) without rescanning the corpus
+    val id = col(idCol).cast("long")
+
+    // EAGER operator: the rep relation feeds three plan branches
+    // (candidates, rescore, output), so it is persisted and read three
+    // times — and because a LAZY result would still reference that cache,
+    // making deterministic release impossible (a WeakReference scheme was
+    // tried; it leaked exactly when memory pressure mattered), the operator
+    // instead materializes its RESULT via an eager localCheckpoint and
+    // unpersists every intermediate before returning. The returned blocks
+    // belong to the result's RDD and are freed by the ContextCleaner when
+    // the caller drops it. At cluster scale the equivalent move is writing
+    // the survivors to an intermediate table; MEMORY_AND_DISK blocks spill,
+    // they never OOM.
+    //
+    // Exact pre-pass (CCNet-style): one doc per distinct fingerprint (min
+    // id) BEFORE LSH, so mass-duplicated text never reaches the buckets.
+    // The signature is computed AFTER the rn=1 filter: duplicate texts are
+    // never minhashed and signatures never ride the window shuffle.
     val reps = df
-      .withColumn("_sig", minhashText(col(textCol), shingleSize, numHashes))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(rollingFingerprint(col(textCol)))
           .orderBy(col(idCol))))
       .filter(col("_rn") === 1)
       .drop("_rn")
+      .withColumn("_sig", minhashText(col(textCol), shingleSize, numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(repsCacheSlot.put(df.sparkSession, new java.lang.ref.WeakReference(reps)))
-      .flatMap(ref => Option(ref.get))
-      .foreach(_.unpersist(blocking = false))
-    // The candidate-pair relation feeds THREE plan branches below (the id
-    // extraction and both sides of the rescore join); cached so the
-    // banding window + bucket expansion runs once, not three times. It is
-    // a bounded set (≤ cap²/2 per bucket) — tiny next to the corpus — and
-    // connectedComponents resolves eagerly, so the cache can be released
-    // before this operator returns.
+    // candidate pairs also feed three branches (id extraction + both rescore
+    // sides); a bounded relation (≤ cap²/2 per bucket), tiny next to the
+    // corpus
     val cand = cappedBucketIdPairs(
       bandedBuckets(
-        reps.select(col(idCol).cast("long").as("id"), col("_sig").as("sig")),
+        reps.select(id.as("id"), col("_sig").as("sig")),
         bands, numHashes / bands),
       Seq("band", "bucket"), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupIds = try {
-      // exact rescore: join the candidate pairs (a bounded set) back to
-      // text. Shingle sets are built ONLY for docs that appear in a
-      // candidate pair (semi-join first) — typically a tiny fraction of
-      // the corpus — and each such doc is shingled ONCE even when it
-      // appears in many pairs.
+    try {
+      // exact rescore: join the candidate pairs back to text. Shingle sets
+      // are built ONLY for docs that appear in a candidate pair (semi-join
+      // first) — typically a tiny fraction of the corpus — and each such
+      // doc is shingled ONCE even when it appears in many pairs.
       val candIds = cand
         .select(explode(array(col("id_a"), col("id_b"))).as("_id")).distinct()
-      val sh = reps.select(col(idCol).cast("long").as("_id"), col(textCol))
+      val sh = reps.select(id.as("_id"), col(textCol))
         .join(candIds, Seq("_id"), "left_semi")
         .select(col("_id"), shingles(col(textCol), shingleSize).as("_sh"))
       val exactPairs = cand
@@ -404,12 +413,16 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-      connectedComponents(exactPairs)
+      val dupIds = connectedComponents(exactPairs)
         .filter(col("id") =!= col("component"))
         .select(col("id").as("_dup_id"))
-    } finally cand.unpersist(blocking = false)
-    reps.join(dupIds, col(idCol).cast("long") === col("_dup_id"), "left_anti")
-      .drop("_sig")
+      reps.join(dupIds, id === col("_dup_id"), "left_anti")
+        .drop("_sig")
+        .localCheckpoint(true)
+    } finally {
+      cand.unpersist(blocking = false)
+      reps.unpersist(blocking = false)
+    }
   }
 
   /** SimHash fingerprints with 4×16-bit band buckets for Hamming-≤3 pairs.

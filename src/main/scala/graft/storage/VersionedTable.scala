@@ -179,9 +179,38 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     case class ReplacePartitions(col: String) extends CommitMode
   }
 
+  /** Reads apply the LATEST commit's schema to ALL parts (see
+    * [[parquetRead]]), so an incremental commit that drops a column would
+    * silently hide it in every older part, and one that changes a column's
+    * type can make the vectorized reader throw on old files. Reject both at
+    * commit time; ADDING a column is fine (parquet reads it as NULL from
+    * parts that lack it).
+    */
+  private def requireCompatibleSchema(prev: State, df: DataFrame): Unit = {
+    if (prev.parts.isEmpty) return
+    val committed = prev.schemaDdl.map(StructType.fromDDL).getOrElse(return)
+    val resolver = spark.sessionState.analyzer.resolver
+    committed.foreach { old =>
+      df.schema.find(f => resolver(f.name, old.name)) match {
+        case None => throw new IllegalArgumentException(
+          s"incremental commit to $root drops committed column ${old.name}; " +
+            "latest-schema reads would silently hide it in older parts — " +
+            "use overwrite() for a schema-breaking rewrite")
+        case Some(f) if f.dataType != old.dataType =>
+          throw new IllegalArgumentException(
+            s"incremental commit to $root changes ${old.name} from " +
+              s"${old.dataType.simpleString} to ${f.dataType.simpleString}; " +
+              "older parts would fail to read under the latest schema — " +
+              "use overwrite() for a schema-breaking rewrite")
+        case _ => ()
+      }
+    }
+  }
+
   private def commit(df: DataFrame, mode: CommitMode,
                      newOffsets: Map[String, Long]): Long = {
     val prev = state
+    if (mode != Commit.Replace) prev.foreach(requireCompatibleSchema(_, df))
     val version = prev.map(_.version).getOrElse(0L) + 1
     // unique per attempt: a racing writer targeting the same version writes
     // elsewhere; only the commit-file claim decides the winner
