@@ -134,22 +134,26 @@ object Dedup {
     buckets.select(explode(pairsCol).as("p")).select(col("p.*")).distinct()
   }
 
-  /** One 64-bit bucket key per band: xxhash64 straight over the band's
-    * signature components (longs) — no string materialization; the band
-    * index itself is hashed in so identical component values in different
-    * bands cannot collide into one bucket.
+  /** One 64-bit bucket key per band: xxhash64 over (band index, the band's
+    * signature slice) — the band index is hashed in so identical component
+    * values in different bands cannot collide into one bucket. ONE hash
+    * expression over an exploded band sequence, not `bands` separate
+    * hash calls materialized into an array: the generated code is a small
+    * constant independent of the band count (cold-start codegen time was a
+    * measured, dominant cost of the LSH queries at bench scale).
     */
-  private def bandBucketHash(sig: Column, band: Int, rows: Int): Column =
-    xxhash64(lit(band) +: (0 until rows).map(i => element_at(sig, band * rows + i + 1)): _*)
+  private def bandBucket(sig: Column, band: Column, rows: Int): Column =
+    xxhash64(band, slice(sig, band * rows + 1, lit(rows)))
 
   /** (band, bucket) LSH keys for a precomputed signature relation
     * `(id, sig)` — shared by the estimate and exact-rescore pipelines.
     */
   private def bandedBuckets(withSig: DataFrame, bands: Int, rows: Int): DataFrame =
-    withSig.select(
-      col("id"),
-      posexplode(array((0 until bands).map(b =>
-        bandBucketHash(col("sig"), b, rows)): _*)).as(Seq("band", "bucket")))
+    withSig
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("band"),
+        bandBucket(col("sig"), col("band"), rows).as("bucket"))
 
   /** Candidate near-dup id pairs from MinHash banding alone (no Jaccard
     * estimate): the cheap front end of an LSH → exact-rescore pipeline.
@@ -196,11 +200,12 @@ object Dedup {
       col(idCol).as("id"),
       minhashText(col(textCol), shingleSize, numHashes).as("sig"))
 
-    // explode into (band, bucketHash) — the LSH key
-    val banded = withSig.select(
-      col("id"), col("sig").as("payload"),
-      posexplode(array((0 until bands).map(b =>
-        bandBucketHash(col("sig"), b, rows)): _*)).as(Seq("band", "bucket")))
+    // explode into (band, bucketHash) — the LSH key; the signature rides
+    // along as the pair-scoring payload
+    val banded = withSig
+      .select(col("id"), col("sig").as("payload"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", bandBucket(col("payload"), col("band"), rows))
 
     cappedBucketPairs(banded, Seq("band", "bucket"), maxBucketSize,
       (a, b) => sigAgreement(a, b), "jaccard")
