@@ -370,15 +370,22 @@ object Queries {
         countDistinct(col("l_suppkey")).as("n_suppliers"),
         count(lit(1)).as("n_rows"))
 
-  /** IVF ANN top-k (approximate tier, deterministic seed; rows-only). */
+  /** IVF ANN top-k, run in its exhaustive-probe configuration
+    * (nprobe = nlist): probing every inverted list makes the result equal
+    * exact brute-force top-k BY CONSTRUCTION, which turns this into an
+    * oracle-checkable end-to-end test of the whole IVF path — centroid
+    * fit, broadcast assignment, list filter, in-list exact ranking. A bug
+    * that drops or double-assigns any vector breaks the match. The
+    * approximate tier (nprobe < nlist) is recall-bounded in
+    * SimilaritySpec, where approximation is assertable.
+    */
   def q30IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") === 7)
+    val q = emb.filter(col("vec_id") === 3)
       .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
     val cents = Similarity.fitCentroids(emb, "embedding", k = 16, iters = 5)
     val assigned = Similarity.ivfAssign(emb, "embedding", cents)
-    Similarity.ivfTopK(assigned, "embedding", "vec_id", cents, q, 10, nprobe = 4)
-      .drop("score") // approximate tier: assert membership, not float scores
+    Similarity.ivfTopK(assigned, "embedding", "vec_id", cents, q, 12, nprobe = 16)
   }
 
   /** PIVOT: quantity totals per linestatus, one column per return flag. */
@@ -803,6 +810,18 @@ object Queries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // IVF with nprobe = nlist equals exact brute-force top-k by
+    // construction (see q30IvfTopK), so the oracle is the same spelled-out
+    // sequential-double cosine as q21 — any vector lost or double-counted
+    // by the index breaks the hash match
+    "q30_ivf_topk" ->
+      """SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+        |FROM embeddings,
+        |  (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3) q
+        |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin,
     "q31_pivot" ->
       """SELECT l_linestatus AS linestatus,
         |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,

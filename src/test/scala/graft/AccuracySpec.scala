@@ -55,9 +55,25 @@ class AccuracySpec extends AnyFunSuite {
       .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
     val exact = graft.operators.Similarity.topK(emb, "embedding", "vec_id", q, 10)
       .collect().map(_.getLong(0)).toSet
-    val ivf = Queries.q30IvfTopK(spark, dir).collect().map(_.getLong(0)).toSet
+    val cents = graft.operators.Similarity.fitCentroids(emb, "embedding", k = 16, iters = 5)
+    val assigned = graft.operators.Similarity.ivfAssign(emb, "embedding", cents)
+    val ivf = graft.operators.Similarity
+      .ivfTopK(assigned, "embedding", "vec_id", cents, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(ivf).size / 10.0
     assert(recall >= 0.3, s"recall $recall")
     assert(ivf.contains(7L))
+  }
+
+  test("IVF with nprobe = nlist equals exact brute-force top-k (q30 contract)") {
+    val emb = Tables(spark, dir, "embeddings")
+    import org.apache.spark.sql.functions._
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val exact = graft.operators.Similarity.topK(emb, "embedding", "vec_id", q, 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ivf = Queries.q30IvfTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq == exact.toSeq) // same ids, same order, bit-equal scores
   }
 }

@@ -13,11 +13,12 @@ class QueriesSpec extends AnyFunSuite {
   /** Approximate-tier queries whose semantics are not ANSI-SQL expressible
     * — the driver records a rows-only check for these. (q23/q24 graduated
     * to exact oracles: LSH+exact-rescore dedup and the SQL-reproducible
-    * SimHash spec; q30 is k-means-seeded ANN and q36 is sketch-based, both
-    * inherently approximate — their error bounds are pinned by
+    * SimHash spec; q30 graduated by running IVF in its exhaustive-probe
+    * configuration, where it equals exact top-k by construction. q36 is
+    * sketch-based — inherently approximate, error bounds pinned by
     * AccuracySpec instead.)
     */
-  private val rowsOnly = Set("q30_ivf_topk", "q36_approx_aggs")
+  private val rowsOnly = Set("q36_approx_aggs")
 
   test("every oracle matches a query; non-oracle queries are declared rows-only") {
     val qn = Queries.all.map(_._1).toSet
