@@ -494,6 +494,25 @@ object Queries {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Within-document repetition (Gopher-style quality filter): duplicated
+    * word-trigram mass per language, plus how many docs cross the 20%
+    * duplicated-trigram bar. All-integer outputs (and an integer-arithmetic
+    * threshold test: 10·dups > 2·total ⇔ fraction > 0.2) keep the oracle
+    * compare exact. One text scan, one shuffle.
+    */
+  def q39Repetition(s: SparkSession, dir: String): DataFrame = {
+    val rep = TextFunctions.trigramRepetition(col("text"))
+    t(s, dir, "documents")
+      .select(col("lang"), rep.getField("n_grams").as("g"),
+        rep.getField("n_distinct").as("d"))
+      .groupBy(col("lang"))
+      .agg(sum(col("g")).cast("long").as("n_grams"),
+        sum(col("d")).cast("long").as("n_distinct"),
+        sum(when(lit(10) * (col("g") - col("d")) > lit(2) * col("g"), 1L)
+          .otherwise(0L)).cast("long").as("n_repetitive"),
+        count(lit(1)).as("n_docs"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -536,7 +555,8 @@ object Queries {
     "q35_asof_join" -> (q35AsofJoin _),
     "q36_approx_aggs" -> (q36ApproxAggs _),
     "q37_ann_batch" -> (q37AnnBatch _),
-    "q38_train_split" -> (q38TrainSplit _)
+    "q38_train_split" -> (q38TrainSplit _),
+    "q39_repetition" -> (q39Repetition _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -892,6 +912,24 @@ object Queries {
         |   + 10000) % 10000 < 9000
         |  THEN 'train' ELSE 'val' END AS split,
         |  lang, COUNT(*) AS n_docs
-        |FROM documents GROUP BY 1, 2""".stripMargin
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // word trigrams WITH repeats; 10·dups > 2·total ⇔ dup fraction > 0.2
+    // in exact integer arithmetic (no float compare crosses the gate)
+    "q39_repetition" ->
+      """WITH d AS (SELECT lang,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT lang,
+        |  CASE WHEN len(w) >= 3 THEN [array_to_string(w[i:i+2], ' ')
+        |                              for i in range(1, len(w) - 1)]
+        |       ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM d)
+        |SELECT lang,
+        |  CAST(SUM(len(grams)) AS BIGINT) AS n_grams,
+        |  CAST(SUM(len(list_distinct(grams))) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CASE WHEN 10 * (len(grams) - len(list_distinct(grams)))
+        |                     > 2 * len(grams) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive,
+        |  COUNT(*) AS n_docs
+        |FROM g GROUP BY lang""".stripMargin
   )
 }

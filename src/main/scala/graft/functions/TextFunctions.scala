@@ -17,6 +17,29 @@ object TextFunctions {
     when(text.isNull || length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Word n-grams WITH repeats (unlike [[graft.operators.Dedup.shingles]],
+    * which is the distinct set) — the raw material of within-document
+    * repetition signals. NULL/blank text and docs shorter than n tokens →
+    * empty array.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(text.isNull || size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Gopher-style repetition signal: the duplicated fraction of a doc's
+    * word trigrams, as exact integer counts (total, distinct) so
+    * aggregations over it stay bit-comparable across engines. Returns a
+    * struct `(n_grams, n_distinct)`.
+    */
+  def trigramRepetition(text: Column): Column = {
+    val g = wordNgrams(text, 3)
+    struct(size(g).as("n_grams"), size(array_distinct(g)).as("n_distinct"))
+  }
+
   /** Approximate BPE-ish subword count: words plus extra tokens for long
     * words (roughly 1 token per 4 chars beyond the first 4), mirroring the
     * common chars/4 heuristic for byte-pair encoders.

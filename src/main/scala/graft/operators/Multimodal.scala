@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   * rows — no shuffle, no driver materialization, valid at any table size.
   *
   * IMAGES decode for real through the JDK's `javax.imageio`
-  * (PNG/JPEG/GIF/BMP — [[ImageIoCodec]]); payloads ImageIO cannot parse
-  * fall back to [[StubCodec]]'s deterministic pseudo-content so synthetic
-  * fixtures keep flowing through the same plumbing. AUDIO/VIDEO remain
-  * stubbed (no codecs in this environment) behind the same
-  * partition-local batch shape.
+  * (PNG/JPEG/GIF/BMP — [[ImageIoCodec]]); AUDIO decodes for real through
+  * the JDK's `javax.sound.sampled` (WAV/PCM — [[WavCodec]]). Payloads
+  * neither can parse fall back to [[StubCodec]]'s deterministic
+  * pseudo-content so synthetic fixtures keep flowing through the same
+  * plumbing. VIDEO remains stubbed (no codecs in this environment) behind
+  * the same partition-local batch shape.
   */
 object Multimodal {
 
@@ -65,6 +66,49 @@ object Multimodal {
         }
         s / ((math.min(x1, srcW) - x0) * (math.min(y1, srcH) - y0))
       }
+  }
+
+  /** Real audio decode for WAV (RIFF/PCM and anything else
+    * `javax.sound.sampled` can convert to signed PCM — in the JDK, no
+    * external dependencies). Samples are mono-mixed floats in [-1,1].
+    */
+  object WavCodec {
+    /** Decode to (samples, sampleRate, nChannels, durationMs); None if the
+      * payload is not a parseable audio stream.
+      */
+    def decodeWav(payload: Array[Byte]): Option[(Array[Float], Int, Int, Long)] = {
+      if (payload == null || payload.isEmpty) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            2 * fmt.getChannels, fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val bytes = pcm.readAllBytes()
+          val ch = math.max(1, target.getChannels)
+          val n = bytes.length / 2 / ch
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            var s = 0f; var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              // little-endian signed 16-bit
+              val v = (((bytes(off + 1): Int) << 8) | (bytes(off) & 0xFF)).toShort
+              s += v / 32768f; c += 1
+            }
+            out(i) = s / ch
+            i += 1
+          }
+          val durMs = math.round(n * 1000.0 / target.getSampleRate)
+          Some((out, fmt.getSampleRate.toInt, fmt.getChannels, durMs))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Typed metadata carried next to every media payload. */
@@ -155,6 +199,37 @@ object Multimodal {
               StubCodec.resize(StubCodec.decodeImage(payload), 8, 8, w, h)
           }
         Row.fromSeq(r.toSeq :+ px)
+      }
+    }(enc)
+  }
+
+  /** Audio decode in one partition-local batch pass. Output schema: input
+    * columns + `samples: array<float>` (mono-mixed, [-1,1]),
+    * `sample_rate: int`, `audio_channels: int`, `audio_ms: long`. WAV/PCM
+    * decodes for real via [[WavCodec]]; unparseable payloads fall back to a
+    * deterministic stub tone (256 samples at 8 kHz) so synthetic fixtures
+    * keep flowing through the same plumbing.
+    */
+  def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("samples", ArrayType(FloatType)),
+      StructField("sample_rate", IntegerType),
+      StructField("audio_channels", IntegerType),
+      StructField("audio_ms", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val extra: Seq[Any] =
+          if (payload == null) Seq(null, null, null, null)
+          else WavCodec.decodeWav(payload) match {
+            case Some((s, rate, ch, ms)) => Seq(s, rate, ch, ms)
+            case None =>
+              val fake = StubCodec.featurize(payload, 256).map(x => x * 2f - 1f)
+              Seq(fake, 8000, 1, 32L) // 256 samples @ 8 kHz
+          }
+        Row.fromSeq(r.toSeq ++ extra)
       }
     }(enc)
   }

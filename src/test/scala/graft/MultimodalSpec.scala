@@ -67,6 +67,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(px.length == 16)
   }
 
+  test("decodeAudio decodes a REAL WAV through javax.sound (not the stub)") {
+    // synthesize a 440 Hz sine, 16-bit mono PCM at 8 kHz, 0.5 s, wrapped in
+    // a RIFF/WAVE container by the JDK itself
+    val rate = 8000f; val n = 4000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * 16384).toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val df = Seq((1L, wav), (2L, "not audio".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudio(df, "payload").orderBy("media_id").collect()
+
+    val real = out(0)
+    assert(real.getInt(real.fieldIndex("sample_rate")) == 8000)
+    assert(real.getInt(real.fieldIndex("audio_channels")) == 1)
+    assert(real.getLong(real.fieldIndex("audio_ms")) == 500L)
+    val samples = real.getSeq[Float](real.fieldIndex("samples"))
+    assert(samples.length == n)
+    // the decoded wave really is the sine we wrote (±1 lsb quantization)
+    assert(math.abs(samples(0)) < 1e-3)
+    for (i <- Seq(1, 5, 100, 1000))
+      assert(math.abs(samples(i) - math.sin(2 * math.Pi * 440 * i / rate) / 2) < 1e-3,
+        s"sample $i off: ${samples(i)}")
+    // non-audio payload falls back to the deterministic stub shape
+    val stub = out(1)
+    assert(stub.getInt(stub.fieldIndex("sample_rate")) == 8000)
+    assert(stub.getSeq[Float](stub.fieldIndex("samples")).length == 256)
+  }
+
   test("featurize produces embeddings usable by Similarity.topK") {
     val emb = Multimodal.featurize(media, "payload", dim = 16).cache()
     assert(emb.select(size(col("embedding"))).head.getInt(0) == 16)
