@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.{Co2Functions, TextFunctions}
-import graft.operators.{AsofJoin, Dedup, MergeInto, Sampling, Similarity}
+import graft.operators.{AsofJoin, Dedup, MergeInto, Packing, Sampling, Similarity}
 
 /** The engine's query catalog: one entry per operator family from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each paired with ANSI SQL
@@ -513,6 +513,21 @@ object Queries {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Sequence packing for pretraining batches: per language (the shard
+    * key), documents in doc_id order fill 2048-token sequences; output is
+    * the per-sequence occupancy (docs, tokens). Deterministic contiguous-
+    * fill assignment — a window running total and an integer floor — so the
+    * oracle compare is exact. One window shuffle + one (pre-partitioned)
+    * aggregation.
+    */
+  def q40SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+    Packing.packingSummary(d, "tok", "lang", "doc_id", 2048)
+      .select(col("lang"), col("seq_no"), col("n_docs"), col("n_tokens"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -556,7 +571,8 @@ object Queries {
     "q36_approx_aggs" -> (q36ApproxAggs _),
     "q37_ann_batch" -> (q37AnnBatch _),
     "q38_train_split" -> (q38TrainSplit _),
-    "q39_repetition" -> (q39Repetition _)
+    "q39_repetition" -> (q39Repetition _),
+    "q40_sequence_pack" -> (q40SequencePack _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -930,6 +946,19 @@ object Queries {
         |                     > 2 * len(grams) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_repetitive,
         |  COUNT(*) AS n_docs
-        |FROM g GROUP BY lang""".stripMargin
+        |FROM g GROUP BY lang""".stripMargin,
+    // contiguous-fill packing: seq_no = floor(tokens-before-doc / 2048),
+    // running total per lang in doc_id order — pure window arithmetic
+    "q40_sequence_pack" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, tok,
+        |  SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM d)
+        |SELECT lang,
+        |  CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS seq_no,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin
   )
 }

@@ -54,6 +54,19 @@ object TextFunctions {
         )
       )
 
+  /** Redact common PII shapes with typed placeholders — emails, URLs, and
+    * long digit runs (phone numbers, account ids, cards). Pure
+    * `regexp_replace` chain: codegen'd, single pass per pattern, no UDF.
+    * The pattern set is deliberately conservative (high precision); a
+    * production scrub layers locale-specific patterns on top the same way.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://\\S+", "<URL>")
+    regexp_replace(url, "\\d{9,}", "<NUMBER>")
+  }
+
   /** Punctuation-character ratio in [0,1]; 0 for empty text. */
   def punctRatio(text: Column): Column = {
     val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
