@@ -160,6 +160,29 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join (the attribution shape: left events
+    * joined to right events that occurred within `[0, withinMs]` AFTER
+    * them, e.g. impressions → clicks). Both sides carry event-time
+    * watermarks, and the join condition bounds right's time relative to
+    * left's — the two things Spark needs to know when buffered state on
+    * EITHER side can be dropped, keeping state watermark-bounded forever.
+    * At 100 TB/day both sides hash-exchange on the key; state per
+    * executor is (key-partition slice × interval), not the stream history.
+    *
+    * Column contract: both inputs must expose `keyCol`; time columns are
+    * named per side and must be TimestampType.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+                   rightTs: String, keyCol: String, watermark: String,
+                   withinMs: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinMs MILLISECONDS"))
+  }
+
   /** Streaming harmonize: consume a Co2Pipeline's change-log directory with
     * Trigger.AvailableNow and upsert each micro-batch through the same
     * MergeInto used by the batch path (foreachBatch = the exactly-once

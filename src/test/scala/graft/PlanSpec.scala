@@ -55,6 +55,23 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("q39 repetition: one scan, one shuffle, map-side partial aggregation") {
+    val p = planOf("q39_repetition")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size == 2, p) // partial + final
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("lang") && read.contains("text") && !read.contains("doc_id"), read)
+  }
+
+  test("q40 packing: window shuffles on the shard key; scan prunes to 3 columns") {
+    val p = planOf("q40_sequence_pack")
+    // the window exchange (hashpartitioning on lang) + the final group agg
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Window"), p)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!read.contains("source") && !read.contains("n_chars"), read)
+  }
+
   test("partitioned layout prunes: only the filtered partition is scanned") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("prune").toString

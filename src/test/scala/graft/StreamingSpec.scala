@@ -119,6 +119,38 @@ class StreamingSpec extends AnyFunSuite {
       rows.mkString("; "))
   }
 
+  test("intervalJoin: stream-stream attribution within the interval only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val out = Streaming.intervalJoin(
+      imps.toDF().toDF("imp_ts", "key"), "imp_ts",
+      clicks.toDF().toDF("click_ts", "key"), "click_ts",
+      "key", "10 minutes", withinMs = 600000L)
+      .select(col("l.key"), col("imp_ts"), col("click_ts"))
+    val q = out.writeStream.format("memory").queryName("ijoin")
+      .outputMode(OutputMode.Append).start()
+    imps.addData(
+      (ts("2026-01-01 10:00:00"), "a"),
+      (ts("2026-01-01 10:00:00"), "b"),
+      (ts("2026-01-01 10:00:00"), "c"))
+    clicks.addData(
+      (ts("2026-01-01 10:05:00"), "a"),  // within 10 min -> joins
+      (ts("2026-01-01 10:20:00"), "b"),  // past the interval -> dropped
+      (ts("2026-01-01 09:55:00"), "c"))  // click BEFORE impression -> dropped
+    q.processAllAvailable()
+    // advance both watermarks so results flush in Append mode
+    imps.addData((ts("2026-01-01 12:00:00"), "z"))
+    clicks.addData((ts("2026-01-01 12:00:00"), "z"))
+    q.processAllAvailable()
+    val rows = spark.table("ijoin").collect()
+    q.stop()
+    assert(rows.map(_.getString(0)).count(_ == "a") == 1)
+    assert(!rows.map(_.getString(0)).contains("b"))
+    assert(!rows.map(_.getString(0)).contains("c"))
+  }
+
   test("dedupStream drops in-watermark duplicates, keeps distinct keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
