@@ -270,29 +270,36 @@ object Dedup {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
+    // Every iteration ends in an EAGER localCheckpoint, for two reasons:
+    // (1) lineage truncation — cache() does NOT truncate the logical plan,
+    //     so an iterative join loop otherwise builds a plan that grows with
+    //     every iteration and kills the driver on analysis/explain long
+    //     before data size matters (measured: a 40-iteration chain OOMed
+    //     on plan strings alone);
+    // (2) lifecycle — checkpoint blocks belong to the RDD and are freed by
+    //     the ContextCleaner when the previous iteration's DataFrame goes
+    //     out of scope; nothing accumulates in CacheManager.
+    // The checkpoint action itself is the per-iteration job; the
+    // Observation is read after it, tallying changed labels without a
+    // second pass.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
+      .withColumn("component", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min(col("component")).as("_nbr_min"))
-      // ONE job per iteration: the new labels materialize into cache while
-      // an Observation tallies how many changed (no separate compare join)
       val obs = new org.apache.spark.sql.Observation()
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      labels = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("component").as("_old"),
           least(col("component"), coalesce(col("_nbr_min"), col("component")))
             .as("component"))
         .withColumn("_chg", (col("component") =!= col("_old")).cast("long"))
         .observe(obs, sum(col("_chg")).as("changed"))
         .drop("_old", "_chg")
-        .cache()
-      updated.count()
-      labels.unpersist()
-      labels = updated
+        .localCheckpoint(true)
       converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       i += 1
     }
@@ -301,15 +308,7 @@ object Dedup {
         s"connectedComponents: min-label propagation stopped at maxIters=$maxIters " +
           "without converging — components with diameter > maxIters are split; " +
           "raise maxIters for deep duplicate chains")
-    // hand back an EAGER localCheckpoint instead of the cached relation: a
-    // lazy operator cannot unpersist a cache its result still references
-    // (it would sit in CacheManager for the session lifetime), but
-    // checkpoint blocks are freed by the ContextCleaner when the result is
-    // garbage-collected — no explicit lifecycle needed from the caller
-    val out = labels.localCheckpoint(true)
-    labels.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    out
+    labels
   }
 
   /** MinHash-LSH dedup: drop near-duplicates, keeping exactly the smallest

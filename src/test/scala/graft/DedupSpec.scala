@@ -63,6 +63,22 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(20L) == 20L && cc(21L) == 20L)
   }
 
+  test("distributed min-label propagation equals driver union-find") {
+    import spark.implicits._
+    // deep chain (diameter 12) + a star + singleton pairs — exercises
+    // multi-iteration convergence in the distributed loop
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val star = (100L to 110L).map(i => (100L, i))
+    val pairs = (chain ++ star ++ Seq((500L, 501L))).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCluster = Dedup.connectedComponents(pairs, maxIters = 30,
+      driverEdgeLimit = 0L) // force the distributed path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCluster == viaDriver)
+    assert(viaCluster(12L) == 0L && viaCluster(110L) == 100L)
+  }
+
   test("hot bucket capped: 1k identical docs yield bounded pairs, one survivor") {
     val big = spark.range(1000).select(
       col("id").as("doc_id"),
