@@ -105,15 +105,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+    // ADD COLUMN lands as a schema-only versioned commit (old parts read
+    // NULL for the new columns); property changes land in the side meta
+    val newFields = changes.collect {
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames.length == 1,
+          "nested ADD COLUMN is not supported")
+        org.apache.spark.sql.types.StructField(
+          ac.fieldNames()(0), ac.dataType(), nullable = true)
+    }
+    if (newFields.nonEmpty) table(ident).addColumns(newFields)
     val updated = changes.foldLeft(readProps(ident)) { (props, change) =>
       change match {
+        case _: TableChange.AddColumn => props
         case sp: TableChange.SetProperty =>
           props + (sp.property -> sp.value)
         case rp: TableChange.RemoveProperty =>
           props - rp.property
         case other =>
           throw new UnsupportedOperationException(
-            s"ALTER TABLE change $other is not supported (properties/comment only)")
+            s"ALTER TABLE change $other is not supported " +
+              "(ADD COLUMN / properties / comment only)")
       }
     }
     writeProps(ident, updated)

@@ -99,6 +99,28 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     version
   }
 
+  /** Schema-only commit widening the table with new columns (ALTER TABLE
+    * ADD COLUMN semantics): no data dir is touched; reads apply the
+    * widened schema, so every existing part yields NULL for the new
+    * columns. Columns are forced nullable — there is no value to backfill.
+    */
+  def addColumns(fields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    val prev = state.getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val cur = prev.schemaDdl.map(StructType.fromDDL).getOrElse(
+      throw new IllegalStateException(
+        s"table at $root predates schema-carrying commits; rewrite it first"))
+    val resolver = spark.sessionState.analyzer.resolver
+    fields.foreach { f =>
+      require(!cur.exists(c => resolver(c.name, f.name)),
+        s"column ${f.name} already exists at $root")
+    }
+    val version = prev.version + 1
+    writeCommit(version, prev.copy(version = version,
+      schemaDdl = Some(StructType(cur ++ fields.map(_.copy(nullable = true))).toDDL)))
+    version
+  }
+
   private def ptKey(c: Column): Column =
     coalesce(c.cast("string"), lit(NULL_PT))
 
@@ -255,7 +277,25 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       case _ => prev.flatMap(_.partitionCol)
     }
     val offs = prev.map(_.offsets).getOrElse(Map.empty) ++ newOffsets
-    try writeCommit(version, State(version, pcol, parts, offs, Some(df.schema.toDDL)))
+    // Incremental commits must not let the incoming batch TIGHTEN the
+    // declared schema: a literal INSERT arrives with NOT NULL columns, but
+    // older parts (or a pre-ADD COLUMN part missing the column entirely)
+    // still hold NULLs — so merge nullability with the committed schema
+    // and force columns this batch introduced to nullable.
+    val declared = prev.flatMap(_.schemaDdl).map(StructType.fromDDL) match {
+      case Some(committed) if mode != Commit.Replace =>
+        val resolver = spark.sessionState.analyzer.resolver
+        StructType(
+          committed.map { p =>
+            val incoming = df.schema.find(f => resolver(f.name, p.name))
+            p.copy(nullable = p.nullable || incoming.forall(_.nullable))
+          } ++
+          df.schema
+            .filterNot(f => committed.exists(p => resolver(p.name, f.name)))
+            .map(_.copy(nullable = true)))
+      case _ => df.schema
+    }
+    try writeCommit(version, State(version, pcol, parts, offs, Some(declared.toDDL)))
     catch {
       case e: java.io.IOException =>
         // claim lost (or FS error): remove our orphan dir, surface the race

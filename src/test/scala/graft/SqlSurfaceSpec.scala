@@ -193,6 +193,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
       desc.mkString("; "))
   }
 
+  test("SQL ALTER TABLE ADD COLUMN: old parts read NULL, new inserts carry it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_add_").toString
+    graft.sql.GraftCatalog.register(spark, "ga", root)
+    spark.sql("CREATE NAMESPACE ga.NS")
+    spark.sql("CREATE TABLE ga.NS.T (k INT, v STRING)")
+    spark.sql("INSERT INTO ga.NS.T VALUES (1, 'a'), (2, 'b')")
+
+    spark.sql("ALTER TABLE ga.NS.T ADD COLUMN score DOUBLE")
+    // schema-only commit: no data rewritten, version advanced
+    val vt = graft.storage.VersionedTable(spark, s"$root/NS/T")
+    assert(vt.state.get.version == 3)
+    assert(vt.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+
+    // pre-evolution rows read NULL for the new column
+    val before = spark.sql("SELECT k, score FROM ga.NS.T ORDER BY k").collect()
+    assert(before.forall(_.isNullAt(1)))
+
+    // new inserts land values; mixed read is consistent
+    spark.sql("INSERT INTO ga.NS.T VALUES (3, 'c', 0.5)")
+    val rows = spark.sql("SELECT k, score FROM ga.NS.T ORDER BY k").collect()
+    assert(rows.length == 3 && rows(2).getDouble(1) == 0.5 && rows(0).isNullAt(1))
+
+    // duplicate column is rejected loudly
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE ga.NS.T ADD COLUMN v INT"))
+    assert(e.getMessage.toLowerCase.contains("exist"), e.getMessage)
+  }
+
   test("SQL ALTER TABLE RENAME and DROP TABLE against the catalog") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ddl_").toString
