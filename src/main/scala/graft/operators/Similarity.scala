@@ -239,4 +239,39 @@ object Similarity {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  // ---------------------------------------------------------------------
+  // Storage quantization
+  // ---------------------------------------------------------------------
+
+  /** Symmetric per-vector int8 quantization: `q[i] = round(x[i]/scale)`
+    * with `scale = max|x|/127` — a 4× storage cut for 100 TB embedding
+    * tables with ~0.4% worst-case per-component error. Replaces `vecCol`
+    * with `<vecCol>_q8: array<tinyint>` plus `<vecCol>_scale: float`.
+    * Stateless single scan, no shuffle; cosine ranking on the dequantized
+    * vectors is recall-tested in SimilaritySpec. An all-zero vector gets
+    * scale 0 and quantizes to zeros.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val scale = (aggregate(col(vecCol), lit(0.0f),
+      (a, x) => greatest(a, abs(x.cast("float")))) / 127f).cast("float").as("scale")
+    df.withColumn("_s", scale)
+      .withColumn(s"${vecCol}_q8",
+        when(col("_s") === 0f,
+          transform(col(vecCol), _ => lit(0).cast("byte")))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("float") / col("_s")).cast("byte"))))
+      .withColumn(s"${vecCol}_scale", col("_s"))
+      .drop("_s", vecCol)
+  }
+
+  /** Inverse of [[quantizeInt8]]: reconstruct `vecCol: array<float>` from
+    * the int8 payload and per-vector scale.
+    */
+  def dequantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol,
+      transform(col(s"${vecCol}_q8"),
+        // explicit float: Spark promotes float*float arithmetic to double
+        q => (q.cast("float") * col(s"${vecCol}_scale")).cast("float")))
+      .drop(s"${vecCol}_q8", s"${vecCol}_scale")
 }

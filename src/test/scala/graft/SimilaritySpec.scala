@@ -80,4 +80,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)))
     assert(!pairs.exists { case (a, b) => a == 102L || b == 102L })
   }
+
+  test("int8 quantization: bounded error, rank preserved, exact round-trip shape") {
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    assert(q.schema("embedding_q8").dataType.simpleString == "array<tinyint>")
+    // per-component reconstruction error <= scale/2 (+ float eps)
+    val back = Similarity.dequantizeInt8(q, "embedding")
+    val joined = back.select(col("vec_id"), col("embedding").as("deq"))
+      .join(emb.select(col("vec_id"), col("embedding").as("orig")), "vec_id")
+    val maxRel = joined.select(max(aggregate(
+      zip_with(col("deq"), col("orig"), (a, b) => abs(a - b).cast("float")),
+      lit(0.0f), (acc, x) => greatest(acc, x).cast("float")))).head.getFloat(0)
+    val maxAbs = emb.select(max(aggregate(col("embedding"), lit(0.0f),
+      (a, x) => greatest(a, abs(x))))).head.getFloat(0)
+    assert(maxRel <= maxAbs / 127f / 2f * 1.01f, s"err $maxRel vs bound")
+    // ANN over dequantized vectors keeps >= 8 of the true top-10
+    val exact = Similarity.topK(emb, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val viaQ8 = Similarity.topK(back, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(viaQ8).size >= 8, viaQ8)
+    // zero vector edge: scale 0, zeros out, zeros back
+    import spark.implicits._
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.dequantizeInt8(Similarity.quantizeInt8(z, "embedding"), "embedding")
+    assert(zq.select(col("embedding")).head.getSeq[Float](0) == Seq(0f, 0f, 0f))
+  }
 }
