@@ -528,6 +528,22 @@ object Queries {
       .select(col("lang"), col("seq_no"), col("n_docs"), col("n_tokens"))
   }
 
+  /** Document chunking (RAG / pretraining prep): 64-token windows with
+    * 8-token overlap, summarized per language — chunk counts, chunk-token
+    * mass (overlap inflates it deterministically), and the longest chunk
+    * (≤ 64 by construction; the oracle equality proves the boundary math).
+    * One scan + explode + one shuffle; all-integer outputs.
+    */
+  def q41Chunking(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        explode(TextFunctions.chunkTokens(col("text"), 64, 8)).as("chunk"))
+      .select(col("lang"), size(split(col("chunk"), " ")).as("ctok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("ctok")).cast("long").as("n_chunk_tokens"),
+        max(col("ctok")).cast("long").as("max_chunk_tokens"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -572,7 +588,8 @@ object Queries {
     "q37_ann_batch" -> (q37AnnBatch _),
     "q38_train_split" -> (q38TrainSplit _),
     "q39_repetition" -> (q39Repetition _),
-    "q40_sequence_pack" -> (q40SequencePack _)
+    "q40_sequence_pack" -> (q40SequencePack _),
+    "q41_chunking" -> (q41Chunking _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -959,6 +976,22 @@ object Queries {
         |SELECT lang,
         |  CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS seq_no,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
-        |FROM c GROUP BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // 64-token chunks, 8-token overlap (step 56); chunk i = tokens
+    // [i*56+1, i*56+64], final chunk clamps — both engines' slices clamp
+    "q41_chunking" ->
+      """WITH d AS (SELECT lang,
+        |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (SELECT lang,
+        |  unnest([array_to_string(w[i*56+1 : i*56+64], ' ')
+        |          for i in range(0, CAST(FLOOR((len(w)-1)/56.0) AS BIGINT) + 1)]) AS chunk
+        |  FROM d WHERE len(w) > 0),
+        |t AS (SELECT lang, len(string_split(chunk, ' ')) AS ctok FROM c)
+        |SELECT lang, COUNT(*) AS n_chunks,
+        |  CAST(SUM(ctok) AS BIGINT) AS n_chunk_tokens,
+        |  CAST(MAX(ctok) AS BIGINT) AS max_chunk_tokens
+        |FROM t GROUP BY lang""".stripMargin
   )
 }

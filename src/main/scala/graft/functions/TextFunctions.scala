@@ -30,6 +30,26 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Split a document into fixed-size token windows with overlap — the
+    * chunking step of RAG / pretraining prep. Chunk i covers tokens
+    * `[i·step, i·step + chunkSize)` with `step = chunkSize − overlap`;
+    * the final chunk may be short; chunks are rejoined with single spaces
+    * (tokenization is whitespace-normalized, matching [[tokenCount]]).
+    * NULL/blank text → empty array. Pure column arithmetic (no UDF), so
+    * the operation is a stateless single scan and ANSI-SQL reproducible.
+    */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((n - 1) / step).cast("int")),
+        i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkSize)))))
+  }
+
   /** Gopher-style repetition signal: the duplicated fraction of a doc's
     * word trigrams, as exact integer counts (total, distinct) so
     * aggregations over it stay bit-comparable across engines. Returns a

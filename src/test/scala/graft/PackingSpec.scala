@@ -49,6 +49,24 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkTokens: window boundaries, overlap, short docs, blank text") {
+    val toks = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq(toks, "one two", "", "   ").toDF("text")
+      .select(TextFunctions.chunkTokens(col("text"), 4, 1).as("c"))
+    val out = df.as[Seq[String]].collect()
+    // 10 tokens, size 4, step 3 -> starts at 1,4,7,10
+    assert(out(0) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(out(1) == Seq("one two")) // shorter than one chunk
+    assert(out(2).isEmpty && out(3).isEmpty)
+    // every chunk except possibly the last is exactly chunkSize tokens;
+    // consecutive chunks overlap by exactly `overlap` tokens
+    val chunks = out(0).map(_.split(" ").toSeq)
+    assert(chunks.init.forall(_.length == 4))
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.takeRight(1) == b.take(1))
+    }
+  }
+
   test("redactPii scrubs emails, urls, and long digit runs — nothing else") {
     val df = Seq(
       "contact bob.smith+x@example.co.uk today",
