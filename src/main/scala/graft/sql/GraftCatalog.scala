@@ -82,6 +82,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(table(ident), ident, readProps(ident))
   }
 
+  /** `SELECT ... FROM t VERSION AS OF <n>` — time-travel to an exact
+    * commit (the reference's Snowflake `AT (STATEMENT => ...)` shape).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+    val vt = table(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft table versions are numeric commit ids; got '$version'")
+    }
+    require(vt.stateAt(v).isDefined,
+      s"no committed version $v of ${ident.name} " +
+        s"(available: ${vt.versions.mkString(", ")})")
+    new GraftSqlTable(vt, ident, readProps(ident), asOfVersion = Some(v))
+  }
+
+  /** `SELECT ... FROM t TIMESTAMP AS OF <ts>` — Spark hands us the instant
+    * in MICROSECONDS since epoch; resolve to the newest commit at or
+    * before it (Snowflake `AT (TIMESTAMP => ...)`).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+    val vt = table(ident)
+    val v = vt.versionAt(timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit of ${ident.name} at or before timestamp $timestamp"))
+    new GraftSqlTable(vt, ident, readProps(ident), asOfVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -233,7 +264,8 @@ object GraftCatalog {
   * per SQL DELETE semantics).
   */
 final class GraftSqlTable(vt: VersionedTable, ident: Identifier,
-                          props: Map[String, String] = Map.empty)
+                          props: Map[String, String] = Map.empty,
+                          asOfVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -241,14 +273,15 @@ final class GraftSqlTable(vt: VersionedTable, ident: Identifier,
   private[graft] def versionedTable: VersionedTable = vt
 
   override def name(): String = (ident.namespace.toSeq :+ ident.name).mkString(".")
-  override def schema(): StructType = vt.schema
+  override def schema(): StructType =
+    asOfVersion.fold(vt.schema)(vt.schemaAt)
   override def properties(): util.Map[String, String] = props.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(vt)
+    new GraftScanBuilder(vt, asOfVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(vt)
@@ -270,10 +303,11 @@ final class GraftSqlTable(vt: VersionedTable, ident: Identifier,
   * SELECT shows a pruned parquet ReadSchema and PushedFilters, same as the
   * programmatic path.
   */
-final class GraftScanBuilder(vt: VersionedTable)
+final class GraftScanBuilder(vt: VersionedTable,
+                             asOfVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private val fullSchema = vt.schema
+  private val fullSchema = asOfVersion.fold(vt.schema)(vt.schemaAt)
   private var prunedSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
 
@@ -296,7 +330,7 @@ final class GraftScanBuilder(vt: VersionedTable)
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
-      val df0 = vt.read
+      val df0 = asOfVersion.fold(vt.read)(vt.readVersion)
       val filtered = pushed.flatMap(GraftScanBuilder.toColumn)
         .foldLeft(df0)((d, c) => d.filter(c))
       val relation = new BaseRelation with TableScan {

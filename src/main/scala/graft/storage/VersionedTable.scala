@@ -70,13 +70,71 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   }
 
   def read: DataFrame = state match {
-    case Some(s) if s.parts.nonEmpty => readState(s)
-    case Some(s) if s.schemaDdl.isDefined =>
+    case Some(s) => readCommitted(s)
+    case _ =>
+      throw new IllegalStateException(s"table at $root has no committed data")
+  }
+
+  private def readCommitted(s: State): DataFrame =
+    if (s.parts.nonEmpty) readState(s)
+    else if (s.schemaDdl.isDefined)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(s.schemaDdl.get))
-    case _ =>
+    else
       throw new IllegalStateException(s"table at $root has no committed data")
+
+  /** All committed versions, ascending. The commit log is append-only, so
+    * this is one O(#versions) directory listing ([[vacuum]] trims it).
+    */
+  def versions: Seq[Long] = {
+    if (!fs.exists(commitsDir)) return Seq.empty
+    fs.listStatus(commitsDir).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  /** The committed state at an exact version — the time-travel anchor.
+    * None if that version was never committed or was [[vacuum]]ed away.
+    */
+  def stateAt(version: Long): Option[State] = {
+    val p = new Path(commitsDir, f"$version%08d.json")
+    if (fs.exists(p)) Some(parseState(readString(p))) else None
+  }
+
+  /** Time-travel read (`VERSION AS OF`): table contents exactly as commit
+    * `version` left them. Snapshot isolation is free — a commit never
+    * mutates an existing data dir, so the old version's part list stays
+    * valid until [[vacuum]] reclaims it.
+    */
+  def readVersion(version: Long): DataFrame = stateAt(version) match {
+    case Some(s) => readCommitted(s)
+    case None =>
+      val vs = versions
+      throw new IllegalArgumentException(
+        s"no committed version $version at $root" +
+          (if (vs.isEmpty) "" else s" (available: ${vs.min}..${vs.max})"))
+  }
+
+  /** Committed schema as of `version` (metadata only, no data files). */
+  def schemaAt(version: Long): StructType = stateAt(version) match {
+    case Some(s) if s.schemaDdl.isDefined => StructType.fromDDL(s.schemaDdl.get)
+    case Some(s) if s.parts.nonEmpty => readState(s).schema
+    case _ => throw new IllegalArgumentException(
+      s"no committed schema for version $version at $root")
+  }
+
+  /** Latest version whose commit landed at or before `tsMillis`
+    * (`TIMESTAMP AS OF`). Uses the commit file's own modification time —
+    * the atomic-claim create IS the commit instant.
+    */
+  def versionAt(tsMillis: Long): Option[Long] = {
+    if (!fs.exists(commitsDir)) return None
+    val cands = fs.listStatus(commitsDir)
+      .filter(_.getPath.getName.endsWith(".json"))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripSuffix(".json").toLong)
+    if (cands.isEmpty) None else Some(cands.max)
   }
 
   /** Committed schema without opening data files (every commit records its
@@ -194,11 +252,61 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     commit(df, Commit.ReplacePartitions(partitionCol), offsets)
   }
 
+  /** Small-file compaction (OPTIMIZE): rewrite the table's LIVE rows into
+    * one fresh part — partition-clustered (one file per live partition
+    * value) when the table is partitioned. Contents, schema, and offsets
+    * are unchanged; readers of older versions are untouched (old parts
+    * stay on disk for time travel until [[vacuum]]). The cure for
+    * commit-heavy tables: N appends = N part dirs = N× file-listing and
+    * task-scheduling overhead per read, collapsed back to 1.
+    */
+  def compact(): Long = {
+    val s = state.getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    require(s.parts.nonEmpty, s"table at $root has no data to compact")
+    val pcol = s.partitionCol.filter(_ => s.parts.exists(_.vals.nonEmpty))
+    commit(read, Commit.Rewrite(pcol), Map.empty)
+  }
+
+  /** Reclaim storage: delete data dirs and commit files unreachable from
+    * the newest `retainLast` commits. Time travel to vacuumed versions
+    * stops working (that is the trade — same contract as Delta's VACUUM).
+    * Safe against races: only dirs whose embedded version number predates
+    * the retained window AND that no retained commit references are
+    * deleted, so an in-flight writer's uncommitted dir (which always
+    * carries a version newer than the latest commit) is never touched.
+    * Returns the names of the deleted data dirs.
+    */
+  def vacuum(retainLast: Int = 2): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val vs = versions
+    if (vs.isEmpty) return Seq.empty
+    val retained = vs.takeRight(retainLast)
+    val keep = retained.flatMap(stateAt).flatMap(_.parts.map(_.dir)).toSet
+    val floor = retained.head
+    val dirPat = """v_(\d{8})_.*""".r
+    val victims = fs.listStatus(new Path(root)).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case d @ dirPat(v) if v.toLong < floor && !keep(d) => d }
+      .toSeq.sorted
+    victims.foreach(d => fs.delete(new Path(root, d), true))
+    vs.dropRight(retainLast).foreach { v =>
+      fs.delete(new Path(commitsDir, f"$v%08d.json"), false)
+    }
+    victims
+  }
+
   private sealed trait CommitMode
   private object Commit {
     case object Replace extends CommitMode
     case object Append extends CommitMode
     case class ReplacePartitions(col: String) extends CommitMode
+    /** Same-contents rewrite (compaction): the new part REPLACES the whole
+      * parts list — unlike ReplacePartitions, nothing stays referenced —
+      * but keeps the partition-clustered dir layout when `col` is set and
+      * the declared schema verbatim.
+      */
+    case class Rewrite(col: Option[String]) extends CommitMode
   }
 
   /** Reads apply the LATEST commit's schema to ALL parts (see
@@ -240,40 +348,45 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val dataDir = s"$root/$partName"
 
+    def writePartitioned(pcol: String): Option[Part] = {
+      require(df.columns.contains(pcol), s"missing partition column $pcol")
+      // cluster rows by partition value before the dynamic-partition
+      // write: each value lands in one task → one file per partition
+      // instead of (tasks × values) small files
+      df.withColumn(PT, ptKey(col(pcol)))
+        .repartition(col(PT))
+        .write.partitionBy(PT).mode("overwrite").parquet(dataDir)
+      // the values this part contains = the hive dirs it produced (an FS
+      // listing, no extra Spark job). Stored RAW (hive-escaped) so read
+      // can reconstruct the subdir paths verbatim.
+      val vals = fs.listStatus(new Path(dataDir)).map(_.getPath.getName)
+        .filter(_.startsWith(s"$PT="))
+        .map(_.stripPrefix(s"$PT="))
+        .toSeq.sorted
+      if (vals.isEmpty) {
+        // dynamic partitionBy of an EMPTY batch writes no data files at
+        // all — referencing the dir would make every later read fail, so
+        // commit version + offsets with the parts unchanged instead
+        fs.delete(new Path(dataDir), true)
+        None
+      } else Some(Part(partName, vals))
+    }
+
     val newPart = mode match {
-      case Commit.ReplacePartitions(pcol) =>
-        require(df.columns.contains(pcol), s"missing partition column $pcol")
-        // cluster rows by partition value before the dynamic-partition
-        // write: each value lands in one task → one file per partition
-        // instead of (tasks × values) small files
-        df.withColumn(PT, ptKey(col(pcol)))
-          .repartition(col(PT))
-          .write.partitionBy(PT).mode("overwrite").parquet(dataDir)
-        // the values this part contains = the hive dirs it produced (an FS
-        // listing, no extra Spark job). Stored RAW (hive-escaped) so read
-        // can reconstruct the subdir paths verbatim.
-        val vals = fs.listStatus(new Path(dataDir)).map(_.getPath.getName)
-          .filter(_.startsWith(s"$PT="))
-          .map(_.stripPrefix(s"$PT="))
-          .toSeq.sorted
-        if (vals.isEmpty) {
-          // dynamic partitionBy of an EMPTY batch writes no data files at
-          // all — referencing the dir would make every later read fail, so
-          // commit version + offsets with the parts unchanged instead
-          fs.delete(new Path(dataDir), true)
-          None
-        } else Some(Part(partName, vals))
+      case Commit.ReplacePartitions(pcol) => writePartitioned(pcol)
+      case Commit.Rewrite(Some(pcol)) => writePartitioned(pcol)
       case _ =>
         df.write.mode("overwrite").parquet(dataDir)
         Some(Part(partName, Seq.empty))
     }
 
     val parts = (mode, newPart) match {
-      case (Commit.Replace, _) => newPart.toSeq
+      case (Commit.Replace | Commit.Rewrite(_), _) => newPart.toSeq
       case (_, p) => prev.map(_.parts).getOrElse(Seq.empty) ++ p.toSeq
     }
     val pcol = mode match {
       case Commit.ReplacePartitions(c) => Some(c)
+      case Commit.Rewrite(c) => c.orElse(prev.flatMap(_.partitionCol))
       case _ => prev.flatMap(_.partitionCol)
     }
     val offs = prev.map(_.offsets).getOrElse(Map.empty) ++ newOffsets
@@ -282,8 +395,11 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     // older parts (or a pre-ADD COLUMN part missing the column entirely)
     // still hold NULLs — so merge nullability with the committed schema
     // and force columns this batch introduced to nullable.
-    val declared = prev.flatMap(_.schemaDdl).map(StructType.fromDDL) match {
-      case Some(committed) if mode != Commit.Replace =>
+    val declared = (mode, prev.flatMap(_.schemaDdl).map(StructType.fromDDL)) match {
+      // compaction re-lands the table's own rows: keep the declared schema
+      // verbatim (the relaxed-nullable read schema must not erode it)
+      case (Commit.Rewrite(_), Some(committed)) => committed
+      case (m, Some(committed)) if m != Commit.Replace =>
         val resolver = spark.sessionState.analyzer.resolver
         StructType(
           committed.map { p =>

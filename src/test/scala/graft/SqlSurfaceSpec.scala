@@ -111,6 +111,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT answer FROM g1.NS.T2").head.getInt(0) == 42)
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF hit exact commits") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+    graft.sql.GraftCatalog.register(spark, "gtt", root)
+    spark.sql("CREATE NAMESPACE gtt.NS")
+    spark.sql("CREATE TABLE gtt.NS.T (k INT, v STRING)")          // version 1
+    spark.sql("INSERT INTO gtt.NS.T VALUES (1, 'a')")             // version 2
+    spark.sql("INSERT INTO gtt.NS.T VALUES (2, 'b')")             // version 3
+    spark.sql("INSERT OVERWRITE gtt.NS.T VALUES (9, 'z')")        // version 4
+
+    def rows(q: String): Set[Int] =
+      spark.sql(q).collect().map(_.getInt(0)).toSet
+    assert(rows("SELECT k FROM gtt.NS.T") == Set(9))
+    assert(rows("SELECT k FROM gtt.NS.T VERSION AS OF 3") == Set(1, 2))
+    assert(rows("SELECT k FROM gtt.NS.T VERSION AS OF 2") == Set(1))
+    assert(rows("SELECT k FROM gtt.NS.T VERSION AS OF 1") == Set.empty[Int])
+    val e = intercept[Exception](
+      spark.sql("SELECT k FROM gtt.NS.T VERSION AS OF 42").collect())
+    assert(e.getMessage.contains("42"))
+    // TIMESTAMP AS OF "now" resolves to the latest commit
+    assert(rows("SELECT k FROM gtt.NS.T TIMESTAMP AS OF current_timestamp()") == Set(9))
+    // a filtered time-travel read still prunes/pushes like any other scan
+    assert(rows("SELECT k FROM gtt.NS.T VERSION AS OF 3 WHERE k > 1") == Set(2))
+  }
+
   test("GraftCatalog reads prune columns and push filters into the table scan") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cat2_").toString

@@ -35,6 +35,65 @@ class StorageSpec extends AnyFunSuite {
     assert(t.offsets == Map("feedA" -> 6L, "feedB" -> 1L))
   }
 
+  test("time travel: readVersion reproduces every commit; versionAt resolves instants") {
+    val t = VersionedTable(spark, tmp() + "/tt")
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    assert(t.versions == Seq(1L, 2L, 3L))
+    assert(t.readVersion(1).as[(Int, String)].collect().toSet == Set((1, "a")))
+    assert(t.readVersion(2).as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    assert(t.readVersion(3).count() == 3 && t.read.count() == 3)
+    val e = intercept[IllegalArgumentException](t.readVersion(99))
+    assert(e.getMessage.contains("available: 1..3"))
+    assert(t.versionAt(System.currentTimeMillis() + 60000).contains(3L))
+    assert(t.versionAt(0L).isEmpty)
+    assert(t.schemaAt(1).fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("compact collapses live parts to one; vacuum reclaims only unreferenced history") {
+    val root = tmp() + "/opt"
+    val t = VersionedTable(spark, root)
+    t.overwritePartitions(Seq((2020, 1, "a"), (2021, 2, "b")).toDF("yr", "k", "v"), "yr")
+    t.overwritePartitions(Seq((2021, 2, "B"), (2022, 3, "c")).toDF("yr", "k", "v"), "yr")
+    t.append(Seq((2023, 4, "d")).toDF("yr", "k", "v"))
+    val before = t.read.as[(Int, Int, String)].collect().toSet
+    assert(before == Set((2020, 1, "a"), (2021, 2, "B"), (2022, 3, "c"), (2023, 4, "d")))
+    val preCompact = t.state.get.version
+
+    val cv = t.compact()
+    assert(t.state.get.parts.size == 1, "compaction must leave ONE referenced part")
+    assert(t.state.get.parts.head.vals.sorted == Seq("2020", "2021", "2022", "2023"),
+      "compaction keeps the partition-clustered layout")
+    assert(t.read.as[(Int, Int, String)].collect().toSet == before)
+    assert(t.readVersion(preCompact).as[(Int, Int, String)].collect().toSet == before,
+      "pre-compaction versions stay readable until vacuum")
+
+    val deleted = t.vacuum(retainLast = 1)
+    assert(deleted.size == 3, s"three obsolete data dirs, got $deleted")
+    assert(t.versions == Seq(cv), "old commit files trimmed")
+    assert(t.read.as[(Int, Int, String)].collect().toSet == before)
+    intercept[IllegalArgumentException](t.readVersion(preCompact))
+    // on-disk dirs = exactly the one referenced part (+ _commits)
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left == Set("_commits", t.state.get.parts.head.dir))
+  }
+
+  test("vacuum keeps dirs referenced by retained commits; schema survives compaction") {
+    val t = VersionedTable(spark, tmp() + "/vac")
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"))   // v2 references BOTH dirs
+    val deleted = t.vacuum(retainLast = 1)
+    assert(deleted.isEmpty, "append-chain parts are all live — nothing to reclaim")
+    assert(t.read.count() == 2)
+    // declared schema is preserved verbatim through compact (not relaxed)
+    val ddlBefore = t.state.get.schemaDdl
+    t.compact()
+    assert(t.state.get.schemaDdl == ddlBefore)
+    assert(t.vacuum(retainLast = 1).size == 2)
+    assert(t.read.count() == 2)
+  }
+
   test("ChangeFeed: publish/pending/hasData with metadata columns") {
     val f = ChangeFeed(spark, "S", tmp() + "/feed")
     assert(!f.hasData(0))
