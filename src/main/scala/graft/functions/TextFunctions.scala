@@ -55,10 +55,11 @@ object TextFunctions {
     * aggregations over it stay bit-comparable across engines. Returns a
     * struct `(n_grams, n_distinct)`.
     */
-  def trigramRepetition(text: Column): Column = {
-    val g = wordNgrams(text, 3)
-    struct(size(g).as("n_grams"), size(array_distinct(g)).as("n_distinct"))
-  }
+  def trigramRepetition(text: Column): Column =
+    // fused one-pass kernel (expressions.TrigramStats); NULL text keeps the
+    // column formulation's (0, 0) rather than propagating null
+    coalesce(graft.plans.expressions.trigramStats(text),
+      struct(lit(0).as("n_grams"), lit(0).as("n_distinct")))
 
   /** Approximate BPE-ish subword count: words plus extra tokens for long
     * words (roughly 1 token per 4 chars beyond the first 4), mirroring the

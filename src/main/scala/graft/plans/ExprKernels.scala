@@ -16,6 +16,34 @@ object ExprKernels {
     h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33); h
   }
 
+  /** Fused word-trigram repetition stats: `(n_grams, n_distinct)` in ONE
+    * pass — replaces materializing the trigram string array twice (once
+    * under `size`, once under `array_distinct`). Token semantics are
+    * bit-compatible with `split(lower(trim(text)), "\s+")` at Spark's
+    * default limit -1: SQL trim strips 0x20 only, so an edge tab still
+    * yields an empty token, exactly like the column formulation (and the
+    * DuckDB oracle). Distinctness is over the literal space-joined trigram
+    * strings — no hashing, so no collision caveat on the exactness gate.
+    */
+  def trigramStats(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.trim.toLowerCase.toString
+    val toks = s.split("\\s+", -1)
+    val n = toks.length - 2
+    if (n <= 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0, 0)
+    val seen = new java.util.HashSet[String](Integer.highestOneBit(n) * 2)
+    var d = 0
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+      if (seen.add(sb.toString)) d += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, d)
+  }
+
   def simhash64(u: UTF8String): Long = {
     val s = u.toString
     val counts = new Array[Int](64)

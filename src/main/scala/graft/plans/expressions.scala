@@ -200,6 +200,23 @@ object expressions {
     override def prettyName: String = "text_stats"
   }
 
+  /** Word-trigram repetition counts (Gopher-style duplicated-fraction
+    * signal) in one fused scan — see [[ExprKernels.trigramStats]] for the
+    * exact token/distinctness contract. Codegen'd: one static call, stays
+    * inside the whole-stage span.
+    */
+  case class TrigramStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false)))
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.trigramStats(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.trigramStats($c)")
+    override protected def withNewChildInternal(c: Expression): TrigramStats = copy(child = c)
+    override def prettyName: String = "trigram_stats"
+  }
+
   /** Entire composite quality score in ONE text scan, Spark-ROUND HALF_UP
     * at 4 dp — mirrors TextFunctions.qualityScoreFromStats term by term so
     * the DuckDB oracle stays bit-exact.
@@ -244,6 +261,7 @@ object expressions {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
 
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def trigramStats(c: Column): Column = col(TrigramStats(ex(c)))
   def md5SimHash60(c: Column): Column = col(Md5SimHash60(ex(c)))
   def minhashSig(c: Column, k: Int): Column = col(MinHashSig(ex(c), k))
   def minhashText(c: Column, shingleSize: Int, k: Int): Column =

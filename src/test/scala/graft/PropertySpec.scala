@@ -99,6 +99,42 @@ class PropertySpec extends AnyFunSuite {
     assert(fps.distinct.length == fps.length)
   }
 
+  test("TrigramStats kernel == size/array_distinct column spec over adversarial strings") {
+    // q39's oracle depends on the fused kernel reproducing the column
+    // formulation exactly: repeated trigrams, whitespace-edge empty tokens,
+    // unicode case-folding under lower(), and short/blank/null docs.
+    val token: Gen[String] = Gen.oneOf(
+      Gen.oneOf("a", "b", "c"), // tiny alphabet → real duplicate trigrams
+      Gen.oneOf("Größe", "naïve", "ÉLAN", "日本語", "x!?"))
+    val sep: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val text: Gen[String] = for {
+      k <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(k, token)
+      seps <- Gen.listOfN(k, sep)
+      lead <- Gen.oneOf("", " ", "\t")
+      tail <- Gen.oneOf("", " ", "\n")
+    } yield lead + toks.zip(seps).map { case (t, s) => t + s }.mkString + tail
+    val docs = (samples(text) ++ Seq("", " ", "\t\n", "a b", "a b a b a b a b")).distinct
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .union(Seq((-1L, null.asInstanceOf[String])).toDF("id", "text"))
+
+    val g = {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      when(col("text").isNull || size(toks) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+    }
+    val spec = df.select(col("id"), size(g).as("n"), size(array_distinct(g)).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val fused = df.select(col("id"),
+        TextFunctions.trigramRepetition(col("text")).as("r"))
+      .select(col("id"), col("r.n_grams"), col("r.n_distinct"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(fused == spec)
+    assert(spec.values.exists { case (n, d) => n > d && n > 0 },
+      "generator must produce real duplicated trigrams")
+  }
+
   test("md5SimHash60 kernel == SQL-expression spec over adversarial strings") {
     // The q24 oracle depends on the kernel reproducing the ANSI-SQL
     // formulation bit-for-bit, INCLUDING tokenization edge cases: leading/
