@@ -544,6 +544,22 @@ object Queries {
         sum(col("ctok")).cast("long").as("n_chunk_tokens"),
         max(col("ctok")).cast("long").as("max_chunk_tokens"))
 
+  /** Benchmark decontamination audit: documents with doc_id % 100 == 0
+    * stand in as the "benchmark" set; any document sharing an 8-token
+    * n-gram with one of them is contaminated (exact string membership,
+    * GPT-3/Pile-style). Corpus side never shuffles — the benchmark gram
+    * set broadcasts into a LEFT SEMI join.
+    */
+  def q42Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+    operators.Decontaminate.flagged(docs, bench, "doc_id", "text", 8)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_contaminated"), 1L).otherwise(0L))
+          .cast("long").as("n_contaminated"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -589,7 +605,8 @@ object Queries {
     "q38_train_split" -> (q38TrainSplit _),
     "q39_repetition" -> (q39Repetition _),
     "q40_sequence_pack" -> (q40SequencePack _),
-    "q41_chunking" -> (q41Chunking _)
+    "q41_chunking" -> (q41Chunking _),
+    "q42_decontaminate" -> (q42Decontaminate _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -992,6 +1009,26 @@ object Queries {
         |SELECT lang, COUNT(*) AS n_chunks,
         |  CAST(SUM(ctok) AS BIGINT) AS n_chunk_tokens,
         |  CAST(MAX(ctok) AS BIGINT) AS max_chunk_tokens
-        |FROM t GROUP BY lang""".stripMargin
+        |FROM t GROUP BY lang""".stripMargin,
+    // 8-gram overlap vs the doc_id%100==0 "benchmark" subset; gram i covers
+    // tokens [i+1, i+8] of split(lower(trim(text)), '\s+') — mirrors
+    // TextFunctions.wordNgrams exactly (docs under 8 tokens contribute none)
+    "q42_decontaminate" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+        |       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest([array_to_string(w[i+1 : i+8], ' ')
+        |          for i in range(0, len(w) - 7)]) AS gram
+        |  FROM w WHERE len(w) >= 8),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM g
+        |        WHERE gram IN (SELECT gram FROM bg))
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated
+        |FROM documents d LEFT JOIN bad b USING (doc_id)
+        |GROUP BY d.lang""".stripMargin
   )
 }
