@@ -560,6 +560,19 @@ object Queries {
           .cast("long").as("n_contaminated"))
   }
 
+  /** Deterministic corpus shuffle audit: 8-shard reproducible permutation
+    * of documents, summarized per shard by size, the doc at position 0,
+    * and a permutation fingerprint `sum(doc_id * pos)` — equality with
+    * the oracle pins the ENTIRE per-shard ordering, not just membership.
+    */
+  def q43Shuffle(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling
+      .shuffleDeterministic(t(s, dir, "documents"), "doc_id", 42L, 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("pos") === 0, col("doc_id"))).as("first_doc"),
+        sum(col("doc_id") * col("pos")).cast("long").as("perm_fp"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -606,7 +619,8 @@ object Queries {
     "q39_repetition" -> (q39Repetition _),
     "q40_sequence_pack" -> (q40SequencePack _),
     "q41_chunking" -> (q41Chunking _),
-    "q42_decontaminate" -> (q42Decontaminate _)
+    "q42_decontaminate" -> (q42Decontaminate _),
+    "q43_shuffle" -> (q43Shuffle _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1029,6 +1043,22 @@ object Queries {
         |  CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_contaminated
         |FROM documents d LEFT JOIN bad b USING (doc_id)
-        |GROUP BY d.lang""".stripMargin
+        |GROUP BY d.lang""".stripMargin,
+    // md5('42:' || id) permutation key; shard = 60-bit prefix mod 8 (pmod);
+    // pos ranks (key, id) within the shard — identical total order in both
+    // engines, so sum(doc_id*pos) pins the permutation exactly
+    "q43_shuffle" ->
+      """WITH s AS (SELECT doc_id,
+        |  md5('42:' || CAST(doc_id AS VARCHAR)) AS key,
+        |  (CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |     % 8 + 8) % 8 AS shard
+        |  FROM documents),
+        |p AS (SELECT shard, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS pos
+        |  FROM s)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  MIN(CASE WHEN pos = 0 THEN doc_id END) AS first_doc,
+        |  CAST(SUM(doc_id * pos) AS BIGINT) AS perm_fp
+        |FROM p GROUP BY shard""".stripMargin
   )
 }

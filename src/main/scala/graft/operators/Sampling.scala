@@ -54,4 +54,31 @@ object Sampling {
     require(fraction > 0 && fraction <= 1, "fraction in (0,1]")
     df.filter(hashBucket(col(idCol)) < math.round(fraction * BUCKETS))
   }
+
+  /** Deterministic global shuffle — the pre-training corpus permutation.
+    * Adds `shard` (which of `numShards` output shards the row lands in)
+    * and `pos` (its 0-based position within the shard), both pure
+    * functions of (seed, id): re-running the job, changing parallelism, or
+    * reordering the input never moves a row. The permutation key is
+    * `md5(seed || ':' || id)` — engine-stable and therefore
+    * oracle-reproducible in ANSI SQL.
+    *
+    * Scale shape: ONE hash exchange on `shard` (the shuffle is the point
+    * of the operator), then each shard ranks independently — no global
+    * sort, no single-partition window. With ids distinct, (key, id)
+    * ordering is total, so `pos` is unambiguous even under md5 ties.
+    */
+  def shuffleDeterministic(df: DataFrame, idCol: String,
+                           seed: Long, numShards: Int): DataFrame = {
+    require(numShards > 0, "need at least one shard")
+    val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 15), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col(idCol))) - 1)
+  }
 }

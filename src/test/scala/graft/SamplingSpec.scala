@@ -48,4 +48,30 @@ class SamplingSpec extends AnyFunSuite {
     val b = Sampling.splitByHash(docs, "doc_id", Seq("train" -> 0.9, "val" -> 1.0))
     assert(a.select("doc_id", "split").except(b.select("doc_id", "split")).isEmpty)
   }
+
+  test("shuffleDeterministic: a real permutation, stable across runs and input order") {
+    val out = Sampling.shuffleDeterministic(docs, "doc_id", 7L, 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
+    assert(out.length == docs.count())
+    // pos is a dense 0..n-1 sequence within every shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length))
+    }
+    // pure function of (seed, id): input order is irrelevant
+    val reversed = Sampling.shuffleDeterministic(
+        docs.orderBy(org.apache.spark.sql.functions.desc("doc_id")), "doc_id", 7L, 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
+    assert(out.toSet == reversed.toSet)
+    // a different seed produces a different permutation
+    val other = Sampling.shuffleDeterministic(docs, "doc_id", 8L, 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
+    assert(out.toSet != other.toSet)
+    // and it is not the identity order: some shard's positions differ from
+    // ascending doc_id order
+    val byShard = out.groupBy(_._2).values
+    assert(byShard.exists { rows =>
+      val inPosOrder = rows.sortBy(_._3).map(_._1).toSeq
+      inPosOrder != inPosOrder.sorted
+    })
+  }
 }
