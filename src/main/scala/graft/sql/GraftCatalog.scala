@@ -8,9 +8,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.sources
@@ -40,7 +42,8 @@ import graft.storage.VersionedTable
   * through a V1Write bridge that lands an atomic [[VersionedTable]] commit
   * — INSERT INTO appends a part, INSERT OVERWRITE / TRUNCATE replaces.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -232,6 +235,84 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
     fs.mkdirs(new Path((Seq(root) ++ namespace.toSeq).mkString("/")))
+  }
+
+  // --------------------------------------------------------- procedures --
+  // Table-maintenance verbs that have no ANSI DML shape, exposed through
+  // the DSv2 procedure surface (Spark 4 `CALL`):
+  //   CALL <cat>.system.compact(table => 'NS.T')        → new version
+  //   CALL <cat>.system.vacuum('NS.T', retain_last => 2) → reclaim stats
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array("compact", "vacuum").map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    ident.name.toLowerCase match {
+      case "compact" => new CompactProcedure
+      case "vacuum"  => new VacuumProcedure
+      case other => throw new IllegalArgumentException(
+        s"catalog $catalogName has no procedure '$other' (compact, vacuum)")
+    }
+
+  private def resolveVt(qualified: String): VersionedTable = {
+    val parts = qualified.split("\\.").filter(_.nonEmpty)
+    require(parts.length >= 2,
+      s"procedure table argument must be namespace-qualified, got '$qualified'")
+    val id = Identifier.of(parts.init, parts.last)
+    if (!tableExists(id))
+      throw new NoSuchTableException(Seq(catalogName) ++ parts.toSeq)
+    table(id)
+  }
+
+  private def singleRowScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }).iterator()
+
+  private abstract class MaintenanceProcedure
+      extends procedures.UnboundProcedure with procedures.BoundProcedure {
+    override def bind(inputType: StructType): procedures.BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private final class CompactProcedure extends MaintenanceProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "rewrite a graft table's live rows into one part (OPTIMIZE)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("table", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val version = resolveVt(input.getUTF8String(0).toString).compact()
+      singleRowScan(
+        StructType(Seq(org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+        InternalRow(version))
+    }
+  }
+
+  private final class VacuumProcedure extends MaintenanceProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "reclaim data dirs unreachable from the newest retain_last commits"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter
+          .in("table", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("retain_last", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("2").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val deleted = resolveVt(input.getUTF8String(0).toString)
+        .vacuum(retainLast = input.getInt(1))
+      singleRowScan(
+        StructType(Seq(org.apache.spark.sql.types.StructField("deleted_dirs",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+        InternalRow(deleted.size))
+    }
   }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =

@@ -135,6 +135,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows("SELECT k FROM gtt.NS.T VERSION AS OF 3 WHERE k > 1") == Set(2))
   }
 
+  test("CALL system.compact / system.vacuum maintain tables from SQL") {
+    val root = java.nio.file.Files.createTempDirectory("graft_proc_").toString
+    graft.sql.GraftCatalog.register(spark, "gp", root)
+    spark.sql("CREATE NAMESPACE gp.NS")
+    spark.sql("CREATE TABLE gp.NS.T (k INT, v STRING)")          // version 1
+    spark.sql("INSERT INTO gp.NS.T VALUES (1, 'a')")
+    spark.sql("INSERT INTO gp.NS.T VALUES (2, 'b')")
+    spark.sql("INSERT INTO gp.NS.T VALUES (3, 'c')")             // version 4
+    val vt = graft.storage.VersionedTable(spark, s"$root/NS/T")
+    assert(vt.state.get.parts.size == 3)
+
+    val v = spark.sql("CALL gp.system.compact(table => 'NS.T')").head.getLong(0)
+    assert(v == 5 && vt.state.get.parts.size == 1)
+    assert(spark.sql("SELECT count(*) FROM gp.NS.T").head.getLong(0) == 3)
+
+    val deleted = spark.sql("CALL gp.system.vacuum('NS.T', retain_last => 1)")
+      .head.getInt(0)
+    assert(deleted == 3, "the three pre-compaction append dirs are reclaimed")
+    assert(spark.sql("SELECT count(*) FROM gp.NS.T").head.getLong(0) == 3)
+    // default retain_last keeps history: nothing more to delete either way
+    assert(spark.sql("CALL gp.system.vacuum('NS.T')").head.getInt(0) == 0)
+
+    val err = intercept[Exception](spark.sql("CALL gp.system.nope('NS.T')"))
+    assert(err.getMessage.toLowerCase.contains("nope"))
+  }
+
   test("GraftCatalog reads prune columns and push filters into the table scan") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cat2_").toString
