@@ -245,15 +245,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("compact", "vacuum").map(Identifier.of(Array("system"), _))
+      Array("compact", "vacuum", "clone").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name.toLowerCase match {
       case "compact" => new CompactProcedure
       case "vacuum"  => new VacuumProcedure
+      case "clone"   => new CloneProcedure
       case other => throw new IllegalArgumentException(
-        s"catalog $catalogName has no procedure '$other' (compact, vacuum)")
+        s"catalog $catalogName has no procedure '$other' (compact, vacuum, clone)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -312,6 +313,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         StructType(Seq(org.apache.spark.sql.types.StructField("deleted_dirs",
           org.apache.spark.sql.types.IntegerType, nullable = false))),
         InternalRow(deleted.size))
+    }
+  }
+
+  private final class CloneProcedure extends MaintenanceProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "zero-copy clone: CALL <cat>.system.clone('NS.SRC', 'NS.DST') — " +
+        "O(1) metadata commit, Snowflake CREATE TABLE ... CLONE semantics"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter
+          .in("source", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("target", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = resolveVt(input.getUTF8String(0).toString)
+      val tgtName = input.getUTF8String(1).toString
+      val parts = tgtName.split("\\.").filter(_.nonEmpty)
+      require(parts.length >= 2,
+        s"clone target must be namespace-qualified, got '$tgtName'")
+      val tgtId = Identifier.of(parts.init, parts.last)
+      if (tableExists(tgtId))
+        throw new TableAlreadyExistsException(
+          Seq(catalogName) ++ parts.toSeq)
+      fs.mkdirs(new Path(dirFor(tgtId)).getParent)
+      val cloned = src.cloneTo(dirFor(tgtId))
+      singleRowScan(
+        StructType(Seq(org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+        InternalRow(cloned.state.get.version))
     }
   }
 

@@ -58,6 +58,13 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def commitsDir = new Path(root, "_commits")
 
+  /** Parts written by this table are root-relative names; a zero-copy
+    * [[cloneTo]] commit references the SOURCE table's dirs as absolute
+    * paths (starting with '/' or a URI scheme).
+    */
+  private def partPath(dir: String): String =
+    if (dir.startsWith("/") || dir.contains("://")) dir else s"$root/$dir"
+
   def exists: Boolean = fs.exists(commitsDir) && state.isDefined
 
   def state: Option[State] = {
@@ -199,7 +206,7 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   private def readState(s: State): DataFrame = {
     val anyPartitioned = s.parts.exists(_.vals.nonEmpty)
     if (!anyPartitioned)
-      return parquetRead(s, s.parts.map(p => s"$root/${p.dir}"))
+      return parquetRead(s, s.parts.map(p => partPath(p.dir)))
     val pcol = s.partitionCol.getOrElse(
       throw new IllegalStateException(s"partitioned parts but no partcol at $root"))
     // Later parts shadow earlier ones. Partitioned parts are pruned by PATH
@@ -212,12 +219,12 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       if (p.vals.nonEmpty) {
         val live = p.vals.filterNot(shadowed)
         if (live.isEmpty) null
-        else parquetRead(s, live.map(v => s"$root/${p.dir}/$PT=$v"))
+        else parquetRead(s, live.map(v => s"${partPath(p.dir)}/$PT=$v"))
       } else if (shadowed.isEmpty) {
-        parquetRead(s, Seq(s"$root/${p.dir}"))
+        parquetRead(s, Seq(partPath(p.dir)))
       } else {
         val vals = shadowed.toSeq.map(hiveUnescape)
-        parquetRead(s, Seq(s"$root/${p.dir}"))
+        parquetRead(s, Seq(partPath(p.dir)))
           .filter(not(ptKey(col(pcol)).isin(vals: _*)))
       }
     }.filter(_ != null)
@@ -294,6 +301,27 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       fs.delete(new Path(commitsDir, f"$v%08d.json"), false)
     }
     victims
+  }
+
+  /** Zero-copy clone (Snowflake `CREATE TABLE ... CLONE` semantics): the
+    * target's first commit references THIS table's current data dirs by
+    * ABSOLUTE path — no data moves, O(1) metadata, snapshot-isolated from
+    * the source's future commits. The clone then evolves independently:
+    * its own commits land under its own root. Hazard (same contract as
+    * Delta shallow clone): vacuuming the SOURCE can reclaim dirs the
+    * clone still references — `clone.compact()` materializes independence.
+    * The clone's own [[vacuum]] never touches source dirs (absolute refs
+    * never match the local `v_########_*` victim pattern).
+    */
+  def cloneTo(targetRoot: String): VersionedTable = {
+    val s = state.getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    val tgt = new VersionedTable(spark, targetRoot)
+    require(!tgt.exists, s"clone target $targetRoot already exists")
+    val absParts = s.parts.map(p => tgt.Part(partPath(p.dir), p.vals))
+    tgt.writeCommit(1L,
+      tgt.State(1L, s.partitionCol, absParts, s.offsets, s.schemaDdl))
+    tgt
   }
 
   private sealed trait CommitMode

@@ -72,6 +72,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("source") && !read.contains("n_chars"), read)
   }
 
+  test("q41 chunking: single scan pruned to (lang, text); one agg exchange") {
+    val p = planOf("q41_chunking")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("lang") && read.contains("text") && !read.contains("doc_id"), read)
+  }
+
+  test("q43 shuffle: exactly the shard exchange + agg exchange, no global sort") {
+    val p = planOf("q43_shuffle")
+    // one hashpartitioning exchange for the per-shard window, one for the
+    // final groupBy — never a rangepartitioning (global-sort) exchange
+    assert(!p.contains("rangepartitioning"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("partitioned layout prunes: only the filtered partition is scanned") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("prune").toString

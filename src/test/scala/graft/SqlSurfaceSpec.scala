@@ -159,6 +159,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
     val err = intercept[Exception](spark.sql("CALL gp.system.nope('NS.T')"))
     assert(err.getMessage.toLowerCase.contains("nope"))
+
+    // zero-copy clone through SQL, immediately queryable
+    spark.sql("CALL gp.system.clone('NS.T', 'NS.T_DEV')").collect()
+    assert(spark.sql("SELECT count(*) FROM gp.NS.T_DEV").head.getLong(0) == 3)
+    spark.sql("INSERT INTO gp.NS.T_DEV VALUES (99, 'dev')")
+    assert(spark.sql("SELECT count(*) FROM gp.NS.T_DEV").head.getLong(0) == 4)
+    assert(spark.sql("SELECT count(*) FROM gp.NS.T").head.getLong(0) == 3,
+      "clone writes must not leak into the source")
+    val dup = intercept[Exception](
+      spark.sql("CALL gp.system.clone('NS.T', 'NS.T_DEV')").collect())
+    assert(dup.getMessage.contains("T_DEV"))
   }
 
   test("GraftCatalog reads prune columns and push filters into the table scan") {

@@ -94,6 +94,43 @@ class StorageSpec extends AnyFunSuite {
     assert(t.read.count() == 2)
   }
 
+  test("cloneTo: zero-copy snapshot, isolated from source; compact materializes it") {
+    val srcRoot = tmp() + "/src"
+    val src = VersionedTable(spark, srcRoot)
+    src.overwritePartitions(Seq((2020, 1, "a"), (2021, 2, "b")).toDF("yr", "k", "v"), "yr")
+    src.append(Seq((2022, 3, "c")).toDF("yr", "k", "v"))
+
+    val cloneRoot = tmp() + "/cl"
+    val clone = src.cloneTo(cloneRoot)
+    val snapshot = src.read.as[(Int, Int, String)].collect().toSet
+    assert(clone.read.as[(Int, Int, String)].collect().toSet == snapshot)
+    assert(clone.offsets == src.offsets && clone.schema == src.schema)
+    // zero copy: the clone root holds ONLY metadata
+    assert(new java.io.File(cloneRoot).listFiles().map(_.getName).toSet == Set("_commits"))
+
+    // source evolves; clone is a frozen snapshot
+    src.append(Seq((2023, 4, "d")).toDF("yr", "k", "v"))
+    assert(clone.read.count() == 3 && src.read.count() == 4)
+    // clone evolves; source untouched
+    clone.append(Seq((2099, 9, "z")).toDF("yr", "k", "v"))
+    assert(clone.read.count() == 4 && src.read.count() == 4)
+
+    // clone's vacuum never touches the source's (absolute-ref) dirs
+    assert(clone.vacuum(retainLast = 1).isEmpty)
+    assert(src.read.count() == 4 && clone.read.count() == 4)
+
+    // compact copies the data in; now the clone survives a source vacuum
+    clone.compact()
+    val reclaimed = clone.vacuum(retainLast = 1)
+    assert(reclaimed.size == 1, // only the clone's own v2 append dir; never source dirs
+      s"expected the local pre-compact append dir, got $reclaimed")
+    src.overwrite(Seq((0, 0, "x")).toDF("yr", "k", "v"))
+    src.vacuum(retainLast = 1)
+    assert(clone.read.count() == 4)
+
+    intercept[IllegalArgumentException](src.cloneTo(cloneRoot)) // target exists
+  }
+
   test("ChangeFeed: publish/pending/hasData with metadata columns") {
     val f = ChangeFeed(spark, "S", tmp() + "/feed")
     assert(!f.hasData(0))
