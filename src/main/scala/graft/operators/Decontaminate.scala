@@ -30,13 +30,32 @@ object Decontaminate {
       .distinct()
 
   /** Ids of corpus documents sharing at least one n-gram with `bench`.
-    * Plan shape: corpus scan → explode → BroadcastHashJoin(LeftSemi) →
-    * partial-aggregated distinct. No corpus shuffle.
+    *
+    * Two phases, both exact end-to-end:
+    *  1. HASH PRE-FILTER — a fused kernel ([[graft.plans.expressions.NgramHashes]])
+    *     emits 64-bit gram hashes with zero per-gram string allocation;
+    *     candidates are docs with ≥1 hash hit against the broadcast
+    *     benchmark hash set. Every truly contaminated doc survives this
+    *     phase (same kernel both sides), plus rare hash-collision
+    *     false positives.
+    *  2. EXACT RESCORE — only the candidates (rare by construction)
+    *     explode their literal gram strings against the broadcast
+    *     benchmark gram set, eliminating collisions.
+    *
+    * Plan shape: two corpus scans, but gram STRINGS are built only for
+    * candidates; no phase shuffles the corpus — both joins are broadcast
+    * LEFT SEMI on the streamed side.
     */
   def contaminatedIds(corpus: DataFrame, bench: DataFrame,
                       idCol: String, textCol: String, n: Int): DataFrame = {
+    val hashes = graft.plans.expressions.ngramHashes(col(textCol), n)
+    val benchHashes = bench.select(explode(hashes).as("h")).distinct()
+    val candidates = corpus.select(col(idCol), explode(hashes).as("h"))
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .select(col(idCol)).distinct()
     val grams = benchmarkGrams(bench, textCol, n)
-    corpus.select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n)).as("gram"))
+    corpus.join(broadcast(candidates), Seq(idCol), "left_semi")
+      .select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n)).as("gram"))
       .join(broadcast(grams), Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
   }

@@ -16,6 +16,40 @@ object ExprKernels {
     h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33); h
   }
 
+  /** 64-bit hashes of a document's word n-grams WITHOUT materializing the
+    * gram strings: token hashes are computed once, each gram hash mixes
+    * its n token hashes positionally. Used on BOTH sides of the
+    * decontamination pre-filter, so only self-consistency matters — exact
+    * string equality is re-established by the rescore phase. Token
+    * semantics match [[trigramStats]]/`wordNgrams`:
+    * `split(lower(trim(text)), "\s+")` at limit -1.
+    */
+  def ngramHashes(u: UTF8String, n: Int): ArrayData = {
+    val toks = u.trim.toLowerCase.toString.split("\\s+", -1)
+    val m = toks.length - (n - 1)
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      // FNV-1a over the token's chars, finalized
+      var h = 0xCBF29CE484222325L
+      val t = toks(i); var j = 0
+      while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001B3L; j += 1 }
+      th(i) = fmix(h)
+      i += 1
+    }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0x9E3779B97F4A7C15L
+      var k = 0
+      while (k < n) { h = fmix(h ^ th(i + k)) * 0x100000001B3L; k += 1 }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Fused word-trigram repetition stats: `(n_grams, n_distinct)` in ONE
     * pass — replaces materializing the trigram string array twice (once
     * under `size`, once under `array_distinct`). Token semantics are

@@ -200,6 +200,20 @@ object expressions {
     override def prettyName: String = "text_stats"
   }
 
+  /** Per-document word n-gram hashes for the decontamination pre-filter —
+    * see [[ExprKernels.ngramHashes]]. Codegen'd single static call.
+    */
+  case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, "n-gram size must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.ngramHashes(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.ngramHashes($c, $n)")
+    override protected def withNewChildInternal(c: Expression): NgramHashes = copy(child = c)
+    override def prettyName: String = "ngram_hashes"
+  }
+
   /** Word-trigram repetition counts (Gopher-style duplicated-fraction
     * signal) in one fused scan — see [[ExprKernels.trigramStats]] for the
     * exact token/distinctness contract. Codegen'd: one static call, stays
@@ -262,6 +276,7 @@ object expressions {
 
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def trigramStats(c: Column): Column = col(TrigramStats(ex(c)))
+  def ngramHashes(c: Column, n: Int): Column = col(NgramHashes(ex(c), n))
   def md5SimHash60(c: Column): Column = col(Md5SimHash60(ex(c)))
   def minhashSig(c: Column, k: Int): Column = col(MinHashSig(ex(c), k))
   def minhashText(c: Column, shingleSize: Int, k: Int): Column =
