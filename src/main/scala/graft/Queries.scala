@@ -362,6 +362,18 @@ object Queries {
       .rollup(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
+  /** CUBE + explicit GROUPING SETS in one statement: all four grouping
+    * combinations of (lang, source) with `grouping_id` disambiguating the
+    * NULL-as-total rows from genuine NULL values — §2.4 multi-dimensional
+    * aggregation parity beyond q28's ROLLUP.
+    */
+  def q44Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        grouping_id().cast("long").as("gid"))
+
   /** Exact distinct aggregation: distinct parts/suppliers per return flag. */
   def q29CountDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -620,7 +632,8 @@ object Queries {
     "q40_sequence_pack" -> (q40SequencePack _),
     "q41_chunking" -> (q41Chunking _),
     "q42_decontaminate" -> (q42Decontaminate _),
-    "q43_shuffle" -> (q43Shuffle _)
+    "q43_shuffle" -> (q43Shuffle _),
+    "q44_cube" -> (q44Cube _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1059,6 +1072,13 @@ object Queries {
         |SELECT shard, COUNT(*) AS n_docs,
         |  MIN(CASE WHEN pos = 0 THEN doc_id END) AS first_doc,
         |  CAST(SUM(doc_id * pos) AS BIGINT) AS perm_fp
-        |FROM p GROUP BY shard""".stripMargin
+        |FROM p GROUP BY shard""".stripMargin,
+    // gid = GROUPING(lang)*2 + GROUPING(source): same bit order as Spark's
+    // grouping_id() over cube(lang, source)
+    "q44_cube" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin
   )
 }
