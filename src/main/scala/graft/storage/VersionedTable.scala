@@ -303,6 +303,49 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     victims
   }
 
+  /** Snowflake CHANGES-clause parity (`SELECT * FROM t CHANGES(...) AT(...)`)
+    * directly off the commit log — no side change-table needed: the exact
+    * row-level delta between two committed versions, each row tagged with
+    * `METADATA\$ACTION` = 'INSERT' | 'DELETE' (an update appears as
+    * DELETE(old) + INSERT(new), the stream's non-append-only contract).
+    *
+    * Fast path: when every commit in (fromVersion, toVersion] only
+    * APPENDED unpartitioned parts (no overwrite, no partition shadowing),
+    * the delta IS the new part dirs — read directly, zero diff compute,
+    * old data never scanned. General path (rewrites): exact multiset diff
+    * via `exceptAll` both ways — one shuffle each side, unavoidable for
+    * arbitrary rewrites.
+    *
+    * `fromVersion = 0` means "from the beginning" (everything is INSERT).
+    * Both versions must still be in the retained commit log ([[vacuum]]).
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"need 0 <= fromVersion <= toVersion, got $fromVersion..$toVersion")
+    val s2 = stateAt(toVersion).getOrElse(throw new IllegalArgumentException(
+      s"no committed version $toVersion at $root"))
+    val s1 = if (fromVersion == 0L) s2.copy(parts = Seq.empty)
+      else stateAt(fromVersion).getOrElse(throw new IllegalArgumentException(
+        s"no committed version $fromVersion at $root"))
+    val ACTION = "METADATA$ACTION"
+    val newParts = s2.parts.drop(s1.parts.length)
+    val pureAppend = s2.parts.take(s1.parts.length) == s1.parts &&
+      newParts.forall(_.vals.isEmpty)
+    if (pureAppend) {
+      if (newParts.isEmpty)
+        readCommitted(s2).limit(0).withColumn(ACTION, lit("INSERT"))
+      else
+        parquetRead(s2, newParts.map(p => partPath(p.dir)))
+          .withColumn(ACTION, lit("INSERT"))
+    } else {
+      val d1 = readCommitted(s1)
+      val d2 = readCommitted(s2)
+      d2.exceptAll(d1).withColumn(ACTION, lit("INSERT"))
+        .unionByName(d1.exceptAll(d2).withColumn(ACTION, lit("DELETE")))
+    }
+  }
+
   /** Zero-copy clone (Snowflake `CREATE TABLE ... CLONE` semantics): the
     * target's first commit references THIS table's current data dirs by
     * ABSOLUTE path — no data moves, O(1) metadata, snapshot-isolated from

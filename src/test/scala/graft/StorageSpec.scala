@@ -94,6 +94,44 @@ class StorageSpec extends AnyFunSuite {
     assert(t.read.count() == 2)
   }
 
+  test("changesBetween: append fast path scans only new parts; rewrites diff exactly") {
+    val t = VersionedTable(spark, tmp() + "/chg")
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))   // v1
+    t.append(Seq((3, "c")).toDF("k", "v"))                // v2
+    t.append(Seq((4, "d")).toDF("k", "v"))                // v3
+
+    val d13 = t.changesBetween(1, 3)
+    assert(d13.select("k", "v", "METADATA$ACTION").as[(Int, String, String)]
+      .collect().toSet == Set((3, "c", "INSERT"), (4, "d", "INSERT")))
+    // fast path: ONLY the v2/v3 part dirs are opened
+    val newDirs = t.stateAt(3).get.parts.drop(1).map(_.dir).toSet
+    assert(d13.inputFiles.nonEmpty &&
+      d13.inputFiles.forall(f => newDirs.exists(f.contains)), d13.inputFiles.toSeq)
+
+    // from the beginning: everything is an INSERT
+    assert(t.changesBetween(0, 3).filter(col("METADATA$ACTION") === "INSERT").count() == 4)
+    // empty delta window
+    assert(t.changesBetween(3, 3).count() == 0)
+
+    // a rewrite (update of k=2) produces DELETE(old) + INSERT(new) exactly
+    t.overwrite(Seq((1, "a"), (2, "B"), (3, "c"), (4, "d")).toDF("k", "v")) // v4
+    val d34 = t.changesBetween(3, 4)
+      .select("k", "v", "METADATA$ACTION").as[(Int, String, String)].collect().toSet
+    assert(d34 == Set((2, "B", "INSERT"), (2, "b", "DELETE")))
+
+    // partition-scoped rewrite: only the touched partition's rows appear
+    val p = VersionedTable(spark, tmp() + "/chgp")
+    p.overwritePartitions(Seq((2020, 1, "x"), (2021, 2, "y")).toDF("yr", "k", "v"), "yr")
+    p.overwritePartitions(Seq((2021, 2, "Y")).toDF("yr", "k", "v"), "yr")
+    val pd = p.changesBetween(1, 2)
+      .select("yr", "k", "v", "METADATA$ACTION").as[(Int, Int, String, String)]
+      .collect().toSet
+    assert(pd == Set((2021, 2, "Y", "INSERT"), (2021, 2, "y", "DELETE")))
+
+    intercept[IllegalArgumentException](t.changesBetween(2, 1))
+    intercept[IllegalArgumentException](t.changesBetween(1, 99))
+  }
+
   test("cloneTo: zero-copy snapshot, isolated from source; compact materializes it") {
     val srcRoot = tmp() + "/src"
     val src = VersionedTable(spark, srcRoot)
