@@ -374,6 +374,25 @@ object Queries {
         sum(col("n_chars")).cast("long").as("sum_chars"),
         grouping_id().cast("long").as("gid"))
 
+  /** FULL OUTER join reconciliation: per-nation customer vs supplier
+    * presence, including nations with only one side (NULL-filled) — the
+    * remaining §2.3 join type not exercised by q04–q09. Both sides
+    * pre-aggregate BEFORE the join, so the full-outer exchange carries one
+    * row per nation, not raw rows.
+    */
+  def q45FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_rich_customers"))
+    val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_rich_suppliers"))
+    c.join(sup, Seq("nk"), "full_outer")
+      .select(col("nk").as("nationkey"),
+        coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+        coalesce(col("n_rich_suppliers"), lit(0L)).as("n_rich_suppliers"))
+  }
+
   /** Exact distinct aggregation: distinct parts/suppliers per return flag. */
   def q29CountDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -633,7 +652,8 @@ object Queries {
     "q41_chunking" -> (q41Chunking _),
     "q42_decontaminate" -> (q42Decontaminate _),
     "q43_shuffle" -> (q43Shuffle _),
-    "q44_cube" -> (q44Cube _)
+    "q44_cube" -> (q44Cube _),
+    "q45_full_outer" -> (q45FullOuter _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1079,6 +1099,15 @@ object Queries {
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
-        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+    "q45_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_rich_customers
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_rich_suppliers
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(n_rich_customers, 0) AS n_rich_customers,
+        |  COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin
   )
 }

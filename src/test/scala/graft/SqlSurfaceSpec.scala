@@ -160,6 +160,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val err = intercept[Exception](spark.sql("CALL gp.system.nope('NS.T')"))
     assert(err.getMessage.toLowerCase.contains("nope"))
 
+    // the procedure surface is discoverable
+    val procs = spark.sql("SHOW PROCEDURES IN gp.system").collect()
+      .map(_.getString(3)).toSet
+    assert(Set("compact", "vacuum", "clone").subsetOf(procs), procs)
+    val desc = spark.sql("DESCRIBE PROCEDURE gp.system.vacuum").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(desc.contains("vacuum"), desc)
+
     // zero-copy clone through SQL, immediately queryable
     spark.sql("CALL gp.system.clone('NS.T', 'NS.T_DEV')").collect()
     assert(spark.sql("SELECT count(*) FROM gp.NS.T_DEV").head.getLong(0) == 3)
