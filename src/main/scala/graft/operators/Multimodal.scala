@@ -111,6 +111,39 @@ object Multimodal {
     }
   }
 
+  /** Real multi-frame (video-like) decode for animated GIF — the one
+    * multi-frame container the bare JDK can parse. Frames are decoded as
+    * stored (no inter-frame disposal compositing — documented contract)
+    * and re-encoded as standalone PNGs, so each sampled frame feeds
+    * straight back into [[ImageIoCodec.decodeImage]] / [[featurize]].
+    */
+  object GifCodec {
+    /** Every `everyN`-th frame as PNG bytes; None unless the payload is a
+      * GIF that ImageIO can parse (single-frame GIFs yield one frame).
+      */
+    def sampleFrames(payload: Array[Byte], everyN: Int): Option[Seq[Array[Byte]]] = {
+      if (payload == null || payload.length < 6 || everyN <= 0) return None
+      if (!(payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          Some((0 until n by everyN).map { i =>
+            val img = reader.read(i)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          })
+        } finally reader.dispose()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Typed metadata carried next to every media payload. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("format", StringType),        // e.g. "jpeg", "wav", "mp4"
@@ -253,7 +286,10 @@ object Multimodal {
 
   /** Frame sampling for video payloads: one output row per sampled frame,
     * `(… , frame_no: int, frame: binary)`. Partition-local explode — row
-    * count grows but nothing shuffles.
+    * count grows but nothing shuffles. Animated GIFs decode for REAL via
+    * [[GifCodec]] (each sampled frame is a standalone PNG, ready for
+    * [[decodeResize]]); other containers fall back to the deterministic
+    * byte-slice stub (`frameBytes` applies only to that stub path).
     */
   def sampleFrames(df: DataFrame, payloadCol: String,
                    frameBytes: Int, everyN: Int): DataFrame = {
@@ -265,7 +301,9 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        StubCodec.sampleFrames(payload, frameBytes, everyN).zipWithIndex.map {
+        val frames = GifCodec.sampleFrames(payload, everyN)
+          .getOrElse(StubCodec.sampleFrames(payload, frameBytes, everyN))
+        frames.zipWithIndex.map {
           case (frame, i) => Row.fromSeq(r.toSeq ++ Seq(i, frame))
         }
       }

@@ -124,6 +124,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.select(length(col("frame")).as("l")).agg(max("l")).head.getInt(0) <= 16)
   }
 
+  test("sampleFrames decodes a REAL animated GIF through ImageIO (not the stub)") {
+    // 6-frame animated GIF, frame i = solid gray level i*40
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 6).foreach { i =>
+      val img = new java.awt.image.BufferedImage(3, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = i * 40
+      (0 until 3).foreach(x => (0 until 3).foreach(y =>
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+
+    val df = Seq((1L, gif)).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(df, "payload", frameBytes = 16, everyN = 2)
+      .select("frame_no", "frame").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(frames.keySet == Set(0, 1, 2), "6 frames sampled every 2nd = 3 rows")
+    // each sampled frame is a standalone decodable image with the right luma
+    val lumas = frames.toSeq.sortBy(_._1).map { case (_, png) =>
+      val Some((px, w, h)) = Multimodal.ImageIoCodec.decodeImage(png)
+      assert(w == 3 && h == 3)
+      px.sum / px.length
+    }
+    // frames 0, 2, 4 → gray 0, 80, 160 (GIF palette quantization ±10%)
+    assert(math.abs(lumas(0) - 0f) < 0.05f)
+    assert(math.abs(lumas(1) - 80f / 255f) < 0.08f)
+    assert(math.abs(lumas(2) - 160f / 255f) < 0.08f)
+    assert(lumas(0) < lumas(1) && lumas(1) < lumas(2))
+  }
+
   test("dedupPayloads groups identical binary content") {
     val dup = media.union(media.limit(5)) // 5 exact dup payloads
     val out = Multimodal.dedupPayloads(dup, "payload", "media_id")
