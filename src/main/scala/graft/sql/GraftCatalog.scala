@@ -245,7 +245,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("compact", "vacuum", "clone").map(Identifier.of(Array("system"), _))
+      Array("compact", "vacuum", "clone", "history")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -253,8 +254,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "compact" => new CompactProcedure
       case "vacuum"  => new VacuumProcedure
       case "clone"   => new CloneProcedure
+      case "history" => new HistoryProcedure
       case other => throw new IllegalArgumentException(
-        s"catalog $catalogName has no procedure '$other' (compact, vacuum, clone)")
+        s"catalog $catalogName has no procedure '$other' " +
+          "(compact, vacuum, clone, history)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -267,11 +270,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     table(id)
   }
 
-  private def singleRowScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+  private def rowsScan(schema: StructType, out: Array[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
       override def readSchema(): StructType = schema
-      override def rows(): Array[InternalRow] = Array(row)
+      override def rows(): Array[InternalRow] = out
     }).iterator()
+
+  private def singleRowScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+    rowsScan(schema, Array(row))
 
   private abstract class MaintenanceProcedure
       extends procedures.UnboundProcedure with procedures.BoundProcedure {
@@ -343,6 +349,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         StructType(Seq(org.apache.spark.sql.types.StructField("version",
           org.apache.spark.sql.types.LongType, nullable = false))),
         InternalRow(cloned.state.get.version))
+    }
+  }
+
+  private final class HistoryProcedure extends MaintenanceProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "commit history of a graft table (DESCRIBE HISTORY parity), metadata-only"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("table", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      val h = resolveVt(input.getUTF8String(0).toString).history
+      rowsScan(
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("committed_at", TimestampType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("n_parts", IntegerType, nullable = false))),
+        h.map(c => InternalRow(c.version, c.committedAtMs * 1000L,
+          org.apache.spark.unsafe.types.UTF8String.fromString(c.operation),
+          c.nParts)).toArray)
     }
   }
 

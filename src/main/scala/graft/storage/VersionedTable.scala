@@ -101,6 +101,38 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       .map(_.stripSuffix(".json").toLong).toSeq.sorted
   }
 
+  /** Commit history (Delta `DESCRIBE HISTORY` / Snowflake query-history
+    * parity), METADATA-ONLY — no data files are opened. The operation
+    * label is inferred from consecutive states: APPEND /
+    * REPLACE_PARTITIONS grow the part list, REWRITE replaces it
+    * (overwrite or compaction), ADD_COLUMNS/OFFSETS change only metadata.
+    */
+  def history: Seq[VersionedTable.CommitInfo] = {
+    if (!fs.exists(commitsDir)) return Seq.empty
+    val mtimes = fs.listStatus(commitsDir)
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map(st => st.getPath.getName.stripSuffix(".json").toLong ->
+        st.getModificationTime).toMap
+    val states = versions.flatMap(v => stateAt(v))
+    states.zip(None +: states.map(Some(_))).map { case (s, prevOpt) =>
+      val op = prevOpt match {
+        case None =>
+          if (s.parts.isEmpty) "CREATE" else "WRITE"
+        case Some(p) =>
+          if (s.parts == p.parts)
+            if (s.schemaDdl != p.schemaDdl) "ADD_COLUMNS"
+            else "OFFSETS"
+          else if (s.parts.startsWith(p.parts))
+            if (s.parts.drop(p.parts.length).exists(_.vals.nonEmpty))
+              "REPLACE_PARTITIONS"
+            else "APPEND"
+          else "REWRITE"
+      }
+      VersionedTable.CommitInfo(s.version, mtimes.getOrElse(s.version, 0L),
+        op, s.parts.size, s.offsets)
+    }
+  }
+
   /** The committed state at an exact version — the time-travel anchor.
     * None if that version was never committed or was [[vacuum]]ed away.
     */
@@ -573,6 +605,12 @@ final class VersionedTable(spark: SparkSession, val root: String) {
 }
 
 object VersionedTable {
+  /** One [[VersionedTable.history]] entry. `committedAtMs` is the commit
+    * file's creation instant (epoch millis).
+    */
+  case class CommitInfo(version: Long, committedAtMs: Long, operation: String,
+                        nParts: Int, offsets: Map[String, Long])
+
   private val claimLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[storage] def claimLock(root: String): Object =

@@ -178,6 +178,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val dup = intercept[Exception](
       spark.sql("CALL gp.system.clone('NS.T', 'NS.T_DEV')").collect())
     assert(dup.getMessage.contains("T_DEV"))
+
+    // commit history through SQL: version, instant, inferred operation
+    val hist = spark.sql("CALL gp.system.history('NS.T_DEV')").collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    assert(hist.head == (1L -> "WRITE") && hist.last._2 == "APPEND", hist.toSeq)
+    assert(spark.sql("CALL gp.system.history('NS.T_DEV')")
+      .schema.fieldNames.toSeq == Seq("version", "committed_at", "operation", "n_parts"))
   }
 
   test("GraftCatalog reads prune columns and push filters into the table scan") {

@@ -94,6 +94,20 @@ class StorageSpec extends AnyFunSuite {
     assert(t.read.count() == 2)
   }
 
+  test("history labels every commit kind without opening data files") {
+    val t = VersionedTable(spark, tmp() + "/hist")
+    t.createEmpty(org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING"))
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    t.overwritePartitions(Seq((2, "b")).toDF("k", "v"), "k")
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.StringType)))
+    t.compact()
+    val ops = t.history.map(c => c.version -> c.operation)
+    assert(ops == Seq(1L -> "CREATE", 2L -> "APPEND", 3L -> "REPLACE_PARTITIONS",
+      4L -> "ADD_COLUMNS", 5L -> "REWRITE"), ops)
+    assert(t.history.forall(_.committedAtMs > 0))
+  }
+
   test("changesBetween: append fast path scans only new parts; rewrites diff exactly") {
     val t = VersionedTable(spark, tmp() + "/chg")
     t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))   // v1
