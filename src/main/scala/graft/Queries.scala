@@ -604,6 +604,32 @@ object Queries {
         min(when(col("pos") === 0, col("doc_id"))).as("first_doc"),
         sum(col("doc_id") * col("pos")).cast("long").as("perm_fp"))
 
+  /** The end-to-end training-data pipeline in ONE query — the composition
+    * a pretraining team actually runs, each stage an operator this engine
+    * ships: exact dedup (keep lowest doc_id per content hash) →
+    * benchmark decontamination (8-gram overlap vs the doc_id%100==0 set)
+    * → Gopher-style length gate (10..5000 tokens) → deterministic
+    * train/val split → per-(split, lang) corpus stats. Oracle equality
+    * checks the whole chain, not just one stage.
+    */
+  def q46TrainingPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+    val clean = operators.Decontaminate.clean(deduped, bench, "doc_id", "text", 8)
+    val withTok = clean.withColumn("tok",
+      when(col("text").isNull || length(trim(col("text"))) === 0, 0)
+        .otherwise(size(split(trim(col("text")), "\\s+"))))
+    val good = withTok.filter(col("tok").between(10, 5000))
+    operators.Sampling.splitByHash(good, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -653,7 +679,8 @@ object Queries {
     "q42_decontaminate" -> (q42Decontaminate _),
     "q43_shuffle" -> (q43Shuffle _),
     "q44_cube" -> (q44Cube _),
-    "q45_full_outer" -> (q45FullOuter _)
+    "q45_full_outer" -> (q45FullOuter _),
+    "q46_training_pipeline" -> (q46TrainingPipeline _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1108,6 +1135,37 @@ object Queries {
         |SELECT COALESCE(c.nk, s.nk) AS nationkey,
         |  COALESCE(n_rich_customers, 0) AS n_rich_customers,
         |  COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers
-        |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin,
+    // whole-chain oracle: dedup (q19 idiom) → 8-gram decontamination (q42
+    // idiom, benchmark drawn from the FULL corpus) → 10..5000-token gate →
+    // md5-bucket split (q38 idiom) → per-(split, lang) stats
+    "q46_training_pipeline" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d AS (SELECT doc_id, lang, text FROM documents
+        |      WHERE doc_id IN (SELECT doc_id FROM keep)),
+        |w AS (SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+        |       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest([array_to_string(w[i+1 : i+8], ' ')
+        |          for i in range(0, len(w) - 7)]) AS gram
+        |  FROM w WHERE len(w) >= 8),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM g
+        |        WHERE gram IN (SELECT gram FROM bg)),
+        |c AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |tkn AS (SELECT doc_id, lang,
+        |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+        |  FROM c),
+        |good AS (SELECT * FROM tkn WHERE tok BETWEEN 10 AND 5000),
+        |sp AS (SELECT *, CASE WHEN
+        |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |   + 10000) % 10000 < 9000 THEN 'train' ELSE 'val' END AS split
+        |  FROM good)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens, MIN(doc_id) AS min_doc
+        |FROM sp GROUP BY 1, 2""".stripMargin
   )
 }
