@@ -160,6 +160,18 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment join: a stream joined to a bounded
+    * dimension (the lookup shape — events × customer dims, docs × domain
+    * scores). The static side is re-resolved per micro-batch, so a
+    * versioned-table dimension picks up new commits between batches
+    * without restarting the query. Spark broadcasts the static side per
+    * batch when it fits — no streaming state at all is kept for this
+    * join, which is why it scales to any stream length.
+    */
+  def enrichJoin(stream: DataFrame, dim: DataFrame, keyCol: String,
+                 joinType: String = "left_outer"): DataFrame =
+    stream.join(dim, Seq(keyCol), joinType)
+
   /** Stream-stream interval join (the attribution shape: left events
     * joined to right events that occurred within `[0, withinMs]` AFTER
     * them, e.g. impressions → clicks). Both sides carry event-time

@@ -151,6 +151,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.map(_.getString(0)).contains("c"))
   }
 
+  test("enrichJoin: stream-static lookup re-resolves a versioned dim per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("enrich_").toString
+    val dim = graft.storage.VersionedTable(spark, s"$root/dim")
+    dim.overwrite(Seq(("a", "alpha")).toDF("key", "label"))
+
+    val events = MemoryStream[String]
+    val out = Streaming.enrichJoin(events.toDF().toDF("key"), dim.read, "key")
+    val q = out.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    events.addData("a", "x")
+    q.processAllAvailable()
+    val batch1 = spark.table("enrich").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // known key enriched; unknown key kept with NULL (left_outer)
+    assert(batch1 == Map("a" -> Some("alpha"), "x" -> None))
+    q.stop()
+  }
+
   test("dedupStream drops in-watermark duplicates, keeps distinct keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
