@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model quality scoring: train a unigram LM on a
+  * reference ("good") corpus, score candidate documents by per-token
+  * cross-entropy — low bits-per-token ≈ looks like the reference, high ≈
+  * out-of-domain or garbage. The standard perplexity filter between
+  * heuristic gates and expensive model-based ones.
+  *
+  * Scale design:
+  *  - Training is ONE aggregation (word → count) with a `minCount` floor:
+  *    the kept vocabulary is bounded (Zipf does the work — rare words
+  *    fall to the floor), so the model broadcasts as a plain map.
+  *  - Unseen words get add-one smoothing over the floored tail, so scores
+  *    are total and finite.
+  *  - Scoring is a stateless partition-local map — no shuffle, any size.
+  *
+  * Tokenization matches the engine's text surface:
+  * `split(lower(trim(text)), "\s+")`.
+  */
+object LmScore {
+
+  /** A trained unigram model: log2 probabilities + the unseen penalty. */
+  final case class UnigramLm(logProb: Map[String, Double], unseenLogProb: Double) {
+    /** bits-per-token cross-entropy of one document; None for empty docs */
+    def bitsPerToken(text: String): Option[Double] = {
+      if (text == null) return None
+      val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (words.isEmpty) return None
+      var s = 0.0
+      var i = 0
+      while (i < words.length) {
+        s -= logProb.getOrElse(words(i), unseenLogProb)
+        i += 1
+      }
+      Some(s / words.length)
+    }
+  }
+
+  /** Train on the reference corpus. `minCount` floors the vocabulary —
+    * words below it pool into the unseen mass (bounds the broadcast map
+    * regardless of corpus size).
+    */
+  def train(reference: DataFrame, textCol: String, minCount: Long = 2L): UnigramLm = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val counts = reference
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+    // one pass: kept vocab + total token mass + floored tail mass
+    val kept = counts.filter(_._2 >= minCount).collect().toMap
+    val totalsRow = counts.agg(sum("n")).head
+    val totals = if (totalsRow.isNullAt(0)) 0L else totalsRow.getLong(0)
+    require(totals > 0, "reference corpus has no tokens")
+    val keptMass = kept.values.sum
+    val tailMass = totals - keptMass
+    // add-one-smoothed: unseen/floored words share the tail mass + 1
+    val denom = totals.toDouble + 1.0
+    val log2 = math.log(2.0)
+    UnigramLm(
+      kept.map { case (w, n) => w -> math.log(n / denom) / log2 },
+      math.log((tailMass + 1.0) / denom) / log2)
+  }
+
+  /** `… + bits_per_token: double` (NULL for empty/null docs). */
+  def score(df: DataFrame, textCol: String, lm: UnigramLm): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(df.schema.fields :+
+      StructField("bits_per_token", DoubleType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = lm.bitsPerToken(r.getString(idx)).map(Double.box).orNull
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ b)
+      }
+    }(enc)
+  }
+
+  /** Keep documents under the cross-entropy ceiling (CCNet keeps the
+    * low-perplexity head/middle of the distribution).
+    */
+  def filterByPerplexity(df: DataFrame, textCol: String, lm: UnigramLm,
+                         maxBitsPerToken: Double): DataFrame =
+    score(df, textCol, lm)
+      .filter(col("bits_per_token").isNotNull &&
+        col("bits_per_token") <= maxBitsPerToken)
+}
