@@ -64,6 +64,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         expressions.QualityScore(args.head, TextFunctions.enStopwords.toSet)))
 
+    ext.injectFunction((FunctionIdentifier("trigram_stats"),
+      info("trigram_stats",
+        "trigram_stats(text) - struct(n_grams, n_distinct) word-trigram repetition counts"),
+      (args: Seq[Expression]) => expressions.TrigramStats(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("ngram_hashes"),
+      info("ngram_hashes",
+        "ngram_hashes(text, n) - 64-bit hashes of the word n-grams (decontamination pre-filter)"),
+      (args: Seq[Expression]) =>
+        expressions.NgramHashes(args(0), intArg(args(1), "n"))))
+
     ext.injectFunction((FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - marker-token language id (en/de/fr/es/und)"),
       (args: Seq[Expression]) => expressions.LangId(args.head,

@@ -88,6 +88,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q45 full outer: both sides pre-aggregate BELOW the join") {
+    val p = planOf("q45_full_outer")
+    assert(p.contains("FullOuter"), p)
+    // partial aggregation on each side before the join exchange: at least
+    // 4 HashAggregates (partial+final per side) and the join above them
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin")
+    assert(joinIdx >= 0 && p.indexOf("HashAggregate", joinIdx) > joinIdx,
+      "aggregates must sit under the join, not above it")
+  }
+
+  test("q46 training pipeline: filters precede the split; corpus joins stay broadcast/semi") {
+    val p = planOf("q46_training_pipeline")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("partitioned layout prunes: only the filtered partition is scanned") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("prune").toString

@@ -71,10 +71,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getString(5) == "de")
     assert(math.abs(r.getDouble(6) - 1.0) < 1e-12)
     assert(r.getDouble(7) == 1.0)
+    // round-4 kernels are SQL-callable with the same exact semantics
+    val t = spark.sql(
+      "SELECT trigram_stats('a b a b a b a b'), size(ngram_hashes('a b c d e', 3))").head
+    assert(t.getStruct(0).getInt(0) == 6 && t.getStruct(0).getInt(1) == 2)
+    assert(t.getInt(1) == 3)
+
     // planned as native expressions, not UDF wrappers
     val plan = spark.sql("SELECT quality_score(text) FROM documents")
       .queryExecution.analyzed.toString
     assert(plan.contains("quality_score") && !plan.contains("UDF"), plan)
+  }
+
+  test("round-4 kernel expressions stay codegen'd — no interpreted fallback") {
+    // fallback=false makes Spark THROW if doGenCode fails to compile, so a
+    // green run proves the kernels live inside whole-stage codegen
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      register()
+      val r = spark.sql(
+        """SELECT sum(trigram_stats(text).n_grams - trigram_stats(text).n_distinct) rep,
+          |       sum(size(ngram_hashes(text, 8))) ng
+          |FROM documents""".stripMargin).head
+      assert(r.getLong(0) >= 0 && r.getLong(1) > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 
   test("documents text analysis via SQL over the same engine") {
