@@ -630,6 +630,38 @@ object Queries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Balanced per-class subset: exactly 20 documents per language, chosen
+    * deterministically (md5 order) — the class-balancing primitive for
+    * fine-tune/eval set construction. Output is the per-language doc
+    * count and id-sum of the selected subset (pins the exact selection).
+    */
+  def q47BalancedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling
+      .samplePerGroup(t(s, dir, "documents"), "lang", "doc_id", 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+
+  /** Per-language vocabulary heavy hitters: top 3 words by frequency with
+    * deterministic tie-breaks — the corpus-report query every data-quality
+    * dashboard runs. Token contract matches the engine's text surface.
+    */
+  def q48TopTerms(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    words.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("w"))))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("w"), col("n"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -680,7 +712,9 @@ object Queries {
     "q43_shuffle" -> (q43Shuffle _),
     "q44_cube" -> (q44Cube _),
     "q45_full_outer" -> (q45FullOuter _),
-    "q46_training_pipeline" -> (q46TrainingPipeline _)
+    "q46_training_pipeline" -> (q46TrainingPipeline _),
+    "q47_balanced_sample" -> (q47BalancedSample _),
+    "q48_top_terms" -> (q48TopTerms _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1166,6 +1200,23 @@ object Queries {
         |  FROM good)
         |SELECT split, lang, COUNT(*) AS n_docs,
         |  CAST(SUM(tok) AS BIGINT) AS n_tokens, MIN(doc_id) AS min_doc
-        |FROM sp GROUP BY 1, 2""".stripMargin
+        |FROM sp GROUP BY 1, 2""".stripMargin,
+    "q47_balanced_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rk <= 20 GROUP BY lang""".stripMargin,
+    "q48_top_terms" ->
+      """WITH w AS (SELECT lang,
+        |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT lang, w, COUNT(*) AS n FROM w WHERE length(w) > 0
+        |      GROUP BY lang, w),
+        |r AS (SELECT lang, w, n,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rk
+        |  FROM c)
+        |SELECT lang, rk, w, n FROM r WHERE rk <= 3""".stripMargin
   )
 }

@@ -55,6 +55,24 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < math.round(fraction * BUCKETS))
   }
 
+  /** Deterministic balanced sample: exactly `n` rows per group (fewer if
+    * the group is smaller), chosen by the engine-stable md5 order — the
+    * class-balancing step for fine-tuning / eval set construction. Same
+    * determinism contract as [[splitByHash]]: a pure function of
+    * (seed-free) ids, reproducible across runs, engines, and input order.
+    * One hash exchange on the group key; per-group rank, no global sort.
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, "need n > 0")
+    df.withColumn("_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .filter(col("_rank") <= n)
+      .drop("_rank")
+  }
+
   /** Deterministic global shuffle — the pre-training corpus permutation.
     * Adds `shard` (which of `numShards` output shards the row lands in)
     * and `pos` (its 0-based position within the shard), both pure

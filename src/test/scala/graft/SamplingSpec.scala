@@ -49,6 +49,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.select("doc_id", "split").except(b.select("doc_id", "split")).isEmpty)
   }
 
+  test("samplePerGroup: exactly n per class, deterministic, input-order invariant") {
+    val out = Sampling.samplePerGroup(docs, "lang", "doc_id", 15)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 15), counts)
+    val again = Sampling.samplePerGroup(
+        docs.orderBy(org.apache.spark.sql.functions.desc("doc_id")), "lang", "doc_id", 15)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // n larger than the group: the whole group survives
+    val all = Sampling.samplePerGroup(docs, "lang", "doc_id", 1000000)
+    assert(all.count() == docs.count())
+  }
+
   test("shuffleDeterministic: a real permutation, stable across runs and input order") {
     val out = Sampling.shuffleDeterministic(docs, "doc_id", 7L, 4)
       .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
