@@ -268,9 +268,15 @@ object Multimodal {
   }
 
   /** Embedding column from media payloads — feeds straight into
-    * [[Similarity]] (ANN / near-dup) like any text embedding.
+    * [[Similarity]] (ANN / near-dup) like any text embedding. Decodable
+    * images get a REAL perceptual feature: the box-averaged √dim × √dim
+    * grayscale raster, L2-normalized — the classic aHash-style embedding,
+    * so visually similar images land near each other in cosine space.
+    * Non-image payloads fall back to the deterministic stub.
     */
   def featurize(df: DataFrame, payloadCol: String, dim: Int = 64): DataFrame = {
+    val side = math.sqrt(dim).toInt
+    require(side * side == dim, s"dim must be a perfect square, got $dim")
     val outSchema = StructType(df.schema.fields :+
       StructField("embedding", ArrayType(FloatType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
@@ -278,7 +284,15 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val e = if (payload == null) null else StubCodec.featurize(payload, dim)
+        val e =
+          if (payload == null) null
+          else ImageIoCodec.decodeImage(payload) match {
+            case Some((px, w, h)) =>
+              val v = ImageIoCodec.resize(px, w, h, side, side)
+              val norm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)).toFloat
+              if (norm == 0f) v else v.map(_ / norm)
+            case None => StubCodec.featurize(payload, dim)
+          }
         Row.fromSeq(r.toSeq :+ e)
       }
     }(enc)

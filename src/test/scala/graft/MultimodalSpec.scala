@@ -160,6 +160,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(lumas(0) < lumas(1) && lumas(1) < lumas(2))
   }
 
+  test("featurize: real images get perceptual embeddings — similar images cosine-close") {
+    def png(base: Int, noise: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(x => (0 until 8).foreach { y =>
+        val v = math.min(255, base + (x * y * noise) % 32)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // two bright variants vs one dark image
+    val df = Seq((1L, png(200, 1)), (2L, png(200, 3)), (3L, png(10, 1)))
+      .toDF("media_id", "payload")
+    val e = Multimodal.featurize(df, "payload", 16)
+      .select("media_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(e(1).length == 16)
+    assert(math.abs(cos(e(1), e(1)) - 1.0) < 1e-5, "L2-normalized")
+    assert(cos(e(1), e(2)) > cos(e(1), e(3)),
+      "bright images must be closer to each other than to the dark one")
+  }
+
   test("dedupPayloads groups identical binary content") {
     val dup = media.union(media.limit(5)) // 5 exact dup payloads
     val out = Multimodal.dedupPayloads(dup, "payload", "media_id")
