@@ -662,6 +662,17 @@ object Queries {
         col("w"), col("n"))
   }
 
+  /** Mixture-weighted corpus: three sources down-sampled to target rates
+    * (80%/50%/25%), the rest kept — per-source doc counts and id-sums pin
+    * the exact deterministic selection.
+    */
+  def q49Mixture(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.sampleMixture(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -714,7 +725,8 @@ object Queries {
     "q45_full_outer" -> (q45FullOuter _),
     "q46_training_pipeline" -> (q46TrainingPipeline _),
     "q47_balanced_sample" -> (q47BalancedSample _),
-    "q48_top_terms" -> (q48TopTerms _)
+    "q48_top_terms" -> (q48TopTerms _),
+    "q49_mixture" -> (q49Mixture _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1217,6 +1229,17 @@ object Queries {
         |r AS (SELECT lang, w, n,
         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rk
         |  FROM c)
-        |SELECT lang, rk, w, n FROM r WHERE rk <= 3""".stripMargin
+        |SELECT lang, rk, w, n FROM r WHERE rk <= 3""".stripMargin,
+    // hash-bucket mixture: same 60-bit md5 bucket as q38; per-source cutoff
+    "q49_mixture" ->
+      """WITH b AS (SELECT source, doc_id,
+        |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |   + 10000) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM b
+        |WHERE bucket < CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 5000
+        |                           WHEN 'src2' THEN 2500 ELSE 10000 END
+        |GROUP BY source""".stripMargin
   )
 }

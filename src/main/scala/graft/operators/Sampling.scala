@@ -55,6 +55,27 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < math.round(fraction * BUCKETS))
   }
 
+  /** Deterministic mixture sampling: each group (source/domain) is kept at
+    * its own rate — the data-mixing step that reweights a pretraining
+    * corpus toward a target distribution (DoReMi-style static mixture).
+    * Same id-pure membership as [[sampleByHash]]: rates can be tuned
+    * between runs and the kept sets stay NESTED per group (a row kept at
+    * 0.2 is still kept at 0.5), which makes mixture sweeps reproducible.
+    * Stateless single scan — the rate lookup folds into one CASE chain.
+    */
+  def sampleMixture(df: DataFrame, groupCol: String, idCol: String,
+                    fractions: Map[String, Double],
+                    defaultFraction: Double = 1.0): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1) &&
+      defaultFraction >= 0 && defaultFraction <= 1, "fractions in [0,1]")
+    val cutoff = fractions.toSeq.sortBy(_._1).foldRight(
+      lit(math.round(defaultFraction * BUCKETS)): Column) {
+      case ((g, f), acc) =>
+        when(col(groupCol) === g, lit(math.round(f * BUCKETS))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < cutoff)
+  }
+
   /** Deterministic balanced sample: exactly `n` rows per group (fewer if
     * the group is smaller), chosen by the engine-stable md5 order — the
     * class-balancing step for fine-tuning / eval set construction. Same

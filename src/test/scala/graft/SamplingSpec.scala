@@ -62,6 +62,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.count() == docs.count())
   }
 
+  test("sampleMixture: per-group rates, nested kept-sets, unknown groups use default") {
+    val m = Sampling.sampleMixture(docs, "source", "doc_id",
+      Map("src0" -> 0.2, "src1" -> 0.6), defaultFraction = 1.0)
+    val kept = m.select("doc_id").as[Long].collect().toSet
+    // nested: raising a rate only ADDS rows for that group
+    val m2 = Sampling.sampleMixture(docs, "source", "doc_id",
+      Map("src0" -> 0.5, "src1" -> 0.6))
+    assert(kept.subsetOf(m2.select("doc_id").as[Long].collect().toSet))
+    // default keeps untouched groups whole
+    val untouched = docs.filter(!col("source").isin("src0", "src1"))
+    assert(m.filter(!col("source").isin("src0", "src1")).count() == untouched.count())
+    // rate 0 removes the group entirely
+    val none = Sampling.sampleMixture(docs, "source", "doc_id", Map("src0" -> 0.0))
+    assert(none.filter(col("source") === "src0").count() == 0)
+  }
+
   test("shuffleDeterministic: a real permutation, stable across runs and input order") {
     val out = Sampling.shuffleDeterministic(docs, "doc_id", 7L, 4)
       .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
