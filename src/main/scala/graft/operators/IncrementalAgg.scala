@@ -55,17 +55,16 @@ final class IncrementalAgg(spark: SparkSession, source: VersionedTable,
     val delta = aggDelta(source.changesBetween(from, latest))
     val valueCols = "n_rows" +: sumCols.map(c => s"sum_$c")
 
+    // union + re-aggregate instead of a full-outer join: groups the SQL
+    // join would mis-handle (NULL keys never equi-match) fold correctly
+    // under GROUP BY's null-as-a-group semantics, and the plan is one
+    // small shuffle over |table| + |delta| grouped rows
     val merged =
       if (!target.exists || target.state.exists(_.parts.isEmpty)) delta
-      else {
-        val cur = target.read
-        // full-outer on group keys; absent side contributes 0
-        cur.join(delta.select(delta.columns.map(c =>
-            col(c).as(if (valueCols.contains(c)) s"_d_$c" else c)): _*),
-            groupCols, "full_outer")
-          .select(groupCols.map(col) ++ valueCols.map(c =>
-            (coalesce(col(c), lit(0L)) + coalesce(col(s"_d_$c"), lit(0L))).as(c)): _*)
-      }
+      else target.read.unionByName(delta)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col(valueCols.head)).as(valueCols.head),
+          valueCols.tail.map(c => sum(col(c)).as(c)): _*)
     // groups whose count returns to zero leave the table
     target.overwrite(merged.filter(col("n_rows") =!= 0L),
       Map(OFFSET_KEY -> latest))

@@ -50,6 +50,21 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(agg.appliedVersion == src.state.get.version)
   }
 
+  test("NULL group keys fold into one group across refreshes") {
+    val root = tmp()
+    val src = VersionedTable(spark, s"$root/src")
+    src.append(Seq((null.asInstanceOf[String], 1L), ("en", 2L)).toDF("lang", "tok"))
+    val agg = IncrementalAgg(spark, src, s"$root/agg", Seq("lang"), Seq("tok"))
+    agg.refresh()
+    src.append(Seq((null.asInstanceOf[String], 10L)).toDF("lang", "tok"))
+    agg.refresh()
+    val nullRow = agg.read.filter(col("lang").isNull)
+      .select("n_rows", "sum_tok").as[(Long, Long)].collect()
+    assert(nullRow.toSeq == Seq((2L, 11L)),
+      s"null-keyed rows must stay ONE group: ${nullRow.toSeq}")
+    assertMatches(agg, src)
+  }
+
   test("partition-scoped source rewrites refresh from the touched partition only") {
     val root = tmp()
     val src = VersionedTable(spark, s"$root/src")
