@@ -40,10 +40,14 @@ object LmScore {
   }
 
   /** Train on the reference corpus. `minCount` floors the vocabulary —
-    * words below it pool into the unseen mass (bounds the broadcast map
-    * regardless of corpus size).
+    * words below it pool into the unseen mass — and `maxVocab` HARD-CAPS
+    * the driver-side model at the top-`maxVocab` words by count
+    * (deterministic tie-break), so the collect is bounded no matter how
+    * the corpus is shaped. Zipf means the cap costs almost no mass.
     */
-  def train(reference: DataFrame, textCol: String, minCount: Long = 2L): UnigramLm = {
+  def train(reference: DataFrame, textCol: String, minCount: Long = 2L,
+            maxVocab: Int = 1000000): UnigramLm = {
+    require(minCount >= 1 && maxVocab >= 1, "need minCount >= 1, maxVocab >= 1")
     val spark = reference.sparkSession
     import spark.implicits._
     val counts = reference
@@ -52,7 +56,8 @@ object LmScore {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
     // one pass: kept vocab + total token mass + floored tail mass
-    val kept = counts.filter(_._2 >= minCount).collect().toMap
+    val kept = counts.filter(_._2 >= minCount)
+      .orderBy(desc("n"), asc("w")).limit(maxVocab).collect().toMap
     val totalsRow = counts.agg(sum("n")).head
     val totals = if (totalsRow.isNullAt(0)) 0L else totalsRow.getLong(0)
     require(totals > 0, "reference corpus has no tokens")

@@ -62,6 +62,8 @@ object Sampling {
     * between runs and the kept sets stay NESTED per group (a row kept at
     * 0.2 is still kept at 0.5), which makes mixture sweeps reproducible.
     * Stateless single scan — the rate lookup folds into one CASE chain.
+    * A NULL group value matches no configured rate and takes
+    * `defaultFraction`.
     */
   def sampleMixture(df: DataFrame, groupCol: String, idCol: String,
                     fractions: Map[String, Double],
