@@ -853,7 +853,7 @@ object Queries {
         |FROM documents GROUP BY 1""".stripMargin,
     "q20_token_stats" ->
       """SELECT lang,
-        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  COUNT(*) AS n_docs
@@ -952,9 +952,9 @@ object Queries {
         |FROM counts GROUP BY 1, 2""".stripMargin,
     "q26_text_metrics" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
-        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |      ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
         |        w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))) END) AS BIGINT) AS sum_bpe_tokens,
         |  CAST(SUM(length(regexp_replace(text, '[^\p{L}]', '', 'g'))) AS BIGINT) AS sum_letters,
@@ -1105,7 +1105,7 @@ object Queries {
     // running total per lang in doc_id order — pure window arithmetic
     "q40_sequence_pack" ->
       """WITH d AS (SELECT lang, doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |       ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS tok
         |  FROM documents),
         |c AS (SELECT lang, doc_id, tok,

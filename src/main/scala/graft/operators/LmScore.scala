@@ -50,25 +50,33 @@ object LmScore {
     require(minCount >= 1 && maxVocab >= 1, "need minCount >= 1, maxVocab >= 1")
     val spark = reference.sparkSession
     import spark.implicits._
+    // persisted: the corpus-sized word count feeds two actions (top-N
+    // collect + mass totals) and must not recompute per action
     val counts = reference
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-    // one pass: kept vocab + total token mass + floored tail mass
-    val kept = counts.filter(_._2 >= minCount)
-      .orderBy(desc("n"), asc("w")).limit(maxVocab).collect().toMap
-    val totalsRow = counts.agg(sum("n")).head
-    val totals = if (totalsRow.isNullAt(0)) 0L else totalsRow.getLong(0)
-    require(totals > 0, "reference corpus has no tokens")
-    val keptMass = kept.values.sum
-    val tailMass = totals - keptMass
-    // add-one-smoothed: unseen/floored words share the tail mass + 1
-    val denom = totals.toDouble + 1.0
-    val log2 = math.log(2.0)
-    UnigramLm(
-      kept.map { case (w, n) => w -> math.log(n / denom) / log2 },
-      math.log((tailMass + 1.0) / denom) / log2)
+      .persist()
+    try {
+      val kept = counts.filter(_._2 >= minCount)
+        .orderBy(desc("n"), asc("w")).limit(maxVocab).collect().toMap
+      val aggRow = counts.agg(sum("n"), count(lit(1))).head
+      val totals = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
+      require(totals > 0, "reference corpus has no tokens")
+      val vocabTypes = aggRow.getLong(1)
+      val keptMass = kept.values.sum
+      val tailMass = totals - keptMass
+      // the floored tail mass is split across its TYPES (plus one slot for
+      // truly-unseen words) — a per-token constant equal to the whole tail
+      // would let OOV gibberish outscore legitimate rare vocabulary
+      val tailTypes = math.max(0L, vocabTypes - kept.size) + 1
+      val denom = totals.toDouble + 1.0
+      val log2 = math.log(2.0)
+      UnigramLm(
+        kept.map { case (w, n) => w -> math.log(n / denom) / log2 },
+        math.log((tailMass + 1.0) / (denom * tailTypes)) / log2)
+    } finally counts.unpersist()
   }
 
   /** `… + bits_per_token: double` (NULL for empty/null docs). */

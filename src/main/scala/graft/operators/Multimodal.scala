@@ -88,7 +88,7 @@ object Multimodal {
             fmt.getSampleRate, 16, fmt.getChannels,
             2 * fmt.getChannels, fmt.getSampleRate, false)
           val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-          val bytes = pcm.readAllBytes()
+          val bytes = try pcm.readAllBytes() finally pcm.close()
           val ch = math.max(1, target.getChannels)
           val n = bytes.length / 2 / ch
           val out = new Array[Float](n)
@@ -125,21 +125,25 @@ object Multimodal {
       if (payload == null || payload.length < 6 || everyN <= 0) return None
       if (!(payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')) return None
       try {
+        // NB: must be closed — with ImageIO's default disk cache this
+        // stream owns a temp file + fd (per ROW in mapPartitions)
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return None
-        val reader = readers.next()
         try {
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          Some((0 until n by everyN).map { i =>
-            val img = reader.read(i)
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            bos.toByteArray
-          })
-        } finally reader.dispose()
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            Some((0 until n by everyN).map { i =>
+              val img = reader.read(i)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              bos.toByteArray
+            })
+          } finally reader.dispose()
+        } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }

@@ -121,5 +121,6 @@ object Sampling {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("shard"))
           .orderBy(col("shuffle_key"), col(idCol))) - 1)
+      .drop("shuffle_key") // derivable from (seed, id); never persist it
   }
 }

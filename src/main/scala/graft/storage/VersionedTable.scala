@@ -371,8 +371,18 @@ final class VersionedTable(spark: SparkSession, val root: String) {
         parquetRead(s2, newParts.map(p => partPath(p.dir)))
           .withColumn(ACTION, lit("INSERT"))
     } else {
-      val d1 = readCommitted(s1)
+      // align the old snapshot to the NEW schema before diffing — an
+      // ADD_COLUMNS commit inside the window otherwise makes exceptAll
+      // throw on column-count mismatch. Old rows read NULL for columns
+      // they predate, exactly as a post-evolution table read does.
       val d2 = readCommitted(s2)
+      val d1raw = readCommitted(s1)
+      val resolver = spark.sessionState.analyzer.resolver
+      val d1 = d2.columns.foldLeft(d1raw) { (df, c) =>
+        if (df.columns.exists(resolver(_, c))) df
+        else df.withColumn(c,
+          lit(null).cast(d2.schema(d2.schema.fieldIndex(c)).dataType))
+      }.select(d2.columns.map(col).toSeq: _*)
       d2.exceptAll(d1).withColumn(ACTION, lit("INSERT"))
         .unionByName(d1.exceptAll(d2).withColumn(ACTION, lit("DELETE")))
     }

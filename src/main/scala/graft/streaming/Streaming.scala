@@ -162,15 +162,30 @@ object Streaming {
 
   /** Stream-static enrichment join: a stream joined to a bounded
     * dimension (the lookup shape — events × customer dims, docs × domain
-    * scores). The static side is re-resolved per micro-batch, so a
-    * versioned-table dimension picks up new commits between batches
-    * without restarting the query. Spark broadcasts the static side per
-    * batch when it fits — no streaming state at all is kept for this
-    * join, which is why it scales to any stream length.
+    * scores). The static side's PLAN is fixed at query start and
+    * re-EXECUTED per micro-batch (no streaming state is kept), so a
+    * versioned-table `dim` is a frozen snapshot for the query's lifetime
+    * — use [[enrichEachBatch]] when the dimension must track new commits
+    * while the stream runs.
     */
   def enrichJoin(stream: DataFrame, dim: DataFrame, keyCol: String,
                  joinType: String = "left_outer"): DataFrame =
     stream.join(dim, Seq(keyCol), joinType)
+
+  /** Enrichment against a LIVE versioned dimension: each micro-batch
+    * re-reads the table's CURRENT committed state (a fresh plan per
+    * batch — the only way a fixed streaming plan can see new commits)
+    * and hands the joined batch to `sink`. Snapshot isolation per batch
+    * comes free from the commit log: a dim commit mid-batch changes
+    * nothing already planned.
+    */
+  def enrichEachBatch(stream: DataFrame, dim: graft.storage.VersionedTable,
+                      keyCol: String, sink: (DataFrame, Long) => Unit,
+                      joinType: String = "left_outer")
+    : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(batch.join(dim.read, Seq(keyCol), joinType), id)
+    }
 
   /** Stream-stream interval join (the attribution shape: left events
     * joined to right events that occurred within `[0, withinMs]` AFTER

@@ -65,6 +65,28 @@ class IncrementalAggSpec extends AnyFunSuite {
     assertMatches(agg, src)
   }
 
+  test("refresh survives a schema-widening (ADD COLUMNS) commit inside the window") {
+    val root = tmp()
+    val src = VersionedTable(spark, s"$root/src")
+    src.append(Seq(("en", 1L), ("de", 2L)).toDF("lang", "tok"))
+    val agg = IncrementalAgg(spark, src, s"$root/agg", Seq("lang"), Seq("tok"))
+    agg.refresh()
+    // widen the source, then REWRITE it with the new column — the delta
+    // window (v1 -> v3) crosses a schema change on the exceptAll path,
+    // which must align the old snapshot to the new schema, not crash
+    src.addColumns(Seq(org.apache.spark.sql.types.StructField("src",
+      org.apache.spark.sql.types.StringType)))
+    src.overwrite(Seq(("en", 1L, null.asInstanceOf[String]),
+      ("de", 2L, null.asInstanceOf[String]),
+      ("en", 10L, "web")).toDF("lang", "tok", "src"))
+    agg.refresh()
+    assertMatches(agg, src)
+    // the pre-existing rows carried NULL src on both sides of the diff,
+    // so only the genuinely new row moved the aggregate
+    assert(agg.read.filter(col("lang") === "en")
+      .select("n_rows").as[Long].head() == 2L)
+  }
+
   test("partition-scoped source rewrites refresh from the touched partition only") {
     val root = tmp()
     val src = VersionedTable(spark, s"$root/src")

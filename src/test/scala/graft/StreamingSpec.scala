@@ -151,7 +151,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.map(_.getString(0)).contains("c"))
   }
 
-  test("enrichJoin: stream-static lookup re-resolves a versioned dim per batch") {
+  test("enrichJoin: stream-static lookup against a dimension snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("enrich_").toString
@@ -169,6 +169,29 @@ class StreamingSpec extends AnyFunSuite {
     // known key enriched; unknown key kept with NULL (left_outer)
     assert(batch1 == Map("a" -> Some("alpha"), "x" -> None))
     q.stop()
+  }
+
+  test("enrichEachBatch: a dim commit BETWEEN batches is visible to the next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("enrichb_").toString
+    val dim = graft.storage.VersionedTable(spark, s"$root/dim")
+    dim.overwrite(Seq(("a", "alpha")).toDF("key", "label"))
+
+    val seen = scala.collection.mutable.ArrayBuffer[(String, Option[String])]()
+    val events = MemoryStream[String]
+    val q = Streaming.enrichEachBatch(events.toDF().toDF("key"), dim, "key",
+      (batch, _) => seen.synchronized {
+        seen ++= batch.collect().map(r => r.getString(0) -> Option(r.getString(1)))
+      }).start()
+    events.addData("a", "b")
+    q.processAllAvailable()
+    dim.append(Seq(("b", "beta")).toDF("key", "label")) // commit mid-stream
+    events.addData("b")
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSet == Set("a" -> Some("alpha"), "b" -> None, "b" -> Some("beta")),
+      s"second batch must see the new commit: $seen")
   }
 
   test("dedupStream drops in-watermark duplicates, keeps distinct keys") {
