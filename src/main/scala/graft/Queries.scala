@@ -673,6 +673,21 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).cast("long").as("id_sum"))
 
+  /** Physical packed sequences: q40's assignment materialized into the
+    * actual training rows — member docs concatenated in doc_id order with
+    * an EOS separator. The oracle hash covers the FULL sequence text, so
+    * concatenation order and separator placement are pinned exactly.
+    */
+  def q50PackedText(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("text"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+    Packing.materializeSequences(d, "text", "tok", "lang", "doc_id",
+        2048, "<|eos|>")
+      .select(col("lang"), col("seq_no"), col("n_docs"), col("n_tokens"),
+        col("sequence_text"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -726,7 +741,8 @@ object Queries {
     "q46_training_pipeline" -> (q46TrainingPipeline _),
     "q47_balanced_sample" -> (q47BalancedSample _),
     "q48_top_terms" -> (q48TopTerms _),
-    "q49_mixture" -> (q49Mixture _)
+    "q49_mixture" -> (q49Mixture _),
+    "q50_packed_text" -> (q50PackedText _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1240,6 +1256,20 @@ object Queries {
         |FROM b
         |WHERE bucket < CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 5000
         |                           WHEN 'src2' THEN 2500 ELSE 10000 END
-        |GROUP BY source""".stripMargin
+        |GROUP BY source""".stripMargin,
+    // q40's packing CTE + ordered string_agg: the hash covers the full
+    // concatenated sequence text, pinning member order and separators
+    "q50_packed_text" ->
+      """WITH d AS (SELECT lang, doc_id, text,
+        |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |       ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, text, tok,
+        |  SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM d)
+        |SELECT lang,
+        |  CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS seq_no,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  string_agg(text, '<|eos|>' ORDER BY doc_id) AS sequence_text
+        |FROM c GROUP BY 1, 2""".stripMargin
   )
 }

@@ -46,4 +46,24 @@ object Packing {
       .groupBy(col(groupCol), col("seq_no"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).cast("long").as("n_tokens"))
+
+  /** Materialize the packed TRAINING SEQUENCES themselves: one row per
+    * (group, seq_no) with member documents joined in order by `sep`
+    * (the EOS/document-separator token). `array_agg` + `sort_array` +
+    * deterministic struct ordering keeps the concatenation order exact
+    * and engine-reproducible — same one window shuffle + one aggregation
+    * as the summary, so the physical step adds no new exchange.
+    */
+  def materializeSequences(df: DataFrame, textCol: String, tokenCol: String,
+                           groupCol: String, orderCol: String,
+                           maxTokens: Int, sep: String): DataFrame =
+    packSequences(df, tokenCol, groupCol, orderCol, maxTokens)
+      .groupBy(col(groupCol), col("seq_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("n_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(orderCol), col(textCol)))),
+            s => s.getField(textCol)),
+          sep).as("sequence_text"))
 }

@@ -67,6 +67,22 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("materializeSequences: ordered concatenation with separators, budget respected") {
+    val docs = Seq(
+      ("s", 1L, "one one", 2L), ("s", 2L, "two", 1L),
+      ("s", 3L, "three three three", 3L), ("s", 4L, "four", 1L)
+    ).toDF("shard", "doc_id", "text", "tok")
+    val out = Packing.materializeSequences(docs, "text", "tok", "shard", "doc_id",
+        maxTokens = 4, sep = "|")
+      .orderBy("seq_no")
+      .select("seq_no", "n_docs", "n_tokens", "sequence_text")
+      .as[(Long, Long, Long, String)].collect()
+    // contiguous fill: docs 1,2 -> seq 0 (3 tokens); doc 3 -> seq 0? cum=6
+    // -> (6-3)/4 = 0 -> seq 0; doc 4 cum=7 -> (7-1)/4 = 1 -> seq 1
+    assert(out(0) == ((0L, 3L, 6L, "one one|two|three three three")), out.toSeq)
+    assert(out(1) == ((1L, 1L, 1L, "four")), out.toSeq)
+  }
+
   test("redactPii scrubs emails, urls, and long digit runs — nothing else") {
     val df = Seq(
       "contact bob.smith+x@example.co.uk today",
