@@ -614,9 +614,13 @@ object Queries {
     */
   def q46TrainingPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val keep = docs.groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val deduped = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    // keep min doc_id per exact text: window rank = ONE corpus shuffle —
+    // the groupBy + semi-join-back formulation shuffles the corpus twice
+    val deduped = docs.withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text").cast("binary")))
+          .orderBy(col("doc_id"))))
+      .filter(col("_rk") === 1).drop("_rk")
     val bench = docs.filter(col("doc_id") % 100 === 0)
     val clean = operators.Decontaminate.clean(deduped, bench, "doc_id", "text", 8)
     val withTok = clean.withColumn("tok",
