@@ -488,20 +488,32 @@ object Queries {
 
   /** Approximate aggregates for 100 TB profiling: HLL distinct counts and
     * quantile sketches per return flag (one pass, bounded memory — the
-    * scale substitute for q29/q34's exact forms). Rows-only check:
-    * approximation is engine-specific; AccuracySpec pins the error bounds
-    * against exact answers on real data — approx_count_distinct(rsd 0.02)
-    * within 5% of exact COUNT DISTINCT, and approx_percentile(accuracy
-    * 1000, rank error ≤ 0.1%) inside the exact p45–p55 window — so the
-    * sketch tier is verified, just not hash-equal.
+    * scale substitute for q29/q34's exact forms). Oracle-checkable via
+    * BOUND BOOLEANS: the sketch values themselves are engine-specific, so
+    * the query emits the exact answers plus booleans asserting the sketch
+    * landed inside its documented error envelope — approx_count_distinct
+    * (rsd 0.02) within 6% of exact COUNT DISTINCT, approx_percentile
+    * (accuracy 1000) inside the exact p40–p60 window. The oracle emits
+    * constant TRUE for those columns: a sketch drifting out of its
+    * envelope flips the boolean and fails the hash match. (AccuracySpec
+    * pins the tighter 5% / p45–p55 bounds in-suite.)
     */
   def q36ApproxAggs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("_approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("_approx_p50"),
+        expr("percentile(l_extendedprice, 0.4)").as("_p40"),
+        expr("percentile(l_extendedprice, 0.6)").as("_p60"),
         count(lit(1)).as("n_rows"))
+      .select(
+        col("l_returnflag"), col("n_parts"), col("n_rows"),
+        (abs(col("_approx_parts") - col("n_parts")) <=
+          col("n_parts").cast("double") * 0.06).as("parts_ok"),
+        (col("_approx_p50") >= col("_p40") && col("_approx_p50") <= col("_p60"))
+          .as("p50_ok"))
 
   /** Batch ANN: exact cosine top-5 for a SET of query vectors in one
     * corpus pass — queries broadcast, per-query rank via map-side
@@ -1081,6 +1093,13 @@ object Queries {
         |SELECT e.event_id, e.user_id, r.last_order_price
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) >= r.ots""".stripMargin,
+    // sketch values are engine-specific; the hash-checked surface is the
+    // exact answers + bound booleans the Spark side computes (see
+    // q36ApproxAggs scaladoc) — the oracle asserts the envelope held
+    "q36_approx_aggs" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows, TRUE AS parts_ok, TRUE AS p50_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q37_ann_batch" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

