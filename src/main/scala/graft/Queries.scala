@@ -498,22 +498,45 @@ object Queries {
     * envelope flips the boolean and fails the hash match. (AccuracySpec
     * pins the tighter 5% / p45–p55 bounds in-suite.)
     */
-  def q36ApproxAggs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  def q36ApproxAggs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+    // Three cheap hash-agg passes over a 3-column pruned scan instead of
+    // one pass with exact-percentile buffers: percentile() materializes
+    // every value per group in an imperative buffer (measured 3 s alone at
+    // sf0.1, and stacking 4 imperative aggs in one operator cost 8.5 s
+    // total); the rank-count check below replaces it with a conditional
+    // hash agg. At 100 TB the same three-pass shape holds — each pass is
+    // a map-side-partial agg over the pruned scan.
+    val sketch = li.groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("_approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("_approx_p50"),
-        expr("percentile(l_extendedprice, 0.4)").as("_p40"),
-        expr("percentile(l_extendedprice, 0.6)").as("_p60"),
         count(lit(1)).as("n_rows"))
+    // rank-error check, by definition: the sketch's p50 must sit between
+    // the exact p40 and p60 ⇔ the count of rows <= it lands in
+    // [0.4 n, 0.6 n] (prices are near-continuous; tie mass is absorbed by
+    // the 50×-the-guarantee window)
+    val rank = li
+      .join(broadcast(sketch.select(col("l_returnflag"), col("_approx_p50"))),
+        "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("l_extendedprice") <= col("_approx_p50"), 1L)
+        .otherwise(0L)).as("_n_le"))
+    val exactDistinct = li.select(col("l_returnflag"), col("l_partkey"))
+      .distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_parts"))
+    sketch
+      .join(broadcast(rank), "l_returnflag")
+      .join(broadcast(exactDistinct), "l_returnflag")
       .select(
         col("l_returnflag"), col("n_parts"), col("n_rows"),
         (abs(col("_approx_parts") - col("n_parts")) <=
           col("n_parts").cast("double") * 0.06).as("parts_ok"),
-        (col("_approx_p50") >= col("_p40") && col("_approx_p50") <= col("_p60"))
-          .as("p50_ok"))
+        (col("_n_le") >= col("n_rows") * 0.4 &&
+          col("_n_le") <= col("n_rows") * 0.6).as("p50_ok"))
+  }
 
   /** Batch ANN: exact cosine top-5 for a SET of query vectors in one
     * corpus pass — queries broadcast, per-query rank via map-side
@@ -704,6 +727,62 @@ object Queries {
         col("sequence_text"))
   }
 
+  /** Range (interval) join, oracle-exact: every event matched to the
+    * 10-minute windows opened by purchase events. The operator buckets
+    * time into cells and equi-joins on the cell id — an ordinary hash
+    * exchange — where a bare `BETWEEN` predicate would plan as a
+    * broadcast-nested-loop (q.v. [[operators.RangeJoin]] scaladoc).
+    * Integer epoch seconds on both sides keep the predicate exact.
+    */
+  def q51RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val pts = ev.select(col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("t_s"))
+    val ivs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("iv_id"),
+        unix_timestamp(col("ts")).as("start_s"),
+        (unix_timestamp(col("ts")) + 600L).as("end_s"))
+    operators.RangeJoin.pointInInterval(pts, ivs, "t_s", "start_s", "end_s",
+        bucketWidth = 600L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_points"),
+        countDistinct(col("iv_id")).as("n_intervals"))
+  }
+
+  /** Skew-salted equi-join, oracle-exact: lineitem ⋈ supplier salted 8
+    * ways. The salt is a deterministic hash of the row key, so the result
+    * is bit-identical to the plain join the oracle runs — the only change
+    * is the shuffle key space (key × salt), which splits any hot key
+    * across 8 reducers.
+    */
+  def q52SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_suppkey").as("suppkey"), col("l_quantity"),
+      col("l_orderkey"), col("l_linenumber"))
+    val sup = t(s, dir, "supplier").select(
+      col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    operators.SaltedJoin.inner(li, sup, Seq("suppkey"), saltFactor = 8,
+        leftSaltSource = struct(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard on a bounded slice (doc_id % 20 = 0;
+    * X4's documented contract: quadratic, pre-filter first). Counts pairs
+    * at two thresholds — integer outputs, so the float similarity never
+    * reaches the hash.
+    */
+  def q53NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      shingleSize = 3, threshold = 0.1)
+    pairs.agg(
+      count(lit(1)).as("n_pairs_01"),
+      sum(when(col("jaccard") >= 0.25, 1L).otherwise(0L)).as("n_pairs_025"),
+      countDistinct(col("id_a")).as("n_left_docs"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -758,7 +837,10 @@ object Queries {
     "q47_balanced_sample" -> (q47BalancedSample _),
     "q48_top_terms" -> (q48TopTerms _),
     "q49_mixture" -> (q49Mixture _),
-    "q50_packed_text" -> (q50PackedText _)
+    "q50_packed_text" -> (q50PackedText _),
+    "q51_range_join" -> (q51RangeJoin _),
+    "q52_salted_join" -> (q52SaltedJoin _),
+    "q53_ngram_jaccard" -> (q53NgramJaccard _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1293,6 +1375,46 @@ object Queries {
         |  CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS seq_no,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
         |  string_agg(text, '<|eos|>' ORDER BY doc_id) AS sequence_text
-        |FROM c GROUP BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // integer epoch seconds on both sides; the bucketed operator must
+    // emit exactly the pairs the bare range predicate defines
+    "q51_range_join" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t_s FROM events),
+        |iv AS (SELECT event_id AS iv_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS start_s,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 600 AS end_s
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_type, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT e.event_id) AS n_points,
+        |  COUNT(DISTINCT iv.iv_id) AS n_intervals
+        |FROM e JOIN iv ON iv.start_s <= e.t_s AND e.t_s < iv.end_s
+        |GROUP BY e.event_type""".stripMargin,
+    // the salted join must be bit-identical to the plain join it replaces
+    "q52_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+    // same 3-gram shingle spec as q23; thresholds compare exact small-int
+    // ratios, so no float ever reaches the hash
+    "q53_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+        |                           for i in range(1, len(w) - 1)]) END AS s
+        |  FROM d),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT COUNT(*) AS n_pairs_01,
+        |  CAST(SUM(CASE WHEN j >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs_025,
+        |  COUNT(DISTINCT id_a) AS n_left_docs
+        |FROM p WHERE j >= 0.1""".stripMargin
   )
 }
