@@ -783,6 +783,31 @@ object Queries {
       countDistinct(col("id_a")).as("n_left_docs"))
   }
 
+  /** Paragraph-level exact dedup (RefinedWeb-style), oracle-exact down to
+    * the reassembled text: documents are given a deterministic paragraph
+    * structure (10-word blocks), every paragraph seen earlier in the
+    * corpus is dropped, survivors are rejoined in order, and the oracle
+    * pins the FULL reassembled text per doc via an md5 fingerprint sum —
+    * any wrong drop, wrong order, or wrong separator breaks the hash.
+    */
+  def q54ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val paraText = array_join(
+      transform(sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * lit(10) + 1, lit(10)))), "\n")
+    val d = docs.select(col("doc_id"), paraText.as("text"))
+    Dedup.paragraphDedup(d, "text", "doc_id",
+        splitPattern = "\n", joinSep = "\n")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_paras_kept")).cast("long").as("n_paras_kept"),
+        sum(col("n_paras_dropped")).cast("long").as("n_paras_dropped"),
+        sum(pmod(conv(substring(md5(col("text").cast("binary")), 1, 15),
+          16, 10).cast("long"), lit(1000000007L))).cast("long").as("text_fp"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -840,7 +865,8 @@ object Queries {
     "q50_packed_text" -> (q50PackedText _),
     "q51_range_join" -> (q51RangeJoin _),
     "q52_salted_join" -> (q52SaltedJoin _),
-    "q53_ngram_jaccard" -> (q53NgramJaccard _)
+    "q53_ngram_jaccard" -> (q53NgramJaccard _),
+    "q54_paragraph_dedup" -> (q54ParagraphDedup _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1415,6 +1441,31 @@ object Queries {
         |  CAST(SUM(CASE WHEN j >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_pairs_025,
         |  COUNT(DISTINCT id_a) AS n_left_docs
-        |FROM p WHERE j >= 0.1""".stripMargin
+        |FROM p WHERE j >= 0.1""".stripMargin,
+    // first-occurrence paragraph dedup over synthesized 10-word blocks;
+    // the md5 fingerprint sum pins the exact reassembled text of every
+    // surviving document (order, separators, drops)
+    "q54_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, r.i AS pos,
+        |    array_to_string(w[r.i*10+1 : r.i*10+10], ' ') AS para
+        |  FROM d, LATERAL (SELECT unnest(range(0,
+        |    CAST(ceil(len(d.w)/10.0) AS BIGINT))) AS i) r),
+        |win AS (SELECT doc_id, lang, pos, para,
+        |    ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM p),
+        |re AS (SELECT doc_id, ANY_VALUE(lang) AS lang,
+        |    string_agg(para, chr(10) ORDER BY pos) FILTER (rn = 1) AS text2,
+        |    COUNT(*) FILTER (rn = 1) AS kept,
+        |    COUNT(*) FILTER (rn > 1) AS dropped
+        |  FROM win GROUP BY doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_paras_kept,
+        |  CAST(SUM(dropped) AS BIGINT) AS n_paras_dropped,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS text_fp
+        |FROM re WHERE kept > 0 GROUP BY lang""".stripMargin
   )
 }

@@ -460,6 +460,54 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Paragraph-level exact dedup (RefinedWeb/CCNet-style): split each
+    * document on `splitPattern`, drop every paragraph that already
+    * occurred EARLIER in the corpus (first occurrence wins, ordered by
+    * (id, position)), and reassemble the survivors in their original
+    * order joined by `joinSep`. Documents whose every paragraph was
+    * dropped are removed.
+    *
+    * Returns `(idCol, textCol, n_paras_kept, n_paras_dropped)` — callers
+    * join back on `idCol` for their other columns, so the wide original
+    * row never rides the paragraph shuffles.
+    *
+    * Scale shape: exactly TWO shuffles of paragraph-granularity rows —
+    * the first-occurrence window partitions on md5(paragraph) (128-bit:
+    * no collision merges at corpus scale, unlike a 64-bit key), the
+    * reassembly groups by document id. No driver state, no skew beyond
+    * the paragraph-frequency distribution itself (a mass-duplicated
+    * paragraph lands in ONE window partition; its rows are dropped there
+    * rather than joined, so the hot key costs a sort, not a blowup).
+    */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+                     splitPattern: String = "\n{2,}",
+                     joinSep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), splitPattern))
+        .as(Seq("_pos", "_para")))
+      .filter(length(col("_para")) > 0)
+    val ranked = paras.withColumn("_rn", row_number().over(
+      Window.partitionBy(md5(col("_para").cast("binary")))
+        .orderBy(col(idCol), col("_pos"))))
+    // one doc-keyed groupBy reassembles AND counts: collect (pos, para,
+    // kept) structs, sort by position, filter to survivors
+    ranked
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        col("_pos"), col("_para"), (col("_rn") === 1).as("_keep"))))
+        .as("_sorted"))
+      .select(
+        col(idCol),
+        array_join(expr(
+          "transform(filter(_sorted, s -> s._keep), s -> s._para)"),
+          joinSep).as(textCol),
+        expr("size(filter(_sorted, s -> s._keep))").cast("long")
+          .as("n_paras_kept"),
+        expr("size(filter(_sorted, s -> NOT s._keep))").cast("long")
+          .as("n_paras_dropped"))
+      .filter(col("n_paras_kept") > 0)
+  }
+
   /** Direct n-gram Jaccard similarity for a bounded candidate set (exact,
     * no LSH) — quadratic, use only behind a pre-filter or at small n.
     */

@@ -176,4 +176,27 @@ class DedupSpec extends AnyFunSuite {
     val out = df.select(dotConst(col("v"), Array(2.0, 0.5, 1.0))).head.getDouble(0)
     assert(math.abs(out - (2.0 + 1.0 + 3.0)) < 1e-12)
   }
+
+  test("paragraphDedup: first occurrence wins, order preserved, empty docs dropped") {
+    val pd = Seq(
+      (1L, "alpha beta\n\ncommon boilerplate\n\ngamma delta"),
+      (2L, "common boilerplate\n\nunique two"),   // para 1 is a dup of doc 1
+      (3L, "common boilerplate"),                 // fully deduped -> removed
+      (4L, "unique two\n\nalpha beta\n\nfresh tail") // both dups of earlier docs
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pd, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L)) // doc 3 removed
+    assert(out(0)._2 == "alpha beta\n\ncommon boilerplate\n\ngamma delta")
+    assert(out(1)._2 == "unique two" && out(1)._3 == 1L && out(1)._4 == 1L)
+    assert(out(2)._2 == "fresh tail" && out(2)._4 == 2L)
+  }
+
+  test("paragraphDedup: within-doc repeats keep only the first copy") {
+    val pd = Seq((1L, "say it\n\nsay it\n\nagain")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pd, "text", "doc_id").collect()
+    assert(out.head.getString(1) == "say it\n\nagain")
+    assert(out.head.getLong(2) == 2L && out.head.getLong(3) == 1L)
+  }
 }
