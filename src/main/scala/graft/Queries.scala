@@ -808,6 +808,19 @@ object Queries {
           16, 10).cast("long"), lit(1000000007L))).cast("long").as("text_fp"))
   }
 
+  /** BM25 retrieval (Lucene's ranking function) for a 3-term query,
+    * oracle-exact: the score arithmetic is pure IEEE ops + ln on both
+    * engines; ranking and the hashed value use the 4-decimal rounding so
+    * a last-ulp ln difference can never flip the comparison.
+    */
+  def q55Bm25(s: SparkSession, dir: String): DataFrame =
+    operators.Relevance.bm25(t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "merge", "window"))
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"),
+        col("n_terms_hit"))
+      .orderBy(desc("score_r"), col("doc_id"))
+      .limit(15)
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -866,7 +879,8 @@ object Queries {
     "q51_range_join" -> (q51RangeJoin _),
     "q52_salted_join" -> (q52SaltedJoin _),
     "q53_ngram_jaccard" -> (q53NgramJaccard _),
-    "q54_paragraph_dedup" -> (q54ParagraphDedup _)
+    "q54_paragraph_dedup" -> (q54ParagraphDedup _),
+    "q55_bm25" -> (q55Bm25 _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1466,6 +1480,29 @@ object Queries {
         |  CAST(SUM(dropped) AS BIGINT) AS n_paras_dropped,
         |  CAST(SUM(CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT)
         |    % 1000000007) AS BIGINT) AS text_fp
-        |FROM re WHERE kept > 0 GROUP BY lang""".stripMargin
+        |FROM re WHERE kept > 0 GROUP BY lang""".stripMargin,
+    // BM25, Lucene idf form; avgdl = exact integer sum / count on both
+    // sides; rank and hash on round(score, 4)
+    "q55_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+        |tf AS (SELECT doc_id, u.t AS term, COUNT(*) AS tf
+        |  FROM d, unnest(d.w) AS u(t)
+        |  WHERE u.t IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * b.dl / s.avgdl))) AS score,
+        |    COUNT(*) AS n_terms_hit
+        |  FROM tf JOIN df USING (term) JOIN base b ON tf.doc_id = b.doc_id,
+        |    stats s
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, round(score, 4) AS score_r, n_terms_hit
+        |FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT 15""".stripMargin
   )
 }
