@@ -821,6 +821,21 @@ object Queries {
       .orderBy(desc("score_r"), col("doc_id"))
       .limit(15)
 
+  /** SemDeDup in its oracle configuration: k = 1 makes the clustered
+    * semantic dedup equal the global cosine-threshold single-linkage
+    * dedup, which DuckDB reproduces with all-pairs cosine + a
+    * recursive-CTE component search (the q23/q30 exhaustive trick). The
+    * cosine arithmetic is the same double-sequential kernel both sides,
+    * so the 0.3 threshold cut is bit-reproducible.
+    */
+  def q56SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+    Similarity.semDedup(e, "embedding", "vec_id", k = 1, threshold = 0.3)
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("vec_id")).cast("long").as("id_sum"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_in"))))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -880,7 +895,8 @@ object Queries {
     "q52_salted_join" -> (q52SaltedJoin _),
     "q53_ngram_jaccard" -> (q53NgramJaccard _),
     "q54_paragraph_dedup" -> (q54ParagraphDedup _),
-    "q55_bm25" -> (q55Bm25 _)
+    "q55_bm25" -> (q55Bm25 _),
+    "q56_semdedup" -> (q56SemDedup _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1503,6 +1519,33 @@ object Queries {
         |    stats s
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, round(score, 4) AS score_r, n_terms_hit
-        |FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT 15""".stripMargin
+        |FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT 15""".stripMargin,
+    // k=1 SemDeDup == global cosine-threshold single-linkage dedup:
+    // all-pairs cosine (same sequential-double arithmetic as the kernel)
+    // + recursive-CTE components, keep min id per component
+    "q56_semdedup" ->
+      """WITH RECURSIVE
+        |s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |dups AS (
+        |  SELECT id FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+        |  WHERE comp <> id)
+        |SELECT COUNT(*) AS n_survivors,
+        |  CAST(SUM(s.vec_id) AS BIGINT) AS id_sum,
+        |  (SELECT COUNT(*) FROM s) AS n_in
+        |FROM s LEFT JOIN dups ON s.vec_id = dups.id
+        |WHERE dups.id IS NULL""".stripMargin
   )
 }

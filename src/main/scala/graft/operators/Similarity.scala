@@ -274,4 +274,46 @@ object Similarity {
         // explicit float: Spark promotes float*float arithmetic to double
         q => (q.cast("float") * col(s"${vecCol}_scale")).cast("float")))
       .drop(s"${vecCol}_q8", s"${vecCol}_scale")
+
+  // ---------------------------------------------------------------------
+  // SemDeDup
+  // ---------------------------------------------------------------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embeddings with the IVF coarse quantizer, compute
+    * cosine pairs ONLY within each cluster, connect the ≥-threshold pair
+    * graph, and keep the smallest id per component. Returns the surviving
+    * rows of `df` unchanged.
+    *
+    * Scale shape: the quadratic step is confined to each cluster — the
+    * self-join is an ordinary hash equi-join on the cluster id, so each
+    * cluster's pairs are generated partition-locally after ONE shuffle of
+    * (cluster, id, vec) rows. Pick k so the expected cluster size n/k
+    * keeps (n/k)² per-partition work bounded (SemDeDup's own knob); the
+    * centroid fit is a bounded driver-side sample, broadcast back.
+    *
+    * With `k = 1` every pair is compared: the output is exactly the
+    * global cosine-threshold single-linkage dedup (the oracle
+    * configuration, same trick as q30's exhaustive-probe IVF).
+    */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
+               threshold: Double, iters: Int = 5, sampleCap: Int = 10000,
+               seed: Long = 42L): DataFrame = {
+    val cents = fitCentroids(df, vecCol, k, iters, sampleCap, seed)
+    val base = ivfAssign(df, vecCol, cents)
+      .select(col("_list"), col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"))
+    val l = base.select(col("_list"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = base.select(col("_list"), col("id").as("id_b"), col("v").as("v_b"))
+    val pairs = l.join(r, Seq("_list"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val dupIds = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("_dup_id"))
+    df.join(dupIds, col(idCol).cast("long") === col("_dup_id"), "left_anti")
+  }
 }

@@ -106,4 +106,38 @@ class SimilaritySpec extends AnyFunSuite {
     val zq = Similarity.dequantizeInt8(Similarity.quantizeInt8(z, "embedding"), "embedding")
     assert(zq.select(col("embedding")).head.getSeq[Float](0) == Seq(0f, 0f, 0f))
   }
+
+  test("semDedup: transitive chains collapse to min id; unrelated vectors survive") {
+    import spark.implicits._
+    // a~b and b~c are near-dups (cos > 0.95) but a~c is looser — single
+    // linkage must still collapse all three onto id 1
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.98f, 0.2f, 0.0f)),
+      (3L, Array(0.92f, 0.39f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal — survives
+      (11L, Array(0.0f, 0.0f, 1.0f))    // orthogonal — survives
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(docs, "embedding", "vec_id", k = 1,
+      threshold = 0.95).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 10L, 11L))
+  }
+
+  test("semDedup: clustered (k>1) equals exhaustive (k=1) on separable data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // two tight clusters far apart + noise: any sane centroid fit keeps
+    // each near-dup pair within one cluster
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val a = Array(10f, 0f, 0f); val b = Array(0f, 10f, 0f)
+    val rows = (1L to 20L).map(i => (i, jitter(if (i <= 10) a else b)))
+    val df = rows.toDF("vec_id", "embedding")
+    val exhaustive = Similarity.semDedup(df, "embedding", "vec_id", k = 1,
+      threshold = 0.999).collect().map(_.getLong(0)).toSet
+    val clustered = Similarity.semDedup(df, "embedding", "vec_id", k = 2,
+      threshold = 0.999, iters = 10).collect().map(_.getLong(0)).toSet
+    assert(clustered == exhaustive)
+    assert(exhaustive == Set(1L, 11L)) // one survivor per tight cluster
+  }
 }
