@@ -836,6 +836,25 @@ object Queries {
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_in"))))
   }
 
+  /** Bloom-pruned join, oracle-exact: the fact side is filtered by a
+    * bloom of a COMPUTED selective key set (1-in-7 suppliers) before its
+    * shuffle — the case Spark's automatic runtime bloom filtering cannot
+    * see. No false negatives + join removes false positives ⇒ the result
+    * must be bit-identical to the plain join the oracle runs.
+    */
+  def q57BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity"), col("l_orderkey"))
+    val sup = t(s, dir, "supplier")
+      .filter(col("s_suppkey") % 7 === 0)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    operators.BloomJoin.inner(li, sup, "l_suppkey", "s_suppkey")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).cast("long").as("key_sum"),
+        dsum(col("l_quantity")).as("sum_qty"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -896,7 +915,8 @@ object Queries {
     "q53_ngram_jaccard" -> (q53NgramJaccard _),
     "q54_paragraph_dedup" -> (q54ParagraphDedup _),
     "q55_bm25" -> (q55Bm25 _),
-    "q56_semdedup" -> (q56SemDedup _)
+    "q56_semdedup" -> (q56SemDedup _),
+    "q57_bloom_join" -> (q57BloomJoin _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1546,6 +1566,15 @@ object Queries {
         |  CAST(SUM(s.vec_id) AS BIGINT) AS id_sum,
         |  (SELECT COUNT(*) FROM s) AS n_in
         |FROM s LEFT JOIN dups ON s.vec_id = dups.id
-        |WHERE dups.id IS NULL""".stripMargin
+        |WHERE dups.id IS NULL""".stripMargin,
+    // bloom pruning is exact (no false negatives; join kills the FPs), so
+    // the oracle is simply the unpruned join
+    "q57_bloom_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey % 7 = 0
+        |GROUP BY s_nationkey""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -80,6 +81,47 @@ object expressions {
     }
     override protected def withNewChildInternal(c: Expression): DotConst = copy(child = c)
     override def prettyName: String = "dot_const"
+  }
+
+  /** Membership probe against a pre-built key bloom filter (the explicit
+    * bloom-join pruning primitive — see [[graft.operators.BloomJoin]]).
+    * The filter rides the plan as a reference object, the probe is one
+    * static call, and the expression stays inside WholeStageCodegen, so
+    * the pre-shuffle filter costs a hash per row, not a join.
+    *
+    * Probe encoding MUST mirror how `DataFrameStatFunctions.bloomFilter`
+    * inserted the keys: integral types via the long probe, strings via
+    * their UTF-8 bytes.
+    */
+  case class BloomMightContain(child: Expression,
+      bf: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain needs an integral or string key, got $t")
+    }
+    override def nullSafeEval(v: Any): Any = v match {
+      case l: Long => bf.mightContainLong(l)
+      case i: Int => bf.mightContainLong(i.toLong)
+      case s: Short => bf.mightContainLong(s.toLong)
+      case b: Byte => bf.mightContainLong(b.toLong)
+      case u: UTF8String => bf.mightContainBinary(u.getBytes)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val b = ctx.addReferenceObj("bloom", bf,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      child.dataType match {
+        case StringType =>
+          defineCodeGen(ctx, ev, c => s"$b.mightContainBinary($c.getBytes())")
+        case _ =>
+          defineCodeGen(ctx, ev, c => s"$b.mightContainLong((long)$c)")
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def prettyName: String = "bloom_might_contain"
   }
 
   /** Rolling-hash document fingerprint over normalized text: lowercased,
@@ -293,4 +335,7 @@ object expressions {
     col(CosineSimilarity(ex(a), ex(b)))
   def dotConst(c: Column, q: Array[Double]): Column = col(DotConst(ex(c), q))
   def rollingFingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
+  def bloomMightContain(c: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    col(BloomMightContain(ex(c), bf))
 }
