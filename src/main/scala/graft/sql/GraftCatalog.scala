@@ -470,9 +470,17 @@ final class GraftScanBuilder(vt: VersionedTable,
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
-      val df0 = asOfVersion.fold(vt.read)(vt.readVersion)
-      val filtered = pushed.flatMap(GraftScanBuilder.toColumn)
-        .foldLeft(df0)((d, c) => d.filter(c))
+      // pushed filters feed the table's ZONE MAPS: parts whose committed
+      // min/max ranges cannot satisfy them are never opened (readWhere
+      // also applies the condition as the row filter)
+      val cond = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+      val df0 = (asOfVersion, cond) match {
+        case (None, None) => vt.read
+        case (Some(v), None) => vt.readVersion(v)
+        case (None, Some(c)) => vt.readWhere(c)
+        case (Some(v), Some(c)) => vt.readVersionWhere(v, c)
+      }
+      val filtered = df0
       val relation = new BaseRelation with TableScan {
         override def sqlContext: SQLContext = context
         override def schema: StructType = prunedSchema

@@ -42,9 +42,13 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   /** One committed data directory. `vals` = the partition values this part
     * contains, as raw hive-escaped `_pt=` directory names (empty for
     * unpartitioned full/append parts); a later part's vals shadow the same
-    * values in every earlier part.
+    * values in every earlier part. `stats` = zone-map (min, max) per
+    * column, harvested from the part's parquet footers at commit time
+    * (empty for pre-zone-map commits and stat-less columns — absent stats
+    * simply mean "never skip this part").
     */
-  case class Part(dir: String, vals: Seq[String])
+  case class Part(dir: String, vals: Seq[String],
+                  stats: Map[String, (String, String)] = Map.empty)
 
   case class State(version: Long, partitionCol: Option[String],
                    parts: Seq[Part], offsets: Map[String, Long],
@@ -235,10 +239,24 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       case None => spark.read.parquet(paths: _*)
     }
 
-  private def readState(s: State): DataFrame = {
+  /** Zone-map harvest for a freshly written part: driver-side parquet
+    * footer reads only (the write already produced the stats); failures
+    * degrade to "no stats", never block the commit.
+    */
+  private def partStats(dataDir: String): Map[String, (String, String)] =
+    ZoneMaps.collect(spark.sparkContext.hadoopConfiguration, fs,
+      new Path(dataDir))
+
+  private def readState(s: State): DataFrame = readState(s, _ => true)
+
+  private def readState(s: State, keep: Part => Boolean): DataFrame = {
+    val kept = s.parts.filter(keep)
+    if (kept.isEmpty)
+      // every part zone-map-pruned: an empty relation with the schema
+      return emptyRelation(s)
     val anyPartitioned = s.parts.exists(_.vals.nonEmpty)
     if (!anyPartitioned)
-      return parquetRead(s, s.parts.map(p => partPath(p.dir)))
+      return parquetRead(s, kept.map(p => partPath(p.dir)))
     val pcol = s.partitionCol.getOrElse(
       throw new IllegalStateException(s"partitioned parts but no partcol at $root"))
     // Later parts shadow earlier ones. Partitioned parts are pruned by PATH
@@ -247,8 +265,11 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     // involved); legacy unpartitioned parts fall back to an exact
     // anti-filter on the real column.
     val slices = s.parts.zipWithIndex.map { case (p, i) =>
+      // shadowing MUST consider every later part, including zone-pruned
+      // ones — a pruned later part still overwrote these partition values
       val shadowed = s.parts.drop(i + 1).flatMap(_.vals).toSet
-      if (p.vals.nonEmpty) {
+      if (!keep(p)) null
+      else if (p.vals.nonEmpty) {
         val live = p.vals.filterNot(shadowed)
         if (live.isEmpty) null
         else parquetRead(s, live.map(v => s"${partPath(p.dir)}/$PT=$v"))
@@ -260,7 +281,64 @@ final class VersionedTable(spark: SparkSession, val root: String) {
           .filter(not(ptKey(col(pcol)).isin(vals: _*)))
       }
     }.filter(_ != null)
-    slices.reduce(_ unionByName _)
+    if (slices.isEmpty) emptyRelation(s)
+    else slices.reduce(_ unionByName _)
+  }
+
+  /** Zero-row relation carrying the table schema (all parts pruned). */
+  private def emptyRelation(s: State): DataFrame = s.schemaDdl match {
+    case Some(_) => readCommitted(s.copy(parts = Seq.empty))
+    case None => parquetRead(s, s.parts.map(p => partPath(p.dir))).limit(0)
+  }
+
+  /** Read with ZONE-MAP PART SKIPPING: part directories whose committed
+    * (min, max) column stats cannot satisfy `cond`'s top-level AND
+    * conjuncts are never opened — then `cond` is applied as a normal row
+    * filter, so the result ALWAYS equals `read.filter(cond)`. Predicates
+    * pruning can't use (ORs, expressions over columns, stat-less columns)
+    * cost nothing: they just don't skip.
+    *
+    * At 100 TB with time-ordered appends this is the difference between
+    * "scan the table" and "open the two parts the date range touches" —
+    * the same pruning Snowflake micro-partitions / Delta file stats buy.
+    */
+  def readWhere(cond: Column): DataFrame = {
+    val s = state.getOrElse(
+      throw new IllegalStateException(s"table at $root has no committed data"))
+    readWhereState(s, cond)
+  }
+
+  /** [[readWhere]] against a historical version (time travel + skipping). */
+  def readVersionWhere(version: Long, cond: Column): DataFrame = {
+    val s = stateAt(version).getOrElse(
+      throw new IllegalStateException(s"no version $version at $root"))
+    readWhereState(s, cond)
+  }
+
+  private def readWhereState(s: State, cond: Column): DataFrame = {
+    val preds = ZoneMaps.predsOf(spark, stateSchema(s), cond)
+    val resolver = spark.sessionState.analyzer.resolver
+    readState(s, p => ZoneMaps.mayMatch(p.stats, preds, resolver))
+      .filter(cond)
+  }
+
+  /** Schema of a state without opening data files when the commit carries
+    * its DDL (it always does for post-round-1 commits).
+    */
+  private def stateSchema(s: State): StructType = s.schemaDdl match {
+    case Some(d) => StructType.fromDDL(d)
+    case None => readState(s).schema
+  }
+
+  /** Diagnostic: how many parts a predicate's zone maps would keep/skip —
+    * `(kept, total)`. Metadata-only, no data files opened.
+    */
+  def pruneStats(cond: Column): (Int, Int) = {
+    val s = state.getOrElse(return (0, 0))
+    val preds = ZoneMaps.predsOf(spark, stateSchema(s), cond)
+    val resolver = spark.sessionState.analyzer.resolver
+    (s.parts.count(p => ZoneMaps.mayMatch(p.stats, preds, resolver)),
+      s.parts.size)
   }
 
   def readOr(schema: StructType): DataFrame =
@@ -403,7 +481,7 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"no table at $root"))
     val tgt = new VersionedTable(spark, targetRoot)
     require(!tgt.exists, s"clone target $targetRoot already exists")
-    val absParts = s.parts.map(p => tgt.Part(partPath(p.dir), p.vals))
+    val absParts = s.parts.map(p => tgt.Part(partPath(p.dir), p.vals, p.stats))
     tgt.writeCommit(1L,
       tgt.State(1L, s.partitionCol, absParts, s.offsets, s.schemaDdl))
     tgt
@@ -482,7 +560,7 @@ final class VersionedTable(spark: SparkSession, val root: String) {
         // commit version + offsets with the parts unchanged instead
         fs.delete(new Path(dataDir), true)
         None
-      } else Some(Part(partName, vals))
+      } else Some(Part(partName, vals, partStats(dataDir)))
     }
 
     val newPart = mode match {
@@ -490,7 +568,7 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       case Commit.Rewrite(Some(pcol)) => writePartitioned(pcol)
       case _ =>
         df.write.mode("overwrite").parquet(dataDir)
-        Some(Part(partName, Seq.empty))
+        Some(Part(partName, Seq.empty, partStats(dataDir)))
     }
 
     val parts = (mode, newPart) match {
@@ -573,7 +651,12 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   private def renderState(s: State): String = {
     def q(x: String) = "\"" + x + "\""
     val parts = s.parts.map { p =>
-      s"""{"dir":${q(p.dir)},"vals":${p.vals.map(q).mkString("[", ",", "]")}}"""
+      val st =
+        if (p.stats.isEmpty) ""
+        else p.stats.toSeq.sortBy(_._1).map { case (n, (mn, mx)) =>
+          s"${q(n)}:[${q(mn)},${q(mx)}]"
+        }.mkString(""","stats":{""", ",", "}")
+      s"""{"dir":${q(p.dir)},"vals":${p.vals.map(q).mkString("[", ",", "]")}$st}"""
     }.mkString("[", ",", "]")
     val offs = s.offsets.toSeq.sortBy(_._1)
       .map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
@@ -595,13 +678,19 @@ final class VersionedTable(spark: SparkSession, val root: String) {
         partsBlob.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq.map(Part(_, Seq.empty))
       else
-        """\{"dir":"([^"]+)","vals":\[([^\]]*)\]\}""".r.findAllMatchIn(partsBlob)
+        """\{"dir":"([^"]+)","vals":\[([^\]]*)\](?:,"stats":\{([^}]*)\})?\}""".r
+          .findAllMatchIn(partsBlob)
           .map { m =>
             // hive-escaping guarantees no raw quotes inside vals, so quoted
             // tokens are unambiguous (commas inside values are fine)
             val vals = """"([^"]*)"""".r.findAllMatchIn(m.group(2))
               .map(_.group(1)).toSeq
-            Part(m.group(1), vals)
+            val stats = Option(m.group(3)).map { blob =>
+              // stat values are percent-encoded: quote/backslash-free
+              """"([^"]*)":\["([^"]*)","([^"]*)"\]""".r.findAllMatchIn(blob)
+                .map(sm => sm.group(1) -> (sm.group(2), sm.group(3))).toMap
+            }.getOrElse(Map.empty[String, (String, String)])
+            Part(m.group(1), vals, stats)
           }.toSeq
     val offsets = """"offsets":\{([^}]*)\}""".r.findFirstMatchIn(json).get.group(1)
       .split(",").filter(_.contains(":")).map { kv =>

@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.storage.VersionedTable
+
+/** Zone-map data skipping: commit-time footer stats, part pruning on
+  * readWhere, exactness vs the unpruned filter, conservative fallbacks.
+  */
+class ZoneMapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("zonemap").toString
+
+  private def threeRangeParts(root: String): VersionedTable = {
+    val t = VersionedTable(spark, root)
+    // three appends with disjoint id ranges and disjoint date-ish strings
+    t.append(Seq((1L, "a_2023", 10.0), (99L, "b_2023", 11.5))
+      .toDF("id", "tag", "x"))
+    t.append(Seq((100L, "c_2024", -3.0), (199L, "d_2024", 7.25))
+      .toDF("id", "tag", "x"))
+    t.append(Seq((200L, "e_2025", 0.5), (299L, "f_2025", 2.5))
+      .toDF("id", "tag", "x"))
+    t
+  }
+
+  test("commit harvests footer stats; readWhere prunes to the matching parts") {
+    val t = threeRangeParts(tmp())
+    val s = t.state.get
+    assert(s.parts.size == 3)
+    assert(s.parts.forall(_.stats.contains("id")), s.parts.map(_.stats))
+    // long range predicate: only the middle part can match
+    val (kept, total) = t.pruneStats(col("id") >= 100L && col("id") < 200L)
+    assert(total == 3 && kept == 1, s"kept $kept of $total")
+    val rows = t.readWhere(col("id") >= 100L && col("id") < 200L)
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(100L, 199L))
+    // the pruned read really opened fewer files
+    val prunedFiles = t.readWhere(col("id") >= 100L && col("id") < 200L).inputFiles.length
+    val allFiles = t.read.inputFiles.length
+    assert(prunedFiles < allFiles, s"$prunedFiles vs $allFiles")
+  }
+
+  test("string zone maps prune bytewise; doubles prune; equality and IN work") {
+    val t = threeRangeParts(tmp())
+    assert(t.pruneStats(col("tag") === "c_2024")._1 == 1)
+    assert(t.pruneStats(col("tag") > "e")._1 == 1)
+    assert(t.pruneStats(col("x") < -1.0)._1 == 1) // only part 2 has negatives
+    assert(t.pruneStats(col("id").isin(5L, 250L))._1 == 2)
+    // results still exact
+    assert(t.readWhere(col("tag") > "e").collect().map(_.getString(1)).sorted
+      .toSeq == Seq("e_2025", "f_2025"))
+  }
+
+  test("conservative: ORs and non-literal conjuncts never prune") {
+    val t = threeRangeParts(tmp())
+    // OR is not a top-level conjunct set -> no pruning, full correctness
+    assert(t.pruneStats(col("id") < 50L || col("id") > 250L)._1 == 3)
+    assert(t.readWhere(col("id") < 50L || col("id") > 250L).count() == 2)
+    // column-vs-column conjunct is not extractable; it must not block the
+    // prunable half
+    assert(t.pruneStats(col("id") > 250L && col("x") < col("id"))._1 == 1)
+    assert(t.readWhere(col("id") > 250L && col("x") < col("id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(299L))
+  }
+
+  test("readWhere equals read.filter on every predicate shape") {
+    val t = threeRangeParts(tmp())
+    val preds = Seq(
+      col("id") <= 99L, col("id") === 150L, lit(150L) > col("id"),
+      col("x") >= 2.5, col("tag") <= "c", col("id").isin(99L, 100L))
+    preds.foreach { p =>
+      val a = t.readWhere(p).collect().map(_.toString).sorted.toSeq
+      val b = t.read.filter(p).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"mismatch for $p")
+    }
+    // all parts pruned -> empty result with the right schema
+    val none = t.readWhere(col("id") > 1000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "tag", "x"))
+  }
+
+  test("partitioned tables: zone maps compose with partition shadowing") {
+    val root = tmp()
+    val t = VersionedTable(spark, root)
+    t.overwritePartitions(Seq((2023, 1L, "x"), (2024, 100L, "y"))
+      .toDF("year", "id", "v"), "year")
+    t.overwritePartitions(Seq((2024, 200L, "z")).toDF("year", "id", "v"), "year")
+    // id=100 lives only in the SHADOWED half of part 1 -> zero rows, and
+    // the shadowing must survive pruning of the later part
+    assert(t.readWhere(col("id") === 100L).count() == 0)
+    assert(t.readWhere(col("id") === 200L).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((2024, 200L)))
+    assert(t.readWhere(col("id") === 1L).collect()
+      .map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("date and timestamp predicates prune via physical L-domain") {
+    val root = tmp()
+    val t = VersionedTable(spark, root)
+    t.append(Seq(("1995-01-01", 1), ("1995-06-30", 2)).toDF("d", "n")
+      .select(col("d").cast("date").as("d"), col("n")))
+    t.append(Seq(("2001-01-01", 3), ("2001-06-30", 4)).toDF("d", "n")
+      .select(col("d").cast("date").as("d"), col("n")))
+    val cut = java.sql.Date.valueOf("2000-01-01")
+    assert(t.pruneStats(col("d") > lit(cut))._1 == 1)
+    assert(t.readWhere(col("d") > lit(cut)).collect().map(_.getInt(1)).sorted
+      .toSeq == Seq(3, 4))
+  }
+
+  test("stats survive the commit-log JSON round trip and clone") {
+    val root = tmp()
+    val t = threeRangeParts(root)
+    val reread = VersionedTable(spark, root).state.get
+    assert(reread.parts.forall(p => p.stats.contains("id") &&
+      p.stats.contains("tag") && p.stats.contains("x")))
+    val cloneRoot = tmp()
+    t.cloneTo(cloneRoot)
+    val cloned = VersionedTable(spark, cloneRoot)
+    assert(cloned.pruneStats(col("id") >= 200L)._1 == 1)
+  }
+
+  test("SQL catalog WHERE prunes via zone maps: a skipped part is NEVER opened") {
+    val wh = tmp()
+    val tableRoot = s"$wh/ns/t"
+    val t = threeRangeParts(tableRoot)
+    graft.sql.GraftCatalog.register(spark, "gzm", wh)
+    // destroy the first part's data dir: any attempt to open it now fails,
+    // so a successful range query PROVES the part was zone-map-skipped
+    val victim = t.state.get.parts.head.dir
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$tableRoot/$victim"), true))
+    val rows = spark.sql(
+      "SELECT id, tag FROM gzm.ns.t WHERE id >= 200").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(200L, 299L))
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gzm.ns.t").collect()
+    }
+  }
+
+  test("compacted table re-harvests stats for the rewritten part") {
+    val root = tmp()
+    val t = threeRangeParts(root)
+    t.compact()
+    val s = t.state.get
+    assert(s.parts.size == 1 && s.parts.head.stats.contains("id"))
+    // one part now: range predicates keep it (and results stay right)
+    assert(t.readWhere(col("id") >= 100L && col("id") < 200L)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 199L))
+  }
+}
