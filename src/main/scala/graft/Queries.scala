@@ -855,6 +855,38 @@ object Queries {
         dsum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** Zone-map data skipping, oracle-exact: orders land in a versioned
+    * table as four year-sliced appends (time-ordered commits — the 100 TB
+    * append pattern), then a date-range readWhere must OPEN only the
+    * parts the range touches while returning exactly what a plain filter
+    * over the same rows returns. The result is eagerly materialized so
+    * the temp table can be dropped before the driver writes it out.
+    */
+  def q58ZoneMap(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q58_zonemap").toString
+    try {
+      val vt = storage.VersionedTable(s, root)
+      val o = t(s, dir, "orders")
+      Seq(1995, 1996, 1997, 1998).foreach { y =>
+        vt.append(o.filter(year(col("o_orderdate")) === y))
+      }
+      val lo = java.sql.Date.valueOf("1996-03-01")
+      val hi = java.sql.Date.valueOf("1997-09-01")
+      val cond = col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi)
+      val (kept, total) = vt.pruneStats(cond)
+      require(kept < total,
+        s"zone maps failed to prune: kept $kept of $total parts")
+      vt.readWhere(cond)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .localCheckpoint(true)
+    } finally {
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -916,7 +948,8 @@ object Queries {
     "q54_paragraph_dedup" -> (q54ParagraphDedup _),
     "q55_bm25" -> (q55Bm25 _),
     "q56_semdedup" -> (q56SemDedup _),
-    "q57_bloom_join" -> (q57BloomJoin _)
+    "q57_bloom_join" -> (q57BloomJoin _),
+    "q58_zone_map" -> (q58ZoneMap _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1575,6 +1608,15 @@ object Queries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_suppkey % 7 = 0
-        |GROUP BY s_nationkey""".stripMargin
+        |GROUP BY s_nationkey""".stripMargin,
+    // the year-sliced versioned table holds exactly orders' 1995-1998
+    // rows, and the pruned read must equal the plain range filter
+    "q58_zone_map" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-03-01'
+        |  AND o_orderdate < DATE '1997-09-01'
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }
