@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // INT96 (the legacy default) writes NO usable parquet column stats,
+      // which would silently disable zone-map pruning on timestamp
+      // columns — write standard INT64 micros instead
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // the synthetic events table is parquet TIMESTAMP(NANOS), which
       // Spark 4 rejects without this (session-level setup, not a loader
       // side effect — see Tables.events for the conversion)

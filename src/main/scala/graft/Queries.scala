@@ -508,11 +508,15 @@ object Queries {
     // total); the rank-count check below replaces it with a conditional
     // hash agg. At 100 TB the same three-pass shape holds — each pass is
     // a map-side-partial agg over the pruned scan.
+    // localCheckpoint: the 3-row sketch feeds TWO consumers (the rank
+    // check joins against it, the final join reads it) — materialize it
+    // once instead of re-running the sketch aggregation per consumer
     val sketch = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("_approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("_approx_p50"),
         count(lit(1)).as("n_rows"))
+      .localCheckpoint(true)
     // rank-error check, by definition: the sketch's p50 must sit between
     // the exact p40 and p60 ⇔ the count of rows <= it lands in
     // [0.4 n, 0.6 n] (prices are near-continuous; tie mass is absorbed by
@@ -1538,7 +1542,7 @@ object Queries {
         |    CAST(ceil(len(d.w)/10.0) AS BIGINT))) AS i) r),
         |win AS (SELECT doc_id, lang, pos, para,
         |    ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
-        |  FROM p),
+        |  FROM p WHERE length(para) > 0),
         |re AS (SELECT doc_id, ANY_VALUE(lang) AS lang,
         |    string_agg(para, chr(10) ORDER BY pos) FILTER (rn = 1) AS text2,
         |    COUNT(*) FILTER (rn = 1) AS kept,

@@ -28,21 +28,34 @@ object Relevance {
     * idf uses the BM25+ / Lucene form `ln(1 + (N - df + 0.5)/(df + 0.5))`
     * (always positive, no negative-idf clamp needed). `k1` saturates term
     * frequency; `b` is doc-length normalization strength.
+    *
+    * Cost shape: TWO pruned corpus scans — one tokenizes for the length
+    * stats, one tokenizes + filters for the term hits (Spark does not
+    * share a scan between plan branches without materializing it, and
+    * caching the tokenized corpus would cost far more than re-scanning a
+    * 2-column projection). In a standing index the length relation is
+    * per-corpus, not per-query — precompute it once and pass it via
+    * `lengths` to make each query a SINGLE corpus scan.
     */
   def bm25(docs: DataFrame, textCol: String, idCol: String,
            queryTerms: Seq[String], k1: Double = 1.2,
-           b: Double = 0.75): DataFrame = {
+           b: Double = 0.75, lengths: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), col("_toks"), size(col("_toks")).as("_dl"))
+    // (id, dl) — from the precomputed relation when supplied (any column
+    // names: first = id, second = length)
+    val dls = lengths.map(_.toDF(idCol, "_dl")).getOrElse(
+      docs.select(col(idCol), size(tokens(col(textCol))).as("_dl")))
     // corpus constants: exact integer sums, one row, broadcast
-    val stats = base.agg(
+    val stats = dls.agg(
       count(lit(1)).as("_n"),
       (sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl"))
     // term hits: filter to the query terms BEFORE the (id, term) agg —
-    // everything downstream is query-sized
-    val tf = base
-      .select(col(idCol), col("_dl"), explode(col("_toks")).as("_term"))
+    // everything downstream is query-sized. The doc length rides the
+    // explode, so no join back to the corpus is needed.
+    val tf = docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("_dl"),
+        explode(col("_toks")).as("_term"))
       .filter(col("_term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("_dl"), col("_term"))
       .agg(count(lit(1)).as("_tf"))

@@ -225,12 +225,20 @@ object ZoneMaps {
     case 'S' => ('S', pctDecode(s.substring(2)))
   }
 
+  /** Conservative whitelist: letters, digits, and -._~ pass through;
+    * EVERYTHING else is %XX-escaped. The commit log is parsed with
+    * fixed-shape regexes, so no JSON structural byte ({}[]",:\ …) may
+    * ever appear raw inside a stat value — an embedded '}' would
+    * truncate the stats blob and silently drop the whole part from
+    * every parsed state.
+    */
   private def pctEncode(bytes: Array[Byte]): String = {
     val sb = new StringBuilder
     bytes.foreach { b =>
       val c = b & 0xFF
-      if (c >= 0x21 && c <= 0x7E && c != '%' && c != '"' && c != '\\')
-        sb.append(c.toChar)
+      val safe = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+      if (safe) sb.append(c.toChar)
       else sb.append(f"%%$c%02X")
     }
     sb.toString

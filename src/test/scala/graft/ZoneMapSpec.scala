@@ -109,6 +109,36 @@ class ZoneMapSpec extends AnyFunSuite {
       .toSeq == Seq(3, 4))
   }
 
+  test("timestamp columns prune (session writes INT64 micros, not INT96)") {
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq(("2024-01-01 00:00:00", 1), ("2024-01-31 23:59:59", 2))
+      .toDF("ts", "n").select(col("ts").cast("timestamp").as("ts"), col("n")))
+    t.append(Seq(("2024-06-01 00:00:00", 3), ("2024-06-30 23:59:59", 4))
+      .toDF("ts", "n").select(col("ts").cast("timestamp").as("ts"), col("n")))
+    assert(t.state.get.parts.forall(_.stats.contains("ts")),
+      s"timestamp stats missing: ${t.state.get.parts.map(_.stats)} — " +
+        "is spark.sql.parquet.outputTimestampType still INT96?")
+    val cut = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    assert(t.pruneStats(col("ts") > lit(cut))._1 == 1)
+    assert(t.readWhere(col("ts") > lit(cut)).collect().map(_.getInt(1)).sorted
+      .toSeq == Seq(3, 4))
+  }
+
+  test("stat values with JSON structural bytes survive the commit-log regexes") {
+    val t = VersionedTable(spark, tmp())
+    // '}' lands in the string max; unescaped it would truncate the stats
+    // blob and silently DROP the whole part at parse time
+    t.append(Seq((1L, """{"json": true}"""), (2L, "plain")).toDF("id", "s"))
+    t.append(Seq((3L, "x],\"y\":{z"), (4L, "w")).toDF("id", "s"))
+    val reread = VersionedTable(spark, t.root).state.get
+    assert(reread.parts.size == 2, s"part dropped: ${reread.parts}")
+    assert(t.read.count() == 4)
+    assert(t.readWhere(col("id") >= 3L).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(3L, 4L))
+    // string pruning still works through the encoding
+    assert(t.pruneStats(col("s") === "plain")._1 >= 1)
+  }
+
   test("stats survive the commit-log JSON round trip and clone") {
     val root = tmp()
     val t = threeRangeParts(root)
