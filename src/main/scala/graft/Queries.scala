@@ -891,6 +891,38 @@ object Queries {
     }
   }
 
+  /** GROUPING SETS — the third grouping-analytics shape next to q28's
+    * ROLLUP and q44's CUBE: an explicit, non-hierarchical set list.
+    * grouping_id disambiguates real NULL groups from subtotal rows.
+    */
+  def q59GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+
+  /** The remaining §2.5 window family in one pass: percent_rank /
+    * cume_dist (exact small-integer ratios — IEEE-identical in both
+    * engines), ntile, lead, and first_value over one per-customer
+    * ordering, so the whole set shares a single window sort.
+    */
+  def q60WindowFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderdate")).over(w).cast("date").as("first_date"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -953,7 +985,9 @@ object Queries {
     "q55_bm25" -> (q55Bm25 _),
     "q56_semdedup" -> (q56SemDedup _),
     "q57_bloom_join" -> (q57BloomJoin _),
-    "q58_zone_map" -> (q58ZoneMap _)
+    "q58_zone_map" -> (q58ZoneMap _),
+    "q59_grouping_sets" -> (q59GroupingSets _),
+    "q60_window_family" -> (q60WindowFamily _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1621,6 +1655,27 @@ object Queries {
         |FROM orders
         |WHERE o_orderdate >= DATE '1996-03-01'
         |  AND o_orderdate < DATE '1997-09-01'
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q59_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+        |    AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())""".stripMargin,
+    // percent_rank/cume_dist are (rank-1)/(n-1) and rank/n over exact
+    // ints — bit-identical across engines; the ORDER BY ends in the
+    // unique key so every rank function is deterministic
+    "q60_window_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  ntile(4) OVER w AS quartile,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(first_value(o_orderdate) OVER w AS DATE) AS first_date
+        |FROM orders WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin
   )
 }
