@@ -923,6 +923,26 @@ object Queries {
         first(col("o_orderdate")).over(w).cast("date").as("first_date"))
   }
 
+  /** Sketch-tier heavy hitters, oracle-exact: SpaceSaving+count-min
+    * proposes a candidate superset (top-15 by estimate — bounded memory,
+    * no key shuffle), exact counts then rank the final top-5. The sketch
+    * guarantee (heavy keys are always candidates) makes the overfetched
+    * superset contain the true top-5, so the output equals DuckDB's
+    * exact top-5 even though estimates carry eps-noise.
+    */
+  def q61HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val cand = operators.Sketches.heavyHitters(words, "w", k = 15,
+      capacity = 1024)
+    words.join(broadcast(cand.select(col("item").as("w"))), "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w"))
+      .limit(5)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -987,7 +1007,8 @@ object Queries {
     "q57_bloom_join" -> (q57BloomJoin _),
     "q58_zone_map" -> (q58ZoneMap _),
     "q59_grouping_sets" -> (q59GroupingSets _),
-    "q60_window_family" -> (q60WindowFamily _)
+    "q60_window_family" -> (q60WindowFamily _),
+    "q61_heavy_hitters" -> (q61HeavyHitters _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1676,6 +1697,13 @@ object Queries {
         |  CAST(first_value(o_orderdate) OVER w AS DATE) AS first_date
         |FROM orders WHERE o_custkey % 50 = 0
         |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    // the sketch proposes, exact counts dispose: output = exact top-5
+    "q61_heavy_hitters" ->
+      """SELECT u.w, COUNT(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |      FROM documents) u
+        |WHERE length(u.w) > 0
+        |GROUP BY u.w ORDER BY n DESC, u.w LIMIT 5""".stripMargin
   )
 }
