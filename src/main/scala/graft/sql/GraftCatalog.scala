@@ -245,19 +245,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("compact", "vacuum", "clone", "history")
+      Array("compact", "cluster", "vacuum", "clone", "history")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name.toLowerCase match {
       case "compact" => new CompactProcedure
+      case "cluster" => new ClusterProcedure
       case "vacuum"  => new VacuumProcedure
       case "clone"   => new CloneProcedure
       case "history" => new HistoryProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
-          "(compact, vacuum, clone, history)")
+          "(compact, cluster, vacuum, clone, history)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -294,6 +295,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .in("table", org.apache.spark.sql.types.StringType).build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val version = resolveVt(input.getUTF8String(0).toString).compact()
+      singleRowScan(
+        StructType(Seq(org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+        InternalRow(version))
+    }
+  }
+
+  private final class ClusterProcedure extends MaintenanceProcedure {
+    override def name(): String = "cluster"
+    override def description(): String =
+      "rewrite live rows into n_parts range-clustered parts on cluster_by " +
+        "(Snowflake clustering keys / OPTIMIZE ZORDER analogue) - makes " +
+        "zone maps tight for range predicates on those columns"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter
+          .in("table", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("cluster_by", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("n_parts", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("16").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val version = resolveVt(input.getUTF8String(0).toString)
+        .compactClustered(cols, input.getInt(2))
       singleRowScan(
         StructType(Seq(org.apache.spark.sql.types.StructField("version",
           org.apache.spark.sql.types.LongType, nullable = false))),

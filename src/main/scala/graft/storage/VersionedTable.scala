@@ -385,6 +385,60 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     commit(read, Commit.Rewrite(pcol), Map.empty)
   }
 
+  /** Clustered compaction (Snowflake clustering keys / Delta OPTIMIZE
+    * ZORDER analogue, linear order): rewrite the table's LIVE rows into
+    * `nParts` RANGE-disjoint parts ordered by `clusterCols` — so the
+    * zone maps of a freshly appended-in-arrival-order table become TIGHT
+    * on the cluster columns, and a range [[readWhere]] afterwards opens
+    * ~1 part instead of all of them.
+    *
+    * One commit, `nParts` part dirs: Spark's `repartitionByRange`
+    * computes the split bounds (sampled range partitioner) and each
+    * range lands in its own directory with its own footer-harvested
+    * stats. Contents/schema/offsets unchanged; old versions untouched
+    * (time travel until [[vacuum]]). Not supported on
+    * partition-committed tables — their layout is already value-keyed.
+    */
+  def compactClustered(clusterCols: Seq[String], nParts: Int): Long = {
+    require(clusterCols.nonEmpty && nParts > 0,
+      "need cluster columns and a positive part count")
+    val s = state.getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    require(s.parts.nonEmpty, s"table at $root has no data to compact")
+    require(!s.parts.exists(_.vals.nonEmpty),
+      s"table at $root uses partition-scoped commits; clustered " +
+        "compaction applies to append-committed tables")
+    val version = s.version + 1
+    val attempt = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    // one job: range-shuffle once, tag each row with its range id via the
+    // partitioner itself, write all ranges in one hive-style write; each
+    // _range=<i> subdir is then REGISTERED AS ITS OWN PART with its own
+    // zone-map stats (the whole point of the rewrite)
+    val stage = f"$root/v_$version%08d_${attempt}_stage"
+    val ranged = readCommitted(s)
+      .repartitionByRange(nParts, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .withColumn("_range", org.apache.spark.sql.functions.spark_partition_id())
+    ranged.write.partitionBy("_range").mode("overwrite").parquet(stage)
+    val rangeDirs = fs.listStatus(new Path(stage))
+      .map(_.getPath.getName).filter(_.startsWith("_range=")).sorted
+    val parts = rangeDirs.zipWithIndex.map { case (rd, i) =>
+      val dirName = f"v_$version%08d_${attempt}_r$i%04d"
+      fs.rename(new Path(s"$stage/$rd"), new Path(s"$root/$dirName"))
+      Part(dirName, Seq.empty, partStats(s"$root/$dirName"))
+    }.toSeq
+    fs.delete(new Path(stage), true)
+    try writeCommit(version,
+      State(version, None, parts, s.offsets, s.schemaDdl))
+    catch {
+      case e: java.io.IOException =>
+        parts.foreach(p => fs.delete(new Path(s"$root/${p.dir}"), true))
+        throw new java.util.ConcurrentModificationException(
+          s"commit claim for version $version of $root failed", e)
+    }
+    version
+  }
+
   /** Reclaim storage: delete data dirs and commit files unreachable from
     * the newest `retainLast` commits. Time travel to vacuumed versions
     * stops working (that is the trade — same contract as Delta's VACUUM).

@@ -170,6 +170,52 @@ class ZoneMapSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered compaction makes zone maps tight: range reads open ~1 part") {
+    val root = tmp()
+    val t = VersionedTable(spark, root)
+    // arrival order is id-interleaved: every append spans the full id
+    // range, so BEFORE clustering a range predicate can prune nothing
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { _ =>
+      val rows = Seq.fill(200)((rnd.nextInt(10000).toLong, rnd.nextDouble()))
+      t.append(rows.toDF("id", "x"))
+    }
+    val cond = col("id") >= 4000L && col("id") < 5000L
+    val before = t.pruneStats(cond)
+    assert(before == ((3, 3)), s"interleaved appends should not prune: $before")
+    val expected = t.read.filter(cond).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+
+    t.compactClustered(Seq("id"), nParts = 8)
+    val (kept, total) = t.pruneStats(cond)
+    assert(total >= 6 && kept <= 2, s"clustering should prune: kept $kept of $total")
+    val after = t.readWhere(cond).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(after == expected)
+    // count preserved; time travel to the pre-compaction version intact
+    assert(t.read.count() == 600)
+    assert(t.readVersion(3).count() == 600)
+  }
+
+  test("CALL system.cluster rewrites into range parts through SQL") {
+    val wh = tmp()
+    val tableRoot = s"$wh/ns/c"
+    val t = VersionedTable(spark, tableRoot)
+    val rnd = new scala.util.Random(5)
+    (0 until 2).foreach { _ =>
+      t.append(Seq.fill(300)((rnd.nextInt(1000).toLong, "v")).toDF("id", "v"))
+    }
+    graft.sql.GraftCatalog.register(spark, "gcl", wh)
+    val v = spark.sql(
+      "CALL gcl.system.cluster(table => 'ns.c', cluster_by => 'id', n_parts => 4)")
+      .head.getLong(0)
+    assert(v == 3L)
+    assert(t.state.get.parts.size >= 3)
+    assert(t.pruneStats(col("id") < 100L)._1 <= 2)
+    assert(spark.sql("SELECT count(*) FROM gcl.ns.c WHERE id < 100").head.getLong(0)
+      == t.read.filter(col("id") < 100L).count())
+  }
+
   test("compacted table re-harvests stats for the rewritten part") {
     val root = tmp()
     val t = threeRangeParts(root)
