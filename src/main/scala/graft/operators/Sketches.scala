@@ -16,10 +16,11 @@ import org.apache.spark.util.sketch.CountMinSketch
   *    undercount; overcount ≤ eps·N with probability ≥ confidence.
   *  - [[heavyHitters]]: candidates from per-partition SpaceSaving
   *    summaries (Metwally et al., the frequent-items standard), counts
-  *    from a count-min pass. Any key with true frequency > N/capacity is
-  *    GUARANTEED to be among the candidates (per-partition guarantee
-  *    unioned over partitions), so top-k recall is exact for genuinely
-  *    heavy keys; the CMS estimate then ranks them.
+  *    from a count-min pass. Any key with true per-partition frequency
+  *    above partitionRows/capacity is always a candidate; recall below
+  *    that threshold, and the CMS ranking, are high-probability
+  *    properties (ε, confidence), not certainties — overfetch and
+  *    exact-re-rank when exactness is required.
   */
 object Sketches {
 
@@ -34,7 +35,14 @@ object Sketches {
   /** Per-partition SpaceSaving candidate set: each partition tracks at
     * most `capacity` keys with the classic min-replacement rule, then
     * emits (key, upperBoundCount). Keys with true per-partition count >
-    * partitionRows/capacity are guaranteed present.
+    * partitionRows/capacity are guaranteed present; below that threshold
+    * presence depends on arrival order (the standard SpaceSaving
+    * contract).
+    *
+    * Eviction uses a lazy-deletion min-heap (O(log capacity) amortized,
+    * vs an O(capacity) scan per overflowing row — the overflow path IS
+    * the hot path on long-tailed data). Stale heap entries are compacted
+    * when they outnumber live ones 8:1, keeping memory O(capacity).
     */
   private[graft] def spaceSavingCandidates(
       df: DataFrame, colName: String, capacity: Int): DataFrame = {
@@ -45,24 +53,35 @@ object Sketches {
         org.apache.spark.sql.types.LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.select(col(colName)).mapPartitions { it =>
-      // SpaceSaving: bounded map; on overflow, evict the min-count entry
-      // and ADOPT its count + 1 (the new key inherits the evictee's upper
-      // bound — the overestimate that makes the guarantee work)
       val counts = new java.util.HashMap[Any, Long](capacity * 2)
+      // min-heap of (count-at-push, key); an entry is live iff its count
+      // still matches counts(key)
+      val heap = new java.util.PriorityQueue[(Long, Any)](
+        capacity, (a: (Long, Any), b: (Long, Any)) =>
+          java.lang.Long.compare(a._1, b._1))
+      def push(k: Any, v: Long): Unit = {
+        heap.add((v, k))
+        if (heap.size > capacity * 8) { // compact stale entries
+          heap.clear()
+          counts.forEach((k2, v2) => heap.add((v2, k2)))
+        }
+      }
       it.foreach { r =>
         val k = r.get(0)
         if (k != null) {
-          if (counts.containsKey(k)) counts.put(k, counts.get(k) + 1L)
-          else if (counts.size < capacity) counts.put(k, 1L)
-          else {
-            var minK: Any = null; var minV = Long.MaxValue
-            val eit = counts.entrySet().iterator()
-            while (eit.hasNext) {
-              val e = eit.next()
-              if (e.getValue < minV) { minV = e.getValue; minK = e.getKey }
-            }
-            counts.remove(minK)
-            counts.put(k, minV + 1L)
+          if (counts.containsKey(k)) {
+            val v = counts.get(k) + 1L
+            counts.put(k, v); push(k, v)
+          } else if (counts.size < capacity) {
+            counts.put(k, 1L); push(k, 1L)
+          } else {
+            // pop to the first LIVE minimum, evict it, adopt its count
+            var min = heap.poll()
+            while (!counts.containsKey(min._2) || counts.get(min._2) != min._1)
+              min = heap.poll()
+            counts.remove(min._2)
+            val v = min._1 + 1L
+            counts.put(k, v); push(k, v)
           }
         }
       }
@@ -73,10 +92,16 @@ object Sketches {
   }
 
   /** Approximate top-k: SpaceSaving candidates (bounded per-partition
-    * state, unioned + re-summed) ranked by count-min estimates. Returns
+    * state, deduped) ranked by count-min estimates. Returns
     * `(item, est_count)`, estimate-descending then item order for
-    * determinism. `capacity` trades memory for the guaranteed-recall
-    * threshold N_partition/capacity.
+    * determinism.
+    *
+    * Probabilistic contract, not a hard guarantee: keys with true
+    * per-partition frequency above partitionRows/capacity are always
+    * candidates; lighter keys survive eviction only arrival-dependently,
+    * and each CMS estimate honors its ε·N bound with probability
+    * `confidence`. For exact-top-k use, OVERFETCH (k larger than needed)
+    * and re-rank the candidates by exact counts — the q61 pattern.
     */
   def heavyHitters(df: DataFrame, colName: String, k: Int,
                    capacity: Int = 1024, eps: Double = 0.0001,
@@ -86,7 +111,7 @@ object Sketches {
     val spark = df.sparkSession
     val bcCms = spark.sparkContext.broadcast(cms)
     val cands = spaceSavingCandidates(df, colName, capacity)
-      .groupBy(col("item")).agg(sum(col("ub")).as("_ub"))
+      .select(col("item")).distinct()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("item",
         df.schema(df.schema.fieldIndex(colName)).dataType),

@@ -408,6 +408,12 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     require(!s.parts.exists(_.vals.nonEmpty),
       s"table at $root uses partition-scoped commits; clustered " +
         "compaction applies to append-committed tables")
+    // the staging write borrows `_range` the way partitioned commits
+    // borrow `_pt` — a real column of that name would be silently
+    // replaced and then stripped from the rewritten files
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase("_range")),
+      s"table at $root has a column named _range (reserved by " +
+        "clustered compaction)")
     val version = s.version + 1
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     // one job: range-shuffle once, tag each row with its range id via the
@@ -421,15 +427,24 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       .withColumn("_range", org.apache.spark.sql.functions.spark_partition_id())
     ranged.write.partitionBy("_range").mode("overwrite").parquet(stage)
     val rangeDirs = fs.listStatus(new Path(stage))
-      .map(_.getPath.getName).filter(_.startsWith("_range=")).sorted
+      .map(_.getPath.getName).filter(_.startsWith("_range="))
+      .sortBy(_.stripPrefix("_range=").toInt) // numeric: _range=10 > _range=2
     val parts = rangeDirs.zipWithIndex.map { case (rd, i) =>
       val dirName = f"v_$version%08d_${attempt}_r$i%04d"
-      fs.rename(new Path(s"$stage/$rd"), new Path(s"$root/$dirName"))
+      // rename reports failure by RETURNING FALSE; committing a part
+      // whose rename silently failed would permanently reference a
+      // nonexistent dir
+      if (!fs.rename(new Path(s"$stage/$rd"), new Path(s"$root/$dirName")))
+        throw new java.io.IOException(
+          s"rename of clustered range $rd to $dirName failed at $root")
       Part(dirName, Seq.empty, partStats(s"$root/$dirName"))
     }.toSeq
     fs.delete(new Path(stage), true)
+    // preserve a recorded partition column (reachable with zero valued
+    // parts via an empty partition-scoped batch) — dropping it would let
+    // a later overwritePartitions switch columns mid-table
     try writeCommit(version,
-      State(version, None, parts, s.offsets, s.schemaDdl))
+      State(version, s.partitionCol, parts, s.offsets, s.schemaDdl))
     catch {
       case e: java.io.IOException =>
         parts.foreach(p => fs.delete(new Path(s"$root/${p.dir}"), true))
