@@ -761,11 +761,12 @@ final class VersionedTable(spark: SparkSession, val root: String) {
             }.getOrElse(Map.empty[String, (String, String)])
             Part(m.group(1), vals, stats)
           }.toSeq
-    val offsets = """"offsets":\{([^}]*)\}""".r.findFirstMatchIn(json).get.group(1)
-      .split(",").filter(_.contains(":")).map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
-      }.toMap
+    // keys may themselves contain ':' (e.g. "stream:q1") — match the
+    // quoted key and numeric value structurally, never split on ':'
+    val offsets = """"([^"]*)":(-?\d+)""".r
+      .findAllMatchIn(
+        """"offsets":\{([^}]*)\}""".r.findFirstMatchIn(json).get.group(1))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
     val schemaDdl = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     State(version, pcol, parts, offsets, schemaDdl)

@@ -172,6 +172,38 @@ object Streaming {
                  joinType: String = "left_outer"): DataFrame =
     stream.join(dim, Seq(keyCol), joinType)
 
+  /** EXACTLY-ONCE APPEND sink for a non-idempotent target: the processed
+    * batch id is committed ATOMICALLY with the data through the table's
+    * offsets map (the same piggyback contract the batch merge uses for
+    * change-feed offsets), so a foreachBatch replay after a crash —
+    * Spark's at-least-once delivery — sees the recorded id and skips.
+    * MERGE sinks are replay-idempotent by key; this closes the gap for
+    * plain appends (fact/event ingestion), where a replay would
+    * double-land rows.
+    *
+    * `streamId` names the (query, sink) pair — one table can absorb
+    * several independent streams, each tracked under its own key.
+    */
+  def appendBatchExactlyOnce(table: graft.storage.VersionedTable,
+                             streamId: String)
+                            (batch: DataFrame, batchId: Long): Boolean = {
+    val done = table.offsets.getOrElse(streamId, -1L)
+    if (batchId <= done) false
+    else {
+      table.append(batch, Map(streamId -> batchId))
+      true
+    }
+  }
+
+  /** [[appendBatchExactlyOnce]] wired as a streaming writer. */
+  def appendSink(stream: DataFrame, table: graft.storage.VersionedTable,
+                 streamId: String)
+    : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      appendBatchExactlyOnce(table, streamId)(batch, id)
+      ()
+    }
+
   /** Enrichment against a LIVE versioned dimension: each micro-batch
     * re-reads the table's CURRENT committed state (a fresh plan per
     * batch — the only way a fixed streaming plan can see new commits)

@@ -233,4 +233,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == 0)
     assert(p.harmonized.read.count() == 3)
   }
+
+  test("exactly-once append sink: batch replays are skipped, batch ids piggyback atomically") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("eo_append").toString
+    val t = graft.storage.VersionedTable(spark, root)
+    val sink = Streaming.appendBatchExactlyOnce(t, "stream:q1") _
+    assert(sink(Seq((1L, "a")).toDF("id", "v"), 0L))
+    assert(sink(Seq((2L, "b")).toDF("id", "v"), 1L))
+    // crash-replay of batch 1 (at-least-once delivery) must be a no-op
+    assert(!sink(Seq((2L, "b")).toDF("id", "v"), 1L))
+    assert(!sink(Seq((1L, "a")).toDF("id", "v"), 0L))
+    assert(t.read.count() == 2)
+    assert(t.offsets("stream:q1") == 1L)
+    // a second stream into the same table tracks independently
+    assert(Streaming.appendBatchExactlyOnce(t, "stream:q2")(
+      Seq((9L, "z")).toDF("id", "v"), 0L))
+    assert(t.read.count() == 3)
+    assert(t.offsets == Map("stream:q1" -> 1L, "stream:q2" -> 0L))
+  }
 }
