@@ -177,4 +177,40 @@ class PlanSpec extends AnyFunSuite {
     // partial agg must appear below the exchange: two HashAggregate nodes
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q51 range join: cell equi-join, never a nested-loop/cartesian") {
+    val p = planOf("q51_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("q52 salted join: the join key space includes the salt") {
+    val p = planOf("q52_salted_join")
+    assert(p.contains("_salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q54 paragraph dedup: window keys on the md5 fingerprint, not raw text") {
+    val p = planOf("q54_paragraph_dedup")
+    assert(p.contains("md5"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q55 bm25: df/stats sides broadcast; no cartesian anywhere") {
+    val p = planOf("q55_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q57 bloom join: probe filters the fact side below its aggregation") {
+    val p = planOf("q57_bloom_join")
+    assert(p.contains("bloom_might_contain"), p)
+  }
+
+  test("q60 window family shares ONE window sort across all five functions") {
+    val p = planOf("q60_window_family")
+    assert("Window".r.findAllIn(p).size <= 2, p) // one Window node (+header echo)
+    assert("Sort ".r.findAllIn(p).size <= 2, p)
+  }
 }
