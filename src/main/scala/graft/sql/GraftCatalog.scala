@@ -460,9 +460,9 @@ final class GraftSqlTable(vt: VersionedTable, ident: Identifier,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val conds = filters.flatMap(GraftScanBuilder.toColumn)
     val deletePred = conds.reduceOption(_ && _).getOrElse(lit(true))
-    // keep rows where the predicate is FALSE or NULL (DELETE only removes
-    // rows where the condition is true)
-    vt.overwrite(vt.read.filter(not(coalesce(deletePred, lit(false)))))
+    // zone-map-pruned rewrite: parts that provably contain no matching
+    // row carry over by reference (NULL predicate keeps the row, per SQL)
+    vt.deleteWhere(deletePred)
   }
 }
 

@@ -168,22 +168,28 @@ case class GraftUpdateCommand(@transient vt: VersionedTable, tableName: String,
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit, sum, when}
     val bridge = org.apache.spark.sql.graft.ColumnBridge
-    val df = vt.read
     val condCol = condition.map(b => bridge.column(b.e)).getOrElse(lit(true))
     val setMap = sets.map { case (n, b) => n.toLowerCase -> bridge.column(b.e) }.toMap
-    val updatedCols = df.columns.toSeq.map { c =>
-      setMap.get(c.toLowerCase) match {
-        case Some(v) => when(condCol, v).otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }
     val obs = new org.apache.spark.sql.Observation()
-    val flagged = df
-      .select(updatedCols :+ when(condCol, 1L).otherwise(0L).as("_upd"): _*)
-      .observe(obs, sum(col("_upd")).as("n"))
-      .drop("_upd")
-    vt.overwrite(flagged)
-    val n = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val prev = vt.state.map(_.version).getOrElse(0L)
+    // zone-map-pruned rewrite: only parts that might match the WHERE are
+    // read and rewritten; untouched parts carry over by reference (the
+    // matched-row count is unaffected — a skipped part can't match)
+    val newVersion = vt.rewriteWhere(condCol) { df =>
+      val updatedCols = df.columns.toSeq.map { c =>
+        setMap.get(c.toLowerCase) match {
+          case Some(v) => when(condCol, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }
+      df.select(updatedCols :+ when(condCol, 1L).otherwise(0L).as("_upd"): _*)
+        .observe(obs, sum(col("_upd")).as("n"))
+        .drop("_upd")
+    }
+    // no-op rewrite (no part could match): the observation never ran
+    val n =
+      if (newVersion == prev) 0L
+      else Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
     Seq(Row(n))
   }
 

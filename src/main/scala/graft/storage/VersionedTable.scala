@@ -454,6 +454,69 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     version
   }
 
+  /** Partial rewrite driven by zone maps (the DELETE/UPDATE engine):
+    * parts whose committed stats CANNOT satisfy `cond` carry over into
+    * the new version BY REFERENCE — never listed, never read, never
+    * rewritten; only the potentially-matching parts are read,
+    * `transform`ed, and landed as one fresh part. Exactness follows from
+    * the zone maps' conservativeness: a skipped part provably contains
+    * no row matching `cond`, so a row-level DELETE/UPDATE conditioned on
+    * `cond` is the identity there.
+    *
+    * At 100 TB this is the difference between "DELETE one day = rewrite
+    * the table" and "rewrite the two parts that day touches" (Delta/
+    * Iceberg file-level rewrite semantics). Returns the new version, or
+    * the CURRENT version unchanged when no part can match (no-op — no
+    * commit, no data job). Partition-scoped tables fall back to a full
+    * rewrite (their cross-part value shadowing makes partial carry-over
+    * ambiguous).
+    *
+    * `transform` must preserve the table schema.
+    */
+  def rewriteWhere(cond: Column)(transform: DataFrame => DataFrame): Long = {
+    val s = state.getOrElse(
+      throw new IllegalStateException(s"table at $root has no committed data"))
+    if (s.parts.isEmpty) return s.version
+    if (s.parts.exists(_.vals.nonEmpty))
+      return commit(transform(readCommitted(s)),
+        Commit.Rewrite(s.partitionCol), Map.empty)
+    val preds = ZoneMaps.predsOf(spark, stateSchema(s), cond)
+    val resolver = spark.sessionState.analyzer.resolver
+    val (touched, untouched) =
+      s.parts.partition(p => ZoneMaps.mayMatch(p.stats, preds, resolver))
+    if (touched.isEmpty) return s.version
+    val version = s.version + 1
+    val attempt = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val dirName = f"v_$version%08d_$attempt"
+    transform(parquetRead(s, touched.map(p => partPath(p.dir))))
+      .write.mode("overwrite").parquet(s"$root/$dirName")
+    // a transform can delete every row of the touched parts — an empty
+    // write still produces a zero-row parquet file, so check the footers'
+    // row counts (metadata-only) and drop the part instead of committing
+    // an empty reference
+    val rows = ZoneMaps.totalRows(spark.sparkContext.hadoopConfiguration,
+      fs, new Path(s"$root/$dirName"))
+    val newParts =
+      if (rows != 0L) Seq(Part(dirName, Seq.empty, partStats(s"$root/$dirName")))
+      else { fs.delete(new Path(s"$root/$dirName"), true); Seq.empty }
+    try writeCommit(version,
+      State(version, s.partitionCol, untouched ++ newParts, s.offsets,
+        s.schemaDdl))
+    catch {
+      case e: java.io.IOException =>
+        newParts.foreach(p => fs.delete(new Path(s"$root/${p.dir}"), true))
+        throw new java.util.ConcurrentModificationException(
+          s"commit claim for version $version of $root failed", e)
+    }
+    version
+  }
+
+  /** Row-level DELETE: remove rows where `cond` is TRUE (NULL keeps the
+    * row, per SQL semantics), rewriting only the zone-map-touched parts.
+    */
+  def deleteWhere(cond: Column): Long =
+    rewriteWhere(cond)(df => df.filter(not(coalesce(cond, lit(false)))))
+
   /** Reclaim storage: delete data dirs and commit files unreachable from
     * the newest `retainLast` commits. Time travel to vacuumed versions
     * stops working (that is the trade — same contract as Delta's VACUUM).

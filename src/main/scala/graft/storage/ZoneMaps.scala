@@ -106,6 +106,26 @@ object ZoneMaps {
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
+  /** Total row count under `dir` from parquet footers alone (driver-side
+    * metadata reads; -1 if any footer fails — callers treat unknown as
+    * non-empty).
+    */
+  def totalRows(conf: Configuration, fs: FileSystem, dir: Path): Long = {
+    try {
+      var total = 0L
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+          try reader.getFooter.getBlocks.forEach(b => total += b.getRowCount)
+          finally reader.close()
+        }
+      }
+      total
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
   /** One file's footer → per-column (domain, min, max) + dead columns. */
   private def harvestFile(conf: Configuration, f: Path)
       : (Seq[(String, (Char, Any, Any))], Set[String]) = {

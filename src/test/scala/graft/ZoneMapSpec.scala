@@ -216,6 +216,44 @@ class ZoneMapSpec extends AnyFunSuite {
       == t.read.filter(col("id") < 100L).count())
   }
 
+  test("deleteWhere rewrites only touched parts; others carry over by reference") {
+    val t = threeRangeParts(tmp())
+    val dirsBefore = t.state.get.parts.map(_.dir)
+    val v = t.deleteWhere(col("id") === 100L)
+    assert(v == 4L)
+    val partsAfter = t.state.get.parts.map(_.dir)
+    // parts 1 and 3 are carried over VERBATIM (same dirs); part 2 was
+    // rewritten into a new dir
+    assert(partsAfter.contains(dirsBefore(0)) && partsAfter.contains(dirsBefore(2)))
+    assert(!partsAfter.contains(dirsBefore(1)))
+    assert(t.read.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 99L, 199L, 200L, 299L))
+    // no-op delete: zone maps prove nothing matches -> same version back
+    assert(t.deleteWhere(col("id") === 5000L) == 4L)
+    assert(t.state.get.version == 4L)
+    // deleting every row of a touched part drops it without an empty part
+    val v2 = t.deleteWhere(col("id") >= 200L)
+    assert(v2 == 5L && t.read.count() == 3)
+    assert(t.state.get.parts.size == 2)
+  }
+
+  test("SQL DELETE and UPDATE prune via zone maps through the catalog") {
+    val wh = tmp()
+    val t = threeRangeParts(s"$wh/ns/d")
+    graft.sql.GraftCatalog.register(spark, "gdl", wh)
+    val dirsBefore = t.state.get.parts.map(_.dir)
+    spark.sql("DELETE FROM gdl.ns.d WHERE id >= 200")
+    val partsAfter = t.state.get.parts.map(_.dir)
+    assert(partsAfter.toSet == dirsBefore.take(2).toSet) // third part dropped, others by reference
+    assert(spark.sql("SELECT count(*) FROM gdl.ns.d").head.getLong(0) == 4)
+    val updated = spark.sql("UPDATE gdl.ns.d SET x = 0.0 WHERE id < 100")
+      .head.getLong(0)
+    assert(updated == 2)
+    // part 2 (ids 100..199) was untouched by the UPDATE rewrite
+    assert(t.state.get.parts.map(_.dir).contains(dirsBefore(1)))
+    assert(spark.sql("SELECT sum(x) FROM gdl.ns.d WHERE id < 100").head.getDouble(0) == 0.0)
+  }
+
   test("compacted table re-harvests stats for the rewritten part") {
     val root = tmp()
     val t = threeRangeParts(root)
