@@ -245,7 +245,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("compact", "cluster", "vacuum", "clone", "history")
+      Array("compact", "cluster", "vacuum", "clone", "history", "zonemaps")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -256,9 +256,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum"  => new VacuumProcedure
       case "clone"   => new CloneProcedure
       case "history" => new HistoryProcedure
+      case "zonemaps" => new ZoneMapsProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
-          "(compact, cluster, vacuum, clone, history)")
+          "(compact, cluster, vacuum, clone, history, zonemaps)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -399,6 +400,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         h.map(c => InternalRow(c.version, c.committedAtMs * 1000L,
           org.apache.spark.unsafe.types.UTF8String.fromString(c.operation),
           c.nParts)).toArray)
+    }
+  }
+
+  private final class ZoneMapsProcedure extends MaintenanceProcedure {
+    override def name(): String = "zonemaps"
+    override def description(): String =
+      "per-part (column, min, max) zone-map stats of a graft table - the " +
+        "skipping metadata readWhere and pruned DELETE/UPDATE consult; " +
+        "metadata-only"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("table", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val vt = resolveVt(input.getUTF8String(0).toString)
+      val rows = vt.state.toSeq.flatMap(_.parts).flatMap { p =>
+        p.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          InternalRow(UTF8String.fromString(p.dir), UTF8String.fromString(c),
+            UTF8String.fromString(graft.storage.ZoneMaps.display(mn)),
+            UTF8String.fromString(graft.storage.ZoneMaps.display(mx)))
+        }
+      }
+      rowsScan(
+        StructType(Seq(
+          StructField("part", StringType, nullable = false),
+          StructField("column", StringType, nullable = false),
+          StructField("min", StringType, nullable = false),
+          StructField("max", StringType, nullable = false))),
+        rows.toArray)
     }
   }
 

@@ -239,6 +239,15 @@ object ZoneMaps {
     case 'S' => "S:" + pctEncode(v.asInstanceOf[Array[Byte]])
   }
 
+  /** Human-readable rendering of an encoded stat value (for the
+    * `CALL system.zonemaps` inspection surface).
+    */
+  def display(encoded: String): String = decode(encoded) match {
+    case ('S', b: Array[Byte]) =>
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    case (_, v) => v.toString
+  }
+
   private[storage] def decode(s: String): (Char, Any) = s.charAt(0) match {
     case 'L' => ('L', s.substring(2).toLong)
     case 'D' => ('D', s.substring(2).toDouble)

@@ -254,6 +254,19 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(x) FROM gdl.ns.d WHERE id < 100").head.getDouble(0) == 0.0)
   }
 
+  test("CALL system.zonemaps exposes the skipping metadata") {
+    val wh = tmp()
+    threeRangeParts(s"$wh/ns/z")
+    graft.sql.GraftCatalog.register(spark, "gzp", wh)
+    val rows = spark.sql("CALL gzp.system.zonemaps(table => 'ns.z')").collect()
+    assert(rows.length == 9) // 3 parts x 3 stat columns
+    val idRows = rows.filter(_.getString(1) == "id")
+      .map(r => (r.getString(2).toLong, r.getString(3).toLong)).sorted
+    assert(idRows.toSeq == Seq((1L, 99L), (100L, 199L), (200L, 299L)))
+    val tagMax = rows.filter(_.getString(1) == "tag").map(_.getString(3)).sorted
+    assert(tagMax.toSeq == Seq("b_2023", "d_2024", "f_2025"))
+  }
+
   test("compacted table re-harvests stats for the rewritten part") {
     val root = tmp()
     val t = threeRangeParts(root)
