@@ -218,7 +218,7 @@ object ZoneMaps {
     case 'S' => bytesCompare(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   }
 
-  private def bytesCompare(a: Array[Byte], b: Array[Byte]): Int = {
+  private[graft] def bytesCompare(a: Array[Byte], b: Array[Byte]): Int = {
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
@@ -261,7 +261,7 @@ object ZoneMaps {
     * truncate the stats blob and silently drop the whole part from
     * every parsed state.
     */
-  private def pctEncode(bytes: Array[Byte]): String = {
+  private[graft] def pctEncode(bytes: Array[Byte]): String = {
     val sb = new StringBuilder
     bytes.foreach { b =>
       val c = b & 0xFF
@@ -273,7 +273,7 @@ object ZoneMaps {
     sb.toString
   }
 
-  private def pctDecode(s: String): Array[Byte] = {
+  private[graft] def pctDecode(s: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
     var i = 0
     while (i < s.length) {

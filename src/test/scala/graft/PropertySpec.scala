@@ -183,4 +183,32 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
     }
   }
+
+  test("zone-map string encoding: lossless round trip, JSON-regex-safe output") {
+    import graft.storage.ZoneMaps
+    val bytes: Gen[Array[Byte]] =
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    samples(bytes).foreach { b =>
+      val enc = ZoneMaps.pctEncode(b)
+      assert(ZoneMaps.pctDecode(enc).sameElements(b))
+      // the commit log is regex-parsed: no structural byte may leak through
+      assert(!enc.exists(c => "{}[]\",:\\%".contains(c) && c != '%' ||
+        c == '"' || c == '}' || c == '{' || c == '[' || c == ']' ||
+        c == ',' || c == ':' || c == '\\'), enc)
+    }
+  }
+
+  test("zone-map byte ordering agrees with Spark's UTF8String binary order") {
+    import graft.storage.ZoneMaps
+    import org.apache.spark.unsafe.types.UTF8String
+    val strs: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf('a', 'é', '中', 'z', '0', ' ', 'ÿ')).map(_.mkString))
+    samples(Gen.zip(strs, strs)).foreach { case (a, b) =>
+      val za = ZoneMaps.bytesCompare(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val ua = UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+      assert(Integer.signum(za) == Integer.signum(ua), s"'$a' vs '$b'")
+    }
+  }
 }
