@@ -952,6 +952,18 @@ object Queries {
     } finally words.unpersist(blocking = false)
   }
 
+  /** Contrastive pair mining over the labeled embeddings, oracle-exact:
+    * the pseudo-random pairing walk is the md5 ordering, which DuckDB
+    * reproduces verbatim — counts and id-sum checksums pin the exact
+    * pair sets, kinds, and the bucket-partitioned negative walk.
+    */
+  def q62ContrastivePairs(s: SparkSession, dir: String): DataFrame =
+    Sampling.contrastivePairs(t(s, dir, "embeddings"), "vec_id", "label")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("anchor") + col("pair")).cast("long").as("id_sum"),
+        countDistinct(col("anchor")).as("n_anchors"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1017,7 +1029,8 @@ object Queries {
     "q58_zone_map" -> (q58ZoneMap _),
     "q59_grouping_sets" -> (q59GroupingSets _),
     "q60_window_family" -> (q60WindowFamily _),
-    "q61_heavy_hitters" -> (q61HeavyHitters _)
+    "q61_heavy_hitters" -> (q61HeavyHitters _),
+    "q62_contrastive_pairs" -> (q62ContrastivePairs _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1713,6 +1726,28 @@ object Queries {
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
         |      FROM documents) u
         |WHERE length(u.w) > 0
-        |GROUP BY u.w ORDER BY n DESC, u.w LIMIT 5""".stripMargin
+        |GROUP BY u.w ORDER BY n DESC, u.w LIMIT 5""".stripMargin,
+    // the same md5 pairing walk, replayed: positives = in-group
+    // successor, negatives = in-bucket successor with a different group
+    "q62_contrastive_pairs" ->
+      """WITH b AS (SELECT vec_id AS anchor, label AS grp,
+        |    md5('42:' || CAST(vec_id AS VARCHAR)) AS k FROM embeddings),
+        |pos AS (SELECT anchor,
+        |    LEAD(anchor) OVER (PARTITION BY grp ORDER BY k, anchor) AS pair
+        |  FROM b),
+        |nb AS (SELECT anchor, grp, k,
+        |    CAST(('0x' || substr(k, 1, 15)) AS BIGINT) % 64 AS bkt FROM b),
+        |neg AS (SELECT anchor, LEAD(anchor) OVER w AS pair, grp,
+        |    LEAD(grp) OVER w AS pgrp
+        |  FROM nb WINDOW w AS (PARTITION BY bkt ORDER BY k, anchor)),
+        |u AS (
+        |  SELECT anchor, pair, 'pos' AS kind FROM pos WHERE pair IS NOT NULL
+        |  UNION ALL
+        |  SELECT anchor, pair, 'neg' FROM neg
+        |  WHERE pair IS NOT NULL AND pgrp <> grp)
+        |SELECT kind, COUNT(*) AS n_pairs,
+        |  CAST(SUM(anchor + pair) AS BIGINT) AS id_sum,
+        |  COUNT(DISTINCT anchor) AS n_anchors
+        |FROM u GROUP BY kind""".stripMargin
   )
 }

@@ -123,4 +123,47 @@ object Sampling {
           .orderBy(col("shuffle_key"), col(idCol))) - 1)
       .drop("shuffle_key") // derivable from (seed, id); never persist it
   }
+
+  /** Deterministic contrastive pair mining (embedding-training prep):
+    * each anchor is paired with a pseudo-random SAME-group neighbor
+    * (positive) and a pseudo-random DIFFERENT-group neighbor (negative).
+    * "Pseudo-random" = the md5 ordering keyed on (seed, id) — id-pure,
+    * run/engine-stable, and reproducible in ANSI SQL (the oracle runs
+    * the same walk).
+    *
+    *  - positives: within each group, the md5-ordered successor —
+    *    `|group| - 1` pairs per group, one window shuffle keyed on the
+    *    group (never quadratic);
+    *  - negatives: rows land in `negBuckets` md5 buckets, each row pairs
+    *    with its in-bucket successor when the groups differ — one
+    *    bounded-partition window shuffle, NO global ordering (a global
+    *    orderBy window would serialize the corpus through one partition).
+    *    Rows whose successor shares their group emit no negative that
+    *    round (~1/#groups of rows for balanced groups).
+    *
+    * Returns `(anchor, pair, kind)` with kind ∈ {pos, neg}.
+    */
+  def contrastivePairs(df: DataFrame, idCol: String, groupCol: String,
+                       seed: Long = 42L, negBuckets: Int = 64): DataFrame = {
+    require(negBuckets > 0, "need at least one negative bucket")
+    val base = df.select(col(idCol).as("anchor"), col(groupCol).as("_grp"))
+      .withColumn("_k",
+        md5(concat_ws(":", lit(seed.toString), col("anchor").cast("string"))))
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_grp")).orderBy(col("_k"), col("anchor"))
+    val pos = base
+      .withColumn("pair", lead(col("anchor"), 1).over(wPos))
+      .filter(col("pair").isNotNull)
+      .select(col("anchor"), col("pair"), lit("pos").as("kind"))
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bkt")).orderBy(col("_k"), col("anchor"))
+    val neg = base
+      .withColumn("_bkt", pmod(conv(substring(col("_k"), 1, 15), 16, 10)
+        .cast("long"), lit(negBuckets.toLong)))
+      .withColumn("pair", lead(col("anchor"), 1).over(wNeg))
+      .withColumn("_pgrp", lead(col("_grp"), 1).over(wNeg))
+      .filter(col("pair").isNotNull && col("_pgrp") =!= col("_grp"))
+      .select(col("anchor"), col("pair"), lit("neg").as("kind"))
+    pos.unionByName(neg)
+  }
 }
