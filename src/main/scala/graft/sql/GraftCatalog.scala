@@ -340,10 +340,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .in("table", org.apache.spark.sql.types.StringType).build(),
         procedures.ProcedureParameter
           .in("retain_last", org.apache.spark.sql.types.IntegerType)
-          .defaultValue("2").build())
+          .defaultValue("2").build(),
+        procedures.ProcedureParameter
+          .in("max_age_ms", org.apache.spark.sql.types.LongType)
+          .defaultValue("-1").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val deleted = resolveVt(input.getUTF8String(0).toString)
-        .vacuum(retainLast = input.getInt(1))
+      val vt = resolveVt(input.getUTF8String(0).toString)
+      // time-based retention wins when given (Delta RETAIN n HOURS parity)
+      val deleted =
+        if (input.getLong(2) >= 0L) vt.vacuumOlderThan(input.getLong(2))
+        else vt.vacuum(retainLast = input.getInt(1))
       singleRowScan(
         StructType(Seq(org.apache.spark.sql.types.StructField("deleted_dirs",
           org.apache.spark.sql.types.IntegerType, nullable = false))),

@@ -545,6 +545,27 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     victims
   }
 
+  /** Time-based [[vacuum]] (Delta `VACUUM ... RETAIN n HOURS` parity):
+    * every version committed within `maxAgeMs` of now is retained (plus,
+    * always, the latest); everything older is reclaimed. Commit times
+    * come from the commit files' filesystem timestamps — the same clock
+    * [[history]] reports.
+    */
+  def vacuumOlderThan(maxAgeMs: Long): Seq[String] = {
+    require(maxAgeMs >= 0, "maxAgeMs must be non-negative")
+    val vs = versions
+    if (vs.isEmpty) return Seq.empty
+    val mtimes = fs.listStatus(commitsDir)
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map(st => st.getPath.getName.stripSuffix(".json").toLong ->
+        st.getModificationTime).toMap
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    // versions are append-ordered, so "recent enough" is a suffix
+    val retain = math.max(1,
+      vs.count(v => mtimes.getOrElse(v, Long.MaxValue) >= cutoff))
+    vacuum(retain)
+  }
+
   /** Snowflake CHANGES-clause parity (`SELECT * FROM t CHANGES(...) AT(...)`)
     * directly off the commit log — no side change-table needed: the exact
     * row-level delta between two committed versions, each row tagged with

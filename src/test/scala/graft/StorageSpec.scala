@@ -94,6 +94,21 @@ class StorageSpec extends AnyFunSuite {
     assert(t.read.count() == 2)
   }
 
+  test("vacuumOlderThan: time-based retention keeps the fresh suffix, always the latest") {
+    val t = VersionedTable(spark, tmp() + "/vact")
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2, "b")).toDF("k", "v"))
+    t.overwrite(Seq((3, "c")).toDF("k", "v"))
+    // everything committed milliseconds ago: a 1-day window retains all
+    assert(t.vacuumOlderThan(86400000L).isEmpty)
+    assert(t.versions == Seq(1L, 2L, 3L))
+    // zero window: only the latest survives (never vacuum to nothing)
+    val deleted = t.vacuumOlderThan(0L)
+    assert(deleted.size == 2)
+    assert(t.versions == Seq(3L))
+    assert(t.read.collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("history labels every commit kind without opening data files") {
     val t = VersionedTable(spark, tmp() + "/hist")
     t.createEmpty(org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING"))
