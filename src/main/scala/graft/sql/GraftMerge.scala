@@ -171,11 +171,10 @@ case class GraftUpdateCommand(@transient vt: VersionedTable, tableName: String,
     val condCol = condition.map(b => bridge.column(b.e)).getOrElse(lit(true))
     val setMap = sets.map { case (n, b) => n.toLowerCase -> bridge.column(b.e) }.toMap
     val obs = new org.apache.spark.sql.Observation()
-    val prev = vt.state.map(_.version).getOrElse(0L)
     // zone-map-pruned rewrite: only parts that might match the WHERE are
     // read and rewritten; untouched parts carry over by reference (the
     // matched-row count is unaffected — a skipped part can't match)
-    val newVersion = vt.rewriteWhere(condCol) { df =>
+    val (_, executed) = vt.rewriteWhereDetailed(condCol) { df =>
       val updatedCols = df.columns.toSeq.map { c =>
         setMap.get(c.toLowerCase) match {
           case Some(v) => when(condCol, v).otherwise(col(c)).as(c)
@@ -186,9 +185,10 @@ case class GraftUpdateCommand(@transient vt: VersionedTable, tableName: String,
         .observe(obs, sum(col("_upd")).as("n"))
         .drop("_upd")
     }
-    // no-op rewrite (no part could match): the observation never ran
+    // the explicit executed-flag, not a racy version compare: reading
+    // obs of a never-run plan would block forever
     val n =
-      if (newVersion == prev) 0L
+      if (!executed) 0L
       else Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
     Seq(Row(n))
   }

@@ -347,6 +347,31 @@ final class VersionedTable(spark: SparkSession, val root: String) {
 
   def offsets: Map[String, Long] = state.map(_.offsets).getOrElse(Map.empty)
 
+  /** Metadata-only commit advancing/resetting offsets — no data job, no
+    * new part. The building block for stream-offset resets
+    * ([[graft.streaming.Streaming.appendBatchExactlyOnce]] checkpoint
+    * hazards) and external offset bookkeeping.
+    */
+  def commitOffsets(newOffsets: Map[String, Long]): Long = {
+    newOffsets.keys.foreach(requireValidOffsetKey)
+    val s = state.getOrElse(
+      throw new IllegalStateException(s"table at $root has no committed data"))
+    val version = s.version + 1
+    writeCommit(version, s.copy(version = version,
+      offsets = s.offsets ++ newOffsets))
+    version
+  }
+
+  /** Offsets keys land in the regex-parsed commit JSON: structural bytes
+    * would corrupt the offsets blob and silently break exactly-once
+    * replay detection, so reject them at the door.
+    */
+  private def requireValidOffsetKey(k: String): Unit =
+    require(k.nonEmpty && k.forall(c =>
+      c.isLetterOrDigit || "_.:/-@#".contains(c)),
+      s"offsets key '$k' contains characters outside [A-Za-z0-9_.:/-@#] — " +
+        "it would corrupt the regex-parsed commit log")
+
   /** Replace table contents (CREATE OR REPLACE / CTAS semantics). */
   def overwrite(df: DataFrame, offsets: Map[String, Long] = Map.empty): Long =
     commit(df, Commit.Replace, offsets)
@@ -473,18 +498,27 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     *
     * `transform` must preserve the table schema.
     */
-  def rewriteWhere(cond: Column)(transform: DataFrame => DataFrame): Long = {
+  def rewriteWhere(cond: Column)(transform: DataFrame => DataFrame): Long =
+    rewriteWhereDetailed(cond)(transform)._1
+
+  /** [[rewriteWhere]] plus an explicit executed-flag: `false` means the
+    * zone maps proved a no-op and `transform` was NEVER run — callers
+    * with side effects riding the transform (an Observation, a counter)
+    * must branch on this rather than compare racy version snapshots.
+    */
+  def rewriteWhereDetailed(cond: Column)(transform: DataFrame => DataFrame)
+      : (Long, Boolean) = {
     val s = state.getOrElse(
       throw new IllegalStateException(s"table at $root has no committed data"))
-    if (s.parts.isEmpty) return s.version
+    if (s.parts.isEmpty) return (s.version, false)
     if (s.parts.exists(_.vals.nonEmpty))
-      return commit(transform(readCommitted(s)),
-        Commit.Rewrite(s.partitionCol), Map.empty)
+      return (commit(transform(readCommitted(s)),
+        Commit.Rewrite(s.partitionCol), Map.empty), true)
     val preds = ZoneMaps.predsOf(spark, stateSchema(s), cond)
     val resolver = spark.sessionState.analyzer.resolver
     val (touched, untouched) =
       s.parts.partition(p => ZoneMaps.mayMatch(p.stats, preds, resolver))
-    if (touched.isEmpty) return s.version
+    if (touched.isEmpty) return (s.version, false)
     val version = s.version + 1
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val dirName = f"v_$version%08d_$attempt"
@@ -508,7 +542,7 @@ final class VersionedTable(spark: SparkSession, val root: String) {
         throw new java.util.ConcurrentModificationException(
           s"commit claim for version $version of $root failed", e)
     }
-    version
+    (version, true)
   }
 
   /** Row-level DELETE: remove rows where `cond` is TRUE (NULL keeps the
@@ -560,10 +594,15 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       .map(st => st.getPath.getName.stripSuffix(".json").toLong ->
         st.getModificationTime).toMap
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    // versions are append-ordered, so "recent enough" is a suffix
-    val retain = math.max(1,
-      vs.count(v => mtimes.getOrElse(v, Long.MaxValue) >= cutoff))
-    vacuum(retain)
+    // retain from the OLDEST fresh version onward: commit mtimes are
+    // normally monotone with versions, but a restored/touched commit
+    // file must never cause a fresh version to be deleted — so the
+    // suffix starts at the first fresh one, conservatively keeping any
+    // stale versions after it
+    val firstFresh = vs.indexWhere(v =>
+      mtimes.getOrElse(v, Long.MaxValue) >= cutoff)
+    val retain = if (firstFresh < 0) 1 else vs.length - firstFresh
+    vacuum(math.max(1, retain))
   }
 
   /** Snowflake CHANGES-clause parity (`SELECT * FROM t CHANGES(...) AT(...)`)
@@ -683,6 +722,7 @@ final class VersionedTable(spark: SparkSession, val root: String) {
 
   private def commit(df: DataFrame, mode: CommitMode,
                      newOffsets: Map[String, Long]): Long = {
+    newOffsets.keys.foreach(requireValidOffsetKey)
     val prev = state
     if (mode != Commit.Replace) prev.foreach(requireCompatibleSchema(_, df))
     val version = prev.map(_.version).getOrElse(0L) + 1

@@ -183,17 +183,44 @@ object Streaming {
     *
     * `streamId` names the (query, sink) pair — one table can absorb
     * several independent streams, each tracked under its own key.
+    * Concurrent micro-batches from different streams race on the commit
+    * claim; the loser retries against the refreshed state (bounded),
+    * re-checking its own offset each attempt.
+    *
+    * CHECKPOINT CONTRACT (same hazard as Delta's txnAppId/txnVersion):
+    * batch ids are meaningful only relative to ONE checkpoint location.
+    * Deleting the checkpoint or pointing the query at a new one restarts
+    * ids at 0, and this sink would silently skip real data until the
+    * old high-water mark is passed. When resetting a checkpoint, also
+    * call [[resetStreamOffset]] (or use a fresh streamId).
     */
   def appendBatchExactlyOnce(table: graft.storage.VersionedTable,
-                             streamId: String)
+                             streamId: String, maxRetries: Int = 20)
                             (batch: DataFrame, batchId: Long): Boolean = {
-    val done = table.offsets.getOrElse(streamId, -1L)
-    if (batchId <= done) false
-    else {
-      table.append(batch, Map(streamId -> batchId))
-      true
+    var attempt = 0
+    while (true) {
+      val done = table.offsets.getOrElse(streamId, -1L)
+      if (batchId <= done) return false
+      try {
+        table.append(batch, Map(streamId -> batchId))
+        return true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(50L * attempt)
+      }
     }
+    false // unreachable
   }
+
+  /** Forget a stream's high-water mark (metadata-only commit) — REQUIRED
+    * after resetting the stream's checkpoint location, whose batch ids
+    * restart at 0 (see [[appendBatchExactlyOnce]]).
+    */
+  def resetStreamOffset(table: graft.storage.VersionedTable,
+                        streamId: String): Long =
+    table.commitOffsets(Map(streamId -> -1L))
 
   /** [[appendBatchExactlyOnce]] wired as a streaming writer. */
   def appendSink(stream: DataFrame, table: graft.storage.VersionedTable,

@@ -109,6 +109,41 @@ class StorageSpec extends AnyFunSuite {
     assert(t.read.collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("vacuumOlderThan never deletes a fresh version even under non-monotone mtimes") {
+    val root = tmp() + "/vacnm"
+    val t = VersionedTable(spark, root)
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2, "b")).toDF("k", "v"))
+    t.overwrite(Seq((3, "c")).toDF("k", "v"))
+    // age versions 2 and 3 artificially; version 1 stays fresh (a restored
+    // commit file) — retention must start at the oldest FRESH version
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 7200000L
+    Seq(2L, 3L).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(
+        f"$root/_commits/$v%08d.json"), old, -1)
+    }
+    assert(t.vacuumOlderThan(3600000L).isEmpty)
+    assert(t.versions == Seq(1L, 2L, 3L))
+  }
+
+  test("commitOffsets: metadata-only advance/reset; hostile keys rejected") {
+    val t = VersionedTable(spark, tmp() + "/offm")
+    t.overwrite(Seq((1, "a")).toDF("k", "v"))
+    val v = t.commitOffsets(Map("stream:q1" -> 7L))
+    assert(v == 2L && t.offsets("stream:q1") == 7L)
+    assert(t.read.count() == 1) // no data job, contents untouched
+    t.commitOffsets(Map("stream:q1" -> -1L))
+    assert(t.offsets("stream:q1") == -1L)
+    intercept[IllegalArgumentException] {
+      t.commitOffsets(Map("bad}key" -> 1L))
+    }
+    intercept[IllegalArgumentException] {
+      t.append(Seq((2, "b")).toDF("k", "v"), Map("also\"bad" -> 1L))
+    }
+  }
+
   test("history labels every commit kind without opening data files") {
     val t = VersionedTable(spark, tmp() + "/hist")
     t.createEmpty(org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING"))
