@@ -964,6 +964,23 @@ object Queries {
         sum(col("anchor") + col("pair")).cast("long").as("id_sum"),
         countDistinct(col("anchor")).as("n_anchors"))
 
+  /** TF-IDF keyword extraction, oracle-exact: full-corpus df/N feed the
+    * weights, a doc subset keeps the output bounded, and both engines
+    * rank on the 4-decimal rounding (same ulp-insurance as q55).
+    */
+  def q63Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val w = operators.Relevance.tfidf(t(s, dir, "documents"), "text",
+        "doc_id", minDf = 2L)
+      .filter(col("doc_id") % 100 === 0)
+      .withColumn("tfidf_r", round(col("tfidf"), 4))
+    w.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(desc("tfidf_r"), col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("term"), col("tfidf_r"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1030,7 +1047,8 @@ object Queries {
     "q59_grouping_sets" -> (q59GroupingSets _),
     "q60_window_family" -> (q60WindowFamily _),
     "q61_heavy_hitters" -> (q61HeavyHitters _),
-    "q62_contrastive_pairs" -> (q62ContrastivePairs _)
+    "q62_contrastive_pairs" -> (q62ContrastivePairs _),
+    "q63_tfidf" -> (q63Tfidf _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1748,6 +1766,24 @@ object Queries {
         |SELECT kind, COUNT(*) AS n_pairs,
         |  CAST(SUM(anchor + pair) AS BIGINT) AS id_sum,
         |  COUNT(DISTINCT anchor) AS n_anchors
-        |FROM u GROUP BY kind""".stripMargin
+        |FROM u GROUP BY kind""".stripMargin,
+    // tf * ln(N/df) with full-corpus df/N; rank and hash on round(., 4)
+    "q63_tfidf" ->
+      """WITH tok AS (SELECT doc_id, u.t AS term FROM
+        |    (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |     FROM documents) d, unnest(d.w) AS u(t)
+        |  WHERE length(u.t) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |  HAVING COUNT(*) >= 2),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfx.df), 4) AS tfidf_r
+        |  FROM tf JOIN dfx USING (term), n),
+        |r AS (SELECT doc_id, term, tfidf_r,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_r DESC, term) AS rk
+        |  FROM w WHERE doc_id % 100 = 0)
+        |SELECT doc_id, rk, term, tfidf_r FROM r WHERE rk <= 3""".stripMargin
   )
 }
