@@ -981,6 +981,31 @@ object Queries {
         col("term"), col("tfidf_r"))
   }
 
+  /** LSH fuzzy JOIN between two corpora (even vs odd doc ids),
+    * oracle-exact: banding proposes cross-relation candidates (32×2
+    * bands — candidate recall at J ≥ 0.7 above 1 − 5e-10, the q23
+    * argument), exact Jaccard rescores them, and the result equals the
+    * all-pairs cross-relation ground truth DuckDB computes.
+    */
+  def q64FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val left = d.filter(col("doc_id") % 2 === 0)
+    val right = d.filter(col("doc_id") % 2 === 1)
+    val cand = Dedup.minhashJoin(left, "text", "doc_id",
+      right, "text", "doc_id", shingleSize = 3, numHashes = 64,
+      bands = 32, threshold = 0.0)
+    val shl = left.select(col("doc_id").as("id_l"),
+      Dedup.shingles(col("text"), 3).as("sh_l"))
+    val shr = right.select(col("doc_id").as("id_r"),
+      Dedup.shingles(col("text"), 3).as("sh_r"))
+    cand.select(col("id_l"), col("id_r"))
+      .join(shl, "id_l").join(shr, "id_r")
+      .filter(Dedup.jaccard(col("sh_l"), col("sh_r")) >= 0.7)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_l") + col("id_r")).cast("long").as("id_sum"),
+        countDistinct(col("id_l")).as("n_left"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1048,7 +1073,8 @@ object Queries {
     "q60_window_family" -> (q60WindowFamily _),
     "q61_heavy_hitters" -> (q61HeavyHitters _),
     "q62_contrastive_pairs" -> (q62ContrastivePairs _),
-    "q63_tfidf" -> (q63Tfidf _)
+    "q63_tfidf" -> (q63Tfidf _),
+    "q64_fuzzy_join" -> (q64FuzzyJoin _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1784,6 +1810,26 @@ object Queries {
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
         |      ORDER BY tfidf_r DESC, term) AS rk
         |  FROM w WHERE doc_id % 100 = 0)
-        |SELECT doc_id, rk, term, tfidf_r FROM r WHERE rk <= 3""".stripMargin
+        |SELECT doc_id, rk, term, tfidf_r FROM r WHERE rk <= 3""".stripMargin,
+    // all-pairs exact cross-relation Jaccard: the ground truth the LSH
+    // join + exact rescore must equal
+    "q64_fuzzy_join" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+        |                             for i in range(1, len(w) - 1)]) END AS s
+        |  FROM d),
+        |p AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7)
+        |SELECT COUNT(*) AS n_pairs,
+        |  CAST(SUM(id_l + id_r) AS BIGINT) AS id_sum,
+        |  COUNT(DISTINCT id_l) AS n_left
+        |FROM p""".stripMargin
   )
 }

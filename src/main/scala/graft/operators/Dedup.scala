@@ -214,6 +214,52 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  /** Cross-relation near-duplicate JOIN (record linkage / fuzzy join):
+    * LSH-bucket BOTH relations with the same banding and equi-join on
+    * (band, bucket) — candidate pairs between two different corpora
+    * without the |L|×|R| cross join (the entity-resolution shape:
+    * incoming batch vs reference corpus, two crawl snapshots, …).
+    *
+    * Output `(id_l, id_r, jaccard)` where jaccard is the signature
+    * AGREEMENT estimate; rescore exactly on the candidate set when the
+    * threshold must be sharp (join back to [[shingles]] + [[jaccard]],
+    * the q23 pattern). Per-side bucket caps bound hot buckets; run
+    * [[exact]]-style dedup per side first for mass-duplicated corpora.
+    *
+    * Scale shape: each side shuffles once on its bucket keys (signature
+    * payload only — shingles never move), the join is an ordinary hash
+    * join on (band, bucket), and estimates dedup with one groupBy.
+    */
+  def minhashJoin(left: DataFrame, leftText: String, leftId: String,
+                  right: DataFrame, rightText: String, rightId: String,
+                  shingleSize: Int = 3, numHashes: Int = 64,
+                  bands: Int = 16, threshold: Double = 0.7,
+                  maxBucketSize: Int = 512): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    requireIntegralId(left, leftId, "minhashJoin")
+    requireIntegralId(right, rightId, "minhashJoin")
+    val rows = numHashes / bands
+    def bucketSide(df: DataFrame, textCol: String, idCol: String,
+                   idName: String, sigName: String): DataFrame =
+      df.select(col(idCol).cast("long").as(idName),
+          minhashText(col(textCol), shingleSize, numHashes).as(sigName))
+        .select(col(idName), col(sigName),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("bucket", bandBucket(col(sigName), col("band"), rows))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("band"), col("bucket")).orderBy(col(idName))))
+        .filter(col("_rn") <= maxBucketSize)
+        .drop("_rn")
+    val l = bucketSide(left, leftText, leftId, "id_l", "sig_l")
+    val r = bucketSide(right, rightText, rightId, "id_r", "sig_r")
+    l.join(r, Seq("band", "bucket"))
+      .select(col("id_l"), col("id_r"),
+        sigAgreement(col("sig_l"), col("sig_r")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_l"), col("id_r"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
   /** Connected components over a pair graph by iterative min-label
     * propagation: each node adopts the smallest label among itself and its
     * neighbors until fixpoint. Converges in O(component diameter)

@@ -193,6 +193,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2)._2 == "fresh tail" && out(2)._4 == 2L)
   }
 
+  test("minhashJoin: cross-relation near-dups found, unrelated pairs absent") {
+    val left = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different content about spark catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+    val right = Seq(
+      (1L, "the quick brown fox jumps over the sleepy dog"), // near-dup of 2
+      (3L, "an unrelated short text about gardens")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashJoin(left, "text", "doc_id",
+      right, "text", "doc_id", shingleSize = 2, numHashes = 64,
+      bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L)), pairs)
+    assert(!pairs.exists { case (l, r2) => l == 4L || r2 == 3L })
+  }
+
   test("paragraphDedup: within-doc repeats keep only the first copy") {
     val pd = Seq((1L, "say it\n\nsay it\n\nagain")).toDF("doc_id", "text")
     val out = Dedup.paragraphDedup(pd, "text", "doc_id").collect()
