@@ -985,20 +985,31 @@ object Queries {
     * oracle-exact: banding proposes cross-relation candidates (32×2
     * bands — candidate recall at J ≥ 0.7 above 1 − 5e-10, the q23
     * argument), exact Jaccard rescores them, and the result equals the
-    * all-pairs cross-relation ground truth DuckDB computes.
+    * all-pairs cross-relation ground truth DuckDB computes. Exactness
+    * additionally relies on no (band, bucket) holding > 512 docs of one
+    * parity — true here because the corpus' exact-duplicate groups are
+    * far smaller (run [[Dedup.exact]] per side first when that fails).
     */
   def q64FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val left = d.filter(col("doc_id") % 2 === 0)
     val right = d.filter(col("doc_id") % 2 === 1)
-    val cand = Dedup.minhashJoin(left, "text", "doc_id",
-      right, "text", "doc_id", shingleSize = 3, numHashes = 64,
-      bands = 32, threshold = 0.0)
-    val shl = left.select(col("doc_id").as("id_l"),
-      Dedup.shingles(col("text"), 3).as("sh_l"))
-    val shr = right.select(col("doc_id").as("id_r"),
-      Dedup.shingles(col("text"), 3).as("sh_r"))
-    cand.select(col("id_l"), col("id_r"))
+    val cand = Dedup.minhashJoinCandidates(left, "text", "doc_id",
+        right, "text", "doc_id", shingleSize = 3, numHashes = 64,
+        bands = 32)
+      .localCheckpoint(true) // feeds two semi-joins + the rescore
+    // shingle ONLY the docs that appear in a candidate pair (the
+    // minhashDedupExact rescore shape) — corpus-sized array<string>
+    // relations never ride the rescore shuffles
+    val shl = left
+      .join(broadcast(cand.select(col("id_l").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_l"), Dedup.shingles(col("text"), 3).as("sh_l"))
+    val shr = right
+      .join(broadcast(cand.select(col("id_r").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_r"), Dedup.shingles(col("text"), 3).as("sh_r"))
+    cand
       .join(shl, "id_l").join(shr, "id_r")
       .filter(Dedup.jaccard(col("sh_l"), col("sh_r")) >= 0.7)
       .agg(count(lit(1)).as("n_pairs"),

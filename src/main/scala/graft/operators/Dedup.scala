@@ -229,6 +229,10 @@ object Dedup {
     * Scale shape: each side shuffles once on its bucket keys (signature
     * payload only — shingles never move), the join is an ordinary hash
     * join on (band, bucket), and estimates dedup with one groupBy.
+    *
+    * Exactness caveat (same as [[minhashDedupExact]]): the per-side
+    * bucket cap drops copies past `maxBucketSize` in a bucket — with
+    * mass-duplicated text, collapse each side with [[exact]] first.
     */
   def minhashJoin(left: DataFrame, leftText: String, leftId: String,
                   right: DataFrame, rightText: String, rightId: String,
@@ -259,6 +263,21 @@ object Dedup {
       .groupBy(col("id_l"), col("id_r"))
       .agg(max(col("jaccard")).as("jaccard"))
   }
+
+  /** [[minhashJoin]] in candidates-only form (the exact-rescore front
+    * end): distinct `(id_l, id_r)` banded collisions, no estimate — the
+    * signature is dropped right after bucketing, so only (id, band,
+    * bucket) rows ride the join.
+    */
+  def minhashJoinCandidates(left: DataFrame, leftText: String,
+                            leftId: String, right: DataFrame,
+                            rightText: String, rightId: String,
+                            shingleSize: Int = 3, numHashes: Int = 64,
+                            bands: Int = 32,
+                            maxBucketSize: Int = 512): DataFrame =
+    minhashJoin(left, leftText, leftId, right, rightText, rightId,
+      shingleSize, numHashes, bands, threshold = 0.0, maxBucketSize)
+      .select(col("id_l"), col("id_r"))
 
   /** Connected components over a pair graph by iterative min-label
     * propagation: each node adopts the smallest label among itself and its

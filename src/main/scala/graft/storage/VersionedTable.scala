@@ -357,8 +357,14 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     val s = state.getOrElse(
       throw new IllegalStateException(s"table at $root has no committed data"))
     val version = s.version + 1
-    writeCommit(version, s.copy(version = version,
+    try writeCommit(version, s.copy(version = version,
       offsets = s.offsets ++ newOffsets))
+    catch {
+      case e: java.io.IOException =>
+        // same race contract as every data commit path
+        throw new java.util.ConcurrentModificationException(
+          s"commit claim for version $version of $root failed", e)
+    }
     version
   }
 
@@ -367,10 +373,9 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     * replay detection, so reject them at the door.
     */
   private def requireValidOffsetKey(k: String): Unit =
-    require(k.nonEmpty && k.forall(c =>
-      c.isLetterOrDigit || "_.:/-@#".contains(c)),
-      s"offsets key '$k' contains characters outside [A-Za-z0-9_.:/-@#] — " +
-        "it would corrupt the regex-parsed commit log")
+    require(k.nonEmpty && !k.exists(c => c == '"' || c == '\\' || c == '}'),
+      s"offsets key '$k' contains one of \" \\ } — " +
+        "those corrupt the regex-parsed commit log")
 
   /** Replace table contents (CREATE OR REPLACE / CTAS semantics). */
   def overwrite(df: DataFrame, offsets: Map[String, Long] = Map.empty): Long =
@@ -379,6 +384,20 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   /** Append a new part (COPY INTO / INSERT semantics). */
   def append(df: DataFrame, offsets: Map[String, Long] = Map.empty): Long =
     commit(df, Commit.Append, offsets)
+
+  /** Conditional append for exactly-once stream sinks: lands `df` IFF
+    * the recorded offset for `streamId` is still below `batchId`,
+    * checked against the state snapshot the commit CLAIMS against (not a
+    * separate read) — so a replayed batch racing a successful first
+    * attempt can never double-land. Returns false when skipped. On a
+    * claim race (ConcurrentModificationException) retry; the guard
+    * re-evaluates against fresh state.
+    */
+  def appendExactlyOnce(df: DataFrame, streamId: String,
+                        batchId: Long): Boolean =
+    commit(df, Commit.Append, Map(streamId -> batchId),
+      guard = st =>
+        st.forall(_.offsets.getOrElse(streamId, -1L) < batchId)) >= 0
 
   /** Replace ONLY the partitions present in `df` (replaceWhere semantics):
     * rows of earlier commits whose `partitionCol` value appears in `df` are
@@ -720,10 +739,18 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     }
   }
 
+  /** `guard` is evaluated against the SAME state snapshot this commit
+    * claims its version from: a successful claim proves no other commit
+    * interleaved after the snapshot, so a guard that passed is valid AT
+    * the commit point (the compare-and-swap the exactly-once sink needs).
+    * Returns -1 without writing anything when the guard rejects.
+    */
   private def commit(df: DataFrame, mode: CommitMode,
-                     newOffsets: Map[String, Long]): Long = {
+                     newOffsets: Map[String, Long],
+                     guard: Option[State] => Boolean = _ => true): Long = {
     newOffsets.keys.foreach(requireValidOffsetKey)
     val prev = state
+    if (!guard(prev)) return -1L
     if (mode != Commit.Replace) prev.foreach(requireCompatibleSchema(_, df))
     val version = prev.map(_.version).getOrElse(0L) + 1
     // unique per attempt: a racing writer targeting the same version writes

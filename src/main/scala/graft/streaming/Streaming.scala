@@ -199,11 +199,11 @@ object Streaming {
                             (batch: DataFrame, batchId: Long): Boolean = {
     var attempt = 0
     while (true) {
-      val done = table.offsets.getOrElse(streamId, -1L)
-      if (batchId <= done) return false
       try {
-        table.append(batch, Map(streamId -> batchId))
-        return true
+        // the offset guard is evaluated against the snapshot the commit
+        // CLAIMS against (not a separate read) — a replayed batch racing
+        // a successful first attempt cannot double-land
+        return table.appendExactlyOnce(batch, streamId, batchId)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
