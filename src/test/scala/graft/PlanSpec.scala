@@ -213,4 +213,10 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size <= 2, p) // one Window node (+header echo)
     assert("Sort ".r.findAllIn(p).size <= 2, p)
   }
+
+  test("q64 fuzzy join: no cartesian; candidate-id sides broadcast into the rescore") {
+    val p = planOf("q64_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
