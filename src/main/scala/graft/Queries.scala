@@ -1017,6 +1017,28 @@ object Queries {
         countDistinct(col("id_l")).as("n_left"))
   }
 
+  /** Semi-structured JSON extraction (Snowflake VARIANT / `props:k`
+    * parity): the events payload column parses through BOTH Spark routes
+    * — typed `from_json` and path-wise `get_json_object` — with an
+    * in-query boolean asserting they agree (pinned TRUE by the oracle,
+    * the q36 pattern), then filters and aggregates on the extracted
+    * value. Both parsers are codegen'd row-local scans; the filter on
+    * the extracted field happens before the one aggregation exchange.
+    */
+  def q65JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k",
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k"))
+      .withColumn("_k2", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k") > 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).as("max_k"),
+        (sum(when(col("k") === col("_k2"), 1L).otherwise(0L)) ===
+          count(lit(1))).as("parse_agree"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1085,7 +1107,8 @@ object Queries {
     "q61_heavy_hitters" -> (q61HeavyHitters _),
     "q62_contrastive_pairs" -> (q62ContrastivePairs _),
     "q63_tfidf" -> (q63Tfidf _),
-    "q64_fuzzy_join" -> (q64FuzzyJoin _)
+    "q64_fuzzy_join" -> (q64FuzzyJoin _),
+    "q65_json_extract" -> (q65JsonExtract _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1841,6 +1864,16 @@ object Queries {
         |SELECT COUNT(*) AS n_pairs,
         |  CAST(SUM(id_l + id_r) AS BIGINT) AS id_sum,
         |  COUNT(DISTINCT id_l) AS n_left
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    // both Spark JSON routes must agree (the oracle pins the boolean);
+    // values come from DuckDB's own JSON path extraction
+    "q65_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
+        |  TRUE AS parse_agree
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |WHERE k > 50 GROUP BY event_type""".stripMargin
   )
 }
