@@ -1025,19 +1025,26 @@ object Queries {
     * value. Both parsers are codegen'd row-local scans; the filter on
     * the extracted field happens before the one aggregation exchange.
     */
-  def q65JsonExtract(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+  def q65JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val parsed = t(s, dir, "events")
       .withColumn("k",
         from_json(col("props"), "k BIGINT", Map.empty[String, String])
           .getField("k"))
       .withColumn("_k2", get_json_object(col("props"), "$.k").cast("long"))
-      .filter(col("k") > 50)
+    // the parity check covers EVERY row (null-safe), BEFORE the value
+    // filter — a typed-parse failure that the path parse survives (e.g.
+    // a quoted numeric) flips the boolean instead of silently vanishing
+    // into the filtered-out set
+    val agree = parsed.agg(
+      (sum(when(col("k") <=> col("_k2"), 0L).otherwise(1L)) === 0L)
+        .as("parse_agree"))
+    parsed.filter(col("k") > 50)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("k")).cast("long").as("sum_k"),
-        max(col("k")).as("max_k"),
-        (sum(when(col("k") === col("_k2"), 1L).otherwise(0L)) ===
-          count(lit(1))).as("parse_agree"))
+        max(col("k")).as("max_k"))
+      .crossJoin(broadcast(agree))
+  }
 
   // ---------------------------------------------------------------------
   // Catalog
