@@ -20,14 +20,17 @@ import graft.storage.VersionedTable
 final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
   import Co2Pipeline._
 
-  val raw         = VersionedTable(spark, s"$warehouseRoot/RAW_CO2/CO2_DATA")
+  // collectStats = false: these layer tables hold ~19k rows in a handful
+  // of scan tasks — zone maps have nothing to skip, while the per-commit
+  // footer harvest is a real cost on this 34-commit-per-run pipeline
+  val raw         = VersionedTable(spark, s"$warehouseRoot/RAW_CO2/CO2_DATA", collectStats = false)
   val feed        = ChangeFeed(spark, STREAM_NAME, s"$warehouseRoot/RAW_CO2/CO2_DATA_STREAM")
-  val harmonized  = VersionedTable(spark, s"$warehouseRoot/HARMONIZED_CO2/HARMONIZED_CO2")
-  val dailyStats  = VersionedTable(spark, s"$warehouseRoot/ANALYTICS_CO2/DAILY_CO2_STATS")
-  val weeklyStats = VersionedTable(spark, s"$warehouseRoot/ANALYTICS_CO2/WEEKLY_CO2_STATS")
-  val minMax      = VersionedTable(spark, s"$warehouseRoot/ANALYTICS_CO2/_CO2_MINMAX")
+  val harmonized  = VersionedTable(spark, s"$warehouseRoot/HARMONIZED_CO2/HARMONIZED_CO2", collectStats = false)
+  val dailyStats  = VersionedTable(spark, s"$warehouseRoot/ANALYTICS_CO2/DAILY_CO2_STATS", collectStats = false)
+  val weeklyStats = VersionedTable(spark, s"$warehouseRoot/ANALYTICS_CO2/WEEKLY_CO2_STATS", collectStats = false)
+  val minMax      = VersionedTable(spark, s"$warehouseRoot/ANALYTICS_CO2/_CO2_MINMAX", collectStats = false)
 
-  private val runLog = VersionedTable(spark, s"$warehouseRoot/_TASK_HISTORY")
+  private val runLog = VersionedTable(spark, s"$warehouseRoot/_TASK_HISTORY", collectStats = false)
 
   // ---------------------------------------------------------------- load --
 

@@ -37,7 +37,8 @@ import java.nio.charset.StandardCharsets
   *    time: parts written partitioned carry hive-style `_pt=<value>` dirs,
   *    so the anti-filter is partition PRUNING, not a scan filter.
   */
-final class VersionedTable(spark: SparkSession, val root: String) {
+final class VersionedTable(spark: SparkSession, val root: String,
+                           collectStats: Boolean = true) {
 
   /** One committed data directory. `vals` = the partition values this part
     * contains, as raw hive-escaped `_pt=` directory names (empty for
@@ -244,7 +245,8 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     * degrade to "no stats", never block the commit.
     */
   private def partStats(dataDir: String): Map[String, (String, String)] =
-    ZoneMaps.collect(spark.sparkContext.hadoopConfiguration, fs,
+    if (!collectStats) Map.empty
+    else ZoneMaps.collect(spark.sparkContext.hadoopConfiguration, fs,
       new Path(dataDir))
 
   private def readState(s: State): DataFrame = readState(s, _ => true)
@@ -936,6 +938,13 @@ object VersionedTable {
   private[storage] def claimLock(root: String): Object =
     claimLocks.computeIfAbsent(root, _ => new Object)
 
-  def apply(spark: SparkSession, root: String): VersionedTable =
-    new VersionedTable(spark, root)
+  /** `collectStats = false` skips the per-commit zone-map footer harvest
+    * — the right call for small, commit-heavy layer tables (a table that
+    * fits in a few scan tasks has nothing to skip; the harvest is pure
+    * overhead on its commit path). Absent stats only ever mean "never
+    * skip", so the flag is always safe.
+    */
+  def apply(spark: SparkSession, root: String,
+            collectStats: Boolean = true): VersionedTable =
+    new VersionedTable(spark, root, collectStats)
 }
