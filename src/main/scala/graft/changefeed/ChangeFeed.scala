@@ -1,6 +1,6 @@
 package graft.changefeed
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.storage.VersionedTable
 
@@ -31,6 +31,11 @@ final class ChangeFeed(spark: SparkSession, val name: String, root: String) {
 
   def lastBatchId: Long = log.offsets.getOrElse(PRODUCER_KEY, 0L)
 
+  /** Highest batch id containing a non-INSERT (DELETE / update) row —
+    * O(1) off the commit offsets. 0 when the log is pure appends.
+    */
+  def lastMutationBatchId: Long = log.offsets.getOrElse(MUTATION_KEY, 0L)
+
   /** Producer side: record a batch of changes. Returns the batch id. */
   def publish(df: DataFrame, action: String = "INSERT",
               isUpdate: Boolean = false): Long = {
@@ -52,17 +57,82 @@ final class ChangeFeed(spark: SparkSession, val name: String, root: String) {
       .withColumn(IS_UPDATE, lit(isUpdate))
       .withColumn(ROW_ID, concat(half("graft_rowid_h1"), half("graft_rowid_h2")))
       .withColumn(BATCH_ID, lit(batchId))
-    log.append(stamped, Map(PRODUCER_KEY -> batchId))
+    val offs = Map(PRODUCER_KEY -> batchId) ++
+      (if (action != "INSERT") Map(MUTATION_KEY -> batchId) else Map.empty)
+    log.append(stamped, offs)
     batchId
   }
 
-  /** Unconsumed changes for `consumer` (identified by its committed offset,
-    * held in the consuming table's state).
+  /** Publish an UPDATE as Snowflake's standard stream records it: the OLD
+    * row images as DELETE and the NEW images as INSERT, both with
+    * `METADATA\$ISUPDATE = true` (02_create_rawco2data_stream.py:50-56).
+    * Two batches, old first, so replay order is delete-before-insert.
+    */
+  def publishUpdate(oldRows: DataFrame, newRows: DataFrame): Long = {
+    publish(oldRows, action = "DELETE", isUpdate = true)
+    publish(newRows, action = "INSERT", isUpdate = true)
+  }
+
+  /** Unconsumed NET changes for a consumer identified by its committed
+    * offset — Snowflake STANDARD stream semantics
+    * (02_create_rawco2data_stream.py:50-76): the stream returns the net
+    * effect of every change between the consumed offset and now, so a row
+    * inserted and then deleted inside one window vanishes, and an update
+    * surfaces as its surviving DELETE+INSERT pair with
+    * `METADATA\$ISUPDATE = true`.
+    *
+    * Netting is multiset arithmetic per `METADATA\$ROW_ID` (a 128-bit
+    * content hash, so equal ids ⇔ equal row values): with i INSERTs and
+    * d DELETEs for one id in the window, the stream emits max(i-d, 0)
+    * INSERT rows or max(d-i, 0) DELETE rows, stamped with that side's
+    * latest batch id and published ISUPDATE flag. Values are exact.
+    * Known flag-only approximation (documented, Snowflake demotes it):
+    * a row inserted and then UPDATED inside one window nets to a single
+    * INSERT of the new values — Snowflake reports that row with
+    * ISUPDATE=false, while this feed keeps the published true flag,
+    * because pairing old→new images needs a logical row key the log
+    * doesn't carry.
+    *
+    * 100 TB fast path: insert-only windows (the common ingest case — the
+    * whole CO2 pipeline) are detected in O(1) from [[lastMutationBatchId]]
+    * and return the raw pushed-down range filter with NO netting shuffle —
+    * the exact plan of the pre-netting engine. Mixed windows pay one hash
+    * shuffle on ROW_ID.
     */
   def pending(consumedBatchId: Long): DataFrame = {
     if (!log.exists)
       throw new IllegalStateException(s"stream $name has no published batches")
-    log.read.filter(col(BATCH_ID) > consumedBatchId)
+    val raw = log.read.filter(col(BATCH_ID) > consumedBatchId)
+    if (lastMutationBatchId <= consumedBatchId) return raw  // pure appends
+    val dataCols = raw.columns.filterNot(metaColumns.contains).toSeq
+    val ins = col(ACTION) === "INSERT"
+    val agg = raw.groupBy(col(ROW_ID)).agg(
+      count(when(ins, 1)).as("_nIns"),
+      count(when(!ins, 1)).as("_nDel"),
+      max(when(ins, struct(col(BATCH_ID).as("b"), col(IS_UPDATE).as("u")))).as("_lastIns"),
+      max(when(!ins, struct(col(BATCH_ID).as("b"), col(IS_UPDATE).as("u")))).as("_lastDel"),
+      // all rows sharing a ROW_ID carry identical data values (content
+      // hash), so any representative works
+      first(struct(dataCols.map(col): _*)).as("_vals"))
+    def emit(net: Column, side: String, action: String) =
+      agg.filter(net > 0)
+        .withColumn("_dup", explode(sequence(lit(1), net.cast("int"))))
+        .select(dataCols.map(c => col(s"_vals.`$c`").as(c)) ++ Seq(
+          lit(action).as(ACTION),
+          col(s"$side.u").as(IS_UPDATE),
+          col(ROW_ID),
+          col(s"$side.b").as(BATCH_ID)): _*)
+    emit(col("_nIns") - col("_nDel"), "_lastIns", "INSERT")
+      .unionByName(emit(col("_nDel") - col("_nIns"), "_lastDel", "DELETE"))
+  }
+
+  /** Snowflake APPEND_ONLY stream semantics: raw INSERT rows only, no
+    * netting, deletes/updates invisible. Always shuffle-free.
+    */
+  def pendingAppendOnly(consumedBatchId: Long): DataFrame = {
+    if (!log.exists)
+      throw new IllegalStateException(s"stream $name has no published batches")
+    log.read.filter(col(BATCH_ID) > consumedBatchId && col(ACTION) === "INSERT")
   }
 
   /** SYSTEM\$STREAM_HAS_DATA equivalent — O(1) metadata check, no scan. */
@@ -76,6 +146,7 @@ object ChangeFeed {
   val ROW_ID    = "METADATA$ROW_ID"
   val BATCH_ID  = "_BATCH_ID"
   val PRODUCER_KEY = "_producer"
+  val MUTATION_KEY = "_mutation"
 
   val metaColumns: Seq[String] = Seq(ACTION, IS_UPDATE, ROW_ID, BATCH_ID)
 

@@ -249,6 +249,62 @@ class StorageSpec extends AnyFunSuite {
     assert(f.pending(0).count() == 2)
   }
 
+  test("ChangeFeed: standard-stream net-change semantics") {
+    val f = ChangeFeed(spark, "NET", tmp() + "/netfeed")
+    // insert k=1,2 then delete k=1 inside the same unconsumed window →
+    // k=1 vanishes (insert+delete net to zero), k=2 survives as INSERT
+    f.publish(Seq((1, 10.0), (2, 20.0)).toDF("k", "v"))
+    f.publish(Seq((1, 10.0)).toDF("k", "v"), action = "DELETE")
+    assert(f.lastMutationBatchId == 2)
+    val net = f.pending(0).collect()
+    assert(net.length == 1, s"expected 1 net row, got ${net.toSeq}")
+    assert(net.head.getAs[Int]("k") == 2 &&
+      net.head.getAs[String](ChangeFeed.ACTION) == "INSERT" &&
+      !net.head.getAs[Boolean](ChangeFeed.IS_UPDATE))
+
+    // an update of the surviving row surfaces as DELETE(old)+INSERT(new)
+    // with METADATA$ISUPDATE=true (reference standard-stream contract)
+    f.publishUpdate(Seq((2, 20.0)).toDF("k", "v"),
+                    Seq((2, 25.0)).toDF("k", "v"))
+    val upd = f.pending(2).collect().sortBy(_.getAs[String](ChangeFeed.ACTION))
+    assert(upd.length == 2)
+    assert(upd(0).getAs[String](ChangeFeed.ACTION) == "DELETE" &&
+      upd(0).getAs[Double]("v") == 20.0 &&
+      upd(0).getAs[Boolean](ChangeFeed.IS_UPDATE))
+    assert(upd(1).getAs[String](ChangeFeed.ACTION) == "INSERT" &&
+      upd(1).getAs[Double]("v") == 25.0 &&
+      upd(1).getAs[Boolean](ChangeFeed.IS_UPDATE))
+    // full-window net: k=1 gone, old k=2 image insert+delete nets away,
+    // only the new k=2 image remains
+    val all = f.pending(0).collect()
+    assert(all.length == 1 && all.head.getAs[Double]("v") == 25.0 &&
+      all.head.getAs[String](ChangeFeed.ACTION) == "INSERT")
+
+    // deletes of rows inserted BEFORE the window survive as DELETEs:
+    // window = batches 2..4 → delete(k=1), delete(old k=2), insert(new k=2)
+    val del = f.pending(1)
+    assert(del.filter(s"`${ChangeFeed.ACTION}` = 'DELETE'").count() == 2)
+    assert(del.count() == 3)
+
+    // multiset: double-insert then single delete of identical content
+    // nets to exactly one surviving INSERT copy
+    val g = ChangeFeed(spark, "MS", tmp() + "/msfeed")
+    g.publish(Seq((7, 1.0), (7, 1.0)).toDF("k", "v"))
+    g.publish(Seq((7, 1.0)).toDF("k", "v"), action = "DELETE")
+    assert(g.pending(0).count() == 1)
+
+    // append-only view ignores netting and hides deletes
+    assert(g.pendingAppendOnly(0).count() == 2)
+
+    // insert-only window takes the raw fast path: lastMutationBatchId
+    // below the offset → no netting (plan has no Aggregate)
+    val h = ChangeFeed(spark, "FP", tmp() + "/fpfeed")
+    h.publish(Seq((1, 1.0)).toDF("k", "v"))
+    assert(h.lastMutationBatchId == 0)
+    val plan = h.pending(0).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), s"fast path must not shuffle:\n$plan")
+  }
+
   test("MergeInto: insert-only bootstrap, then matched update + unmatched insert") {
     val t = VersionedTable(spark, tmp() + "/m1")
     val r1 = MergeInto(spark, t,
