@@ -39,12 +39,16 @@ object OrderedLag {
       .agg(max(struct(col(orderCol), col(valueCol))).as("_m"))
       .select(col(B), col(s"_m.$valueCol").as("_last_v"))
     // previous non-empty bucket's last value. This window runs over ONE ROW
-    // PER BUCKET (years), so a single partition is by design — the constant
-    // partition key just states that explicitly (and silences WindowExec's
-    // no-partition warning, which is aimed at full-data windows).
+    // PER BUCKET (years), so a single partition is by design. The partition
+    // key is the constant 0 computed FROM the bucket column (`B mod 1`):
+    // a bare lit(0) is foldable, so Spark 4's EliminateWindowPartitions
+    // strips it and WindowExec's no-partition warning (aimed at full-data
+    // windows) fires anyway — a non-foldable derived constant keeps the
+    // spec and the logs clean.
     val prevBucketLast = lastPerBucket
       .withColumn("_prev_last", lag(col("_last_v"), 1)
-        .over(Window.partitionBy(lit(0)).orderBy(col(B))))
+        .over(Window.partitionBy(pmod(coalesce(col(B), lit(0)), lit(1)))
+          .orderBy(col(B))))
       .select(col(B), col("_prev_last"))
 
     withLocal
