@@ -214,9 +214,30 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
     * becomes addressable as `<name>.<SCHEMA>.<TABLE>` with SHOW TABLES /
     * DESCRIBE / SELECT / INSERT working as SQL text against the versioned
     * commit protocol (reference EP3 full parity, not SELECT-only views).
+    * Also types CO2_DATA_STREAM as a first-class STREAM object — SHOW
+    * TABLES lists it and
+    * `SELECT … FROM <name>.RAW_CO2.CO2_DATA_STREAM WHERE
+    * \`METADATA\$ACTION\` = 'INSERT'` reads the net unconsumed window at
+    * the harmonized consumer's committed offset
+    * (02_create_rawco2data_stream.py:65-76) — and persists the task DAG
+    * for `CALL <name>.system.show_tasks()`.
     */
-  def registerCatalog(name: String = "co2"): Unit =
+  def registerCatalog(name: String = "co2"): Unit = {
     graft.sql.GraftCatalog.register(spark, name, warehouseRoot)
+    graft.sql.GraftCatalog.defineStream(spark, warehouseRoot,
+      dir = "RAW_CO2/CO2_DATA_STREAM", offsetKey = STREAM_NAME,
+      sourceTable = "RAW_CO2.CO2_DATA",
+      consumerDir = "HARMONIZED_CO2/HARMONIZED_CO2")
+    defineTasks()
+  }
+
+  /** Persist the task DAG into the warehouse `_TASKS` table so
+    * `CALL <cat>.system.show_tasks()` lists it from SQL text (SHOW TASKS
+    * parity, orchestrate_tasks.sql.j2:81). Idempotent overwrite; 3 rows.
+    */
+  def defineTasks(schedule: String = "USING CRON 0 10 * * * UTC"): Unit =
+    VersionedTable(spark, s"$warehouseRoot/_TASKS", collectStats = false)
+      .overwrite(tasks(schedule))
 
   def registerViews(): Unit = {
     if (raw.exists) raw.read.createOrReplaceTempView("RAW_CO2_CO2_DATA")

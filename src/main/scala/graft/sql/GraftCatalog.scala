@@ -20,6 +20,7 @@ import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, T
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+import graft.changefeed.ChangeFeed
 import graft.storage.VersionedTable
 
 /** A DataSource V2 `TableCatalog` over [[VersionedTable]] directories — the
@@ -82,8 +83,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
-    new GraftSqlTable(table(ident), ident, readProps(ident))
+    val props = readProps(ident)
+    if (props.get(GraftCatalog.STREAM_PROP).contains("true"))
+      streamTable(ident, props)
+    else new GraftSqlTable(table(ident), ident, props)
   }
+
+  /** A STREAM object (Snowflake `CREATE STREAM ... ON TABLE` parity,
+    * 02_create_rawco2data_stream.py:65-76): `SELECT` returns the NET
+    * unconsumed changes relative to the consumer's committed offset —
+    * not the raw change log — with the `METADATA\$ACTION` / ISUPDATE /
+    * ROW_ID columns. Read-only; the offset advances only when a consumer
+    * commits it (MergeInto consumeOffsets), exactly like Snowflake's
+    * DML-transaction advance.
+    */
+  private def streamTable(ident: Identifier, props: Map[String, String]): Table = {
+    val offsetKey = props.getOrElse(GraftCatalog.STREAM_KEY_PROP,
+      (ident.namespace.toSeq :+ ident.name).mkString("."))
+    val feed = ChangeFeed(spark, offsetKey, dirFor(ident))
+    new GraftStreamTable(feed, ident, props,
+      () => streamConsumedOffset(props, offsetKey))
+  }
+
+  /** The stream's current offset: the consumer table's committed offset for
+    * this stream's key, 0 before the consumer exists (full history, matching
+    * a freshly created Snowflake stream at table creation).
+    */
+  private def streamConsumedOffset(props: Map[String, String], offsetKey: String): Long =
+    props.get(GraftCatalog.STREAM_CONSUMER_PROP) match {
+      case Some(rel) =>
+        val vt = VersionedTable(spark, s"$root/$rel")
+        if (vt.exists) vt.offsets.getOrElse(offsetKey, 0L) else 0L
+      case None => 0L
+    }
 
   /** `SELECT ... FROM t VERSION AS OF <n>` — time-travel to an exact
     * commit (the reference's Snowflake `AT (STATEMENT => ...)` shape).
@@ -169,28 +201,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def metaPath(ident: Identifier) =
     new Path(dirFor(ident), "_table_meta.json")
 
-  private def readProps(ident: Identifier): Map[String, String] = {
-    val p = metaPath(ident)
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val json =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(json).map { m =>
-      def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-      un(m.group(1)) -> un(m.group(2))
-    }.toMap
-  }
+  private def readProps(ident: Identifier): Map[String, String] =
+    GraftCatalog.readPropsAt(fs, metaPath(ident))
 
-  private def writeProps(ident: Identifier, props: Map[String, String]): Unit = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val json = props.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-      .mkString("{", ",", "}")
-    val out = fs.create(metaPath(ident), true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeProps(ident: Identifier, props: Map[String, String]): Unit =
+    GraftCatalog.writePropsAt(fs, metaPath(ident), props)
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(dirFor(ident))
@@ -245,7 +260,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("compact", "cluster", "vacuum", "clone", "history", "zonemaps")
+      Array("compact", "cluster", "vacuum", "clone", "history", "zonemaps",
+          "describe_stream", "show_tasks", "task_history")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -257,9 +273,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "clone"   => new CloneProcedure
       case "history" => new HistoryProcedure
       case "zonemaps" => new ZoneMapsProcedure
+      case "describe_stream" => new DescribeStreamProcedure
+      case "show_tasks" => new ShowTasksProcedure
+      case "task_history" => new TaskHistoryProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
-          "(compact, cluster, vacuum, clone, history, zonemaps)")
+          "(compact, cluster, vacuum, clone, history, zonemaps, " +
+          "describe_stream, show_tasks, task_history)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -439,6 +459,109 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private final class DescribeStreamProcedure extends MaintenanceProcedure {
+    override def name(): String = "describe_stream"
+    override def description(): String =
+      "DESCRIBE STREAM parity: name, mode, tracked table, consumer, " +
+        "committed offset, and SYSTEM$STREAM_HAS_DATA - metadata-only"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("stream", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val qualified = input.getUTF8String(0).toString
+      val parts = qualified.split("\\.").filter(_.nonEmpty)
+      require(parts.length >= 2,
+        s"stream argument must be namespace-qualified, got '$qualified'")
+      val id = Identifier.of(parts.init, parts.last)
+      val props = readProps(id)
+      require(props.get(GraftCatalog.STREAM_PROP).contains("true"),
+        s"'$qualified' is not a stream (no ${GraftCatalog.STREAM_PROP} property)")
+      val offsetKey = props.getOrElse(GraftCatalog.STREAM_KEY_PROP, qualified)
+      val feed = ChangeFeed(spark, offsetKey, dirFor(id))
+      val consumed = streamConsumedOffset(props, offsetKey)
+      val hasData = feed.log.exists && feed.hasData(consumed)
+      def s(v: String) = UTF8String.fromString(v)
+      singleRowScan(
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("mode", StringType, nullable = false),
+          StructField("table_name", StringType, nullable = true),
+          StructField("consumer", StringType, nullable = true),
+          StructField("consumed_offset", LongType, nullable = false),
+          StructField("has_data", BooleanType, nullable = false))),
+        InternalRow(s(qualified), s(props.getOrElse("mode", "DEFAULT")),
+          props.get(GraftCatalog.STREAM_SOURCE_PROP).map(s).orNull,
+          props.get(GraftCatalog.STREAM_CONSUMER_PROP).map(s).orNull,
+          consumed, hasData))
+    }
+  }
+
+  /** SHOW TASKS parity (orchestrate_tasks.sql.j2:81): lists the task DAG a
+    * pipeline persisted into the warehouse `_TASKS` table
+    * (Co2Pipeline.defineTasks). Bounded: tasks are DDL-scale metadata.
+    */
+  private final class ShowTasksProcedure extends MaintenanceProcedure {
+    override def name(): String = "show_tasks"
+    override def description(): String =
+      "list the task DAG registered in this warehouse (SHOW TASKS parity)"
+    override def parameters(): Array[procedures.ProcedureParameter] = Array.empty
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val schema = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("schedule", StringType, nullable = true),
+        StructField("condition", StringType, nullable = true)))
+      val vt = VersionedTable(spark, s"$root/_TASKS")
+      val rows =
+        if (!vt.exists) Array.empty[InternalRow]
+        else vt.read.select(col("NAME"), col("SCHEDULE"), col("CONDITION"))
+          .collect().map { r =>
+            def s(i: Int) =
+              if (r.isNullAt(i)) null else UTF8String.fromString(r.getString(i))
+            InternalRow(s(0), s(1), s(2))
+          }
+      rowsScan(schema, rows)
+    }
+  }
+
+  /** TASK_HISTORY() parity (orchestrate_tasks.sql.j2:64-75): most recent
+    * runs from the warehouse `_TASK_HISTORY` log, newest first, bounded by
+    * `limit` (Snowflake's information-schema default of 100).
+    */
+  private final class TaskHistoryProcedure extends MaintenanceProcedure {
+    override def name(): String = "task_history"
+    override def description(): String =
+      "recent pipeline task runs, newest first (TASK_HISTORY parity)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("limit", org.apache.spark.sql.types.IntegerType)
+        .defaultValue("100").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val schema = StructType(Seq(
+        StructField("task_name", StringType, nullable = false),
+        StructField("state", StringType, nullable = false),
+        StructField("scheduled_time", TimestampType, nullable = false)))
+      val vt = VersionedTable(spark, s"$root/_TASK_HISTORY")
+      val rows =
+        if (!vt.exists) Array.empty[InternalRow]
+        else vt.read
+          .orderBy(org.apache.spark.sql.functions.desc("SCHEDULED_TIME"))
+          .limit(math.max(0, input.getInt(0)))
+          .collect().map { r =>
+            InternalRow(
+              UTF8String.fromString(r.getString(0)),
+              UTF8String.fromString(r.getString(1)),
+              r.getTimestamp(2).getTime * 1000L)
+          }
+      rowsScan(schema, rows)
+    }
+  }
+
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
 
@@ -454,6 +577,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+  /** `_table_meta.json` property marking a directory as a STREAM object. */
+  val STREAM_PROP = "graft.stream"
+  /** Offset key the consumer commits under (`VersionedTable.offsets`). */
+  val STREAM_KEY_PROP = "graft.stream.offset_key"
+  /** Qualified name of the table the stream tracks (informational). */
+  val STREAM_SOURCE_PROP = "graft.stream.source_table"
+  /** Root-relative dir of the consumer table holding the committed offset. */
+  val STREAM_CONSUMER_PROP = "graft.stream.consumer"
+
   /** Point a session catalog name at a warehouse root (lazy — the catalog
     * instantiates on first SQL reference).
     */
@@ -461,6 +593,97 @@ object GraftCatalog {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
   }
+
+  /** Mark `root/dir` as a STREAM object: SHOW TABLES lists it, SELECT
+    * returns net unconsumed changes (offset semantics), and
+    * `CALL <cat>.system.describe_stream(...)` describes it. Merges with any
+    * existing table properties; idempotent.
+    */
+  def defineStream(spark: SparkSession, root: String, dir: String,
+                   offsetKey: String, sourceTable: String,
+                   consumerDir: String): Unit = {
+    val meta = new Path(s"$root/$dir", "_table_meta.json")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writePropsAt(fs, meta, readPropsAt(fs, meta) ++ Map(
+      STREAM_PROP -> "true",
+      STREAM_KEY_PROP -> offsetKey,
+      STREAM_SOURCE_PROP -> sourceTable,
+      STREAM_CONSUMER_PROP -> consumerDir,
+      "mode" -> "DEFAULT"))
+  }
+
+  private[sql] def readPropsAt(fs: org.apache.hadoop.fs.FileSystem,
+                               p: Path): Map[String, String] = {
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(json).map { m =>
+      def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      un(m.group(1)) -> un(m.group(2))
+    }.toMap
+  }
+
+  private[sql] def writePropsAt(fs: org.apache.hadoop.fs.FileSystem,
+                                p: Path, props: Map[String, String]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+/** Read-only façade over a STREAM object: the scan is the feed's NET
+  * pending window at the consumer's committed offset, resolved at scan
+  * time (a re-run of the same SQL after a consume sees the drained
+  * stream). Column pruning applies; filters deliberately do NOT push
+  * down — a predicate like `METADATA\$ACTION = 'INSERT'` must evaluate
+  * on the NETTED result, and pushing it below the insert/delete netting
+  * would change the answer.
+  */
+final class GraftStreamTable(feed: ChangeFeed, ident: Identifier,
+                             props: Map[String, String],
+                             consumed: () => Long)
+    extends Table with SupportsRead {
+
+  override def name(): String = (ident.namespace.toSeq :+ ident.name).mkString(".")
+  override def schema(): StructType = feed.log.schema
+  override def properties(): util.Map[String, String] = props.asJava
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private val fullSchema = schema()
+      private var pruned: StructType = fullSchema
+
+      override def pruneColumns(required: StructType): Unit = {
+        val keep = required.fieldNames.toSet
+        pruned = StructType(fullSchema.fields.filter(f => keep(f.name)))
+      }
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = pruned
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val df = feed.pending(consumed())
+          val relation = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = pruned
+            override def buildScan(): RDD[Row] =
+              if (pruned.fields.isEmpty)
+                df.select(lit(1)).rdd.map(_ => Row.empty)
+              else
+                df.select(pruned.fieldNames.map(n => col(s"`$n`")).toSeq: _*).rdd
+          }
+          relation.asInstanceOf[T]
+        }
+      }
+    }
 }
 
 /** V2 table façade over one [[VersionedTable]]. DELETE is served through

@@ -360,4 +360,68 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM co2t.HARMONIZED_CO2.HARMONIZED_CO2")
       .head.getLong(0) == 3)
   }
+
+  test("stream is a first-class catalog object with offset semantics + task SQL surface") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat4_").toString
+    val f1 = java.nio.file.Files.createTempFile("noaa", ".txt")
+    java.nio.file.Files.writeString(f1,
+      "# comment\n2024 1 2 2024.004 421.1\n2024 1 5 2024.012 422.3\n")
+    val p = graft.co2.Co2Pipeline(spark, wh)
+    p.runPipeline(f1.toString) // load + harmonize → offset fully consumed
+    p.registerCatalog("co2s")
+
+    // SHOW TABLES lists the stream next to the source table
+    val raw = spark.sql("SHOW TABLES IN co2s.RAW_CO2").collect()
+      .map(_.getString(1)).toSet
+    assert(raw == Set("CO2_DATA", "CO2_DATA_STREAM"))
+
+    // consumed stream reads empty via SQL (offset semantics, not raw log)
+    assert(spark.sql("SELECT count(*) FROM co2s.RAW_CO2.CO2_DATA_STREAM")
+      .head.getLong(0) == 0)
+
+    // a new load publishes a delta; SQL sees exactly the unconsumed window
+    val f2 = java.nio.file.Files.createTempFile("noaa", ".txt")
+    java.nio.file.Files.writeString(f2, "2024 1 8 2024.021 423.0\n")
+    p.load(f2.toString)
+    val pend = spark.sql(
+      """SELECT DAY, CO2_PPM FROM co2s.RAW_CO2.CO2_DATA_STREAM
+        |WHERE `METADATA$ACTION` = 'INSERT'""".stripMargin).collect()
+    assert(pend.length == 1 && pend.head.getInt(0) == 8)
+
+    // DESCRIBE TABLE shows data + metadata columns
+    val cols = spark.sql("DESCRIBE TABLE co2s.RAW_CO2.CO2_DATA_STREAM")
+      .collect().map(_.getString(0)).toSet
+    assert(cols.contains("METADATA$ACTION") && cols.contains("CO2_PPM"))
+
+    // DESCRIBE STREAM parity via procedure
+    val ds = spark.sql(
+      "CALL co2s.system.describe_stream('RAW_CO2.CO2_DATA_STREAM')").head
+    assert(ds.getString(0) == "RAW_CO2.CO2_DATA_STREAM")
+    assert(ds.getString(1) == "DEFAULT")
+    assert(ds.getString(2) == "RAW_CO2.CO2_DATA")
+    assert(ds.getBoolean(5)) // has_data: the f2 delta is unconsumed
+
+    // SHOW TASKS parity: 3-task DAG with schedule + stream-gate condition
+    val tasks = spark.sql("CALL co2s.system.show_tasks()").collect()
+    assert(tasks.map(_.getString(0)).toSet ==
+      Set("CO2_RAW_DATA_TASK", "CO2_HARMONIZED_TASK", "CO2_ANALYTICS_TASK"))
+    assert(tasks.find(_.getString(0) == "CO2_HARMONIZED_TASK").get
+      .getString(2).contains("STREAM_HAS_DATA"))
+
+    // TASK_HISTORY parity: the earlier runPipeline logged its 3 tasks
+    val th = spark.sql("CALL co2s.system.task_history(limit => 10)").collect()
+    assert(th.map(_.getString(0)).toSet.contains("CO2_RAW_DATA_TASK"))
+
+    // consuming (harmonize) drains the stream as seen from SQL
+    p.harmonize()
+    assert(spark.sql("SELECT count(*) FROM co2s.RAW_CO2.CO2_DATA_STREAM")
+      .head.getLong(0) == 0)
+    assert(!spark.sql(
+      "CALL co2s.system.describe_stream('RAW_CO2.CO2_DATA_STREAM')")
+      .head.getBoolean(5))
+
+    // streams are read-only: INSERT must fail
+    intercept[Exception](spark.sql(
+      "INSERT INTO co2s.RAW_CO2.CO2_DATA_STREAM SELECT * FROM co2s.RAW_CO2.CO2_DATA_STREAM"))
+  }
 }
