@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.plans.expressions.{minhashSig, minhashText, rollingFingerprint, sigAgreement, simhash64}
+import graft.plans.expressions.{minhashSig, minhashText, normalizedText, sigAgreement, simhash64}
 
 /** Document deduplication for training-data pipelines, at three fidelities:
   *
@@ -65,14 +65,22 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Exact dedup: keep the smallest id per normalized content fingerprint. */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = rollingFingerprint(col(textCol))
-    df.withColumn("_fp", fp)
-      .groupBy(col("_fp"))
+  /** 128-bit content key over normalized text: md5 of the exact string
+    * [[rollingFingerprint]] hashes. The 64-bit fingerprint birthday-bounds
+    * at ~2^32 docs — a collision there would silently merge two DISTINCT
+    * documents and drop a non-duplicate, so every EXACT-equality path
+    * (exact dedup, the minhash pre-passes) keys on this instead; the
+    * 64-bit fingerprint remains for estimation-grade uses.
+    */
+  private def contentKey(textCol: String): Column =
+    md5(normalizedText(col(textCol)).cast("binary"))
+
+  /** Exact dedup: keep the smallest id per normalized content key. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("_ck", contentKey(textCol))
+      .groupBy(col("_ck"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
-      .drop("_fp")
-  }
+      .drop("_ck")
 
   /** All (a, b) member pairs within each capped bucket, via ONE shuffle:
     * window-cap the bucket membership (hot-bucket guard), collect the
@@ -396,7 +404,7 @@ object Dedup {
     // one component whose minimum is exactly the representative we keep.
     val reps = df
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(rollingFingerprint(col(textCol)))
+        Window.partitionBy(contentKey(textCol))
           .orderBy(col(idCol))))
       .filter(col("_rn") === 1)
       .drop("_rn")
@@ -451,7 +459,7 @@ object Dedup {
     // never minhashed and signatures never ride the window shuffle.
     val reps = df
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(rollingFingerprint(col(textCol)))
+        Window.partitionBy(contentKey(textCol))
           .orderBy(col(idCol))))
       .filter(col("_rn") === 1)
       .drop("_rn")

@@ -128,6 +128,33 @@ object ExprKernels {
     dot
   }
 
+  /** The same normalization [[rollingFingerprint]] hashes — lowercased,
+    * whitespace runs collapsed to one space, ends trimmed — returned as
+    * text, so callers needing a COLLISION-FREE content key can hash it
+    * with a 128-bit digest (md5) instead of trusting the 64-bit
+    * fingerprint (birthday-bound ~2^32 docs).
+    */
+  def normalizeText(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSep = false
+    var any = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c0 = s.charAt(i)
+      if (Character.isWhitespace(c0)) {
+        if (any) pendingSep = true
+      } else {
+        if (pendingSep) { sb.append(' '); pendingSep = false }
+        sb.append(Character.toLowerCase(c0))
+        any = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def rollingFingerprint(u: UTF8String): Long = {
     val s = u.toString
     var h = 0xcbf29ce484222325L

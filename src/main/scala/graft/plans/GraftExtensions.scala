@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "rolling_fingerprint(text) - whitespace/case-normalized content hash"),
       (args: Seq[Expression]) => expressions.RollingFingerprint(args.head)))
 
+    ext.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text",
+        "normalize_text(text) - the whitespace/case normalization rolling_fingerprint hashes"),
+      (args: Seq[Expression]) => expressions.NormalizedText(args.head)))
+
     ext.injectFunction((FunctionIdentifier("minhash_text"),
       info("minhash_text",
         "minhash_text(text, shingleSize, k) - fused shingle MinHash signature"),

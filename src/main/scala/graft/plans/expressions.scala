@@ -124,6 +124,20 @@ object expressions {
     override def prettyName: String = "bloom_might_contain"
   }
 
+  /** The normalized text itself (the string [[RollingFingerprint]]
+    * hashes): lowercased, whitespace runs collapsed, ends trimmed. Feed
+    * to md5 for a collision-free 128-bit content key.
+    */
+  case class NormalizedText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.normalizeText(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.normalizeText($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+    override def prettyName: String = "normalize_text"
+  }
+
   /** Rolling-hash document fingerprint over normalized text: lowercased,
     * whitespace runs collapsed, leading/trailing whitespace ignored.
     */
@@ -317,6 +331,7 @@ object expressions {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
 
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def normalizedText(c: Column): Column = col(NormalizedText(ex(c)))
   def trigramStats(c: Column): Column = col(TrigramStats(ex(c)))
   def ngramHashes(c: Column, n: Int): Column = col(NgramHashes(ex(c), n))
   def md5SimHash60(c: Column): Column = col(Md5SimHash60(ex(c)))

@@ -100,6 +100,15 @@ object ZoneMaps {
         }
       }
       dead.foreach(acc.remove)
+      // stat VALUES are percent-encoded, but column NAMES land raw in the
+      // regex-parsed commit JSON (renderState) — a name carrying '}' or '"'
+      // would truncate or mis-attribute the part's stats blob. Same policy
+      // as requireValidOffsetKey: skip such columns (stats are an
+      // optimization; skipping is always safe).
+      acc.filterInPlace((n, _) =>
+        n.nonEmpty && !n.exists(c =>
+          c == '"' || c == '\\' || c == '{' || c == '}' ||
+            c == ':' || c == ',' || c.isControl))
       acc.take(maxCols).map { case (n, (d, mn, mx)) =>
         n -> (encode(d, mn), encode(d, mx))
       }.toMap
@@ -436,6 +445,24 @@ object ZoneMaps {
         val (_, mx) = decode(maxS)
         coerce(dom, v) match {
           case None => true // type mismatch — keep the part
+          case Some(value) if dom == 'D' =>
+            // PRIMITIVE double comparisons, not Double.compare: Spark's
+            // row filters treat -0.0 = 0.0 as true, so pruning must too
+            // (a part with min=max=-0.0 must survive `col = 0.0`). NaN in
+            // any bound or in the predicate value ⇒ keep conservatively
+            // (Double.compare's NaN>everything would prune wrongly).
+            val mnD = mn.asInstanceOf[Double]
+            val mxD = mx.asInstanceOf[Double]
+            val vD = value.asInstanceOf[Double]
+            if (mnD.isNaN || mxD.isNaN || vD.isNaN) true
+            else op match {
+              case "=" => mnD <= vD && vD <= mxD
+              case ">" => mxD > vD
+              case ">=" => mxD >= vD
+              case "<" => mnD < vD
+              case "<=" => mnD <= vD
+              case _ => true
+            }
           case Some(value) => op match {
             case "=" => cmp(dom, mn, value) <= 0 && cmp(dom, value, mx) <= 0
             case ">" => cmp(dom, mx, value) > 0

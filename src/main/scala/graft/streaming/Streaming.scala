@@ -121,25 +121,52 @@ object Streaming {
             val times = rows.map(_.ts.getTime).toSeq.sorted
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
+            // Late out-of-order events BEFORE the open session (ts <
+            // start - gap) accumulate into a running pre-session "island":
+            // consecutive in-gap late events chain into ONE session (batch
+            // q33 semantics), and if a bridging event later in this batch
+            // connects the island to the open session, the whole island
+            // merges into it. Only already-EMITTED history can't re-open —
+            // the one remaining (documented) streaming approximation.
+            var island: Option[SessionState] = None
+            def flushIsland(): Unit = {
+              island.foreach(i =>
+                closed ::= ClosedSession(user, t(i.start), t(i.last), i.n))
+              island = None
+            }
             for (ts <- times) cur match {
               case Some(s) if ts > s.last + gapMs =>
-                // future gap: close the current session, open the next
+                // future gap: close island + current session, open the next
+                flushIsland()
                 closed ::= ClosedSession(user, t(s.start), t(s.last), s.n)
                 cur = Some(SessionState(ts, ts, 1))
               case Some(s) if ts < s.start - gapMs =>
-                // late out-of-order island BEFORE the open session: emit it
-                // standalone (streaming can't re-open already-emitted
-                // history; batch q33 over the same data may merge it with
-                // an earlier session — documented approximation)
-                closed ::= ClosedSession(user, t(ts), t(ts), 1L)
+                island match {
+                  case Some(i) if ts <= i.last + gapMs =>
+                    island = Some(SessionState(i.start, ts, i.n + 1))
+                  case _ =>
+                    flushIsland()
+                    island = Some(SessionState(ts, ts, 1))
+                }
               case Some(s) =>
                 // within gap of either edge: extend (start can move BACK
-                // for in-watermark out-of-order arrivals)
-                cur = Some(SessionState(math.min(s.start, ts),
-                  math.max(s.last, ts), s.n + 1))
+                // for in-watermark out-of-order arrivals); an island the
+                // event bridges merges in whole
+                island match {
+                  case Some(i) if ts <= i.last + gapMs =>
+                    cur = Some(SessionState(math.min(i.start, s.start),
+                      math.max(s.last, ts), s.n + i.n + 1))
+                    island = None
+                  case _ =>
+                    cur = Some(SessionState(math.min(s.start, ts),
+                      math.max(s.last, ts), s.n + 1))
+                }
               case None =>
                 cur = Some(SessionState(ts, ts, 1))
             }
+            // an island still more than gap before the open session when
+            // the batch ends closes as its own session
+            flushIsland()
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMs)

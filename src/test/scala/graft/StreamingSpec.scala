@@ -119,6 +119,52 @@ class StreamingSpec extends AnyFunSuite {
       rows.mkString("; "))
   }
 
+  test("sessionize: consecutive late islands chain; a bridging event merges them in") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.SessionEvent]
+    // 10h watermark so heavily-late events are still processed
+    val out = Streaming.sessionize(in.toDS(), gapMs = 3600000L, watermark = "10 hours")
+    val q = out.writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append).start()
+    // a: open a session at 18:00, then a batch of three late events all
+    // >1h before it but within 1h of EACH OTHER → ONE chained island
+    // session (batch q33 semantics), not three singletons
+    in.addData(Streaming.SessionEvent("a", ts("2026-01-01 18:00:00")))
+    q.processAllAvailable()
+    in.addData(
+      Streaming.SessionEvent("a", ts("2026-01-01 10:00:00")),
+      Streaming.SessionEvent("a", ts("2026-01-01 10:20:00")),
+      Streaming.SessionEvent("a", ts("2026-01-01 10:40:00")))
+    q.processAllAvailable()
+    // b: open at 12:00; late batch 10:00, 10:30 plus a BRIDGE at 11:10
+    // (within gap of both the island's 10:30 and the session's 12:00) →
+    // everything merges into one 10:00–12:00 session, emitted on timeout
+    in.addData(Streaming.SessionEvent("b", ts("2026-01-01 12:00:00")))
+    q.processAllAvailable()
+    in.addData(
+      Streaming.SessionEvent("b", ts("2026-01-01 10:00:00")),
+      Streaming.SessionEvent("b", ts("2026-01-01 10:30:00")),
+      Streaming.SessionEvent("b", ts("2026-01-01 11:10:00")))
+    q.processAllAvailable()
+    // advance the watermark far ahead so open sessions time out
+    in.addData(Streaming.SessionEvent("z", ts("2026-01-03 12:00:00")))
+    q.processAllAvailable()
+    in.addData(Streaming.SessionEvent("z", ts("2026-01-05 12:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions_late").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    q.stop()
+    assert(rows.contains(("a", ts("2026-01-01 10:00:00"), ts("2026-01-01 10:40:00"), 3L)),
+      rows.mkString("; "))
+    assert(rows.contains(("a", ts("2026-01-01 18:00:00"), ts("2026-01-01 18:00:00"), 1L)))
+    assert(rows.contains(("b", ts("2026-01-01 10:00:00"), ts("2026-01-01 12:00:00"), 4L)),
+      rows.mkString("; "))
+    // no singleton fragments leaked from a's island
+    assert(!rows.exists(r => r._1 == "a" && r._4 == 1L &&
+      r._2 == ts("2026-01-01 10:00:00")))
+  }
+
   test("intervalJoin: stream-stream attribution within the interval only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -267,6 +267,46 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(tagMax.toSeq == Seq("b_2023", "d_2024", "f_2025"))
   }
 
+  test("signed zero and NaN bounds never prune a matching part") {
+    import graft.storage.ZoneMaps
+    import graft.storage.ZoneMaps.Cmp
+    val eq = (a: String, b: String) => a == b
+    // a writer without the parquet ±0.0 widening can commit min=max=-0.0;
+    // Spark's row filter says -0.0 = 0.0 is TRUE, so pruning must keep it
+    val negZero = Map("x" -> ("D:-0.0", "D:-0.0"))
+    assert(ZoneMaps.mayMatch(negZero, Seq(Cmp("x", "=", 0.0)), eq))
+    assert(ZoneMaps.mayMatch(negZero, Seq(Cmp("x", "<=", 0.0)), eq))
+    assert(ZoneMaps.mayMatch(negZero, Seq(Cmp("x", ">=", 0.0)), eq))
+    // and the mirror: +0.0 bounds vs a -0.0 predicate value
+    val posZero = Map("x" -> ("D:0.0", "D:0.0"))
+    assert(ZoneMaps.mayMatch(posZero, Seq(Cmp("x", "=", -0.0)), eq))
+    // NaN-polluted bounds (older files): always conservative, never prune
+    val nan = Map("x" -> ("D:NaN", "D:NaN"))
+    for (op <- Seq("=", "<", "<=", ">", ">="))
+      assert(ZoneMaps.mayMatch(nan, Seq(Cmp("x", op, 1.0)), eq), op)
+    // NaN predicate value: keep too
+    assert(ZoneMaps.mayMatch(posZero, Seq(Cmp("x", "=", Double.NaN)), eq))
+    // sanity: real pruning still fires in the double domain
+    assert(!ZoneMaps.mayMatch(Map("x" -> ("D:1.0", "D:2.0")),
+      Seq(Cmp("x", ">", 5.0)), eq))
+  }
+
+  test("columns whose NAMES carry JSON structural bytes are skipped, not corrupted") {
+    val root = tmp()
+    val t = VersionedTable(spark, root)
+    // '}' in a name would truncate the regex-parsed stats blob and silently
+    // drop the part from every read; the harvest must skip such columns
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x}y"))
+    t.append(Seq((3L, 30.0)).toDF("id", "x}y"))
+    val s = t.state.get
+    assert(s.parts.size == 2) // no part vanished from the parsed state
+    assert(s.parts.forall(_.stats.contains("id"))) // safe names keep stats
+    assert(s.parts.forall(p => !p.stats.keys.exists(_.contains("}"))))
+    assert(t.read.count() == 3)
+    // predicates on the skipped column stay correct (no stats = no pruning)
+    assert(t.readWhere(col("`x}y`") > 15.0).count() == 2)
+  }
+
   test("compacted table re-harvests stats for the rewritten part") {
     val root = tmp()
     val t = threeRangeParts(root)
