@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup-tier scale stress (not a test): sbt "Test/runMain graft.ScaleStress"
+  *
+  * Builds a 10× documents corpus (50k docs from sf0.1's 5k) with CONTROLLED
+  * duplicate mass, then runs the three pair-generating dedup paths that had
+  * only ever seen 5k docs — minhashDedupExact (q23), paragraphDedup (q54),
+  * minhashJoin (q64 idiom) — and checks recall on the constructed
+  * duplicates, so cap-driven loss would be visible, not silent.
+  *
+  * Corpus construction per replica r in 0..9 (ids offset by r*1M):
+  *   - doc_id % 10 == 0: EXACT copy of the original text (10-way exact
+  *     groups — the mass-duplicate shape the exact pre-pass must collapse);
+  *   - doc_id % 10 == 1: NEAR-dup — original text with one appended token
+  *     unique per replica (Jaccard ≥ ~0.9 on these ~50-token docs; the LSH
+  *     banding + exact-rescore tier must catch all 10 into one component);
+  *   - otherwise: fully synthetic replica-unique token sequence (disjoint
+  *     shingle sets) ⇒ NOT a duplicate of anything, must ALL survive.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    import spark.implicits._
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val base = Tables(spark, dir, "documents").select("doc_id", "text")
+    val nBase = base.count()
+    val replicas = spark.range(0, 10).toDF("r")
+    val corpus = base.crossJoin(replicas)
+      .select(
+        (col("doc_id") + col("r") * 1000000L).as("doc_id"),
+        when(col("doc_id") % 10 === 0, col("text"))
+          .when(col("doc_id") % 10 === 1,
+            concat(col("text"), lit(" xtail"), col("r")))
+          .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(30)),
+            i => concat(lit("t"), col("r"), lit("_"), col("doc_id"),
+              lit("_"), i))))
+          .as("text"),
+        col("doc_id").as("base_id"), col("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    println(s"[stress] corpus: $n docs (${nBase}×10)")
+
+    // ---- q23 path: exact pre-pass + LSH banding + exact rescore + CC ----
+    val survivors = time("minhashDedupExact (50k docs)")(
+      operators.Dedup.minhashDedupExact(corpus.select("doc_id", "text"),
+        "text", "doc_id").persist())
+    val nSurv = survivors.count()
+    println(s"[stress] survivors: $nSurv")
+
+    // Recall on constructed duplicates: each exact 10-group and each
+    // near-dup 10-group must keep exactly its min-id member; survivors
+    // from those groups with r > 0 would mean cap/recall loss.
+    val lostExact = survivors.filter(col("doc_id") % 10 === 0 &&
+      col("doc_id") >= 1000000L).count()
+    val lostNear = survivors.filter(col("doc_id") % 10 === 1 &&
+      col("doc_id") >= 1000000L).count()
+    // Replica-unique docs must ALL survive (no false merges):
+    val uniques = survivors.filter(col("doc_id") % 10 >= 2).count()
+    val expectedUniques = corpus.filter(col("doc_id") % 10 >= 2).count()
+    println(s"[stress] exact-group extra survivors (want 0): $lostExact")
+    println(s"[stress] near-dup extra survivors   (want 0): $lostNear")
+    println(s"[stress] unique survivors: $uniques / $expectedUniques")
+
+    // ---- q54 path: paragraph dedup at 50k docs ----
+    val paras = time("paragraphDedup (50k docs)")(
+      operators.Dedup.paragraphDedup(
+        corpus.select(col("doc_id"),
+          concat_ws("\n\n", col("text"), col("text")).as("text")),
+        "text", "doc_id").count())
+    println(s"[stress] paragraphDedup output docs: $paras")
+
+    // ---- q64 path: cross-relation fuzzy join, 50k × 5k ----
+    val joined = time("minhashJoin (50k × 5k)")(
+      operators.Dedup.minhashJoin(
+        corpus.select(col("doc_id").as("id_a"), col("text").as("text_a")),
+        "text_a", "id_a",
+        base.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+        "text_b", "id_b", threshold = 0.7).count())
+    println(s"[stress] fuzzy-join pairs: $joined")
+
+    val ok = lostExact == 0 && lostNear == 0 && uniques == expectedUniques
+    println(s"[stress] RECALL ${if (ok) "PASS" else "FAIL"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
