@@ -1057,6 +1057,46 @@ object Queries {
       .crossJoin(broadcast(agree))
   }
 
+  /** One-per-JVM q66 stream fixtures (q58 pattern: build once, bench reps
+    * time the netting read). Three published batches over documents
+    * (doc_id, lang): 1 = INSERT all; 2 = DELETE doc_id%7==0;
+    * 3 = INSERT doc_id%3==0 again.
+    */
+  private val q66Feeds = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Standard-stream NET-change semantics (T1 parity,
+    * 02_create_rawco2data_stream.py:50-76), oracle-exact: reading the
+    * unconsumed window AFTER batch 1 nets batch 2's deletes against
+    * batch 3's re-inserts per 128-bit content row id — a doc both
+    * deleted and re-inserted (doc_id%21==0) VANISHES, a doc only
+    * re-inserted surfaces as INSERT, a doc only deleted as DELETE. The
+    * oracle replays the arithmetic in pure SQL: rows where (%3) xor (%7).
+    * Insert-only windows skip the netting shuffle entirely (O(1) offset
+    * check); mixed windows like this one pay exactly one hash exchange
+    * on the row id.
+    */
+  def q66StreamNet(s: SparkSession, dir: String): DataFrame = {
+    val root = q66Feeds.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q66_stream").toString
+      val feed = changefeed.ChangeFeed(s, "Q66", r + "/feed")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      feed.publish(docs)
+      feed.publish(docs.filter(col("doc_id") % 7 === 0), action = "DELETE")
+      feed.publish(docs.filter(col("doc_id") % 3 === 0))
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    changefeed.ChangeFeed(s, "Q66", root + "/feed")
+      .pending(consumedBatchId = 1)
+      .select(col("doc_id"), col("lang"),
+        col(changefeed.ChangeFeed.ACTION).as("action"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1126,7 +1166,8 @@ object Queries {
     "q62_contrastive_pairs" -> (q62ContrastivePairs _),
     "q63_tfidf" -> (q63Tfidf _),
     "q64_fuzzy_join" -> (q64FuzzyJoin _),
-    "q65_json_extract" -> (q65JsonExtract _)
+    "q65_json_extract" -> (q65JsonExtract _),
+    "q66_stream_net" -> (q66StreamNet _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1892,6 +1933,14 @@ object Queries {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
-        |WHERE k > 50 GROUP BY event_type""".stripMargin
+        |WHERE k > 50 GROUP BY event_type""".stripMargin,
+    // net-change replay in pure SQL: the window holds DELETE(%7) then
+    // INSERT(%3); equal content cancels, so only the xor survives, with
+    // the action decided by which side is in surplus
+    "q66_stream_net" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'INSERT' ELSE 'DELETE' END AS action
+        |FROM documents
+        |WHERE (doc_id % 3 = 0) <> (doc_id % 7 = 0)""".stripMargin
   )
 }

@@ -96,8 +96,10 @@ final class ChangeFeed(spark: SparkSession, val name: String, root: String) {
     * 100 TB fast path: insert-only windows (the common ingest case — the
     * whole CO2 pipeline) are detected in O(1) from [[lastMutationBatchId]]
     * and return the raw pushed-down range filter with NO netting shuffle —
-    * the exact plan of the pre-netting engine. Mixed windows pay one hash
-    * shuffle on ROW_ID.
+    * the exact plan of the pre-netting engine. Mixed windows pay exactly
+    * ONE scan + ONE hash shuffle on ROW_ID: a row's net is insert-surplus
+    * XOR delete-surplus, so both actions emit from a single aggregate
+    * branch (a union of per-action branches would scan and shuffle twice).
     */
   def pending(consumedBatchId: Long): DataFrame = {
     if (!log.exists)
@@ -114,16 +116,17 @@ final class ChangeFeed(spark: SparkSession, val name: String, root: String) {
       // all rows sharing a ROW_ID carry identical data values (content
       // hash), so any representative works
       first(struct(dataCols.map(col): _*)).as("_vals"))
-    def emit(net: Column, side: String, action: String) =
-      agg.filter(net > 0)
-        .withColumn("_dup", explode(sequence(lit(1), net.cast("int"))))
-        .select(dataCols.map(c => col(s"_vals.`$c`").as(c)) ++ Seq(
-          lit(action).as(ACTION),
-          col(s"$side.u").as(IS_UPDATE),
-          col(ROW_ID),
-          col(s"$side.b").as(BATCH_ID)): _*)
-    emit(col("_nIns") - col("_nDel"), "_lastIns", "INSERT")
-      .unionByName(emit(col("_nDel") - col("_nIns"), "_lastDel", "DELETE"))
+    val net = abs(col("_nIns") - col("_nDel"))
+    val isIns = col("_nIns") > col("_nDel")
+    val side = (f: String) =>
+      when(isIns, col(s"_lastIns.$f")).otherwise(col(s"_lastDel.$f"))
+    agg.filter(net > 0)
+      .withColumn("_dup", explode(sequence(lit(1), net.cast("int"))))
+      .select(dataCols.map(c => col(s"_vals.`$c`").as(c)) ++ Seq(
+        when(isIns, "INSERT").otherwise("DELETE").as(ACTION),
+        side("u").as(IS_UPDATE),
+        col(ROW_ID),
+        side("b").as(BATCH_ID)): _*)
   }
 
   /** Snowflake APPEND_ONLY stream semantics: raw INSERT rows only, no

@@ -148,6 +148,67 @@ object Multimodal {
     }
   }
 
+  /** Real video decode for MJPEG-in-AVI — the one true video container a
+    * bare JDK can handle end-to-end: the RIFF/AVI wrapper is plain chunk
+    * parsing (no codec involved) and every Motion-JPEG frame is a complete
+    * baseline JPEG that `javax.imageio` decodes. Frames re-encode as
+    * standalone PNGs — the same contract as [[GifCodec]], so sampled
+    * frames feed straight into [[decodeResize]] / [[featurize]].
+    */
+  object AviMjpegCodec {
+    private val ASCII = java.nio.charset.StandardCharsets.US_ASCII
+
+    /** Every `everyN`-th video frame as PNG bytes; None unless the payload
+      * is a RIFF/AVI whose video chunks (`##dc`/`##db`) are JPEGs.
+      */
+    def sampleFrames(payload: Array[Byte], everyN: Int): Option[Seq[Array[Byte]]] = {
+      if (payload == null || payload.length < 12 || everyN <= 0) return None
+      def fourcc(off: Int) = new String(payload, off, 4, ASCII)
+      def u32(off: Int): Long =
+        (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
+          ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      try {
+        val jpegs = Seq.newBuilder[Array[Byte]]
+        // walk the chunk tree; LIST bodies (hdrl, movi, rec …) recurse.
+        // AVI stream chunks are word-aligned: a chunk occupies
+        // 8 + size + (size & 1) bytes.
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = fourcc(off)
+            val sz = u32(off + 4)
+            if (sz < 0 || off + 8 + sz > end) return
+            val n = sz.toInt
+            if (id == "RIFF" || id == "LIST") walk(off + 12, off + 8 + n)
+            else if (Character.isDigit(id.charAt(0)) &&
+                Character.isDigit(id.charAt(1)) &&
+                (id.endsWith("dc") || id.endsWith("db")) && n >= 2 &&
+                (payload(off + 8) & 0xFF) == 0xFF &&
+                (payload(off + 9) & 0xFF) == 0xD8) // JPEG SOI marker
+              jpegs += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + n)
+            off += 8 + n + (n & 1)
+          }
+        }
+        walk(12, math.min(payload.length.toLong, 8L + u32(4)).toInt)
+        val all = jpegs.result()
+        if (all.isEmpty) return None
+        val sampled = (0 until all.length by everyN).flatMap { i =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(all(i)))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) None
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Some(bos.toByteArray)
+          }
+        }
+        if (sampled.isEmpty) None else Some(sampled)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Typed metadata carried next to every media payload. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("format", StringType),        // e.g. "jpeg", "wav", "mp4"
@@ -305,8 +366,9 @@ object Multimodal {
   /** Frame sampling for video payloads: one output row per sampled frame,
     * `(… , frame_no: int, frame: binary)`. Partition-local explode — row
     * count grows but nothing shuffles. Animated GIFs decode for REAL via
-    * [[GifCodec]] (each sampled frame is a standalone PNG, ready for
-    * [[decodeResize]]); other containers fall back to the deterministic
+    * [[GifCodec]] and MJPEG-in-AVI via [[AviMjpegCodec]] (each sampled
+    * frame is a standalone PNG, ready for [[decodeResize]]); containers
+    * needing true codecs (H.264/VP9/…) fall back to the deterministic
     * byte-slice stub (`frameBytes` applies only to that stub path).
     */
   def sampleFrames(df: DataFrame, payloadCol: String,
@@ -320,6 +382,7 @@ object Multimodal {
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](idx)
         val frames = GifCodec.sampleFrames(payload, everyN)
+          .orElse(AviMjpegCodec.sampleFrames(payload, everyN))
           .getOrElse(StubCodec.sampleFrames(payload, frameBytes, everyN))
         frames.zipWithIndex.map {
           case (frame, i) => Row.fromSeq(r.toSeq ++ Seq(i, frame))

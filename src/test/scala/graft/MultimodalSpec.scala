@@ -160,6 +160,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(lumas(0) < lumas(1) && lumas(1) < lumas(2))
   }
 
+  test("sampleFrames decodes a REAL MJPEG AVI through the RIFF parser + ImageIO") {
+    import java.io.ByteArrayOutputStream
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(id.getBytes("US-ASCII")); bos.write(le32(body.length))
+      bos.write(body)
+      if (body.length % 2 == 1) bos.write(0) // RIFF word alignment
+      bos.toByteArray
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write("LIST".getBytes("US-ASCII")); bos.write(le32(children.length + 4))
+      bos.write(kind.getBytes("US-ASCII")); bos.write(children)
+      bos.toByteArray
+    }
+    // 5 JPEG frames, frame i = solid gray i*50
+    val jpegs = (0 until 5).map { i =>
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = i * 50
+      (0 until 4).foreach(x => (0 until 4).foreach(y =>
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val movi = list("movi", jpegs.map(chunk("00dc", _)).reduce(_ ++ _))
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
+
+    val df = Seq((1L, avi)).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(df, "payload", frameBytes = 16, everyN = 2)
+      .select("frame_no", "frame").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(frames.keySet == Set(0, 1, 2), "5 frames sampled every 2nd = 3 rows")
+    // each sampled frame is a standalone PNG with the source frame's luma
+    val lumas = frames.toSeq.sortBy(_._1).map { case (_, png) =>
+      val Some((px, w, h)) = Multimodal.ImageIoCodec.decodeImage(png)
+      assert(w == 4 && h == 4)
+      px.sum / px.length
+    }
+    // frames 0, 2, 4 → gray 0, 100, 200 (JPEG quantization tolerance)
+    assert(math.abs(lumas(0) - 0f) < 0.05f)
+    assert(math.abs(lumas(1) - 100f / 255f) < 0.08f)
+    assert(math.abs(lumas(2) - 200f / 255f) < 0.08f)
+    assert(lumas(0) < lumas(1) && lumas(1) < lumas(2))
+    // a truncated AVI (header only) falls back to the stub, never throws
+    val broken = avi.take(20).toArray
+    val n = Multimodal.sampleFrames(Seq((2L, broken)).toDF("media_id", "payload"),
+      "payload", frameBytes = 16, everyN = 2).count()
+    assert(n >= 1) // stub slices
+  }
+
   test("featurize: real images get perceptual embeddings — similar images cosine-close") {
     def png(base: Int, noise: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(8, 8,

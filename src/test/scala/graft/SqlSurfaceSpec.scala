@@ -423,5 +423,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // streams are read-only: INSERT must fail
     intercept[Exception](spark.sql(
       "INSERT INTO co2s.RAW_CO2.CO2_DATA_STREAM SELECT * FROM co2s.RAW_CO2.CO2_DATA_STREAM"))
+
+    // mixed window nets THROUGH the SQL surface: publish an insert+delete
+    // pair of one new row — SQL sees neither (net zero), while a plain
+    // second insert of another row survives
+    val feed = graft.changefeed.ChangeFeed(spark,
+      graft.co2.Co2Pipeline.STREAM_NAME, s"$wh/RAW_CO2/CO2_DATA_STREAM")
+    val ghost = spark.sql(
+      """SELECT 2024 AS YEAR, 1 AS MONTH, 20 AS DAY,
+        |CAST(2024.052 AS DOUBLE) AS DECIMAL_DATE,
+        |CAST(430.0 AS DOUBLE) AS CO2_PPM""".stripMargin)
+    val keeper = spark.sql(
+      """SELECT 2024 AS YEAR, 1 AS MONTH, 21 AS DAY,
+        |CAST(2024.055 AS DOUBLE) AS DECIMAL_DATE,
+        |CAST(431.0 AS DOUBLE) AS CO2_PPM""".stripMargin)
+    feed.publish(ghost)
+    feed.publish(keeper)
+    feed.publish(ghost, action = "DELETE")
+    val netted = spark.sql(
+      """SELECT DAY FROM co2s.RAW_CO2.CO2_DATA_STREAM
+        |WHERE `METADATA$ACTION` = 'INSERT'""".stripMargin)
+      .collect().map(_.getInt(0)).toSet
+    assert(netted == Set(21), s"insert+delete must net away, got $netted")
   }
 }
