@@ -261,7 +261,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array("compact", "cluster", "vacuum", "clone", "history", "zonemaps",
-          "describe_stream", "show_tasks", "task_history")
+          "create_stream", "describe_stream", "show_tasks", "task_history")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -273,13 +273,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "clone"   => new CloneProcedure
       case "history" => new HistoryProcedure
       case "zonemaps" => new ZoneMapsProcedure
+      case "create_stream" => new CreateStreamProcedure
       case "describe_stream" => new DescribeStreamProcedure
       case "show_tasks" => new ShowTasksProcedure
       case "task_history" => new TaskHistoryProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, vacuum, clone, history, zonemaps, " +
-          "describe_stream, show_tasks, task_history)")
+          "create_stream, describe_stream, show_tasks, task_history)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -456,6 +457,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("min", StringType, nullable = false),
           StructField("max", StringType, nullable = false))),
         rows.toArray)
+    }
+  }
+
+  /** `CREATE STREAM <s> ON TABLE <t>` parity as a procedure: types the
+    * stream directory so SHOW TABLES lists it and SELECT reads the net
+    * unconsumed window. `consumer` names the table whose committed offset
+    * (under key = the stream's qualified name) defines "consumed" — the
+    * engine's offsets live with the consuming transaction (MergeInto),
+    * exactly like Snowflake advancing a stream inside the consuming DML.
+    * The change log itself materializes on first publish.
+    */
+  private final class CreateStreamProcedure extends MaintenanceProcedure {
+    override def name(): String = "create_stream"
+    override def description(): String =
+      "define a STREAM object over a change-log dir (CREATE STREAM parity)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter
+          .in("stream", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("source", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("consumer", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val stream = input.getUTF8String(0).toString
+      val source = input.getUTF8String(1).toString
+      val consumer = input.getUTF8String(2).toString
+      require(stream.split("\\.").count(_.nonEmpty) >= 2,
+        s"stream name must be namespace-qualified, got '$stream'")
+      GraftCatalog.defineStream(spark, root,
+        dir = stream.split("\\.").filter(_.nonEmpty).mkString("/"),
+        offsetKey = stream, sourceTable = source,
+        consumerDir = consumer.split("\\.").filter(_.nonEmpty).mkString("/"))
+      singleRowScan(
+        StructType(Seq(
+          StructField("stream", StringType, nullable = false),
+          StructField("status", StringType, nullable = false))),
+        InternalRow(UTF8String.fromString(stream),
+          UTF8String.fromString("created")))
     }
   }
 

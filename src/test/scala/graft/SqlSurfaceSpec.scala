@@ -445,5 +445,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |WHERE `METADATA$ACTION` = 'INSERT'""".stripMargin)
       .collect().map(_.getInt(0)).toSet
     assert(netted == Set(21), s"insert+delete must net away, got $netted")
+
+    // CREATE STREAM parity: define a second stream entirely from SQL,
+    // publish to it, and SELECT it back through the catalog
+    val cs = spark.sql(
+      """CALL co2s.system.create_stream(
+        |  stream => 'RAW_CO2.AUX_STREAM',
+        |  source => 'RAW_CO2.CO2_DATA',
+        |  consumer => 'HARMONIZED_CO2.HARMONIZED_CO2')""".stripMargin).head
+    assert(cs.getString(1) == "created")
+    graft.changefeed.ChangeFeed(spark, "RAW_CO2.AUX_STREAM",
+      s"$wh/RAW_CO2/AUX_STREAM")
+      .publish(spark.sql("SELECT 7 AS N"))
+    assert(spark.sql("SELECT N FROM co2s.RAW_CO2.AUX_STREAM").head.getInt(0) == 7)
+    assert(spark.sql("CALL co2s.system.describe_stream('RAW_CO2.AUX_STREAM')")
+      .head.getString(2) == "RAW_CO2.CO2_DATA")
   }
 }
