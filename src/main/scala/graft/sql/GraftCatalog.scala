@@ -102,7 +102,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       (ident.namespace.toSeq :+ ident.name).mkString("."))
     val feed = ChangeFeed(spark, offsetKey, dirFor(ident))
     new GraftStreamTable(feed, ident, props,
-      () => streamConsumedOffset(props, offsetKey))
+      () => streamConsumedOffset(props, offsetKey),
+      appendOnly = props.get("mode").contains("APPEND_ONLY"))
   }
 
   /** The stream's current offset: the consumer table's committed offset for
@@ -479,7 +480,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         procedures.ProcedureParameter
           .in("source", org.apache.spark.sql.types.StringType).build(),
         procedures.ProcedureParameter
-          .in("consumer", org.apache.spark.sql.types.StringType).build())
+          .in("consumer", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("mode", org.apache.spark.sql.types.StringType)
+          .defaultValue("'DEFAULT'").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       import org.apache.spark.sql.types._
       import org.apache.spark.unsafe.types.UTF8String
@@ -491,7 +495,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftCatalog.defineStream(spark, root,
         dir = stream.split("\\.").filter(_.nonEmpty).mkString("/"),
         offsetKey = stream, sourceTable = source,
-        consumerDir = consumer.split("\\.").filter(_.nonEmpty).mkString("/"))
+        consumerDir = consumer.split("\\.").filter(_.nonEmpty).mkString("/"),
+        mode = input.getUTF8String(3).toString)
       singleRowScan(
         StructType(Seq(
           StructField("stream", StringType, nullable = false),
@@ -643,7 +648,9 @@ object GraftCatalog {
     */
   def defineStream(spark: SparkSession, root: String, dir: String,
                    offsetKey: String, sourceTable: String,
-                   consumerDir: String): Unit = {
+                   consumerDir: String, mode: String = "DEFAULT"): Unit = {
+    require(mode == "DEFAULT" || mode == "APPEND_ONLY",
+      s"stream mode must be DEFAULT or APPEND_ONLY, got '$mode'")
     val meta = new Path(s"$root/$dir", "_table_meta.json")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     writePropsAt(fs, meta, readPropsAt(fs, meta) ++ Map(
@@ -651,7 +658,7 @@ object GraftCatalog {
       STREAM_KEY_PROP -> offsetKey,
       STREAM_SOURCE_PROP -> sourceTable,
       STREAM_CONSUMER_PROP -> consumerDir,
-      "mode" -> "DEFAULT"))
+      "mode" -> mode))
   }
 
   private[sql] def readPropsAt(fs: org.apache.hadoop.fs.FileSystem,
@@ -689,7 +696,8 @@ object GraftCatalog {
   */
 final class GraftStreamTable(feed: ChangeFeed, ident: Identifier,
                              props: Map[String, String],
-                             consumed: () => Long)
+                             consumed: () => Long,
+                             appendOnly: Boolean = false)
     extends Table with SupportsRead {
 
   override def name(): String = (ident.namespace.toSeq :+ ident.name).mkString(".")
@@ -712,7 +720,9 @@ final class GraftStreamTable(feed: ChangeFeed, ident: Identifier,
         override def readSchema(): StructType = pruned
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
-          val df = feed.pending(consumed())
+          val df =
+            if (appendOnly) feed.pendingAppendOnly(consumed())
+            else feed.pending(consumed())
           val relation = new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = pruned

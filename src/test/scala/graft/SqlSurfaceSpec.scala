@@ -460,5 +460,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT N FROM co2s.RAW_CO2.AUX_STREAM").head.getInt(0) == 7)
     assert(spark.sql("CALL co2s.system.describe_stream('RAW_CO2.AUX_STREAM')")
       .head.getString(2) == "RAW_CO2.CO2_DATA")
+
+    // APPEND_ONLY mode: raw inserts only, no netting, deletes invisible
+    spark.sql(
+      """CALL co2s.system.create_stream(
+        |  stream => 'RAW_CO2.AO_STREAM', source => 'RAW_CO2.CO2_DATA',
+        |  consumer => 'HARMONIZED_CO2.HARMONIZED_CO2',
+        |  mode => 'APPEND_ONLY')""".stripMargin).collect()
+    val ao = graft.changefeed.ChangeFeed(spark, "RAW_CO2.AO_STREAM",
+      s"$wh/RAW_CO2/AO_STREAM")
+    ao.publish(spark.sql("SELECT 1 AS N"))
+    ao.publish(spark.sql("SELECT 1 AS N"), action = "DELETE")
+    ao.publish(spark.sql("SELECT 2 AS N"))
+    assert(spark.sql("SELECT N FROM co2s.RAW_CO2.AO_STREAM ORDER BY N")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2)) // delete hidden, no netting
+    assert(spark.sql("CALL co2s.system.describe_stream('RAW_CO2.AO_STREAM')")
+      .head.getString(1) == "APPEND_ONLY")
   }
 }
