@@ -184,6 +184,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeText agrees with rollingFingerprint's normalization") {
+    import graft.plans.ExprKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("Hello", "  ", "WORLD", "\t", "\n", "é", "ok"))
+        .map(_.mkString))
+    samples(texts).foreach { s =>
+      val u = UTF8String.fromString(s)
+      val n = ExprKernels.normalizeText(u)
+      // normalization is idempotent, and the fingerprint of the normalized
+      // text IS the fingerprint of the original — so md5(normalizeText(s))
+      // (the exact-dedup content key) groups exactly the texts the 64-bit
+      // fingerprint groups, minus its collisions
+      assert(ExprKernels.normalizeText(n) == n, s"'$s'")
+      assert(ExprKernels.rollingFingerprint(n) == ExprKernels.rollingFingerprint(u), s"'$s'")
+      // normalized text never carries leading/trailing/doubled whitespace
+      val ns = n.toString
+      assert(ns == ns.trim && !ns.contains("  "), s"'$s' -> '$ns'")
+    }
+  }
+
   test("zone-map string encoding: lossless round trip, JSON-regex-safe output") {
     import graft.storage.ZoneMaps
     val bytes: Gen[Array[Byte]] =
