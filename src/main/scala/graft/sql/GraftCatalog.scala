@@ -262,7 +262,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array("compact", "cluster", "vacuum", "clone", "history", "zonemaps",
-          "create_stream", "describe_stream", "show_tasks", "task_history")
+          "create_stream", "describe_stream", "show_streams", "show_tasks",
+          "task_history")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -276,12 +277,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "zonemaps" => new ZoneMapsProcedure
       case "create_stream" => new CreateStreamProcedure
       case "describe_stream" => new DescribeStreamProcedure
+      case "show_streams" => new ShowStreamsProcedure
       case "show_tasks" => new ShowTasksProcedure
       case "task_history" => new TaskHistoryProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, vacuum, clone, history, zonemaps, " +
-          "create_stream, describe_stream, show_tasks, task_history)")
+          "create_stream, describe_stream, show_streams, show_tasks, " +
+          "task_history)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -542,6 +545,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           props.get(GraftCatalog.STREAM_SOURCE_PROP).map(s).orNull,
           props.get(GraftCatalog.STREAM_CONSUMER_PROP).map(s).orNull,
           consumed, hasData))
+    }
+  }
+
+  /** SHOW STREAMS parity: every stream-typed directory in the warehouse
+    * (one metadata file read per table dir — DDL-scale, not data-scale).
+    */
+  private final class ShowStreamsProcedure extends MaintenanceProcedure {
+    override def name(): String = "show_streams"
+    override def description(): String =
+      "list the STREAM objects in this warehouse (SHOW STREAMS parity)"
+    override def parameters(): Array[procedures.ProcedureParameter] = Array.empty
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      def s(v: String) = UTF8String.fromString(v)
+      val rows = listNamespaces().flatMap { ns =>
+        val nsPath = new Path((Seq(root) ++ ns.toSeq).mkString("/"))
+        fs.listStatus(nsPath).filter(_.isDirectory).toSeq.flatMap { d =>
+          val id = Identifier.of(ns, d.getPath.getName)
+          val props = readProps(id)
+          if (!props.get(GraftCatalog.STREAM_PROP).contains("true")) None
+          else Some(InternalRow(
+            s((ns.toSeq :+ id.name).mkString(".")),
+            s(props.getOrElse("mode", "DEFAULT")),
+            props.get(GraftCatalog.STREAM_SOURCE_PROP).map(s).orNull))
+        }
+      }.sortBy(_.getUTF8String(0).toString)
+      rowsScan(
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("mode", StringType, nullable = false),
+          StructField("table_name", StringType, nullable = true))),
+        rows)
     }
   }
 

@@ -476,5 +476,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2)) // delete hidden, no netting
     assert(spark.sql("CALL co2s.system.describe_stream('RAW_CO2.AO_STREAM')")
       .head.getString(1) == "APPEND_ONLY")
+
+    // SHOW STREAMS parity: all three streams listed with their modes
+    val streams = spark.sql("CALL co2s.system.show_streams()").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streams == Map(
+      "RAW_CO2.CO2_DATA_STREAM" -> "DEFAULT",
+      "RAW_CO2.AUX_STREAM" -> "DEFAULT",
+      "RAW_CO2.AO_STREAM" -> "APPEND_ONLY"), streams)
   }
 }
