@@ -1057,6 +1057,47 @@ object Queries {
       .crossJoin(broadcast(agree))
   }
 
+  /** One-per-JVM persisted IVF indexes for q67 (q58 pattern). */
+  private val q67Indexes = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** PERSISTED IVF index, oracle-exact: build once (k-means fit + corpus
+    * rewritten CLUSTERED BY list so zone maps prune untouched lists at
+    * the FILE level), then query with exhaustive probing — which must
+    * equal brute-force cosine ranking bit-exactly, proving the index
+    * neither loses nor double-counts a vector. The in-query prune proof
+    * asserts a 2-probe read opens fewer parts than the table holds (the
+    * amortized 100 TB ANN shape: fit cost paid once, every query reads
+    * only its probed lists).
+    */
+  def q67IvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val root = q67Indexes.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q67_ivf").toString
+      Similarity.ivfIndexBuild(s, emb, "embedding", "vec_id", r,
+        k = 16, iters = 5, nParts = 8)
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    // prune proof: a 2-probe read may not open every part
+    val corpus = storage.VersionedTable(s, s"$root/corpus")
+    val cents = Similarity.ivfIndexCentroids(s, root)
+    val probe2 = cents.zipWithIndex.map { case (cv, i) =>
+      (cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(2).map(_._2).toSeq
+    val (kept, total) = corpus.pruneStats(col("_list").isin(probe2: _*))
+    require(kept < total,
+      s"IVF index failed to prune: kept $kept of $total parts")
+    Similarity.ivfIndexTopK(s, root, "embedding", "vec_id", q, 12,
+      nprobe = 16)
+  }
+
   /** One-per-JVM q66 stream fixtures (q58 pattern: build once, bench reps
     * time the netting read). Three published batches over documents
     * (doc_id, lang): 1 = INSERT all; 2 = DELETE doc_id%7==0;
@@ -1167,7 +1208,8 @@ object Queries {
     "q63_tfidf" -> (q63Tfidf _),
     "q64_fuzzy_join" -> (q64FuzzyJoin _),
     "q65_json_extract" -> (q65JsonExtract _),
-    "q66_stream_net" -> (q66StreamNet _)
+    "q66_stream_net" -> (q66StreamNet _),
+    "q67_ivf_index" -> (q67IvfIndex _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1941,6 +1983,15 @@ object Queries {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 3 = 0 THEN 'INSERT' ELSE 'DELETE' END AS action
         |FROM documents
-        |WHERE (doc_id % 3 = 0) <> (doc_id % 7 = 0)""".stripMargin
+        |WHERE (doc_id % 3 = 0) <> (doc_id % 7 = 0)""".stripMargin,
+    // exhaustive-probe persisted index = brute-force cosine (q30 idiom)
+    "q67_ivf_index" ->
+      """SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+        |FROM embeddings,
+        |  (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3) q
+        |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.expressions.{cosineSimilarity, dotConst}
 
@@ -235,6 +235,57 @@ object Similarity {
       (d, i)
     }.sortBy(_._1).take(nprobe).map(_._2)
     assigned.filter(col("_list").isin(byDist: _*))
+      .select(col(idCol), cosineScore(col(vecCol), query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Build a PERSISTED IVF index under `indexRoot`: a k-row `centroids`
+    * table plus `corpus` — the input with its `_list` assignment,
+    * compacted CLUSTERED BY `_list` so each inverted list occupies its
+    * own contiguous part range and the committed zone maps carry tight
+    * `_list` (min,max) per part. This is the amortized 100 TB shape: the
+    * one-time build pays the k-means fit + one clustered rewrite, and
+    * every subsequent [[ivfIndexTopK]] opens ONLY the probed lists' files
+    * — untouched lists are never read (true inverted-file behavior,
+    * where the in-memory [[ivfTopK]] scans everything and filters).
+    * Returns the fitted centroids.
+    */
+  def ivfIndexBuild(spark: SparkSession, df: DataFrame, vecCol: String,
+                    idCol: String, indexRoot: String, k: Int,
+                    iters: Int = 10, nParts: Int = 32): Array[Array[Double]] = {
+    import spark.implicits._
+    val cents = fitCentroids(df, vecCol, k, iters)
+    graft.storage.VersionedTable(spark, s"$indexRoot/centroids")
+      .overwrite(cents.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toSeq) }
+        .toDF("list_id", "centroid"): DataFrame)
+    val corpus = graft.storage.VersionedTable(spark, s"$indexRoot/corpus")
+    corpus.overwrite(ivfAssign(df, vecCol, cents))
+    corpus.compactClustered(Seq("_list"), math.min(nParts, k))
+    cents
+  }
+
+  /** The index's centroids, list-id order (k rows — bounded metadata). */
+  def ivfIndexCentroids(spark: SparkSession, indexRoot: String): Array[Array[Double]] =
+    graft.storage.VersionedTable(spark, s"$indexRoot/centroids").read
+      .orderBy(col("list_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** ANN top-k against a persisted index: rank the `nprobe` nearest
+    * inverted lists on the driver (k centroids — metadata-scale), then a
+    * zone-map-pruned read opens only those lists' parts and exact-ranks
+    * within them.
+    */
+  def ivfIndexTopK(spark: SparkSession, indexRoot: String, vecCol: String,
+                   idCol: String, query: Array[Double], k: Int,
+                   nprobe: Int = 3): DataFrame = {
+    val cents = ivfIndexCentroids(spark, indexRoot)
+    val lists = cents.zipWithIndex.map { case (cv, i) =>
+      (cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    graft.storage.VersionedTable(spark, s"$indexRoot/corpus")
+      .readWhere(col("_list").isin(lists: _*))
       .select(col(idCol), cosineScore(col(vecCol), query).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)

@@ -69,6 +69,35 @@ class SimilaritySpec extends AnyFunSuite {
     assigned.unpersist()
   }
 
+  test("persisted IVF index: probed-lists-only file reads, exhaustive-probe equals brute force") {
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val cents = Similarity.ivfIndexBuild(spark, emb, "embedding", "vec_id",
+      root, k = 8, iters = 5)
+    // centroids survive the round trip in list order
+    val loaded = Similarity.ivfIndexCentroids(spark, root)
+    assert(loaded.length == 8 &&
+      loaded.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    // probing ALL lists = exhaustive = brute-force ranking, bit-exact
+    val all = Similarity.ivfIndexTopK(spark, root, "embedding", "vec_id",
+      query, 5, nprobe = 8).collect()
+    val brute = Similarity.topK(emb, "embedding", "vec_id", query, 5).collect()
+    assert(all.map(_.getLong(0)).toSeq == brute.map(_.getLong(0)).toSeq)
+    // nprobe=2 finds the exact winner while the clustered corpus PRUNES
+    // the untouched lists' parts at the FILE level (zone maps on _list)
+    val probed = Similarity.ivfIndexTopK(spark, root, "embedding", "vec_id",
+      query, 5, nprobe = 2)
+    assert(probed.collect().head.getLong(0) == 7L)
+    val corpus = graft.storage.VersionedTable(spark, root + "/corpus")
+    val probeLists = loaded.zipWithIndex.map { case (cv, i) =>
+      (cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(2).map(_._2).toSeq
+    val (kept, total) = corpus.pruneStats(col("_list").isin(probeLists: _*))
+    assert(kept < total, s"expected file-level pruning, kept $kept of $total")
+    val prunedFiles = corpus.readWhere(col("_list").isin(probeLists: _*))
+      .inputFiles.length
+    assert(prunedFiles < corpus.read.inputFiles.length)
+  }
+
   test("cosinePairs: finds high-cosine near-dup pairs without cross join") {
     // construct known near-dups: vec 7 plus tiny perturbations
     val base = query.map(_.toFloat)
