@@ -1098,6 +1098,50 @@ object Queries {
       nprobe = 16)
   }
 
+  /** One-per-JVM q68 bloom-sidecar tables (q58 pattern). */
+  private val q68Tables = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Bloom-sidecar data skipping, oracle-exact: documents land in a
+    * versioned table (h = md5(text)) as four doc_id-sliced appends with
+    * per-part bloom filters on `h`. An equality probe on one uniquely-
+    * occurring hash must SKIP the parts whose blooms prove it absent
+    * (zone maps can't — every part's (min,max) spans the hex domain) and
+    * still return exactly what a plain filter returns. The probe hash is
+    * derived deterministically (the lowest-id doc whose text occurs once)
+    * so the DuckDB oracle replays it in pure SQL.
+    */
+  def q68BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val root = q68Tables.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q68_bloom").toString
+      val vt = storage.VersionedTable(s, r, bloomCols = Seq("h"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      (0 until 4).foreach { i =>
+        vt.append(docs.filter(col("doc_id") % 4 === i))
+      }
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val docs = t(s, dir, "documents")
+    // deterministic probe: the lowest-id doc whose text occurs exactly once
+    val probe = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("id"))
+      .filter(col("c") === 1)
+      .orderBy(col("id")).limit(1)
+      .select(col("h")).head.getString(0)
+    val vt = storage.VersionedTable(s, root)
+    val (kept, total) = vt.pruneStats(col("h") === probe)
+    require(kept < total,
+      s"bloom sidecars failed to prune: kept $kept of $total parts")
+    vt.readWhere(col("h") === probe).select(col("doc_id"), col("h"))
+  }
+
   /** One-per-JVM q66 stream fixtures (q58 pattern: build once, bench reps
     * time the netting read). Three published batches over documents
     * (doc_id, lang): 1 = INSERT all; 2 = DELETE doc_id%7==0;
@@ -1209,7 +1253,8 @@ object Queries {
     "q64_fuzzy_join" -> (q64FuzzyJoin _),
     "q65_json_extract" -> (q65JsonExtract _),
     "q66_stream_net" -> (q66StreamNet _),
-    "q67_ivf_index" -> (q67IvfIndex _)
+    "q67_ivf_index" -> (q67IvfIndex _),
+    "q68_bloom_prune" -> (q68BloomPrune _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -1984,6 +2029,15 @@ object Queries {
         |  CASE WHEN doc_id % 3 = 0 THEN 'INSERT' ELSE 'DELETE' END AS action
         |FROM documents
         |WHERE (doc_id % 3 = 0) <> (doc_id % 7 = 0)""".stripMargin,
+    // the probed-hash read must equal a plain filter; the oracle replays
+    // the deterministic probe derivation (lowest-id unique text) in SQL
+    "q68_bloom_prune" ->
+      """WITH uniq AS (
+        |  SELECT md5(text) AS h, MIN(doc_id) AS id FROM documents
+        |  GROUP BY 1 HAVING COUNT(*) = 1),
+        |probe AS (SELECT h FROM uniq ORDER BY id LIMIT 1)
+        |SELECT d.doc_id, md5(d.text) AS h
+        |FROM documents d, probe p WHERE md5(d.text) = p.h""".stripMargin,
     // exhaustive-probe persisted index = brute-force cosine (q30 idiom)
     "q67_ivf_index" ->
       """SELECT vec_id,

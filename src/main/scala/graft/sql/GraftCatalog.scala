@@ -64,7 +64,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def dirFor(ident: Identifier): String =
     (Seq(root) ++ ident.namespace.toSeq :+ ident.name).mkString("/")
-  private def table(ident: Identifier) = VersionedTable(spark, dirFor(ident))
+  /** Tables honor the `graft.bloom.cols` property (comma-separated column
+    * list): SQL INSERTs into such a table write per-part bloom sidecars,
+    * and equality/IN SELECTs prune through them — the SQL opt-in is
+    * `ALTER TABLE t SET TBLPROPERTIES ('graft.bloom.cols'='h,k')`.
+    */
+  private def table(ident: Identifier) = {
+    val blooms = readProps(ident).get(GraftCatalog.BLOOM_COLS_PROP)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    VersionedTable(spark, dirFor(ident), bloomCols = blooms)
+  }
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_commits"))
 
@@ -668,6 +678,8 @@ object GraftCatalog {
   val STREAM_SOURCE_PROP = "graft.stream.source_table"
   /** Root-relative dir of the consumer table holding the committed offset. */
   val STREAM_CONSUMER_PROP = "graft.stream.consumer"
+  /** Comma-separated columns to build per-part bloom sidecars for. */
+  val BLOOM_COLS_PROP = "graft.bloom.cols"
 
   /** Point a session catalog name at a warehouse root (lazy — the catalog
     * instantiates on first SQL reference).

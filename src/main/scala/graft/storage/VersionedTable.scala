@@ -3,7 +3,8 @@ package graft.storage
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.util.sketch.BloomFilter
 import java.nio.charset.StandardCharsets
 
 /** A versioned Parquet table with an append-only commit log — the minimal
@@ -38,7 +39,8 @@ import java.nio.charset.StandardCharsets
   *    so the anti-filter is partition PRUNING, not a scan filter.
   */
 final class VersionedTable(spark: SparkSession, val root: String,
-                           collectStats: Boolean = true) {
+                           collectStats: Boolean = true,
+                           bloomCols: Seq[String] = Nil) {
 
   /** One committed data directory. `vals` = the partition values this part
     * contains, as raw hive-escaped `_pt=` directory names (empty for
@@ -244,10 +246,113 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * footer reads only (the write already produced the stats); failures
     * degrade to "no stats", never block the commit.
     */
-  private def partStats(dataDir: String): Map[String, (String, String)] =
+  private def partStats(dataDir: String): Map[String, (String, String)] = {
+    writeBlooms(dataDir)
     if (!collectStats) Map.empty
     else ZoneMaps.collect(spark.sparkContext.hadoopConfiguration, fs,
       new Path(dataDir))
+  }
+
+  // -------------------------------------------------------- bloom sidecars
+  // Per-part bloom filters for EQUALITY/IN pruning on high-cardinality
+  // columns zone maps can't skip (uniform hashes, ids: every part's
+  // (min,max) spans the whole domain). Opt-in at WRITE time via
+  // `bloomCols`; the READ side is opt-in-free — any part carrying a
+  // sidecar `_bloom_<col>.bin` (leading underscore: invisible to parquet
+  // directory reads) is skipped when the filter proves every probed value
+  // absent. Missing files, IO failures, type mismatches all degrade to
+  // "keep" — blooms are an optimization, never a correctness input. New
+  // parts from compaction/partial rewrites regenerate blooms only if
+  // their writing table instance opted in; absent sidecars just don't
+  // skip. Delta/Iceberg's bloom-filter-index equivalent.
+
+  private def bloomPath(dataDir: String, colName: String): Path =
+    new Path(dataDir, "_bloom_" +
+      ZoneMaps.pctEncode(colName.getBytes(StandardCharsets.UTF_8)) + ".bin")
+
+  /** Spark's `stat.bloomFilter` puts integral values via putLong and
+    * strings via their UTF-8 bytes — exactly the two coercions
+    * [[ZoneMaps.predsOf]] produces, so probe values test directly.
+    */
+  private def bloomSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+
+  private def writeBlooms(dataDir: String): Unit = {
+    if (bloomCols.isEmpty) return
+    try {
+      val df = spark.read.parquet(dataDir)
+      val resolver = spark.sessionState.analyzer.resolver
+      val n = math.max(1024L, ZoneMaps.totalRows(
+        spark.sparkContext.hadoopConfiguration, fs, new Path(dataDir)))
+      bloomCols.foreach { c =>
+        df.schema.fields.find(f => resolver(f.name, c))
+          .filter(f => bloomSupported(f.dataType))
+          .foreach { f =>
+            val bf = df.stat.bloomFilter(f.name, n, 0.01)
+            val out = fs.create(bloomPath(dataDir, f.name), true)
+            try bf.writeTo(out) finally out.close()
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Parts are immutable, so loaded blooms cache by path for the table
+    * instance's lifetime; `None` (absent/unreadable) caches too.
+    */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap[String, Option[BloomFilter]]()
+
+  private def loadBloom(dataDir: String, colName: String): Option[BloomFilter] = {
+    val p = bloomPath(dataDir, colName)
+    bloomCache.getOrElseUpdate(p.toString,
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(BloomFilter.readFrom(in)) finally in.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None })
+  }
+
+  /** Can `p` possibly satisfy every equality/IN conjunct, per its bloom
+    * sidecars? Only probes when the predicate value's coercion matches
+    * the column type the bloom was built on (integral ↔ Long, string ↔
+    * UTF-8 bytes); anything else keeps the part.
+    */
+  private def bloomMayMatch(fields: Array[StructField], p: Part,
+                            preds: Seq[ZoneMaps.Pred]): Boolean = {
+    val resolver = spark.sessionState.analyzer.resolver
+    val dir = s"$root/${p.dir}"
+    def probe(c: String, vs: Seq[Any]): Boolean =
+      fields.find(f => resolver(f.name, c)) match {
+        case Some(f) =>
+          val aligned = f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              vs.nonEmpty && vs.forall(_.isInstanceOf[Long])
+            case StringType =>
+              vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]])
+            case _ => false
+          }
+          if (!aligned) true
+          else loadBloom(dir, f.name) match {
+            case Some(bf) => vs.exists {
+              case l: Long => bf.mightContainLong(l)
+              case b: Array[Byte] => bf.mightContainBinary(b)
+              case _ => true
+            }
+            case None => true
+          }
+        case None => true
+      }
+    preds.forall {
+      case ZoneMaps.Cmp(c, "=", v) => probe(c, Seq(v))
+      case ZoneMaps.InSet(c, vs) => probe(c, vs)
+      case _ => true
+    }
+  }
 
   private def readState(s: State): DataFrame = readState(s, _ => true)
 
@@ -318,9 +423,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
   }
 
   private def readWhereState(s: State, cond: Column): DataFrame = {
-    val preds = ZoneMaps.predsOf(spark, stateSchema(s), cond)
+    val schema = stateSchema(s)
+    val preds = ZoneMaps.predsOf(spark, schema, cond)
     val resolver = spark.sessionState.analyzer.resolver
-    readState(s, p => ZoneMaps.mayMatch(p.stats, preds, resolver))
+    readState(s, p => ZoneMaps.mayMatch(p.stats, preds, resolver) &&
+        bloomMayMatch(schema.fields, p, preds))
       .filter(cond)
   }
 
@@ -337,9 +444,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   def pruneStats(cond: Column): (Int, Int) = {
     val s = state.getOrElse(return (0, 0))
-    val preds = ZoneMaps.predsOf(spark, stateSchema(s), cond)
+    val schema = stateSchema(s)
+    val preds = ZoneMaps.predsOf(spark, schema, cond)
     val resolver = spark.sessionState.analyzer.resolver
-    (s.parts.count(p => ZoneMaps.mayMatch(p.stats, preds, resolver)),
+    (s.parts.count(p => ZoneMaps.mayMatch(p.stats, preds, resolver) &&
+        bloomMayMatch(schema.fields, p, preds)),
       s.parts.size)
   }
 
@@ -535,10 +644,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
     if (s.parts.exists(_.vals.nonEmpty))
       return (commit(transform(readCommitted(s)),
         Commit.Rewrite(s.partitionCol), Map.empty), true)
-    val preds = ZoneMaps.predsOf(spark, stateSchema(s), cond)
+    val rwSchema = stateSchema(s)
+    val preds = ZoneMaps.predsOf(spark, rwSchema, cond)
     val resolver = spark.sessionState.analyzer.resolver
     val (touched, untouched) =
-      s.parts.partition(p => ZoneMaps.mayMatch(p.stats, preds, resolver))
+      s.parts.partition(p => ZoneMaps.mayMatch(p.stats, preds, resolver) &&
+        bloomMayMatch(rwSchema.fields, p, preds))
     if (touched.isEmpty) return (s.version, false)
     val version = s.version + 1
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
@@ -944,7 +1055,12 @@ object VersionedTable {
     * overhead on its commit path). Absent stats only ever mean "never
     * skip", so the flag is always safe.
     */
+  /** `bloomCols` opts the table's WRITES into per-part bloom sidecars for
+    * those columns (integral/string only) — equality/IN pruning where
+    * zone maps can't skip. Reads honor existing sidecars regardless.
+    */
   def apply(spark: SparkSession, root: String,
-            collectStats: Boolean = true): VersionedTable =
-    new VersionedTable(spark, root, collectStats)
+            collectStats: Boolean = true,
+            bloomCols: Seq[String] = Nil): VersionedTable =
+    new VersionedTable(spark, root, collectStats, bloomCols)
 }

@@ -477,6 +477,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("CALL co2s.system.describe_stream('RAW_CO2.AO_STREAM')")
       .head.getString(1) == "APPEND_ONLY")
 
+    // bloom sidecars opt in through TBLPROPERTIES: SQL INSERTs build the
+    // filters and equality SELECTs prune through them
+    spark.sql(
+      """CREATE TABLE co2s.NSB.T (h STRING, v INT) """)
+    spark.sql(
+      "ALTER TABLE co2s.NSB.T SET TBLPROPERTIES ('graft.bloom.cols'='h')")
+    spark.sql("INSERT INTO co2s.NSB.T VALUES ('aaa1', 1), ('bbb2', 2)")
+    spark.sql("INSERT INTO co2s.NSB.T VALUES ('ccc3', 3), ('ddd4', 4)")
+    val bt = graft.storage.VersionedTable(spark, s"$wh/NSB/T")
+    val (keptB, totalB) = bt.pruneStats(
+      org.apache.spark.sql.functions.col("h") === "ccc3")
+    assert(totalB == 2 && keptB == 1, s"kept $keptB of $totalB")
+    assert(spark.sql("SELECT v FROM co2s.NSB.T WHERE h = 'ccc3'")
+      .head.getInt(0) == 3)
+
     // SHOW STREAMS parity: all three streams listed with their modes
     val streams = spark.sql("CALL co2s.system.show_streams()").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

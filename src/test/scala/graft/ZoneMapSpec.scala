@@ -307,6 +307,65 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(t.readWhere(col("`x}y`") > 15.0).count() == 2)
   }
 
+  test("bloom sidecars prune equality probes zone maps can't") {
+    val root = tmp()
+    // high-cardinality pseudo-hash keys: every part's (min,max) spans the
+    // whole hex domain, so zone maps keep everything — blooms must do the
+    // skipping for = / IN probes
+    def hashes(seed: Int) = (0 until 200).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed-$i".getBytes("UTF-8"))
+      (h.map("%02x".format(_)).mkString, seed.toLong * 1000 + i)
+    }
+    val t = VersionedTable(spark, root, bloomCols = Seq("h", "k"))
+    (1 to 3).foreach(s => t.append(hashes(s).toDF("h", "k")))
+    assert(t.state.get.parts.size == 3)
+    // zone maps alone keep all 3 parts for a hash-equality probe
+    val probe = hashes(2)(57)._1
+    // bloom says: only part 2 can hold it
+    val (kept, total) = t.pruneStats(col("h") === probe)
+    assert(total == 3 && kept <= 2 && kept >= 1, s"kept $kept of $total")
+    assert(t.readWhere(col("h") === probe).count() == 1)
+    assert(t.readWhere(col("h") === probe).inputFiles.length <
+      t.read.inputFiles.length)
+    // long-key equality prunes too, and result equals the plain filter
+    val (k2, _) = t.pruneStats(col("k") === 2057L)
+    assert(k2 <= 2, s"kept $k2")
+    assert(t.readWhere(col("k") === 2057L).collect().map(_.getString(0)).toSeq ==
+      t.read.filter(col("k") === 2057L).collect().map(_.getString(0)).toSeq)
+    // absent value: every part provably clean → zero parts read, no rows
+    val (k3, _) = t.pruneStats(col("h") === "not-a-hash")
+    assert(k3 == 0)
+    assert(t.readWhere(col("h") === "not-a-hash").count() == 0)
+    // IN over values from two parts keeps at least those two
+    val probes = Seq(hashes(1)(0)._1, hashes(3)(199)._1)
+    val (k4, _) = t.pruneStats(col("h").isin(probes: _*))
+    assert(k4 >= 2)
+    assert(t.readWhere(col("h").isin(probes: _*)).count() == 2)
+    // a reader that never opted in still benefits (sidecars drive it)
+    val reader = VersionedTable(spark, root)
+    assert(reader.pruneStats(col("h") === probe)._1 <= 2)
+    // range predicates ignore blooms (zone maps keep all — full domain)
+    assert(t.readWhere(col("h") >= "0").count() == 600)
+    // deleteWhere leaves provably-clean parts untouched by reference
+    val before = t.state.get.parts.map(_.dir)
+    t.deleteWhere(col("h") === probe)
+    val after = t.state.get.parts.map(_.dir)
+    assert(after.count(before.contains) >= 2,
+      s"bloom-clean parts must carry over: $before -> $after")
+    assert(t.read.count() == 599)
+  }
+
+  test("bloom sidecars: unsupported column types are skipped, not errors") {
+    val root = tmp()
+    val t = VersionedTable(spark, root, bloomCols = Seq("x", "s"))
+    t.append(Seq((1.5, "a"), (2.5, "b")).toDF("x", "s"))
+    // no bloom for the double column; string bloom present and pruning
+    assert(t.pruneStats(col("s") === "zzz")._1 == 0)
+    assert(t.pruneStats(col("x") === 1.5)._1 == 1) // zone maps only
+    assert(t.readWhere(col("x") === 1.5).count() == 1)
+  }
+
   test("compacted table re-harvests stats for the rewritten part") {
     val root = tmp()
     val t = threeRangeParts(root)
