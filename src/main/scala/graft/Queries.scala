@@ -1182,6 +1182,117 @@ object Queries {
         col(changefeed.ChangeFeed.ACTION).as("action"))
   }
 
+  /** One-per-JVM q69 fixtures (q58 pattern): source table + maintained
+    * sketch table, built by four delta refreshes; bench reps time the
+    * estimate read + guard, not the builds.
+    */
+  private val q69Tables = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental APPROX COUNT DISTINCT via persisted HLL sketches,
+    * oracle-exact on the output: orders arrive as four appends, each
+    * followed by a DELTA-ONLY sketch refresh (asserted — a rebuild is a
+    * bug), then the in-query guard pins every group's HLL estimate within
+    * 5% of truth and the emitted EXACT per-group distinct counts match
+    * the oracle bit-for-bit. The part the oracle can't see — that the
+    * estimate state was reached by merging four deltas, never rescanning
+    * history — is exactly what the requires prove.
+    */
+  def q69IncrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    val root = q69Tables.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q69_hll").toString
+      val src = storage.VersionedTable(s, r + "/src")
+      val inc = operators.IncrementalDistinct(s, src, r + "/sketch",
+        Seq("o_orderpriority"), "o_custkey")
+      val orders = t(s, dir, "orders")
+      (0 until 4).foreach { i =>
+        src.append(orders.filter(col("o_orderkey") % 4 === i))
+        val (applied, full) = inc.refresh()
+        require(applied == 1 && !full,
+          s"expected one insert-only delta refresh, got ($applied, $full)")
+      }
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val src = storage.VersionedTable(s, root + "/src")
+    val inc = operators.IncrementalDistinct(s, src, root + "/sketch",
+      Seq("o_orderpriority"), "o_custkey")
+    val exact = src.read.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_rows"))
+    val off = exact.join(inc.estimates, "o_orderpriority")
+      .filter(abs(col("approx_distinct") - col("n_cust")) >
+        col("n_cust") * lit(0.05))
+      .count()
+    require(off == 0, s"HLL estimate off by >5% for $off groups")
+    exact
+  }
+
+  /** One-per-JVM q70 z-ordered fixtures (q58 pattern). */
+  private val q70Tables = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Z-order (Morton-curve) clustering, oracle-exact: orders land in
+    * arrival order (o_orderkey slices — uncorrelated with BOTH query
+    * dimensions, the pruning worst case), then OPTIMIZE ZORDER BY
+    * (o_orderdate, o_custkey) rewrites into 16 Morton-ranged parts. A
+    * 2-D box predicate must then skip most parts on the footer zone maps
+    * alone — linear date clustering could never prune the custkey leg —
+    * while returning exactly what a plain filter over the same rows
+    * returns.
+    */
+  def q70ZorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val root = q70Tables.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q70_zorder").toString
+      val vt = storage.VersionedTable(s, r)
+      val o = t(s, dir, "orders")
+      (0 until 4).foreach { i =>
+        vt.append(o.filter(col("o_orderkey") % 4 === i))
+      }
+      vt.compactZorder(Seq("o_orderdate", "o_custkey"), nParts = 16)
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val vt = storage.VersionedTable(s, root)
+    val lo = java.sql.Date.valueOf("1996-01-01")
+    val hi = java.sql.Date.valueOf("1997-01-01")
+    val cond = col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi) &&
+      col("o_custkey") <= lit(300)
+    val (kept, total) = vt.pruneStats(cond)
+    require(kept * 2 <= total,
+      s"z-order zone maps failed to prune the 2-D box: kept $kept of $total parts")
+    vt.readWhere(cond)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Corpus-adaptive boilerplate-token removal (CCNet frequent-lines at
+    * token granularity), oracle-exact down to the reassembled text: every
+    * token in >50% of documents is dropped, survivors rejoin in order,
+    * and the md5 fingerprint sum pins the exact per-doc output (same
+    * q54 discipline — any wrong drop, order, or separator breaks it).
+    */
+  def q71BoilerplateTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.frequentTokenFilter(docs, "text", "doc_id", maxDocFrac = 0.5)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks_kept")).cast("long").as("n_toks_kept"),
+        sum(col("n_toks_dropped")).cast("long").as("n_toks_dropped"),
+        sum(pmod(conv(substring(md5(col("text").cast("binary")), 1, 15),
+          16, 10).cast("long"), lit(1000000007L))).cast("long").as("text_fp"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1254,7 +1365,10 @@ object Queries {
     "q65_json_extract" -> (q65JsonExtract _),
     "q66_stream_net" -> (q66StreamNet _),
     "q67_ivf_index" -> (q67IvfIndex _),
-    "q68_bloom_prune" -> (q68BloomPrune _)
+    "q68_bloom_prune" -> (q68BloomPrune _),
+    "q69_incr_distinct" -> (q69IncrementalDistinct _),
+    "q70_zorder_prune" -> (q70ZorderPrune _),
+    "q71_boilerplate_tokens" -> (q71BoilerplateTokens _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2046,6 +2160,46 @@ object Queries {
         |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
         |FROM embeddings,
         |  (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3) q
-        |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin
+        |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin,
+    // the sketch-table maintenance is delta-only (asserted in-query); the
+    // emitted exact counts are plain SQL
+    "q69_incr_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(*) AS n_rows
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // the z-order-pruned read must equal a plain 2-D box filter
+    "q70_zorder_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |  AND o_custkey <= 300
+        |GROUP BY o_orderpriority""".stripMargin,
+    // tokens in >50% of docs drop; survivors rejoin in order; md5 sum
+    // pins the reassembled text (q54 idiom)
+    "q71_boilerplate_tokens" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, r.i AS pos, d.w[r.i] AS tok
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(d.w) + 1)) AS i) r
+        |  WHERE length(d.w[r.i]) > 0),
+        |freq AS (SELECT tok FROM tok GROUP BY tok
+        |  HAVING COUNT(DISTINCT doc_id) >
+        |    0.5 * (SELECT COUNT(*) FROM documents)),
+        |mark AS (SELECT t.doc_id, t.lang, t.pos, t.tok,
+        |    f.tok IS NOT NULL AS hot
+        |  FROM tok t LEFT JOIN freq f ON t.tok = f.tok),
+        |re AS (SELECT doc_id, ANY_VALUE(lang) AS lang,
+        |    string_agg(tok, ' ' ORDER BY pos) FILTER (NOT hot) AS text2,
+        |    COUNT(*) FILTER (NOT hot) AS kept,
+        |    COUNT(*) FILTER (hot) AS dropped
+        |  FROM mark GROUP BY doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_toks_kept,
+        |  CAST(SUM(dropped) AS BIGINT) AS n_toks_dropped,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS text_fp
+        |FROM re WHERE kept > 0 GROUP BY lang""".stripMargin
   )
 }

@@ -581,6 +581,59 @@ object Dedup {
       .filter(col("n_paras_kept") > 0)
   }
 
+  /** Corpus-adaptive boilerplate-token removal (the CCNet/RefinedWeb
+    * "frequent lines" filter at token granularity): drop every token whose
+    * DOCUMENT frequency exceeds `maxDocFrac` of the corpus — navigation
+    * chrome, licence banners, and corpus-ubiquitous stopwords that a
+    * static list can't know — and reassemble each document's surviving
+    * tokens in their original order. Complements [[paragraphDedup]]:
+    * that removes content REPEATED verbatim across documents; this
+    * removes content so COMMON it carries no training signal.
+    *
+    * Returns `(idCol, textCol, n_toks_kept, n_toks_dropped)`; documents
+    * whose every token was boilerplate are removed (callers join back on
+    * `idCol` for their other columns).
+    *
+    * Scale shape: two token-granularity shuffles — document frequency is
+    * one groupBy on the token (map-side partial `countDistinct`), the
+    * reassembly one doc-keyed groupBy — and the wide original row rides
+    * neither. The frequent set is BOUNDED BY CONSTRUCTION (only tokens in
+    * > maxDocFrac of all documents qualify — at 0.5 that is at most
+    * 2/maxDocFrac × the mean document length, independent of corpus
+    * size), so it broadcasts; the corpus never joins against itself.
+    */
+  def frequentTokenFilter(df: DataFrame, textCol: String, idCol: String,
+                          maxDocFrac: Double = 0.5): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac < 1,
+      s"maxDocFrac must be in (0, 1), got $maxDocFrac")
+    // bounded 1-row aggregate: the corpus size that anchors the threshold
+    val nDocs = df.select(col(idCol)).count()
+    val toks = df
+      .select(col(idCol), posexplode(split(lower(trim(col(textCol))), "\\s+"))
+        .as(Seq("_pos", "_tok")))
+      .filter(length(col("_tok")) > 0)
+    val frequent = toks
+      .groupBy(col("_tok"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > lit(maxDocFrac) * lit(nDocs.toDouble))
+      .select(col("_tok"), lit(true).as("_hot"))
+    toks.join(broadcast(frequent), Seq("_tok"), "left")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        col("_pos"), col("_tok"), coalesce(col("_hot"), lit(false)).as("_drop"))))
+        .as("_sorted"))
+      .select(
+        col(idCol),
+        array_join(expr(
+          "transform(filter(_sorted, s -> NOT s._drop), s -> s._tok)"),
+          " ").as(textCol),
+        expr("size(filter(_sorted, s -> NOT s._drop))").cast("long")
+          .as("n_toks_kept"),
+        expr("size(filter(_sorted, s -> s._drop))").cast("long")
+          .as("n_toks_dropped"))
+      .filter(col("n_toks_kept") > 0)
+  }
+
   /** Direct n-gram Jaccard similarity for a bounded candidate set (exact,
     * no LSH) — quadratic, use only behind a pre-filter or at small n.
     */

@@ -555,20 +555,58 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * partition-committed tables — their layout is already value-keyed.
     */
   def compactClustered(clusterCols: Seq[String], nParts: Int): Long = {
-    require(clusterCols.nonEmpty && nParts > 0,
-      "need cluster columns and a positive part count")
+    require(clusterCols.nonEmpty, "need cluster columns")
+    val s = clusterableState(nParts)
+    val ranged = readCommitted(s)
+      .repartitionByRange(nParts, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    commitRanged(s, ranged)
+  }
+
+  /** Multi-dimension clustered compaction (Delta `OPTIMIZE ZORDER BY`
+    * analogue): rewrite the table's LIVE rows into `nParts` parts ordered
+    * along the Morton curve of `zCols` ([[ZOrder.key]]), so each part's
+    * footer-harvested zone maps bound a RECTANGLE in every z dimension at
+    * once. Linear clustering prunes only on its leading column; after a
+    * z-order rewrite a 2-D box [[readWhere]] skips every part whose
+    * rectangle misses the box — the difference between opening 1/4 and
+    * 1/16 of a 100 TB table for a date×key range scan.
+    *
+    * Same commit mechanics, guarantees, and restrictions as
+    * [[compactClustered]]; one extra bounded 1-row aggregate learns the
+    * per-dimension domains before the single range shuffle.
+    */
+  def compactZorder(zCols: Seq[String], nParts: Int, bits: Int = 16): Long = {
+    val s = clusterableState(nParts)
+    val base = readCommitted(s)
+    val zkey = ZOrder.key(base, zCols, bits)
+    val ranged = base.withColumn("_zkey", zkey)
+      .repartitionByRange(nParts, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+    commitRanged(s, ranged)
+  }
+
+  private def clusterableState(nParts: Int): State = {
+    require(nParts > 0, "need a positive part count")
     val s = state.getOrElse(
       throw new IllegalStateException(s"no table at $root"))
     require(s.parts.nonEmpty, s"table at $root has no data to compact")
     require(!s.parts.exists(_.vals.nonEmpty),
       s"table at $root uses partition-scoped commits; clustered " +
         "compaction applies to append-committed tables")
-    // the staging write borrows `_range` the way partitioned commits
-    // borrow `_pt` — a real column of that name would be silently
-    // replaced and then stripped from the rewritten files
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase("_range")),
-      s"table at $root has a column named _range (reserved by " +
-        "clustered compaction)")
+    // the staging write borrows `_range` (and z-order `_zkey`) the way
+    // partitioned commits borrow `_pt` — a real column of either name
+    // would be silently replaced and then stripped from the rewritten files
+    Seq("_range", "_zkey").foreach { reserved =>
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(reserved)),
+        s"table at $root has a column named $reserved (reserved by " +
+          "clustered compaction)")
+    }
+    s
+  }
+
+  private def commitRanged(s: State, rangedRows: DataFrame): Long = {
     val version = s.version + 1
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     // one job: range-shuffle once, tag each row with its range id via the
@@ -576,9 +614,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     // _range=<i> subdir is then REGISTERED AS ITS OWN PART with its own
     // zone-map stats (the whole point of the rewrite)
     val stage = f"$root/v_$version%08d_${attempt}_stage"
-    val ranged = readCommitted(s)
-      .repartitionByRange(nParts, clusterCols.map(col): _*)
-      .sortWithinPartitions(clusterCols.map(col): _*)
+    val ranged = rangedRows
       .withColumn("_range", org.apache.spark.sql.functions.spark_partition_id())
     ranged.write.partitionBy("_range").mode("overwrite").parquet(stage)
     val rangeDirs = fs.listStatus(new Path(stage))

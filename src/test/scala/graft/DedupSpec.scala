@@ -216,4 +216,34 @@ class DedupSpec extends AnyFunSuite {
     assert(out.head.getString(1) == "say it\n\nagain")
     assert(out.head.getLong(2) == 2L && out.head.getLong(3) == 1L)
   }
+
+  test("frequentTokenFilter: corpus-ubiquitous tokens drop, order survives") {
+    // "the" and "menu" are in 4/4 docs — above 0.5; every other token is
+    // in exactly one doc
+    val docs = Seq(
+      (1L, "the menu alpha beta"),
+      (2L, "gamma THE menu"),
+      (3L, "the delta menu  epsilon"),
+      (4L, "the menu")
+    ).toDF("doc_id", "text")
+    val out = Dedup.frequentTokenFilter(docs, "text", "doc_id", maxDocFrac = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // doc 4 fully boilerplate
+    assert(out(0)._2 == "alpha beta" && out(0)._3 == 2L && out(0)._4 == 2L)
+    assert(out(1)._2 == "gamma" && out(1)._4 == 2L) // case-folded "THE" drops
+    assert(out(2)._2 == "delta epsilon")            // double space collapses
+  }
+
+  test("frequentTokenFilter: threshold is strict — exactly-at-frac stays") {
+    val docs = Seq(
+      (1L, "shared one"), (2L, "shared two"),
+      (3L, "three"), (4L, "four")
+    ).toDF("doc_id", "text")
+    // "shared" df = 2 of 4 = exactly 0.5: NOT above the threshold -> kept
+    val out = Dedup.frequentTokenFilter(docs, "text", "doc_id", maxDocFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out.head.getString(1) == "shared one")
+  }
 }
