@@ -271,9 +271,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("compact", "cluster", "vacuum", "clone", "history", "zonemaps",
-          "create_stream", "describe_stream", "show_streams", "show_tasks",
-          "task_history")
+      Array("compact", "cluster", "zorder", "vacuum", "clone", "history",
+          "zonemaps", "create_stream", "describe_stream", "show_streams",
+          "show_tasks", "task_history")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -281,6 +281,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ident.name.toLowerCase match {
       case "compact" => new CompactProcedure
       case "cluster" => new ClusterProcedure
+      case "zorder"  => new ZorderProcedure
       case "vacuum"  => new VacuumProcedure
       case "clone"   => new CloneProcedure
       case "history" => new HistoryProcedure
@@ -292,7 +293,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "task_history" => new TaskHistoryProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
-          "(compact, cluster, vacuum, clone, history, zonemaps, " +
+          "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
           "create_stream, describe_stream, show_streams, show_tasks, " +
           "task_history)")
     }
@@ -358,6 +359,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .filter(_.nonEmpty).toSeq
       val version = resolveVt(input.getUTF8String(0).toString)
         .compactClustered(cols, input.getInt(2))
+      singleRowScan(
+        StructType(Seq(org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+        InternalRow(version))
+    }
+  }
+
+  private final class ZorderProcedure extends MaintenanceProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "rewrite live rows into n_parts Morton-curve-ordered parts on 2-3 " +
+        "zorder_by columns (OPTIMIZE ZORDER BY) - zone maps bound a " +
+        "rectangle in EVERY listed dimension, so multi-dimension box " +
+        "predicates prune multiplicatively"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter
+          .in("table", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("zorder_by", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("n_parts", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("16").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val version = resolveVt(input.getUTF8String(0).toString)
+        .compactZorder(cols, input.getInt(2))
       singleRowScan(
         StructType(Seq(org.apache.spark.sql.types.StructField("version",
           org.apache.spark.sql.types.LongType, nullable = false))),

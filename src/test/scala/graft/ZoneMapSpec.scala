@@ -216,6 +216,27 @@ class ZoneMapSpec extends AnyFunSuite {
       == t.read.filter(col("id") < 100L).count())
   }
 
+  test("CALL system.zorder rewrites along the Morton curve through SQL") {
+    val wh = tmp()
+    val t = VersionedTable(spark, s"$wh/ns/z")
+    val rnd = new scala.util.Random(11)
+    (0 until 2).foreach { _ =>
+      t.append(Seq.fill(5000)((rnd.nextInt(1000).toLong,
+        rnd.nextInt(1000).toLong)).toDF("x", "y"))
+    }
+    graft.sql.GraftCatalog.register(spark, "gzo", wh)
+    val v = spark.sql(
+      "CALL gzo.system.zorder(table => 'ns.z', zorder_by => 'x, y', n_parts => 16)")
+      .head.getLong(0)
+    assert(v == 3L)
+    assert(t.state.get.parts.size == 16)
+    val box = col("x").between(100, 220) && col("y").between(600, 720)
+    assert(t.pruneStats(box)._1 * 2 <= 16)
+    assert(spark.sql(
+      "SELECT count(*) FROM gzo.ns.z WHERE x BETWEEN 100 AND 220 AND y BETWEEN 600 AND 720")
+      .head.getLong(0) == t.read.filter(box).count())
+  }
+
   test("deleteWhere rewrites only touched parts; others carry over by reference") {
     val t = threeRangeParts(tmp())
     val dirsBefore = t.state.get.parts.map(_.dir)
