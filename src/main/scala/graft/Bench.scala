@@ -99,8 +99,18 @@ object Bench {
       .map { case (k, (a, _)) => "\"" + k + "\":" + f"$a%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_first":$firsts,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_first":$firsts,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
+    println(json)
+    // The stdout line alone is fragile: a capture that keeps only the tail
+    // of a long log can truncate it mid-record (BENCH_r05 was lost exactly
+    // this way). Persist the record to a file as well so the round's
+    // headline number survives any stdout handling.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case _: Throwable => () } // file copy is best-effort; stdout stays primary
     spark.stop()
   }
 }

@@ -36,41 +36,70 @@ final class ChangeFeed(spark: SparkSession, val name: String, root: String) {
     */
   def lastMutationBatchId: Long = log.offsets.getOrElse(MUTATION_KEY, 0L)
 
-  /** Producer side: record a batch of changes. Returns the batch id. */
-  def publish(df: DataFrame, action: String = "INSERT",
-              isUpdate: Boolean = false): Long = {
-    val batchId = lastBatchId + 1
-    // Opaque 128-bit row id straight off the columns — codegen'd hashes, no
-    // JSON serialization in the ingest hot path. xxhash64 SKIPS null inputs
-    // (the accumulator is unchanged), so per-column null flags are
-    // interleaved to keep null POSITIONS distinguishing. The two 64-bit
-    // halves hash the SAME column list under two distinct literal seed
-    // prefixes — independently-seeded streams, not the correlated
-    // forward/reversed trick (reversal preserves pairwise structure, so
-    // adversarial inputs could collide both halves together).
+  /** Data column names may not collide with the stream's metadata columns
+    * or the internal helper columns `pending()`'s netting aggregate uses —
+    * a silent collision would surface later as an ambiguous-column
+    * AnalysisException on the first mixed-window read, far from its cause.
+    */
+  private def assertPublishable(df: DataFrame): Unit = {
+    val clash = df.columns.filter(c =>
+      reservedColumns.exists(r => r.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"stream $name: column(s) ${clash.mkString(", ")} are reserved " +
+        s"(metadata/internal: ${reservedColumns.mkString(", ")}); rename before publishing")
+  }
+
+  /** Stamp a batch with the stream pseudo-columns.
+    *
+    * The ROW_ID is an opaque 128-bit row id straight off the columns —
+    * codegen'd hashes, no JSON serialization in the ingest hot path.
+    * xxhash64 SKIPS null inputs (the accumulator is unchanged), so
+    * per-column null flags are interleaved to keep null POSITIONS
+    * distinguishing. The two 64-bit halves hash the SAME column list under
+    * two distinct literal seed prefixes — independently-seeded streams, not
+    * the correlated forward/reversed trick (reversal preserves pairwise
+    * structure, so adversarial inputs could collide both halves together).
+    */
+  private def stamp(df: DataFrame, action: String, isUpdate: Boolean,
+                    batchId: Long): DataFrame = {
     val cols = df.columns.toSeq.map(col)
     val flags = df.columns.toSeq.map(c => isnull(col(c)).cast("int"))
     val interleaved = cols.zip(flags).flatMap { case (c, f) => Seq(c, f) }
     def half(seed: String) = lpad(lower(hex(xxhash64(lit(seed) +: interleaved: _*))), 16, "0")
-    val stamped = df
-      .withColumn(ACTION, lit(action))
+    df.withColumn(ACTION, lit(action))
       .withColumn(IS_UPDATE, lit(isUpdate))
       .withColumn(ROW_ID, concat(half("graft_rowid_h1"), half("graft_rowid_h2")))
       .withColumn(BATCH_ID, lit(batchId))
+  }
+
+  /** Producer side: record a batch of changes. Returns the batch id. */
+  def publish(df: DataFrame, action: String = "INSERT",
+              isUpdate: Boolean = false): Long = {
+    assertPublishable(df)
+    val batchId = lastBatchId + 1
     val offs = Map(PRODUCER_KEY -> batchId) ++
       (if (action != "INSERT") Map(MUTATION_KEY -> batchId) else Map.empty)
-    log.append(stamped, offs)
+    log.append(stamp(df, action, isUpdate, batchId), offs)
     batchId
   }
 
   /** Publish an UPDATE as Snowflake's standard stream records it: the OLD
     * row images as DELETE and the NEW images as INSERT, both with
     * `METADATA\$ISUPDATE = true` (02_create_rawco2data_stream.py:50-56).
-    * Two batches, old first, so replay order is delete-before-insert.
+    * Both images land in ONE commit under ONE batch id, so a consumer
+    * offset can never fall between them and split a logical update across
+    * two windows — Snowflake records the pair atomically, and so does this
+    * feed. Replay consumers order `(BATCH_ID, METADATA\$ACTION)`; DELETE
+    * sorts before INSERT, preserving delete-before-insert replay.
     */
   def publishUpdate(oldRows: DataFrame, newRows: DataFrame): Long = {
-    publish(oldRows, action = "DELETE", isUpdate = true)
-    publish(newRows, action = "INSERT", isUpdate = true)
+    assertPublishable(oldRows)
+    assertPublishable(newRows)
+    val batchId = lastBatchId + 1
+    val both = stamp(oldRows, "DELETE", isUpdate = true, batchId)
+      .unionByName(stamp(newRows, "INSERT", isUpdate = true, batchId))
+    log.append(both, Map(PRODUCER_KEY -> batchId, MUTATION_KEY -> batchId))
+    batchId
   }
 
   /** Unconsumed NET changes for a consumer identified by its committed
@@ -152,6 +181,15 @@ object ChangeFeed {
   val MUTATION_KEY = "_mutation"
 
   val metaColumns: Seq[String] = Seq(ACTION, IS_UPDATE, ROW_ID, BATCH_ID)
+
+  /** Names `pending()`'s netting aggregate introduces; rejected at publish
+    * alongside the metadata columns so a mixed-window read can never hit
+    * an ambiguous-column error from a data/helper collision.
+    */
+  val internalColumns: Seq[String] =
+    Seq("_nIns", "_nDel", "_lastIns", "_lastDel", "_vals", "_dup")
+
+  val reservedColumns: Seq[String] = metaColumns ++ internalColumns
 
   def apply(spark: SparkSession, name: String, root: String): ChangeFeed =
     new ChangeFeed(spark, name, root)

@@ -617,7 +617,14 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("_df"))
       .filter(col("_df") > lit(maxDocFrac) * lit(nDocs.toDouble))
       .select(col("_tok"), lit(true).as("_hot"))
-    toks.join(broadcast(frequent), Seq("_tok"), "left")
+    // The 2/maxDocFrac × mean-doc-length size bound only keeps the
+    // frequent set broadcastable for moderate thresholds; tiny maxDocFrac
+    // on a long-document corpus could exceed driver/broadcast limits. Only
+    // force the hint when the bound is safely small; below that, leave the
+    // choice to AQE, which broadcasts from the MEASURED size at runtime
+    // and falls back to a shuffle join when it doesn't fit.
+    val hinted = if (maxDocFrac >= 0.05) broadcast(frequent) else frequent
+    toks.join(hinted, Seq("_tok"), "left")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(
         col("_pos"), col("_tok"), coalesce(col("_hot"), lit(false)).as("_drop"))))

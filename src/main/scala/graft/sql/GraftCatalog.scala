@@ -678,7 +678,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             InternalRow(
               UTF8String.fromString(r.getString(0)),
               UTF8String.fromString(r.getString(1)),
-              r.getTimestamp(2).getTime * 1000L)
+              // fromJavaTimestamp keeps the nanos field; getTime*1000
+              // would truncate to millisecond precision
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .fromJavaTimestamp(r.getTimestamp(2)))
           }
       rowsScan(schema, rows)
     }

@@ -325,7 +325,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
   private def bloomMayMatch(fields: Array[StructField], p: Part,
                             preds: Seq[ZoneMaps.Pred]): Boolean = {
     val resolver = spark.sessionState.analyzer.resolver
-    val dir = s"$root/${p.dir}"
+    // partPath, not s"$root/${p.dir}": cloned tables carry absolute part
+    // dirs, and the raw concat would miss their sidecars (conservative but
+    // silently unpruned)
+    val dir = partPath(p.dir)
     def probe(c: String, vs: Seq[Any]): Boolean =
       fields.find(f => resolver(f.name, c)) match {
         case Some(f) =>
