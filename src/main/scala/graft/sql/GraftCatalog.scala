@@ -273,7 +273,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array("compact", "cluster", "zorder", "vacuum", "clone", "history",
           "zonemaps", "create_stream", "describe_stream", "show_streams",
-          "show_tasks", "task_history")
+          "show_tasks", "task_history", "create_task", "alter_task",
+          "drop_task", "execute_task")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -291,11 +292,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "show_streams" => new ShowStreamsProcedure
       case "show_tasks" => new ShowTasksProcedure
       case "task_history" => new TaskHistoryProcedure
+      case "create_task" => new CreateTaskProcedure
+      case "alter_task" => new AlterTaskProcedure
+      case "drop_task" => new DropTaskProcedure
+      case "execute_task" => new ExecuteTaskProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
           "create_stream, describe_stream, show_streams, show_tasks, " +
-          "task_history)")
+          "task_history, create_task, alter_task, drop_task, execute_task)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -686,6 +691,324 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       rowsScan(schema, rows)
     }
   }
+
+  // ----------------------------------------------------------- task DDL ---
+
+  /** One row of the warehouse `_TASKS` table. `schedule` carries either a
+    * cron schedule (`USING CRON …`) or the dependency edge (`AFTER
+    * <parent>`), the same encoding [[graft.co2.Co2Pipeline.tasks]] uses and
+    * SHOW TASKS displays. `body` is the task's SQL text (`;`-separated
+    * statements); Scala-driven tasks (the pipeline DAG) have no body and
+    * are executed by their own orchestrator, not `execute_task`.
+    */
+  private case class TaskDef(name: String, schedule: Option[String],
+                             condition: Option[String], body: Option[String],
+                             suspended: Boolean)
+
+  private def tasksVt =
+    VersionedTable(spark, s"$root/_TASKS", collectStats = false)
+
+  /** Reads `_TASKS` tolerating the pre-task-DDL 3-column layout
+    * (NAME/SCHEDULE/CONDITION) that [[graft.co2.Co2Pipeline.defineTasks]]
+    * writes — absent BODY/SUSPENDED mean body-less, active tasks.
+    */
+  private def readTasks(): Seq[TaskDef] = {
+    val vt = tasksVt
+    if (!vt.exists) return Nil
+    var df = vt.read
+    if (!df.columns.contains("BODY"))
+      df = df.withColumn("BODY", lit(null).cast("string"))
+    if (!df.columns.contains("SUSPENDED"))
+      df = df.withColumn("SUSPENDED", lit(false))
+    df.select(col("NAME"), col("SCHEDULE"), col("CONDITION"), col("BODY"),
+        col("SUSPENDED"))
+      .collect().toSeq.map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+        TaskDef(r.getString(0), opt(1), opt(2), opt(3),
+          !r.isNullAt(4) && r.getBoolean(4))
+      }
+  }
+
+  private def writeTasks(ts: Seq[TaskDef]): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("NAME", StringType, nullable = false),
+      StructField("SCHEDULE", StringType, nullable = true),
+      StructField("CONDITION", StringType, nullable = true),
+      StructField("BODY", StringType, nullable = true),
+      StructField("SUSPENDED", BooleanType, nullable = false)))
+    val rows = ts.map(t =>
+      Row(t.name, t.schedule.orNull, t.condition.orNull, t.body.orNull,
+        t.suspended))
+    tasksVt.overwrite(spark.createDataFrame(rows.asJava, schema))
+  }
+
+  private val StreamCond =
+    """(?i)\s*SYSTEM\$STREAM_HAS_DATA\(\s*'([^']+)'\s*\)\s*""".r
+
+  /** Evaluates a task WHEN condition — the only supported shape is the
+    * reference's `SYSTEM\$STREAM_HAS_DATA('<ns>.<stream>')`
+    * (orchestrate_tasks.sql.j2:40), an O(1) offset comparison, no scan.
+    */
+  private def conditionHolds(cond: String): Boolean = cond match {
+    case StreamCond(stream) =>
+      val parts = stream.split("\\.").filter(_.nonEmpty)
+      require(parts.length >= 2,
+        s"stream in WHEN must be namespace-qualified, got '$stream'")
+      val id = Identifier.of(parts.init, parts.last)
+      val props = readProps(id)
+      require(props.get(GraftCatalog.STREAM_PROP).contains("true"),
+        s"'$stream' in WHEN is not a stream object")
+      val offsetKey = props.getOrElse(GraftCatalog.STREAM_KEY_PROP, stream)
+      val feed = ChangeFeed(spark, offsetKey, dirFor(id))
+      feed.log.exists && feed.hasData(streamConsumedOffset(props, offsetKey))
+    case other => throw new IllegalArgumentException(
+      s"unsupported task WHEN condition '$other' - only " +
+        "SYSTEM$STREAM_HAS_DATA('<ns>.<stream>') is supported")
+  }
+
+  /** Splits a task body on `;` outside single-quoted literals. */
+  private def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    sql.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `CREATE [OR REPLACE] TASK` parity (orchestrate_tasks.sql.j2:28-48):
+    * persists name + SCHEDULE/AFTER + WHEN condition + SQL body as a
+    * catalog object. Like Snowflake, a new task is created SUSPENDED and
+    * must be resumed (`alter_task`) before a DAG run reaches it —
+    * `execute_task` on the task itself always runs it.
+    */
+  private final class CreateTaskProcedure extends MaintenanceProcedure {
+    override def name(): String = "create_task"
+    override def description(): String =
+      "define a TASK object: schedule or AFTER edge, optional " +
+        "SYSTEM$STREAM_HAS_DATA condition, SQL body (CREATE TASK parity)"
+    override def parameters(): Array[procedures.ProcedureParameter] = {
+      import org.apache.spark.sql.types._
+      Array(
+        procedures.ProcedureParameter.in("task", StringType).build(),
+        procedures.ProcedureParameter.in("body", StringType).build(),
+        procedures.ProcedureParameter.in("schedule", StringType)
+          .defaultValue("''").build(),
+        procedures.ProcedureParameter.in("after", StringType)
+          .defaultValue("''").build(),
+        procedures.ProcedureParameter.in("condition", StringType)
+          .defaultValue("''").build(),
+        procedures.ProcedureParameter.in("or_replace", BooleanType)
+          .defaultValue("true").build())
+    }
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val taskName = input.getUTF8String(0).toString.trim
+      val body = input.getUTF8String(1).toString
+      val schedule = input.getUTF8String(2).toString.trim
+      val after = input.getUTF8String(3).toString.trim
+      val condition = input.getUTF8String(4).toString.trim
+      val orReplace = input.getBoolean(5)
+      require(taskName.nonEmpty, "task name must be non-empty")
+      require(body.trim.nonEmpty, s"task $taskName needs a SQL body")
+      require(schedule.isEmpty || after.isEmpty,
+        s"task $taskName: SCHEDULE and AFTER are mutually exclusive")
+      if (condition.nonEmpty)
+        require(StreamCond.pattern.matcher(condition).matches(),
+          s"task $taskName: WHEN condition must be " +
+            s"SYSTEM$$STREAM_HAS_DATA('<ns>.<stream>'), got '$condition'")
+      val existing = readTasks()
+      require(orReplace || !existing.exists(_.name.equalsIgnoreCase(taskName)),
+        s"task $taskName already exists (use or_replace => true)")
+      if (after.nonEmpty)
+        require(existing.exists(_.name.equalsIgnoreCase(after)),
+          s"task $taskName: AFTER parent '$after' does not exist")
+      val sched =
+        if (after.nonEmpty) Some(s"AFTER $after")
+        else if (schedule.nonEmpty) Some(schedule)
+        else None
+      val t = TaskDef(taskName, sched,
+        Option(condition).filter(_.nonEmpty), Some(body), suspended = true)
+      writeTasks(existing.filterNot(_.name.equalsIgnoreCase(taskName)) :+ t)
+      singleRowScan(
+        StructType(Seq(
+          StructField("task", StringType, nullable = false),
+          StructField("status", StringType, nullable = false))),
+        InternalRow(UTF8String.fromString(taskName),
+          UTF8String.fromString("created (suspended)")))
+    }
+  }
+
+  /** `ALTER TASK <t> SUSPEND|RESUME` parity (orchestrate_tasks.sql.j2:19-21,
+    * 53-55). `if_exists => true` makes a missing task a no-op, mirroring
+    * the template's `ALTER TASK IF EXISTS`.
+    */
+  private final class AlterTaskProcedure extends MaintenanceProcedure {
+    override def name(): String = "alter_task"
+    override def description(): String =
+      "SUSPEND or RESUME a TASK object (ALTER TASK parity)"
+    override def parameters(): Array[procedures.ProcedureParameter] = {
+      import org.apache.spark.sql.types._
+      Array(
+        procedures.ProcedureParameter.in("task", StringType).build(),
+        procedures.ProcedureParameter.in("action", StringType).build(),
+        procedures.ProcedureParameter.in("if_exists", BooleanType)
+          .defaultValue("false").build())
+    }
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val taskName = input.getUTF8String(0).toString.trim
+      val action = input.getUTF8String(1).toString.trim.toUpperCase
+      val ifExists = input.getBoolean(2)
+      require(action == "SUSPEND" || action == "RESUME",
+        s"alter_task action must be SUSPEND or RESUME, got '$action'")
+      val existing = readTasks()
+      val found = existing.exists(_.name.equalsIgnoreCase(taskName))
+      require(found || ifExists, s"task $taskName does not exist")
+      val status = if (!found) "not found (if_exists)" else {
+        writeTasks(existing.map(t =>
+          if (t.name.equalsIgnoreCase(taskName))
+            t.copy(suspended = action == "SUSPEND")
+          else t))
+        action.toLowerCase + "d"
+      }
+      singleRowScan(
+        StructType(Seq(
+          StructField("task", StringType, nullable = false),
+          StructField("status", StringType, nullable = false))),
+        InternalRow(UTF8String.fromString(taskName),
+          UTF8String.fromString(status)))
+    }
+  }
+
+  /** `DROP TASK` parity. Children whose AFTER edge pointed at the dropped
+    * task become standalone (a DAG run no longer reaches them) — same
+    * orphaning Snowflake allows once the parent is suspended and dropped.
+    */
+  private final class DropTaskProcedure extends MaintenanceProcedure {
+    override def name(): String = "drop_task"
+    override def description(): String = "drop a TASK object (DROP TASK parity)"
+    override def parameters(): Array[procedures.ProcedureParameter] = {
+      import org.apache.spark.sql.types._
+      Array(
+        procedures.ProcedureParameter.in("task", StringType).build(),
+        procedures.ProcedureParameter.in("if_exists", BooleanType)
+          .defaultValue("false").build())
+    }
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val taskName = input.getUTF8String(0).toString.trim
+      val ifExists = input.getBoolean(1)
+      val existing = readTasks()
+      val found = existing.exists(_.name.equalsIgnoreCase(taskName))
+      require(found || ifExists, s"task $taskName does not exist")
+      if (found)
+        writeTasks(existing.filterNot(_.name.equalsIgnoreCase(taskName)))
+      singleRowScan(
+        StructType(Seq(
+          StructField("task", StringType, nullable = false),
+          StructField("status", StringType, nullable = false))),
+        InternalRow(UTF8String.fromString(taskName),
+          UTF8String.fromString(if (found) "dropped" else "not found (if_exists)")))
+    }
+  }
+
+  /** `EXECUTE TASK <root>` parity (orchestrate_tasks.sql.j2:63): runs the
+    * named task, then its AFTER-descendants in dependency order. Mirrors
+    * Snowflake's manual-trigger semantics: the named root runs even if
+    * suspended (the standard way to test a DAG), while a suspended child
+    * stops its subtree; a false WHEN gate or a failed body also stops the
+    * subtree (a child never runs before its parent succeeded). Every
+    * visited task appends (TASK_NAME, STATE, SCHEDULED_TIME) to
+    * `_TASK_HISTORY`, the table `task_history` reads.
+    */
+  private final class ExecuteTaskProcedure extends MaintenanceProcedure {
+    override def name(): String = "execute_task"
+    override def description(): String =
+      "run a TASK and its AFTER-descendants in dependency order " +
+        "(EXECUTE TASK parity); records each outcome in task history"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("task", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val rootName = input.getUTF8String(0).toString.trim
+      val all = readTasks()
+      val rootTask = all.find(_.name.equalsIgnoreCase(rootName)).getOrElse(
+        throw new IllegalArgumentException(s"task $rootName does not exist"))
+      val results = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val visited = scala.collection.mutable.Set[String]()
+      def children(parent: String): Seq[TaskDef] = all
+        .filter(_.schedule.exists(_.trim.equalsIgnoreCase(s"AFTER $parent")))
+        .sortBy(_.name)
+      def exec(t: TaskDef, isRoot: Boolean): Unit = {
+        if (!visited.add(t.name.toUpperCase)) return // AFTER-cycle guard
+        if (t.suspended && !isRoot) {
+          results += t.name -> "SKIPPED (suspended)"
+          return
+        }
+        val gate =
+          try t.condition.forall(conditionHolds)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              results += t.name -> s"FAILED: ${firstLine(e)}"
+              return
+          }
+        if (!gate) {
+          results += t.name -> "SKIPPED (WHEN condition false)"
+          return
+        }
+        t.body match {
+          case None =>
+            results += t.name -> ("FAILED: task has no SQL body " +
+              "(Scala-defined task; run it from its own pipeline)")
+            return
+          case Some(b) =>
+            try {
+              splitStatements(b).foreach(stmt => spark.sql(stmt).collect())
+              results += t.name -> "SUCCEEDED"
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                results += t.name -> s"FAILED: ${firstLine(e)}"
+                return
+            }
+        }
+        children(t.name).foreach(exec(_, isRoot = false))
+      }
+      exec(rootTask, isRoot = true)
+
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val histSchema = StructType(Seq(
+        StructField("TASK_NAME", StringType, nullable = false),
+        StructField("STATE", StringType, nullable = false),
+        StructField("SCHEDULED_TIME", TimestampType, nullable = false)))
+      VersionedTable(spark, s"$root/_TASK_HISTORY", collectStats = false)
+        .append(spark.createDataFrame(
+          results.toSeq.map { case (t, s) => Row(t, s, now) }.asJava,
+          histSchema))
+
+      rowsScan(
+        StructType(Seq(
+          StructField("task_name", StringType, nullable = false),
+          StructField("state", StringType, nullable = false))),
+        results.toArray.map { case (t, s) =>
+          InternalRow(UTF8String.fromString(t), UTF8String.fromString(s))
+        })
+    }
+  }
+
+  private def firstLine(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.toString)
+      .linesIterator.find(_.trim.nonEmpty).getOrElse(e.toString).take(200)
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")

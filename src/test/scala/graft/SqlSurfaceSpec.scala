@@ -500,4 +500,137 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "RAW_CO2.AUX_STREAM" -> "DEFAULT",
       "RAW_CO2.AO_STREAM" -> "APPEND_ONLY"), streams)
   }
+
+  test("task DAG defined, resumed, and executed entirely from SQL text") {
+    // the reference's orchestrate_tasks.sql.j2 lifecycle: suspend-if-exists,
+    // CREATE OR REPLACE TASK ×3 (schedule / AFTER / WHEN stream-has-data),
+    // RESUME in reverse order, EXECUTE TASK root, read TASK_HISTORY
+    val wh = java.nio.file.Files.createTempDirectory("graft_task_").toString
+    graft.sql.GraftCatalog.register(spark, "tk", wh)
+    spark.sql("CREATE NAMESPACE tk.RAW_CO2")
+    spark.sql("CREATE NAMESPACE tk.HARMONIZED_CO2")
+    spark.sql("CREATE NAMESPACE tk.ANALYTICS_CO2")
+    spark.sql("CREATE TABLE tk.RAW_CO2.CO2_DATA (YEAR INT, CO2_PPM DOUBLE)")
+    spark.sql("CREATE TABLE tk.HARMONIZED_CO2.HARMONIZED_CO2 (YEAR INT, CO2_PPM DOUBLE)")
+    spark.sql("CREATE TABLE tk.ANALYTICS_CO2.YEARLY (YEAR INT, AVG_CO2 DOUBLE)")
+    spark.sql(
+      """CALL tk.system.create_stream(
+        |  stream => 'RAW_CO2.CO2_DATA_STREAM', source => 'RAW_CO2.CO2_DATA',
+        |  consumer => 'HARMONIZED_CO2.HARMONIZED_CO2')""".stripMargin).collect()
+    // producer lands a batch on the stream (the reference's lambda load)
+    graft.changefeed.ChangeFeed(spark, "RAW_CO2.CO2_DATA_STREAM",
+      s"$wh/RAW_CO2/CO2_DATA_STREAM")
+      .publish(spark.sql("SELECT 2024 AS YEAR, CAST(421.5 AS DOUBLE) AS CO2_PPM"))
+
+    // Step 1: ALTER TASK IF EXISTS ... SUSPEND on a task that doesn't exist
+    assert(spark.sql(
+      """CALL tk.system.alter_task(task => 'CO2_RAW_DATA_TASK',
+        |  action => 'SUSPEND', if_exists => true)""".stripMargin)
+      .head.getString(1) == "not found (if_exists)")
+
+    // Step 3: CREATE OR REPLACE TASK ×3, the template's exact DAG shape
+    assert(spark.sql(
+      """CALL tk.system.create_task(task => 'CO2_RAW_DATA_TASK',
+        |  schedule => 'USING CRON 0 10 * * * UTC',
+        |  body => 'INSERT INTO tk.RAW_CO2.CO2_DATA VALUES (2025, 423.0)')"""
+        .stripMargin).head.getString(1) == "created (suspended)")
+    spark.sql(
+      """CALL tk.system.create_task(task => 'CO2_HARMONIZED_TASK',
+        |  after => 'CO2_RAW_DATA_TASK',
+        |  condition => 'SYSTEM$STREAM_HAS_DATA(''RAW_CO2.CO2_DATA_STREAM'')',
+        |  body => 'INSERT INTO tk.HARMONIZED_CO2.HARMONIZED_CO2
+        |    SELECT YEAR, CO2_PPM FROM tk.RAW_CO2.CO2_DATA_STREAM
+        |    WHERE `METADATA$ACTION` = ''INSERT''')""".stripMargin).collect()
+    spark.sql(
+      """CALL tk.system.create_task(task => 'CO2_ANALYTICS_TASK',
+        |  after => 'CO2_HARMONIZED_TASK',
+        |  body => 'INSERT INTO tk.ANALYTICS_CO2.YEARLY
+        |    SELECT YEAR, avg(CO2_PPM) FROM tk.HARMONIZED_CO2.HARMONIZED_CO2
+        |    GROUP BY YEAR')""".stripMargin).collect()
+
+    // SHOW TASKS sees the DAG: schedule on the root, AFTER edges, WHEN gate
+    val shown = spark.sql("CALL tk.system.show_tasks()").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(shown.keySet == Set("CO2_RAW_DATA_TASK", "CO2_HARMONIZED_TASK",
+      "CO2_ANALYTICS_TASK"))
+    assert(shown("CO2_RAW_DATA_TASK")._1 == "USING CRON 0 10 * * * UTC")
+    assert(shown("CO2_HARMONIZED_TASK")._1 == "AFTER CO2_RAW_DATA_TASK")
+    assert(shown("CO2_HARMONIZED_TASK")._2 ==
+      "SYSTEM$STREAM_HAS_DATA('RAW_CO2.CO2_DATA_STREAM')")
+    assert(shown("CO2_ANALYTICS_TASK")._1 == "AFTER CO2_HARMONIZED_TASK")
+
+    // EXECUTE TASK before resume: the named root runs (manual-trigger
+    // semantics), the still-suspended child stops its subtree
+    val pre = spark.sql("CALL tk.system.execute_task('CO2_RAW_DATA_TASK')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pre == Map(
+      "CO2_RAW_DATA_TASK" -> "SUCCEEDED",
+      "CO2_HARMONIZED_TASK" -> "SKIPPED (suspended)"), pre)
+
+    // Step 4: RESUME in the template's reverse order, then EXECUTE TASK
+    Seq("CO2_ANALYTICS_TASK", "CO2_HARMONIZED_TASK", "CO2_RAW_DATA_TASK")
+      .foreach(t => spark.sql(
+        s"CALL tk.system.alter_task(task => '$t', action => 'RESUME')").collect())
+    val run = spark.sql("CALL tk.system.execute_task('CO2_RAW_DATA_TASK')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run == Map(
+      "CO2_RAW_DATA_TASK" -> "SUCCEEDED",
+      "CO2_HARMONIZED_TASK" -> "SUCCEEDED",
+      "CO2_ANALYTICS_TASK" -> "SUCCEEDED"), run)
+
+    // each body really ran, in dependency order
+    assert(spark.sql("SELECT count(*) FROM tk.RAW_CO2.CO2_DATA")
+      .head.getLong(0) == 2) // two executes of the root INSERT
+    assert(spark.sql(
+      "SELECT CO2_PPM FROM tk.HARMONIZED_CO2.HARMONIZED_CO2 WHERE YEAR = 2024")
+      .head.getDouble(0) == 421.5)
+    assert(spark.sql("SELECT AVG_CO2 FROM tk.ANALYTICS_CO2.YEARLY WHERE YEAR = 2024")
+      .head.getDouble(0) == 421.5)
+
+    // TASK_HISTORY recorded both runs (2 + 3 states)
+    val hist = spark.sql("CALL tk.system.task_history(limit => 10)").collect()
+    assert(hist.length == 5, hist.toSeq.toString)
+    assert(hist.count(_.getString(1) == "SUCCEEDED") == 4)
+
+    // a false WHEN gate skips the task AND its subtree: a second DAG gated
+    // on a stream with no published batches
+    spark.sql(
+      """CALL tk.system.create_stream(stream => 'RAW_CO2.EMPTY_STREAM',
+        |  source => 'RAW_CO2.CO2_DATA',
+        |  consumer => 'HARMONIZED_CO2.HARMONIZED_CO2')""".stripMargin).collect()
+    spark.sql(
+      """CALL tk.system.create_task(task => 'ROOT2',
+        |  schedule => 'USING CRON 0 0 * * * UTC', body => 'SELECT 1')"""
+        .stripMargin).collect()
+    spark.sql(
+      """CALL tk.system.create_task(task => 'GATED2', after => 'ROOT2',
+        |  condition => 'SYSTEM$STREAM_HAS_DATA(''RAW_CO2.EMPTY_STREAM'')',
+        |  body => 'SELECT 1')""".stripMargin).collect()
+    spark.sql(
+      """CALL tk.system.create_task(task => 'LEAF2', after => 'GATED2',
+        |  body => 'SELECT 1')""".stripMargin).collect()
+    Seq("ROOT2", "GATED2", "LEAF2").foreach(t => spark.sql(
+      s"CALL tk.system.alter_task(task => '$t', action => 'RESUME')").collect())
+    val gated = spark.sql("CALL tk.system.execute_task('ROOT2')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gated == Map(
+      "ROOT2" -> "SUCCEEDED",
+      "GATED2" -> "SKIPPED (WHEN condition false)"), gated) // LEAF2 unreached
+
+    // error paths are loud: duplicate without or_replace, missing task
+    intercept[Exception](spark.sql(
+      """CALL tk.system.create_task(task => 'ROOT2', body => 'SELECT 1',
+        |  or_replace => false)""".stripMargin).collect())
+    intercept[Exception](spark.sql(
+      "CALL tk.system.alter_task(task => 'NOPE', action => 'RESUME')").collect())
+    intercept[Exception](spark.sql(
+      "CALL tk.system.execute_task('NOPE')").collect())
+
+    // DROP TASK prunes the DAG
+    assert(spark.sql("CALL tk.system.drop_task(task => 'GATED2')")
+      .head.getString(1) == "dropped")
+    val afterDrop = spark.sql("CALL tk.system.execute_task('ROOT2')")
+      .collect().map(_.getString(0)).toSeq
+    assert(afterDrop == Seq("ROOT2"), afterDrop.toString)
+  }
 }
