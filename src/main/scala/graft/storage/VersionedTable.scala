@@ -468,18 +468,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   def commitOffsets(newOffsets: Map[String, Long]): Long = {
     newOffsets.keys.foreach(requireValidOffsetKey)
-    val s = state.getOrElse(
-      throw new IllegalStateException(s"table at $root has no committed data"))
-    val version = s.version + 1
-    try writeCommit(version, s.copy(version = version,
-      offsets = s.offsets ++ newOffsets))
-    catch {
-      case e: java.io.IOException =>
-        // same race contract as every data commit path
-        throw new java.util.ConcurrentModificationException(
-          s"commit claim for version $version of $root failed", e)
+    retryClaim() { // re-reads state per attempt: offsets merge over any winner
+      val s = state.getOrElse(
+        throw new IllegalStateException(s"table at $root has no committed data"))
+      val version = s.version + 1
+      try writeCommit(version, s.copy(version = version,
+        offsets = s.offsets ++ newOffsets))
+      catch {
+        case e: java.io.IOException =>
+          // same race contract as every data commit path
+          throw new java.util.ConcurrentModificationException(
+            s"commit claim for version $version of $root failed", e)
+      }
+      version
     }
-    version
   }
 
   /** Offsets keys land in the regex-parsed commit JSON: structural bytes
@@ -491,11 +493,33 @@ final class VersionedTable(spark: SparkSession, val root: String,
       s"offsets key '$k' contains one of \" \\ } — " +
         "those corrupt the regex-parsed commit log")
 
+  /** Runs a metadata-only commit body, retrying on a lost OCC claim; each
+    * attempt re-reads state, so offsets merge over whatever the winner
+    * committed. Data commits retry INSIDE [[commit]] instead (claim-only,
+    * reusing the written data dir).
+    */
+  private def retryClaim[T](attempts: Int = 20)(body: => T): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case _: java.util.ConcurrentModificationException if left > 0 =>
+          left -= 1
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(1L, 15L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Replace table contents (CREATE OR REPLACE / CTAS semantics). */
   def overwrite(df: DataFrame, offsets: Map[String, Long] = Map.empty): Long =
     commit(df, Commit.Replace, offsets)
 
-  /** Append a new part (COPY INTO / INSERT semantics). */
+  /** Append a new part (COPY INTO / INSERT semantics). Racing appends are
+    * safe: a claim loser retries the claim against the winner's state, so
+    * both parts land under consecutive versions.
+    */
   def append(df: DataFrame, offsets: Map[String, Long] = Map.empty): Long =
     commit(df, Commit.Append, offsets)
 
@@ -943,46 +967,90 @@ final class VersionedTable(spark: SparkSession, val root: String,
         Some(Part(partName, Seq.empty, partStats(dataDir)))
     }
 
-    val parts = (mode, newPart) match {
-      case (Commit.Replace | Commit.Rewrite(_), _) => newPart.toSeq
-      case (_, p) => prev.map(_.parts).getOrElse(Seq.empty) ++ p.toSeq
+    def stateFor(prev: Option[State], version: Long): State = {
+      val parts = (mode, newPart) match {
+        case (Commit.Replace | Commit.Rewrite(_), _) => newPart.toSeq
+        case (_, p) => prev.map(_.parts).getOrElse(Seq.empty) ++ p.toSeq
+      }
+      val pcol = mode match {
+        case Commit.ReplacePartitions(c) => Some(c)
+        case Commit.Rewrite(c) => c.orElse(prev.flatMap(_.partitionCol))
+        case _ => prev.flatMap(_.partitionCol)
+      }
+      val offs = prev.map(_.offsets).getOrElse(Map.empty) ++ newOffsets
+      // Incremental commits must not let the incoming batch TIGHTEN the
+      // declared schema: a literal INSERT arrives with NOT NULL columns, but
+      // older parts (or a pre-ADD COLUMN part missing the column entirely)
+      // still hold NULLs — so merge nullability with the committed schema
+      // and force columns this batch introduced to nullable.
+      val declared = (mode, prev.flatMap(_.schemaDdl).map(StructType.fromDDL)) match {
+        // compaction re-lands the table's own rows: keep the declared schema
+        // verbatim (the relaxed-nullable read schema must not erode it)
+        case (Commit.Rewrite(_), Some(committed)) => committed
+        case (m, Some(committed)) if m != Commit.Replace =>
+          val resolver = spark.sessionState.analyzer.resolver
+          StructType(
+            committed.map { p =>
+              val incoming = df.schema.find(f => resolver(f.name, p.name))
+              p.copy(nullable = p.nullable || incoming.forall(_.nullable))
+            } ++
+            df.schema
+              .filterNot(f => committed.exists(p => resolver(p.name, f.name)))
+              .map(_.copy(nullable = true)))
+        case _ => df.schema
+      }
+      State(version, pcol, parts, offs, Some(declared.toDDL))
     }
-    val pcol = mode match {
-      case Commit.ReplacePartitions(c) => Some(c)
-      case Commit.Rewrite(c) => c.orElse(prev.flatMap(_.partitionCol))
-      case _ => prev.flatMap(_.partitionCol)
+
+    // The claim races against concurrent writers, and the window is wide:
+    // the version was chosen BEFORE the data write, so under contention the
+    // first claim is routinely stale. A lost claim does NOT invalidate the
+    // data dir (parts are referenced by name; the version prefix is
+    // cosmetic), so retry ONLY the claim — re-read state, re-check the
+    // guard and schema against the winner, recompute the commit record,
+    // claim the next version. Append/Replace/ReplacePartitions semantics
+    // are state-independent, so this is sound; a Rewrite (compaction)
+    // derives its rows FROM a specific state and must surface the race for
+    // the caller to re-run whole.
+    val claimRetriable = mode match {
+      case Commit.Rewrite(_) => false
+      case _ => true
     }
-    val offs = prev.map(_.offsets).getOrElse(Map.empty) ++ newOffsets
-    // Incremental commits must not let the incoming batch TIGHTEN the
-    // declared schema: a literal INSERT arrives with NOT NULL columns, but
-    // older parts (or a pre-ADD COLUMN part missing the column entirely)
-    // still hold NULLs — so merge nullability with the committed schema
-    // and force columns this batch introduced to nullable.
-    val declared = (mode, prev.flatMap(_.schemaDdl).map(StructType.fromDDL)) match {
-      // compaction re-lands the table's own rows: keep the declared schema
-      // verbatim (the relaxed-nullable read schema must not erode it)
-      case (Commit.Rewrite(_), Some(committed)) => committed
-      case (m, Some(committed)) if m != Commit.Replace =>
-        val resolver = spark.sessionState.analyzer.resolver
-        StructType(
-          committed.map { p =>
-            val incoming = df.schema.find(f => resolver(f.name, p.name))
-            p.copy(nullable = p.nullable || incoming.forall(_.nullable))
-          } ++
-          df.schema
-            .filterNot(f => committed.exists(p => resolver(p.name, f.name)))
-            .map(_.copy(nullable = true)))
-      case _ => df.schema
+    var curPrev = prev
+    var curVersion = version
+    var attempts = 0
+    while (true) {
+      try {
+        writeCommit(curVersion, stateFor(curPrev, curVersion))
+        return curVersion
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (!claimRetriable || attempts > 20) {
+            // give up: remove our orphan dir, surface the race
+            fs.delete(new Path(dataDir), true)
+            throw new java.util.ConcurrentModificationException(
+              s"commit claim for version $curVersion of $root failed", e)
+          }
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(1L, 15L))
+          try {
+            curPrev = state
+            if (!guard(curPrev)) { // e.g. a replayed batch landed meanwhile
+              fs.delete(new Path(dataDir), true)
+              return -1L
+            }
+            if (mode != Commit.Replace)
+              curPrev.foreach(requireCompatibleSchema(_, df))
+          } catch {
+            case re: Throwable if !re.isInstanceOf[java.util.ConcurrentModificationException] =>
+              fs.delete(new Path(dataDir), true) // never leak the orphan dir
+              throw re
+          }
+          curVersion = curPrev.map(_.version).getOrElse(0L) + 1
+      }
     }
-    try writeCommit(version, State(version, pcol, parts, offs, Some(declared.toDDL)))
-    catch {
-      case e: java.io.IOException =>
-        // claim lost (or FS error): remove our orphan dir, surface the race
-        fs.delete(new Path(dataDir), true)
-        throw new java.util.ConcurrentModificationException(
-          s"commit claim for version $version of $root failed", e)
-    }
-    version
+    throw new IllegalStateException("unreachable")
   }
 
   private def hiveUnescape(s: String): String = {
@@ -1001,15 +1069,28 @@ final class VersionedTable(spark: SparkSession, val root: String,
   private def writeCommit(version: Long, s: State): Unit = {
     fs.mkdirs(commitsDir)
     val path = new Path(commitsDir, f"$version%08d.json")
-    // overwrite=false → create is an atomic claim; a concurrent writer
-    // loses. HDFS and conditional-create object stores provide that
-    // atomicity natively; the local filesystem's create has a
-    // check-then-create window, so in-process claims additionally
-    // serialize on a per-root lock.
+    // Two-phase claim: the record is fully written to a hidden temp name
+    // (no .json suffix — every lister filters on that), then RENAMED to
+    // the version file. Rename-no-overwrite is the atomic claim on HDFS,
+    // and — unlike create-then-write — it also makes the commit CONTENT
+    // atomic to readers: a concurrent `state` can never observe a
+    // half-written record (torn reads were real under the claim-retry
+    // race). Stores whose rename isn't conditional fall back to the
+    // exists-check; in-process writers additionally serialize on a
+    // per-root lock, which covers the local filesystem's window.
+    val tmp = new Path(commitsDir, f".tmp_$version%08d_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8))
     VersionedTable.claimLock(root).synchronized {
-      val out = fs.create(path, false)
+      if (fs.exists(path))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"version $version of $root already committed")
+      val out = fs.create(tmp, false)
       try out.write(renderState(s).getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      if (!fs.rename(tmp, path)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"claim rename to $path lost")
+      }
     }
   }
 

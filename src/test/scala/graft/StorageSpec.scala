@@ -26,6 +26,45 @@ class StorageSpec extends AnyFunSuite {
     assert(t.state.get.version == 3)
   }
 
+  test("racing writers: OCC claim retry keeps commits dense and lossless") {
+    // two concurrent sessions' worth of appends into ONE table: every
+    // claim loser must retry against the winner's state, so nothing is
+    // lost, versions stay dense, and no orphan data dir stays referenced
+    val root = tmp() + "/occ"
+    val t = VersionedTable(spark, root, collectStats = false)
+    val perWriter = 50
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until perWriter).foreach { i =>
+          t.append(Seq((w, i)).toDF("writer", "seq"))
+        } catch { case e: Throwable => errs.add(e) }
+      }, s"occ-writer-$w")
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    assert(errs.isEmpty, s"writer failures: $errs")
+
+    // all rows present, none double-landed
+    val rows = t.read.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(rows.size == 2 * perWriter,
+      s"expected ${2 * perWriter} distinct rows, got ${rows.size}")
+    assert(rows == (for (w <- 0 until 2; i <- 0 until perWriter) yield (w, i)).toSet)
+
+    // versions dense: 1..100 with no gap (each append = exactly one commit)
+    val versions = t.history.map(_.version).sorted
+    assert(versions == (1L to 2L * perWriter),
+      s"non-dense versions: head=${versions.take(5)} last=${versions.takeRight(5)}")
+
+    // every referenced part dir exists; every claim loser cleaned up its
+    // orphan dir (nothing unreferenced remains besides _commits)
+    val referenced = t.state.get.parts.map(_.dir).toSet
+    val onDisk = new java.io.File(root).listFiles().map(_.getName)
+      .filterNot(_ == "_commits").toSet
+    assert(referenced.subsetOf(onDisk), s"missing dirs: ${referenced -- onDisk}")
+    assert((onDisk -- referenced).isEmpty, s"orphan dirs: ${onDisk -- referenced}")
+  }
+
   test("VersionedTable: offsets persist and merge atomically with commit") {
     val t = VersionedTable(spark, tmp() + "/t2")
     t.overwrite(Seq(1).toDF("x"), Map("feedA" -> 5L))
