@@ -641,17 +641,58 @@ object Dedup {
       .filter(col("n_toks_kept") > 0)
   }
 
-  /** Direct n-gram Jaccard similarity for a bounded candidate set (exact,
-    * no LSH) — quadratic, use only behind a pre-filter or at small n.
+  /** Exact n-gram Jaccard pairs at `threshold`, WITHOUT the all-pairs
+    * product: PPJoin-style prefix filtering (Chaudhuri et al., ICDE'06;
+    * Xiao et al., WWW'08). Unlike MinHash banding this is lossless — if
+    * `J(A,B) >= t` then `|A∩B| >= ⌈t·|A|⌉` (the union is at least as big
+    * as either set), and under ANY total order two sets with overlap `o`
+    * must collide within their first `|S| - o + 1` elements — so joining
+    * only each document's rare-first prefix of length `|S| - ⌈t·|S|⌉ + 1`
+    * on an EQUALITY key provably generates every qualifying pair, and the
+    * exact Jaccard rescore then removes false positives. Same result as
+    * the naive cross join, for any input and threshold.
+    *
+    * Scale shape: candidate generation is one equi-join of prefix shingles
+    * (hash-partitioned on the shingle; no cartesian anywhere in the plan),
+    * and ordering shingles rarest-document-frequency-first pushes
+    * corpus-ubiquitous shingles out of prefixes, so hot-key candidate
+    * blowup shrinks as skew grows. The rescore joins shingle sets back by
+    * id, so wide arrays never ride the candidate shuffle. Low thresholds
+    * approach all-shared-shingle-pairs volume — the honest floor for an
+    * EXACT similarity join.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-    val l = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    l.crossJoin(r)
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1] for prefix filtering to be exact " +
+        s"(J >= 0 pairs need not share any shingle), got $threshold")
+    val withSh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    // (id, set size, one row per shingle)
+    val toks = withSh.select(col("id"), size(col("sh")).as("_n"),
+      explode(col("sh")).as("_s"))
+    // rare-first global order: document frequency per shingle (bounded by
+    // distinct-shingle count, a token-granularity aggregate)
+    val freq = toks.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    // keep only each doc's prefix: rank shingles (rarest first, shingle
+    // text as tiebreak = a total order) and cut at |S| - ceil(t|S|) + 1
+    val prefixes = toks.join(freq, Seq("_s"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("_df"), col("_s"))))
+      .filter(col("_rn") <=
+        col("_n") - ceil(lit(threshold) * col("_n")).cast("int") + 1)
+      .select(col("_s"), col("id"))
+    // candidates: prefix-shingle equi-join, canonical orientation, dedup
+    val cands = prefixes.select(col("_s"), col("id").as("id_a"))
+      .join(prefixes.select(col("_s"), col("id").as("id_b")), Seq("_s"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact rescore: fetch both shingle sets by id, compute true Jaccard
+    cands
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

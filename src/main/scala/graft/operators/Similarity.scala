@@ -164,36 +164,168 @@ object Similarity {
   // IVF (inverted-file) index
   // ---------------------------------------------------------------------
 
-  /** Coarse quantizer: k-means centroids from a bounded driver-side sample
-    * (classic IVF build — the sample cap keeps the driver O(sample·dim)
-    * regardless of table size).
+  /** Coarse quantizer: k-means centroids. Routes on the OPTIMIZER's size
+    * estimate (`optimizedPlan.stats.sizeInBytes` — free, no count scan):
+    * small inputs collect once and run Lloyd on the driver; anything
+    * larger runs [[fitCentroidsDistributed]], which never materializes
+    * the corpus on the driver and scans it at most once per iteration.
     */
   def fitCentroids(df: DataFrame, vecCol: String, k: Int,
                    iters: Int = 10, sampleCap: Int = 10000,
                    seed: Long = 42L): Array[Array[Double]] = {
-    val n = df.count()
-    val frac = math.min(1.0, sampleCap.toDouble / math.max(1L, n))
-    val sample = df.sample(withReplacement = false, frac, seed)
-      .select(col(vecCol)).collect()
+    val sizeEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeEst <= (64L << 20)) {
+      // small-table fast path: one collect (≤64 MB by the estimate), no
+      // count pass; the cap bounds the driver fit even if stats low-ball
+      val all = df.select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(all.nonEmpty, "empty table")
+      val rnd = new scala.util.Random(seed)
+      val sample =
+        if (all.length <= sampleCap) all
+        else rnd.shuffle(all.toVector).take(sampleCap).toArray
+      var centroids = kmeansPlusPlusInit(sample, k, new scala.util.Random(seed))
+      for (_ <- 0 until iters)
+        centroids = lloydStepLocal(sample, centroids)
+      centroids
+    } else fitCentroidsDistributed(df, vecCol, k, iters, seed = seed)
+  }
+
+  /** Distributed k-means fit: ONE `treeAggregate` reservoir pass seeds
+    * k-means++ on a bounded driver sample, then each Lloyd iteration is
+    * ONE `treeAggregate` over the corpus (broadcast centroids in, k·dim
+    * partial sums out — driver and executor state are O(k·dim + R·dim)
+    * regardless of table size). Early-stops when the max centroid shift
+    * drops below `tol`, so the common case costs far fewer than `iters`
+    * scans. This is the 100 TB fit path: no `count()`, no corpus rows on
+    * the driver, partials merged tree-wise so the driver never fans in
+    * more than √partitions at once.
+    */
+  def fitCentroidsDistributed(df: DataFrame, vecCol: String, k: Int,
+                              iters: Int = 10, reservoirSize: Int = 4096,
+                              tol: Double = 1e-4,
+                              seed: Long = 42L): Array[Array[Double]] = {
+    val vecs = df.select(col(vecCol)).rdd
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "empty table")
-    val rnd = new scala.util.Random(seed)
-    var centroids = rnd.shuffle(sample.toVector).take(k).toArray
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
-      val counts = new Array[Long](centroids.length)
-      sample.foreach { v =>
-        val c = nearestIdx(centroids, v)
-        val s = sums(c); var i = 0
-        while (i < v.length) { s(i) += v(i); i += 1 }
-        counts(c) += 1
+    val r = math.max(reservoirSize, 4 * k)
+    // pass 1: weighted per-partition reservoirs, merged pairwise by count
+    // — an unbiased bounded sample in one scan
+    val (sample, _) = vecs.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new scala.util.Random(seed ^ (pid.toLong * 0x9e3779b97f4a7c15L))
+      val buf = new scala.collection.mutable.ArrayBuffer[Array[Double]](r)
+      var n = 0L
+      it.foreach { v =>
+        n += 1
+        if (buf.length < r) buf += v
+        else { val j = rnd.nextLong(n); if (j < r) buf(j.toInt) = v }
       }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
+      Iterator.single((buf.toArray, n))
+    }.treeReduce { case ((r1, n1), (r2, n2)) =>
+      if (n1 == 0) (r2, n2)
+      else if (n2 == 0) (r1, n1)
+      else {
+        // draw each merged slot from side 1 with prob n1/(n1+n2)
+        val rnd = new scala.util.Random(seed ^ n1 ^ (n2 << 1))
+        val (s1, s2) = (rnd.shuffle(r1.toVector), rnd.shuffle(r2.toVector))
+        var (i1, i2) = (0, 0)
+        val out = Vector.newBuilder[Array[Double]]
+        while (i1 + i2 < math.min(r, r1.length + r2.length)) {
+          val fromLeft = i2 >= s2.length ||
+            (i1 < s1.length && rnd.nextDouble() < n1.toDouble / (n1 + n2))
+          if (fromLeft) { out += s1(i1); i1 += 1 } else { out += s2(i2); i2 += 1 }
+        }
+        (out.result().toArray, n1 + n2)
+      }
+    }
+    require(sample.nonEmpty, "empty table")
+    var centroids = kmeansPlusPlusInit(sample, k, new scala.util.Random(seed))
+    var it = 0
+    var shift = Double.MaxValue
+    while (it < iters && shift > tol) {
+      val bc = df.sparkSession.sparkContext.broadcast(centroids)
+      val dim = centroids.head.length
+      val kk = centroids.length
+      val (sums, counts) = vecs.treeAggregate(
+        (Array.fill(kk)(new Array[Double](dim)), new Array[Long](kk)))(
+        seqOp = { case ((s, c), v) =>
+          val ci = nearestIdx(bc.value, v)
+          val sc = s(ci); var i = 0
+          while (i < v.length) { sc(i) += v(i); i += 1 }
+          c(ci) += 1
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var ci = 0
+          while (ci < kk) {
+            val a = s1(ci); val b = s2(ci); var i = 0
+            while (i < dim) { a(i) += b(i); i += 1 }
+            c1(ci) += c2(ci); ci += 1
+          }
+          (s1, c1)
+        })
+      bc.destroy()
+      val next = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c))
       }.toArray
+      shift = centroids.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      centroids = next
+      it += 1
     }
     centroids
+  }
+
+  /** k-means++ seeding (Arthur & Vassilvitskii, SODA'07) over a bounded
+    * in-memory sample: spread initial centroids ∝ D² — far better fit
+    * than uniform picks at identical cost, for both fit paths.
+    */
+  private def kmeansPlusPlusInit(sample: Array[Array[Double]], k: Int,
+                                 rnd: scala.util.Random): Array[Array[Double]] = {
+    val first = sample(rnd.nextInt(sample.length))
+    val picked = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
+    val d2 = sample.map(v => sqDist(v, first))
+    while (picked.length < math.min(k, sample.length)) {
+      val total = d2.sum
+      val next =
+        if (total <= 0) sample(rnd.nextInt(sample.length))
+        else {
+          var target = rnd.nextDouble() * total
+          var i = 0
+          while (i < d2.length - 1 && target > d2(i)) { target -= d2(i); i += 1 }
+          sample(i)
+        }
+      picked += next
+      var i = 0
+      while (i < sample.length) {
+        val d = sqDist(sample(i), next)
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+    }
+    picked.toArray
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  private def lloydStepLocal(sample: Array[Array[Double]],
+                             centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+    val counts = new Array[Long](centroids.length)
+    sample.foreach { v =>
+      val c = nearestIdx(centroids, v)
+      val s = sums(c); var i = 0
+      while (i < v.length) { s(i) += v(i); i += 1 }
+      counts(c) += 1
+    }
+    centroids.indices.map { c =>
+      if (counts(c) == 0) centroids(c)
+      else sums(c).map(_ / counts(c))
+    }.toArray
   }
 
   private def nearestIdx(cents: Array[Array[Double]], v: Array[Double]): Int = {

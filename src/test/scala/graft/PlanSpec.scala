@@ -190,6 +190,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q53 ngram jaccard: prefix-filter equi-join, never a cartesian") {
+    val p = planOf("q53_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("q54 paragraph dedup: window keys on the md5 fingerprint, not raw text") {
     val p = planOf("q54_paragraph_dedup")
     assert(p.contains("md5"), p)

@@ -169,4 +169,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(clustered == exhaustive)
     assert(exhaustive == Set(1L, 11L)) // one survivor per tight cluster
   }
+
+  test("distributed fit: recovers well-separated centers; bounded quantization error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 4 well-separated gaussian blobs across 8 partitions: the reservoir
+    // pass + treeAggregate Lloyd iterations must find all 4 centers
+    val centers = Array(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rows = (1L to 2000L).map { i =>
+      val c = centers(((i - 1) % 4).toInt)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(8)
+    val fitted = Similarity.fitCentroidsDistributed(df, "embedding", k = 4,
+      iters = 10, reservoirSize = 256, seed = 5L)
+    assert(fitted.length == 4)
+    // every true center is matched by some fitted centroid within the
+    // jitter radius — i.e. no cluster was merged or lost
+    centers.foreach { c =>
+      val d = fitted.map(f =>
+        math.sqrt(f.zip(c.map(_.toDouble)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)).min
+      assert(d < 0.5, s"center ${c.mkString(",")} unmatched, nearest $d")
+    }
+    // and the fit agrees with the small-table collect path's quality:
+    // mean squared quantization error within the blob variance
+    val bcF = fitted
+    val mse = rows.map { case (_, v) =>
+      val vd = v.map(_.toDouble)
+      bcF.map(f => f.zip(vd).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    }.sum / rows.length
+    assert(mse < 0.05, s"mse $mse")
+  }
 }
