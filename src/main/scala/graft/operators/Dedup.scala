@@ -304,6 +304,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // the union-find path materializes up to driverEdgeLimit edges on the
+    // driver; cap the cap so a caller can't quietly opt into a
+    // driver-OOM-scale collect (the distributed path exists for that)
+    require(driverEdgeLimit <= 10000000L,
+      s"driverEdgeLimit=$driverEdgeLimit exceeds the 10M driver union-find " +
+        "ceiling; larger edge sets must use the distributed min-label " +
+        "propagation path (lower driverEdgeLimit instead of raising it)")
     requireIntegralId(pairs, "id_a", "connectedComponents")
     requireIntegralId(pairs, "id_b", "connectedComponents")
     // ids normalized to long up front so the union-find path never sees

@@ -86,7 +86,8 @@ object MergeInto {
       dedupeSource: Boolean = false,
       partitionBy: Option[String] = None,
       validatePartitionKeys: Boolean = false,
-      checkDuplicateKeys: Boolean = true
+      checkDuplicateKeys: Boolean = true,
+      maxTouchedPartitions: Int = 10000
   ): MergeResult = {
     require(keys.nonEmpty, "merge requires at least one key column")
 
@@ -116,7 +117,7 @@ object MergeInto {
     // batch, small by definition, so cache it for the call's duration
     val src0 = src1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try mergeImpl(spark, target, src0, keys, consumeOffsets, partitionBy,
-      validatePartitionKeys)
+      validatePartitionKeys, maxTouchedPartitions)
     finally src0.unpersist()
   }
 
@@ -127,7 +128,8 @@ object MergeInto {
       keys: Seq[String],
       consumeOffsets: Map[String, Long],
       partitionBy: Option[String],
-      validatePartitionKeys: Boolean
+      validatePartitionKeys: Boolean,
+      maxTouchedPartitions: Int
   ): MergeResult = {
     if (!target.exists) {
       val v = partitionBy match {
@@ -142,7 +144,16 @@ object MergeInto {
     // source spans (the reference's daily load touches one year).
     val tgt = partitionBy match {
       case Some(p) =>
-        val touched = src0.select(col(p)).distinct().collect().map(_.get(0))
+        // the LIMIT bounds the driver transfer even when the cap is blown:
+        // we fetch at most cap+1 values, never the full distinct set
+        val touched = src0.select(col(p)).distinct()
+          .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
+        require(touched.length <= maxTouchedPartitions,
+          s"merge source spans more than maxTouchedPartitions=" +
+            s"$maxTouchedPartitions distinct '$p' values; a partition-" +
+            "scoped merge collects one value per touched partition to the " +
+            "driver, so either raise maxTouchedPartitions explicitly or " +
+            "drop partitionBy to merge against the full target")
         val full = target.read
         val touchedFilter =
           if (touched.exists(_ == null))

@@ -63,6 +63,15 @@ class DedupSpec extends AnyFunSuite {
     assert(cc(20L) == 20L && cc(21L) == 20L)
   }
 
+  test("connectedComponents: a driver-OOM-scale edge limit is rejected loudly") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, driverEdgeLimit = 20000000L)
+    }
+    assert(e.getMessage.contains("driverEdgeLimit"))
+  }
+
   test("distributed min-label propagation equals driver union-find") {
     import spark.implicits._
     // deep chain (diameter 12) + a star + singleton pairs — exercises

@@ -463,6 +463,24 @@ class StorageSpec extends AnyFunSuite {
     assert(m == Map(1 -> (2022, 1.0), 2 -> (2022, 2.0), 3 -> (2023, 3.5), 4 -> (2023, 4.0)))
   }
 
+  test("MergeInto maxTouchedPartitions: an over-wide source fails loudly, not slowly") {
+    val root = tmp() + "/pt6"
+    val t = VersionedTable(spark, root)
+    MergeInto(spark, t, Seq((2022, 1, 1.0)).toDF("year", "k", "v"),
+      Seq("k"), partitionBy = Some("year"))
+    val wide = Seq((2020, 10, 1.0), (2021, 11, 1.0), (2022, 12, 1.0))
+      .toDF("year", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeInto(spark, t, wide, Seq("k"), partitionBy = Some("year"),
+        maxTouchedPartitions = 2)
+    }
+    assert(e.getMessage.contains("maxTouchedPartitions"))
+    // raising the cap explicitly lets the same merge through
+    val ok = MergeInto(spark, t, wide, Seq("k"), partitionBy = Some("year"),
+      maxTouchedPartitions = 3)
+    assert(ok.inserted == 3)
+  }
+
   test("MergeInto validatePartitionKeys catches a key moved across partitions") {
     val root = tmp() + "/pt5"
     val t = VersionedTable(spark, root)
