@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.changefeed.ChangeFeed
@@ -48,6 +48,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var root: String = _
+
+  /** RBAC for this root — enforcement is active only when a session sets
+    * `spark.graft.role` to a non-admin role (see [[GraftSecurity]]).
+    */
+  private[sql] lazy val security = new GraftSecurity(root)
 
   private def spark = SparkSession.active
   private def fs =
@@ -96,7 +101,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = readProps(ident)
     if (props.get(GraftCatalog.STREAM_PROP).contains("true"))
       streamTable(ident, props)
-    else new GraftSqlTable(table(ident), ident, props)
+    else new GraftSqlTable(table(ident), ident, props,
+      security = Some(security))
   }
 
   /** A STREAM object (Snowflake `CREATE STREAM ... ON TABLE` parity,
@@ -113,7 +119,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val feed = ChangeFeed(spark, offsetKey, dirFor(ident))
     new GraftStreamTable(feed, ident, props,
       () => streamConsumedOffset(props, offsetKey),
-      appendOnly = props.get("mode").contains("APPEND_ONLY"))
+      appendOnly = props.get("mode").contains("APPEND_ONLY"),
+      security = Some(security))
   }
 
   /** The stream's current offset: the consumer table's committed offset for
@@ -168,11 +175,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+    // GRANT CREATE TABLE ON SCHEMA parity: the namespace-star grant admits
+    security.requirePriv(spark, "CREATE TABLE", ident.namespace.toSeq,
+      ident.name)
     val vt = table(ident)
     vt.createEmpty(schema)
     val props = properties.asScala.toMap
     if (props.nonEmpty) writeProps(ident, props)
-    new GraftSqlTable(vt, ident, props)
+    new GraftSqlTable(vt, ident, props, security = Some(security))
   }
 
   /** COMMENT ON TABLE / SET-UNSET TBLPROPERTIES (the reference's
@@ -182,6 +192,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException(Seq(catalogName) ++ ident.namespace.toSeq :+ ident.name)
+    security.requirePriv(spark, "OWNERSHIP", ident.namespace.toSeq, ident.name)
     // ADD COLUMN lands as a schema-only versioned commit (old parts read
     // NULL for the new columns); property changes land in the side meta
     val newFields = changes.collect {
@@ -206,7 +217,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     writeProps(ident, updated)
-    new GraftSqlTable(table(ident), ident, updated)
+    new GraftSqlTable(table(ident), ident, updated, security = Some(security))
   }
 
   private def metaPath(ident: Identifier) =
@@ -220,10 +231,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(dirFor(ident))
-    if (!isTableDir(p)) false else fs.delete(p, true)
+    if (!isTableDir(p)) false
+    else {
+      security.requirePriv(spark, "OWNERSHIP", ident.namespace.toSeq, ident.name)
+      fs.delete(p, true)
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    security.requirePriv(spark, "OWNERSHIP", oldIdent.namespace.toSeq,
+      oldIdent.name)
     if (!tableExists(oldIdent))
       throw new NoSuchTableException(
         Seq(catalogName) ++ oldIdent.namespace.toSeq :+ oldIdent.name)
@@ -274,7 +291,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Array("compact", "cluster", "zorder", "vacuum", "clone", "history",
           "zonemaps", "create_stream", "describe_stream", "show_streams",
           "show_tasks", "task_history", "create_task", "alter_task",
-          "drop_task", "execute_task")
+          "drop_task", "execute_task", "create_role", "drop_role",
+          "grant_privilege", "revoke_privilege", "show_grants", "show_roles")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -296,11 +314,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "alter_task" => new AlterTaskProcedure
       case "drop_task" => new DropTaskProcedure
       case "execute_task" => new ExecuteTaskProcedure
+      case "create_role" => new CreateRoleProcedure
+      case "drop_role" => new DropRoleProcedure
+      case "grant_privilege" => new GrantPrivilegeProcedure
+      case "revoke_privilege" => new RevokePrivilegeProcedure
+      case "show_grants" => new ShowGrantsProcedure
+      case "show_roles" => new ShowRolesProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
           "create_stream, describe_stream, show_streams, show_tasks, " +
-          "task_history, create_task, alter_task, drop_task, execute_task)")
+          "task_history, create_task, alter_task, drop_task, execute_task, " +
+          "create_role, drop_role, grant_privilege, revoke_privilege, " +
+          "show_grants, show_roles)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -1006,6 +1032,133 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  // -------------------------------------------------- security (RBAC) --
+  // GRANT parity with the reference's table_grants.sql.j2:13-27: roles are
+  // catalog objects, privileges are granted per table / schema-star /
+  // account-star, and `SET spark.graft.role = <r>` is USE ROLE. See
+  // GraftSecurity for the model and enforcement points.
+
+  private final class CreateRoleProcedure extends MaintenanceProcedure {
+    override def name(): String = "create_role"
+    override def description(): String =
+      "CREATE ROLE parity: register a role in this catalog's _GRANTS store"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("role", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val role = input.getUTF8String(0).toString
+      security.createRole(spark, role)
+      singleRowScan(
+        StructType(Seq(StructField("role", StringType, nullable = false))),
+        InternalRow(UTF8String.fromString(role.trim.toUpperCase)))
+    }
+  }
+
+  private final class DropRoleProcedure extends MaintenanceProcedure {
+    override def name(): String = "drop_role"
+    override def description(): String =
+      "DROP ROLE parity: remove a role and cascade-drop its grants"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("role", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val role = input.getUTF8String(0).toString
+      security.dropRole(spark, role)
+      singleRowScan(
+        StructType(Seq(StructField("dropped", StringType, nullable = false))),
+        InternalRow(UTF8String.fromString(role.trim.toUpperCase)))
+    }
+  }
+
+  /** `GRANT <privilege> ON <target> TO ROLE <role>`: privilege one of
+    * SELECT / INSERT / UPDATE / DELETE / ALL (the four DML) / OWNERSHIP
+    * (drop, alter, rename) / CREATE TABLE (schema-scoped); target
+    * `NS.TABLE`, `NS.*`, or `*`.
+    */
+  private final class GrantPrivilegeProcedure extends MaintenanceProcedure {
+    override def name(): String = "grant_privilege"
+    override def description(): String =
+      "GRANT parity: grant a privilege on a table/schema-star/account-star " +
+        "target to a role (table_grants.sql.j2 GRANT INSERT,UPDATE ON TABLE)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter
+          .in("role", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("privilege", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("on", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      security.grant(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      singleRowScan(
+        StructType(Seq(StructField("status", StringType, nullable = false))),
+        InternalRow(UTF8String.fromString("GRANTED")))
+    }
+  }
+
+  private final class RevokePrivilegeProcedure extends MaintenanceProcedure {
+    override def name(): String = "revoke_privilege"
+    override def description(): String =
+      "REVOKE parity: remove a previously granted privilege from a role"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter
+          .in("role", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("privilege", org.apache.spark.sql.types.StringType).build(),
+        procedures.ProcedureParameter
+          .in("on", org.apache.spark.sql.types.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      security.revoke(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      singleRowScan(
+        StructType(Seq(StructField("status", StringType, nullable = false))),
+        InternalRow(UTF8String.fromString("REVOKED")))
+    }
+  }
+
+  private final class ShowGrantsProcedure extends MaintenanceProcedure {
+    override def name(): String = "show_grants"
+    override def description(): String =
+      "SHOW GRANTS [TO ROLE r] parity: list grants, optionally one role's"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("role", org.apache.spark.sql.types.StringType)
+        .defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val roleArg = Option(input.getUTF8String(0)).map(_.toString.trim)
+        .filter(_.nonEmpty)
+      val schema = StructType(Seq(
+        StructField("role", StringType, nullable = false),
+        StructField("privilege", StringType, nullable = false),
+        StructField("target", StringType, nullable = false)))
+      rowsScan(schema,
+        security.showGrants(spark, roleArg)
+          .sortBy(g => (g.role, g.target, g.priv)).toArray.map(g =>
+            InternalRow(UTF8String.fromString(g.role),
+              UTF8String.fromString(g.priv), UTF8String.fromString(g.target))))
+    }
+  }
+
+  private final class ShowRolesProcedure extends MaintenanceProcedure {
+    override def name(): String = "show_roles"
+    override def description(): String = "SHOW ROLES parity"
+    override def parameters(): Array[procedures.ProcedureParameter] = Array.empty
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      rowsScan(
+        StructType(Seq(StructField("role", StringType, nullable = false))),
+        security.listRoles(spark).toArray.map(r =>
+          InternalRow(UTF8String.fromString(r))))
+    }
+  }
+
   private def firstLine(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.toString)
       .linesIterator.find(_.trim.nonEmpty).getOrElse(e.toString).take(200)
@@ -1100,7 +1253,8 @@ object GraftCatalog {
 final class GraftStreamTable(feed: ChangeFeed, ident: Identifier,
                              props: Map[String, String],
                              consumed: () => Long,
-                             appendOnly: Boolean = false)
+                             appendOnly: Boolean = false,
+                             security: Option[GraftSecurity] = None)
     extends Table with SupportsRead {
 
   override def name(): String = (ident.namespace.toSeq :+ ident.name).mkString(".")
@@ -1109,7 +1263,9 @@ final class GraftStreamTable(feed: ChangeFeed, ident: Identifier,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    security.foreach(_.requirePriv(SparkSession.active, "SELECT",
+      ident.namespace.toSeq, ident.name))
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private val fullSchema = schema()
       private var pruned: StructType = fullSchema
@@ -1139,6 +1295,7 @@ final class GraftStreamTable(feed: ChangeFeed, ident: Identifier,
         }
       }
     }
+  }
 }
 
 /** V2 table façade over one [[VersionedTable]]. DELETE is served through
@@ -1148,12 +1305,21 @@ final class GraftStreamTable(feed: ChangeFeed, ident: Identifier,
   */
 final class GraftSqlTable(vt: VersionedTable, ident: Identifier,
                           props: Map[String, String] = Map.empty,
-                          asOfVersion: Option[Long] = None)
+                          asOfVersion: Option[Long] = None,
+                          security: Option[GraftSecurity] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** The backing table — used by the SQL MERGE/UPDATE rewrites. */
   private[graft] def versionedTable: VersionedTable = vt
+
+  /** RBAC check against the owning catalog's grants (no-op when the table
+    * was built outside a secured catalog, or in admin mode) — also called
+    * by the MERGE/UPDATE rewrite rules, which bypass scan/write builders.
+    */
+  private[graft] def requirePriv(priv: String): Unit =
+    security.foreach(_.requirePriv(SparkSession.active, priv,
+      ident.namespace.toSeq, ident.name))
 
   override def name(): String = (ident.namespace.toSeq :+ ident.name).mkString(".")
   override def schema(): StructType =
@@ -1163,16 +1329,21 @@ final class GraftSqlTable(vt: VersionedTable, ident: Identifier,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    requirePriv("SELECT")
     new GraftScanBuilder(vt, asOfVersion)
+  }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(vt)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requirePriv("INSERT")
+    new GraftWriteBuilder(vt, onTruncate = () => requirePriv("DELETE"))
+  }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requirePriv("DELETE")
     val conds = filters.flatMap(GraftScanBuilder.toColumn)
     val deletePred = conds.reduceOption(_ && _).getOrElse(lit(true))
     // zone-map-pruned rewrite: parts that provably contain no matching
@@ -1273,12 +1444,15 @@ object GraftScanBuilder {
   * replace. The V1 bridge hands us the source as a DataFrame, which drops
   * straight into the table's atomic commit protocol.
   */
-final class GraftWriteBuilder(vt: VersionedTable)
+final class GraftWriteBuilder(vt: VersionedTable,
+                              onTruncate: () => Unit = () => ())
     extends WriteBuilder with SupportsTruncate {
 
   private var replace = false
 
-  override def truncate(): WriteBuilder = { replace = true; this }
+  // INSERT OVERWRITE / TRUNCATE destroys existing rows — Snowflake-wise
+  // that needs DELETE on top of INSERT, which the callback enforces
+  override def truncate(): WriteBuilder = { onTruncate(); replace = true; this }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {

@@ -33,6 +33,11 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, _)
         if m.resolved && graftTable(target).isDefined =>
       val (vt, name) = graftTable(target).get
+      // Snowflake MERGE authorization: updates existing rows and inserts
+      // new ones, so the role needs both privileges on the target
+      sqlTable(target).foreach { t =>
+        t.requirePriv("UPDATE"); t.requirePriv("INSERT")
+      }
       validateActions(name, target, source, matched, notMatched, bySource)
       val keys = extractKeys(name, cond, target, source)
       GraftMergeCommand(vt, name, source, keys)
@@ -40,6 +45,7 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case u @ UpdateTable(target, assignments, condition)
         if u.resolved && graftTable(target).isDefined =>
       val (vt, name) = graftTable(target).get
+      sqlTable(target).foreach(_.requirePriv("UPDATE"))
       val sets = assignments.map {
         case Assignment(k: AttributeReference, v) => k.name -> ExprBox(unresolve(v))
         case a => unsupported(name, s"unsupported UPDATE assignment '${a.sql}' " +
@@ -57,10 +63,12 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def graftTable(p: LogicalPlan): Option[(VersionedTable, String)] =
+    sqlTable(p).map(t => (t.versionedTable, t.name()))
+
+  private def sqlTable(p: LogicalPlan): Option[GraftSqlTable] =
     p.collectFirst {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
-        val t = r.table.asInstanceOf[GraftSqlTable]
-        (t.versionedTable, t.name())
+        r.table.asInstanceOf[GraftSqlTable]
     }
 
   private def unsupported(table: String, reason: String): Nothing =

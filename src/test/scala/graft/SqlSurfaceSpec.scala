@@ -633,4 +633,104 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(afterDrop == Seq("ROOT2"), afterDrop.toString)
   }
+
+  test("RBAC: roles + grants gate SELECT/INSERT/DELETE/UPDATE/MERGE/DDL from SQL") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sec_").toString
+    graft.sql.GraftCatalog.register(spark, "sec", root)
+    spark.sql("CREATE NAMESPACE sec.RAW")
+    spark.sql("CREATE TABLE sec.RAW.T1 (k INT, v STRING)")
+    spark.sql("CREATE TABLE sec.RAW.T2 (k INT, v STRING)")
+    spark.sql("INSERT INTO sec.RAW.T1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO sec.RAW.T2 VALUES (7, 'x')")
+
+    // table_grants.sql.j2 flow: create role, grant per-table privileges
+    spark.sql("CALL sec.system.create_role('ANALYST')")
+    spark.sql("CALL sec.system.grant_privilege(role => 'ANALYST', " +
+      "privilege => 'SELECT', on => 'RAW.T1')")
+    assert(spark.sql("CALL sec.system.show_roles()").collect()
+      .map(_.getString(0)).contains("ANALYST"))
+
+    // full message chain: security failures may arrive wrapped
+    def denied(f: => Any): String = {
+      val e = intercept[Throwable](f)
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    }
+
+    try {
+      spark.conf.set("spark.graft.role", "analyst") // USE ROLE ANALYST
+      // granted SELECT passes; ungranted object and verbs are denied loudly
+      assert(spark.sql("SELECT count(*) FROM sec.RAW.T1").head.getLong(0) == 2)
+      assert(denied(spark.sql("SELECT * FROM sec.RAW.T2").collect())
+        .contains("not authorized"))
+      assert(denied(spark.sql("INSERT INTO sec.RAW.T1 VALUES (3, 'c')"))
+        .contains("not authorized"))
+      assert(denied(spark.sql("DELETE FROM sec.RAW.T1 WHERE k = 1"))
+        .contains("not authorized"))
+      assert(denied(spark.sql("UPDATE sec.RAW.T1 SET v = 'q' WHERE k = 1"))
+        .contains("not authorized"))
+      assert(denied(spark.sql("CREATE TABLE sec.RAW.T3 (k INT)"))
+        .contains("not authorized"))
+      assert(denied(spark.sql("DROP TABLE sec.RAW.T1"))
+        .contains("not authorized"))
+      // security DDL itself is admin-only
+      assert(denied(spark.sql("CALL sec.system.create_role('EVIL')").collect())
+        .contains("admin"))
+
+      // the reference's GRANT INSERT,UPDATE ON TABLE: verbs open one by one
+      spark.conf.set("spark.graft.role", "accountadmin")
+      for (p <- Seq("INSERT", "UPDATE", "DELETE"))
+        spark.sql("CALL sec.system.grant_privilege(role => 'ANALYST', " +
+          s"privilege => '$p', on => 'RAW.T1')")
+      spark.sql("CALL sec.system.grant_privilege(role => 'ANALYST', " +
+        "privilege => 'CREATE TABLE', on => 'RAW.*')")
+      spark.conf.set("spark.graft.role", "analyst")
+
+      spark.sql("INSERT INTO sec.RAW.T1 VALUES (3, 'c')")
+      spark.sql("UPDATE sec.RAW.T1 SET v = 'up' WHERE k = 1")
+      spark.sql("DELETE FROM sec.RAW.T1 WHERE k = 2")
+      // MERGE needs UPDATE + INSERT on the target (all granted now)
+      spark.sql("SELECT 1 AS k, 'm' AS v").createOrReplaceTempView("sec_src")
+      spark.sql(
+        """MERGE INTO sec.RAW.T1 t USING sec_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql("SELECT v FROM sec.RAW.T1 WHERE k = 1")
+        .head.getString(0) == "m")
+      // schema-star CREATE TABLE grant admits DDL in RAW
+      spark.sql("CREATE TABLE sec.RAW.T3 (k INT)")
+      // OWNERSHIP still withheld: drop/alter remain denied
+      assert(denied(spark.sql("DROP TABLE sec.RAW.T1"))
+        .contains("not authorized"))
+      assert(denied(spark.sql(
+        "ALTER TABLE sec.RAW.T1 SET TBLPROPERTIES ('comment'='x')"))
+        .contains("not authorized"))
+
+      // REVOKE closes the door again
+      spark.conf.set("spark.graft.role", "accountadmin")
+      spark.sql("CALL sec.system.revoke_privilege(role => 'ANALYST', " +
+        "privilege => 'SELECT', on => 'RAW.T1')")
+      spark.conf.set("spark.graft.role", "analyst")
+      assert(denied(spark.sql("SELECT * FROM sec.RAW.T1").collect())
+        .contains("not authorized"))
+
+      // grants are introspectable (SHOW GRANTS TO ROLE parity)
+      spark.conf.set("spark.graft.role", "accountadmin")
+      val grants = spark.sql(
+        "CALL sec.system.show_grants(role => 'ANALYST')").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(grants == Set(("INSERT", "RAW.T1"), ("UPDATE", "RAW.T1"),
+        ("DELETE", "RAW.T1"), ("CREATE TABLE", "RAW.*")))
+
+      // drop_role cascades its grants away
+      spark.sql("CALL sec.system.drop_role('ANALYST')")
+      spark.conf.set("spark.graft.role", "analyst")
+      assert(denied(spark.sql("SELECT * FROM sec.RAW.T1").collect())
+        .contains("does not exist"))
+    } finally spark.conf.unset("spark.graft.role")
+
+    // admin mode restored: everything is open again
+    // rows: (1,'m') after merge-update, (3,'c') — the k=2 row was deleted
+    assert(spark.sql("SELECT count(*) FROM sec.RAW.T1").head.getLong(0) == 2)
+  }
 }
