@@ -20,9 +20,16 @@ object Tables {
       case "events" =>
         // needs spark.sql.legacy.parquet.nanosAsLong=true, set once at
         // session build (GraftSession) — a loader must not mutate session
-        // conf as a side effect
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        // conf as a side effect. The driver's files carry TIMESTAMP(NANOS)
+        // (read as long under the legacy conf); scaled-out copies
+        // (GenScale) are written as ordinary micro timestamps — branch on
+        // the read schema so both shapes load identically.
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          case _ => raw
+        }
       case n =>
         spark.read.parquet(s"$sfDir/$n.parquet")
     }
