@@ -1293,6 +1293,65 @@ object Queries {
           16, 10).cast("long"), lit(1000000007L))).cast("long").as("text_fp"))
   }
 
+  /** Cross-document exact-substring dedup (Lee et al. 2021, k-gram cover
+    * variant): every 5-token window seen earlier in the corpus is
+    * scrubbed from later documents, survivors rejoin in order, and the
+    * md5 fingerprint sum pins every reassembled text exactly (q54
+    * discipline — any wrong span boundary, drop, or order breaks it).
+    */
+  def q72SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.substringDedup(docs, "text", "doc_id", k = 5)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks_kept")).cast("long").as("n_toks_kept"),
+        sum(col("n_toks_dropped")).cast("long").as("n_toks_dropped"),
+        sum(pmod(conv(substring(md5(col("text").cast("binary")), 1, 15),
+          16, 10).cast("long"), lit(1000000007L))).cast("long").as("text_fp"))
+  }
+
+  /** Within-document repeated-bigram scrub (Gopher/Dolma repetition
+    * signal as a repair): later same-document occurrences of any 2-token
+    * window are removed, first kept; fingerprint-exact like q72 but with
+    * NO corpus-wide key — both windows partition by doc.
+    */
+  def q73RepetitionScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.repeatedNgramScrub(docs, "text", "doc_id", n = 2)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks_kept")).cast("long").as("n_toks_kept"),
+        sum(col("n_toks_dropped")).cast("long").as("n_toks_dropped"),
+        sum(pmod(conv(substring(md5(col("text").cast("binary")), 1, 15),
+          16, 10).cast("long"), lit(1000000007L))).cast("long").as("text_fp"))
+  }
+
+  /** Product-quantization ANN in its oracle configuration (the q30
+    * exhaustive-probe idea applied to PQ): lossless per-subspace
+    * codebooks make the ADC lookup-table scores the EXACT dot products,
+    * so ranking the 8-int code column must equal DuckDB's brute-force
+    * ranking of the full 64-float vectors; 4-decimal rounding absorbs
+    * the subspace-blocked summation order. The ranked scan reads ONLY
+    * the code column — the 8× (32× byte-packed) storage cut is asserted
+    * in-query.
+    */
+  def q74PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+    val q = t(s, dir, "embeddings").filter(col("vec_id") === 10)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val books = operators.Similarity.pqFitExact(emb, "embedding", m = 8)
+    val enc = operators.Similarity.pqEncode(emb, "embedding", books)
+      .select(col("vec_id"), col("_pq")) // vectors do NOT survive encode
+    val width = enc.select(max(size(col("_pq")))).head.getInt(0)
+    require(width == 8, s"PQ codes must be 8 ints (8x cut vs 64 floats), got $width")
+    operators.Similarity.pqTopK(enc, "vec_id", books, q, 25)
+      .select(col("vec_id"), round(col("score"), 4).as("score_r"))
+      .orderBy(desc("score_r"), col("vec_id"))
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1368,7 +1427,10 @@ object Queries {
     "q68_bloom_prune" -> (q68BloomPrune _),
     "q69_incr_distinct" -> (q69IncrementalDistinct _),
     "q70_zorder_prune" -> (q70ZorderPrune _),
-    "q71_boilerplate_tokens" -> (q71BoilerplateTokens _)
+    "q71_boilerplate_tokens" -> (q71BoilerplateTokens _),
+    "q72_substring_dedup" -> (q72SubstringDedup _),
+    "q73_repetition_scrub" -> (q73RepetitionScrub _),
+    "q74_pq_topk" -> (q74PqTopK _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2200,6 +2262,84 @@ object Queries {
         |  CAST(SUM(dropped) AS BIGINT) AS n_toks_dropped,
         |  CAST(SUM(CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT)
         |    % 1000000007) AS BIGINT) AS text_fp
-        |FROM re WHERE kept > 0 GROUP BY lang""".stripMargin
+        |FROM re WHERE kept > 0 GROUP BY lang""".stripMargin,
+    // Lee et al. exact-substring dedup, 5-gram cover: global first
+    // occurrence (doc_id, pos) survives, every later occurrence's 5
+    // covered positions drop; md5 fingerprint sum pins each reassembly
+    "q72_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, r.i AS pos, d.w[r.i + 1] AS tok
+        |  FROM d, LATERAL (SELECT unnest(range(0, len(d.w))) AS i) r
+        |  WHERE length(d.w[r.i + 1]) > 0),
+        |g AS (SELECT doc_id, r.i AS pos,
+        |    array_to_string(w[r.i + 1 : r.i + 5], ' ') AS gram
+        |  FROM d, LATERAL (SELECT unnest(range(0,
+        |    greatest(len(d.w) - 4, 0))) AS i) r),
+        |win AS (SELECT doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM g),
+        |cov AS (SELECT DISTINCT doc_id, pos + s.j AS cpos
+        |  FROM win, LATERAL (SELECT unnest(range(0, 5)) AS j) s
+        |  WHERE rn > 1),
+        |re AS (SELECT t.doc_id, ANY_VALUE(t.lang) AS lang,
+        |    string_agg(t.tok, ' ' ORDER BY t.pos) FILTER (c.cpos IS NULL)
+        |      AS text2,
+        |    COUNT(*) FILTER (c.cpos IS NULL) AS kept,
+        |    COUNT(*) FILTER (c.cpos IS NOT NULL) AS dropped
+        |  FROM tok t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |  GROUP BY t.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_toks_kept,
+        |  CAST(SUM(dropped) AS BIGINT) AS n_toks_dropped,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS text_fp
+        |FROM re WHERE kept > 0 GROUP BY lang""".stripMargin,
+    // within-doc repeated-bigram scrub: first same-doc occurrence wins,
+    // covered positions of later ones drop; same fingerprint discipline
+    "q73_repetition_scrub" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, r.i AS pos, d.w[r.i + 1] AS tok
+        |  FROM d, LATERAL (SELECT unnest(range(0, len(d.w))) AS i) r
+        |  WHERE length(d.w[r.i + 1]) > 0),
+        |g AS (SELECT doc_id, r.i AS pos,
+        |    array_to_string(w[r.i + 1 : r.i + 2], ' ') AS gram
+        |  FROM d, LATERAL (SELECT unnest(range(0,
+        |    greatest(len(d.w) - 1, 0))) AS i) r),
+        |win AS (SELECT doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS rn
+        |  FROM g),
+        |cov AS (SELECT DISTINCT doc_id, pos + s.j AS cpos
+        |  FROM win, LATERAL (SELECT unnest(range(0, 2)) AS j) s
+        |  WHERE rn > 1),
+        |re AS (SELECT t.doc_id, ANY_VALUE(t.lang) AS lang,
+        |    string_agg(t.tok, ' ' ORDER BY t.pos) FILTER (c.cpos IS NULL)
+        |      AS text2,
+        |    COUNT(*) FILTER (c.cpos IS NULL) AS kept,
+        |    COUNT(*) FILTER (c.cpos IS NOT NULL) AS dropped
+        |  FROM tok t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |  GROUP BY t.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_toks_kept,
+        |  CAST(SUM(dropped) AS BIGINT) AS n_toks_dropped,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS text_fp
+        |FROM re WHERE kept > 0 GROUP BY lang""".stripMargin,
+    // PQ ADC with lossless codebooks = exact dot products: the oracle is
+    // plain brute force; round(4) absorbs summation-order FP wobble
+    "q74_pq_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 10),
+        |sc AS (SELECT vec_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv), 4)
+        |      AS score_r
+        |  FROM embeddings, q WHERE vec_id % 5 = 0)
+        |SELECT vec_id, score_r FROM sc
+        |ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -702,4 +702,136 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ---------------------------------------------------------------------
+  // Span-level (substring) dedup
+  // ---------------------------------------------------------------------
+
+  /** Tokens with dense 0-based positions — `trim` before the split keeps
+    * positions gap-free so a k-token window is exactly positions
+    * `[pos, pos+k-1]`.
+    */
+  private def denseTokens(df: DataFrame, textCol: String, idCol: String) =
+    df.select(col(idCol).as("_id"),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("_pos", "_tok")))
+      .filter(length(col("_tok")) > 0)
+
+  /** Shared tail of the span-dedup ops: given duplicate k-gram START
+    * positions, expand them to the covered token set, flag every token,
+    * and reassemble each document's survivors in original order.
+    * Returns `(idCol, textCol, n_toks_kept, n_toks_dropped)`; documents
+    * whose every token sat under a duplicated span are removed.
+    */
+  private def scrubCovered(toks: DataFrame, dupStarts: DataFrame, k: Int,
+                           textCol: String, idCol: String): DataFrame = {
+    // the covered set derives from toks itself — rename its keys so the
+    // (doc, pos) equi-join isn't an ambiguous self-join
+    val covered = dupStarts
+      .select(col("_id").as("_cid"),
+        explode(sequence(col("_pos"), col("_pos") + lit(k - 1))).as("_cov"))
+      .distinct()
+      .withColumn("_hit", lit(true))
+    toks.join(covered,
+        col("_id") === col("_cid") && col("_pos") === col("_cov"), "left")
+      .select(col("_id"), col("_pos"), col("_tok"),
+        coalesce(col("_hit"), lit(false)).as("_drop"))
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_tok"),
+        col("_drop")))).as("_sorted"))
+      .select(
+        col("_id").as(idCol),
+        array_join(expr(
+          "transform(filter(_sorted, s -> NOT s._drop), s -> s._tok)"),
+          " ").as(textCol),
+        expr("size(filter(_sorted, s -> NOT s._drop))").cast("long")
+          .as("n_toks_kept"),
+        expr("size(filter(_sorted, s -> s._drop))").cast("long")
+          .as("n_toks_dropped"))
+      .filter(col("n_toks_kept") > 0)
+  }
+
+  /** Cross-document EXACT SUBSTRING dedup — the k-token-gram cover variant
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", the suffix-array ExactSubstr dedup): any k-token
+    * window whose exact text occurred EARLIER in the corpus (global order
+    * = (doc id, position)) has all k covered positions removed from the
+    * later document; overlapping duplicate windows merge into one removed
+    * span, and survivors reassemble in original order. Only the globally
+    * FIRST occurrence survives — later occurrences are scrubbed whether
+    * they sit in another document or later in the same one (the Lee et
+    * al. rule); repeated boilerplate (licence headers, navigation chrome,
+    * quote chains) is removed everywhere it re-appears while the
+    * surrounding novel text SURVIVES — the advantage over whole-doc/
+    * paragraph dedup, which either keeps the duplicated span or drops
+    * the whole unit.
+    *
+    * Returns `(idCol, textCol, n_toks_kept, n_toks_dropped)`; fully-
+    * covered documents are removed (callers re-join other columns on id).
+    *
+    * Scale shape (everything is token/gram granularity; the wide source
+    * row rides no shuffle): one per-doc window builds the k-grams via
+    * `lead` (doc-keyed exchange), one gram-keyed window finds each gram's
+    * global first occurrence (a mass-duplicated gram lands in ONE sort
+    * partition — hot keys cost a sort, not a join blowup, the
+    * [[paragraphDedup]] argument), and the covered-position expansion
+    * joins back to tokens on (doc, pos) — at most k× the duplicate
+    * occurrence count, deduplicated before the join. Unlike the
+    * suffix-array original there is no global suffix sort and no driver
+    * state; the price is the fixed window k instead of "any match
+    * ≥ k tokens" (standard shingle-cover simplification).
+    */
+  def substringDedup(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 5): DataFrame = {
+    require(k >= 2, s"substringDedup: k must be >= 2, got $k")
+    val toks = denseTokens(df, textCol, idCol)
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val gram = concat_ws(" ",
+      (0 until k).map(i => if (i == 0) col("_tok") else lead(col("_tok"), i).over(w)): _*)
+    val starts = toks
+      .withColumn("_gram", gram)
+      .withColumn("_full", lead(col("_tok"), k - 1).over(w).isNotNull)
+      .filter(col("_full"))
+    val dupStarts = starts
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(md5(col("_gram").cast("binary")))
+          .orderBy(col("_id"), col("_pos"))))
+      .filter(col("_rn") > 1)
+      .select(col("_id"), col("_pos"))
+    scrubCovered(toks, dupStarts, k, textCol, idCol)
+  }
+
+  /** WITHIN-document repeated n-gram scrub (the Gopher/Dolma intra-doc
+    * repetition filter, as a REPAIR instead of a drop): an n-token window
+    * repeating text seen earlier in the SAME document is removed — loops,
+    * stutters, and copy-paste runs inside one document — keeping the
+    * first occurrence and everything else intact. Cross-document
+    * repetition is untouched (that is [[substringDedup]]'s job);
+    * documents degenerate enough to be all-repetition disappear, the
+    * same signal `trigramRepetition` thresholds on, except the document
+    * is salvaged rather than discarded.
+    *
+    * Same contract and scale shape as [[substringDedup]] minus the global
+    * gram exchange: BOTH windows here partition by document (the
+    * first-occurrence window on (doc, gram)), so the dedup state never
+    * leaves the document's partition — at 100 TB this op shuffles tokens
+    * by doc id twice and nothing else, no corpus-wide key exists at all.
+    */
+  def repeatedNgramScrub(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 2): DataFrame = {
+    require(n >= 2, s"repeatedNgramScrub: n must be >= 2, got $n")
+    val toks = denseTokens(df, textCol, idCol)
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val gram = concat_ws(" ",
+      (0 until n).map(i => if (i == 0) col("_tok") else lead(col("_tok"), i).over(w)): _*)
+    val dupStarts = toks
+      .withColumn("_gram", gram)
+      .withColumn("_full", lead(col("_tok"), n - 1).over(w).isNotNull)
+      .filter(col("_full"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_id"), md5(col("_gram").cast("binary")))
+          .orderBy(col("_pos"))))
+      .filter(col("_rn") > 1)
+      .select(col("_id"), col("_pos"))
+    scrubCovered(toks, dupStarts, n, textCol, idCol)
+  }
 }

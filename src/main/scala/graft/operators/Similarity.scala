@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.plans.expressions.{cosineSimilarity, dotConst}
+import graft.plans.expressions.{cosineSimilarity, dotConst, pqAdcCol, pqEncodeCol}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`), for training-data pipelines (retrieval, embedding
@@ -426,6 +426,119 @@ object Similarity {
   // ---------------------------------------------------------------------
   // Storage quantization
   // ---------------------------------------------------------------------
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ)
+  // ---------------------------------------------------------------------
+
+  /** PQ codebooks (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the vector space is split
+    * into `m` subspaces and each gets its own k-codeword k-means
+    * codebook. A vector then stores only its m nearest-codeword ids —
+    * m·log₂k bits instead of dim·32 — and query scoring becomes m table
+    * lookups ([[pqTopK]]). Fit reuses [[fitCentroids]] per subspace on
+    * the SLICED vectors, so it inherits the stats-routed small-collect /
+    * distributed-treeAggregate split; codebooks are statistics, so the
+    * bounded sample pins them regardless of corpus size.
+    * Returns m × k × (dim/m).
+    */
+  def pqFit(df: DataFrame, vecCol: String, m: Int, k: Int = 16,
+            iters: Int = 10, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"pqFit: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    (0 until m).toArray.map { s =>
+      fitCentroids(df.select(slice(col(vecCol), s * dsub + 1, dsub).as("_sub")),
+        "_sub", k, iters, seed = seed + s)
+    }
+  }
+
+  /** LOSSLESS codebooks: every distinct subvector of `df` becomes a
+    * codeword, so encode→decode is the identity and ADC scores are the
+    * exact dot products — the oracle/test configuration (the q30
+    * exhaustive-probe idea applied to PQ). Bounded loudly: a corpus
+    * whose subspaces exceed `maxCodewords` distinct values must use the
+    * lossy [[pqFit]].
+    */
+  def pqFitExact(df: DataFrame, vecCol: String, m: Int,
+                 maxCodewords: Int = 65536): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"pqFitExact: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    (0 until m).toArray.map { s =>
+      val book = df
+        .select(slice(col(vecCol), s * dsub + 1, dsub).as("_sub"))
+        .distinct().collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(book.length <= maxCodewords,
+        s"pqFitExact: subspace $s has ${book.length} distinct subvectors " +
+          s"(> $maxCodewords) — use the lossy pqFit for this corpus")
+      book
+    }
+  }
+
+  /** Encode vectors to PQ codes: adds `codeCol: array<int>` (one fused
+    * codegen'd scan — [[graft.plans.expressions.PqEncodeExpr]]). With
+    * k ≤ 256 each code fits a byte: the stored form is m small ints vs
+    * dim floats, the 100 TB embedding-table compression path (8× at
+    * dim 64 / m 8 even uncompacted, 32× byte-packed).
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+               codebooks: Array[Array[Array[Double]]],
+               codeCol: String = "_pq"): DataFrame =
+    df.withColumn(codeCol, pqEncodeCol(col(vecCol), codebooks))
+
+  /** The query's ADC lookup table: `lut(s)(c) = query_s · codebook(s)(c)`
+    * — summing a row's m entries gives dot(query, decode(codes)) exactly.
+    */
+  def pqLut(codebooks: Array[Array[Array[Double]]],
+            query: Array[Double]): Array[Array[Double]] = {
+    var off = 0
+    codebooks.map { book =>
+      val dsub = book(0).length
+      val tab = book.map { cw =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { d += cw(i) * query(off + i); i += 1 }
+        d
+      }
+      off += dsub
+      tab
+    }
+  }
+
+  /** PQ ANN top-k by asymmetric distance: the corpus side reads ONLY the
+    * m-int code column (never the vectors, never shuffles), each row
+    * costs m table lookups, and TakeOrdered keeps per-partition top-k —
+    * the classic ADC scan. Scores are inner products; with
+    * [[pqFitExact]] codebooks they equal the exact dot products.
+    */
+  def pqTopK(encoded: DataFrame, idCol: String,
+             codebooks: Array[Array[Array[Double]]], query: Array[Double],
+             k: Int, codeCol: String = "_pq"): DataFrame =
+    encoded
+      .select(col(idCol), pqAdcCol(col(codeCol), pqLut(codebooks, query)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Two-stage PQ search: ADC proposes `k × oversample` candidates from
+    * the codes alone, then ONLY those rows' real vectors are re-scored
+    * exactly (cosine) — the standard recall repair for lossy codebooks
+    * at the cost of touching oversample·k full vectors instead of the
+    * whole corpus.
+    */
+  def pqTopKRescore(encoded: DataFrame, vecCol: String, idCol: String,
+                    codebooks: Array[Array[Array[Double]]],
+                    query: Array[Double], k: Int, oversample: Int = 4,
+                    codeCol: String = "_pq"): DataFrame = {
+    val cand = encoded
+      .select(col(idCol), col(vecCol),
+        pqAdcCol(col(codeCol), pqLut(codebooks, query)).as("_adc"))
+      .orderBy(desc("_adc"), col(idCol))
+      .limit(k * oversample)
+    cand.select(col(idCol), cosineScore(col(vecCol), query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
 
   /** Symmetric per-vector int8 quantization: `q[i] = round(x[i]/scale)`
     * with `scale = max|x|/127` — a 4× storage cut for 100 TB embedding

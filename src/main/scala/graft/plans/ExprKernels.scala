@@ -375,4 +375,47 @@ object ExprKernels {
     while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Product-quantization encode: for each of the m subspaces, the id of
+    * the nearest codeword (L2) to the vector's slice. `codebooks` is
+    * m × k × (dim/m), rides the plan as one reference object (shared by
+    * every row — the PQ hot loop is all primitive arrays, no boxing).
+    */
+  def pqEncode(a: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val codes = new Array[Int](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val dsub = book(0).length
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0.0; var i = 0
+        while (i < dsub) {
+          val t = a.getFloat(off + i).toDouble - cw(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      off += dsub
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  /** Asymmetric-distance (ADC) score: sum over subspaces of the query's
+    * precomputed lookup-table entry for this row's codeword — m array
+    * reads per row instead of a dim-length dot product.
+    */
+  def pqAdc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+    val m = math.min(codes.numElements(), lut.length)
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += lut(s)(codes.getInt(s)); s += 1 }
+    acc
+  }
 }

@@ -83,6 +83,41 @@ object expressions {
     override def prettyName: String = "dot_const"
   }
 
+  /** Product-quantization encode (see [[graft.operators.Similarity]] PQ
+    * section): vector → m nearest-codeword ids. Codebooks ride the plan
+    * as a reference object; the expression stays in WholeStageCodegen.
+    */
+  case class PqEncodeExpr(child: Expression,
+      codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.pqEncode(v.asInstanceOf[ArrayData], codebooks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val b = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      defineCodeGen(ctx, ev, c => s"$K.pqEncode($c, $b)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+      copy(child = c)
+    override def prettyName: String = "pq_encode"
+  }
+
+  /** ADC lookup-table score over a PQ code column — the PQ ANN hot loop:
+    * m table reads per row, query LUT shared via one reference object.
+    */
+  case class PqAdcExpr(child: Expression, lut: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Double.valueOf(ExprKernels.pqAdc(v.asInstanceOf[ArrayData], lut))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val l = ctx.addReferenceObj("lut", lut, "double[][]")
+      defineCodeGen(ctx, ev, c => s"$K.pqAdc($c, $l)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqAdcExpr =
+      copy(child = c)
+    override def prettyName: String = "pq_adc"
+  }
+
   /** Membership probe against a pre-built key bloom filter (the explicit
     * bloom-join pruning primitive — see [[graft.operators.BloomJoin]]).
     * The filter rides the plan as a reference object, the probe is one
@@ -349,6 +384,10 @@ object expressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     col(CosineSimilarity(ex(a), ex(b)))
   def dotConst(c: Column, q: Array[Double]): Column = col(DotConst(ex(c), q))
+  def pqEncodeCol(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    col(PqEncodeExpr(ex(c), codebooks))
+  def pqAdcCol(c: Column, lut: Array[Array[Double]]): Column =
+    col(PqAdcExpr(ex(c), lut))
   def rollingFingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
   def bloomMightContain(c: Column,
       bf: org.apache.spark.util.sketch.BloomFilter): Column =

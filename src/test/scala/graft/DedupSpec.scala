@@ -255,4 +255,42 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length == 4)
     assert(out.head.getString(1) == "shared one")
   }
+
+  test("substringDedup: later occurrences of a k-gram are scrubbed, spans merge") {
+    val d = Seq(
+      (1L, "a b c d e"),           // all grams globally first -> untouched
+      (2L, "x y a b c d z"),       // "a b c","b c d" dup -> covers pos 2..5
+      (3L, "a b c a b c q"),       // both copies are later occurrences
+      (4L, "a b c d")              // fully covered -> document removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, "text", "doc_id", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "a b c d e")
+    assert(byId(2L).getString(1) == "x y z")
+    assert(byId(2L).getLong(2) == 3L && byId(2L).getLong(3) == 4L)
+    // doc 3: pos0 "a b c" is occurrence #2 (doc1 pos0 first), pos3 #3;
+    // "b c a"/"c a b"/"b c q" are first but their positions sit under the
+    // covered spans {0..5} -> only the trailing token survives
+    assert(byId(3L).getString(1) == "q")
+    assert(byId(3L).getLong(3) == 6L)
+  }
+
+  test("repeatedNgramScrub: within-doc repeats drop, cross-doc repeats survive") {
+    val d = Seq(
+      (10L, "p q p q p q end"),    // bigram "p q"/"q p" loops
+      (11L, "p q r"),              // same bigram in ANOTHER doc: untouched
+      (12L, "A a A a")             // case-folds to "a a a a", overlap merge
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedNgramScrub(d, "text", "doc_id", n = 2)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // covered = {2,3,4,5}: pos2/pos4 repeat "p q", pos3 repeats "q p"
+    assert(byId(10L).getString(1) == "p q end")
+    assert(byId(11L).getString(1) == "p q r")
+    assert(byId(11L).getLong(3) == 0L)
+    assert(byId(12L).getString(1) == "a")
+    assert(byId(12L).getLong(2) == 1L && byId(12L).getLong(3) == 3L)
+  }
 }

@@ -203,4 +203,48 @@ class SimilaritySpec extends AnyFunSuite {
     }.sum / rows.length
     assert(mse < 0.05, s"mse $mse")
   }
+
+  test("PQ lossless codebooks: ADC ranking equals brute-force top-k exactly") {
+    val books = Similarity.pqFitExact(emb, "embedding", m = 8)
+    assert(books.length == 8 && books.forall(_.head.length == 8))
+    val enc = Similarity.pqEncode(emb, "embedding", books)
+      .select(col("vec_id"), col("_pq"))
+    val got = Similarity.pqTopK(enc, "vec_id", books, query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val want = Similarity.topK(emb, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"ADC $got vs brute $want")
+  }
+
+  test("PQ codes are in range and ADC equals dot(decoded, query)") {
+    val books = Similarity.pqFit(emb, "embedding", m = 4, k = 8, iters = 5)
+    val enc = Similarity.pqEncode(emb, "embedding", books)
+    val rows = enc.select(col("embedding"), col("_pq")).collect()
+    val lut = Similarity.pqLut(books, query)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 8))
+      // decode via the codebooks and dot with the query: must equal the
+      // LUT-sum to FP exactness (same blocked summation order)
+      val adc = codes.zipWithIndex.map { case (c, s) => lut(s)(c) }.sum
+      val manual = codes.zipWithIndex.map { case (c, s) =>
+        val off = s * 16
+        books(s)(c).zipWithIndex.map { case (x, i) => x * query(off + i) }.sum
+      }.sum
+      assert(math.abs(adc - manual) < 1e-9)
+    }
+  }
+
+  test("PQ lossy fit: rescored search recovers most of brute-force recall") {
+    val got = {
+      val books = Similarity.pqFit(emb, "embedding", m = 8, k = 16, iters = 10)
+      val enc = Similarity.pqEncode(emb, "embedding", books)
+      Similarity.pqTopKRescore(enc, "embedding", "vec_id", books, query,
+        k = 10, oversample = 4).collect().map(_.getLong(0)).toSet
+    }
+    val want = Similarity.topK(emb, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.5, s"recall@10 $recall")
+  }
 }
