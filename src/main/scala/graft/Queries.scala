@@ -1352,6 +1352,50 @@ object Queries {
       .limit(10)
   }
 
+  /** One-per-JVM persisted IVF-PQ indexes for q75 (q58 pattern). */
+  private val q75Indexes = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** IVF-PQ ANN in its oracle configuration: coarse lists + LOSSLESS
+    * residual codebooks, probed exhaustively — each stored row scores as
+    * dot(q, list centroid) + residual ADC, which collapses to the exact
+    * dot product, so ranking the (list, 8-int code) pairs must equal
+    * DuckDB's brute force over the full 64-float vectors. Two structural
+    * proofs ride in-query: the persisted corpus has NO vector column
+    * (the data body is codes — the storage-cut claim), and a 2-probe
+    * read must skip parts by zone maps alone (q67 discipline).
+    */
+  def q75IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+    val q = t(s, dir, "embeddings").filter(col("vec_id") === 20)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val root = q75Indexes.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q75_ivfpq").toString
+      Similarity.ivfPqIndexBuild(s, emb, "embedding", "vec_id", r,
+        kLists = 8, m = 8, iters = 5, exactCodebooks = true, nParts = 8)
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val corpus = storage.VersionedTable(s, s"$root/corpus")
+    require(!corpus.read.columns.contains("embedding"),
+      "IVF-PQ corpus must store codes only, not the vectors")
+    val cents = Similarity.ivfIndexCentroids(s, root)
+    val probe2 = cents.zipWithIndex.map { case (cv, i) =>
+      (cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(2).map(_._2).toSeq
+    val (kept, total) = corpus.pruneStats(col("_list").isin(probe2: _*))
+    require(kept < total,
+      s"IVF-PQ index failed to prune: kept $kept of $total parts")
+    Similarity.ivfPqTopK(s, root, "vec_id", q, 25, nprobe = 8)
+      .select(col("vec_id"), round(col("score"), 4).as("score_r"))
+      .orderBy(desc("score_r"), col("vec_id"))
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1430,7 +1474,8 @@ object Queries {
     "q71_boilerplate_tokens" -> (q71BoilerplateTokens _),
     "q72_substring_dedup" -> (q72SubstringDedup _),
     "q73_repetition_scrub" -> (q73RepetitionScrub _),
-    "q74_pq_topk" -> (q74PqTopK _)
+    "q74_pq_topk" -> (q74PqTopK _),
+    "q75_ivfpq_topk" -> (q75IvfPqTopK _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2335,6 +2380,18 @@ object Queries {
     "q74_pq_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id = 10),
+        |sc AS (SELECT vec_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv), 4)
+        |      AS score_r
+        |  FROM embeddings, q WHERE vec_id % 5 = 0)
+        |SELECT vec_id, score_r FROM sc
+        |ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin,
+    // IVF-PQ with lossless residual codebooks, exhaustive probe:
+    // dot(q, centroid) + residual ADC = exact dot product, so the oracle
+    // is plain brute force (different query point than q74)
+    "q75_ivfpq_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 20),
         |sc AS (SELECT vec_id,
         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv), 4)
         |      AS score_r

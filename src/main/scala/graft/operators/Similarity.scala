@@ -178,7 +178,7 @@ object Similarity {
       // small-table fast path: one collect (≤64 MB by the estimate), no
       // count pass; the cap bounds the driver fit even if stats low-ball
       val all = df.select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
       require(all.nonEmpty, "empty table")
       val rnd = new scala.util.Random(seed)
       val sample =
@@ -206,7 +206,7 @@ object Similarity {
                               tol: Double = 1e-4,
                               seed: Long = 42L): Array[Array[Double]] = {
     val vecs = df.select(col(vecCol)).rdd
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
     val r = math.max(reservoirSize, 4 * k)
     // pass 1: weighted per-partition reservoirs, merged pairwise by count
     // — an unbiased bounded sample in one scan
@@ -469,7 +469,7 @@ object Similarity {
       val book = df
         .select(slice(col(vecCol), s * dsub + 1, dsub).as("_sub"))
         .distinct().collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
       require(book.length <= maxCodewords,
         s"pqFitExact: subspace $s has ${book.length} distinct subvectors " +
           s"(> $maxCodewords) — use the lossy pqFit for this corpus")
@@ -536,6 +536,95 @@ object Similarity {
       .orderBy(desc("_adc"), col(idCol))
       .limit(k * oversample)
     cand.select(col(idCol), cosineScore(col(vecCol), query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ (coarse lists + residual product codes — Faiss IVFPQ shape)
+  // ---------------------------------------------------------------------
+
+  /** Build a persisted IVF-PQ index (Jégou et al. 2011 §IV, the Faiss
+    * `IVFPQ` layout): coarse k-means lists as in [[ivfIndexBuild]], but
+    * the stored corpus keeps ONLY `(id, _list, _pq)` where `_pq` encodes
+    * the RESIDUAL (vector − list centroid). The residual's norm is much
+    * smaller than the vector's, so the same code budget quantizes it far
+    * more finely — and the corpus table stores m small ints per row
+    * instead of dim floats (the 100 TB shape: a billion-vector index
+    * whose data body is codes, vectors nowhere). Scoring needs no
+    * decode: `dot(q, v) ≈ dot(q, c_list) + ADC(residual code)` — one
+    * per-list constant plus the LIST-INDEPENDENT residual LUT (codebooks
+    * are shared across lists, so a probe of 50 lists still builds ONE
+    * m×k table).
+    *
+    * With `exactCodebooks` every distinct residual subvector becomes a
+    * codeword — encode→decode is the identity and scores are the exact
+    * dot products (the oracle/test configuration, [[pqFitExact]]'s
+    * bound applies). Fit, assign, encode, and the clustered rewrite are
+    * the same bounded-driver paths as [[ivfIndexBuild]]/[[pqFit]].
+    * Returns (centroids, codebooks).
+    */
+  def ivfPqIndexBuild(spark: SparkSession, df: DataFrame, vecCol: String,
+                      idCol: String, indexRoot: String, kLists: Int, m: Int,
+                      kCodes: Int = 16, iters: Int = 10,
+                      exactCodebooks: Boolean = false, nParts: Int = 32)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val cents = fitCentroids(df, vecCol, kLists, iters)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = ivfAssign(df, vecCol, cents)
+      .withColumn("_res", zip_with(col(vecCol).cast("array<double>"),
+        element_at(centsLit, col("_list") + 1), (a, b) => a - b))
+    val books =
+      if (exactCodebooks) pqFitExact(assigned.select(col("_res")), "_res", m)
+      else pqFit(assigned.select(col("_res")), "_res", m, kCodes, iters)
+    graft.storage.VersionedTable(spark, s"$indexRoot/centroids")
+      .overwrite(cents.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toSeq) }
+        .toDF("list_id", "centroid"): DataFrame)
+    graft.storage.VersionedTable(spark, s"$indexRoot/codebooks")
+      .overwrite(books.zipWithIndex.toSeq.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (cw, c) => (sub, c, cw.toSeq) }
+      }.toDF("subspace", "code", "codeword"): DataFrame)
+    val corpus = graft.storage.VersionedTable(spark, s"$indexRoot/corpus")
+    corpus.overwrite(assigned
+      .withColumn("_pq", pqEncodeCol(col("_res"), books))
+      .select(col(idCol), col("_list"), col("_pq")))
+    corpus.compactClustered(Seq("_list"), math.min(nParts, kLists))
+    (cents, books)
+  }
+
+  /** The index's residual codebooks (m × k × dim/m — bounded metadata). */
+  def ivfPqCodebooks(spark: SparkSession, indexRoot: String): Array[Array[Array[Double]]] =
+    graft.storage.VersionedTable(spark, s"$indexRoot/codebooks").read
+      .orderBy(col("subspace"), col("code")).collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+
+  /** ANN top-k against a persisted IVF-PQ index: rank the `nprobe`
+    * nearest lists on the driver (metadata-scale), zone-map-pruned read
+    * opens only those lists' parts, and each row scores as
+    * `dot(q, centroid[_list]) + ADC(code)` — an `element_at` on a
+    * broadcast constant array plus m LUT reads, all inside one codegen'd
+    * scan of the code column. The full vectors are never stored, never
+    * read; recall is the codebooks' (exact codebooks ⇒ exact ranking).
+    */
+  def ivfPqTopK(spark: SparkSession, indexRoot: String, idCol: String,
+                query: Array[Double], k: Int, nprobe: Int = 3): DataFrame = {
+    val cents = ivfIndexCentroids(spark, indexRoot)
+    val books = ivfPqCodebooks(spark, indexRoot)
+    val lists = cents.zipWithIndex.map { case (cv, i) =>
+      (cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    val consts = cents.map(cv =>
+      cv.zip(query).map { case (a, b) => a * b }.sum).toSeq
+    graft.storage.VersionedTable(spark, s"$indexRoot/corpus")
+      .readWhere(col("_list").isin(lists: _*))
+      .select(col(idCol),
+        (element_at(typedLit(consts), col("_list") + 1) +
+          pqAdcCol(col("_pq"), pqLut(books, query))).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }

@@ -407,6 +407,35 @@ object ExprKernels {
     UnsafeArrayData.fromPrimitiveArray(codes)
   }
 
+  /** [[pqEncode]] for `array<double>` vectors — the residual path of
+    * IVF-PQ (vector − centroid is double arithmetic); same hot loop.
+    */
+  def pqEncodeD(a: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val codes = new Array[Int](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val dsub = book(0).length
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0.0; var i = 0
+        while (i < dsub) {
+          val t = a.getDouble(off + i) - cw(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      off += dsub
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
   /** Asymmetric-distance (ADC) score: sum over subspaces of the query's
     * precomputed lookup-table entry for this row's codeword — m array
     * reads per row instead of a dim-length dot product.

@@ -90,11 +90,20 @@ object expressions {
   case class PqEncodeExpr(child: Expression,
       codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    // float vectors (storage form) and double vectors (IVF-PQ residuals)
+    // share the loop; the element accessor is the only difference
+    private def kernel: String = child.dataType match {
+      case ArrayType(DoubleType, _) => "pqEncodeD"
+      case _                        => "pqEncode"
+    }
     override def nullSafeEval(v: Any): Any =
-      ExprKernels.pqEncode(v.asInstanceOf[ArrayData], codebooks)
+      if (kernel == "pqEncodeD")
+        ExprKernels.pqEncodeD(v.asInstanceOf[ArrayData], codebooks)
+      else ExprKernels.pqEncode(v.asInstanceOf[ArrayData], codebooks)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val b = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
-      defineCodeGen(ctx, ev, c => s"$K.pqEncode($c, $b)")
+      val fn = kernel
+      defineCodeGen(ctx, ev, c => s"$K.$fn($c, $b)")
     }
     override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
       copy(child = c)

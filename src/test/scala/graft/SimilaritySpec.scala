@@ -235,6 +235,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ exact codebooks + exhaustive probe: equals brute force; codes-only corpus") {
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_t").toString
+    val (cents, books) = Similarity.ivfPqIndexBuild(spark, emb, "embedding",
+      "vec_id", root, kLists = 4, m = 8, iters = 5,
+      exactCodebooks = true, nParts = 4)
+    assert(cents.length == 4 && books.length == 8)
+    // the persisted data body is (id, list, code) — no vectors anywhere
+    val cols = graft.storage.VersionedTable(spark, s"$root/corpus").read.columns
+    assert(cols.sorted.toSeq == Seq("_list", "_pq", "vec_id"))
+    val got = Similarity.ivfPqTopK(spark, root, "vec_id", query, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val want = Similarity.topK(emb, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"IVF-PQ $got vs brute $want")
+  }
+
+  test("IVF-PQ small nprobe: prunes parts, still finds the query's own vector") {
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_p").toString
+    Similarity.ivfPqIndexBuild(spark, emb, "embedding", "vec_id", root,
+      kLists = 8, m = 8, kCodes = 16, iters = 5, nParts = 8)
+    val corpus = graft.storage.VersionedTable(spark, s"$root/corpus")
+    val cents = Similarity.ivfIndexCentroids(spark, root)
+    val near = cents.zipWithIndex.map { case (cv, i) =>
+      (cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(2).map(_._2).toSeq
+    val (kept, total) = corpus.pruneStats(col("_list").isin(near: _*))
+    assert(kept < total, s"no pruning: $kept of $total")
+    val got = Similarity.ivfPqTopK(spark, root, "vec_id", query, 5, nprobe = 2)
+      .collect().map(_.getLong(0))
+    assert(got.head == 7L, s"self-match lost: ${got.toSeq}")
+  }
+
   test("PQ lossy fit: rescored search recovers most of brute-force recall") {
     val got = {
       val books = Similarity.pqFit(emb, "embedding", m = 8, k = 16, iters = 10)
