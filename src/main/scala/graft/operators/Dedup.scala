@@ -724,29 +724,32 @@ object Dedup {
     */
   private def scrubCovered(toks: DataFrame, dupStarts: DataFrame, k: Int,
                            textCol: String, idCol: String): DataFrame = {
-    // the covered set derives from toks itself — rename its keys so the
-    // (doc, pos) equi-join isn't an ambiguous self-join
+    // per-doc covered-position SETS (a doc-keyed aggregate whose dedup
+    // rides the map-side partial), then ONE doc-granularity join: both
+    // sides leave their groupBys hash-partitioned by doc id, so the join
+    // adds no exchange — no token-granularity join anywhere, and the
+    // token rows ride exactly one shuffle (the reassembly groupBy)
     val covered = dupStarts
       .select(col("_id").as("_cid"),
         explode(sequence(col("_pos"), col("_pos") + lit(k - 1))).as("_cov"))
-      .distinct()
-      .withColumn("_hit", lit(true))
-    toks.join(covered,
-        col("_id") === col("_cid") && col("_pos") === col("_cov"), "left")
-      .select(col("_id"), col("_pos"), col("_tok"),
-        coalesce(col("_hit"), lit(false)).as("_drop"))
+      .groupBy(col("_cid"))
+      .agg(collect_set(col("_cov")).as("_covs"))
+    toks
       .groupBy(col("_id"))
-      .agg(array_sort(collect_list(struct(col("_pos"), col("_tok"),
-        col("_drop")))).as("_sorted"))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_tok"))))
+        .as("_sorted"))
+      .join(covered, col("_id") === col("_cid"), "left")
+      .withColumn("_covs",
+        coalesce(col("_covs"), typedLit(Seq.empty[Int])))
       .select(
         col("_id").as(idCol),
         array_join(expr(
-          "transform(filter(_sorted, s -> NOT s._drop), s -> s._tok)"),
+          "transform(filter(_sorted, s -> NOT array_contains(_covs, s._pos)), s -> s._tok)"),
           " ").as(textCol),
-        expr("size(filter(_sorted, s -> NOT s._drop))").cast("long")
-          .as("n_toks_kept"),
-        expr("size(filter(_sorted, s -> s._drop))").cast("long")
-          .as("n_toks_dropped"))
+        expr("size(filter(_sorted, s -> NOT array_contains(_covs, s._pos)))")
+          .cast("long").as("n_toks_kept"),
+        expr("size(filter(_sorted, s -> array_contains(_covs, s._pos)))")
+          .cast("long").as("n_toks_dropped"))
       .filter(col("n_toks_kept") > 0)
   }
 

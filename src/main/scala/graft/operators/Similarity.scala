@@ -612,19 +612,28 @@ object Similarity {
     * read; recall is the codebooks' (exact codebooks ⇒ exact ranking).
     */
   def ivfPqTopK(spark: SparkSession, indexRoot: String, idCol: String,
-                query: Array[Double], k: Int, nprobe: Int = 3): DataFrame = {
-    val cents = ivfIndexCentroids(spark, indexRoot)
-    val books = ivfPqCodebooks(spark, indexRoot)
-    val lists = cents.zipWithIndex.map { case (cv, i) =>
+                query: Array[Double], k: Int, nprobe: Int = 3): DataFrame =
+    ivfPqTopK(spark, indexRoot, idCol, query, k, nprobe,
+      ivfIndexCentroids(spark, indexRoot), ivfPqCodebooks(spark, indexRoot))
+
+  /** [[ivfPqTopK]] with the index metadata already loaded — the repeated-
+    * query shape (centroids/codebooks are read once per session, not per
+    * query; only the pruned corpus scan is per-query).
+    */
+  def ivfPqTopK(spark: SparkSession, indexRoot: String, idCol: String,
+                query: Array[Double], k: Int, nprobe: Int,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val lists = centroids.zipWithIndex.map { case (cv, i) =>
       (cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
     }.sortBy(_._1).take(nprobe).map(_._2).toSeq
-    val consts = cents.map(cv =>
+    val consts = centroids.map(cv =>
       cv.zip(query).map { case (a, b) => a * b }.sum).toSeq
     graft.storage.VersionedTable(spark, s"$indexRoot/corpus")
       .readWhere(col("_list").isin(lists: _*))
       .select(col(idCol),
         (element_at(typedLit(consts), col("_list") + 1) +
-          pqAdcCol(col("_pq"), pqLut(books, query))).as("score"))
+          pqAdcCol(col("_pq"), pqLut(codebooks, query))).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
