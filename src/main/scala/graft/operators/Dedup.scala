@@ -666,15 +666,36 @@ object Dedup {
     * blowup shrinks as skew grows. The rescore joins shingle sets back by
     * id, so wide arrays never ride the candidate shuffle. Low thresholds
     * approach all-shared-shingle-pairs volume — the honest floor for an
-    * EXACT similarity join.
+    * EXACT similarity join. Candidates also pass the size-ratio filter
+    * (`J >= t` forces `t·|A| <= |B| <= |A|/t`) before the dedup/rescore.
+    *
+    * Tiny inputs route to a bounded all-pairs rescore instead: under ~1 MB
+    * of text (a few thousand documents — low-millions of cheap
+    * sorted-array Jaccards) the prefix machinery (frequency agg + rank
+    * window + candidate dedup) costs more than scoring every pair, the
+    * same measured-size logic by which Spark picks a broadcast-NL join
+    * over SMJ. The bound is deliberately conservative because pair count
+    * grows QUADRATICALLY in the estimate: both paths are exact, and the
+    * cross product can only appear under the size gate.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        allPairsBytes: Long = 1L << 20): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1] for prefix filtering to be exact " +
         s"(J >= 0 pairs need not share any shingle), got $threshold")
     val withSh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
+    val sizeEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeEst <= allPairsBytes) {
+      // small-relation fast path: the optimizer bounds the product
+      val l = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val r = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      return l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
     // (id, set size, one row per shingle)
     val toks = withSh.select(col("id"), size(col("sh")).as("_n"),
       explode(col("sh")).as("_s"))
@@ -688,11 +709,16 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("_df"), col("_s"))))
       .filter(col("_rn") <=
         col("_n") - ceil(lit(threshold) * col("_n")).cast("int") + 1)
-      .select(col("_s"), col("id"))
-    // candidates: prefix-shingle equi-join, canonical orientation, dedup
-    val cands = prefixes.select(col("_s"), col("id").as("id_a"))
-      .join(prefixes.select(col("_s"), col("id").as("id_b")), Seq("_s"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("_s"), col("id"), col("_n"))
+    // candidates: prefix-shingle equi-join, canonical orientation, the
+    // exact size-ratio filter, then dedup
+    val cands = prefixes
+      .select(col("_s"), col("id").as("id_a"), col("_n").as("_n_a"))
+      .join(prefixes
+        .select(col("_s"), col("id").as("id_b"), col("_n").as("_n_b")), Seq("_s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("_n_b") >= ceil(lit(threshold) * col("_n_a")).cast("int") &&
+        col("_n_a") >= ceil(lit(threshold) * col("_n_b")).cast("int"))
       .select(col("id_a"), col("id_b")).distinct()
     // exact rescore: fetch both shingle sets by id, compute true Jaccard
     cands

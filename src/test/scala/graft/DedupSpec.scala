@@ -162,6 +162,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("ngram jaccard routing: prefix-filter path equals the all-pairs path exactly") {
+    def run(gate: Long) = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 2, threshold = 0.3, allPairsBytes = gate)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val prefix = run(0L)            // force the PPJoin route
+    val allPairs = run(Long.MaxValue) // force the bounded product
+    assert(prefix.keySet == allPairs.keySet,
+      s"pair sets differ: ${prefix.keySet} vs ${allPairs.keySet}")
+    prefix.foreach { case (k, j) =>
+      assert(math.abs(j - allPairs(k)) < 1e-12, s"jaccard differs at $k")
+    }
+  }
+
   test("cosineSimilarity expression: correctness + null/zero semantics") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),

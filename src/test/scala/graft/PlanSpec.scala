@@ -190,8 +190,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q53 ngram jaccard: prefix-filter equi-join, never a cartesian") {
+  test("q53 ngram jaccard: size gate routes tiny inputs to the bounded product") {
+    // at sf0.001 the measured size sits under the all-pairs gate, so the
+    // cost-based route picks the bounded cross product — the same choice
+    // Spark makes for broadcast-NL vs SMJ
     val p = planOf("q53_ngram_jaccard")
+    assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q53 ngram jaccard: above the gate, prefix-filter equi-join, never a cartesian") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables(spark, dir, "documents").filter(col("doc_id") % 20 === 0)
+    val p = operators.Dedup
+      .ngramJaccardPairs(d, "text", "doc_id", shingleSize = 3,
+        threshold = 0.1, allPairsBytes = 0L)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Join"), p)
   }
