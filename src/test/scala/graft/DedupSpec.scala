@@ -291,6 +291,54 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(3L).getLong(3) == 6L)
   }
 
+  /** In-memory reference for the span scrubbers: walk docs in id order,
+    * positions in order; a k-gram already seen marks its k positions
+    * covered (coverage accrues only from NON-first occurrences; first
+    * occurrences register even when they sit under covered spans —
+    * exactly the row_number > 1 rule). `perDoc` resets the seen set per
+    * document (repeatedNgramScrub); global seen = substringDedup.
+    */
+  private def naiveScrub(docs: Seq[(Long, String)], k: Int,
+                         perDoc: Boolean): Map[Long, (String, Long, Long)] = {
+    val globalSeen = scala.collection.mutable.HashSet[String]()
+    docs.sortBy(_._1).flatMap { case (id, text) =>
+      val seen = if (perDoc) scala.collection.mutable.HashSet[String]()
+                 else globalSeen
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val covered = scala.collection.mutable.HashSet[Int]()
+      for (p <- 0 to toks.length - k) {
+        val gram = toks.slice(p, p + k).mkString(" ")
+        if (!seen.add(gram)) (p until p + k).foreach(covered += _)
+      }
+      val kept = toks.indices.filterNot(covered)
+      if (kept.isEmpty) None
+      else Some(id -> (kept.map(toks).mkString(" "),
+        kept.length.toLong, (toks.length - kept.length).toLong))
+    }.toMap
+  }
+
+  test("span scrubbers equal the in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Array("a", "b", "c", "d", "e")
+    for (trial <- 1 to 4) {
+      val docs = (1L to 18L).map { id =>
+        val len = rnd.nextInt(13)
+        id -> Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val df = docs.toDF("doc_id", "text")
+      for ((op, perDoc, k) <- Seq(
+        (Dedup.substringDedup(df, "text", "doc_id", 3), false, 3),
+        (Dedup.repeatedNgramScrub(df, "text", "doc_id", 2), true, 2))) {
+        val got = op.collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        val want = naiveScrub(docs, k, perDoc)
+        assert(got == want,
+          s"trial $trial perDoc=$perDoc k=$k\ninput=$docs\ngot=$got\nwant=$want")
+      }
+    }
+  }
+
   test("repeatedNgramScrub: within-doc repeats drop, cross-doc repeats survive") {
     val d = Seq(
       (10L, "p q p q p q end"),    // bigram "p q"/"q p" loops
