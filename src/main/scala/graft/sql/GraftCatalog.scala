@@ -292,7 +292,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "zonemaps", "create_stream", "describe_stream", "show_streams",
           "show_tasks", "task_history", "create_task", "alter_task",
           "drop_task", "execute_task", "create_role", "drop_role",
-          "grant_privilege", "revoke_privilege", "show_grants", "show_roles")
+          "grant_privilege", "revoke_privilege", "show_grants", "show_roles",
+          "dedup_exact", "minhash_dedup", "substring_dedup", "ann_topk")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -320,13 +321,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "revoke_privilege" => new RevokePrivilegeProcedure
       case "show_grants" => new ShowGrantsProcedure
       case "show_roles" => new ShowRolesProcedure
+      case "dedup_exact" => new DedupExactProcedure
+      case "minhash_dedup" => new MinhashDedupProcedure
+      case "substring_dedup" => new SubstringDedupProcedure
+      case "ann_topk" => new AnnTopKProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
           "create_stream, describe_stream, show_streams, show_tasks, " +
           "task_history, create_task, alter_task, drop_task, execute_task, " +
           "create_role, drop_role, grant_privilege, revoke_privilege, " +
-          "show_grants, show_roles)")
+          "show_grants, show_roles, dedup_exact, minhash_dedup, " +
+          "substring_dedup, ann_topk)")
     }
 
   private def resolveVt(qualified: String): VersionedTable = {
@@ -1156,6 +1162,161 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         StructType(Seq(StructField("role", StringType, nullable = false))),
         security.listRoles(spark).toArray.map(r =>
           InternalRow(UTF8String.fromString(r))))
+    }
+  }
+
+  // ------------------------------------ LLM-pipeline operator procedures --
+  // SQL-text routes for the flagship extension operators (SURVEY §2.11):
+  //   CALL <cat>.system.dedup_exact(source => 'NS.DOCS', target => 'NS.D2',
+  //                                 text_col => 'text', id_col => 'doc_id')
+  // Dedup verbs are CTAS-shaped (read source, write survivors to a NEW
+  // table) and enforce the same grants as their DML equivalents: SELECT
+  // on the source, CREATE TABLE on the target's schema.
+
+  /** Shared CTAS tail of the dedup procedures. */
+  private def materializeResult(source: String, target: String)
+      (op: DataFrame => DataFrame): java.util.Iterator[Scan] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val srcParts = source.split("\\.").filter(_.nonEmpty)
+    require(srcParts.length >= 2,
+      s"source must be namespace-qualified, got '$source'")
+    val srcId = Identifier.of(srcParts.init, srcParts.last)
+    if (!tableExists(srcId))
+      throw new NoSuchTableException(Seq(catalogName) ++ srcParts.toSeq)
+    security.requirePriv(spark, "SELECT", srcId.namespace.toSeq, srcId.name)
+    val tgtParts = target.split("\\.").filter(_.nonEmpty)
+    require(tgtParts.length >= 2,
+      s"target must be namespace-qualified, got '$target'")
+    val tgtId = Identifier.of(tgtParts.init, tgtParts.last)
+    if (!namespaceExists(tgtId.namespace))
+      throw new NoSuchNamespaceException(tgtId.namespace.toSeq)
+    if (tableExists(tgtId))
+      throw new TableAlreadyExistsException(
+        Seq(catalogName) ++ tgtParts.toSeq)
+    security.requirePriv(spark, "CREATE TABLE", tgtId.namespace.toSeq,
+      tgtId.name)
+    val vt = table(tgtId)
+    vt.overwrite(op(table(srcId).read))
+    rowsScan(
+      StructType(Seq(
+        StructField("target", StringType, nullable = false),
+        StructField("n_rows", org.apache.spark.sql.types.LongType,
+          nullable = false))),
+      Array(InternalRow(UTF8String.fromString(target), vt.read.count())))
+  }
+
+  private final class DedupExactProcedure extends MaintenanceProcedure {
+    override def name(): String = "dedup_exact"
+    override def description(): String =
+      "exact content dedup: keep the smallest-id row per normalized text; " +
+        "survivors land in a NEW table (CTAS-shaped)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (textCol, idCol) =
+        (input.getUTF8String(2).toString, input.getUTF8String(3).toString)
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        df.join(graft.operators.Dedup.exact(df, textCol, idCol)
+          .select(col(idCol)), Seq(idCol), "left_semi")
+      }
+    }
+  }
+
+  private final class MinhashDedupProcedure extends MaintenanceProcedure {
+    override def name(): String = "minhash_dedup"
+    override def description(): String =
+      "MinHash/LSH near-dup removal with exact Jaccard rescore " +
+        "(graft.operators.Dedup.minhashDedupExact); survivors land in a " +
+        "NEW table (CTAS-shaped)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("threshold", org.apache.spark.sql.types.DoubleType)
+          .defaultValue("0.7").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.Dedup.minhashDedupExact(df,
+          input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+          threshold = input.getDouble(4))
+      }
+  }
+
+  private final class SubstringDedupProcedure extends MaintenanceProcedure {
+    override def name(): String = "substring_dedup"
+    override def description(): String =
+      "cross-document exact-substring dedup (Lee et al. k-gram cover): " +
+        "spans seen earlier in the corpus are scrubbed, survivors " +
+        "reassemble into a NEW table (id, text, n_toks_kept, n_toks_dropped)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("k", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("5").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.Dedup.substringDedup(df,
+          input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+          input.getInt(4))
+      }
+  }
+
+  private final class AnnTopKProcedure extends MaintenanceProcedure {
+    override def name(): String = "ann_topk"
+    override def description(): String =
+      "exact cosine top-k against the vector of query_id in the same " +
+        "table (more-like-this); returns (id, score) — k rows, bounded"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("vec_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("query_id", org.apache.spark.sql.types.LongType).build(),
+        procedures.ProcedureParameter
+          .in("k", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("10").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val qualified = input.getUTF8String(0).toString
+      val parts = qualified.split("\\.").filter(_.nonEmpty)
+      require(parts.length >= 2,
+        s"table must be namespace-qualified, got '$qualified'")
+      val id = Identifier.of(parts.init, parts.last)
+      if (!tableExists(id))
+        throw new NoSuchTableException(Seq(catalogName) ++ parts.toSeq)
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val (vecCol, idCol) =
+        (input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      val df = table(id).read
+      val qRows = df.filter(col(idCol).cast("long") === input.getLong(3))
+        .select(col(vecCol)).limit(1).collect()
+      require(qRows.nonEmpty, s"query_id ${input.getLong(3)} not in $qualified")
+      val q = qRows.head.getSeq[Number](0).map(_.doubleValue).toArray
+      val rows = graft.operators.Similarity
+        .topK(df, vecCol, idCol, q, input.getInt(4))
+        .select(col(idCol).cast("long").as("id"), col("score"))
+        .collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("id", org.apache.spark.sql.types.LongType,
+            nullable = false),
+          StructField("score", org.apache.spark.sql.types.DoubleType,
+            nullable = false))),
+        rows.map(r => InternalRow(r.getLong(0), r.getDouble(1))))
     }
   }
 

@@ -733,4 +733,58 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // rows: (1,'m') after merge-update, (3,'c') — the k=2 row was deleted
     assert(spark.sql("SELECT count(*) FROM sec.RAW.T1").head.getLong(0) == 2)
   }
+
+  test("LLM-operator procedures: dedup_exact/substring_dedup/minhash_dedup/ann_topk from SQL") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_llmproc_").toString
+    graft.sql.GraftCatalog.register(spark, "llm", wh)
+    spark.sql("CREATE NAMESPACE llm.DOCS")
+    Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),    // exact dup of 1
+      (3L, "ALPHA  beta gamma   delta"), // normalized dup of 1
+      (4L, "totally different text here")
+    ).toDF("doc_id", "text").createOrReplaceTempView("seed_docs")
+    spark.sql("CREATE TABLE llm.DOCS.D AS SELECT * FROM seed_docs")
+
+    // exact dedup → CTAS-shaped survivors table
+    val ex = spark.sql(
+      "CALL llm.system.dedup_exact(source => 'DOCS.D', target => 'DOCS.D2', " +
+        "text_col => 'text', id_col => 'doc_id')").head
+    assert(ex.getString(0) == "DOCS.D2" && ex.getLong(1) == 2L)
+    assert(spark.sql("SELECT doc_id FROM llm.DOCS.D2 ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+
+    // substring dedup: docs 2/3 are fully covered by doc 1's 3-grams
+    spark.sql(
+      "CALL llm.system.substring_dedup(source => 'DOCS.D', target => 'DOCS.D3', " +
+        "text_col => 'text', id_col => 'doc_id', k => 3)")
+    val d3 = spark.sql(
+      "SELECT doc_id, n_toks_dropped FROM llm.DOCS.D3 ORDER BY doc_id").collect()
+    assert(d3.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(d3.forall(_.getLong(1) == 0L))
+
+    // minhash near-dup (default threshold) collapses the same cluster
+    val mh = spark.sql(
+      "CALL llm.system.minhash_dedup(source => 'DOCS.D', target => 'DOCS.D4', " +
+        "text_col => 'text', id_col => 'doc_id')").head
+    assert(mh.getLong(1) == 2L)
+
+    // ann_topk: more-like-this against a vector table; self ranks first
+    spark.sql("CREATE NAMESPACE llm.VEC")
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("seed_emb")
+    spark.sql("CREATE TABLE llm.VEC.E AS SELECT * FROM seed_emb")
+    val top = spark.sql(
+      "CALL llm.system.ann_topk(table => 'VEC.E', vec_col => 'embedding', " +
+        "id_col => 'vec_id', query_id => 7L, k => 5)").collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(0) == 7L &&
+      math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+
+    // target-exists and RBAC contracts hold for the CTAS-shaped verbs
+    val dup = intercept[Exception](spark.sql(
+      "CALL llm.system.dedup_exact(source => 'DOCS.D', target => 'DOCS.D2', " +
+        "text_col => 'text', id_col => 'doc_id')"))
+    assert(Option(dup.getMessage).exists(_.toLowerCase.contains("already")))
+  }
 }
