@@ -1088,9 +1088,7 @@ object Queries {
     // prune proof: a 2-probe read may not open every part
     val corpus = storage.VersionedTable(s, s"$root/corpus")
     val cents = Similarity.ivfIndexCentroids(s, root)
-    val probe2 = cents.zipWithIndex.map { case (cv, i) =>
-      (cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-    }.sortBy(_._1).take(2).map(_._2).toSeq
+    val probe2 = Similarity.nearestLists(cents, q, 2)
     val (kept, total) = corpus.pruneStats(col("_list").isin(probe2: _*))
     require(kept < total,
       s"IVF index failed to prune: kept $kept of $total parts")
@@ -1351,8 +1349,10 @@ object Queries {
       operators.Similarity.pqFitExact(emb, "embedding", m = 8))
     val enc = operators.Similarity.pqEncode(emb, "embedding", books)
       .select(col("vec_id"), col("_pq")) // vectors do NOT survive encode
-    val width = enc.select(max(size(col("_pq")))).head.getInt(0)
-    require(width == 8, s"PQ codes must be 8 ints (8x cut vs 64 floats), got $width")
+    // the code width is structurally m (one id per subspace) — assert on
+    // the codebooks, not via a second full encode scan of the corpus
+    require(books.length == 8,
+      s"PQ codes must be 8 ints (8x cut vs 64 floats), got ${books.length}")
     operators.Similarity.pqTopK(enc, "vec_id", books, q, 25)
       .select(col("vec_id"), round(col("score"), 4).as("score_r"))
       .orderBy(desc("score_r"), col("vec_id"))
@@ -1395,9 +1395,7 @@ object Queries {
     val corpus = storage.VersionedTable(s, s"$root/corpus")
     require(!corpus.read.columns.contains("embedding"),
       "IVF-PQ corpus must store codes only, not the vectors")
-    val probe2 = cents.zipWithIndex.map { case (cv, i) =>
-      (cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-    }.sortBy(_._1).take(2).map(_._2).toSeq
+    val probe2 = Similarity.nearestLists(cents, q, 2)
     val (kept, total) = corpus.pruneStats(col("_list").isin(probe2: _*))
     require(kept < total,
       s"IVF-PQ index failed to prune: kept $kept of $total parts")

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.plans.expressions.{minhashSig, minhashText, normalizedText, sigAgreement, simhash64}
+import graft.plans.expressions.{minhashSig, minhashText, normalizedText, sigAgreement, simhash64, spanScrubCol}
 
 /** Document deduplication for training-data pipelines, at three fidelities:
   *
@@ -702,13 +702,20 @@ object Dedup {
     // rare-first global order: document frequency per shingle (bounded by
     // distinct-shingle count, a token-granularity aggregate)
     val freq = toks.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    // ceil(t·n) computed in doubles can land one ABOVE the true value
+    // when t·n is exactly integral (0.07 × 100 → 7.000000000000001 →
+    // ceil 8), which would shorten prefixes / tighten the size filter and
+    // silently DROP a qualifying pair. The 1e-9 slack makes the rounding
+    // strictly conservative: a boundary case admits at most a few extra
+    // candidates (the exact rescore removes them); it can never lose one.
+    def ceilConservative(x: Column): Column = ceil(x - lit(1e-9)).cast("int")
     // keep only each doc's prefix: rank shingles (rarest first, shingle
     // text as tiebreak = a total order) and cut at |S| - ceil(t|S|) + 1
     val prefixes = toks.join(freq, Seq("_s"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("_df"), col("_s"))))
       .filter(col("_rn") <=
-        col("_n") - ceil(lit(threshold) * col("_n")).cast("int") + 1)
+        col("_n") - ceilConservative(lit(threshold) * col("_n")) + 1)
       .select(col("_s"), col("id"), col("_n"))
     // candidates: prefix-shingle equi-join, canonical orientation, the
     // exact size-ratio filter, then dedup
@@ -717,8 +724,8 @@ object Dedup {
       .join(prefixes
         .select(col("_s"), col("id").as("id_b"), col("_n").as("_n_b")), Seq("_s"))
       .filter(col("id_a") < col("id_b") &&
-        col("_n_b") >= ceil(lit(threshold) * col("_n_a")).cast("int") &&
-        col("_n_a") >= ceil(lit(threshold) * col("_n_b")).cast("int"))
+        col("_n_b") >= ceilConservative(lit(threshold) * col("_n_a")) &&
+        col("_n_a") >= ceilConservative(lit(threshold) * col("_n_b")))
       .select(col("id_a"), col("id_b")).distinct()
     // exact rescore: fetch both shingle sets by id, compute true Jaccard
     cands
@@ -759,23 +766,21 @@ object Dedup {
       .select(col("_id").as("_cid"),
         explode(sequence(col("_pos"), col("_pos") + lit(k - 1))).as("_cov"))
       .groupBy(col("_cid"))
-      .agg(collect_set(col("_cov")).as("_covs"))
+      .agg(array_sort(collect_set(col("_cov"))).as("_covs"))
     toks
       .groupBy(col("_id"))
       .agg(array_sort(collect_list(struct(col("_pos"), col("_tok"))))
         .as("_sorted"))
       .join(covered, col("_id") === col("_cid"), "left")
-      .withColumn("_covs",
-        coalesce(col("_covs"), typedLit(Seq.empty[Int])))
+      // both arrays arrive sorted → ONE O(tokens + covered) merge walk
+      // per doc (a codegen'd kernel) reassembles text and counts
+      .withColumn("_r", spanScrubCol(col("_sorted"),
+        coalesce(col("_covs"), typedLit(Seq.empty[Int]))))
       .select(
         col("_id").as(idCol),
-        array_join(expr(
-          "transform(filter(_sorted, s -> NOT array_contains(_covs, s._pos)), s -> s._tok)"),
-          " ").as(textCol),
-        expr("size(filter(_sorted, s -> NOT array_contains(_covs, s._pos)))")
-          .cast("long").as("n_toks_kept"),
-        expr("size(filter(_sorted, s -> array_contains(_covs, s._pos)))")
-          .cast("long").as("n_toks_dropped"))
+        col("_r.text").as(textCol),
+        col("_r.kept").as("n_toks_kept"),
+        col("_r.dropped").as("n_toks_dropped"))
       .filter(col("n_toks_kept") > 0)
   }
 

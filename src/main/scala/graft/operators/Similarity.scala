@@ -341,6 +341,15 @@ object Similarity {
     best
   }
 
+  /** The `nprobe` list ids nearest to `query` (L2 over the centroids —
+    * driver-side metadata math shared by every IVF probe site).
+    */
+  def nearestLists(centroids: Array[Array[Double]], query: Array[Double],
+                   nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (cv, i) =>
+      (cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+
   /** Nearest-centroid list id for every row (broadcast centroids; one
     * codegen'd map pass — at scale, write the table partitioned by this).
     */
@@ -362,10 +371,7 @@ object Similarity {
   def ivfTopK(assigned: DataFrame, vecCol: String, idCol: String,
               centroids: Array[Array[Double]], query: Array[Double],
               k: Int, nprobe: Int = 3): DataFrame = {
-    val byDist = centroids.zipWithIndex.map { case (cv, i) =>
-      val d = cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-      (d, i)
-    }.sortBy(_._1).take(nprobe).map(_._2)
+    val byDist = nearestLists(centroids, query, nprobe)
     assigned.filter(col("_list").isin(byDist: _*))
       .select(col(idCol), cosineScore(col(vecCol), query).as("score"))
       .orderBy(desc("score"), col(idCol))
@@ -413,9 +419,7 @@ object Similarity {
                    idCol: String, query: Array[Double], k: Int,
                    nprobe: Int = 3): DataFrame = {
     val cents = ivfIndexCentroids(spark, indexRoot)
-    val lists = cents.zipWithIndex.map { case (cv, i) =>
-      (cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    val lists = nearestLists(cents, query, nprobe)
     graft.storage.VersionedTable(spark, s"$indexRoot/corpus")
       .readWhere(col("_list").isin(lists: _*))
       .select(col(idCol), cosineScore(col(vecCol), query).as("score"))
@@ -444,7 +448,9 @@ object Similarity {
     */
   def pqFit(df: DataFrame, vecCol: String, m: Int, k: Int = 16,
             iters: Int = 10, seed: Long = 42L): Array[Array[Array[Double]]] = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dimRows = df.select(size(col(vecCol))).limit(1).collect()
+    require(dimRows.nonEmpty, "pqFit: empty table")
+    val dim = dimRows.head.getInt(0)
     require(dim % m == 0, s"pqFit: dim $dim not divisible by m $m")
     val dsub = dim / m
     (0 until m).toArray.map { s =>
@@ -462,7 +468,9 @@ object Similarity {
     */
   def pqFitExact(df: DataFrame, vecCol: String, m: Int,
                  maxCodewords: Int = 65536): Array[Array[Array[Double]]] = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dimRows = df.select(size(col(vecCol))).limit(1).collect()
+    require(dimRows.nonEmpty, "pqFitExact: empty table")
+    val dim = dimRows.head.getInt(0)
     require(dim % m == 0, s"pqFitExact: dim $dim not divisible by m $m")
     val dsub = dim / m
     (0 until m).toArray.map { s =>
@@ -624,9 +632,7 @@ object Similarity {
                 query: Array[Double], k: Int, nprobe: Int,
                 centroids: Array[Array[Double]],
                 codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val lists = centroids.zipWithIndex.map { case (cv, i) =>
-      (cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    val lists = nearestLists(centroids, query, nprobe)
     val consts = centroids.map(cv =>
       cv.zip(query).map { case (a, b) => a * b }.sum).toSeq
     graft.storage.VersionedTable(spark, s"$indexRoot/corpus")

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
@@ -441,10 +442,45 @@ object ExprKernels {
     * reads per row instead of a dim-length dot product.
     */
   def pqAdc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
-    val m = math.min(codes.numElements(), lut.length)
+    val m = codes.numElements()
+    if (m != lut.length)
+      throw new IllegalArgumentException(
+        s"PQ code width $m != codebook count ${lut.length} — codes were " +
+          "encoded with different codebooks than this query's LUT")
     var acc = 0.0
     var s = 0
     while (s < m) { acc += lut(s)(codes.getInt(s)); s += 1 }
     acc
+  }
+
+  /** Span-scrub merge walk: `sorted` is a doc's tokens as pos-ascending
+    * `struct(pos int, tok string)`, `cov` its covered positions sorted
+    * ascending (duplicates tolerated). One O(tokens + covered) pass
+    * reassembles the kept text and counts kept/dropped — replacing a
+    * per-token `array_contains` probe that is O(tokens × covered) on
+    * exactly the mass-duplicated documents span dedup targets.
+    * Returns `struct(text string, kept long, dropped long)`.
+    */
+  def spanScrub(sorted: ArrayData, cov: ArrayData): InternalRow = {
+    val n = sorted.numElements()
+    val nc = cov.numElements()
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var dropped = 0L
+    var j = 0
+    var i = 0
+    while (i < n) {
+      val row = sorted.getStruct(i, 2)
+      val pos = row.getInt(0)
+      while (j < nc && cov.getInt(j) < pos) j += 1
+      if (j < nc && cov.getInt(j) == pos) dropped += 1L
+      else {
+        if (kept > 0L) sb.append(' ')
+        sb.append(row.getUTF8String(1).toString)
+        kept += 1L
+      }
+      i += 1
+    }
+    InternalRow(UTF8String.fromString(sb.toString), kept, dropped)
   }
 }

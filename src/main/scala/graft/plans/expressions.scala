@@ -91,7 +91,15 @@ object expressions {
       codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     // float vectors (storage form) and double vectors (IVF-PQ residuals)
-    // share the loop; the element accessor is the only difference
+    // share the loop; the element accessor is the only difference. Any
+    // other element type (int8-quantized arrays, long ids) must fail
+    // ANALYSIS-loudly — getFloat on an int slot would reinterpret bits
+    // into silently-garbage codes.
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode needs array<float> or array<double>, got ${other.sql}")
+    }
     private def kernel: String = child.dataType match {
       case ArrayType(DoubleType, _) => "pqEncodeD"
       case _                        => "pqEncode"
@@ -125,6 +133,28 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): PqAdcExpr =
       copy(child = c)
     override def prettyName: String = "pq_adc"
+  }
+
+  /** Span-scrub reassembly (the [[graft.operators.Dedup]] substring/
+    * repetition scrubbers' tail): merge-walk a doc's pos-sorted tokens
+    * against its sorted covered positions in ONE O(tokens + covered)
+    * pass → `struct(text, kept, dropped)`. Replaces a per-token
+    * `array_contains` probe that degraded to O(tokens × covered) on
+    * mass-duplicated documents.
+    */
+  case class SpanScrub(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("text", StringType, nullable = false),
+      StructField("kept", LongType, nullable = false),
+      StructField("dropped", LongType, nullable = false)))
+    override def nullSafeEval(l: Any, r: Any): Any =
+      ExprKernels.spanScrub(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.spanScrub($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "span_scrub"
   }
 
   /** Membership probe against a pre-built key bloom filter (the explicit
@@ -397,6 +427,8 @@ object expressions {
     col(PqEncodeExpr(ex(c), codebooks))
   def pqAdcCol(c: Column, lut: Array[Array[Double]]): Column =
     col(PqAdcExpr(ex(c), lut))
+  def spanScrubCol(sorted: Column, cov: Column): Column =
+    col(SpanScrub(ex(sorted), ex(cov)))
   def rollingFingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
   def bloomMightContain(c: Column,
       bf: org.apache.spark.util.sketch.BloomFilter): Column =

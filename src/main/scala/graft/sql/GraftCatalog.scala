@@ -335,15 +335,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "substring_dedup, ann_topk)")
     }
 
-  private def resolveVt(qualified: String): VersionedTable = {
+  /** Parse a procedure's `NS.TABLE` argument; `mustExist` gates the
+    * existence check (target tables of CTAS-shaped procedures must NOT
+    * exist yet).
+    */
+  private def resolveIdent(qualified: String, what: String,
+                           mustExist: Boolean = true): Identifier = {
     val parts = qualified.split("\\.").filter(_.nonEmpty)
     require(parts.length >= 2,
-      s"procedure table argument must be namespace-qualified, got '$qualified'")
+      s"procedure $what argument must be namespace-qualified, got '$qualified'")
     val id = Identifier.of(parts.init, parts.last)
-    if (!tableExists(id))
+    if (mustExist && !tableExists(id))
       throw new NoSuchTableException(Seq(catalogName) ++ parts.toSeq)
-    table(id)
+    id
   }
+
+  private def resolveVt(qualified: String): VersionedTable =
+    table(resolveIdent(qualified, "table"))
 
   private def rowsScan(schema: StructType, out: Array[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
@@ -1177,32 +1185,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def materializeResult(source: String, target: String)
       (op: DataFrame => DataFrame): java.util.Iterator[Scan] = {
     import org.apache.spark.unsafe.types.UTF8String
-    val srcParts = source.split("\\.").filter(_.nonEmpty)
-    require(srcParts.length >= 2,
-      s"source must be namespace-qualified, got '$source'")
-    val srcId = Identifier.of(srcParts.init, srcParts.last)
-    if (!tableExists(srcId))
-      throw new NoSuchTableException(Seq(catalogName) ++ srcParts.toSeq)
+    val srcId = resolveIdent(source, "source")
     security.requirePriv(spark, "SELECT", srcId.namespace.toSeq, srcId.name)
-    val tgtParts = target.split("\\.").filter(_.nonEmpty)
-    require(tgtParts.length >= 2,
-      s"target must be namespace-qualified, got '$target'")
-    val tgtId = Identifier.of(tgtParts.init, tgtParts.last)
+    val tgtId = resolveIdent(target, "target", mustExist = false)
     if (!namespaceExists(tgtId.namespace))
       throw new NoSuchNamespaceException(tgtId.namespace.toSeq)
     if (tableExists(tgtId))
       throw new TableAlreadyExistsException(
-        Seq(catalogName) ++ tgtParts.toSeq)
+        Seq(catalogName) ++ tgtId.namespace.toSeq :+ tgtId.name)
     security.requirePriv(spark, "CREATE TABLE", tgtId.namespace.toSeq,
       tgtId.name)
-    val vt = table(tgtId)
-    vt.overwrite(op(table(srcId).read))
-    rowsScan(
-      StructType(Seq(
-        StructField("target", StringType, nullable = false),
-        StructField("n_rows", org.apache.spark.sql.types.LongType,
-          nullable = false))),
-      Array(InternalRow(UTF8String.fromString(target), vt.read.count())))
+    // cache the operator result so the row count does not re-run the
+    // dedup (or re-scan the written table) a second time
+    val result = op(table(srcId).read).cache()
+    try {
+      val n = result.count()
+      table(tgtId).overwrite(result)
+      rowsScan(
+        StructType(Seq(
+          StructField("target", StringType, nullable = false),
+          StructField("n_rows", org.apache.spark.sql.types.LongType,
+            nullable = false))),
+        Array(InternalRow(UTF8String.fromString(target), n)))
+    } finally result.unpersist(blocking = false)
   }
 
   private final class DedupExactProcedure extends MaintenanceProcedure {
@@ -1292,12 +1297,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .defaultValue("10").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val qualified = input.getUTF8String(0).toString
-      val parts = qualified.split("\\.").filter(_.nonEmpty)
-      require(parts.length >= 2,
-        s"table must be namespace-qualified, got '$qualified'")
-      val id = Identifier.of(parts.init, parts.last)
-      if (!tableExists(id))
-        throw new NoSuchTableException(Seq(catalogName) ++ parts.toSeq)
+      val id = resolveIdent(qualified, "table")
       security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
       val (vecCol, idCol) =
         (input.getUTF8String(1).toString, input.getUTF8String(2).toString)

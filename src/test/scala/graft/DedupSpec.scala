@@ -162,6 +162,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("ngram jaccard FP boundary: integral t*|S| pairs survive the prefix route") {
+    // J(A,B) = 7/100 = exactly the threshold. double(0.07)*100 evaluates
+    // to 7.000000000000001, so a naive ceil demands overlap 8 — shortening
+    // A's prefix below the first shared shingle (rare-first ordering puts
+    // shared shingles LAST) and failing B on the size-ratio filter. The
+    // conservative ceil must keep the pair on the prefix route.
+    val a = (1 to 100).map(i => s"w$i").mkString(" ")
+    val b = (1 to 7).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+      shingleSize = 1, threshold = 0.07, allPairsBytes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"boundary pair lost: $pairs")
+  }
+
   test("ngram jaccard routing: prefix-filter path equals the all-pairs path exactly") {
     def run(gate: Long) = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         shingleSize = 2, threshold = 0.3, allPairsBytes = gate)
