@@ -89,7 +89,39 @@ object ScaleStress {
         "text_b", "id_b", threshold = 0.7).count())
     println(s"[stress] fuzzy-join pairs: $joined")
 
-    val ok = lostExact == 0 && lostNear == 0 && uniques == expectedUniques
+    // ---- q72 path: exact-substring dedup at 50k docs ----
+    // exact-copy replicas (r > 0, %10 == 0) share every 5-gram with the
+    // r = 0 original ⇒ fully covered ⇒ REMOVED; replica-unique docs have
+    // globally unique tokens ⇒ survive with zero drops.
+    val (span, spanN) = time("substringDedup (50k docs)") {
+      val s = operators.Dedup.substringDedup(corpus.select("doc_id", "text"),
+        "text", "doc_id", k = 5).persist()
+      (s, s.count()) // force execution inside the timed block
+    }
+    val exactReplicasLeft = span.filter(col("doc_id") % 10 === 0 &&
+      col("doc_id") >= 1000000L).count()
+    val uniqueDropped = span.filter(col("doc_id") % 10 >= 2 &&
+      col("n_toks_dropped") > 0).count()
+    println(s"[stress] substringDedup output docs: $spanN")
+    println(s"[stress] exact replicas left (want 0): $exactReplicasLeft")
+    println(s"[stress] unique docs with drops (want 0): $uniqueDropped")
+    span.unpersist(blocking = false)
+
+    // ---- hot-doc scrub: ONE 200k-token doc, 99.5% repeated ----
+    // the shape that stalled the pre-kernel O(tokens × covered)
+    // reassembly (~4e10 probes in one task); the merge walk is O(400k)
+    val hot = Seq((1L,
+      Iterator.continually((1 to 1000).map(i => s"w$i").mkString(" "))
+        .take(200).mkString(" "))).toDF("doc_id", "text")
+    val hotRow = time("repeatedNgramScrub (1 doc × 200k tokens)")(
+      operators.Dedup.repeatedNgramScrub(hot, "text", "doc_id", n = 2)
+        .collect().head)
+    println(s"[stress] hot doc kept ${hotRow.getLong(2)} " +
+      s"dropped ${hotRow.getLong(3)} (want kept ≈ 1001)")
+
+    val ok = lostExact == 0 && lostNear == 0 && uniques == expectedUniques &&
+      exactReplicasLeft == 0 && uniqueDropped == 0 &&
+      hotRow.getLong(2) < 1100
     println(s"[stress] RECALL ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)
