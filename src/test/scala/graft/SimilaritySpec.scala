@@ -267,6 +267,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.head == 7L, s"self-match lost: ${got.toSeq}")
   }
 
+  test("PQ and IVF-PQ exact configs equal brute force on random unit vectors") {
+    val rnd = new scala.util.Random(7L)
+    val data = (1L to 300L).map { i =>
+      val v = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i, v.map(_ / n))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val q = data(5)._2.map(_.toDouble)
+    val want = Similarity.topK(df, "embedding", "vec_id", q, 8)
+      .collect().map(_.getLong(0)).toSeq
+    val books = Similarity.pqFitExact(df, "embedding", m = 4)
+    val enc = Similarity.pqEncode(df, "embedding", books)
+      .select(col("vec_id"), col("_pq"))
+    assert(Similarity.pqTopK(enc, "vec_id", books, q, 8)
+      .collect().map(_.getLong(0)).toSeq == want)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_rnd").toString
+    Similarity.ivfPqIndexBuild(spark, df, "embedding", "vec_id", root,
+      kLists = 5, m = 4, iters = 4, exactCodebooks = true, nParts = 4)
+    assert(Similarity.ivfPqTopK(spark, root, "vec_id", q, 8, nprobe = 5)
+      .collect().map(_.getLong(0)).toSeq == want)
+  }
+
   test("PQ lossy fit: rescored search recovers most of brute-force recall") {
     val got = {
       val books = Similarity.pqFit(emb, "embedding", m = 8, k = 16, iters = 10)
