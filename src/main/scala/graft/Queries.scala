@@ -1405,6 +1405,54 @@ object Queries {
       .limit(10)
   }
 
+  /** One-per-JVM q76 incremental-dedup runs: the index protocol is
+    * stateful (addBatch is deliberately not idempotent), so the two-batch
+    * run executes once per sf dir and its survivor ids persist for every
+    * execution (q58 fixture discipline).
+    */
+  private val q76Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental dedup (exact tier) against a persisted signature index:
+    * documents arrive as two id-range batches; each batch dedups against
+    * everything that ever arrived WITHOUT rescanning the corpus, and the
+    * union of batch survivors must equal the one-shot batch answer —
+    * keep-the-min-id per normalized content over the WHOLE table (range
+    * batching makes keep-first ≡ global min id, which is what the oracle
+    * can state in SQL).
+    */
+  def q76IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val out = q76Runs.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("q76_incdedup").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val inc = new operators.IncrementalDedup(s, s"$root/index",
+        nearDup = false)
+      val r1 = inc.addBatch(docs.filter(col("doc_id") <= mid), "text", "doc_id")
+      val r2 = inc.addBatch(docs.filter(col("doc_id") > mid), "text", "doc_id")
+      require(r1.nIn + r2.nIn == r1.nKept + r2.nKept +
+        r1.nDroppedWithinBatch + r2.nDroppedWithinBatch +
+        r2.nDroppedVsIndex + r1.nDroppedVsIndex,
+        "incremental dedup counts must partition the input")
+      r1.survivors.select(col("doc_id"))
+        .union(r2.survivors.select(col("doc_id")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/survivors")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        catch { case _: Throwable => () }
+      }
+      root
+    })
+    val surv = s.read.parquet(s"$out/survivors")
+    t(s, dir, "documents").join(surv, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(pmod(conv(substring(md5(col("text").cast("binary")), 1, 15),
+          16, 10).cast("long"), lit(1000000007L))).cast("long").as("text_fp"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1484,7 +1532,8 @@ object Queries {
     "q72_substring_dedup" -> (q72SubstringDedup _),
     "q73_repetition_scrub" -> (q73RepetitionScrub _),
     "q74_pq_topk" -> (q74PqTopK _),
-    "q75_ivfpq_topk" -> (q75IvfPqTopK _)
+    "q75_ivfpq_topk" -> (q75IvfPqTopK _),
+    "q76_incremental_dedup" -> (q76IncrementalDedup _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2406,6 +2455,19 @@ object Queries {
         |      AS score_r
         |  FROM embeddings, q WHERE vec_id % 5 = 0)
         |SELECT vec_id, score_r FROM sc
-        |ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY score_r DESC, vec_id LIMIT 10""".stripMargin,
+    // incremental dedup, exact tier: id-range batches make keep-first
+    // across batches == keep global min id per normalized content (the
+    // engine's normalizeText = lowercase + whitespace-collapse + trim)
+    "q76_incremental_dedup" ->
+      """WITH n AS (SELECT doc_id, lang, text,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |k AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY nt)
+        |SELECT n.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n.doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(CAST(('0x' || substr(md5(n.text), 1, 15)) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS text_fp
+        |FROM n JOIN k USING (doc_id) GROUP BY n.lang""".stripMargin
   )
 }

@@ -150,7 +150,7 @@ object Dedup {
     * constant independent of the band count (cold-start codegen time was a
     * measured, dominant cost of the LSH queries at bench scale).
     */
-  private def bandBucket(sig: Column, band: Column, rows: Int): Column =
+  private[operators] def bandBucket(sig: Column, band: Column, rows: Int): Column =
     xxhash64(band, slice(sig, band * rows + 1, lit(rows)))
 
   /** (band, bucket) LSH keys for a precomputed signature relation

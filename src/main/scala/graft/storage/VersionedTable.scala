@@ -904,7 +904,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
           s"incremental commit to $root drops committed column ${old.name}; " +
             "latest-schema reads would silently hide it in older parts — " +
             "use overwrite() for a schema-breaking rewrite")
-        case Some(f) if f.dataType != old.dataType =>
+        // committed schemas round-trip through DDL text, which ERASES
+        // nullability flags (fromDDL marks arrays/structs nullable), so a
+        // strict != here spuriously rejects any append whose live plan
+        // carries containsNull=false — compare ignoring nullability, the
+        // granularity the storage layer actually persists
+        case Some(f) if !org.apache.spark.sql.types.DataType
+            .equalsIgnoreNullability(f.dataType, old.dataType) =>
           throw new IllegalArgumentException(
             s"incremental commit to $root changes ${old.name} from " +
               s"${old.dataType.simpleString} to ${f.dataType.simpleString}; " +
