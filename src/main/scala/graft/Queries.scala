@@ -1453,6 +1453,55 @@ object Queries {
           16, 10).cast("long"), lit(1000000007L))).cast("long").as("text_fp"))
   }
 
+  /** One-per-JVM q77 incremental-heavy-hitter states (q58 pattern). */
+  private val q77Tables = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental top-k by frequency: document tokens land in a versioned
+    * source as two id-range append commits; each refresh scans ONLY the
+    * delta (asserted in-query: 1 version applied, no full rebuild) and
+    * merges the linear CMS + mergeable SpaceSaving candidates. The final
+    * answer re-ranks the capacity-bounded candidate set by EXACT counts
+    * (q61 discipline), so the oracle is the plain exact top-5 — the
+    * sketch state must have kept every true heavy hitter across merges
+    * for this to hash-match.
+    */
+  def q77IncrementalTopK(s: SparkSession, dir: String): DataFrame = {
+    def words(f: DataFrame) = f
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val root = q77Tables.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q77_inchh").toString
+      val docs = t(s, dir, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val src = storage.VersionedTable(s, s"$r/src")
+      val hh = operators.IncrementalHeavyHitters(s, src, s"$r/state", "w",
+        capacity = 1024)
+      src.append(words(docs.filter(col("doc_id") <= mid)))
+      val (a1, f1) = hh.refresh()
+      src.append(words(docs.filter(col("doc_id") > mid)))
+      val (a2, f2) = hh.refresh()
+      require(a1 == 1 && a2 == 1 && !f1 && !f2,
+        s"refreshes must be delta-only: ($a1,$f1) ($a2,$f2)")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val hh = operators.IncrementalHeavyHitters(s,
+      storage.VersionedTable(s, s"$root/src"), s"$root/state", "w",
+      capacity = 1024)
+    require(hh.refresh() == (0L, false), "state must already be current")
+    val cand = hh.topK(15)
+    words(t(s, dir, "documents"))
+      .join(broadcast(cand.select(col("item").as("w"))), "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w"))
+      .limit(5)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1533,7 +1582,8 @@ object Queries {
     "q73_repetition_scrub" -> (q73RepetitionScrub _),
     "q74_pq_topk" -> (q74PqTopK _),
     "q75_ivfpq_topk" -> (q75IvfPqTopK _),
-    "q76_incremental_dedup" -> (q76IncrementalDedup _)
+    "q76_incremental_dedup" -> (q76IncrementalDedup _),
+    "q77_incremental_topk" -> (q77IncrementalTopK _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2468,6 +2518,14 @@ object Queries {
         |  CAST(SUM(n.doc_id) AS BIGINT) AS id_sum,
         |  CAST(SUM(CAST(('0x' || substr(md5(n.text), 1, 15)) AS BIGINT)
         |    % 1000000007) AS BIGINT) AS text_fp
-        |FROM n JOIN k USING (doc_id) GROUP BY n.lang""".stripMargin
+        |FROM n JOIN k USING (doc_id) GROUP BY n.lang""".stripMargin,
+    // incremental top-k: the maintained sketch proposes candidates, exact
+    // counts rank (q61 discipline) — the oracle is plain exact top-5
+    "q77_incremental_topk" ->
+      """SELECT u.w, COUNT(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |      FROM documents) u
+        |WHERE length(u.w) > 0
+        |GROUP BY u.w ORDER BY n DESC, u.w LIMIT 5""".stripMargin
   )
 }
