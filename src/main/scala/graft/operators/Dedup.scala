@@ -163,6 +163,17 @@ object Dedup {
       .select(col("id"), col("band"),
         bandBucket(col("sig"), col("band"), rows).as("bucket"))
 
+  /** [[minhashCandidatePairs]] over a PRE-COMPUTED signature relation
+    * `(id long, sig array<long>)` — for callers that already paid the
+    * minhash pass (the incremental dedup index keeps signatures, so
+    * re-tokenizing the text would run the batch's most expensive kernel
+    * twice).
+    */
+  private[operators] def candidatePairsFromSigs(withSig: DataFrame,
+      bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame =
+    cappedBucketIdPairs(bandedBuckets(withSig, bands, rowsPerBand),
+      Seq("band", "bucket"), maxBucketSize)
+
   /** Candidate near-dup id pairs from MinHash banding alone (no Jaccard
     * estimate): the cheap front end of an LSH → exact-rescore pipeline.
     */

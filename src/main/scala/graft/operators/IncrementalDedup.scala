@@ -26,17 +26,23 @@ final case class DedupBatchResult(survivors: DataFrame, nIn: Long,
   * document size):
   *
   *  - `docs`:  one row per EVER-ARRIVED doc `(id, ck, sig, rep_id)` —
-  *    `ck` the 128-bit normalized-content key (bloom-sidecar'd for
-  *    equality pruning), `sig` the k-wise MinHash signature, `rep_id`
+  *    `ck` the 128-bit normalized-content key, `sig` the k-wise MinHash
+  *    signature (the index's parameters are pinned in the table's
+  *    offsets and a mismatched reopen is refused loudly), `rep_id`
   *    the surviving representative the doc resolved to. DROPPED docs
   *    stay indexed: their signature still witnesses future near-dups,
   *    and their `rep_id` forwards to the original survivor — a chain
   *    A←B←C discovered across three batches resolves C to A (rep ids
   *    are terminal by induction: every appended rep_id is either the
   *    doc's own id or an already-terminal index rep).
-  *  - `bands`: `(band, bucket, bid)` LSH banding rows per doc — the
-  *    near-dup probe surface. Batches probe it with an equi-join on
-  *    (band, bucket); the delta side is batch-sized.
+  *  - `bands`: `(band, bucket, bid)` LSH banding rows — the near-dup
+  *    probe surface. Batches probe it with an equi-join on
+  *    (band, bucket); the delta side is batch-sized. Only CONTENT THE
+  *    INDEX HAS NEVER SEEN is banded: exact dups (within-batch or vs the
+  *    index) carry signatures identical to their already-banded rep, so
+  *    indexing them would add zero recall while growing that rep's
+  *    bucket by one per recurrence — recurring boilerplate would heat
+  *    its LSH bucket without bound.
   *
   * Within a batch, dedup is the full exact tier + banded near-dup tier
   * with EXACT Jaccard rescore (the batch's text is in hand; min id wins).
@@ -75,9 +81,28 @@ final class IncrementalDedup(spark: SparkSession, indexRoot: String,
   require(numHashes % bands == 0, "bands must divide numHashes")
   private val rowsPerBand = numHashes / bands
 
-  private def docsT = VersionedTable(spark, s"$indexRoot/docs",
-    bloomCols = Seq("ck"))
+  private def docsT = VersionedTable(spark, s"$indexRoot/docs")
   private def bandsT = VersionedTable(spark, s"$indexRoot/bands")
+
+  // the signature parameters are part of the index's identity: reopening
+  // with different ones would make bandBucket slice different signature
+  // ranges (probes silently match nothing) and sigAgreement null out on
+  // length mismatch — unbounded recall loss with no error. Pin them in
+  // the docs table's offsets (they ride every commit) and refuse a
+  // mismatched reopen loudly.
+  private val paramOffsets = Map(
+    "p.shingleSize" -> shingleSize.toLong,
+    "p.numHashes" -> numHashes.toLong,
+    "p.bands" -> bands.toLong,
+    "p.threshold_e6" -> math.round(threshold * 1e6))
+  private def validateParams(): Unit = {
+    val o = docsT.offsets
+    paramOffsets.foreach { case (k, v) =>
+      o.get(k).foreach(stored => require(stored == v,
+        s"incremental dedup index at $indexRoot was built with $k=$stored; " +
+          s"reopened with $k=$v — use the original parameters"))
+    }
+  }
 
   // commits across batches must agree exactly (incl. nullability flags,
   // which joins/checkpoints perturb) — pin both tables to fixed schemas
@@ -97,6 +122,7 @@ final class IncrementalDedup(spark: SparkSession, indexRoot: String,
     * columns.
     */
   def addBatch(delta: DataFrame, textCol: String, idCol: String): DedupBatchResult = {
+    if (docsT.exists) validateParams()
     val d = delta
       .select(col(idCol).cast("long").as("id"), col(textCol).as("_text"))
       .withColumn("ck", md5(normalizedText(col("_text")).cast("binary")))
@@ -118,9 +144,10 @@ final class IncrementalDedup(spark: SparkSession, indexRoot: String,
       if (!nearDup)
         reps1.select(col("id").as("_rep"), col("id").as("_rep2"))
       else {
-        val pairs = Dedup.minhashCandidatePairs(
-          reps1.select(col("id"), col("_text")), "_text", "id",
-          shingleSize, numHashes, bands, maxBucketSize)
+        // band the signatures d already carries — no second minhash pass
+        val pairs = Dedup.candidatePairsFromSigs(
+          reps1.select(col("id"), col("sig")), bands, rowsPerBand,
+          maxBucketSize)
         val sh = reps1.select(col("id"),
           Dedup.shingles(col("_text"), shingleSize).as("_sh"))
         val scored = pairs
@@ -142,22 +169,29 @@ final class IncrementalDedup(spark: SparkSession, indexRoot: String,
       withinRep.filter(col("id") === col("_wrep")).select(col("id")),
       Seq("id"), "left_semi")
 
-    // ---- index probe: batch rep id → surviving index rep (null = none)
+    // ---- index probe: exact content hits are computed for ALL exact
+    // reps (not just the near-tier survivors) — they also gate which
+    // docs' band rows are worth indexing below
+    val exactIdxHit: DataFrame =
+      if (!docsT.exists)
+        reps1.select(col("id"), lit(0L).as("_hit")).limit(0)
+      else
+        reps1.select(col("id"), col("ck"))
+          .join(docsT.read.select(col("ck"), col("rep_id").as("_xrep")),
+            Seq("ck"))
+          .groupBy(col("id")).agg(min(col("_xrep")).as("_hit"))
+
+    // batch rep id → surviving index rep (null = none)
     val probed: DataFrame =
       if (!docsT.exists)
         batchReps.select(col("id").as("_wrep"),
           lit(null).cast("long").as("_irep"))
       else {
-        val idxKeys = docsT.read
-          .select(col("ck"), col("rep_id").as("_xrep"))
-        val exactHit = batchReps.select(col("id"), col("ck"))
-          .join(idxKeys, Seq("ck"))
-          .groupBy(col("id")).agg(min(col("_xrep")).as("_hit"))
         val nearHit: DataFrame =
-          if (!nearDup) exactHit.limit(0)
+          if (!nearDup) exactIdxHit.limit(0)
           else {
             // only reps with NO exact hit reach the banding probe
-            val probe = batchReps.join(exactHit.select(col("id")),
+            val probe = batchReps.join(exactIdxHit.select(col("id")),
                 Seq("id"), "left_anti")
               .select(col("id"), col("sig"),
                 explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -174,7 +208,7 @@ final class IncrementalDedup(spark: SparkSession, indexRoot: String,
               .filter(sigAgreement(col("sig"), col("_xsig")) >= threshold)
               .groupBy(col("id")).agg(min(col("_xrep")).as("_hit"))
           }
-        val hits = exactHit.union(nearHit)
+        val hits = exactIdxHit.union(nearHit)
           .groupBy(col("id")).agg(min(col("_hit")).as("_irep"))
         batchReps.select(col("id")).join(hits, Seq("id"), "left")
           .select(col("id").as("_wrep"), col("_irep"))
@@ -196,18 +230,30 @@ final class IncrementalDedup(spark: SparkSession, indexRoot: String,
 
     // ---- fold the batch into the index: bands first (an orphan band row
     // with no docs row matches nothing — crash between the two commits is
-    // harmless), docs second
-    val newBands = d
-      .select(col("id").as("bid"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket",
-        Dedup.bandBucket(col("sig"), col("band"), rowsPerBand))
-      .select(col("band"), col("bucket"), col("bid"))
-    val nb = newBands.to(bandsSchema)
-    if (bandsT.exists) bandsT.append(nb) else bandsT.overwrite(nb)
+    // harmless), docs second. Band rows are indexed ONLY for content the
+    // index has never seen: within-batch exact dups and exact index hits
+    // have IDENTICAL signatures to their already-banded rep, so their
+    // rows would add zero recall while growing that rep's bucket by one
+    // per recurrence — mass-duplicated boilerplate (one copy per daily
+    // batch) would otherwise heat its LSH bucket without bound. Near-dup
+    // drops DO keep their bands: their signatures are distinct and
+    // witness future chain links.
+    if (nearDup) {
+      val bandDocs = reps1.select(col("id"), col("sig"))
+        .join(exactIdxHit.select(col("id")), Seq("id"), "left_anti")
+      val newBands = bandDocs
+        .select(col("id").as("bid"), col("sig"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("bucket",
+          Dedup.bandBucket(col("sig"), col("band"), rowsPerBand))
+        .select(col("band"), col("bucket"), col("bid")).to(bandsSchema)
+      if (bandsT.exists) bandsT.append(newBands)
+      else bandsT.overwrite(newBands)
+    }
     val newDocs = d.select(col("id"), col("ck"), col("sig"))
       .join(finalRep, Seq("id")).to(docsSchema)
-    if (docsT.exists) docsT.append(newDocs) else docsT.overwrite(newDocs)
+    if (docsT.exists) docsT.append(newDocs, paramOffsets)
+    else docsT.overwrite(newDocs, paramOffsets)
 
     DedupBatchResult(survivors, nIn, nKept, nDroppedWithin, nDroppedVsIndex)
   }

@@ -65,6 +65,14 @@ final class IncrementalHeavyHitters(spark: SparkSession,
       .groupBy(col("item").cast("string").as("item"))
       .agg(sum(col("ub")).as("ub"))
 
+  /** The documented state bound is O(capacity): per-partition SpaceSaving
+    * summaries can emit up to partitions × capacity items, so EVERY write
+    * path truncates to the heaviest `capacity` by summed upper bound (the
+    * mergeable-summaries rule — heavy keys' UBs dominate by construction).
+    */
+  private def bounded(cands: DataFrame): DataFrame =
+    cands.orderBy(desc("ub"), col("item")).limit(capacity)
+
   private def cmsOf(rows: DataFrame): CountMinSketch =
     values(rows).stat.countMinSketch(col("_v"), eps, confidence, seed)
 
@@ -104,23 +112,29 @@ final class IncrementalHeavyHitters(spark: SparkSession,
       throw new IllegalStateException("source table has no commits"))
     val from = appliedVersion
     if (latest == from) return (0L, false)
-    val changes = source.changesBetween(from, latest)
+    // materialize the change window ONCE (it is delta-sized for append
+    // windows and a computed diff for rewrite windows — either way the
+    // delete probe, the sketch pass, and the candidate pass below must
+    // read the same rows, and must not re-execute the diff three times)
+    val changes = source.changesBetween(from, latest).localCheckpoint(true)
     val hasDeletes = !changes.filter(col(ACTION) === "DELETE").isEmpty
     if (hasDeletes) {
-      writeState(cmsOf(source.read), candidatesOf(source.read), latest)
+      // rebuild from the version the offset will claim — a racing append
+      // committing latest+1 mid-rebuild must NOT leak into this state or
+      // its rows would double-merge on the next refresh
+      val snap = source.readVersion(latest)
+      writeState(cmsOf(snap), bounded(candidatesOf(snap)), latest)
       (latest - from, true)
     } else {
       val delta = changes.drop(
         changes.columns.filter(_.startsWith("METADATA$")): _*)
       val (cms, cands) = stored() match {
-        case None => (cmsOf(delta), candidatesOf(delta))
+        case None => (cmsOf(delta), bounded(candidatesOf(delta)))
         case Some((oldCms, oldCands)) =>
           val merged = oldCms.mergeInPlace(cmsOf(delta))
-          // union candidates, sum UBs (mergeable-summary rule), keep the
-          // heaviest `capacity` so state stays bounded across refreshes
-          val c = oldCands.unionByName(candidatesOf(delta))
-            .groupBy(col("item")).agg(sum(col("ub")).as("ub"))
-            .orderBy(desc("ub"), col("item")).limit(capacity)
+          // union candidates, sum UBs (mergeable-summary rule)
+          val c = bounded(oldCands.unionByName(candidatesOf(delta))
+            .groupBy(col("item")).agg(sum(col("ub")).as("ub")))
           (merged, c)
       }
       writeState(cms, cands, latest)

@@ -42,7 +42,6 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val a = base.mkString(" ")                                // batch 1
     val b = (base ++ Seq("u1", "u2", "u3")).mkString(" ")     // ~0.87 of a
     val c = (base ++ Seq("u1", "u2")).mkString(" ")           // ~0.95 of b
-    assert(new IncrementalDedup(spark, freshRoot()) != null) // warm path
     val r1 = inc.addBatch(Seq((1L, a)).toDF("doc_id", "text"), "text", "doc_id")
     assert(r1.nKept == 1)
     val r2 = inc.addBatch(Seq((2L, b)).toDF("doc_id", "text"), "text", "doc_id")
@@ -54,6 +53,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val reps = inc.indexedDocs.collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(reps(2L) == 1L && reps(3L) == 1L)
+  }
+
+  test("reopening with different signature parameters is refused loudly") {
+    val root = freshRoot()
+    val inc = new IncrementalDedup(spark, root, numHashes = 64)
+    inc.addBatch(Seq((1L, "some document text here")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val wrong = new IncrementalDedup(spark, root, numHashes = 128)
+    val e = intercept[IllegalArgumentException](wrong.addBatch(
+      Seq((2L, "more text")).toDF("doc_id", "text"), "text", "doc_id"))
+    assert(e.getMessage.contains("p.numHashes"))
+  }
+
+  test("recurring exact content does not grow its LSH bucket") {
+    val root = freshRoot()
+    val inc = new IncrementalDedup(spark, root)
+    val boiler = "the same boilerplate arrives in every single batch again"
+    for (b <- 1 to 4)
+      inc.addBatch(Seq((b * 100L, boiler),
+        (b * 100L + 1, s"fresh content number $b with its own words"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    // bands hold ONE row set for the boilerplate (batch 1's rep) + one
+    // per fresh doc — 5 distinct band-indexed docs, not 8
+    val banded = graft.storage.VersionedTable(spark, s"$root/bands")
+      .read.select("bid").distinct().count()
+    assert(banded == 5, s"banded docs: $banded")
+    // while the docs table still records every arrival's rep lineage
+    val reps = inc.indexedDocs.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(reps.size == 8 && reps(400L) == 100L)
   }
 
   test("chain-free corpus: two incremental batches equal the batch dedup") {
