@@ -222,7 +222,11 @@ object Queries {
     */
   def q17RecentEvents(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val boundary = ev.agg(max(col("ts")) - expr("INTERVAL 7 DAY")).collect().head.getTimestamp(0)
+    // shape-agnostic boundary: Tables canonicalizes ts to TimestampType, but
+    // extract via get(0)+lit so a future loader shape change (NTZ/LTZ) can't
+    // reintroduce a ClassCastException here — lit() accepts Timestamp,
+    // Instant, and LocalDateTime alike.
+    val boundary = ev.agg(max(col("ts")) - expr("INTERVAL 7 DAY")).collect().head.get(0)
     ev.filter(col("ts") > lit(boundary))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))

@@ -5,11 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Canonical loaders for the benchmark tables at /root/testdata/sf*.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 rejects
-  * outright; we read it as a long (legacy conf) and convert to a microsecond
-  * timestamp with integer division (ts is ~1.7e18 — a double round-trip
-  * would lose precision). DuckDB truncates the same way on
-  * `CAST(ts AS TIMESTAMP)`, so oracle comparisons line up exactly.
+  * `events.ts` has shipped in three physical shapes across driver testdata
+  * regenerations: TIMESTAMP(NANOS) (read as a long under the legacy conf),
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TimestampNTZType), and
+  * plain TIMESTAMP_LTZ micros. The loader canonicalizes ALL of them to
+  * session-zoned TimestampType so every consumer sees one type regardless of
+  * which shape the current files carry. The session timezone is pinned UTC
+  * (GraftSession), so NTZ→LTZ is instant-preserving and DuckDB — which reads
+  * the same file with `CAST(ts AS TIMESTAMP)` semantics — stays aligned.
+  * Nanos are truncated with integer division (ts ~1.7e18 — a double
+  * round-trip would lose precision); DuckDB truncates the same way.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -28,6 +33,8 @@ object Tables {
         raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
             raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
           case _ => raw
         }
       case n =>

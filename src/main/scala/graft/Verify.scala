@@ -20,10 +20,17 @@ object Verify {
         import scala.jdk.CollectionConverters._
         Files.walk(dest).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
+      // a throwing query must be LOUD in the artifacts: a stderr line alone
+      // lets the driver silently drop the CORRECTNESS row and "all green"
+      // masquerade as a clean round (that is exactly how a q17 break nearly
+      // escaped notice in round 6). Write a FAILED marker the judge can see.
+      val marker = Paths.get(s"$outDir/$name.FAILED")
+      Files.deleteIfExists(marker)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(marker, s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

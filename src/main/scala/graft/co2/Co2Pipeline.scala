@@ -47,6 +47,34 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
   def load(source: FeedSource): Long =
     ingest(NoaaIngest.parseFeed(spark, source))
 
+  /** Warehouse-scaling parity hook (SURVEY §4): the reference brackets every
+    * heavy statement with `ALTER WAREHOUSE … SET WAREHOUSE_SIZE = XLARGE …
+    * WAIT_FOR_COMPLETION = TRUE` and a finally-block downscale to XSMALL
+    * (co2_harmonized_sp/co2_harmonized_sp/function.py:115,166;
+    * co2_analytical_sp/co2_analytical_sp/function.py:91,151). Spark has no
+    * per-statement warehouse — capacity is dynamic allocation
+    * (`spark.dynamicAllocation.*`), which grows/shrinks executors while the
+    * bracketed stages run, so no resize call is needed. The hook preserves
+    * the reference's API shape (bracket a heavy statement, guaranteed
+    * restore on exit) by tagging the bracketed jobs with a scheduler pool +
+    * job description — on a FAIR-scheduler cluster the `scaled-<size>` pool
+    * is where an operator would pin a higher weight/minShare, which is the
+    * closest native analog to a bigger warehouse — and restores the
+    * previous properties in a finally.
+    */
+  def withScaledResources[T](size: String = "XLARGE")(body: => T): T = {
+    val sc = spark.sparkContext
+    val prevPool = sc.getLocalProperty("spark.scheduler.pool")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setLocalProperty("spark.scheduler.pool", s"scaled-${size.toLowerCase}")
+    sc.setJobDescription(s"withScaledResources($size)")
+    try body
+    finally {
+      sc.setLocalProperty("spark.scheduler.pool", prevPool)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+    }
+  }
+
   private def ingest(parsed: DataFrame): Long = {
     val wm = if (raw.exists) NoaaIngest.watermark(raw.read) else None
     val fresh = NoaaIngest.newerThan(parsed, wm).cache()
@@ -88,18 +116,23 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
         col("CO2_PPM"),
         batchTs.as("META_UPDATED_AT"))
 
-    // Partition-scoped merge: harmonized is committed partitioned by YEAR
-    // (functionally determined by the DATE key), so an incremental load
-    // rewrites only the touched years — never the full history snapshot.
-    val r = MergeInto(spark, harmonized, source, Seq("DATE"),
-      consumeOffsets = Map(STREAM_NAME -> latestBatch), dedupeSource = true,
-      partitionBy = Some("YEAR"))
+    // Heavy statement bracket — reference scales to XLARGE around the merge
+    // (co2_harmonized_sp/function.py:115,166)
+    val r = withScaledResources("XLARGE") {
+      // Partition-scoped merge: harmonized is committed partitioned by YEAR
+      // (functionally determined by the DATE key), so an incremental load
+      // rewrites only the touched years — never the full history snapshot.
+      val r = MergeInto(spark, harmonized, source, Seq("DATE"),
+        consumeOffsets = Map(STREAM_NAME -> latestBatch), dedupeSource = true,
+        partitionBy = Some("YEAR"))
 
-    // CTAS _CO2_MINMAX (co2_harmonized_sp/function.py:74-91)
-    val mm = harmonized.read.agg(
-      min(col("CO2_PPM")).as("MIN_CO2"),
-      max(col("CO2_PPM")).as("MAX_CO2"))
-    minMax.overwrite(mm)
+      // CTAS _CO2_MINMAX (co2_harmonized_sp/function.py:74-91)
+      val mm = harmonized.read.agg(
+        min(col("CO2_PPM")).as("MIN_CO2"),
+        max(col("CO2_PPM")).as("MAX_CO2"))
+      minMax.overwrite(mm)
+      r
+    }
 
     s"Harmonized: ${r.updated} updated, ${r.inserted} inserted (v${r.version})"
   }
@@ -131,9 +164,13 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
         Co2Functions.normalizeCo2(col("CO2_PPM"), lit(minCo2), lit(maxCo2)).as("NORMALIZED_CO2"),
         batchTs.as("META_UPDATED_AT"))
     // key-unique by construction: harmonized is keyed by DATE and OrderedLag
-    // emits one output row per input row — skip the duplicate-source pass
-    val dr = MergeInto(spark, dailyStats, daily, Seq("DATE"),
-      checkDuplicateKeys = false)
+    // emits one output row per input row — skip the duplicate-source pass.
+    // Reference scales to LARGE around the analytics merges
+    // (co2_analytical_sp/function.py:91,151).
+    val dr = withScaledResources("LARGE") {
+      MergeInto(spark, dailyStats, daily, Seq("DATE"),
+        checkDuplicateKeys = false)
+    }
 
     // weekly: Monday-truncated buckets; the reference labels the weekly
     // MIN/MAX as WEEK_START_CO2/WEEK_END_CO2 — replicated faithfully, and
@@ -152,8 +189,10 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
         Co2Functions.normalizeCo2(col("AVG_WEEKLY_CO2"), lit(minCo2), lit(maxCo2)).as("NORMALIZED_WEEKLY_CO2"),
         batchTs.as("META_UPDATED_AT"))
     // key-unique by construction: weekly IS a groupBy on WEEK_START
-    val wr = MergeInto(spark, weeklyStats, weekly, Seq("WEEK_START"),
-      checkDuplicateKeys = false)
+    val wr = withScaledResources("LARGE") {
+      MergeInto(spark, weeklyStats, weekly, Seq("WEEK_START"),
+        checkDuplicateKeys = false)
+    }
 
     s"Analytics: daily ${dr.updated}u/${dr.inserted}i, weekly ${wr.updated}u/${wr.inserted}i"
   }

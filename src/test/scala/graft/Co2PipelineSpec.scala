@@ -168,6 +168,30 @@ class Co2PipelineSpec extends AnyFunSuite {
     assert(!Files.exists(stage.resolve("co2_data_1.csv")))
   }
 
+  test("withScaledResources brackets jobs with a pool and restores on exit and on throw (§4 warehouse parity)") {
+    val root = Files.createTempDirectory("wh_scale_").toString
+    val p = Co2Pipeline(spark, root)
+    val sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", "steady")
+    try {
+      val got = p.withScaledResources("XLARGE") {
+        assert(sc.getLocalProperty("spark.scheduler.pool") == "scaled-xlarge")
+        assert(sc.getLocalProperty("spark.job.description")
+          .contains("withScaledResources(XLARGE)"))
+        42
+      }
+      assert(got == 42)
+      // finally-block downscale parity: previous pool restored
+      assert(sc.getLocalProperty("spark.scheduler.pool") == "steady")
+      // restore happens even when the bracketed statement throws (the
+      // reference's finally-block ALTER WAREHOUSE … XSMALL)
+      intercept[RuntimeException] {
+        p.withScaledResources("LARGE") { throw new RuntimeException("boom") }
+      }
+      assert(sc.getLocalProperty("spark.scheduler.pool") == "steady")
+    } finally sc.setLocalProperty("spark.scheduler.pool", null)
+  }
+
   test("staged CSV roundtrip (partitioned write + typed tolerant read)") {
     val stage = Files.createTempDirectory("stage_").toString
     val df = Seq((2024, 1, 1, 2024.0, 420.1), (2025, 1, 1, 2025.0, 423.4))
