@@ -105,6 +105,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q46: dedup shuffle is narrow — text never rides the winners exchange") {
+    val p = planOf("q46_training_pipeline")
+    // no window-rank over full rows anywhere in the pipeline
+    assert(!p.contains("Window"), p)
+    // the winners aggregation below its exchange projects ONLY (_h, doc_id):
+    // every HashAggregate keyed on the content hash must not carry text
+    val aggLines = p.split("\n").filter(l =>
+      l.contains("HashAggregate") && l.contains("_h"))
+    assert(aggLines.nonEmpty, p)
+    assert(aggLines.forall(!_.contains("text")), aggLines.mkString("\n"))
+  }
+
   test("partitioned layout prunes: only the filtered partition is scanned") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("prune").toString
