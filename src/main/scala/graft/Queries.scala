@@ -1513,6 +1513,16 @@ object Queries {
       .limit(5)
   }
 
+  /** PMI bigram phrase mining (X48): top collocations by pointwise mutual
+    * information with a count floor — the phrase-discovery / tokenizer-
+    * vocabulary-audit primitive. Exercises the zip-with adjacent-pair
+    * explode (no self-join), vocab-bounded wordcount shuffles, and the
+    * shared-expression float contract with the DuckDB oracle.
+    */
+  def q78PmiBigrams(s: SparkSession, dir: String): DataFrame =
+    operators.Relevance.pmiTopK(t(s, dir, "documents"), "text",
+      k = 20, minCount = 5)
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1594,7 +1604,8 @@ object Queries {
     "q74_pq_topk" -> (q74PqTopK _),
     "q75_ivfpq_topk" -> (q75IvfPqTopK _),
     "q76_incremental_dedup" -> (q76IncrementalDedup _),
-    "q77_incremental_topk" -> (q77IncrementalTopK _)
+    "q77_incremental_topk" -> (q77IncrementalTopK _),
+    "q78_pmi_bigrams" -> (q78PmiBigrams _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2537,6 +2548,31 @@ object Queries {
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
         |      FROM documents) u
         |WHERE length(u.w) > 0
-        |GROUP BY u.w ORDER BY n DESC, u.w LIMIT 5""".stripMargin
+        |GROUP BY u.w ORDER BY n DESC, u.w LIMIT 5""".stripMargin,
+    // PMI with the same expression shape as the Spark side:
+    // ln((c12_d * M * M) / (c1_d * c2 * N)) rounded to 4 decimals —
+    // identical IEEE double sequencing, so hashes match exactly
+    "q78_pmi_bigrams" ->
+      """WITH d AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT u.t AS t, COUNT(*) AS c
+        |        FROM d, unnest(d.w) AS u(t)
+        |        WHERE length(u.t) > 0 GROUP BY 1),
+        |m AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM uni),
+        |bg AS (SELECT u.b AS b, COUNT(*) AS c12
+        |       FROM d, unnest([w[i] || ' ' || w[i+1]
+        |                       for i in range(1, len(w))]) AS u(b)
+        |       GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM bg),
+        |sc AS (SELECT bg.b AS bigram, bg.c12,
+        |    round(ln((CAST(bg.c12 AS DOUBLE) * m.m * m.m)
+        |             / (CAST(u1.c AS DOUBLE) * u2.c * n.n)), 4) AS pmi_r
+        |  FROM bg
+        |  JOIN uni u1 ON string_split(bg.b, ' ')[1] = u1.t
+        |  JOIN uni u2 ON string_split(bg.b, ' ')[2] = u2.t
+        |  CROSS JOIN m CROSS JOIN n
+        |  WHERE bg.c12 >= 5)
+        |SELECT bigram, c12, pmi_r FROM sc
+        |ORDER BY pmi_r DESC, bigram LIMIT 20""".stripMargin
   )
 }

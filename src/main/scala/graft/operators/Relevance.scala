@@ -79,6 +79,66 @@ object Relevance {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
+  /** Pointwise-mutual-information bigram mining — the phrase-discovery /
+    * collocation-scoring primitive (word2vec-style phrase joining, tokenizer
+    * vocabulary audits, boilerplate detection). For adjacent token pair
+    * (w1, w2): `pmi = ln( p(w1,w2) / (p(w1)·p(w2)) )` with
+    * `p(w1,w2) = c12/N` (N = corpus bigram count) and `p(w) = c/M`
+    * (M = corpus token count), i.e. `ln((c12·M·M)/(c1·c2·N))`.
+    *
+    * Returns `(bigram, c12, pmi_r)` for pairs with `c12 >= minCount`
+    * (the standard guard against unstable PMI on rare pairs); `pmi_r` is
+    * rounded to 4 decimals for cross-engine comparability.
+    *
+    * Scale shape: the corpus scan explodes to adjacent pairs via a
+    * zip-with over the token array (no self-join, no window); both
+    * aggregations are map-side-partial wordcount shuffles bounded by
+    * vocabulary size (bigram relation ≤ vocab², in practice corpus-sized
+    * at worst); the unigram joins key on each bigram's parts — vocab-sized
+    * relations AQE broadcasts when small; the two corpus constants reduce
+    * to one row each and broadcast. Full text never rides any exchange.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long = 5L): DataFrame = {
+    val toks = docs
+      .select(tokens(col(textCol)).as("_w"))
+      .filter(col("_w").isNotNull)
+    val uni = toks.select(explode(col("_w")).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val m = uni.agg(sum(col("_c")).as("_m")) // total tokens, 1 row
+    // adjacent pairs: zip the array against itself shifted by one — a
+    // doc with k tokens emits exactly k-1 pairs, empty/1-token docs none
+    val bi = toks
+      .select(explode(zip_with(
+        slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0))),
+        slice(col("_w"), lit(2), greatest(size(col("_w")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col("_p.w1").as("_w1"), col("_p.w2").as("_w2"))
+      .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("c12"))
+    val n = bi.agg(sum(col("c12")).as("_n")) // total bigrams, 1 row
+    bi.filter(col("c12") >= minCount)
+      .join(uni.select(col("_t").as("_w1"), col("_c").as("_c1")), "_w1")
+      .join(uni.select(col("_t").as("_w2"), col("_c").as("_c2")), "_w2")
+      .crossJoin(broadcast(m))
+      .crossJoin(broadcast(n))
+      .select(
+        concat_ws(" ", col("_w1"), col("_w2")).as("bigram"),
+        col("c12"),
+        // exact expression shape shared with the DuckDB oracle:
+        // (c12_d * M * M) / (c1_d * c2 * N), then round(·, 4)
+        round(log((col("c12").cast("double") * col("_m") * col("_m")) /
+          (col("_c1").cast("double") * col("_c2") * col("_n"))), 4)
+          .as("pmi_r"))
+  }
+
+  /** Top-k PMI bigrams, deterministically ordered (pmi desc, bigram). */
+  def pmiTopK(docs: DataFrame, textCol: String, k: Int,
+              minCount: Long = 5L): DataFrame =
+    pmiBigrams(docs, textCol, minCount)
+      .orderBy(desc("pmi_r"), col("bigram"))
+      .limit(k)
+
   /** TF-IDF weights for every (doc, term) with df ≥ `minDf` — the
     * vectorization building block (feature pipelines, keyword extraction).
     * `(idCol, term, tf, df, tfidf)`; tfidf = tf · ln(N / df).

@@ -56,6 +56,29 @@ class RelevanceSpec extends AnyFunSuite {
     assert(pruned == Set("a"))
   }
 
+  test("pmiBigrams matches the manual formula; minCount floors rare pairs") {
+    // corpus: "x y" appears 3 times adjacent; tokens: x:3 y:3 z:2
+    // M = 8 tokens, N = 5 bigrams; pmi(x y) = ln((3*8*8)/(3*3*5))
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y"), (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val rows = Relevance.pmiBigrams(docs, "text", minCount = 3L).collect()
+    assert(rows.length == 1, rows.mkString(";")) // only (x,y) reaches count 3
+    val r = rows.head
+    assert(r.getString(0) == "x y" && r.getLong(1) == 3L)
+    val expect = BigDecimal(math.log((3.0 * 8 * 8) / (3.0 * 3 * 5)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == expect, s"${r.getDouble(2)} vs $expect")
+    // minCount=2 admits (y,z) with c12=2: pmi = ln((2*8*8)/(3*2*5))
+    val two = Relevance.pmiBigrams(docs, "text", minCount = 2L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two == Map("x y" -> 3L, "y z" -> 2L))
+    // degenerate docs contribute nothing and never throw
+    val edge = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "solo"))
+      .toDF("doc_id", "text")
+    assert(Relevance.pmiBigrams(edge, "text", minCount = 1L).count() == 0)
+  }
+
   test("bm25 plan: corpus-sized side never shuffles more than the tokenize agg; df/stats broadcast") {
     val plan = Relevance.bm25(Tables(spark, "/root/testdata/sf0.001", "documents"),
       "text", "doc_id", Seq("spark", "merge")).queryExecution.executedPlan.toString
