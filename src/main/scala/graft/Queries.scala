@@ -1523,6 +1523,29 @@ object Queries {
     operators.Relevance.pmiTopK(t(s, dir, "documents"), "text",
       k = 20, minCount = 5)
 
+  /** Bigram-LM perplexity scoring (X49): the 10 most-improbable documents
+    * under an add-one-smoothed bigram model trained on the corpus itself —
+    * the KenLM/CCNet quality-filter shape with a fully-distributed model
+    * (no driver vocabulary, exact).
+    */
+  def q79BigramNll(s: SparkSession, dir: String): DataFrame =
+    operators.LmScore.bigramNll(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(desc("nll_r"), col("doc_id"))
+      .limit(10)
+
+  /** Temperature-sampled mixture (X50): per-source keep rates computed
+    * from the corpus (alpha=0.5 upsamples small sources), deterministic
+    * hash-bucket membership, summarized per source (count + id-sum pins
+    * the exact kept set).
+    */
+  def q80TemperatureMixture(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling
+      .temperatureMixture(t(s, dir, "documents"), "source", "doc_id",
+        alpha = 0.5, budgetRows = 300L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1605,7 +1628,9 @@ object Queries {
     "q75_ivfpq_topk" -> (q75IvfPqTopK _),
     "q76_incremental_dedup" -> (q76IncrementalDedup _),
     "q77_incremental_topk" -> (q77IncrementalTopK _),
-    "q78_pmi_bigrams" -> (q78PmiBigrams _)
+    "q78_pmi_bigrams" -> (q78PmiBigrams _),
+    "q79_bigram_nll" -> (q79BigramNll _),
+    "q80_temperature_mixture" -> (q80TemperatureMixture _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2573,6 +2598,45 @@ object Queries {
         |  CROSS JOIN m CROSS JOIN n
         |  WHERE bg.c12 >= 5)
         |SELECT bigram, c12, pmi_r FROM sc
-        |ORDER BY pmi_r DESC, bigram LIMIT 20""".stripMargin
+        |ORDER BY pmi_r DESC, bigram LIMIT 20""".stripMargin,
+    // add-one-smoothed bigram LM, same expression sequencing as the Spark
+    // side: ln((c12_d + 1.0)/(c1_d + V)), -SUM/COUNT, round 4
+    "q79_bigram_nll" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id,
+        |        string_split(u.b, ' ')[1] AS w1,
+        |        string_split(u.b, ' ')[2] AS w2
+        |      FROM d, unnest([w[i] || ' ' || w[i+1]
+        |                      for i in range(1, len(w))]) AS u(b)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM p GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT u.t) AS v
+        |      FROM d, unnest(d.w) AS u(t) WHERE length(u.t) > 0),
+        |sc AS (SELECT p.doc_id, COUNT(*) AS n_bigrams,
+        |    round((-SUM(ln((CAST(c12.c12 AS DOUBLE) + 1.0)
+        |                   / (CAST(c1.c1 AS DOUBLE) + v.v)))) / COUNT(*), 4)
+        |      AS nll_r
+        |  FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, nll_r FROM sc
+        |ORDER BY nll_r DESC, doc_id LIMIT 10""".stripMargin,
+    // temperature mixture: cutoff = least(10000, round(budget*pa/tot/n*10000)),
+    // selection by the engine's md5 hash-bucket spec
+    "q80_temperature_mixture" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |pc AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS pa FROM c),
+        |t AS (SELECT SUM(pa) AS tot FROM pc),
+        |r AS (SELECT source,
+        |        least(10000, round(300.0 * pa / t.tot / n * 10000)) AS cut
+        |      FROM pc CROSS JOIN t),
+        |k AS (SELECT d.source, d.doc_id
+        |      FROM documents d JOIN r USING (source)
+        |      WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |               AS BIGINT) % 10000 + 10000) % 10000 < cut)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM k GROUP BY 1""".stripMargin
   )
 }

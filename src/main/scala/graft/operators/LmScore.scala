@@ -102,4 +102,54 @@ object LmScore {
     score(df, textCol, lm)
       .filter(col("bits_per_token").isNotNull &&
         col("bits_per_token") <= maxBitsPerToken)
+
+  /** Bigram-LM self-scoring, fully distributed (X49): train an add-one-
+    * smoothed bigram model on the corpus and score every document by its
+    * average negative log-likelihood under it — high NLL = improbable
+    * token transitions = gibberish/boilerplate/wrong-language, the
+    * KenLM-filter shape (CCNet) one order up from [[UnigramLm]].
+    *
+    * `p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)`; per-doc score
+    * `nll = -Σ ln p / n_bigrams`, rounded to 4 decimals.
+    *
+    * Unlike [[train]]/[[score]] (driver-broadcast model map, right for a
+    * floored vocabulary), the model here never materializes anywhere: the
+    * count relations stay distributed and scoring is two equi-joins on
+    * token keys — the right shape when the vocabulary itself is too big
+    * to broadcast (no cap, no floor, exact). Returns `(idCol, n_bigrams,
+    * nll_r)`; docs with <2 tokens have no transitions and drop out.
+    *
+    * Scale shape: the pair relation is corpus-token-sized but NARROW
+    * (id, w1, w2) — text never rides any exchange; c12/c1 are vocab-
+    * bounded wordcount aggregates (AQE broadcasts them when small); V
+    * reduces to one broadcast row; the final per-doc agg is one narrow
+    * shuffle on the id.
+    */
+  def bigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_w"))
+      .filter(col("_w").isNotNull)
+    val pairs = toks.select(col(idCol), explode(zip_with(
+        slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0))),
+        slice(col("_w"), lit(2), greatest(size(col("_w")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col(idCol), col("_p.w1").as("_w1"), col("_p.w2").as("_w2"))
+    val c12 = pairs.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c12"))
+    val c1 = pairs.groupBy("_w1").agg(count(lit(1)).as("_c1"))
+    val v = toks.select(explode(col("_w")).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .agg(countDistinct(col("_t")).as("_v"))
+    pairs
+      .join(c12, Seq("_w1", "_w2"))
+      .join(c1, Seq("_w1"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        // exact expression shape shared with the DuckDB oracle:
+        // ln((c12_d + 1.0) / (c1_d + V))
+        log((col("_c12").cast("double") + 1.0) /
+          (col("_c1").cast("double") + col("_v"))).as("_lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((-sum(col("_lp"))) / count(lit(1)), 4).as("nll_r"))
+  }
 }

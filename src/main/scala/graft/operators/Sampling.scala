@@ -78,6 +78,40 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < cutoff)
   }
 
+  /** Temperature-sampled mixture (T5/mT5 style, X50): per-group keep
+    * rates COMPUTED from the corpus itself instead of hand-configured
+    * ([[sampleMixture]]'s contract). With group sizes n_g and temperature
+    * exponent `alpha` ∈ (0,1], the target mixture is
+    * `p_g = n_g^alpha / Σ_h n_h^alpha` (alpha < 1 upsamples small
+    * groups/languages relative to their natural share), and each group is
+    * kept at `rate_g = min(1, budgetRows · p_g / n_g)` via the same
+    * id-pure hash buckets — so membership stays deterministic and NESTED
+    * as the budget grows.
+    *
+    * Fully distributed: the rate relation is a per-group aggregate joined
+    * back on the group key (AQE broadcasts it when small) — no driver
+    * collect, so it holds when "groups" are millions of web domains, the
+    * per-domain-cap shape (C4/RefinedWeb) at 100 TB.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+                         alpha: Double, budgetRows: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(budgetRows > 0, "budgetRows must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_pa", pow(col("_n").cast("double"), alpha))
+    val tot = counts.agg(sum(col("_pa")).as("_tot"))
+    // cutoff expression shape shared with the oracle SQL:
+    // least(10000, round(budget * pa / tot / n * 10000))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        least(lit(BUCKETS.toDouble), round(
+          lit(budgetRows.toDouble) * col("_pa") / col("_tot") /
+            col("_n") * BUCKETS)).as("_cut"))
+    df.join(rates, Seq(groupCol))
+      .filter(hashBucket(col(idCol)) < col("_cut"))
+      .drop("_cut")
+  }
+
   /** Deterministic balanced sample: exactly `n` rows per group (fewer if
     * the group is smaller), chosen by the engine-stable md5 order — the
     * class-balancing step for fine-tuning / eval set construction. Same

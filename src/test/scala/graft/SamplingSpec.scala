@@ -78,6 +78,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(none.filter(col("source") === "src0").count() == 0)
   }
 
+  test("temperatureMixture: alpha=1 is uniform; alpha<1 upsamples small groups; deterministic") {
+    import spark.implicits._
+    val df = (0L until 900L).map(i => (i, if (i < 800) "big" else "small"))
+      .toDF("id", "grp")
+    // alpha=1, budget=total -> rate 1 everywhere: everything kept
+    assert(Sampling.temperatureMixture(df, "grp", "id", 1.0, 900L).count() == 900)
+    // alpha=0.5: keep rates r_g = budget * sqrt(n_g)/tot / n_g — the small
+    // group's rate exceeds the big group's by sqrt(800/100) ≈ 2.83x
+    val kept = Sampling.temperatureMixture(df, "grp", "id", 0.5, 300L)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigRate = kept("big").toDouble / 800
+    val smallRate = kept("small").toDouble / 100
+    assert(smallRate > bigRate * 2.0, s"small=$smallRate big=$bigRate")
+    // membership is a pure function of the id: stable across runs
+    val a = Sampling.temperatureMixture(df, "grp", "id", 0.5, 300L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMixture(df.orderBy(rand(7)), "grp", "id", 0.5, 300L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // budgets nest: everything kept at 150 is kept at 300
+    val half = Sampling.temperatureMixture(df, "grp", "id", 0.5, 150L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(a))
+  }
+
   test("shuffleDeterministic: a real permutation, stable across runs and input order") {
     val out = Sampling.shuffleDeterministic(docs, "doc_id", 7L, 4)
       .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
