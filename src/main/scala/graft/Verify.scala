@@ -1,8 +1,41 @@
 package graft
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump one query's result to `outDir/<name>` (parquet). A throwing
+    * query must be LOUD in the artifacts: a stderr line alone lets the
+    * driver silently drop the CORRECTNESS row and "all green" masquerade
+    * as a clean round (exactly how the round-6 q17 break nearly escaped
+    * notice) — so failure writes an `outDir/<name>.FAILED` marker with
+    * the error, and any prior result for the name is pre-deleted so stale
+    * output can never mask a new failure. Returns true on success.
+    */
+  def dumpOne(spark: SparkSession, outDir: String, name: String,
+              fn: (SparkSession, String) => DataFrame,
+              sfDir: String): Boolean = {
+    // pre-delete so a failed query can NEVER be masked by stale results
+    // of a previous run in the same outDir
+    val dest = Paths.get(s"$outDir/$name")
+    if (Files.exists(dest)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dest).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val marker = Paths.get(s"$outDir/$name.FAILED")
+    Files.deleteIfExists(marker)
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      Files.writeString(marker, s"${e.getClass.getName}: ${e.getMessage}\n")
+      false
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     // the tuned session (nanos-parquet compat, extensions, AQE) — a plain
@@ -13,25 +46,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      // pre-delete so a failed query can NEVER be masked by stale results
-      // of a previous run in the same outDir
-      val dest = Paths.get(s"$outDir/$name")
-      if (Files.exists(dest)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(dest).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
-      // a throwing query must be LOUD in the artifacts: a stderr line alone
-      // lets the driver silently drop the CORRECTNESS row and "all green"
-      // masquerade as a clean round (that is exactly how a q17 break nearly
-      // escaped notice in round 6). Write a FAILED marker the judge can see.
-      val marker = Paths.get(s"$outDir/$name.FAILED")
-      Files.deleteIfExists(marker)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        Files.writeString(marker, s"${e.getClass.getName}: ${e.getMessage}\n")
-      }
+      dumpOne(spark, outDir, name, fn, sfDir)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
