@@ -1513,6 +1513,55 @@ object Queries {
       .limit(5)
   }
 
+  /** One-per-JVM q81 incremental-decontamination states (q58 pattern). */
+  private val q81Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental decontamination (X51): the benchmark (doc_id%100==0)
+    * lands in a versioned table as two id-range append commits; each
+    * refresh folds ONLY the delta's grams into the persisted count-backed
+    * gram index (asserted in-query: 1 version per refresh, then
+    * already-current = 0). The whole corpus is then flagged against the
+    * INDEX — for the oracle to hash-match, the incrementally-built gram
+    * set must exactly equal the from-scratch benchmark gram set (q42
+    * semantics, n=8).
+    */
+  def q81IncrementalDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val root = q81Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q81_incdecon").toString
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text"))
+      val mid = bench.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val src = storage.VersionedTable(s, s"$r/bench", collectStats = false)
+      val idx = operators.IncrementalDecontaminate(s, src, s"$r/state",
+        "text", n = 8)
+      src.append(bench.filter(col("doc_id") <= mid))
+      val a1 = idx.refresh()
+      src.append(bench.filter(col("doc_id") > mid))
+      val a2 = idx.refresh()
+      require(a1 == 1 && a2 == 1, s"refreshes must be delta-only: $a1 $a2")
+      require(idx.refresh() == 0L, "state must already be current")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val idx = operators.IncrementalDecontaminate(s,
+      storage.VersionedTable(s, s"$root/bench", collectStats = false),
+      s"$root/state", "text", n = 8)
+    val docs = t(s, dir, "documents")
+    val bad = idx.contaminatedIds(docs, "doc_id", "text")
+      .withColumn("is_contaminated", lit(true))
+    docs.join(bad, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_contaminated"), 1L).otherwise(0L))
+          .cast("long").as("n_contaminated"))
+  }
+
   /** PMI bigram phrase mining (X48): top collocations by pointwise mutual
     * information with a count floor — the phrase-discovery / tokenizer-
     * vocabulary-audit primitive. Exercises the zip-with adjacent-pair
@@ -1630,7 +1679,8 @@ object Queries {
     "q77_incremental_topk" -> (q77IncrementalTopK _),
     "q78_pmi_bigrams" -> (q78PmiBigrams _),
     "q79_bigram_nll" -> (q79BigramNll _),
-    "q80_temperature_mixture" -> (q80TemperatureMixture _)
+    "q80_temperature_mixture" -> (q80TemperatureMixture _),
+    "q81_incremental_decontaminate" -> (q81IncrementalDecontaminate _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2637,6 +2687,25 @@ object Queries {
         |               AS BIGINT) % 10000 + 10000) % 10000 < cut)
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        |FROM k GROUP BY 1""".stripMargin
+        |FROM k GROUP BY 1""".stripMargin,
+    // the incrementally-built gram index must equal the from-scratch
+    // benchmark gram set — the oracle is the full recompute (q42, n=8)
+    "q81_incremental_decontaminate" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+        |       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest([array_to_string(w[i+1 : i+8], ' ')
+        |          for i in range(0, len(w) - 7)]) AS gram
+        |  FROM w WHERE len(w) >= 8),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM g
+        |        WHERE gram IN (SELECT gram FROM bg))
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated
+        |FROM documents d LEFT JOIN bad b USING (doc_id)
+        |GROUP BY d.lang""".stripMargin
   )
 }
