@@ -1562,6 +1562,25 @@ object Queries {
           .cast("long").as("n_contaminated"))
   }
 
+  /** Data-quality expectation audit (X52): the Deequ-shape ingestion gate
+    * over lineitem — null/range/set/regex/predicate rules folded into ONE
+    * conditional-aggregate scan, uniqueness via one narrow groupBy,
+    * referential integrity via one anti-join against orders.
+    */
+  def q82ExpectationsAudit(s: SparkSession, dir: String): DataFrame = {
+    import operators.Expectations._
+    val li = t(s, dir, "lineitem")
+    audit(li, Seq(
+      NotNull("l_orderkey"),
+      InRange("l_quantity", 1.0, 50.0),
+      InRange("l_discount", 0.0, 0.1),
+      OneOf("l_returnflag", Seq("R", "A", "N")),
+      Matches("l_linestatus", "[OF]"),
+      Satisfies("price_positive", col("l_extendedprice") > 0.0),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+  }
+
   /** PMI bigram phrase mining (X48): top collocations by pointwise mutual
     * information with a count floor — the phrase-discovery / tokenizer-
     * vocabulary-audit primitive. Exercises the zip-with adjacent-pair
@@ -1680,7 +1699,8 @@ object Queries {
     "q78_pmi_bigrams" -> (q78PmiBigrams _),
     "q79_bigram_nll" -> (q79BigramNll _),
     "q80_temperature_mixture" -> (q80TemperatureMixture _),
-    "q81_incremental_decontaminate" -> (q81IncrementalDecontaminate _)
+    "q81_incremental_decontaminate" -> (q81IncrementalDecontaminate _),
+    "q82_expectations_audit" -> (q82ExpectationsAudit _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2706,6 +2726,41 @@ object Queries {
         |  CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_contaminated
         |FROM documents d LEFT JOIN bad b USING (doc_id)
-        |GROUP BY d.lang""".stripMargin
+        |GROUP BY d.lang""".stripMargin,
+    "q82_expectations_audit" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+        |v AS (
+        |  SELECT 'not_null:l_orderkey' AS rule, n.n AS n_rows,
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |      AS n_violations FROM n
+        |  UNION ALL SELECT 'in_range:l_quantity', n.n,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0)
+        |    FROM n
+        |  UNION ALL SELECT 'in_range:l_discount', n.n,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1)
+        |    FROM n
+        |  UNION ALL SELECT 'one_of:l_returnflag', n.n,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('R','A','N'))
+        |    FROM n
+        |  UNION ALL SELECT 'matches:l_linestatus', n.n,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_linestatus IS NULL
+        |        OR NOT regexp_full_match(l_linestatus, '[OF]')) FROM n
+        |  UNION ALL SELECT 'satisfies:price_positive', n.n,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE NOT COALESCE(l_extendedprice > 0.0, FALSE)) FROM n
+        |  UNION ALL SELECT 'unique:l_orderkey,l_linenumber', n.n,
+        |    n.n - (SELECT COUNT(*) FROM
+        |           (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |    FROM n
+        |  UNION ALL SELECT 'ref:l_orderkey', n.n,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_orderkey IS NOT NULL
+        |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) FROM n)
+        |SELECT rule, n_rows, n_violations,
+        |  n_violations = 0 AS passed FROM v""".stripMargin
   )
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectation audit (X52) — the Deequ/Great-Expectations
+  * shape: declarative per-column constraints evaluated over a table in as
+  * few passes as the constraint algebra allows, reported as one row per
+  * rule `(rule, n_rows, n_violations, passed)`. The ingestion gate a
+  * production pipeline runs before committing a batch (and the batch
+  * counterpart of a stream's schema enforcement).
+  *
+  * Scale shape: ALL scalar rules (null, range, regex, set-membership,
+  * custom predicate) fold into ONE conditional-aggregate scan — no
+  * shuffle, no per-rule pass. `Unique` adds one groupBy on its key
+  * (map-side partial, count>1 groups only); `RefIntegrity` adds one
+  * anti-join against the dimension (broadcast when small, the usual AQE
+  * contract). Report size = number of rules, never data-sized.
+  */
+object Expectations {
+
+  sealed trait Rule { def name: String }
+
+  /** Column must be non-null. */
+  final case class NotNull(column: String) extends Rule {
+    def name = s"not_null:$column"
+  }
+  /** Numeric column within [lo, hi] (nulls are violations). */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+    def name = s"in_range:$column"
+  }
+  /** String column fully matches the regex (nulls are violations). */
+  final case class Matches(column: String, regex: String) extends Rule {
+    def name = s"matches:$column"
+  }
+  /** Column value in the allowed set (nulls are violations). */
+  final case class OneOf(column: String, values: Seq[String]) extends Rule {
+    def name = s"one_of:$column"
+  }
+  /** Arbitrary row predicate: violation where NOT satisfied / null. */
+  final case class Satisfies(label: String, predicate: Column) extends Rule {
+    def name = s"satisfies:$label"
+  }
+  /** Key columns identify rows uniquely (each extra copy is a violation). */
+  final case class Unique(columns: Seq[String]) extends Rule {
+    def name = s"unique:${columns.mkString(",")}"
+  }
+  /** Every non-null value of `column` exists in `dim.dimCol` (orphan rows
+    * are violations).
+    */
+  final case class RefIntegrity(column: String, dim: DataFrame,
+                                dimCol: String) extends Rule {
+    def name = s"ref:$column"
+  }
+
+  private def violation(df: DataFrame, r: Rule): Column = r match {
+    case NotNull(c)     => col(c).isNull
+    case InRange(c, lo, hi) =>
+      col(c).isNull || col(c) < lo || col(c) > hi
+    case Matches(c, re) => !(col(c).rlike(s"^(?:$re)$$")) || col(c).isNull
+    case OneOf(c, vs)   => !col(c).isin(vs: _*) || col(c).isNull
+    case Satisfies(_, p) => !coalesce(p, lit(false))
+    case _ => throw new IllegalArgumentException(s"not a scalar rule: $r")
+  }
+
+  /** Evaluate `rules` over `df` → `(rule, n_rows, n_violations, passed)`,
+    * one row per rule in declaration order.
+    */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val scalars = rules.collect {
+      case r @ (_: NotNull | _: InRange | _: Matches | _: OneOf |
+                _: Satisfies) => r
+    }
+    // one scan, every scalar rule a conditional sum
+    val scalarReport: Seq[(String, Long, Long)] =
+      if (scalars.isEmpty) Seq.empty
+      else {
+        val aggs = count(lit(1)).as("_n") +:
+          scalars.zipWithIndex.map { case (r, i) =>
+            sum(when(violation(df, r), 1L).otherwise(0L)).as(s"_v$i")
+          }
+        val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+        val n = row.getLong(0)
+        scalars.zipWithIndex.map { case (r, i) =>
+          (r.name, n, if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
+        }
+      }
+
+    val keyedReport: Seq[(String, Long, Long)] = rules.collect {
+      case Unique(cols) =>
+        // each copy beyond the first is a violation; one narrow groupBy
+        val row = df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("_c"))
+          .agg(sum(col("_c")).as("_n"),
+            sum(col("_c") - 1).as("_extra")).collect().head
+        val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+        val extra = if (row.isNullAt(1)) 0L else row.getLong(1)
+        (Unique(cols).name, n, extra)
+      case r @ RefIntegrity(c, dim, dimCol) =>
+        val n = df.count()
+        val orphans = df.filter(col(c).isNotNull)
+          .join(dim.select(col(dimCol).as(c)).distinct(),
+            Seq(c), "left_anti")
+          .count()
+        (r.name, n, orphans)
+    }
+
+    val byName = (scalarReport ++ keyedReport).map(t => t._1 -> t).toMap
+    rules.map(r => byName(r.name))
+      .toDF("rule", "n_rows", "n_violations")
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+}
