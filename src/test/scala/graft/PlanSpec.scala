@@ -250,4 +250,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q78 PMI: scan prunes to text only; no full-text column in any aggregate") {
+    val p = planOf("q78_pmi_bigrams")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("text") && !read.contains("doc_id") && !read.contains("source"), read)
+    // count relations key on tokens — document text never rides an agg
+    val aggLines = p.split("\n").filter(_.contains("HashAggregate"))
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("text#")),
+      aggLines.mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k, no global sort
+  }
+
+  test("q79 bigram NLL: pair relation is narrow (id, tokens); top-k never global-sorts") {
+    val p = planOf("q79_bigram_nll")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    val aggLines = p.split("\n").filter(_.contains("HashAggregate"))
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("text#")),
+      aggLines.mkString("\n"))
+  }
+
+  test("q80 temperature mixture: corpus scan prunes to (doc_id, source) — no text read") {
+    val p = planOf("q80_temperature_mixture")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(r => !r.contains("text")), reads.mkString(";"))
+  }
 }
