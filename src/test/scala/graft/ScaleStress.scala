@@ -119,9 +119,35 @@ object ScaleStress {
     println(s"[stress] hot doc kept ${hotRow.getLong(2)} " +
       s"dropped ${hotRow.getLong(3)} (want kept ≈ 1001)")
 
+    // ---- r7 corpus-stats tier at 10×: PMI, bigram-NLL, temperature mix,
+    // incremental decontamination refresh ----
+    val nPmi = time("pmiBigrams (50k docs)")(
+      operators.Relevance.pmiTopK(corpus, "text", k = 20, minCount = 5).count())
+    val nNll = time("bigramNll (50k docs)")(
+      operators.LmScore.bigramNll(corpus, "text", "doc_id").count())
+    val nMix = time("temperatureMixture (50k docs)")(
+      operators.Sampling.temperatureMixture(
+        corpus.withColumn("src", pmod(col("doc_id"), lit(20)).cast("string")),
+        "src", "doc_id", alpha = 0.5, budgetRows = 5000L).count())
+    val deconRoot = java.nio.file.Files.createTempDirectory("stress_decon").toString
+    val benchT = storage.VersionedTable(spark, s"$deconRoot/bench",
+      collectStats = false)
+    val nDecon = time("incrementalDecontaminate (5k bench, 50k corpus)") {
+      benchT.append(corpus.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), col("text")))
+      val idx = operators.IncrementalDecontaminate(spark, benchT,
+        s"$deconRoot/state", "text", n = 8)
+      idx.refresh()
+      idx.contaminatedIds(corpus, "doc_id", "text").count()
+    }
+    println(s"[stress] pmi=$nPmi nll=$nNll mix=$nMix decon=$nDecon")
+    // the benchmark docs themselves must all flag (they share all grams)
+    val nBench = corpus.filter(col("doc_id") % 10 === 2).count()
+
     val ok = lostExact == 0 && lostNear == 0 && uniques == expectedUniques &&
       exactReplicasLeft == 0 && uniqueDropped == 0 &&
-      hotRow.getLong(2) < 1100
+      hotRow.getLong(2) < 1100 &&
+      nPmi == 20 && nNll >= n * 8 / 10 && nDecon >= nBench
     println(s"[stress] RECALL ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)
