@@ -90,6 +90,12 @@ object Expectations {
         }
       }
 
+    // total row count: free from the scalar pass when one ran; computed
+    // lazily (at most once) otherwise — RefIntegrity must not re-scan per
+    // rule
+    lazy val totalRows: Long =
+      scalarReport.headOption.map(_._2).getOrElse(df.count())
+
     val keyedReport: Seq[(String, Long, Long)] = rules.collect {
       case Unique(cols) =>
         // each copy beyond the first is a violation; one narrow groupBy
@@ -101,12 +107,11 @@ object Expectations {
         val extra = if (row.isNullAt(1)) 0L else row.getLong(1)
         (Unique(cols).name, n, extra)
       case r @ RefIntegrity(c, dim, dimCol) =>
-        val n = df.count()
         val orphans = df.filter(col(c).isNotNull)
           .join(dim.select(col(dimCol).as(c)).distinct(),
             Seq(c), "left_anti")
           .count()
-        (r.name, n, orphans)
+        (r.name, totalRows, orphans)
     }
 
     val byName = (scalarReport ++ keyedReport).map(t => t._1 -> t).toMap
