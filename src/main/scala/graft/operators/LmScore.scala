@@ -139,15 +139,20 @@ object LmScore {
     val v = toks.select(explode(col("_w")).as("_t"))
       .filter(length(col("_t")) > 0)
       .agg(countDistinct(col("_t")).as("_v"))
-    pairs
-      .join(c12, Seq("_w1", "_w2"))
-      .join(c1, Seq("_w1"))
+    // score the MODEL relation (vocab-bounded) once, then join the
+    // corpus-sized pair relation against it exactly once — the pair rows
+    // ride one scoring shuffle instead of two chained model joins, and
+    // the (_w1,_w2) exchange feeding the c12 aggregate is the same
+    // exchange the scoring join probes (AQE exchange reuse)
+    val model = c12.join(c1, Seq("_w1"))
       .crossJoin(broadcast(v))
-      .select(col(idCol),
+      .select(col("_w1"), col("_w2"),
         // exact expression shape shared with the DuckDB oracle:
         // ln((c12_d + 1.0) / (c1_d + V))
         log((col("_c12").cast("double") + 1.0) /
           (col("_c1").cast("double") + col("_v"))).as("_lp"))
+    pairs
+      .join(model, Seq("_w1", "_w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round((-sum(col("_lp"))) / count(lit(1)), 4).as("nll_r"))
