@@ -293,7 +293,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "show_tasks", "task_history", "create_task", "alter_task",
           "drop_task", "execute_task", "create_role", "drop_role",
           "grant_privilege", "revoke_privilege", "show_grants", "show_roles",
-          "dedup_exact", "minhash_dedup", "substring_dedup", "ann_topk")
+          "dedup_exact", "minhash_dedup", "substring_dedup", "ann_topk",
+          "decontaminate", "pmi_topk")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -325,6 +326,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "minhash_dedup" => new MinhashDedupProcedure
       case "substring_dedup" => new SubstringDedupProcedure
       case "ann_topk" => new AnnTopKProcedure
+      case "decontaminate" => new DecontaminateProcedure
+      case "pmi_topk" => new PmiTopKProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
@@ -332,7 +335,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "task_history, create_task, alter_task, drop_task, execute_task, " +
           "create_role, drop_role, grant_privilege, revoke_privilege, " +
           "show_grants, show_roles, dedup_exact, minhash_dedup, " +
-          "substring_dedup, ann_topk)")
+          "substring_dedup, ann_topk, decontaminate, pmi_topk)")
     }
 
   /** Parse a procedure's `NS.TABLE` argument; `mustExist` gates the
@@ -1278,6 +1281,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           input.getUTF8String(2).toString, input.getUTF8String(3).toString,
           input.getInt(4))
       }
+  }
+
+  private final class DecontaminateProcedure extends MaintenanceProcedure {
+    override def name(): String = "decontaminate"
+    override def description(): String =
+      "benchmark decontamination: remove source docs sharing any word " +
+        "n-gram with the bench table (broadcast two-phase, corpus never " +
+        "shuffles); survivors land in a NEW table (CTAS-shaped)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("bench", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("n", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("8").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // the bench table is read too: same SELECT grant as any other scan
+      val benchId = resolveIdent(input.getUTF8String(1).toString, "bench")
+      security.requirePriv(spark, "SELECT", benchId.namespace.toSeq,
+        benchId.name)
+      val bench = table(benchId).read
+      val (textCol, idCol) =
+        (input.getUTF8String(3).toString, input.getUTF8String(4).toString)
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(2).toString) { df =>
+        graft.operators.Decontaminate.clean(df, bench, idCol, textCol,
+          input.getInt(5))
+      }
+    }
+  }
+
+  private final class PmiTopKProcedure extends MaintenanceProcedure {
+    override def name(): String = "pmi_topk"
+    override def description(): String =
+      "top-k adjacent-token collocations by pointwise mutual information " +
+        "with a count floor; returns (bigram, c12, pmi_r) — k rows, bounded"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("k", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("20").build(),
+        procedures.ProcedureParameter
+          .in("min_count", org.apache.spark.sql.types.LongType)
+          .defaultValue("5").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Relevance
+        .pmiTopK(table(id).read, input.getUTF8String(1).toString,
+          input.getInt(2), input.getLong(3))
+        .collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("bigram", StringType, nullable = false),
+          StructField("c12", org.apache.spark.sql.types.LongType,
+            nullable = false),
+          StructField("pmi_r", org.apache.spark.sql.types.DoubleType,
+            nullable = false))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          r.getLong(1), r.getDouble(2))))
+    }
   }
 
   private final class AnnTopKProcedure extends MaintenanceProcedure {

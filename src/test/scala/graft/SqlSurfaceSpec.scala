@@ -787,4 +787,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "text_col => 'text', id_col => 'doc_id')"))
     assert(Option(dup.getMessage).exists(_.toLowerCase.contains("already")))
   }
+
+  test("LLM-operator procedures: decontaminate/pmi_topk from SQL (r7)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm7",
+      java.nio.file.Files.createTempDirectory("sql_llm7_").toString)
+    spark.sql("CREATE NAMESPACE llm7.DOCS")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a clean doc with nothing shared anywhere inside"),
+      (3L, "contains the quick brown fox jumps phrase verbatim")
+    ).toDF("doc_id", "text").createOrReplaceTempView("seed7_docs")
+    Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+      .createOrReplaceTempView("seed7_bench")
+    spark.sql("CREATE TABLE llm7.DOCS.D AS SELECT * FROM seed7_docs")
+    spark.sql("CREATE TABLE llm7.DOCS.B AS SELECT * FROM seed7_bench")
+
+    // decontaminate: docs 1 and 3 share the bench 5-gram; only doc 2 stays
+    val de = spark.sql(
+      "CALL llm7.system.decontaminate(source => 'DOCS.D', bench => 'DOCS.B', " +
+        "target => 'DOCS.CLEAN', text_col => 'text', id_col => 'doc_id', " +
+        "n => 5)").head
+    assert(de.getString(0) == "DOCS.CLEAN" && de.getLong(1) == 1L)
+    assert(spark.sql("SELECT doc_id FROM llm7.DOCS.CLEAN")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    // pmi_topk: bounded (bigram, c12, pmi_r) rows straight from SQL text
+    val pmi = spark.sql(
+      "CALL llm7.system.pmi_topk(table => 'DOCS.D', text_col => 'text', " +
+        "k => 3, min_count => 2L)").collect()
+    assert(pmi.nonEmpty && pmi.length <= 3)
+    // "the quick", "quick brown", "brown fox", "fox jumps" all appear twice
+    assert(pmi.forall(_.getLong(1) == 2L))
+  }
 }
