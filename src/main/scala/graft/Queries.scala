@@ -1614,6 +1614,25 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).cast("long").as("id_sum"))
 
+  /** C4/Gopher rule-based quality gate (X53): per-source audit of the
+    * heuristic filter chain — total docs, survivors, and per-rule failure
+    * counts. One codegen'd projection pass + one narrow aggregate; full
+    * text never rides the exchange (only booleans and the source key do).
+    */
+  def q83QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val cfg = operators.QualityFilter.Config(
+      minWords = 30, maxWords = 10000)
+    operators.QualityFilter.flags(t(s, dir, "documents"), "text", cfg)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("passed"), 1L).otherwise(0L)).cast("long").as("n_pass"),
+        sum(when(!col("ok_alpha_ratio"), 1L).otherwise(0L)).cast("long").as("f_alpha"),
+        sum(when(!col("ok_mean_word_len"), 1L).otherwise(0L)).cast("long").as("f_mwl"),
+        sum(when(!col("ok_stopword_hits"), 1L).otherwise(0L)).cast("long").as("f_stop"),
+        sum(when(!col("ok_symbol_ratio"), 1L).otherwise(0L)).cast("long").as("f_sym"),
+        sum(when(!col("ok_word_count"), 1L).otherwise(0L)).cast("long").as("f_wc"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1700,7 +1719,8 @@ object Queries {
     "q79_bigram_nll" -> (q79BigramNll _),
     "q80_temperature_mixture" -> (q80TemperatureMixture _),
     "q81_incremental_decontaminate" -> (q81IncrementalDecontaminate _),
-    "q82_expectations_audit" -> (q82ExpectationsAudit _)
+    "q82_expectations_audit" -> (q82ExpectationsAudit _),
+    "q83_quality_filter" -> (q83QualityFilter _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2761,6 +2781,39 @@ object Queries {
         |     WHERE l_orderkey IS NOT NULL
         |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) FROM n)
         |SELECT rule, n_rows, n_violations,
-        |  n_violations = 0 AS passed FROM v""".stripMargin
+        |  n_violations = 0 AS passed FROM v""".stripMargin,
+    // X53 quality gate: every rule is an integer comparison (10·hits vs
+    // k·n) so the verdicts reproduce bit-identically across engines
+    "q83_quality_filter" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |       THEN 0 ELSE len(w) END AS n,
+        |  list_sum(list_transform(w, x -> length(x))) AS sum_len,
+        |  len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |  len(list_filter(w, x -> list_contains(
+        |    ['the','and','of','to','in','a','is','for','on','that'], x)))
+        |    AS n_stop,
+        |  length(text) - length(replace(text, '#', '')) AS n_hash,
+        |  (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+        | FROM d),
+        |f AS (SELECT source,
+        |  (n = 0 OR n_alpha * 10 >= n * 8) AS ok_alpha,
+        |  (n = 0 OR (sum_len >= n * 3 AND sum_len <= n * 10)) AS ok_mwl,
+        |  (n = 0 OR n_stop >= 2) AS ok_stop,
+        |  (n = 0 OR (n_hash + n_ell) * 10 <= n * 1) AS ok_sym,
+        |  (n >= 30 AND n <= 10000) AS ok_wc
+        | FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN ok_alpha AND ok_mwl AND ok_stop AND ok_sym
+        |      AND ok_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN ok_alpha THEN 0 ELSE 1 END) AS BIGINT) AS f_alpha,
+        |  CAST(SUM(CASE WHEN ok_mwl THEN 0 ELSE 1 END) AS BIGINT) AS f_mwl,
+        |  CAST(SUM(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT) AS f_stop,
+        |  CAST(SUM(CASE WHEN ok_sym THEN 0 ELSE 1 END) AS BIGINT) AS f_sym,
+        |  CAST(SUM(CASE WHEN ok_wc THEN 0 ELSE 1 END) AS BIGINT) AS f_wc
+        |FROM f GROUP BY source""".stripMargin
   )
 }
