@@ -1633,6 +1633,102 @@ object Queries {
         sum(when(!col("ok_word_count"), 1L).otherwise(0L)).cast("long").as("f_wc"))
   }
 
+  /** One-per-JVM q84 incremental-BM25 states (q58 pattern). */
+  private val q84Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental BM25 inverted index (X54): the corpus lands in a
+    * versioned table as two append commits plus one DELETE commit
+    * (doc_id%17==0 removed); each refresh folds ONLY that window into the
+    * signed postings log — asserted in-query (1 version per refresh, then
+    * already-current = 0). Scoring reads the query terms' net postings,
+    * never the corpus: for the oracle to hash-match, the incrementally-
+    * maintained state must equal from-scratch BM25 over the final corpus
+    * (q55 semantics), INCLUDING exact delete cancellation.
+    */
+  def q84IncrementalBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "join", "stream")
+    val root = q84Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q84_incbm25").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val src = storage.VersionedTable(s, s"$r/src", collectStats = false)
+      val idx = operators.IncrementalRelevance(s, src, s"$r/idx",
+        "text", "doc_id", layoutPartitions = 4)
+      src.append(docs.filter(col("doc_id") <= mid))
+      val a1 = idx.refresh()
+      src.append(docs.filter(col("doc_id") > mid))
+      val a2 = idx.refresh()
+      src.deleteWhere(col("doc_id") % 17 === 0)
+      val a3 = idx.refresh()
+      require(a1 == 1 && a2 == 1 && a3 == 1,
+        s"refreshes must be delta-only: $a1 $a2 $a3")
+      require(idx.refresh() == 0L, "state must already be current")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val idx = operators.IncrementalRelevance(s,
+      storage.VersionedTable(s, s"$root/src", collectStats = false),
+      s"$root/idx", "text", "doc_id", layoutPartitions = 4)
+    require(idx.refresh() == 0L, "state must already be current")
+    // rank on the ROUNDED score (q55 contract): a last-ulp ln difference
+    // between engines can never flip the comparison
+    idx.score(terms)
+      .select(col("doc_id"), round(col("score"), 4).as("score_r"),
+        col("n_terms_hit"))
+      .orderBy(desc("score_r"), col("doc_id"))
+      .limit(15)
+  }
+
+  /** One-per-JVM q85 incremental-quantile states (q58 pattern). */
+  private val q85Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental exact quantiles (X55): events land in a versioned table
+    * as two append commits plus one DELETE commit (event_id%13==0
+    * removed); each refresh folds ONLY that window into the persisted
+    * per-type histogram (bucketed `floor(value·10)/10` — exact IEEE in
+    * both engines). Quantiles are answered from the STATE, never the
+    * source; the oracle recomputes `quantile_disc` from scratch over the
+    * final corpus, so equality proves exact maintenance under deletes.
+    */
+  def q85IncrementalQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val root = q85Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q85_incquant").toString
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val mid = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      val src = storage.VersionedTable(s, s"$r/src", collectStats = false)
+      val iq = operators.IncrementalQuantiles(s, src, s"$r/state",
+        Seq("event_type"), floor(col("value") * 10) / 10)
+      src.append(ev.filter(col("event_id") <= mid))
+      val a1 = iq.refresh()
+      src.append(ev.filter(col("event_id") > mid))
+      val a2 = iq.refresh()
+      src.deleteWhere(col("event_id") % 13 === 0)
+      val a3 = iq.refresh()
+      require(a1 == 1 && a2 == 1 && a3 == 1,
+        s"refreshes must be delta-only: $a1 $a2 $a3")
+      require(iq.refresh() == 0L, "state must already be current")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val iq = operators.IncrementalQuantiles(s,
+      storage.VersionedTable(s, s"$root/src", collectStats = false),
+      s"$root/state", Seq("event_type"), floor(col("value") * 10) / 10)
+    require(iq.refresh() == 0L, "state must already be current")
+    iq.quantiles(qs)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1720,7 +1816,9 @@ object Queries {
     "q80_temperature_mixture" -> (q80TemperatureMixture _),
     "q81_incremental_decontaminate" -> (q81IncrementalDecontaminate _),
     "q82_expectations_audit" -> (q82ExpectationsAudit _),
-    "q83_quality_filter" -> (q83QualityFilter _)
+    "q83_quality_filter" -> (q83QualityFilter _),
+    "q84_incremental_bm25" -> (q84IncrementalBm25 _),
+    "q85_incremental_quantiles" -> (q85IncrementalQuantiles _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2814,6 +2912,45 @@ object Queries {
         |  CAST(SUM(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT) AS f_stop,
         |  CAST(SUM(CASE WHEN ok_sym THEN 0 ELSE 1 END) AS BIGINT) AS f_sym,
         |  CAST(SUM(CASE WHEN ok_wc THEN 0 ELSE 1 END) AS BIGINT) AS f_wc
-        |FROM f GROUP BY source""".stripMargin
+        |FROM f GROUP BY source""".stripMargin,
+    // X54: from-scratch BM25 over the FINAL corpus state (two inserts
+    // minus the doc_id%17 delete) — equality proves the signed postings
+    // log and offset-carried constants maintain exact BM25 state
+    "q84_incremental_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |base AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+        |tf AS (SELECT doc_id, u.t AS term, COUNT(*) AS tf
+        |  FROM d, unnest(d.w) AS u(t)
+        |  WHERE u.t IN ('table', 'join', 'stream') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * b.dl / s.avgdl))) AS score,
+        |    COUNT(*) AS n_terms_hit
+        |  FROM tf JOIN df USING (term) JOIN base b ON tf.doc_id = b.doc_id,
+        |    stats s
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, round(score, 4) AS score_r, n_terms_hit
+        |FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT 15""".stripMargin,
+    // X55: quantile_disc over the FINAL state (two inserts minus the
+    // event_id%13 delete) — rank = ceil(q·n), the definition the
+    // histogram reconstruction implements; floor(value*10)/10 bucketing
+    // is exact IEEE arithmetic in both engines
+    "q85_incremental_quantiles" ->
+      """WITH e AS (SELECT event_type, floor(value * 10) / 10 AS v
+        |  FROM events WHERE event_id % 13 <> 0)
+        |SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+        |  quantile_disc(v, 0.25) AS quantile FROM e GROUP BY event_type
+        |UNION ALL SELECT event_type, CAST(0.5 AS DOUBLE),
+        |  quantile_disc(v, 0.5) FROM e GROUP BY event_type
+        |UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE),
+        |  quantile_disc(v, 0.9) FROM e GROUP BY event_type
+        |UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE),
+        |  quantile_disc(v, 0.99) FROM e GROUP BY event_type""".stripMargin
   )
 }

@@ -276,4 +276,30 @@ class PlanSpec extends AnyFunSuite {
     val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
     assert(reads.nonEmpty && reads.forall(r => !r.contains("text")), reads.mkString(";"))
   }
+
+  test("q83 quality filter: map-only rule pass — one narrow agg exchange, no sort") {
+    val p = planOf("q83_quality_filter")
+    assert(!p.contains("Sort "), p)
+    // the only exchange carries (source, booleans) — never document text
+    val exLines = p.split("\n").filter(_.contains("Exchange"))
+    assert(exLines.nonEmpty && exLines.forall(!_.contains("text#")),
+      exLines.mkString("\n"))
+    val aggLines = p.split("\n").filter(_.contains("HashAggregate"))
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("text#")),
+      aggLines.mkString("\n"))
+  }
+
+  test("q84 incremental bm25: scoring never scans the corpus — postings only") {
+    val p = planOf("q84_incremental_bm25")
+    // every file read in the scoring plan is the postings layout
+    // (term, id, dl, tf) — document text is absent from the whole plan
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(r => !r.contains("text")),
+      reads.mkString(";"))
+    assert(!p.contains("text#"), p)
+    // df relation broadcasts into the per-term join; no cartesian
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-15, no global sort
+  }
 }
