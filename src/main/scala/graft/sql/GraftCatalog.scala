@@ -294,7 +294,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "drop_task", "execute_task", "create_role", "drop_role",
           "grant_privilege", "revoke_privilege", "show_grants", "show_roles",
           "dedup_exact", "minhash_dedup", "substring_dedup", "ann_topk",
-          "decontaminate", "pmi_topk")
+          "decontaminate", "pmi_topk", "quality_filter", "bm25_topk")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -328,6 +328,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "ann_topk" => new AnnTopKProcedure
       case "decontaminate" => new DecontaminateProcedure
       case "pmi_topk" => new PmiTopKProcedure
+      case "quality_filter" => new QualityFilterProcedure
+      case "bm25_topk" => new Bm25TopKProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
@@ -335,7 +337,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "task_history, create_task, alter_task, drop_task, execute_task, " +
           "create_role, drop_role, grant_privilege, revoke_privilege, " +
           "show_grants, show_roles, dedup_exact, minhash_dedup, " +
-          "substring_dedup, ann_topk, decontaminate, pmi_topk)")
+          "substring_dedup, ann_topk, decontaminate, pmi_topk, " +
+          "quality_filter, bm25_topk)")
     }
 
   /** Parse a procedure's `NS.TABLE` argument; `mustExist` gates the
@@ -1347,6 +1350,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         rows.map(r => InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
           r.getLong(1), r.getDouble(2))))
+    }
+  }
+
+  private final class QualityFilterProcedure extends MaintenanceProcedure {
+    override def name(): String = "quality_filter"
+    override def description(): String =
+      "C4/Gopher rule-based quality gate: survivors of the heuristic " +
+        "filter chain land in a NEW table (CTAS-shaped); one codegen'd " +
+        "map-only pass, no shuffle"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("min_words", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("50").build(),
+        procedures.ProcedureParameter
+          .in("max_words", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("100000").build(),
+        procedures.ProcedureParameter
+          .in("min_stopword_hits", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("2").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val cfg = graft.operators.QualityFilter.Config(
+        minWords = input.getInt(3), maxWords = input.getInt(4),
+        minStopwordHits = input.getInt(5))
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.QualityFilter.keep(df,
+          input.getUTF8String(2).toString, cfg)
+      }
+    }
+  }
+
+  private final class Bm25TopKProcedure extends MaintenanceProcedure {
+    override def name(): String = "bm25_topk"
+    override def description(): String =
+      "top-k BM25 documents for space-separated query terms; returns " +
+        "(id, score, n_terms_hit) — k rows, bounded"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter.in("terms", StringType).build(),
+        procedures.ProcedureParameter
+          .in("k", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("10").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val terms = input.getUTF8String(3).toString.trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      require(terms.nonEmpty, "terms must contain at least one token")
+      val rows = graft.operators.Relevance
+        .bm25TopK(table(id).read, input.getUTF8String(1).toString,
+          input.getUTF8String(2).toString, terms, input.getInt(4))
+        .select(col(input.getUTF8String(2).toString).cast("long").as("id"),
+          col("score"), col("n_terms_hit"))
+        .collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("id", org.apache.spark.sql.types.LongType,
+            nullable = false),
+          StructField("score", org.apache.spark.sql.types.DoubleType,
+            nullable = false),
+          StructField("n_terms_hit", org.apache.spark.sql.types.LongType,
+            nullable = false))),
+        rows.map(r => InternalRow(r.getLong(0), r.getDouble(1), r.getLong(2))))
     }
   }
 

@@ -820,4 +820,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // "the quick", "quick brown", "brown fox", "fox jumps" all appear twice
     assert(pmi.forall(_.getLong(1) == 2L))
   }
+
+  test("LLM-operator procedures: quality_filter/bm25_topk from SQL (r7)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm8",
+      java.nio.file.Files.createTempDirectory("sql_llm8_").toString)
+    spark.sql("CREATE NAMESPACE llm8.DOCS")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "short"),                                    // fails word_count
+      (3L, "spark merge window table join stream scan") // no stopwords
+    ).toDF("doc_id", "text").createOrReplaceTempView("seed8_docs")
+    spark.sql("CREATE TABLE llm8.DOCS.D AS SELECT * FROM seed8_docs")
+
+    // quality_filter: CTAS-shaped — survivors land in a NEW table
+    val qf = spark.sql(
+      "CALL llm8.system.quality_filter(source => 'DOCS.D', " +
+        "target => 'DOCS.CLEAN', text_col => 'text', min_words => 5, " +
+        "min_stopword_hits => 2)").head
+    assert(qf.getString(0) == "DOCS.CLEAN" && qf.getLong(1) == 1L)
+    assert(spark.sql("SELECT doc_id FROM llm8.DOCS.CLEAN")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // bm25_topk: bounded (id, score, n_terms_hit) rows from SQL text
+    val bm = spark.sql(
+      "CALL llm8.system.bm25_topk(table => 'DOCS.D', text_col => 'text', " +
+        "id_col => 'doc_id', terms => 'fox stream', k => 2)").collect()
+    assert(bm.length == 2)
+    assert(bm.map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(bm.forall(_.getLong(2) == 1L))
+  }
 }
