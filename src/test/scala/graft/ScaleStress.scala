@@ -144,10 +144,56 @@ object ScaleStress {
     // the benchmark docs themselves must all flag (they share all grams)
     val nBench = corpus.filter(col("doc_id") % 10 === 2).count()
 
+    // ---- late-r7 tier: quality gate, incremental BM25, incr. quantiles ----
+    // quality filter is map-only: 50k docs in scan time; replica-unique
+    // docs (synthetic t<r>_<id>_<i> tokens) carry no stoplist word ⇒ fail
+    // stopword_hits, every original-text doc keeps its sf0.1 verdict.
+    val nQf = time("qualityFilter (50k docs)")(
+      operators.QualityFilter.keep(corpus, "text",
+        operators.QualityFilter.Config(minWords = 10)).count())
+    println(s"[stress] quality survivors: $nQf")
+
+    // incremental BM25: 45k-doc base index + one 5k-doc delta refresh —
+    // the refresh must cost delta time, not corpus time; scoring reads
+    // postings only.
+    val bm25Root = java.nio.file.Files.createTempDirectory("stress_bm25").toString
+    val bmSrc = storage.VersionedTable(spark, s"$bm25Root/src",
+      collectStats = false)
+    val bmIdx = operators.IncrementalRelevance(spark, bmSrc, s"$bm25Root/idx",
+      "text", "doc_id", layoutPartitions = 8)
+    time("incrementalBm25 base build (45k docs)") {
+      bmSrc.append(corpus.filter(col("r") < 9).select("doc_id", "text"))
+      bmIdx.refresh()
+    }
+    time("incrementalBm25 delta refresh (5k docs)") {
+      bmSrc.append(corpus.filter(col("r") === 9).select("doc_id", "text"))
+      bmIdx.refresh()
+    }
+    val nBm = time("incrementalBm25 score (postings only)")(
+      bmIdx.scoreTopK(Seq("table", "join", "stream"), 10).count())
+
+    // incremental quantiles: histogram folds 50k rows into ≤ ~1k buckets
+    val qRoot = java.nio.file.Files.createTempDirectory("stress_quant").toString
+    val qSrc = storage.VersionedTable(spark, s"$qRoot/src", collectStats = false)
+    val iq = operators.IncrementalQuantiles(spark, qSrc, s"$qRoot/state",
+      Seq("g"), floor(col("v") * 10) / 10)
+    val nQBuckets = time("incrementalQuantiles (50k rows + delete window)") {
+      qSrc.append(corpus.select(pmod(col("doc_id"), lit(5)).cast("string").as("g"),
+        (col("doc_id") % 1000).cast("double").as("v"), col("doc_id")))
+      iq.refresh()
+      qSrc.deleteWhere(col("doc_id") % 17 === 0)
+      iq.refresh()
+      iq.histogram.count()
+    }
+    val nQuant = iq.quantiles(Seq(0.5, 0.99)).count()
+    println(s"[stress] bm25 top=$nBm quantile buckets=$nQBuckets rows=$nQuant")
+
     val ok = lostExact == 0 && lostNear == 0 && uniques == expectedUniques &&
       exactReplicasLeft == 0 && uniqueDropped == 0 &&
       hotRow.getLong(2) < 1100 &&
-      nPmi == 20 && nNll >= n * 8 / 10 && nDecon >= nBench
+      nPmi == 20 && nNll >= n * 8 / 10 && nDecon >= nBench &&
+      nQf > 0 && nQf < n && nBm == 10 &&
+      nQBuckets <= 5005 && nQuant == 10
     println(s"[stress] RECALL ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)
