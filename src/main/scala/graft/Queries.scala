@@ -1729,6 +1729,33 @@ object Queries {
     iq.quantiles(qs)
   }
 
+  /** Hybrid retrieval (X56): the RAG candidate-generation shape — BM25
+    * lexical candidates (top 30) reranked by embedding cosine against a
+    * fixed query vector, final order by the blended score. The corpus
+    * pays one BM25 pass; the 30-row candidate set broadcasts into the
+    * embeddings join, so vectors never shuffle and the rerank is
+    * candidate-sized. All ranks use 4-decimal rounding (q55 contract).
+    */
+  def q86HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val cand = operators.Relevance
+      .bm25(docs, "text", "doc_id", Seq("merge", "stream", "filter"))
+      .select(col("doc_id"), round(col("score"), 4).as("bm25_r"))
+      .orderBy(desc("bm25_r"), col("doc_id")).limit(30)
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    cand
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .select(col("doc_id"), col("bm25_r"),
+        round(operators.Similarity.cosineScore(col("embedding"), qv), 4)
+          .as("cos_r"))
+      .withColumn("hybrid_r",
+        round(col("bm25_r") * 0.3 + col("cos_r") * 0.7, 4))
+      .orderBy(desc("hybrid_r"), col("doc_id"))
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1818,7 +1845,8 @@ object Queries {
     "q82_expectations_audit" -> (q82ExpectationsAudit _),
     "q83_quality_filter" -> (q83QualityFilter _),
     "q84_incremental_bm25" -> (q84IncrementalBm25 _),
-    "q85_incremental_quantiles" -> (q85IncrementalQuantiles _)
+    "q85_incremental_quantiles" -> (q85IncrementalQuantiles _),
+    "q86_hybrid_retrieval" -> (q86HybridRetrieval _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -2951,6 +2979,40 @@ object Queries {
         |UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE),
         |  quantile_disc(v, 0.9) FROM e GROUP BY event_type
         |UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE),
-        |  quantile_disc(v, 0.99) FROM e GROUP BY event_type""".stripMargin
+        |  quantile_disc(v, 0.99) FROM e GROUP BY event_type""".stripMargin,
+    // X56 hybrid retrieval: BM25 top-30 candidates (q55 arithmetic)
+    // reranked by cosine vs vec_id 7 (q21 arithmetic), blended 0.3/0.7
+    "q86_hybrid_retrieval" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+        |tf AS (SELECT doc_id, u.t AS term, COUNT(*) AS tf
+        |  FROM d, unnest(d.w) AS u(t)
+        |  WHERE u.t IN ('merge', 'stream', 'filter') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * b.dl / s.avgdl))) AS score
+        |  FROM tf JOIN df USING (term) JOIN base b ON tf.doc_id = b.doc_id,
+        |    stats s
+        |  GROUP BY tf.doc_id),
+        |cand AS (SELECT doc_id, round(score, 4) AS bm25_r FROM sc
+        |  ORDER BY round(score, 4) DESC, doc_id LIMIT 30),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |  WHERE vec_id = 7),
+        |r AS (SELECT c.doc_id, c.bm25_r,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+        |         x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4)
+        |    AS cos_r
+        |  FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id, q)
+        |SELECT doc_id, bm25_r, cos_r,
+        |  round(bm25_r * 0.3 + cos_r * 0.7, 4) AS hybrid_r
+        |FROM r ORDER BY hybrid_r DESC, doc_id LIMIT 10""".stripMargin
   )
 }

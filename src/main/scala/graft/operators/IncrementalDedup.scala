@@ -116,12 +116,18 @@ final class IncrementalDedup(spark: SparkSession, indexRoot: String,
   /** Every doc the index has ever seen: (id, ck, sig, rep_id). */
   def indexedDocs: DataFrame = docsT.read
 
+  /** A caller-tracked offset riding the docs commits (e.g. a streaming
+    * batch id passed via addBatch's extraOffsets); -1 when never set.
+    */
+  def appliedOffset(key: String): Long = docsT.offsets.getOrElse(key, -1L)
+
   /** Dedup `delta` against everything that has ever arrived, then fold
     * the whole batch (survivors AND dropped, with terminal rep ids) into
     * the index. Returns the surviving `delta` rows with their original
     * columns.
     */
-  def addBatch(delta: DataFrame, textCol: String, idCol: String): DedupBatchResult = {
+  def addBatch(delta: DataFrame, textCol: String, idCol: String,
+               extraOffsets: Map[String, Long] = Map.empty): DedupBatchResult = {
     if (docsT.exists) validateParams()
     val d = delta
       .select(col(idCol).cast("long").as("id"), col(textCol).as("_text"))
@@ -252,8 +258,8 @@ final class IncrementalDedup(spark: SparkSession, indexRoot: String,
     }
     val newDocs = d.select(col("id"), col("ck"), col("sig"))
       .join(finalRep, Seq("id")).to(docsSchema)
-    if (docsT.exists) docsT.append(newDocs, paramOffsets)
-    else docsT.overwrite(newDocs, paramOffsets)
+    if (docsT.exists) docsT.append(newDocs, paramOffsets ++ extraOffsets)
+    else docsT.overwrite(newDocs, paramOffsets ++ extraOffsets)
 
     DedupBatchResult(survivors, nIn, nKept, nDroppedWithin, nDroppedVsIndex)
   }

@@ -296,6 +296,56 @@ object Streaming {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $withinMs MILLISECONDS"))
   }
 
+  /** One micro-batch of the streaming NEAR-DUP dedup sink — exposed so a
+    * crash-replay (same batchId twice, Spark's at-least-once contract)
+    * can be driven deterministically in tests.
+    *
+    * Exactly-once across TWO tables without a cross-table transaction:
+    *  - the INDEX fold is guarded by a batch-id offset riding the SAME
+    *    commit as the fold ([[graft.operators.IncrementalDedup.addBatch]]
+    *    extraOffsets) — a replayed batch sees its id already applied and
+    *    skips (addBatch is NOT idempotent, so this guard is load-bearing);
+    *  - the SINK append derives survivors FROM INDEX STATE (batch ids
+    *    whose terminal `rep_id` equals their own id) rather than from the
+    *    addBatch return value, so the derivation is a pure function of
+    *    (index, batch) and replay-stable even when the fold was skipped;
+    *    the append itself is guarded by [[appendBatchExactlyOnce]].
+    *  A crash BETWEEN the two commits replays into: fold skipped,
+    *  survivors re-derived identically, sink append lands once.
+    */
+  def nearDedupBatch(spark: SparkSession, indexRoot: String,
+                     sink: graft.storage.VersionedTable, textCol: String,
+                     idCol: String, threshold: Double = 0.7)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    val BATCH_KEY = "stream.dedup.batch_id"
+    val idx = new graft.operators.IncrementalDedup(spark, indexRoot,
+      threshold = threshold)
+    if (batchId > idx.appliedOffset(BATCH_KEY))
+      idx.addBatch(batch, textCol, idCol, Map(BATCH_KEY -> batchId))
+    val sids = idx.indexedDocs.filter(col("rep_id") === col("id"))
+      .select(col("id").as("__sid"))
+    val surv = batch.join(sids,
+      batch(idCol).cast("long") === col("__sid"), "left_semi")
+    appendBatchExactlyOnce(sink, "near_dedup")(surv, batchId)
+    ()
+  }
+
+  /** Streaming near-duplicate dedup: each micro-batch is deduped against
+    * the PERSISTED MinHash signature index (everything that ever arrived,
+    * not just the watermark window — the accumulated-corpus semantics
+    * [[dedupStream]]'s exact watermark-bounded tier cannot give), and the
+    * survivors land in a versioned sink table. Composition of
+    * [[graft.operators.IncrementalDedup]] (X46) with the foreachBatch
+    * exactly-once envelope; state is signatures only (a few hundred
+    * bytes/doc), so the index outlives any watermark horizon.
+    */
+  def nearDedupSink(stream: DataFrame, spark: SparkSession, indexRoot: String,
+                    sink: graft.storage.VersionedTable, textCol: String,
+                    idCol: String, threshold: Double = 0.7)
+    : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(
+      nearDedupBatch(spark, indexRoot, sink, textCol, idCol, threshold) _)
+
   /** Streaming harmonize: consume a Co2Pipeline's change-log directory with
     * Trigger.AvailableNow and upsert each micro-batch through the same
     * MergeInto used by the batch path (foreachBatch = the exactly-once

@@ -260,6 +260,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.sorted == Seq("a", "b"))
   }
 
+  test("nearDedupSink: micro-batches dedup against the persisted index; replay is exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_neardedup").toString
+    val sink = graft.storage.VersionedTable(spark, s"$root/sink",
+      collectStats = false)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.nearDedupSink(
+        in.toDF().toDF("doc_id", "text"), spark, s"$root/idx", sink,
+        "text", "doc_id")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    in.addData((1L, base), (2L, "a totally different document about spark"))
+    q.processAllAvailable()
+    // batch 2: an exact dup of 1, a near dup of 1, and a fresh doc —
+    // all judged against the PERSISTED index, not a watermark window
+    in.addData((3L, base), (4L, base + " tail"),
+      (5L, "yet another unrelated text about versioned tables"))
+    q.processAllAvailable()
+    q.stop()
+    assert(sink.read.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 5L))
+
+    // crash replay: re-drive batch 1 (same id) directly — the index fold
+    // must skip (offset guard) and the sink append must not double-land
+    val docsBefore = graft.storage.VersionedTable(spark, s"$root/idx/docs")
+      .read.count()
+    graft.streaming.Streaming.nearDedupBatch(spark, s"$root/idx", sink,
+      "text", "doc_id")(
+      Seq((3L, base), (4L, base + " tail"),
+        (5L, "yet another unrelated text about versioned tables"))
+        .toDF("doc_id", "text"), 1L)
+    assert(graft.storage.VersionedTable(spark, s"$root/idx/docs")
+      .read.count() == docsBefore, "replayed fold must be skipped")
+    assert(sink.read.count() == 3L, "replayed append must be skipped")
+  }
+
   test("harmonizeAvailableNow: streaming merge from the change log") {
     val root = Files.createTempDirectory("graft_stream_co2").toString
     val p = Co2Pipeline(spark, s"$root/wh")
