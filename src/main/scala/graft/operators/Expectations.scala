@@ -63,6 +63,36 @@ object Expectations {
     case _ => throw new IllegalArgumentException(s"not a scalar rule: $r")
   }
 
+  /** Per-row scalar-rule verdicts: the input columns + `violations`
+    * (comma-joined failed rule names in declaration order, "" when the
+    * row is clean). SCALAR rules only — NotNull/InRange/Matches/OneOf/
+    * Satisfies are row-local by definition; Unique and RefIntegrity need
+    * relation context and belong in [[audit]]. One codegen'd projection,
+    * no shuffle — the row-routing face of the audit (quarantine sinks,
+    * dead-letter queues).
+    */
+  def flag(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val scalars = rules.collect {
+      case r @ (_: NotNull | _: InRange | _: Matches | _: OneOf |
+                _: Satisfies) => r
+    }
+    require(scalars.size == rules.size,
+      "flag takes scalar rules only (NotNull/InRange/Matches/OneOf/" +
+        "Satisfies); Unique/RefIntegrity need relation context — use audit")
+    df.withColumn("violations", concat_ws(",",
+      scalars.map(r => when(violation(df, r), lit(r.name))): _*))
+  }
+
+  /** Route rows by the scalar rules: (clean rows with the ORIGINAL
+    * schema, violating rows with the `violations` column attached).
+    */
+  def partition(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val f = flag(df, rules)
+    (f.filter(col("violations") === "").select(df.columns.map(col): _*),
+      f.filter(col("violations") =!= ""))
+  }
+
   /** Evaluate `rules` over `df` → `(rule, n_rows, n_violations, passed)`,
     * one row per rule in declaration order.
     */

@@ -346,6 +346,36 @@ object Streaming {
     stream.writeStream.foreachBatch(
       nearDedupBatch(spark, indexRoot, sink, textCol, idCol, threshold) _)
 
+  /** One micro-batch of the quarantine sink — exposed for deterministic
+    * replay tests. Row-local routing ([[graft.operators.Expectations
+    * .partition]]) makes the split a pure function of the batch, so the
+    * two appends need no cross-table transaction: each is independently
+    * guarded by [[appendBatchExactlyOnce]] under its own streamId, and a
+    * crash between them replays into one skip + one landing.
+    */
+  def quarantineBatch(clean: graft.storage.VersionedTable,
+                      dirty: graft.storage.VersionedTable,
+                      rules: Seq[graft.operators.Expectations.Rule])
+                     (batch: DataFrame, batchId: Long): Unit = {
+    val (ok, bad) = graft.operators.Expectations.partition(batch, rules)
+    appendBatchExactlyOnce(clean, "quarantine.clean")(ok, batchId)
+    appendBatchExactlyOnce(dirty, "quarantine.dirty")(bad, batchId)
+    ()
+  }
+
+  /** Data-quality quarantine sink (dead-letter queue): each micro-batch
+    * splits on the scalar expectation rules — clean rows append to
+    * `clean`, violating rows (with their `violations` labels) to `dirty`
+    * — both exactly-once. The streaming face of the X52 expectation
+    * audit: the gate runs as one codegen'd projection per batch, no
+    * shuffle, no state.
+    */
+  def quarantineSink(stream: DataFrame, clean: graft.storage.VersionedTable,
+                     dirty: graft.storage.VersionedTable,
+                     rules: Seq[graft.operators.Expectations.Rule])
+    : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(quarantineBatch(clean, dirty, rules) _)
+
   /** Streaming harmonize: consume a Co2Pipeline's change-log directory with
     * Trigger.AvailableNow and upsert each micro-batch through the same
     * MergeInto used by the batch path (foreachBatch = the exactly-once

@@ -302,4 +302,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("TakeOrderedAndProject"), p) // top-15, no global sort
   }
+
+  test("q86 hybrid retrieval: candidates broadcast; vectors never shuffle") {
+    val p = planOf("q86_hybrid_retrieval")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop is the broadcast 1-row BM25 stats cross (q55
+    // shape); a non-broadcast cartesian would be a plan regression
+    assert(!p.contains("CartesianProduct"), p)
+    // the embedding column may flow map-side but must never ride a
+    // shuffle exchange (the rerank is candidate-sized by construction)
+    val shuffles = p.split("\n").filter(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(shuffles.forall(!_.contains("embedding#")), shuffles.mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -298,6 +298,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.read.count() == 3L, "replayed append must be skipped")
   }
 
+  test("quarantineSink: rows route by scalar rules; replay is exactly-once per table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Expectations._
+    val root = Files.createTempDirectory("graft_stream_quar").toString
+    val clean = graft.storage.VersionedTable(spark, s"$root/clean",
+      collectStats = false)
+    val dirty = graft.storage.VersionedTable(spark, s"$root/dirty",
+      collectStats = false)
+    val rules = Seq(NotNull("k"), InRange("v", 0.0, 100.0))
+    val in = MemoryStream[(Option[String], Double)]
+    val q = graft.streaming.Streaming.quarantineSink(
+        in.toDF().toDF("k", "v"), clean, dirty, rules)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    in.addData((Some("a"), 5.0), (None, 6.0), (Some("c"), 500.0))
+    q.processAllAvailable()
+    in.addData((Some("d"), 7.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(clean.read.select("k").as[String].collect().sorted.toSeq ==
+      Seq("a", "d"))
+    val bad = dirty.read.select("k", "violations").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1))).toMap
+    assert(bad(None) == "not_null:k")
+    assert(bad(Some("c")) == "in_range:v")
+    // replay batch 0 directly: both appends must skip
+    graft.streaming.Streaming.quarantineBatch(clean, dirty, rules)(
+      Seq((Some("a"), 5.0), (None, 6.0), (Some("c"), 500.0))
+        .toDF("k", "v"), 0L)
+    assert(clean.read.count() == 2L && dirty.read.count() == 2L)
+    // clean keeps the ORIGINAL schema (no violations column)
+    assert(clean.read.columns.toSeq == Seq("k", "v"))
+  }
+
   test("harmonizeAvailableNow: streaming merge from the change log") {
     val root = Files.createTempDirectory("graft_stream_co2").toString
     val p = Co2Pipeline(spark, s"$root/wh")
