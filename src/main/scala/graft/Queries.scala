@@ -1756,6 +1756,28 @@ object Queries {
       .limit(10)
   }
 
+  /** Distribution drift (X59): PSI per event type between the first and
+    * second half of the events feed (by event_id), in histogram space —
+    * the batch-acceptance gate a production feed runs before committing.
+    * Histograms are state-sized (the [[operators.IncrementalQuantiles]]
+    * shape), so the check never rescans the corpus; the PSI sum is
+    * decimal-accumulated (order-independent, oracle-exact).
+    */
+  def q87DriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val mid = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+    // double-typed bucket: DuckDB's floor() stays double, so the shared
+    // value domain must too (a long bucket would hash-mismatch "20.0")
+    val bucket = (floor(col("value") / 10) * 10).cast("double")
+    val base = operators.DriftMonitor.histogram(
+      ev.filter(col("event_id") <= mid), Seq("event_type"), bucket)
+    val cur = operators.DriftMonitor.histogram(
+      ev.filter(col("event_id") > mid), Seq("event_type"), bucket)
+    operators.DriftMonitor.psi(base, cur, Seq("event_type"))
+      .select(col("event_type"), round(col("psi"), 6).as("psi_r"),
+        col("n_base"), col("n_cur"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1846,7 +1868,8 @@ object Queries {
     "q83_quality_filter" -> (q83QualityFilter _),
     "q84_incremental_bm25" -> (q84IncrementalBm25 _),
     "q85_incremental_quantiles" -> (q85IncrementalQuantiles _),
-    "q86_hybrid_retrieval" -> (q86HybridRetrieval _)
+    "q86_hybrid_retrieval" -> (q86HybridRetrieval _),
+    "q87_drift_psi" -> (q87DriftPsi _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3013,6 +3036,42 @@ object Queries {
         |  FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id, q)
         |SELECT doc_id, bm25_r, cos_r,
         |  round(bm25_r * 0.3 + cos_r * 0.7, 4) AS hybrid_r
-        |FROM r ORDER BY hybrid_r DESC, doc_id LIMIT 10""".stripMargin
+        |FROM r ORDER BY hybrid_r DESC, doc_id LIMIT 10""".stripMargin,
+    // X59 drift PSI: Laplace-smoothed over the bucket UNION per group;
+    // terms decimal-summed so the total is order-independent both sides
+    "q87_drift_psi" ->
+      """WITH e AS (SELECT event_type, floor(value / 10) * 10 AS v, event_id
+        |  FROM events),
+        |m AS (SELECT max(event_id) / 2 AS mid FROM events),
+        |b AS (SELECT event_type, v, COUNT(*) AS cb FROM e, m
+        |  WHERE event_id <= m.mid GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, COUNT(*) AS cc FROM e, m
+        |  WHERE event_id > m.mid GROUP BY 1, 2),
+        |j AS (SELECT coalesce(b.event_type, c.event_type) AS event_type,
+        |        coalesce(b.v, c.v) AS v,
+        |        coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+        |      FROM b FULL OUTER JOIN c
+        |        ON b.event_type = c.event_type AND b.v = c.v),
+        |t AS (SELECT event_type, cb, cc,
+        |        SUM(cb) OVER (PARTITION BY event_type) AS nb,
+        |        SUM(cc) OVER (PARTITION BY event_type) AS nc,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS bb
+        |      FROM j),
+        |s AS (SELECT event_type,
+        |        CAST(((CAST(cb AS DOUBLE) + 0.5)
+        |                / (CAST(nb AS DOUBLE) + 0.5 * CAST(bb AS DOUBLE))
+        |              - (CAST(cc AS DOUBLE) + 0.5)
+        |                / (CAST(nc AS DOUBLE) + 0.5 * CAST(bb AS DOUBLE)))
+        |          * ln(((CAST(cb AS DOUBLE) + 0.5)
+        |                / (CAST(nb AS DOUBLE) + 0.5 * CAST(bb AS DOUBLE)))
+        |               / ((CAST(cc AS DOUBLE) + 0.5)
+        |                / (CAST(nc AS DOUBLE) + 0.5 * CAST(bb AS DOUBLE))))
+        |          AS DECIMAL(28,14)) AS term,
+        |        nb, nc
+        |      FROM t)
+        |SELECT event_type,
+        |  round(CAST(SUM(term) AS DOUBLE), 6) AS psi_r,
+        |  CAST(MAX(nb) AS BIGINT) AS n_base, CAST(MAX(nc) AS BIGINT) AS n_cur
+        |FROM s GROUP BY event_type""".stripMargin
   )
 }
