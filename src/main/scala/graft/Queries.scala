@@ -1778,6 +1778,58 @@ object Queries {
         col("n_base"), col("n_cur"))
   }
 
+  /** One-per-JVM q88 incremental IVF indexes (q58 pattern). */
+  private val q88Indexes = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental IVF maintenance (X60): the index is BUILT on half the
+    * vectors, the other half arrives via [[operators.Similarity
+    * .ivfIndexAppend]] (frozen coarse quantizer, range-clustered delta
+    * parts, no rewrite of existing data), and a DELETE removes the id
+    * range [7·max/10, 3·max/4) via the zone-map partial rewrite — a
+    * range the maps CAN prune on (build parts all predate it and carry
+    * over by reference; a modulo delete would conservatively touch and
+    * merge every part, destroying the clustering). Exhaustive probing
+    * must then equal brute-force cosine over the FINAL vector set —
+    * proving the append neither lost nor double-indexed a vector and the
+    * delete truly removed rows. The in-query prune proof asserts a
+    * 2-probe read still skips parts AFTER the append + delete.
+    */
+  def q88IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val root = q88Indexes.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q88_ivfapp").toString
+      val mid = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+      Similarity.ivfIndexBuild(s, emb.filter(col("vec_id") <= mid),
+        "embedding", "vec_id", r, k = 16, iters = 5, nParts = 8)
+      val (_, compacted) = Similarity.ivfIndexAppend(s,
+        emb.filter(col("vec_id") > mid), "embedding", "vec_id", r,
+        deltaParts = 4)
+      require(!compacted, "append must not trigger compaction here")
+      val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+      storage.VersionedTable(s, s"$r/corpus")
+        .deleteWhere(col("vec_id") >= maxId * 7 / 10 &&
+          col("vec_id") < maxId * 3 / 4)
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    // prune proof survives the append: a 2-probe read skips parts
+    val corpus = storage.VersionedTable(s, s"$root/corpus")
+    val cents = Similarity.ivfIndexCentroids(s, root)
+    val probe2 = Similarity.nearestLists(cents, q, 2)
+    val (kept, total) = corpus.pruneStats(col("_list").isin(probe2: _*))
+    require(kept < total,
+      s"IVF append broke pruning: kept $kept of $total parts")
+    Similarity.ivfIndexTopK(s, root, "embedding", "vec_id", q, 12,
+      nprobe = 16)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1869,7 +1921,8 @@ object Queries {
     "q84_incremental_bm25" -> (q84IncrementalBm25 _),
     "q85_incremental_quantiles" -> (q85IncrementalQuantiles _),
     "q86_hybrid_retrieval" -> (q86HybridRetrieval _),
-    "q87_drift_psi" -> (q87DriftPsi _)
+    "q87_drift_psi" -> (q87DriftPsi _),
+    "q88_ivf_append" -> (q88IvfAppend _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3072,6 +3125,18 @@ object Queries {
         |SELECT event_type,
         |  round(CAST(SUM(term) AS DOUBLE), 6) AS psi_r,
         |  CAST(MAX(nb) AS BIGINT) AS n_base, CAST(MAX(nc) AS BIGINT) AS n_cur
-        |FROM s GROUP BY event_type""".stripMargin
+        |FROM s GROUP BY event_type""".stripMargin,
+    // X60: exhaustive probing of the appended+deleted index must equal
+    // brute-force cosine over the FINAL vector set (q67/q21 arithmetic)
+    "q88_ivf_append" ->
+      """SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+        |FROM embeddings,
+        |  (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3) q
+        |WHERE NOT (vec_id >= (SELECT (max(vec_id) * 7) // 10 FROM embeddings)
+        |       AND vec_id < (SELECT (max(vec_id) * 3) // 4 FROM embeddings))
+        |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin
   )
 }

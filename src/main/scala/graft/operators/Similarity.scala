@@ -404,6 +404,40 @@ object Similarity {
     cents
   }
 
+  /** Append new vectors to a persisted IVF index WITHOUT refitting —
+    * Faiss `add` semantics: the coarse quantizer is FROZEN at build time,
+    * so the delta is assigned to the existing lists and landed via
+    * [[graft.storage.VersionedTable.appendClustered]] as `deltaParts`
+    * range-clustered parts, each with tight `_list` zone maps. Existing
+    * parts are never rewritten (append cost = delta cost) and a probed
+    * query prunes inside the delta immediately. Fragmentation accrues
+    * `deltaParts` part dirs per append; when the table crosses
+    * `compactAboveParts` the call folds everything with one clustered
+    * rewrite (the amortized OPTIMIZE — unchanged recall either way,
+    * since pruning is zone-map-exact on `_list`).
+    *
+    * Centroids drift as the corpus grows — standard IVF practice (and
+    * this operator's contract) is to refit only on major growth
+    * ([[ivfIndexBuild]] again); recall degrades gracefully, correctness
+    * of exhaustive probing never does (q88 pins this: frozen-quantizer
+    * append + exhaustive probe ≡ brute force over the union).
+    * Returns (new version, whether a compaction ran).
+    */
+  def ivfIndexAppend(spark: SparkSession, delta: DataFrame, vecCol: String,
+                     idCol: String, indexRoot: String, deltaParts: Int = 4,
+                     compactAboveParts: Int = 64): (Long, Boolean) = {
+    val cents = ivfIndexCentroids(spark, indexRoot)
+    val corpus = graft.storage.VersionedTable(spark, s"$indexRoot/corpus")
+    val v = corpus.appendClustered(ivfAssign(delta, vecCol, cents),
+      Seq("_list"), deltaParts)
+    val nParts = corpus.state.map(_.parts.size).getOrElse(0)
+    if (nParts > compactAboveParts) {
+      val v2 = corpus.compactClustered(Seq("_list"),
+        math.min(compactAboveParts / 2, math.max(1, cents.length)))
+      (v2, true)
+    } else (v, false)
+  }
+
   /** The index's centroids, list-id order (k rows — bounded metadata). */
   def ivfIndexCentroids(spark: SparkSession, indexRoot: String): Array[Array[Double]] =
     graft.storage.VersionedTable(spark, s"$indexRoot/centroids").read

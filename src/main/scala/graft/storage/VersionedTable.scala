@@ -633,7 +633,35 @@ final class VersionedTable(spark: SparkSession, val root: String,
     s
   }
 
-  private def commitRanged(s: State, rangedRows: DataFrame): Long = {
+  /** Clustered APPEND: land `df` as up to `nParts` range-clustered parts
+    * — each its own directory with its own footer-harvested zone maps —
+    * WITHOUT touching existing data. The incremental-index append shape
+    * ([[graft.operators.Similarity.ivfIndexAppend]], postings logs):
+    * append cost = delta cost, and a `readWhere` on the cluster column
+    * prunes INSIDE the delta immediately, instead of only after the next
+    * [[compactClustered]] folds it in. Same restrictions as clustered
+    * compaction (append-committed tables only).
+    */
+  def appendClustered(df: DataFrame, clusterCols: Seq[String], nParts: Int,
+                      offsets: Map[String, Long] = Map.empty): Long = {
+    require(clusterCols.nonEmpty, "need cluster columns")
+    require(nParts > 0, "need a positive part count")
+    val s = state.getOrElse(
+      throw new IllegalStateException(s"no table at $root — create it first"))
+    require(!s.parts.exists(_.vals.nonEmpty),
+      s"table at $root uses partition-scoped commits; clustered append " +
+        "applies to append-committed tables")
+    requireCompatibleSchema(s, df)
+    offsets.keys.foreach(requireValidOffsetKey)
+    val ranged = df
+      .repartitionByRange(nParts, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    commitRanged(s, ranged, keepExisting = true, extraOffsets = offsets)
+  }
+
+  private def commitRanged(s: State, rangedRows: DataFrame,
+                           keepExisting: Boolean = false,
+                           extraOffsets: Map[String, Long] = Map.empty): Long = {
     val version = s.version + 1
     val attempt = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     // one job: range-shuffle once, tag each row with its range id via the
@@ -661,8 +689,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
     // preserve a recorded partition column (reachable with zero valued
     // parts via an empty partition-scoped batch) — dropping it would let
     // a later overwritePartitions switch columns mid-table
+    val allParts = if (keepExisting) s.parts ++ parts else parts
     try writeCommit(version,
-      State(version, s.partitionCol, parts, s.offsets, s.schemaDdl))
+      State(version, s.partitionCol, allParts, s.offsets ++ extraOffsets,
+        s.schemaDdl))
     catch {
       case e: java.io.IOException =>
         parts.foreach(p => fs.delete(new Path(s"$root/${p.dir}"), true))

@@ -302,4 +302,40 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (got & want).size.toDouble / want.size
     assert(recall >= 0.5, s"recall@10 $recall")
   }
+
+  test("ivfIndexAppend: frozen-quantizer add + exhaustive probe equals brute force; compaction threshold") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 3)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val root = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Similarity.ivfIndexBuild(spark, emb.filter(col("vec_id") < 250),
+      "embedding", "vec_id", root, k = 8, iters = 4, nParts = 4)
+    val corpus = graft.storage.VersionedTable(spark, s"$root/corpus")
+    val partsAfterBuild = corpus.state.get.parts.size
+    val (_, compacted) = Similarity.ivfIndexAppend(spark,
+      emb.filter(col("vec_id") >= 250), "embedding", "vec_id", root,
+      deltaParts = 3)
+    assert(!compacted)
+    // old parts untouched; delta landed as its own clustered ranges
+    assert(corpus.state.get.parts.size == partsAfterBuild + 3)
+    // exhaustive probe == brute force over the union: nothing lost,
+    // nothing double-indexed
+    val got = Similarity.ivfIndexTopK(spark, root, "embedding", "vec_id",
+      query, 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val want = Similarity.topK(emb, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    // a tiny threshold forces the amortized OPTIMIZE on the next append
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(100000L))
+    val (_, compacted2) = Similarity.ivfIndexAppend(spark, clone,
+      "embedding", "vec_id", root, deltaParts = 2, compactAboveParts = 4)
+    assert(compacted2)
+    // the compacted index still equals brute force over the grown corpus
+    val got2 = Similarity.ivfIndexTopK(spark, root, "embedding", "vec_id",
+      query, 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val want2 = Similarity.topK(emb.unionByName(clone), "embedding",
+      "vec_id", query, 10).collect().map(_.getLong(0)).toSeq
+    assert(got2 == want2)
+  }
 }

@@ -579,6 +579,28 @@ class StorageSpec extends AnyFunSuite {
     assert(t.read.count() == nCommits)
   }
 
+  test("appendClustered: delta lands as prunable range parts; old parts untouched") {
+    val root = Files.createTempDirectory("graft_appclu").toString
+    val t = graft.storage.VersionedTable(spark, root)
+    t.overwrite((0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "k"))
+    val partsBefore = t.state.get.parts
+    t.appendClustered((100 until 400).map(i => (i.toLong, i % 4)).toDF("id", "k"),
+      Seq("k"), nParts = 4, offsets = Map("clu.v" -> 7L))
+    val s = t.state.get
+    // existing part carried over by reference; delta split into 4 ranges
+    assert(s.parts.take(partsBefore.size) == partsBefore)
+    assert(s.parts.size == partsBefore.size + 4)
+    assert(t.offsets("clu.v") == 7L)
+    assert(t.read.count() == 400L)
+    // zone maps prune INSIDE the delta: k=0 read skips the k>0 ranges
+    val (kept, total) = t.pruneStats(col("k") === 0)
+    assert(kept < total, s"kept $kept of $total")
+    assert(t.readWhere(col("k") === 0).count() == 100L)
+    // schema guard holds
+    intercept[Exception](t.appendClustered(
+      Seq((1L, "x")).toDF("id", "other"), Seq("id"), 2))
+  }
+
   test("OrderedLag matches global-window lag exactly (incl. bucket boundaries)") {
     import org.apache.spark.sql.expressions.Window
     // dates spanning 3 years with gaps; a year entirely missing
