@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.co2.Co2Pipeline
@@ -375,6 +375,53 @@ object Streaming {
                      rules: Seq[graft.operators.Expectations.Rule])
     : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch(quarantineBatch(clean, dirty, rules) _)
+
+  /** One micro-batch of the drift-gated sink — exposed for deterministic
+    * replay/rejection tests. The BATCH-level acceptance counterpart of
+    * [[quarantineBatch]]'s row-level routing: the whole batch is accepted
+    * or quarantined on its distribution, not its individual rows.
+    */
+  def driftGateBatch(accept: graft.storage.VersionedTable,
+                     reject: graft.storage.VersionedTable,
+                     baseline: DataFrame, groupCols: Seq[String],
+                     valueExpr: Column, maxPsi: Double)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    val cur = graft.operators.DriftMonitor
+      .histogram(batch, groupCols, valueExpr)
+    // worst drifting group decides: one state-sized aggregate
+    val worst = graft.operators.DriftMonitor
+      .psi(baseline, cur, groupCols)
+      .agg(max(col("psi"))).head
+    val drifted = !worst.isNullAt(0) && worst.getDouble(0) > maxPsi
+    val dest = if (drifted) reject else accept
+    appendBatchExactlyOnce(dest,
+      if (drifted) "drift_gate.reject" else "drift_gate.accept")(
+      batch, batchId)
+    ()
+  }
+
+  /** Distribution-drift acceptance gate: each micro-batch's value
+    * histogram is compared against a BASELINE histogram (the
+    * [[graft.operators.IncrementalQuantiles]] state shape — typically a
+    * maintained table) and the batch lands WHOLE in `accept` or `reject`
+    * depending on whether any group's PSI exceeds `maxPsi` — the
+    * batch-level acceptance pattern for feeds where a shifted
+    * distribution means an upstream breakage (schema drift, unit change,
+    * partial outage) and individual rows are fine but the BATCH is not.
+    * The PSI check reads the baseline state and a batch-sized histogram —
+    * never a corpus. Replay-safe: the verdict is a pure function of
+    * (baseline, batch), and each destination has its own exactly-once
+    * guard.
+    */
+  def driftGateSink(stream: DataFrame,
+                    accept: graft.storage.VersionedTable,
+                    reject: graft.storage.VersionedTable,
+                    baseline: DataFrame, groupCols: Seq[String],
+                    valueExpr: Column, maxPsi: Double)
+    : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(
+      driftGateBatch(accept, reject, baseline, groupCols, valueExpr,
+        maxPsi) _)
 
   /** Streaming harmonize: consume a Co2Pipeline's change-log directory with
     * Trigger.AvailableNow and upsert each micro-batch through the same

@@ -333,6 +333,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(clean.read.columns.toSeq == Seq("k", "v"))
   }
 
+  test("driftGateSink: in-distribution batches land in accept, shifted ones in reject") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_drift").toString
+    val accept = graft.storage.VersionedTable(spark, s"$root/accept",
+      collectStats = false)
+    val reject = graft.storage.VersionedTable(spark, s"$root/reject",
+      collectStats = false)
+    // baseline: uniform over buckets 0..9 for one group
+    val baseline = (0 until 10).flatMap(b => Seq(("a", b.toDouble, 100L)))
+      .toDF("g", "_v", "cnt")
+    val in = MemoryStream[(String, Double)]
+    val q = graft.streaming.Streaming.driftGateSink(
+        in.toDF().toDF("g", "v"), accept, reject, baseline, Seq("g"),
+        floor(col("v")), maxPsi = 0.25)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    // batch 0: uniform sample — in distribution
+    in.addData((0 until 100).map(i => ("a", (i % 10) + 0.5)): _*)
+    q.processAllAvailable()
+    // batch 1: everything in one bucket — hard shift
+    in.addData((0 until 100).map(_ => ("a", 3.5)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(accept.read.count() == 100L)
+    assert(reject.read.count() == 100L)
+    assert(reject.read.select("v").distinct().count() == 1L)
+    // replay the rejected batch: verdict re-derives, nothing double-lands
+    graft.streaming.Streaming.driftGateBatch(accept, reject, baseline,
+      Seq("g"), floor(col("v")), 0.25)(
+      (0 until 100).map(_ => ("a", 3.5)).toDF("g", "v"), 1L)
+    assert(accept.read.count() == 100L && reject.read.count() == 100L)
+  }
+
   test("harmonizeAvailableNow: streaming merge from the change log") {
     val root = Files.createTempDirectory("graft_stream_co2").toString
     val p = Co2Pipeline(spark, s"$root/wh")
