@@ -36,12 +36,13 @@ import graft.storage.VersionedTable
   * Scale shape: a refresh tokenizes ONLY the delta (one wordcount-shaped
   * groupBy of batch-sized input) and lands one append commit — a 100 TB
   * corpus with a 1 GB daily delta refreshes in delta time. Postings
-  * appends are range-partitioned on `term` (`layoutPartitions` files per
-  * commit) and the versioned store keeps per-file zone maps, so
-  * [[score]]'s `readWhere(term IN …)` prunes to the files whose term
-  * range covers the query — at 1000-executor scale the query cost is a
-  * few file reads, not a postings scan. Compaction (`OPTIMIZE`) folds the
-  * signed log and re-clusters when the live fraction drops.
+  * appends land via `appendClustered` — each term range is ITS OWN part
+  * with footer-harvested zone maps — so [[score]]'s
+  * `readWhere(term IN …)` opens only the parts whose term range covers
+  * the query, inside every delta from the moment it lands; at
+  * 1000-executor scale the query cost is a few part reads, not a
+  * postings scan. Compaction (`OPTIMIZE`) folds the signed log and
+  * re-clusters when the live fraction drops.
   *
   * Same-id re-insert without a delete is double-counted (two docs' worth
   * of stats) — dedup ids upstream; the spec pins update = delete+insert.
@@ -101,16 +102,18 @@ final class IncrementalRelevance(spark: SparkSession, source: VersionedTable,
     val ins = changes.filter(col(ACTION) === "INSERT").drop(ACTION)
     val del = changes.filter(col(ACTION) === "DELETE").drop(ACTION)
     val delta = postingsOf(ins, 1).unionByName(postingsOf(del, -1))
-      .repartitionByRange(layoutPartitions, col("term"))
-      .sortWithinPartitions(col("term"))
     val (nIns, dlIns) = statsOf(ins)
     val (nDel, dlDel) = statsOf(del)
     val t = postingsT
     if (!t.exists) t.createEmpty(postingsSchema)
-    t.append(delta.to(postingsSchema), Map(
-      OFFSET_VERSION -> latest,
-      OFFSET_NDOCS -> (nDocs + nIns - nDel),
-      OFFSET_SUMDL -> (sumDl + dlIns - dlDel)))
+    // clustered append: each term range lands as ITS OWN part with its
+    // own zone maps — a plain append would give the whole delta one
+    // (min,max) entry and term-pruned reads nothing to skip
+    t.appendClustered(delta.to(postingsSchema), Seq("term"),
+      layoutPartitions, Map(
+        OFFSET_VERSION -> latest,
+        OFFSET_NDOCS -> (nDocs + nIns - nDel),
+        OFFSET_SUMDL -> (sumDl + dlIns - dlDel)))
     latest - from
   }
 

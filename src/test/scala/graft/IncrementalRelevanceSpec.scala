@@ -89,8 +89,11 @@ class IncrementalRelevanceSpec extends AnyFunSuite {
     assert(top.length == 10)
     val scores = top.map(_.getAs[Double]("score")).toSeq
     assert(scores == scores.sorted.reverse)
-    // range layout: the postings commit landed multiple term-sorted files
-    val parts = VersionedTable(spark, s"$root/idx/postings").state.get.parts
-    assert(parts.nonEmpty)
+    // clustered layout: the delta landed as multiple term-range PARTS,
+    // and a term-pruned read provably skips parts outside its range
+    val t = VersionedTable(spark, s"$root/idx/postings")
+    assert(t.state.get.parts.size > 1)
+    val (kept, total) = t.pruneStats(col("term").isin(terms: _*))
+    assert(kept < total, s"term pruning inert: kept $kept of $total parts")
   }
 }
