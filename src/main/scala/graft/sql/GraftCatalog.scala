@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, desc, floor, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -294,7 +294,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "drop_task", "execute_task", "create_role", "drop_role",
           "grant_privilege", "revoke_privilege", "show_grants", "show_roles",
           "dedup_exact", "minhash_dedup", "substring_dedup", "ann_topk",
-          "decontaminate", "pmi_topk", "quality_filter", "bm25_topk")
+          "decontaminate", "pmi_topk", "quality_filter", "bm25_topk",
+          "hybrid_topk", "drift_psi")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -330,6 +331,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "pmi_topk" => new PmiTopKProcedure
       case "quality_filter" => new QualityFilterProcedure
       case "bm25_topk" => new Bm25TopKProcedure
+      case "hybrid_topk" => new HybridTopKProcedure
+      case "drift_psi" => new DriftPsiProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
@@ -338,7 +341,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "create_role, drop_role, grant_privilege, revoke_privilege, " +
           "show_grants, show_roles, dedup_exact, minhash_dedup, " +
           "substring_dedup, ann_topk, decontaminate, pmi_topk, " +
-          "quality_filter, bm25_topk)")
+          "quality_filter, bm25_topk, hybrid_topk, drift_psi)")
     }
 
   /** Parse a procedure's `NS.TABLE` argument; `mustExist` gates the
@@ -1420,6 +1423,119 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("n_terms_hit", org.apache.spark.sql.types.LongType,
             nullable = false))),
         rows.map(r => InternalRow(r.getLong(0), r.getDouble(1), r.getLong(2))))
+    }
+  }
+
+  private final class HybridTopKProcedure extends MaintenanceProcedure {
+    override def name(): String = "hybrid_topk"
+    override def description(): String =
+      "hybrid retrieval: BM25 lexical candidates reranked by embedding " +
+        "cosine against the vector of query_id; blended w_lex/w_vec; " +
+        "returns (id, bm25, cos, hybrid) — k rows, bounded"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("docs", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter.in("terms", StringType).build(),
+        procedures.ProcedureParameter.in("vectors", StringType).build(),
+        procedures.ProcedureParameter.in("vec_col", StringType).build(),
+        procedures.ProcedureParameter.in("vec_id_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("query_id", org.apache.spark.sql.types.LongType).build(),
+        procedures.ProcedureParameter
+          .in("k", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("10").build(),
+        procedures.ProcedureParameter
+          .in("candidates", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("30").build(),
+        procedures.ProcedureParameter
+          .in("w_lex", org.apache.spark.sql.types.DoubleType)
+          .defaultValue("0.3").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val docsId = resolveIdent(input.getUTF8String(0).toString, "docs")
+      security.requirePriv(spark, "SELECT", docsId.namespace.toSeq, docsId.name)
+      val vecsId = resolveIdent(input.getUTF8String(4).toString, "vectors")
+      security.requirePriv(spark, "SELECT", vecsId.namespace.toSeq, vecsId.name)
+      val (textCol, idCol) =
+        (input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      val (vecCol, vidCol) =
+        (input.getUTF8String(5).toString, input.getUTF8String(6).toString)
+      val terms = input.getUTF8String(3).toString.trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      require(terms.nonEmpty, "terms must contain at least one token")
+      val wLex = input.getDouble(10)
+      require(wLex >= 0 && wLex <= 1, "w_lex in [0,1]")
+      val vecs = table(vecsId).read
+      val qRows = vecs.filter(col(vidCol).cast("long") === input.getLong(7))
+        .select(col(vecCol)).limit(1).collect()
+      require(qRows.nonEmpty,
+        s"query_id ${input.getLong(7)} not in ${input.getUTF8String(4)}")
+      val qv = qRows.head.getSeq[Number](0).map(_.doubleValue).toArray
+      val cand = graft.operators.Relevance
+        .bm25(table(docsId).read, textCol, idCol, terms)
+        .select(col(idCol).cast("long").as("id"), col("score").as("bm25"))
+        .orderBy(desc("bm25"), col("id")).limit(input.getInt(9))
+      val rows = cand
+        .join(vecs.select(col(vidCol).cast("long").as("id"), col(vecCol)), Seq("id"))
+        .select(col("id"), col("bm25"),
+          graft.operators.Similarity.cosineScore(col(vecCol), qv).as("cos"))
+        .withColumn("hybrid",
+          col("bm25") * wLex + col("cos") * (1 - wLex))
+        .orderBy(desc("hybrid"), col("id")).limit(input.getInt(8))
+        .collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("bm25", org.apache.spark.sql.types.DoubleType, nullable = false),
+          StructField("cos", org.apache.spark.sql.types.DoubleType, nullable = false),
+          StructField("hybrid", org.apache.spark.sql.types.DoubleType, nullable = false))),
+        rows.map(r => InternalRow(r.getLong(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3))))
+    }
+  }
+
+  private final class DriftPsiProcedure extends MaintenanceProcedure {
+    override def name(): String = "drift_psi"
+    override def description(): String =
+      "PSI distribution drift of `table` vs `baseline` per group over a " +
+        "numeric column (buckets = floor(value/width)*width); returns " +
+        "(group, psi, n_base, n_cur) — groups-sized, bounded"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("baseline", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("value_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("bucket_width", org.apache.spark.sql.types.DoubleType)
+          .defaultValue("10.0").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val curId = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", curId.namespace.toSeq, curId.name)
+      val baseId = resolveIdent(input.getUTF8String(1).toString, "baseline")
+      security.requirePriv(spark, "SELECT", baseId.namespace.toSeq, baseId.name)
+      val (gCol, vCol) =
+        (input.getUTF8String(2).toString, input.getUTF8String(3).toString)
+      val width = input.getDouble(4)
+      require(width > 0, "bucket_width must be positive")
+      val bucket = (floor(col(vCol) / width) * width).cast("double")
+      import graft.operators.DriftMonitor
+      val rows = DriftMonitor.psi(
+          DriftMonitor.histogram(table(baseId).read, Seq(gCol), bucket),
+          DriftMonitor.histogram(table(curId).read, Seq(gCol), bucket),
+          Seq(gCol))
+        .orderBy(col(gCol)).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("psi", org.apache.spark.sql.types.DoubleType, nullable = false),
+          StructField("n_base", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("n_cur", org.apache.spark.sql.types.LongType, nullable = false))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.getDouble(1), r.getLong(2), r.getLong(3))))
     }
   }
 

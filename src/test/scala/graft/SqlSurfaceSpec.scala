@@ -850,4 +850,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(bm.map(_.getLong(0)).toSet == Set(1L, 3L))
     assert(bm.forall(_.getLong(2) == 1L))
   }
+
+  test("LLM-operator procedures: hybrid_topk/drift_psi from SQL (r7)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm9",
+      java.nio.file.Files.createTempDirectory("sql_llm9_").toString)
+    spark.sql("CREATE NAMESPACE llm9.DOCS")
+    Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "a quick look at the brown river"),
+      (3L, "nothing lexically related here at all")
+    ).toDF("doc_id", "text").createOrReplaceTempView("seed9_docs")
+    Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.6f, 0.8f)), (3L, Seq(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding").createOrReplaceTempView("seed9_vecs")
+    spark.sql("CREATE TABLE llm9.DOCS.D AS SELECT * FROM seed9_docs")
+    spark.sql("CREATE TABLE llm9.DOCS.V AS SELECT * FROM seed9_vecs")
+
+    // hybrid: docs 1 and 2 hit 'quick brown'; doc 3 is lexically absent
+    // even though its vector is closest to the query (id 1) — hybrid
+    // candidates come from BM25 first
+    val hy = spark.sql(
+      "CALL llm9.system.hybrid_topk(docs => 'DOCS.D', text_col => 'text', " +
+        "id_col => 'doc_id', terms => 'quick brown', vectors => 'DOCS.V', " +
+        "vec_col => 'embedding', vec_id_col => 'vec_id', query_id => 1L, " +
+        "k => 2)").collect()
+    assert(hy.length == 2)
+    assert(hy.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(hy.head.getLong(0) == 1L) // own vector: cos 1.0 dominates
+
+    // drift: baseline vs a shifted copy of the same table
+    spark.sql("CREATE TABLE llm9.DOCS.BASE AS " +
+      "SELECT 'a' AS g, CAST(doc_id * 10 AS DOUBLE) AS v FROM seed9_docs")
+    spark.sql("CREATE TABLE llm9.DOCS.CUR AS " +
+      "SELECT 'a' AS g, CAST(doc_id * 10 + 500 AS DOUBLE) AS v FROM seed9_docs")
+    val dr = spark.sql(
+      "CALL llm9.system.drift_psi(table => 'DOCS.CUR', " +
+        "baseline => 'DOCS.BASE', group_col => 'g', value_col => 'v', " +
+        "bucket_width => 10.0D)").collect()
+    assert(dr.length == 1)
+    assert(dr.head.getString(0) == "a" && dr.head.getDouble(1) > 0.25)
+    assert(dr.head.getLong(2) == 3L && dr.head.getLong(3) == 3L)
+  }
 }
