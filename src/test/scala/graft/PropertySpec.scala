@@ -233,4 +233,45 @@ class PropertySpec extends AnyFunSuite {
       assert(Integer.signum(za) == Integer.signum(ua), s"'$a' vs '$b'")
     }
   }
+
+  test("quality filter: reasons are consistent with passed on arbitrary text") {
+    import graft.operators.QualityFilter
+    val texts: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf("the", "fox", "###", "...", "a", "-", "\n", " ",
+        "12345", "wordwordwordword")).map(_.mkString(" ")),
+      Gen.const(""), Gen.const("   \n  "))
+    val rows = samples(texts).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val flagged = QualityFilter.flags(rows, "text",
+      QualityFilter.Config(minWords = 2, maxWords = 50, minStopwordHits = 1))
+      .select("passed", "reasons").collect()
+    flagged.foreach { r =>
+      // passed ⟺ reasons empty — the routing invariant every sink uses
+      assert(r.getBoolean(0) == r.getString(1).isEmpty, r.toString)
+      // reasons stay within the rule vocabulary, alphabetically ordered
+      val rs = r.getString(1).split(",").filter(_.nonEmpty).toSeq
+      assert(rs == rs.sorted, r.toString)
+      val vocab = Set("alpha_ratio", "bullet_lines", "ellipsis_lines",
+        "mean_word_len", "stopword_hits", "symbol_ratio", "word_count")
+      assert(rs.forall(vocab), r.toString)
+    }
+  }
+
+  test("PSI: zero iff identical histograms; always finite; symmetric under swap") {
+    import graft.operators.DriftMonitor
+    val hist: Gen[Seq[(String, Double, Long)]] =
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(1L, 50L)))
+        .map(_.map { case (b, c) => ("g", b.toDouble, c) }
+          .groupBy(_._2).map { case (v, xs) => ("g", v, xs.map(_._3).sum) }.toSeq)
+    samples(Gen.zip(hist, hist)).take(40).foreach { case (h1, h2) =>
+      val d1 = h1.toDF("g", "_v", "cnt")
+      val d2 = h2.toDF("g", "_v", "cnt")
+      val fwd = DriftMonitor.psi(d1, d2, Seq("g")).head.getDouble(1)
+      val rev = DriftMonitor.psi(d2, d1, Seq("g")).head.getDouble(1)
+      assert(java.lang.Double.isFinite(fwd))
+      assert(fwd == rev, s"asymmetric: $fwd vs $rev")
+      if (h1.toSet == h2.toSet) assert(fwd == 0.0)
+    }
+  }
 }
