@@ -1830,6 +1830,35 @@ object Queries {
       nprobe = 16)
   }
 
+  /** int8 embedding quantization (X23), oracle-exact: every vector's full
+    * code array (comma-joined — exact string compare, no float hashing of
+    * arrays) plus the rounded per-vector scale. Float division via a
+    * binary64 intermediate is correctly rounded, so codes reproduce
+    * bit-identically in DuckDB's REAL arithmetic.
+    */
+  def q89Int8Quantization(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    operators.Similarity.quantizeInt8(emb, "embedding")
+      .select(col("vec_id"),
+        concat_ws(",", col("embedding_q8")).as("codes"),
+        round(col("embedding_scale").cast("double"), 6).as("scale_r"))
+  }
+
+  /** Hyperplane-LSH ANN (X7) in its exhaustive configuration: nbits=2
+    * with a 2-flip probe covers all four signatures, so the LSH path
+    * (signature kernel → probe expansion → bucket filter → exact rank)
+    * must equal brute-force cosine top-k exactly — proving the filter
+    * neither loses nor duplicates rows. Selective pruning is covered by
+    * SimilaritySpec; this pins end-to-end correctness with an oracle.
+    */
+  def q90LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 5)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    operators.Similarity.lshTopK(emb, "embedding", "vec_id", q, 10,
+      nbits = 2, probeHamming = 2)
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1922,7 +1951,9 @@ object Queries {
     "q85_incremental_quantiles" -> (q85IncrementalQuantiles _),
     "q86_hybrid_retrieval" -> (q86HybridRetrieval _),
     "q87_drift_psi" -> (q87DriftPsi _),
-    "q88_ivf_append" -> (q88IvfAppend _)
+    "q88_ivf_append" -> (q88IvfAppend _),
+    "q89_int8_quantization" -> (q89Int8Quantization _),
+    "q90_lsh_topk" -> (q90LshTopK _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3137,6 +3168,32 @@ object Queries {
         |  (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3) q
         |WHERE NOT (vec_id >= (SELECT (max(vec_id) * 7) // 10 FROM embeddings)
         |       AND vec_id < (SELECT (max(vec_id) * 3) // 4 FROM embeddings))
-        |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin
+        |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin,
+    // X23: codes as an exact comma-joined string; REAL arithmetic both
+    // sides (float division via binary64 is correctly rounded)
+    "q89_int8_quantization" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS REAL[]) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  CAST(list_max(list_transform(v, x -> abs(x)))
+        |       / CAST(127 AS REAL) AS REAL) AS sc FROM e)
+        |SELECT vec_id,
+        |  CASE WHEN sc = 0
+        |    THEN array_to_string(list_transform(v, x -> 0), ',')
+        |    ELSE array_to_string(list_transform(v,
+        |      x -> CAST(CAST(round(x / sc) AS TINYINT) AS VARCHAR)), ',')
+        |  END AS codes,
+        |  round(CAST(sc AS DOUBLE), 6) AS scale_r
+        |FROM s""".stripMargin,
+    // X7 in the exhaustive configuration: all 2^2 signatures probed ⇒
+    // must equal brute force (q21 arithmetic, query vector vec_id 5)
+    "q90_lsh_topk" ->
+      """SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+        |FROM embeddings,
+        |  (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5) q
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   )
 }
