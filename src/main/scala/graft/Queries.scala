@@ -3181,7 +3181,8 @@ object Queries {
         |  CASE WHEN sc = 0
         |    THEN array_to_string(list_transform(v, x -> 0), ',')
         |    ELSE array_to_string(list_transform(v,
-        |      x -> CAST(CAST(round(x / sc) AS TINYINT) AS VARCHAR)), ',')
+        |      x -> CAST(CAST(round(CAST(x AS DOUBLE) / CAST(sc AS DOUBLE))
+        |                AS TINYINT) AS VARCHAR)), ',')
         |  END AS codes,
         |  round(CAST(sc AS DOUBLE), 6) AS scale_r
         |FROM s""".stripMargin,

@@ -694,7 +694,12 @@ object Similarity {
         when(col("_s") === 0f,
           transform(col(vecCol), _ => lit(0).cast("byte")))
           .otherwise(transform(col(vecCol),
-            x => round(x.cast("float") / col("_s")).cast("byte"))))
+            // quotient in DOUBLE: float division can land a hair under
+            // n.5 where the double quotient sits at/above it — the
+            // double is both the more accurate rounding and the one an
+            // ANSI engine reproduces deterministically
+            x => round(x.cast("double") / col("_s").cast("double"))
+              .cast("byte"))))
       .withColumn(s"${vecCol}_scale", col("_s"))
       .drop("_s", vecCol)
   }
