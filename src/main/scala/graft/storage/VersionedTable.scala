@@ -659,6 +659,36 @@ final class VersionedTable(spark: SparkSession, val root: String,
     commitRanged(s, ranged, keepExisting = true, extraOffsets = offsets)
   }
 
+  /** Z-ordered APPEND: the multi-dimension counterpart of
+    * [[appendClustered]] — the delta lands as `nParts` parts ordered
+    * along the Morton curve of `zCols`, so each delta part's
+    * footer-harvested zone maps bound a tight RECTANGLE in every z
+    * dimension and a 2-D box [[readWhere]] prunes inside the delta
+    * immediately. The curve's per-dimension domain is learned from the
+    * DELTA itself — correctness never depends on it (pruning keys off
+    * the raw columns' min/max, not the transient z-key), it only shapes
+    * how evenly the delta splits; [[compactZorder]] re-learns the global
+    * domain when it folds fragmentation.
+    */
+  def appendZorder(df: DataFrame, zCols: Seq[String], nParts: Int,
+                   bits: Int = 16,
+                   offsets: Map[String, Long] = Map.empty): Long = {
+    require(nParts > 0, "need a positive part count")
+    val s = state.getOrElse(
+      throw new IllegalStateException(s"no table at $root — create it first"))
+    require(!s.parts.exists(_.vals.nonEmpty),
+      s"table at $root uses partition-scoped commits; z-ordered append " +
+        "applies to append-committed tables")
+    requireCompatibleSchema(s, df)
+    offsets.keys.foreach(requireValidOffsetKey)
+    val zkey = ZOrder.key(df, zCols, bits)
+    val ranged = df.withColumn("_zkey", zkey)
+      .repartitionByRange(nParts, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+    commitRanged(s, ranged, keepExisting = true, extraOffsets = offsets)
+  }
+
   private def commitRanged(s: State, rangedRows: DataFrame,
                            keepExisting: Boolean = false,
                            extraOffsets: Map[String, Long] = Map.empty): Long = {

@@ -107,4 +107,30 @@ class ZOrderSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("zorder"))
   }
+
+  test("appendZorder: delta lands as box-prunable parts; old parts untouched") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_zapp").toString
+    val t = graft.storage.VersionedTable(spark, root)
+    // base: one z-ordered grid
+    val grid = for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong, s"b$x-$y")
+    t.overwrite(grid.toDF("x", "y", "payload"))
+    t.compactZorder(Seq("x", "y"), nParts = 4)
+    val partsBefore = t.state.get.parts
+    // delta: a disjoint id range, z-appended in its own 4 ranges
+    val delta = for { x <- 100 until 132; y <- 100 until 132 }
+      yield (x.toLong, y.toLong, s"d$x-$y")
+    t.appendZorder(delta.toDF("x", "y", "payload"), Seq("x", "y"), nParts = 4)
+    val s = t.state.get
+    assert(s.parts.take(partsBefore.size) == partsBefore)
+    assert(s.parts.size == partsBefore.size + 4)
+    // a 2-D box INSIDE the delta prunes: the base parts and most delta
+    // ranges are provably outside it
+    val box = col("x").between(100L, 107L) && col("y").between(100L, 107L)
+    val (kept, total) = t.pruneStats(box)
+    assert(kept < total, s"kept $kept of $total")
+    assert(t.readWhere(box).count() == 64L)
+    assert(t.read.count() == (32 * 32 + 32 * 32).toLong)
+  }
 }
