@@ -1859,6 +1859,113 @@ object Queries {
       nbits = 2, probeHamming = 2)
   }
 
+  /** CCNet-style per-language quantile bucketing (X62): every document
+    * lands in head/middle/tail by its language's exact tercile thresholds
+    * of the (integer) token count — the quality-partition step CCNet
+    * applies to perplexity. Thresholds follow DuckDB `quantile_disc`
+    * semantics computed from a per-(lang, score) HISTOGRAM, so no
+    * document ever rides a per-language sort (the naive percent_rank
+    * plan serializes half the corpus through one reducer when one
+    * language dominates).
+    */
+  def q91QuantileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    operators.Selection.quantileBuckets(d, "lang", "tok",
+        Seq(1 -> 3, 2 -> 3), Seq("head", "middle", "tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+  }
+
+  /** Token-budget-capped greedy selection (X63): each source fills a
+    * 800-token quota with its longest documents first (n_chars DESC,
+    * doc_id tiebreak — a deterministic total order), the per-domain
+    * quota step of corpus curation. Only narrow key columns ride the
+    * window sort; kept rows join back by unique doc_id.
+    */
+  def q92BudgetCap(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    operators.Selection.budgetCap(d, "source", "n_chars", "doc_id", "tok",
+        budget = 800L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("tokens_kept"),
+        max(col("_cum")).as("budget_used"))
+  }
+
+  /** Leakage-safe content-group split (X64): train/val membership decided
+    * per md5(text) group (representative = min doc_id), so exact
+    * duplicates can never straddle the split. Output counts docs AND
+    * distinct groups per (split, lang) — the group count is what a
+    * doc-level split cannot keep consistent.
+    */
+  def q93LeakageSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.1))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"))
+
+  /** Ordered conversion funnel (X66): view → click → purchase, each step
+    * anchored strictly AFTER the user's previous-step time (first-touch
+    * semantics) — the product-analytics staple. Three narrow passes, each
+    * a type-filtered events slice joined on user_id to the (tiny)
+    * prior-step relation; all comparisons are exact timestamp orderings,
+    * so the step counts are oracle-exact. At 100 TB the type filters push
+    * to the scan and each join key is user_id (AQE handles the
+    * step-relation sizes); no window, no per-user sort.
+    */
+  def q95Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  /** Weekly retention cohorts (X67): users grouped by first-activity week;
+    * for each offset 0..8 weeks, how many of the cohort were active that
+    * week — the cohort-retention matrix. Two narrow aggregates (first
+    * week per user; distinct active (user, week)) + one user_id join;
+    * integer week offsets via exact date arithmetic, so the matrix is
+    * oracle-exact. No window over raw events, no per-user sort.
+    */
+  def q96Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val active = ev.distinct()
+    active.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long"))
+      .filter(col("week_offset") <= 8)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  /** Word-boundary blocklist gate (X65): the C4 "bad words" filter as a
+    * map-only codegen'd pass; counts flagged vs clean docs per language
+    * ("slow" appears in the corpus vocabulary, "junk"/"spam" never do —
+    * both paths exercised).
+    */
+  def q94Blocklist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.blocklistHit(col("text"),
+          Seq("slow", "junk", "spam")).as("hit"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("hit"), 0L).otherwise(1L)).as("n_clean"))
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -1953,7 +2060,13 @@ object Queries {
     "q87_drift_psi" -> (q87DriftPsi _),
     "q88_ivf_append" -> (q88IvfAppend _),
     "q89_int8_quantization" -> (q89Int8Quantization _),
-    "q90_lsh_topk" -> (q90LshTopK _)
+    "q90_lsh_topk" -> (q90LshTopK _),
+    "q91_quantile_buckets" -> (q91QuantileBuckets _),
+    "q92_budget_cap" -> (q92BudgetCap _),
+    "q93_leakage_split" -> (q93LeakageSplit _),
+    "q94_blocklist" -> (q94Blocklist _),
+    "q95_funnel" -> (q95Funnel _),
+    "q96_retention" -> (q96Retention _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3195,6 +3308,82 @@ object Queries {
         |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
         |FROM embeddings,
         |  (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5) q
-        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // thresholds via quantile_disc = the histogram rank rule Selection
+    // implements (smallest value with cumulative count >= ceil(q*n))
+    "q91_quantile_buckets" ->
+      """WITH s AS (SELECT lang,
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+        |  FROM documents),
+        |th AS (SELECT lang, quantile_disc(tok, 1.0/3) AS t1,
+        |         quantile_disc(tok, 2.0/3) AS t2
+        |       FROM s GROUP BY lang)
+        |SELECT s.lang AS lang,
+        |  CASE WHEN tok <= t1 THEN 'head' WHEN tok <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
+        |FROM s JOIN th ON s.lang = th.lang
+        |GROUP BY 1, 2""".stripMargin,
+    "q92_budget_cap" ->
+      """WITH s AS (SELECT source, doc_id, n_chars,
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok,
+        |    SUM(tok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |                   ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(tok) AS BIGINT) AS tokens_kept,
+        |  CAST(MAX(cum) AS BIGINT) AS budget_used
+        |FROM c WHERE cum <= 800 GROUP BY source""".stripMargin,
+    // group rep = min doc_id; split by the shared md5 60-bit bucket spec
+    "q93_leakage_split" ->
+      """WITH g AS (SELECT md5(text) AS grp, MIN(doc_id) AS rep
+        |           FROM documents GROUP BY 1),
+        |l AS (SELECT grp, CASE WHEN
+        |    (CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT)
+        |     % 10000 + 10000) % 10000 < 9000
+        |    THEN 'train' ELSE 'val' END AS split FROM g)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT d.grp) AS n_groups
+        |FROM (SELECT lang, md5(text) AS grp FROM documents) d
+        |JOIN l ON d.grp = l.grp
+        |GROUP BY 1, 2""".stripMargin,
+    "q94_blocklist" ->
+      """SELECT lang,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
+        |FROM (SELECT lang,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN FALSE
+        |         ELSE array_has_any(
+        |           regexp_split_to_array(lower(trim(text)), '\s+'),
+        |           ['slow', 'junk', 'spam']) END AS hit
+        |  FROM documents) GROUP BY lang""".stripMargin,
+    "q95_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+        |  (SELECT COUNT(*) FROM s2) AS n_view_click,
+        |  (SELECT COUNT(*) FROM s3) AS n_view_click_purchase""".stripMargin,
+    "q96_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY user_id)
+        |SELECT f.cohort_week,
+        |  CAST(datediff('day', f.cohort_week, a.wk) / 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |WHERE datediff('day', f.cohort_week, a.wk) / 7 <= 8
+        |GROUP BY 1, 2""".stripMargin
   )
 }

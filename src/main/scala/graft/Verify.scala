@@ -37,7 +37,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name filter for targeted local
+    // runs (the driver always passes exactly two args → full catalog)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     // the tuned session (nanos-parquet compat, extensions, AQE) — a plain
     // builder here once let events-reading queries fail while stale output
     // from an earlier run masked it
@@ -45,9 +49,11 @@ object Verify {
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      dumpOne(spark, outDir, name, fn, sfDir)
-    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        dumpOne(spark, outDir, name, fn, sfDir)
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -17,6 +17,23 @@ object TextFunctions {
     when(text.isNull || length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Word-boundary blocklist hit test (X65): TRUE iff any whitespace
+    * token of the lowercased text is in `words` — the C4 "bad words"
+    * gate (Raffel et al. 2020 §2.2) and the Dolma taggers' wordlist
+    * rule. Token-exact (no substring false-positives: "classic" never
+    * trips on an embedded match), one `arrays_overlap` inside
+    * whole-stage codegen, and reproducible in ANSI SQL via
+    * `array_has_any(regexp_split_to_array(lower(trim(text)),'\s+'), …)`
+    * — hence oracle-checkable (q94). NULL/blank text → false.
+    */
+  def blocklistHit(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "empty blocklist")
+    when(text.isNull || length(trim(text)) === 0, lit(false))
+      .otherwise(arrays_overlap(
+        split(lower(trim(text)), "\\s+"),
+        array(words.map(w => lit(w.toLowerCase)): _*)))
+  }
+
   /** Word n-grams WITH repeats (unlike [[graft.operators.Dedup.shingles]],
     * which is the distinct set) — the raw material of within-document
     * repetition signals. NULL/blank text and docs shorter than n tokens →

@@ -200,4 +200,31 @@ object Sampling {
       .select(col("anchor"), col("pair"), lit("neg").as("kind"))
     pos.unionByName(neg)
   }
+
+  /** Leakage-safe train/validation split (X64): split membership is
+    * decided per CONTENT GROUP, not per document, so exact duplicates
+    * (same `md5(text)`) can never straddle the boundary — the train/test
+    * contamination mode that doc-level [[splitByHash]] cannot rule out
+    * when the corpus still contains dup clusters.
+    *
+    * Each group's representative is its MIN id; the whole group inherits
+    * `splitByHash` of that representative, so the contract stays id-pure,
+    * deterministic, and ANSI-reproducible (oracle q93). Adds `split` and
+    * `grp` (the md5 content key, for auditing group integrity).
+    *
+    * Scale shape: the group relation is a narrow (md5, min-id) aggregate
+    * — text itself never rides its shuffle — and the label join-back
+    * recomputes md5 on the big side and hash-joins on it: ONE exchange
+    * of the full rows, no sort, no driver state. (Near-dup-cluster
+    * splits compose the same way from [[graft.operators.Dedup]]'s
+    * cluster assignment instead of md5.)
+    */
+  def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    val grp = md5(col(textCol)).as("grp")
+    val reps = df.select(grp, col(idCol).as("_id"))
+      .groupBy(col("grp")).agg(min(col("_id")).as("_rep"))
+    val labeled = splitByHash(reps, "_rep", splits).drop("_rep")
+    df.withColumn("grp", md5(col(textCol))).join(labeled, "grp")
+  }
 }
