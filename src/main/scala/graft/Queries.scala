@@ -1952,6 +1952,64 @@ object Queries {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** Calendar gap-fill with forward-fill (X68): sparse daily series
+    * (high-value events only) densified over each type's min..max date
+    * spine, gaps carrying the last observed daily total forward — the
+    * time-series resample/ffill step every metrics warehouse needs.
+    * Spine = per-type `sequence(min, max)` explode (never a cross join
+    * against a global calendar); fill = one `last(ignoreNulls)` window
+    * per type over the SPINE-sized relation (days, not events). Decimal-
+    * summed daily totals keep the forward-filled sum oracle-exact.
+    */
+  def q97GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("value") > 200)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(dsum(col("value")).as("v"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("ff", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_gap_days"),
+        dsum(col("ff")).as("sum_filled"))
+  }
+
+  /** SCD Type 2 batch apply (X69): the history-preserving dimension
+    * MERGE — changed keys close their current row at the effective date
+    * and open a new version; unchanged updates are no-ops; unseen keys
+    * insert. One batch over a customer-segment dimension, full final
+    * dimension emitted (closed + open + untouched rows), every decision
+    * an exact comparison — oracle-reproducible as four SQL legs.
+    */
+  def q98Scd2(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val dim = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"))
+      .withColumn("valid_from", lit("1994-01-01").cast("date"))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    // the batch: every 7th key moves segment; every 11th key appears as
+    // a brand-new customer; every 13th key "updates" to its UNCHANGED
+    // segment (must be a no-op)
+    val updates = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"), lit("MOVED").as("seg"))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"), lit("NEWCOMER").as("seg")))
+      .unionByName(c.filter(col("c_custkey") % 13 === 0 &&
+          col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg")))
+    operators.Scd.applyBatch(dim, updates, "k", Seq("seg"),
+      lit("1994-06-01"))
+  }
+
   /** Word-boundary blocklist gate (X65): the C4 "bad words" filter as a
     * map-only codegen'd pass; counts flagged vs clean docs per language
     * ("slow" appears in the corpus vocabulary, "junk"/"spam" never do —
@@ -2066,7 +2124,9 @@ object Queries {
     "q93_leakage_split" -> (q93LeakageSplit _),
     "q94_blocklist" -> (q94Blocklist _),
     "q95_funnel" -> (q95Funnel _),
-    "q96_retention" -> (q96Retention _)
+    "q96_retention" -> (q96Retention _),
+    "q97_gap_fill" -> (q97GapFill _),
+    "q98_scd2" -> (q98Scd2 _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3384,6 +3444,47 @@ object Queries {
         |  COUNT(DISTINCT a.user_id) AS n_active
         |FROM a JOIN f ON a.user_id = f.user_id
         |WHERE datediff('day', f.cohort_week, a.wk) / 7 <= 8
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q97_gap_fill" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE value > 200 GROUP BY 1, 2),
+        |spine AS (SELECT event_type,
+        |    CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+        |      CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+        |        FROM daily GROUP BY 1)),
+        |f AS (SELECT s.event_type, s.d, daily.v,
+        |    last_value(daily.v IGNORE NULLS) OVER (
+        |      PARTITION BY s.event_type ORDER BY s.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+        |  FROM spine s LEFT JOIN daily
+        |    ON s.event_type = daily.event_type AND s.d = daily.d)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days,
+        |  CAST(SUM(CAST(ff AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled
+        |FROM f GROUP BY event_type""".stripMargin,
+    // four legs: closed current rows, pass-through (history/unchanged),
+    // re-opened changed versions, brand-new keys — exact comparisons only
+    "q98_scd2" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+        |u AS (SELECT k, 'MOVED' AS seg FROM base WHERE k % 7 = 0
+        |      UNION ALL
+        |      SELECT k + 1000000, 'NEWCOMER' FROM base WHERE k % 11 = 0
+        |      UNION ALL
+        |      SELECT k, seg FROM base WHERE k % 13 = 0 AND k % 7 <> 0),
+        |chg AS (SELECT u.k, u.seg FROM u JOIN base b ON u.k = b.k
+        |        WHERE u.seg <> b.seg),
+        |newk AS (SELECT u.k, u.seg FROM u LEFT JOIN base b ON u.k = b.k
+        |         WHERE b.k IS NULL)
+        |SELECT b.k, b.seg, DATE '1994-01-01' AS valid_from,
+        |  CASE WHEN c.k IS NOT NULL THEN DATE '1994-06-01'
+        |       ELSE CAST(NULL AS DATE) END AS valid_to,
+        |  (c.k IS NOT NULL) = FALSE AS is_current
+        |FROM base b LEFT JOIN chg c ON b.k = c.k
+        |UNION ALL
+        |SELECT k, seg, DATE '1994-06-01', CAST(NULL AS DATE), TRUE FROM chg
+        |UNION ALL
+        |SELECT k, seg, DATE '1994-06-01', CAST(NULL AS DATE), TRUE FROM newk""".stripMargin
   )
 }
