@@ -2010,6 +2010,54 @@ object Queries {
       lit("1994-06-01"))
   }
 
+  private val q99Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental quality-threshold bucketing (X70): the streaming face of
+    * X62 — per-language tercile thresholds come from the PERSISTED
+    * IncrementalQuantiles histogram state (built here from two appends
+    * plus a delete window, each refresh delta-only), and the incoming
+    * batch is bucketed against those corpus-historical thresholds with
+    * NO corpus rescan. Oracle recomputes the surviving corpus's
+    * quantile_disc thresholds from scratch — equality proves the state
+    * walk and the bucket join agree with the batch operator.
+    */
+  def q99IncrementalBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val root = q99Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q99_incbkt").toString
+      val mid = toks.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val src = storage.VersionedTable(s, s"$r/src", collectStats = false)
+      val iq = operators.IncrementalQuantiles(s, src, s"$r/state",
+        Seq("lang"), col("tok"))
+      src.append(toks.filter(col("doc_id") <= mid))
+      val a1 = iq.refresh()
+      src.append(toks.filter(col("doc_id") > mid))
+      val a2 = iq.refresh()
+      src.deleteWhere(col("doc_id") % 17 === 0)
+      val a3 = iq.refresh()
+      require(a1 == 1 && a2 == 1 && a3 == 1,
+        s"refreshes must be delta-only: $a1 $a2 $a3")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val iq = operators.IncrementalQuantiles(s,
+      storage.VersionedTable(s, s"$root/src", collectStats = false),
+      s"$root/state", Seq("lang"), col("tok"))
+    require(iq.refresh() == 0L, "state must already be current")
+    operators.Selection.bucketsFromHistogram(toks, iq.histogram,
+        "lang", "_v", "cnt", "tok",
+        Seq(1 -> 3, 2 -> 3), Seq("head", "middle", "tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+  }
+
   /** Word-boundary blocklist gate (X65): the C4 "bad words" filter as a
     * map-only codegen'd pass; counts flagged vs clean docs per language
     * ("slow" appears in the corpus vocabulary, "junk"/"spam" never do —
@@ -2126,7 +2174,8 @@ object Queries {
     "q95_funnel" -> (q95Funnel _),
     "q96_retention" -> (q96Retention _),
     "q97_gap_fill" -> (q97GapFill _),
-    "q98_scd2" -> (q98Scd2 _)
+    "q98_scd2" -> (q98Scd2 _),
+    "q99_incremental_buckets" -> (q99IncrementalBuckets _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3485,6 +3534,22 @@ object Queries {
         |UNION ALL
         |SELECT k, seg, DATE '1994-06-01', CAST(NULL AS DATE), TRUE FROM chg
         |UNION ALL
-        |SELECT k, seg, DATE '1994-06-01', CAST(NULL AS DATE), TRUE FROM newk""".stripMargin
+        |SELECT k, seg, DATE '1994-06-01', CAST(NULL AS DATE), TRUE FROM newk""".stripMargin,
+    // thresholds from the SURVIVING corpus (delete window applied),
+    // buckets over the full batch — mirrors the state the engine maintains
+    "q99_incremental_buckets" ->
+      """WITH s AS (SELECT lang, doc_id,
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+        |  FROM documents),
+        |th AS (SELECT lang, quantile_disc(tok, 1.0/3) AS t1,
+        |         quantile_disc(tok, 2.0/3) AS t2
+        |       FROM s WHERE doc_id % 17 <> 0 GROUP BY lang)
+        |SELECT s.lang AS lang,
+        |  CASE WHEN tok <= t1 THEN 'head' WHEN tok <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
+        |FROM s JOIN th ON s.lang = th.lang
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -60,25 +60,54 @@ object Selection {
     */
   def quantileBuckets(df: DataFrame, groupCol: String, scoreCol: String,
                       qs: Seq[(Int, Int)], names: Seq[String]): DataFrame = {
-    require(names.length == qs.length + 1, "need one more name than cut")
-    require(qs.forall { case (n, d) => n > 0 && n < d }, "cuts in (0,1)")
-    val g = col(groupCol)
     // per-(group, score) histogram: the only corpus-sized shuffle, and it
     // is a partial-aggregated narrow one
-    val hist = df.groupBy(g, col(scoreCol).as("_s"))
+    val hist = df.groupBy(col(groupCol), col(scoreCol).as("_s"))
       .agg(count(lit(1)).as("_c"))
+    bucketWith(df, thresholdsOf(hist, groupCol, qs), groupCol, scoreCol,
+      qs, names)
+  }
+
+  /** Bucket rows by thresholds computed from an EXTERNALLY-maintained
+    * per-group histogram `(group, valueCol, cntCol)` — e.g. the persisted
+    * [[IncrementalQuantiles]] state — instead of scanning `df` itself:
+    * the incremental face of [[quantileBuckets]], where new batches are
+    * bucketed against corpus-historical thresholds without any corpus
+    * rescan. Threshold semantics are identical (quantile_disc rank rule).
+    */
+  def bucketsFromHistogram(df: DataFrame, hist: DataFrame, groupCol: String,
+                           valueCol: String, cntCol: String, scoreCol: String,
+                           qs: Seq[(Int, Int)], names: Seq[String]): DataFrame = {
+    val h = hist.select(col(groupCol), col(valueCol).as("_s"),
+      col(cntCol).as("_c"))
+    bucketWith(df, thresholdsOf(h, groupCol, qs), groupCol, scoreCol,
+      qs, names)
+  }
+
+  /** One row per group: `_t0.._tk` threshold scores at each requested
+    * rational quantile, from a `(group, _s, _c)` histogram relation.
+    */
+  private def thresholdsOf(hist: DataFrame, groupCol: String,
+                           qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.forall { case (n, d) => n > 0 && n < d }, "cuts in (0,1)")
+    val g = col(groupCol)
     val wCum = Window.partitionBy(g).orderBy(col("_s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(g)
     val cum = hist
       .withColumn("_cum", sum(col("_c")).over(wCum))
       .withColumn("_n", sum(col("_c")).over(wAll))
-    // one row per group: the threshold score at each requested quantile
     val tCols = qs.zipWithIndex.map { case ((num, den), i) =>
       min(when(col("_cum") >= qRank(col("_n"), num, den), col("_s")))
         .as(s"_t$i")
     }
-    val thresholds = cum.groupBy(g).agg(tCols.head, tCols.tail: _*)
+    cum.groupBy(g).agg(tCols.head, tCols.tail: _*)
+  }
+
+  private def bucketWith(df: DataFrame, thresholds: DataFrame,
+                         groupCol: String, scoreCol: String,
+                         qs: Seq[(Int, Int)], names: Seq[String]): DataFrame = {
+    require(names.length == qs.length + 1, "need one more name than cut")
     val bucket = qs.indices.foldRight(lit(names.last): Column) { (i, acc) =>
       when(col(scoreCol) <= col(s"_t$i"), lit(names(i))).otherwise(acc)
     }

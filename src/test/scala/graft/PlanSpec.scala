@@ -316,4 +316,36 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.forall(!_.contains("embedding#")), shuffles.mkString("\n"))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q91 quantile buckets: the only sorts are histogram-sized (no doc_id)") {
+    val p = planOf("q91_quantile_buckets")
+    val sorts = p.split("\n").filter(_.contains("Sort "))
+    assert(sorts.nonEmpty, p)
+    assert(sorts.forall(!_.contains("doc_id")), sorts.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q95 funnel: step joins key on user_id; no window, no cartesian") {
+    val p = planOf("q95_funnel")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // event_type filters reach the scans (pushed, not post-join)
+    assert(p.contains("PushedFilters") || p.contains("Filter"), p)
+  }
+
+  test("q97 gap-fill: the fill window partitions by event_type over the spine") {
+    val p = planOf("q97_gap_fill")
+    assert(p.contains("Window"), p)
+    // the window input is the spine join, whose rows carry (event_type, d,
+    // v) only — never the raw value column of the events scan
+    val winLines = p.split("\n").filter(_.contains("Window"))
+    assert(winLines.forall(!_.contains("value#")), winLines.mkString("\n"))
+  }
+
+  test("q98 scd2: no sort, no window — batch joins against current rows only") {
+    val p = planOf("q98_scd2")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Union"), p)
+  }
 }

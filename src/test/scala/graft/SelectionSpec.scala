@@ -58,6 +58,29 @@ class SelectionSpec extends AnyFunSuite {
     assert(sortLines.forall(!_.contains("doc_id")), sortLines.mkString("\n"))
   }
 
+  test("bucketsFromHistogram: self-histogram equals quantileBuckets; " +
+    "external state shifts thresholds") {
+    val hist = scored.groupBy(col("lang"), col("tok").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaState = Selection.bucketsFromHistogram(scored, hist,
+        "lang", "v", "cnt", "tok", Seq(1 -> 3, 2 -> 3),
+        Seq("head", "middle", "tail"))
+      .select("lang", "doc_id", "bucket")
+    val direct = Selection.quantileBuckets(scored, "lang", "tok",
+        Seq(1 -> 3, 2 -> 3), Seq("head", "middle", "tail"))
+      .select("lang", "doc_id", "bucket")
+    assert(viaState.except(direct).isEmpty && direct.except(viaState).isEmpty)
+    // a state histogram of ONLY small scores pushes everything to tail
+    val lowOnly = hist.filter(col("v") <= 5)
+    if (lowOnly.count() > 0) {
+      val shifted = Selection.bucketsFromHistogram(
+        scored.filter(col("tok") > 5), lowOnly,
+        "lang", "v", "cnt", "tok", Seq(1 -> 3, 2 -> 3),
+        Seq("head", "middle", "tail"))
+      assert(shifted.filter(col("bucket") =!= "tail").count() == 0)
+    }
+  }
+
   test("budgetCap: kept set is the maximal greedy prefix per group") {
     val base = docs.select(col("source"), col("doc_id"), col("n_chars"),
       TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
