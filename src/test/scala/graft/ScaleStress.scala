@@ -188,12 +188,44 @@ object ScaleStress {
     val nQuant = iq.quantiles(Seq(0.5, 0.99)).count()
     println(s"[stress] bm25 top=$nBm quantile buckets=$nQBuckets rows=$nQuant")
 
+    // ---- selection tier: quantile buckets / budget cap / leakage split ----
+    // 50k docs: bucketing must stay histogram-shaped (no corpus sort),
+    // every (lang, bucket) populated; budget cap keeps the greedy prefix
+    // under the quota in every source; the leakage split must keep all
+    // 10-way replica groups atomic (the corpus IS mass-duplicated).
+    val scoredT = corpus.select(col("doc_id"),
+      concat(lit("l"), pmod(col("base_id"), lit(5))).as("lang"),
+      concat(lit("s"), pmod(col("base_id"), lit(20))).as("source"),
+      functions.TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    // mass duplication can collapse a group's terciles (t1 = t2 leaves
+    // "middle" empty) — the invariants are exhaustive assignment and at
+    // least one populated bucket per lang, not always 3
+    val bucketed = time("quantileBuckets (50k docs)")(
+      operators.Selection.quantileBuckets(scoredT, "lang", "tok",
+        Seq(1 -> 3, 2 -> 3), Seq("head", "middle", "tail"))
+        .groupBy("lang", "bucket").count().collect())
+    val nAssigned = bucketed.map(_.getLong(2)).sum
+    val nLangs = bucketed.map(_.getString(0)).distinct.length
+    val capped = time("budgetCap (50k docs)")(
+      operators.Selection.budgetCap(scoredT, "source", "tok", "doc_id",
+        "tok", budget = 5000L)
+        .groupBy("source").agg(max(col("_cum")).as("used")))
+    val overBudget = capped.filter(col("used") > 5000L).count()
+    val splitDf = time("leakageSafeSplit (50k docs, mass dups)")(
+      operators.Sampling.leakageSafeSplit(corpus.select("doc_id", "text"),
+        "text", "doc_id", Seq("train" -> 0.9, "val" -> 0.1)))
+    val straddle = splitDf.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    println(s"[stress] assigned=$nAssigned langs=$nLangs " +
+      s"overBudget=$overBudget straddlers=$straddle")
+
     val ok = lostExact == 0 && lostNear == 0 && uniques == expectedUniques &&
       exactReplicasLeft == 0 && uniqueDropped == 0 &&
       hotRow.getLong(2) < 1100 &&
       nPmi == 20 && nNll >= n * 8 / 10 && nDecon >= nBench &&
       nQf > 0 && nQf < n && nBm == 10 &&
-      nQBuckets <= 5005 && nQuant == 10
+      nQBuckets <= 5005 && nQuant == 10 &&
+      nAssigned == n && nLangs == 5 && overBudget == 0 && straddle == 0
     println(s"[stress] RECALL ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)
