@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.{coalesce, col, desc, floor, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, count, desc, floor, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -295,7 +295,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "grant_privilege", "revoke_privilege", "show_grants", "show_roles",
           "dedup_exact", "minhash_dedup", "substring_dedup", "ann_topk",
           "decontaminate", "pmi_topk", "quality_filter", "bm25_topk",
-          "hybrid_topk", "drift_psi")
+          "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -333,6 +333,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "bm25_topk" => new Bm25TopKProcedure
       case "hybrid_topk" => new HybridTopKProcedure
       case "drift_psi" => new DriftPsiProcedure
+      case "quantile_buckets" => new QuantileBucketsProcedure
+      case "scd2_apply" => new Scd2ApplyProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
@@ -341,7 +343,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "create_role, drop_role, grant_privilege, revoke_privilege, " +
           "show_grants, show_roles, dedup_exact, minhash_dedup, " +
           "substring_dedup, ann_topk, decontaminate, pmi_topk, " +
-          "quality_filter, bm25_topk, hybrid_topk, drift_psi)")
+          "quality_filter, bm25_topk, hybrid_topk, drift_psi, " +
+          "quantile_buckets, scd2_apply)")
     }
 
   /** Parse a procedure's `NS.TABLE` argument; `mustExist` gates the
@@ -1536,6 +1539,84 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.unsafe.types.UTF8String.fromString(
             String.valueOf(r.get(0))),
           r.getDouble(1), r.getLong(2), r.getLong(3))))
+    }
+  }
+
+  private final class QuantileBucketsProcedure extends MaintenanceProcedure {
+    override def name(): String = "quantile_buckets"
+    override def description(): String =
+      "CCNet-style per-group head/middle/tail bucketing by exact tercile " +
+        "thresholds of an integer score column (histogram-walked, no " +
+        "per-group sort); returns (group, bucket, n) — groups×3, bounded"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("score_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val (gCol, sCol) =
+        (input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      val rows = graft.operators.Selection.quantileBuckets(
+          table(id).read.select(col(gCol), col(sCol).cast("long").as(sCol)),
+          gCol, sCol, Seq(1 -> 3, 2 -> 3), Seq("head", "middle", "tail"))
+        .groupBy(col(gCol), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col(gCol), col("bucket")).collect() // groups×3, bounded
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("bucket", StringType, nullable = false),
+          StructField("n", org.apache.spark.sql.types.LongType, nullable = false))),
+        rows.map(r => InternalRow(
+          UTF8String.fromString(String.valueOf(r.get(0))),
+          UTF8String.fromString(r.getString(1)), r.getLong(2))))
+    }
+  }
+
+  private final class Scd2ApplyProcedure extends MaintenanceProcedure {
+    override def name(): String = "scd2_apply"
+    override def description(): String =
+      "SCD Type 2 batch apply: close changed keys' current rows at the " +
+        "effective date and open new versions; no-op updates create no " +
+        "churn; unseen keys insert. Overwrites `dim` in place; returns " +
+        "(version, n_rows, n_current)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("dim", StringType).build(),
+        procedures.ProcedureParameter.in("updates", StringType).build(),
+        procedures.ProcedureParameter.in("key_col", StringType).build(),
+        procedures.ProcedureParameter.in("tracked_cols", StringType).build(),
+        procedures.ProcedureParameter.in("effective_date", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dimId = resolveIdent(input.getUTF8String(0).toString, "dim")
+      // mutation = UPDATE (closing rows) + INSERT (new versions)
+      Seq("SELECT", "UPDATE", "INSERT").foreach(p =>
+        security.requirePriv(spark, p, dimId.namespace.toSeq, dimId.name))
+      val updId = resolveIdent(input.getUTF8String(1).toString, "updates")
+      security.requirePriv(spark, "SELECT", updId.namespace.toSeq, updId.name)
+      val key = input.getUTF8String(2).toString
+      val tracked = input.getUTF8String(3).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val eff = input.getUTF8String(4).toString
+      val dimT = table(dimId)
+      val result = graft.operators.Scd.applyBatch(dimT.read,
+        table(updId).read.select((key +: tracked).map(col): _*),
+        key, tracked, lit(eff)).cache()
+      try {
+        // materialize BEFORE overwriting the table the plan reads from
+        val nRows = result.count()
+        val nCurrent = result.filter(col("is_current")).count()
+        val version = dimT.overwrite(result)
+        singleRowScan(
+          StructType(Seq(
+            StructField("version", org.apache.spark.sql.types.LongType, nullable = false),
+            StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
+            StructField("n_current", org.apache.spark.sql.types.LongType, nullable = false))),
+          InternalRow(version, nRows, nCurrent))
+      } finally result.unpersist(blocking = false)
     }
   }
 

@@ -892,4 +892,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(dr.head.getString(0) == "a" && dr.head.getDouble(1) > 0.25)
     assert(dr.head.getLong(2) == 3L && dr.head.getLong(3) == 3L)
   }
+
+  test("selection procedures: quantile_buckets / scd2_apply from SQL (r7)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.sql.GraftCatalog.register(spark, "sel1",
+      java.nio.file.Files.createTempDirectory("sql_sel1_").toString)
+    spark.sql("CREATE NAMESPACE sel1.S")
+
+    // 9 scored rows in one group: terciles at 3 and 6 (quantile_disc)
+    Seq.tabulate(9)(i => ("g1", i + 1L)).toDF("grp", "score")
+      .createOrReplaceTempView("seed_sel_scores")
+    spark.sql("CREATE TABLE sel1.S.SCORES AS SELECT * FROM seed_sel_scores")
+    val qb = spark.sql(
+      "CALL sel1.system.quantile_buckets(table => 'S.SCORES', " +
+        "group_col => 'grp', score_col => 'score')").collect()
+    assert(qb.map(r => (r.getString(1), r.getLong(2))).toSet ==
+      Set(("head", 3L), ("middle", 3L), ("tail", 3L)))
+
+    // SCD2: dim of two keys; one changes, one new key arrives
+    Seq((1L, "A"), (2L, "B")).toDF("k", "seg")
+      .select(col("k"), col("seg"),
+        lit("2020-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+      .createOrReplaceTempView("seed_sel_dim")
+    Seq((1L, "A2"), (3L, "C")).toDF("k", "seg")
+      .createOrReplaceTempView("seed_sel_upd")
+    spark.sql("CREATE TABLE sel1.S.DIM AS SELECT * FROM seed_sel_dim")
+    spark.sql("CREATE TABLE sel1.S.UPD AS SELECT * FROM seed_sel_upd")
+    val sc = spark.sql(
+      "CALL sel1.system.scd2_apply(dim => 'S.DIM', updates => 'S.UPD', " +
+        "key_col => 'k', tracked_cols => 'seg', " +
+        "effective_date => '2020-06-01')").collect()
+    assert(sc.length == 1)
+    assert(sc.head.getLong(1) == 4L && sc.head.getLong(2) == 3L)
+    // the dimension table itself was rewritten in place
+    val dim = spark.sql("SELECT k, seg, is_current FROM sel1.S.DIM " +
+      "ORDER BY k, seg").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(dim == Seq((1L, "A", false), (1L, "A2", true),
+      (2L, "B", true), (3L, "C", true)))
+  }
 }
