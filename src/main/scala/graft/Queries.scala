@@ -2072,6 +2072,61 @@ object Queries {
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_flagged"),
         sum(when(col("hit"), 0L).otherwise(1L)).as("n_clean"))
 
+  /** Distributed connected components at the cluster tier (X71): the
+    * user-session graph — consecutive events of a user ≤ 10 minutes apart
+    * are linked — resolved with large-star/small-star contraction
+    * ([[operators.Dedup.starComponents]]), NOT the driver union-find.
+    * Session chains are the adversarial shape for min-label propagation
+    * (rounds = chain length); star contraction resolves them in O(log n)
+    * rounds. The session graph is relationally derivable (lag + cumsum),
+    * so the COMPONENT ASSIGNMENT itself is oracle-exact: component = min
+    * event_id of the session, pinned per user via sum-of-components.
+    */
+  def q100SessionComponents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .filter(col("prev_id").isNotNull && col("gap") <= 600L)
+      .select(col("event_id").as("id_a"), col("prev_id").as("id_b"))
+    val comp = operators.Dedup.starComponents(pairs)
+    // events with no qualifying neighbor are their own singleton component
+    ev.join(comp, ev("event_id") === comp("id"), "left")
+      .select(col("user_id"),
+        coalesce(col("component"), col("event_id")).as("comp"))
+      .groupBy(col("user_id"), col("comp"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("comp")).as("sum_components"))
+  }
+
+  /** Unicode text cleanup (X72): NFC composition + control-char strip +
+    * whitespace collapse via the codegen'd [[plans.expressions.cleanText]]
+    * kernel. The corpus is ASCII, so a decomposed-accent + control-char
+    * suffix is appended to every doc to force real NFC work; the oracle
+    * reproduces the pass with `nfc_normalize` + regexp chains and pins
+    * content equality through a per-doc md5-prefix checksum.
+    */
+  def q101NormalizeText(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // " cafe" + combining acute (U+0301) + BEL (control) + " x": NFC must
+    // compose e+0301 -> é, the cleanup must drop BEL and keep the spaces
+    val cleaned = d.select(col("lang"),
+      graft.plans.expressions.cleanText(
+        concat(col("text"), lit(" cafe" + "\u0301" + "\u0007" + " x"))).as("t"))
+    cleaned.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("t"))).as("sum_len"),
+      sum(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+          % 1000000007L)
+        .as("checksum"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2175,7 +2230,9 @@ object Queries {
     "q96_retention" -> (q96Retention _),
     "q97_gap_fill" -> (q97GapFill _),
     "q98_scd2" -> (q98Scd2 _),
-    "q99_incremental_buckets" -> (q99IncrementalBuckets _)
+    "q99_incremental_buckets" -> (q99IncrementalBuckets _),
+    "q100_session_components" -> (q100SessionComponents _),
+    "q101_normalize_text" -> (q101NormalizeText _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3550,6 +3607,43 @@ object Queries {
         |       ELSE 'tail' END AS bucket,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
         |FROM s JOIN th ON s.lang = th.lang
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // sessions are relationally derivable, so the distributed-CC result
+    // (component = session min event_id) has an exact SQL ground truth
+    "q100_session_components" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN date_diff('second',
+        |           LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |           CAST(ts AS TIMESTAMP)) <= 600 THEN 0 ELSE 1 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, sess, COUNT(*) AS n_events, MIN(event_id) AS comp
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  CAST(SUM(comp) AS BIGINT) AS sum_components
+        |FROM g GROUP BY user_id""".stripMargin,
+    // the cleanup pass, reproduced relationally: nfc_normalize + strip
+    // non-whitespace C0 controls/DEL + collapse \s+ + trim; content
+    // pinned by a 60-bit md5-prefix checksum per doc
+    "q101_normalize_text" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    trim(regexp_replace(regexp_replace(
+        |      nfc_normalize(text || ' cafe' || chr(769) || chr(7) || ' x'),
+        |      '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(t)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+        |           % 1000000007) AS BIGINT) AS checksum
+        |FROM c GROUP BY lang""".stripMargin
   )
 }

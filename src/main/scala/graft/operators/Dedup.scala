@@ -351,13 +351,111 @@ object Dedup {
       import spark.implicits._
       return rows.toDF("id", "component")
     }
-    // distributedComponents returns an eager localCheckpoint, so the input
-    // cache can be dropped as soon as it does
-    try distributedComponents(cached, maxIters)
+    // starComponents returns an eager localCheckpoint, so the input
+    // cache can be dropped as soon as it does. Star contraction (not
+    // min-label) is the distributed default: its round count is
+    // O(log n) regardless of component diameter, while min-label needs
+    // one shuffle round per hop of the longest chain — a 10k-link
+    // duplicate chain (trivial at 100 TB) would mean 10k shuffle rounds.
+    try starComponents(cached, maxIters)
     finally cached.unpersist(blocking = false)
   }
 
-  private def distributedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm). Each round is two
+    * window-grouped shuffles keyed on a node id; the edge set contracts
+    * toward per-component stars centered at the component minimum in
+    * O(log n) rounds INDEPENDENT of component diameter. Min-label
+    * propagation ([[minLabelComponents]]) needs O(diameter) rounds — on
+    * the chain graphs that long duplicate runs produce, that is the
+    * difference between ~log₂(n) shuffles and n shuffles at 100 TB.
+    *
+    * Returns (id, component) with component = smallest id reachable.
+    *
+    *  - large-star: every node n > c in c's neighborhood re-attaches to
+    *    m = min(N(c) ∪ {c}) — strictly-larger neighbors hop to the
+    *    local minimum, halving long chains;
+    *  - small-star: every node v ≤ c in c's canonical (smaller-side)
+    *    neighborhood re-attaches to m = min(N≤(c) ∪ {c}) — flattening
+    *    the contracted tree toward a star.
+    *
+    * Fixpoint = the edge multiset is unchanged by a full round (checked
+    * with a count + order-insensitive xxhash64 checksum in ONE agg job);
+    * at fixpoint every edge is (node → its component min).
+    */
+  def starComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // canonical simple undirected edges: u = greater endpoint, v = smaller;
+    // self-loops dropped (they carry no connectivity)
+    var edges = pairs.select(
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("u"),
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    if (edges.isEmpty) return Seq.empty[(Long, Long)].toDF("id", "component")
+    // count + order-insensitive XOR checksum in one agg job (edges are
+    // distinct, so set equality == multiset equality; XOR never overflows
+    // under ANSI arithmetic, unlike SUM)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // ---- large-star ----
+      // neighborhoods over both directions; per center c the window min
+      // gives m = min(N(c) ∪ {c}) (c itself enters via least(m, c))
+      val nbrs = edges.select(col("u").as("c"), col("v").as("n"))
+        .union(edges.select(col("v").as("c"), col("u").as("n")))
+      val wc = Window.partitionBy(col("c"))
+      val large = nbrs
+        .withColumn("m", least(min(col("n")).over(wc), col("c")))
+        .filter(col("n") > col("c"))
+        // n > c ≥ m, so (n, m) is already in canonical (greater, smaller)
+        // order; n = m is impossible
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+      // ---- small-star ----
+      // canonical edges already point each center u at its smaller
+      // neighbors; m = min over them (< u always). Emit (v, m) for each
+      // smaller neighbor v ≠ m plus the center's own (u, m).
+      val wu = Window.partitionBy(col("u"))
+      val withM = large.withColumn("m", min(col("v")).over(wu))
+      val small = withM
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint(true)
+      val newSig = signature(small)
+      converged = newSig == sig
+      sig = newSig
+      edges = small
+      i += 1
+    }
+    if (!converged)
+      log.warn(
+        s"starComponents: contraction stopped at maxIters=$maxIters without " +
+          "reaching a fixpoint — raise maxIters (components are correct only " +
+          "at fixpoint)")
+    // at fixpoint edges are stars (node → component min); the centers
+    // themselves appear only on the v side — label them with themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+    labels.union(
+        edges.select(col("v").as("id")).except(edges.select(col("u").as("id")))
+          .select(col("id"), col("id").as("component")))
+      .localCheckpoint(true)
+  }
+
+  /** Connected components by iterative min-label propagation — each round
+    * one join-shuffle, convergence in O(component diameter) rounds. Kept
+    * as the reference implementation; [[starComponents]] (O(log n) rounds)
+    * is the production distributed path.
+    */
+  def minLabelComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -129,6 +129,38 @@ object ExprKernels {
     dot
   }
 
+  /** Unicode text cleanup — NFC canonical composition (java.text.Normalizer,
+    * the JDK's implementation of the same Unicode UAX#15 spec DuckDB's
+    * `nfc_normalize` follows, so results are oracle-comparable), then
+    * strip non-whitespace C0 control chars + DEL, then collapse ASCII
+    * whitespace runs ([\t\n\x0B\f\r ] — RE2 `\s` semantics, matching the
+    * SQL `regexp_replace(…, '\s+', ' ')` oracle form exactly) to one
+    * space and trim the ends. Case is PRESERVED (unlike
+    * [[normalizeText]], which is a dedup key, this is a cleanup pass
+    * whose output feeds training).
+    */
+  def cleanText(u: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(
+      u.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var pendingSep = false
+    var any = false
+    var i = 0
+    val n = nfc.length
+    while (i < n) {
+      val c = nfc.charAt(i)
+      if (c == ' ' || (c >= 0x09 && c <= 0x0d)) {
+        if (any) pendingSep = true
+      } else if (c >= 0x20 && c != 0x7f) {
+        if (pendingSep) { sb.append(' '); pendingSep = false }
+        sb.append(c)
+        any = true
+      } // else: non-whitespace control char — dropped
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** The same normalization [[rollingFingerprint]] hashes — lowercased,
     * whitespace runs collapsed to one space, ends trimmed — returned as
     * text, so callers needing a COLLISION-FREE content key can hash it

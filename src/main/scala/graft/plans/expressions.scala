@@ -212,6 +212,20 @@ object expressions {
     override def prettyName: String = "normalize_text"
   }
 
+  /** Unicode cleanup pass: NFC + control-strip + whitespace collapse +
+    * trim, case preserved (see [[ExprKernels.cleanText]]). The standard
+    * pre-tokenization canonicalization for training corpora.
+    */
+  case class CleanText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.cleanText(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.cleanText($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+    override def prettyName: String = "clean_text"
+  }
+
   /** Rolling-hash document fingerprint over normalized text: lowercased,
     * whitespace runs collapsed, leading/trailing whitespace ignored.
     */
@@ -406,6 +420,7 @@ object expressions {
 
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def normalizedText(c: Column): Column = col(NormalizedText(ex(c)))
+  def cleanText(c: Column): Column = col(CleanText(ex(c)))
   def trigramStats(c: Column): Column = col(TrigramStats(ex(c)))
   def ngramHashes(c: Column, n: Int): Column = col(NgramHashes(ex(c), n))
   def md5SimHash60(c: Column): Column = col(Md5SimHash60(ex(c)))

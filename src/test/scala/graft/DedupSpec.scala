@@ -82,10 +82,41 @@ class DedupSpec extends AnyFunSuite {
     val viaDriver = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaCluster = Dedup.connectedComponents(pairs, maxIters = 30,
-      driverEdgeLimit = 0L) // force the distributed path
+      driverEdgeLimit = 0L) // force the distributed (star) path
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaCluster == viaDriver)
     assert(viaCluster(12L) == 0L && viaCluster(110L) == 100L)
+    // the reference min-label implementation must agree too
+    val viaMinLabel = Dedup.minLabelComponents(pairs, maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMinLabel == viaDriver)
+  }
+
+  test("starComponents: deep chain + star + random graph equal union-find") {
+    import spark.implicits._
+    // a 40-link chain would need 40 min-label rounds; star contraction
+    // must resolve it inside the default iteration budget
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val star = (100L to 110L).map(i => (110L, i))
+    // deterministic pseudo-random graph over ids 200..263
+    val rng = new scala.util.Random(42)
+    val rand = (1 to 80).map(_ => (200L + rng.nextInt(64), 200L + rng.nextInt(64)))
+    val pairs = (chain ++ star ++ rand ++ Seq((500L, 501L))).toDF("id_a", "id_b")
+    val viaStar = Dedup.starComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaDriver)
+    assert(viaStar(40L) == 0L && viaStar(101L) == 100L)
+  }
+
+  test("starComponents: self-loops and empty input are harmless") {
+    import spark.implicits._
+    assert(Dedup.starComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .count() == 0L)
+    val cc = Dedup.starComponents(Seq((7L, 7L), (7L, 8L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(7L -> 7L, 8L -> 7L))
   }
 
   test("hot bucket capped: 1k identical docs yield bounded pairs, one survivor") {
