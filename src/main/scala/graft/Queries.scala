@@ -2127,6 +2127,47 @@ object Queries {
         .as("checksum"))
   }
 
+  /** Weighted sampling without replacement (X73): Efraimidis–Spirakis
+    * A-ES over documents with weight = token count, k = 500. The md5-
+    * derived u makes the EXACT SELECTED SET reproducible in SQL, so the
+    * oracle pins membership itself (sum of selected ids), not just
+    * statistics. Executes as TakeOrderedAndProject — no global sort.
+    */
+  def q102WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    operators.Sampling.weightedSample(d, "doc_id", col("tok"), k = 500)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
+  /** JL random projection (X74): embeddings 64→16 dims through the
+    * md5-derived ±1 sign matrix. The decimal tier's per-dim corpus sums
+    * are bit-exact in the oracle; the codegen'd double kernel is pinned
+    * within float-rounding distance in the same pass (kernel_close).
+    */
+  def q103RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val both = operators.Similarity.randomProjection(
+      operators.Similarity.randomProjectionExact(emb, "embedding", 64, 16)
+        .withColumnRenamed("proj", "proj_x"),
+      "embedding", 64, 16)
+    both
+      .select(col("proj"), posexplode(col("proj_x")).as(Seq("j0", "p")))
+      .select((col("j0") + 1).as("j"), col("p"),
+        abs(element_at(col("proj"), (col("j0") + lit(1)).cast("int"))
+          - col("p").cast("double")).as("d"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("p")).cast("double").as("sum_proj"),
+        max(col("d")).as("_md"))
+      .withColumn("kernel_close", col("_md") < 1e-6)
+      .drop("_md")
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2232,7 +2273,9 @@ object Queries {
     "q98_scd2" -> (q98Scd2 _),
     "q99_incremental_buckets" -> (q99IncrementalBuckets _),
     "q100_session_components" -> (q100SessionComponents _),
-    "q101_normalize_text" -> (q101NormalizeText _)
+    "q101_normalize_text" -> (q101NormalizeText _),
+    "q102_weighted_sample" -> (q102WeightedSample _),
+    "q103_random_projection" -> (q103RandomProjection _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3644,6 +3687,43 @@ object Queries {
         |  CAST(SUM(length(t)) AS BIGINT) AS sum_len,
         |  CAST(SUM(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
         |           % 1000000007) AS BIGINT) AS checksum
-        |FROM c GROUP BY lang""".stripMargin
+        |FROM c GROUP BY lang""".stripMargin,
+    // A-ES weighted sample, key = -ln(u)/w with u md5-derived — the same
+    // arithmetic (IEEE double division + ln) reproduces the selected set
+    "q102_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS tok
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, lang, tok,
+        |    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-s42'),
+        |                1, 13)) AS BIGINT) + 1) / 4503599627370496.0)
+        |      / tok AS k
+        |  FROM d WHERE tok > 0),
+        |sel AS (SELECT * FROM keyed ORDER BY k, doc_id LIMIT 500)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM sel GROUP BY lang""".stripMargin,
+    // the ±1 sign matrix from md5 nibble parity; per-term DECIMAL(18,9)
+    // makes every sum order-independent and engine-exact
+    "q103_random_projection" ->
+      """WITH sgn AS (
+        |  SELECT i, j,
+        |    CASE WHEN CAST(('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR),
+        |           1, 1)) AS INT) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM range(1, 65) t1(i), range(1, 17) t2(j)),
+        |vec AS (
+        |  SELECT e.vec_id, s.j,
+        |    SUM(s.s * CAST(CAST(e.embedding[s.i] AS DOUBLE) AS DECIMAL(18,9)))
+        |      AS p
+        |  FROM embeddings e JOIN sgn s ON s.i <= len(e.embedding)
+        |  GROUP BY e.vec_id, s.j)
+        |SELECT j, COUNT(*) AS n_vecs, CAST(SUM(p) AS DOUBLE) AS sum_proj,
+        |  TRUE AS kernel_close
+        |FROM vec GROUP BY j""".stripMargin
   )
 }

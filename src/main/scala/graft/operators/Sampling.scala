@@ -55,6 +55,36 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < math.round(fraction * BUCKETS))
   }
 
+  /** Weighted sampling WITHOUT replacement, fixed size k — the
+    * Efraimidis–Spirakis A-ES scheme (public algorithm, IPL 2006): each
+    * row draws u ∈ (0,1] and ranks by u^(1/w); the top-k by that key are
+    * a weighted sample without replacement. Implemented with the
+    * monotone-equivalent key `-ln(u)/w` (smaller = better), so the
+    * selection is a global `ORDER BY key LIMIT k` — Spark executes that
+    * as TakeOrderedAndProject (per-partition top-k heaps + driver merge
+    * of k·numPartitions rows), NO global sort shuffle, which is the
+    * 100 TB-safe shape.
+    *
+    * u is md5-derived from the id (u = (h+1)/2^52 with h the first 13
+    * md5 hex chars), so the sample is deterministic across runs AND
+    * reproducible in ANSI SQL for oracle checks. Rows with weight ≤ 0 or
+    * NULL are excluded (zero-weight rows must never be sampled; they'd
+    * otherwise rank by u alone).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+                     salt: String = "s42"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("-" + salt))), 1, 13), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val key = -log(u) / weight.cast("double")
+    df.filter(weight.isNotNull && (weight > lit(0)))
+      .withColumn("_wkey", key)
+      .orderBy(col("_wkey"), col(idCol))
+      .limit(k)
+      .drop("_wkey")
+  }
+
   /** Deterministic mixture sampling: each group (source/domain) is kept at
     * its own rate — the data-mixing step that reweights a pretraining
     * corpus toward a target distribution (DoReMi-style static mixture).

@@ -686,6 +686,68 @@ object Similarity {
     * vectors is recall-tested in SimilaritySpec. An all-zero vector gets
     * scale 0 and quantizes to zeros.
     */
+  /** Deterministic ±1 sign for the JL projection matrix entry (i, j),
+    * both ONE-based: +1 iff the first hex nibble of md5("i_j") is even.
+    * Trivially reproducible in ANSI SQL (`substr(md5(i||'_'||j),1,1)`),
+    * which is what makes the projection oracle-checkable.
+    */
+  private def jlSign(i: Int, j: Int, salt: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i${salt}$j".getBytes("UTF-8"))
+    if ((((md(0) >> 4) & 0xf) & 1) == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas ±1 variant,
+    * public result: ±1 entries preserve pairwise distances like Gaussian
+    * ones) of `vecCol: array<float>` (≤ 64 dims) down to `outDim`
+    * dimensions — the cheap way to shrink embedding tables before ANN /
+    * clustering at 100 TB (4× fewer bytes at outDim=16 BEFORE int8
+    * quantization). Adds `proj: array<double>` (unnormalized — scale by
+    * 1/√outDim when distances, not rankings, matter). Map-only: the sign
+    * matrix rides into codegen packed as one 64-bit mask per output dim.
+    */
+  def randomProjection(df: DataFrame, vecCol: String, inDim: Int,
+                       outDim: Int, salt: String = "_"): DataFrame = {
+    require(inDim <= 64, s"packed sign masks hold ≤64 input dims, got $inDim")
+    val masks = Array.tabulate(outDim) { j0 =>
+      (0 until inDim).foldLeft(0L) { (m, i0) =>
+        if (jlSign(i0 + 1, j0 + 1, salt) == 1) m | (1L << i0) else m
+      }
+    }
+    df.withColumn("proj",
+      graft.plans.expressions.randomProject(col(vecCol), masks))
+  }
+
+  /** [[randomProjection]] in DECIMAL(38,9) arithmetic: each term
+    * `sign(i,j) · decimal₉(v[i])` is summed exactly, so the result is
+    * order-independent and bit-reproducible in any ANSI engine — the
+    * oracle tier (the double kernel is the production tier; a spec pins
+    * them within float-rounding distance of each other).
+    */
+  def randomProjectionExact(df: DataFrame, vecCol: String, inDim: Int,
+                            outDim: Int, salt: String = "_"): DataFrame = {
+    require(inDim <= 64, s"sign matrix capped at 64 input dims, got $inDim")
+    import org.apache.spark.sql.types.DecimalType
+    val signs: Seq[Seq[Int]] =
+      Seq.tabulate(inDim)(i0 => Seq.tabulate(outDim)(j0 =>
+        jlSign(i0 + 1, j0 + 1, salt)))
+    val s = typedLit(signs)
+    val term = (i: Column, j: Column) => {
+      val t = element_at(col(vecCol), i).cast("double").cast(DecimalType(18, 9))
+      when(element_at(element_at(s, i), j) === 1, t).otherwise(-t)
+    }
+    // accumulator pinned at DECIMAL(30,9): (30,9)+(18,9) widens to (31,9)
+    // with NO scale loss, and the cast back to (30,9) is exact for the
+    // bounded magnitudes here (|sum| ≤ inDim · max|v|). A (38,9)
+    // accumulator would widen past 38 and Spark would shave the scale to
+    // 8 — silently breaking decimal exactness.
+    df.withColumn("proj",
+      transform(sequence(lit(1), lit(outDim)), j =>
+        aggregate(sequence(lit(1), least(lit(inDim), size(col(vecCol)))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 9)),
+          (acc, i) => (acc + term(i, j)).cast(DecimalType(30, 9)))))
+  }
+
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
     val scale = (aggregate(col(vecCol), lit(0.0f),
       (a, x) => greatest(a, abs(x.cast("float")))) / 127f).cast("float").as("scale")

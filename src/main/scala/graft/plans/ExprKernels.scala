@@ -121,6 +121,30 @@ object ExprKernels {
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Johnson–Lindenstrauss ±1 random projection, fused: out[j] =
+    * Σᵢ sign(i,j)·v[i] with signs packed one 64-bit mask per output
+    * dimension (bit i of masks[j] set ⇒ +1). One pass over the input
+    * vector per output dim, no per-element boxing.
+    */
+  def randomProject(a: ArrayData, masks: Array[Long]): ArrayData = {
+    val n = math.min(a.numElements(), 64)
+    val out = new Array[Double](masks.length)
+    var j = 0
+    while (j < masks.length) {
+      val m = masks(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val v = a.getFloat(i).toDouble
+        acc += (if (((m >>> i) & 1L) == 1L) v else -v)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   def dotConst(a: ArrayData, query: Array[Double]): Double = {
     val n = math.min(a.numElements(), query.length)
     var dot = 0.0

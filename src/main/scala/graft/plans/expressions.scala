@@ -135,6 +135,24 @@ object expressions {
     override def prettyName: String = "pq_adc"
   }
 
+  /** JL ±1 random projection of a float-vector column — one fused kernel
+    * call per row (see [[ExprKernels.randomProject]]); masks carry the
+    * sign matrix packed one long per output dimension.
+    */
+  case class RandomProject(child: Expression, masks: Array[Long])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.randomProject(v.asInstanceOf[ArrayData], masks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("masks", masks, "long[]")
+      defineCodeGen(ctx, ev, c => s"$K.randomProject($c, $m)")
+    }
+    override protected def withNewChildInternal(c: Expression): RandomProject =
+      copy(child = c)
+    override def prettyName: String = "random_project"
+  }
+
   /** Span-scrub reassembly (the [[graft.operators.Dedup]] substring/
     * repetition scrubbers' tail): merge-walk a doc's pos-sorted tokens
     * against its sorted covered positions in ONE O(tokens + covered)
@@ -438,6 +456,8 @@ object expressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     col(CosineSimilarity(ex(a), ex(b)))
   def dotConst(c: Column, q: Array[Double]): Column = col(DotConst(ex(c), q))
+  def randomProject(c: Column, masks: Array[Long]): Column =
+    col(RandomProject(ex(c), masks))
   def pqEncodeCol(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
     col(PqEncodeExpr(ex(c), codebooks))
   def pqAdcCol(c: Column, lut: Array[Array[Double]]): Column =

@@ -104,6 +104,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(half.subsetOf(a))
   }
 
+  test("weightedSample: fixed k, deterministic, weight-0 excluded, matches reference") {
+    val d = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+    val sel = Sampling.weightedSample(d, "doc_id", col("w"), k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel.size == 50)
+    // identical on re-evaluation
+    val again = Sampling.weightedSample(d, "doc_id", col("w"), k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sel)
+    // matches a driver-side reference of the same A-ES key
+    val rows = d.collect().map(r => (r.getLong(0), r.getLong(1)))
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id-s42".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(13)
+      val h = java.lang.Long.parseLong(hex, 16)
+      -math.log((h + 1).toDouble / 4503599627370496.0) / w.toDouble
+    }
+    val expect = rows.filter(_._2 > 0)
+      .sortBy { case (id, w) => (key(id, w), id) }.take(50).map(_._1).toSet
+    assert(sel == expect)
+    // zero-weight rows can never be selected
+    val withZero = d.withColumn("w",
+      when(col("doc_id") % 2 === 0, lit(0L)).otherwise(col("w")))
+    val sel2 = Sampling.weightedSample(withZero, "doc_id", col("w"), k = 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(sel2.forall(_ % 2 != 0))
+  }
+
   test("shuffleDeterministic: a real permutation, stable across runs and input order") {
     val out = Sampling.shuffleDeterministic(docs, "doc_id", 7L, 4)
       .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()

@@ -338,4 +338,34 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", query, 10).collect().map(_.getLong(0)).toSeq
     assert(got2 == want2)
   }
+
+  test("randomProjection: kernel equals decimal-exact tier; JL preserves distances") {
+    val both = Similarity.randomProjection(
+      Similarity.randomProjectionExact(emb, "embedding", 64, 16)
+        .withColumnRenamed("proj", "proj_x"),
+      "embedding", 64, 16)
+    val rows = both.select("proj", "proj_x").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fast = r.getSeq[Double](0)
+      val exact = r.getSeq[java.math.BigDecimal](1).map(_.doubleValue)
+      assert(fast.size == 16 && exact.size == 16)
+      fast.zip(exact).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+    }
+    // JL property (statistical, generous bounds): scaled projected
+    // distances approximate original distances on a sample of pairs
+    val vecs = emb.limit(40).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val projected = both.limit(40).select("proj").collect()
+      .map(_.getSeq[Double](0).toArray)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for (i <- 0 until 20; j = i + 20) yield {
+      val orig = d2(vecs(i), vecs(j))
+      val proj = d2(projected(i), projected(j)) / 16.0 // 1/outDim scaling
+      proj / orig
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.5, s"JL distance ratio mean $mean")
+  }
 }
