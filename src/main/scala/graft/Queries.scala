@@ -2168,6 +2168,81 @@ object Queries {
       .drop("_md")
   }
 
+  /** JSONL corpus roundtrip (X75): write a documents slice as JSONL,
+    * inject two malformed lines, read back with an explicit schema in
+    * PERMISSIVE mode — valid rows must reproduce the parquet slice
+    * exactly (JSON escaping round-trips newlines/quotes/unicode) and the
+    * bad lines must be ROUTED to the corrupt column, not dropped.
+    */
+  def q104JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("q104_jsonl")
+    sources.Jsonl.write(d, tmp.toString)
+    java.nio.file.Files.writeString(tmp.resolve("corrupt.json"),
+      "{\"doc_id\": oops}\nnot json at all\n")
+    val back = sources.Jsonl.read(s, tmp.toString,
+      org.apache.spark.sql.types.StructType(d.schema.fields))
+    sys.addShutdownHook {
+      try org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      catch { case _: Throwable => () }
+    }
+    val corrupt = col(sources.Jsonl.CorruptCol)
+    back.agg(
+      sum(when(corrupt.isNull, 1L).otherwise(0L)).as("n_valid"),
+      sum(col("doc_id")).as("sum_ids"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+        % 1000000007L).as("text_checksum"),
+      sum(when(corrupt.isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+  }
+
+  /** Theta-sketch set algebra (X76): per-event-type KMV sketches of the
+    * user_id sets, then union / intersection ESTIMATES for each segment
+    * pair next to the exact counts (one flag-vector pass). k = 64 <
+    * distinct users, so the sketches genuinely estimate at every SF; the
+    * oracle re-derives the exact columns and pins the deterministic
+    * error-envelope booleans TRUE (xxhash64 is fixed, so estimates are
+    * reproducible run-to-run).
+    */
+  def q105ThetaSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val k = 64
+    val margin = 5.0 / math.sqrt(k.toDouble)
+    val types = Seq("click", "purchase", "view")
+    val sk = operators.Sketches.kmvByGroup(
+      ev.filter(col("event_type").isin(types: _*)), "event_type", "user_id", k)
+    val flagCols = types.map(tp =>
+      max(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"f_$tp"))
+    val flags = ev.filter(col("event_type").isin(types: _*))
+      .groupBy(col("user_id"))
+      .agg(flagCols.head, flagCols.tail: _*)
+    val pairs = Seq(("click", "purchase"), ("click", "view"),
+      ("purchase", "view"))
+    val exactAggs = types.map(tp => sum(col(s"f_$tp")).as(s"n_$tp")) ++
+      pairs.flatMap { case (a, b) => Seq(
+        sum(col(s"f_$a") * col(s"f_$b")).as(s"int_${a}_$b"),
+        sum(greatest(col(s"f_$a"), col(s"f_$b"))).as(s"uni_${a}_$b")) }
+    val exRow = flags.agg(exactAggs.head, exactAggs.tail: _*).head
+    def ex(n: String): Long = exRow.getLong(exRow.fieldIndex(n))
+    def ok(est: Double, exact: Long, scale: Long): Boolean =
+      math.abs(est - exact.toDouble) <= margin * scale.toDouble
+    val out = pairs.map { case (a, b) =>
+      val (sa, sb) = (sk(a), sk(b))
+      val (na, nb) = (ex(s"n_$a"), ex(s"n_$b"))
+      val (ni, nu) = (ex(s"int_${a}_$b"), ex(s"uni_${a}_$b"))
+      (a, b, na, nb, nu, ni,
+        ok(sa.estimate, na, na), ok(sb.estimate, nb, nb),
+        ok(sa.union(sb).estimate, nu, nu),
+        ok(sa.intersectEstimate(sb), ni, nu))
+    }
+    val sq = s
+    import sq.implicits._
+    out.toDF("type_a", "type_b", "exact_a", "exact_b", "exact_union",
+      "exact_intersect", "a_ok", "b_ok", "union_ok", "intersect_ok")
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2275,7 +2350,9 @@ object Queries {
     "q100_session_components" -> (q100SessionComponents _),
     "q101_normalize_text" -> (q101NormalizeText _),
     "q102_weighted_sample" -> (q102WeightedSample _),
-    "q103_random_projection" -> (q103RandomProjection _)
+    "q103_random_projection" -> (q103RandomProjection _),
+    "q104_jsonl_roundtrip" -> (q104JsonlRoundtrip _),
+    "q105_theta_sketch" -> (q105ThetaSketch _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3724,6 +3801,41 @@ object Queries {
         |  GROUP BY e.vec_id, s.j)
         |SELECT j, COUNT(*) AS n_vecs, CAST(SUM(p) AS DOUBLE) AS sum_proj,
         |  TRUE AS kernel_close
-        |FROM vec GROUP BY j""".stripMargin
+        |FROM vec GROUP BY j""".stripMargin,
+    // roundtrip invariant: reading back what was written equals the
+    // parquet slice; the two injected malformed lines are routed
+    "q104_jsonl_roundtrip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |           % 1000000007) AS BIGINT) AS text_checksum,
+        |  CAST(2 AS BIGINT) AS n_corrupt
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    // exact per-pair set sizes from one flag-vector pass; the sketch
+    // error-envelope booleans are deterministic (fixed xxhash64) and
+    // pinned TRUE
+    "q105_theta_sketch" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fc,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fp,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fv
+        |  FROM events WHERE event_type IN ('click', 'purchase', 'view')
+        |  GROUP BY user_id)
+        |SELECT 'click' AS type_a, 'purchase' AS type_b,
+        |  CAST(SUM(fc) AS BIGINT) AS exact_a, CAST(SUM(fp) AS BIGINT) AS exact_b,
+        |  CAST(SUM(CASE WHEN fc + fp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_union,
+        |  CAST(SUM(fc * fp) AS BIGINT) AS exact_intersect,
+        |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS intersect_ok
+        |FROM f
+        |UNION ALL
+        |SELECT 'click', 'view', CAST(SUM(fc) AS BIGINT), CAST(SUM(fv) AS BIGINT),
+        |  CAST(SUM(CASE WHEN fc + fv > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(fc * fv) AS BIGINT), TRUE, TRUE, TRUE, TRUE FROM f
+        |UNION ALL
+        |SELECT 'purchase', 'view', CAST(SUM(fp) AS BIGINT), CAST(SUM(fv) AS BIGINT),
+        |  CAST(SUM(CASE WHEN fp + fv > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(fp * fv) AS BIGINT), TRUE, TRUE, TRUE, TRUE FROM f""".stripMargin
   )
 }

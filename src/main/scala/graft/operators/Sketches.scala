@@ -124,4 +124,87 @@ object Sketches {
     }(enc)
     estimated.orderBy(desc("est_count"), col("item")).limit(k)
   }
+
+  /** KMV (k-minimum-values) distinct sketch — Bar-Yossef et al.'s
+    * counting-distinct-elements structure, the core of the theta sketch
+    * family. Keeps the k smallest DISTINCT 64-bit hashes of a set;
+    * θ = normalized k-th minimum. Unlike HLL (which Spark's
+    * approx_count_distinct already provides, and [[graft.operators.IncrementalDistinct]]
+    * maintains incrementally), KMV sketches compose under SET ALGEBRA:
+    * union is "merge mins, keep k smallest", and intersection is
+    * estimated from the common samples below min(θ_A, θ_B) — the
+    * cross-segment overlap question (`|users(A) ∩ users(B)|`) that
+    * exact distinct-joins need a full shuffle for at 100 TB.
+    *
+    * `mins` is sorted ascending in SIGNED long order; the normalization
+    * u(h) maps that order monotonically onto [0, 1).
+    */
+  case class KmvSketch(k: Int, mins: Array[Long]) {
+    import KmvSketch.u
+    require(mins.length <= k, s"${mins.length} mins exceed k=$k")
+
+    /** True while the set had fewer than k distinct hashes — the sketch
+      * IS the set and every estimate below is exact.
+      */
+    def isExact: Boolean = mins.length < k
+    def theta: Double = if (isExact) 1.0 else u(mins.last)
+    def estimate: Double =
+      if (isExact) mins.length.toDouble else (k - 1).toDouble / theta
+
+    /** Union sketch: the k smallest of the merged min-sets (the k
+      * smallest hashes of A ∪ B are necessarily among the k smallest of
+      * A plus the k smallest of B).
+      */
+    def union(o: KmvSketch): KmvSketch = {
+      val kk = math.min(k, o.k)
+      KmvSketch(kk, (mins ++ o.mins).distinct.sorted.take(kk))
+    }
+
+    /** Theta-sketch intersection estimate: samples below
+      * θ = min(θ_A, θ_B) are a uniform θ-rate sample of each set, so
+      * the common ones estimate |A ∩ B| · θ. Error scales with
+      * 1/√k RELATIVE TO THE UNION size, not the intersection — small
+      * overlaps of huge sets carry large relative error (inherent to
+      * the sketch family, not this implementation).
+      */
+    def intersectEstimate(o: KmvSketch): Double = {
+      val th = math.min(theta, o.theta)
+      val mine = mins.iterator.filter(h => u(h) < th).toSet
+      val common = o.mins.count(h => u(h) < th && mine.contains(h))
+      common.toDouble / th
+    }
+  }
+
+  object KmvSketch {
+    /** Signed-order-preserving map of a 64-bit hash onto [0, 1). */
+    def u(h: Long): Double = h.toDouble / 1.8446744073709552e19 + 0.5
+  }
+
+  /** One KMV sketch per group value, built in a single pass: distinct
+    * (group, hash) → per-group k smallest via a rank window (Spark plans
+    * the `row_number ≤ k` filter as WindowGroupLimit — per-partition
+    * top-k heaps BEFORE the shuffle, so the exchange carries at most
+    * k·groups·partitions rows, never the distinct values themselves).
+    * Driver state is the sketches alone, loudly capped.
+    */
+  def kmvByGroup(df: DataFrame, groupCol: String, valueCol: String, k: Int,
+                 maxGroups: Int = 1024): Map[String, KmvSketch] = {
+    require(k >= 2, s"k=$k too small")
+    require(k.toLong * maxGroups <= 4000000L,
+      s"k=$k × maxGroups=$maxGroups exceeds the 4M-hash driver budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    val rows = df
+      .select(col(groupCol).cast("string").as("g"),
+        xxhash64(col(valueCol)).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("g")).agg(sort_array(collect_list(col("h"))).as("hs"))
+      .collect()
+    require(rows.length <= maxGroups,
+      s"${rows.length} groups exceed maxGroups=$maxGroups")
+    rows.map(r => r.getString(0) ->
+      KmvSketch(k, r.getSeq[Long](1).toArray)).toMap
+  }
 }

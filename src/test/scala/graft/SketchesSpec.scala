@@ -60,4 +60,31 @@ class SketchesSpec extends AnyFunSuite {
     // 4 partitions x <= 100 entries
     assert(cands.count() <= 400)
   }
+
+  test("KMV: exact below k; ~1/sqrt(k) accuracy above; set algebra sane") {
+    // two overlapping sets: A = 1..30000, B = 20001..50000
+    // (|A|=|B|=30000, |A∪B|=50000, |A∩B|=10000)
+    val df = spark.range(1, 30001).selectExpr("'a' AS g", "id AS v")
+      .union(spark.range(20001, 50001).selectExpr("'b' AS g", "id AS v"))
+    val k = 1024
+    val sk = Sketches.kmvByGroup(df, "g", "v", k)
+    val (a, b) = (sk("a"), sk("b"))
+    assert(!a.isExact && !b.isExact)
+    def relErr(est: Double, exact: Double) = math.abs(est - exact) / exact
+    assert(relErr(a.estimate, 30000) < 0.15, s"a=${a.estimate}")
+    assert(relErr(b.estimate, 30000) < 0.15, s"b=${b.estimate}")
+    assert(relErr(a.union(b).estimate, 50000) < 0.15,
+      s"union=${a.union(b).estimate}")
+    // intersection error scales with the union size
+    assert(math.abs(a.intersectEstimate(b) - 10000) < 0.15 * 50000,
+      s"intersect=${a.intersectEstimate(b)}")
+    // exact tier: fewer than k distinct values -> estimates are counts
+    val tiny = spark.range(1, 201).selectExpr("'t' AS g", "id AS v")
+    val ts = Sketches.kmvByGroup(tiny, "g", "v", k)("t")
+    assert(ts.isExact && ts.estimate == 200.0)
+    assert(ts.intersectEstimate(ts) == 200.0 && ts.union(ts).estimate == 200.0)
+    // determinism: rebuilt sketch is identical
+    val again = Sketches.kmvByGroup(df, "g", "v", k)("a")
+    assert(again.mins.toSeq == a.mins.toSeq)
+  }
 }
