@@ -348,4 +348,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Union"), p)
   }
+
+  test("q102 weighted sample: global top-k is TakeOrdered, never a total sort") {
+    val p = planOf("q102_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // a global Sort node (rangepartitioning exchange) would mean the whole
+    // corpus rides a total-order shuffle just to take k rows
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q103 random projection: map-only until the narrow (j, p) explode") {
+    val p = planOf("q103_random_projection")
+    // the embedding vectors must not ride any exchange: the only shuffle
+    // keys on the 16-value j after posexplode of the narrow projection
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(r => !r.contains("label")), reads.toString)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("kmv sketch build: rank filter runs as WindowGroupLimit before the shuffle") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    val plan = ev.select(col("event_type").as("g"), xxhash64(col("user_id")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
