@@ -25,6 +25,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional comma-separated query-name filter for targeted idle-host
+    // re-runs (variance triage); the full catalog remains the default
+    // and the driver's path
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // the one tuned session config point (AQE, shuffle partitions, scan
     // split sizing, nanos-parquet compat, extensions)
     val spark = GraftSession.get()
@@ -80,17 +85,21 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     }
 
-    val results = Queries.all.map { case (name, fn) => name -> run(fn) } :+
-      ("co2_pipeline_19k" -> {
-        val a = runPipeline()
-        if (a < 0) (a, a)
-        else {
-          val best = (1 to 2).foldLeft(a) { (m, _) =>
-            val r = runPipeline(); if (r < 0) m else math.min(m, r)
+    val results = Queries.all
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> run(fn) } ++
+      (if (only.forall(_.contains("co2_pipeline_19k")))
+        Seq("co2_pipeline_19k" -> {
+          val a = runPipeline()
+          if (a < 0) (a, a)
+          else {
+            val best = (1 to 2).foldLeft(a) { (m, _) =>
+              val r = runPipeline(); if (r < 0) m else math.min(m, r)
+            }
+            (a, best)
           }
-          (a, best)
-        }
-      })
+        })
+      else Seq.empty)
     val loadAfter = loadavg()
     val qs = results
       .map { case (k, (_, v)) => "\"" + k + "\":" + f"$v%.3f" }

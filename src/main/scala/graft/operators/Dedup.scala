@@ -394,15 +394,16 @@ object Dedup {
         least(col("id_a").cast("long"), col("id_b").cast("long")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint(true)
-    if (edges.isEmpty) return Seq.empty[(Long, Long)].toDF("id", "component")
-    // count + order-insensitive XOR checksum in one agg job (edges are
-    // distinct, so set equality == multiset equality; XOR never overflows
-    // under ANSI arithmetic, unlike SUM)
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+    // count + order-insensitive XOR checksum (edges are distinct, so set
+    // equality == multiset equality; XOR never overflows under ANSI
+    // arithmetic, unlike SUM). Inside the loop the signature rides the
+    // checkpoint job as an Observation — convergence detection costs no
+    // extra pass.
+    def sigOf(r: org.apache.spark.sql.Row): (Long, Long) =
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var sig = signature(edges)
+    var sig = sigOf(
+      edges.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head)
+    if (sig._1 == 0) return Seq.empty[(Long, Long)].toDF("id", "component")
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -425,12 +426,17 @@ object Dedup {
       // smaller neighbor v ≠ m plus the center's own (u, m).
       val wu = Window.partitionBy(col("u"))
       val withM = large.withColumn("m", min(col("v")).over(wu))
+      val obs = new org.apache.spark.sql.Observation()
       val small = withM
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint(true)
-      val newSig = signature(small)
+        .distinct()
+        .observe(obs, count(lit(1)).as("cnt"),
+          expr("bit_xor(xxhash64(u, v))").as("sig"))
+        .localCheckpoint(true)
+      val newSig = (obs.get("cnt").asInstanceOf[Long],
+        Option(obs.get("sig")).map(_.asInstanceOf[Long]).getOrElse(0L))
       converged = newSig == sig
       sig = newSig
       edges = small
