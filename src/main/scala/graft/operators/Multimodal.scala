@@ -395,4 +395,56 @@ object Multimodal {
   def dedupPayloads(df: DataFrame, payloadCol: String, idCol: String): DataFrame =
     df.groupBy(sha2(col(payloadCol), 256).as("payload_sha256"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** 64-bit aHash perceptual fingerprint (classic public average-hash):
+    * decode → 8×8 box-averaged grayscale → bit i set iff pixel i exceeds
+    * the image mean. Visually-similar images (recompression, mild noise,
+    * small edits) land within a few bits of each other; NULL payloads
+    * hash NULL; non-image payloads hash their deterministic stub feature
+    * the same way, so mixed-media tables still dedup deterministically.
+    * Adds `phash: long`.
+    */
+  def perceptualHash64(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("phash", org.apache.spark.sql.types.LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val h: Any =
+          if (payload == null) null
+          else {
+            val px = ImageIoCodec.decodeImage(payload) match {
+              case Some((p, w, hh)) => ImageIoCodec.resize(p, w, hh, 8, 8)
+              case None => StubCodec.featurize(payload, 64)
+            }
+            val mean = px.sum / px.length
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (px(i) > mean) bits |= (1L << i)
+              i += 1
+            }
+            bits
+          }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs at aHash hamming ≤ `maxHamming` —
+    * composes the SimHash pigeonhole banding ([[Dedup.simhashPairsOn]]:
+    * 4 × 16-bit chunks, so completeness is GUARANTEED for maxHamming ≤ 3
+    * and capped-bucket-approximate above), never an image×image cross
+    * join. The cross-modal face of the text near-dup tier.
+    */
+  def perceptualPairs(df: DataFrame, payloadCol: String, idCol: String,
+                      maxHamming: Int = 3,
+                      maxBucketSize: Int = 512): DataFrame =
+    Dedup.simhashPairsOn(
+      perceptualHash64(df, payloadCol)
+        .filter(col("phash").isNotNull)
+        .select(col(idCol).cast("long").as("id"), col("phash").as("fp")),
+      maxHamming, maxBucketSize)
 }

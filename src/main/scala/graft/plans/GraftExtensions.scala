@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "normalize_text(text) - the whitespace/case normalization rolling_fingerprint hashes"),
       (args: Seq[Expression]) => expressions.NormalizedText(args.head)))
 
+    ext.injectFunction((FunctionIdentifier("clean_text"),
+      info("clean_text",
+        "clean_text(text) - NFC composition + control-char strip + whitespace collapse, case preserved"),
+      (args: Seq[Expression]) => expressions.CleanText(args.head)))
+
     ext.injectFunction((FunctionIdentifier("minhash_text"),
       info("minhash_text",
         "minhash_text(text, shingleSize, k) - fused shingle MinHash signature"),

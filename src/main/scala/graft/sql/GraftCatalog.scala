@@ -295,7 +295,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "grant_privilege", "revoke_privilege", "show_grants", "show_roles",
           "dedup_exact", "minhash_dedup", "substring_dedup", "ann_topk",
           "decontaminate", "pmi_topk", "quality_filter", "bm25_topk",
-          "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply")
+          "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply",
+          "connected_components", "weighted_sample", "kmv_overlap")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -335,6 +336,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "drift_psi" => new DriftPsiProcedure
       case "quantile_buckets" => new QuantileBucketsProcedure
       case "scd2_apply" => new Scd2ApplyProcedure
+      case "connected_components" => new ConnectedComponentsProcedure
+      case "weighted_sample" => new WeightedSampleProcedure
+      case "kmv_overlap" => new KmvOverlapProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
@@ -344,7 +348,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "show_grants, show_roles, dedup_exact, minhash_dedup, " +
           "substring_dedup, ann_topk, decontaminate, pmi_topk, " +
           "quality_filter, bm25_topk, hybrid_topk, drift_psi, " +
-          "quantile_buckets, scd2_apply)")
+          "quantile_buckets, scd2_apply, connected_components, " +
+          "weighted_sample, kmv_overlap)")
     }
 
   /** Parse a procedure's `NS.TABLE` argument; `mustExist` gates the
@@ -1617,6 +1622,92 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             StructField("n_current", org.apache.spark.sql.types.LongType, nullable = false))),
           InternalRow(version, nRows, nCurrent))
       } finally result.unpersist(blocking = false)
+    }
+  }
+
+  private final class ConnectedComponentsProcedure extends MaintenanceProcedure {
+    override def name(): String = "connected_components"
+    override def description(): String =
+      "resolve (id_a, id_b) pair rows into connected components via " +
+        "star contraction (distributed above the driver edge limit); " +
+        "target gets (id, component = min id of the component)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("id_a_col", StringType)
+          .defaultValue("'id_a'").build(),
+        procedures.ProcedureParameter.in("id_b_col", StringType)
+          .defaultValue("'id_b'").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.Dedup.connectedComponents(
+          df.select(col(input.getUTF8String(2).toString).as("id_a"),
+            col(input.getUTF8String(3).toString).as("id_b")))
+      }
+  }
+
+  private final class WeightedSampleProcedure extends MaintenanceProcedure {
+    override def name(): String = "weighted_sample"
+    override def description(): String =
+      "Efraimidis-Spirakis weighted sample without replacement, " +
+        "deterministic (md5-keyed); k rows land in target"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter.in("weight_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("k", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("1000").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.Sampling.weightedSample(df,
+          input.getUTF8String(2).toString,
+          col(input.getUTF8String(3).toString), input.getInt(4))
+      }
+  }
+
+  private final class KmvOverlapProcedure extends MaintenanceProcedure {
+    override def name(): String = "kmv_overlap"
+    override def description(): String =
+      "KMV theta-sketch distinct/union/intersection estimates for every " +
+        "group pair; sketch-sized state, values never shuffle"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("value_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("k", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("256").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      // pairwise output: bounded group count so the row set stays small
+      val sk = graft.operators.Sketches.kmvByGroup(table(id).read,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        input.getInt(3), maxGroups = 64)
+      val groups = sk.keys.toSeq.sorted
+      val rows = for {
+        (a, i) <- groups.zipWithIndex; b <- groups.drop(i + 1)
+      } yield InternalRow(
+        UTF8String.fromString(a), UTF8String.fromString(b),
+        sk(a).estimate, sk(b).estimate,
+        sk(a).union(sk(b)).estimate, sk(a).intersectEstimate(sk(b)))
+      rowsScan(
+        StructType(Seq(
+          StructField("group_a", StringType, nullable = false),
+          StructField("group_b", StringType, nullable = false),
+          StructField("est_a", org.apache.spark.sql.types.DoubleType, nullable = false),
+          StructField("est_b", org.apache.spark.sql.types.DoubleType, nullable = false),
+          StructField("est_union", org.apache.spark.sql.types.DoubleType, nullable = false),
+          StructField("est_intersect", org.apache.spark.sql.types.DoubleType, nullable = false))),
+        rows.toArray)
     }
   }
 

@@ -249,4 +249,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 50)
     assert(out.agg(sum("n_copies")).head.getLong(0) == 55L)
   }
+
+  test("perceptual near-dup: re-encoded/mildly-edited images pair, unrelated don't") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(x => (0 until 16).foreach { y =>
+        val v = math.max(0, math.min(255, f(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gradient = png((x, y) => x * 16)
+    val gradientNoisy = png((x, y) => x * 16 + (x + y) % 3) // mild noise
+    val inverted = png((x, y) => 255 - x * 16)              // structurally different
+    val df = Seq((1L, gradient), (2L, gradientNoisy), (3L, inverted))
+      .toDF("media_id", "payload")
+    // hashes: identical structure -> small hamming; inverted -> large
+    val ph = Multimodal.perceptualHash64(df, "payload")
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(2L)) <= 3,
+      s"noisy variant hamming ${java.lang.Long.bitCount(ph(1L) ^ ph(2L))}")
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(3L)) > 10,
+      s"inverted hamming ${java.lang.Long.bitCount(ph(1L) ^ ph(3L))}")
+    val pairs = Multimodal.perceptualPairs(df, "payload", "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // null payloads are skipped, not crashed on
+    val withNull = df.union(Seq((4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload"))
+    assert(Multimodal.perceptualHash64(withNull, "payload")
+      .filter(col("phash").isNull).count() == 1L)
+  }
 }

@@ -933,4 +933,56 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(dim == Seq((1L, "A", false), (1L, "A2", true),
       (2L, "B", true), (3L, "C", true)))
   }
+
+  test("LLM-operator procedures: connected_components/weighted_sample/kmv_overlap from SQL (r7)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm11",
+      java.nio.file.Files.createTempDirectory("sql_llm11_").toString)
+    spark.sql("CREATE NAMESPACE llm11.G")
+
+    // connected_components: chain 1-2-3 + pair 10-11 -> two components
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      .createOrReplaceTempView("seed11_pairs")
+    spark.sql("CREATE TABLE llm11.G.PAIRS AS SELECT * FROM seed11_pairs")
+    val cc = spark.sql(
+      "CALL llm11.system.connected_components(source => 'G.PAIRS', " +
+        "target => 'G.COMPS')").head
+    assert(cc.getString(0) == "G.COMPS" && cc.getLong(1) == 5L)
+    val comps = spark.sql("SELECT id, component FROM llm11.G.COMPS")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(3L) == 1L && comps(11L) == 10L)
+
+    // weighted_sample: deterministic k rows into a new table
+    Seq((1L, 5.0), (2L, 1.0), (3L, 50.0), (4L, 20.0), (5L, 0.0))
+      .toDF("id", "w").createOrReplaceTempView("seed11_w")
+    spark.sql("CREATE TABLE llm11.G.W AS SELECT * FROM seed11_w")
+    val ws = spark.sql(
+      "CALL llm11.system.weighted_sample(source => 'G.W', " +
+        "target => 'G.SAMPLE', id_col => 'id', weight_col => 'w', k => 3)").head
+    assert(ws.getLong(1) == 3L)
+    val ids = spark.sql("SELECT id FROM llm11.G.SAMPLE")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.size == 3 && !ids.contains(5L)) // zero weight never sampled
+
+    // kmv_overlap: pairwise estimates; tiny groups are exact
+    Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v").createOrReplaceTempView("seed11_kmv")
+    spark.sql("CREATE TABLE llm11.G.SETS AS SELECT * FROM seed11_kmv")
+    val ov = spark.sql(
+      "CALL llm11.system.kmv_overlap(table => 'G.SETS', " +
+        "group_col => 'g', value_col => 'v', k => 64)").collect()
+    assert(ov.length == 1)
+    val r = ov.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 4.0 && r.getDouble(5) == 1.0)
+  }
+
+  test("clean_text SQL function: NFC + control strip + whitespace collapse") {
+    import spark.implicits._
+    // raw BEL + decomposed accent, routed through the SQL function surface
+    val got = Seq("a  b" + "\u0007" + "  cafe" + "\u0301").toDF("c")
+      .selectExpr("clean_text(c)").head.getString(0)
+    assert(got == "a b caf" + "\u00e9", got.codePoints().toArray.toSeq.toString)
+  }
 }
