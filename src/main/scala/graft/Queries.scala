@@ -2247,6 +2247,60 @@ object Queries {
       "exact_intersect", "a_ok", "b_ok", "union_ok", "intersect_ok")
   }
 
+  private val q106Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental connected components (X78): the q100 session graph
+    * arrives as TWO edge-log appends (split by user_id); each refresh
+    * contracts only (touched members ∪ delta) and rewrites only touched
+    * state buckets. The maintained assignment must equal the from-scratch
+    * answer — same oracle as q100.
+    */
+  def q106IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .filter(col("prev_id").isNotNull && col("gap") <= 600L)
+      .select(col("event_id").as("id_a"), col("prev_id").as("id_b"))
+    val root = q106Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q106_inccc").toString
+      val src = storage.VersionedTable(s, s"$r/src", collectStats = false)
+      val cc = operators.IncrementalComponents(s, src, s"$r/state")
+      // split on the edge's NEWER endpoint: sessions in flight at the
+      // boundary arrive half-in-batch-1, half-in-batch-2 — the second
+      // refresh must MERGE live components, not just add new ones
+      val mid = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      src.append(pairs.filter(col("id_a") <= mid))
+      val a1 = cc.refresh()
+      src.append(pairs.filter(col("id_a") > mid))
+      val a2 = cc.refresh()
+      require(a1 == 1 && a2 == 1, s"refreshes must be delta-only: $a1 $a2")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val cc = operators.IncrementalComponents(s,
+      storage.VersionedTable(s, s"$root/src", collectStats = false),
+      s"$root/state")
+    require(cc.refresh() == 0L, "state must already be current")
+    ev.join(cc.read, ev("event_id") === col("id"), "left")
+      .select(col("user_id"),
+        coalesce(col("component"), col("event_id")).as("comp"))
+      .groupBy(col("user_id"), col("comp"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("comp")).as("sum_components"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2356,7 +2410,8 @@ object Queries {
     "q102_weighted_sample" -> (q102WeightedSample _),
     "q103_random_projection" -> (q103RandomProjection _),
     "q104_jsonl_roundtrip" -> (q104JsonlRoundtrip _),
-    "q105_theta_sketch" -> (q105ThetaSketch _)
+    "q105_theta_sketch" -> (q105ThetaSketch _),
+    "q106_incremental_components" -> (q106IncrementalComponents _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3841,6 +3896,27 @@ object Queries {
         |UNION ALL
         |SELECT 'purchase', 'view', CAST(SUM(fp) AS BIGINT), CAST(SUM(fv) AS BIGINT),
         |  CAST(SUM(CASE WHEN fp + fv > 0 THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(SUM(fp * fv) AS BIGINT), TRUE, TRUE, TRUE, TRUE FROM f""".stripMargin
+        |  CAST(SUM(fp * fv) AS BIGINT), TRUE, TRUE, TRUE, TRUE FROM f""".stripMargin,
+    // incremental CC must equal the from-scratch session components
+    "q106_incremental_components" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN date_diff('second',
+        |           LAG(CAST(ts AS TIMESTAMP)) OVER w,
+        |           CAST(ts AS TIMESTAMP)) <= 600 THEN 0 ELSE 1 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, sess, COUNT(*) AS n_events, MIN(event_id) AS comp
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  CAST(SUM(comp) AS BIGINT) AS sum_components
+        |FROM g GROUP BY user_id""".stripMargin
   )
 }
