@@ -219,7 +219,38 @@ object ScaleStress {
     println(s"[stress] assigned=$nAssigned langs=$nLangs " +
       s"overBudget=$overBudget straddlers=$straddle")
 
-    val ok = lostExact == 0 && lostNear == 0 && uniques == expectedUniques &&
+    // ---- graph tier: star contraction at adversarial depth ----
+    // ONE 100k-link chain (diameter 100k: min-label would need 100k
+    // shuffle rounds) + 1k random 50-node communities. Star contraction
+    // must resolve everything inside the 50-round budget, exactly.
+    val chainN = 100000L
+    val chain = spark.range(0, chainN)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    // 1000 communities of 50 nodes, 50 deterministic edges each; the
+    // union-find ground truth of this construction is exactly 5000
+    // components (each community decomposes into 5 cycles)
+    val g = pmod(col("id"), lit(1000))
+    val k = (col("id") / 1000).cast("long")
+    val comm = spark.range(0, 50000)
+      .select((g * 1000000L + 1000000000L + (k * 17L + g) % 50).as("id_a"),
+        (g * 1000000L + 1000000000L + (k * 29L + g * 3L + 1L) % 50).as("id_b"))
+    val labels = time("starComponents (100k-link chain + 1k communities)")(
+      operators.Dedup.starComponents(chain.union(comm)).cache())
+    val chainComp = labels.filter(col("id") <= chainN)
+      .select(countDistinct(col("component"))).head.getLong(0)
+    val commComps = labels.filter(col("id") >= 1000000000L)
+      .select(countDistinct(col("component"))).head.getLong(0)
+    println(s"[stress] chain components (want 1): $chainComp; " +
+      s"community components: $commComps")
+    labels.unpersist(blocking = false)
+
+    // weighted sample over the 50k corpus: k exact, deterministic
+    val ws = time("weightedSample k=5000 (50k docs)")(
+      operators.Sampling.weightedSample(scoredT, "doc_id", col("tok"), 5000)
+        .count())
+
+    val ok = chainComp == 1 && commComps == 5000 && ws == 5000 &&
+      lostExact == 0 && lostNear == 0 && uniques == expectedUniques &&
       exactReplicasLeft == 0 && uniqueDropped == 0 &&
       hotRow.getLong(2) < 1100 &&
       nPmi == 20 && nNll >= n * 8 / 10 && nDecon >= nBench &&
