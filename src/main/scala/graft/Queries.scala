@@ -2163,10 +2163,10 @@ object Queries {
       .select(col("proj"), posexplode(col("proj_x")).as(Seq("j0", "p")))
       .select((col("j0") + 1).as("j"), col("p"),
         abs(element_at(col("proj"), (col("j0") + lit(1)).cast("int"))
-          - col("p").cast("double")).as("d"))
+          - col("p").cast("double") / lit(1e9)).as("d"))
       .groupBy(col("j"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("p")).cast("double").as("sum_proj"),
+        sum(col("p")).as("sum_proj_e9"),
         max(col("d")).as("_md"))
       .withColumn("kernel_close", col("_md") < 1e-6)
       .drop("_md")
@@ -3844,8 +3844,9 @@ object Queries {
         |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM sel GROUP BY lang""".stripMargin,
-    // the ±1 sign matrix from md5 nibble parity; per-term DECIMAL(18,9)
-    // makes every sum order-independent and engine-exact
+    // the ±1 sign matrix from md5 nibble parity; per-term
+    // floor(v·1e9)-scaled integers make every sum order-independent and
+    // engine-exact (truncation has no rounding-mode ties)
     "q103_random_projection" ->
       """WITH sgn AS (
         |  SELECT i, j,
@@ -3854,12 +3855,12 @@ object Queries {
         |  FROM range(1, 65) t1(i), range(1, 17) t2(j)),
         |vec AS (
         |  SELECT e.vec_id, s.j,
-        |    SUM(s.s * CAST(CAST(e.embedding[s.i] AS DOUBLE) AS DECIMAL(18,9)))
-        |      AS p
+        |    SUM(s.s * CAST(FLOOR(CAST(e.embedding[s.i] AS DOUBLE)
+        |                         * 1000000000) AS BIGINT)) AS p
         |  FROM embeddings e JOIN sgn s ON s.i <= len(e.embedding)
         |  WHERE e.vec_id % 5 = 0
         |  GROUP BY e.vec_id, s.j)
-        |SELECT j, COUNT(*) AS n_vecs, CAST(SUM(p) AS DOUBLE) AS sum_proj,
+        |SELECT j, COUNT(*) AS n_vecs, CAST(SUM(p) AS BIGINT) AS sum_proj_e9,
         |  TRUE AS kernel_close
         |FROM vec GROUP BY j""".stripMargin,
     // roundtrip invariant: reading back what was written equals the

@@ -718,37 +718,36 @@ object Similarity {
       graft.plans.expressions.randomProject(col(vecCol), masks))
   }
 
-  /** [[randomProjection]] in DECIMAL(38,9) arithmetic: each term
-    * `sign(i,j) · decimal₉(v[i])` is summed exactly, so the result is
-    * order-independent and bit-reproducible in any ANSI engine — the
-    * oracle tier (the double kernel is the production tier; a spec pins
-    * them within float-rounding distance of each other).
+  /** [[randomProjection]] in exact INTEGER arithmetic: each term is
+    * `sign(i,j) · floor(v[i]·10⁹)` summed as a long — order-independent
+    * and bit-reproducible in any ANSI engine, the oracle tier (the
+    * double kernel is the production tier; a spec pins them within
+    * truncation distance, ≤ inDim·10⁻⁹ per output). `proj` comes back as
+    * `array<long>` SCALED BY 10⁹.
+    *
+    * Why floor-scaling, not DECIMAL: a float→DECIMAL(·,9) cast ROUNDS,
+    * and engines disagree on tie-breaking (HALF_UP vs HALF_EVEN) — rare
+    * per-term ±10⁻⁹ divergences that a 2M-term sf1 corpus sum does
+    * surface (measured). `floor(double·10⁹)` has no ties: the double
+    * product is IEEE-correctly-rounded (identical everywhere) and
+    * truncation is unambiguous.
     */
   def randomProjectionExact(df: DataFrame, vecCol: String, inDim: Int,
                             outDim: Int, salt: String = "_"): DataFrame = {
     require(inDim <= 64, s"sign matrix capped at 64 input dims, got $inDim")
-    import org.apache.spark.sql.types.DecimalType
     val signs: Seq[Seq[Int]] =
       Seq.tabulate(inDim)(i0 => Seq.tabulate(outDim)(j0 =>
         jlSign(i0 + 1, j0 + 1, salt)))
     val s = typedLit(signs)
     val term = (i: Column, j: Column) => {
-      val t = element_at(col(vecCol), i).cast("double").cast(DecimalType(18, 9))
+      val t = floor(element_at(col(vecCol), i).cast("double") * lit(1e9))
       when(element_at(element_at(s, i), j) === 1, t).otherwise(-t)
     }
-    // accumulator pinned at DECIMAL(30,9): (30,9)+(18,9) widens to (31,9)
-    // with NO scale loss, and the cast back to (30,9) is exact for the
-    // bounded magnitudes here (|sum| ≤ inDim · max|v|). A (38,9)
-    // accumulator would widen past 38 and Spark would shave the scale to
-    // 8 — silently breaking decimal exactness. (Hoisting the
-    // float→decimal casts into a materialized decimal array was tried
-    // and measured 3× SLOWER — a boxed Decimal array per row costs more
-    // than redundant scalar casts that codegen keeps register-resident.)
     df.withColumn("proj",
       transform(sequence(lit(1), lit(outDim)), j =>
         aggregate(sequence(lit(1), least(lit(inDim), size(col(vecCol)))),
-          lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 9)),
-          (acc, i) => (acc + term(i, j)).cast(DecimalType(30, 9)))))
+          lit(0L),
+          (acc, i) => acc + term(i, j))))
   }
 
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {

@@ -348,7 +348,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val fast = r.getSeq[Double](0)
-      val exact = r.getSeq[java.math.BigDecimal](1).map(_.doubleValue)
+      val exact = r.getSeq[Long](1).map(_ / 1e9) // proj_x is 1e9-scaled
       assert(fast.size == 16 && exact.size == 16)
       fast.zip(exact).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
     }
