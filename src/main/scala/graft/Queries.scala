@@ -2301,6 +2301,51 @@ object Queries {
         sum(col("comp")).as("sum_components"))
   }
 
+  /** Deterministic weighted interleave (X79): the curriculum/dataloader
+    * order over documents — en every step, others at lower densities.
+    * The first 1000 scheduled items' per-language counts pin the mixing
+    * ratio exactly; sum-of-ids pins membership AND the rank order the
+    * window assigned within each language.
+    */
+  def q107CurriculumInterleave(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    operators.Sampling.interleaveWeighted(d, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
+      .orderBy(col("interleave_key"), col("lang"), col("doc_id"))
+      .limit(1000)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+  }
+
+  /** Term-proximity scoring (X80): minimum token distance between two
+    * corpus-vocabulary terms per document — exact SQL ground truth via
+    * the same position join. Top-20 closest docs, deterministic
+    * tiebreak.
+    */
+  def q108TermProximity(s: SparkSession, dir: String): DataFrame =
+    operators.Relevance.proximity(
+      t(s, dir, "documents"), "text", "doc_id", "data", "stream")
+      .select(col("doc_id"), col("min_dist").cast("long").as("min_dist"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("min_dist"), col("doc_id"))
+      .limit(20)
+
+  /** Fixed-point PageRank (X81): 3 exact integer-arithmetic iterations
+    * over the order→part bipartite graph (disambiguated id spaces), so
+    * the SQL oracle reproduces every rank bit-for-bit with unrolled
+    * CTEs. Output: the 20 highest-authority part nodes.
+    */
+  def q109PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val edges = li.select((col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    operators.PageRank.scaledRanks(edges, iters = 3)
+      .filter(col("id") % 2 === 1)
+      .orderBy(desc("rank"), col("id"))
+      .limit(20)
+      .select(expr("(id - 1) div 2").as("part_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2411,7 +2456,10 @@ object Queries {
     "q103_random_projection" -> (q103RandomProjection _),
     "q104_jsonl_roundtrip" -> (q104JsonlRoundtrip _),
     "q105_theta_sketch" -> (q105ThetaSketch _),
-    "q106_incremental_components" -> (q106IncrementalComponents _)
+    "q106_incremental_components" -> (q106IncrementalComponents _),
+    "q107_curriculum_interleave" -> (q107CurriculumInterleave _),
+    "q108_term_proximity" -> (q108TermProximity _),
+    "q109_pagerank" -> (q109PageRank _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -3918,6 +3966,63 @@ object Queries {
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  MAX(n_events) AS max_session_events,
         |  CAST(SUM(comp) AS BIGINT) AS sum_components
-        |FROM g GROUP BY user_id""".stripMargin
+        |FROM g GROUP BY user_id""".stripMargin,
+    // power-of-two rates make every k/rate key an exact double — the
+    // interleave order has a bit-exact SQL ground truth
+    "q107_curriculum_interleave" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS k,
+        |    CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+        |      WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.25
+        |      ELSE 1.0 END AS rate
+        |  FROM documents),
+        |sel AS (
+        |  SELECT lang, doc_id FROM r
+        |  ORDER BY CAST(k AS DOUBLE) / CAST(rate AS DOUBLE), lang, doc_id
+        |  LIMIT 1000)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM sel GROUP BY lang""".stripMargin,
+    "q108_term_proximity" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS p, w[i] AS term
+        |  FROM d, unnest(range(1, len(w) + 1)) AS t(i)
+        |  WHERE w[i] IN ('data', 'stream')),
+        |a AS (SELECT doc_id, p AS pa FROM p WHERE term = 'data'),
+        |b AS (SELECT doc_id, p AS pb FROM p WHERE term = 'stream'),
+        |j AS (
+        |  SELECT a.doc_id AS doc_id, CAST(MIN(ABS(pa - pb)) AS BIGINT) AS min_dist,
+        |    COUNT(DISTINCT pa) AS n_a, COUNT(DISTINCT pb) AS n_b
+        |  FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY a.doc_id)
+        |SELECT * FROM j ORDER BY min_dist, doc_id LIMIT 20""".stripMargin,
+    // 3 unrolled integer-arithmetic iterations — bit-identical ranks
+    "q109_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS id, SUM((r0.rank * 85) // (100 * deg.deg)) AS s
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.id, 150000000 + COALESCE(c1.s, 0) AS rank
+        |       FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, SUM((r1.rank * 85) // (100 * deg.deg)) AS s
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.id, 150000000 + COALESCE(c2.s, 0) AS rank
+        |       FROM nodes n LEFT JOIN c2 ON n.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, SUM((r2.rank * 85) // (100 * deg.deg)) AS s
+        |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.id, 150000000 + COALESCE(c3.s, 0) AS rank
+        |       FROM nodes n LEFT JOIN c3 ON n.id = c3.id)
+        |SELECT (id - 1) // 2 AS part_id, CAST(rank AS BIGINT) AS rank
+        |FROM r3 WHERE id % 2 = 1
+        |ORDER BY rank DESC, id LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank (public algorithm, Brin & Page 1998) in SCALED
+  * INTEGER arithmetic — link-graph authority scoring for corpus curation
+  * (rank web domains/documents by citation structure before sampling).
+  *
+  * Why integers: the canonical floating-point formulation sums incoming
+  * contributions, and float addition is order-dependent — a distributed
+  * run would not be bit-reproducible, and no SQL oracle could pin it.
+  * Here ranks are longs scaled by `scale`; each iteration computes
+  *
+  *   contrib(u→v) = (r(u) * damp85) div (100 * outdeg(u))      [floor]
+  *   r'(v)        = (scale * 15) div 100  +  Σ contrib(u→v)
+  *
+  * — all integer ops, so the result is EXACT, order-independent, and
+  * reproducible in any engine with 64-bit integer division. Dangling
+  * nodes' mass is dropped (the simplest public formulation; ranks are
+  * comparative, not a probability distribution).
+  *
+  * Scale shape: each iteration is one join of the rank table against the
+  * edge list (shuffle keyed on node id) + one grouped sum — the classic
+  * MapReduce PageRank round. Lineage is truncated per iteration with an
+  * eager localCheckpoint (same contract as [[Dedup.starComponents]]).
+  * Iterations are FIXED (deterministic output), not convergence-driven.
+  */
+object PageRank {
+
+  def scaledRanks(edges: DataFrame, iters: Int,
+                  scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val base = scale * 15L / 100L
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contrib = ranks
+        .join(outdeg, Seq("id"))
+        .join(e, ranks("id") === e("src"))
+        .select(col("dst").as("id"),
+          expr("(rank * 85) div (100 * deg)").as("c"))
+      ranks = nodes
+        .join(contrib.groupBy(col("id")).agg(sum(col("c")).as("in_c")),
+          Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+}

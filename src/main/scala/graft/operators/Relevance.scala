@@ -162,4 +162,34 @@ object Relevance {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         (col("tf") * log(col("_n").cast("double") / col("df"))).as("tfidf"))
   }
+
+  /** Term-proximity scoring: per document, the MINIMUM token distance
+    * between any occurrence of `termA` and any occurrence of `termB`
+    * (lowercased whitespace tokens, 1-based positions) — the phrase/
+    * nearness signal BM25 lacks. Docs containing only one of the terms
+    * are absent from the result.
+    *
+    * Scale shape: positions for the TWO QUERY TERMS only ride the
+    * shuffle (the corpus explodes to term-position rows, but the filter
+    * keeps ≈ docfreq(A)+docfreq(B) rows — the scan is map-only before
+    * it). The per-doc pairing is |A-positions|×|B-positions| of the SAME
+    * document — quadratic only in a single doc's occurrence counts of
+    * the two query terms, which is the standard proximity-query trade;
+    * cap pathological docs upstream (repeatedNgramScrub) if needed.
+    */
+  def proximity(docs: DataFrame, textCol: String, idCol: String,
+                termA: String, termB: String): DataFrame = {
+    val pos = docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("p", "term")))
+      .filter(col("term").isin(termA, termB))
+      .select(col(idCol), (col("p") + 1).as("p"), col("term"))
+    val a = pos.filter(col("term") === termA).select(col(idCol), col("p").as("pa"))
+    val b = pos.filter(col("term") === termB).select(col(idCol), col("p").as("pb"))
+    a.join(b, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(min(abs(col("pa") - col("pb"))).as("min_dist"),
+        countDistinct(col("pa")).as("n_a"),
+        countDistinct(col("pb")).as("n_b"))
+  }
 }

@@ -85,6 +85,35 @@ object Sampling {
       .drop("_wkey")
   }
 
+  /** Deterministic weighted interleave — the CURRICULUM/DATALOADER
+    * ordering step: a global training order where group g's items appear
+    * with density ∝ `rates(g)`, evenly spread rather than clumped (the
+    * round-robin-with-weights schedule heterogeneous-mixture training
+    * loops use). Item k (1-based rank within its group, ordered by id)
+    * gets key k / rate — groups with rate 1.0 advance every step, rate
+    * 0.5 every other step, etc. Adds `interleave_key`; consumers sort by
+    * (interleave_key, groupCol, idCol) — a range-partitioned total sort
+    * (scale-safe) for a full export, or TakeOrdered for a prefix. The
+    * key is IEEE-division-deterministic, so the order is reproducible
+    * across runs AND in ANSI SQL. Unknown/NULL groups get
+    * `defaultRate`; rows with rate ≤ 0 are dropped (never scheduled).
+    */
+  def interleaveWeighted(df: DataFrame, groupCol: String, idCol: String,
+                         rates: Map[String, Double],
+                         defaultRate: Double = 1.0): DataFrame = {
+    require(rates.values.forall(_ > 0), "rates must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.withColumn("_rate", rate)
+      .filter(col("_rate") > 0.0)
+      .withColumn("interleave_key",
+        row_number().over(w).cast("double") / col("_rate"))
+      .drop("_rate")
+  }
+
   /** Deterministic mixture sampling: each group (source/domain) is kept at
     * its own rate — the data-mixing step that reweights a pretraining
     * corpus toward a target distribution (DoReMi-style static mixture).

@@ -84,4 +84,42 @@ class RelevanceSpec extends AnyFunSuite {
       "text", "doc_id", Seq("spark", "merge")).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("proximity: min token distance, occurrence counts, single-term docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "data x y stream more data"),       // |2-4|=2, |6-4|=2 -> 2
+      (2L, "stream data"),                     // adjacent -> 1
+      (3L, "data only here"),                  // no 'stream' -> absent
+      (4L, "stream alone"),                    // no 'data' -> absent
+      (5L, "data data stream stream")          // |2-3|=1
+    ).toDF("doc_id", "text")
+    val got = Relevance.proximity(docs, "text", "doc_id", "data", "stream")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 5L))
+    assert(got(1L) == ((2, 2L, 1L)))
+    assert(got(2L) == ((1, 1L, 1L)))
+    assert(got(5L) == ((1, 2L, 2L)))
+  }
+
+  test("pagerank: hand-computed fixed-point ranks on a tiny graph; deterministic") {
+    import spark.implicits._
+    // A->B, A->C, B->C: after 1 iter (scale 1e9):
+    //   contrib A->B = A->C = (1e9*85) div 200 = 425000000
+    //   contrib B->C = (1e9*85) div 100 = 850000000
+    //   B = 150000000 + 425000000; C = 150000000 + 425000000 + 850000000
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r1 = graft.operators.PageRank.scaledRanks(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(1L) == 150000000L)              // nothing points at A
+    assert(r1(2L) == 575000000L)
+    assert(r1(3L) == 1425000000L)
+    val r3a = graft.operators.PageRank.scaledRanks(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r3b = graft.operators.PageRank.scaledRanks(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3a == r3b, "fixed-point ranks must be bit-deterministic")
+    assert(r3a(3L) > r3a(2L) && r3a(2L) > r3a(1L), "authority ordering")
+  }
 }

@@ -134,6 +134,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(sel2.forall(_ % 2 != 0))
   }
 
+  test("interleaveWeighted: densities follow rates, schedule deterministic and even") {
+    val d = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "grp")
+    val ranked = Sampling.interleaveWeighted(d, "grp", "id",
+      Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.25))
+    val first80 = ranked.orderBy(col("interleave_key"), col("grp"), col("id"))
+      .limit(80).groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // in any prefix of length L the counts approach L*(4:2:1)/7
+    assert(first80("a") > first80("b") && first80("b") > first80("c"), first80.toString)
+    assert(math.abs(first80("a") - 80.0 * 4 / 7) <= 2, first80.toString)
+    // evenness: within the first 40 the dominant group never runs 4-in-a-row
+    val order = ranked.orderBy(col("interleave_key"), col("grp"), col("id"))
+      .limit(40).select("grp").collect().map(_.getString(0)).toSeq
+    assert(!order.sliding(4).exists(w => w.forall(_ == "a")), order.toString)
+    // deterministic across evaluations
+    val again = ranked.orderBy(col("interleave_key"), col("grp"), col("id"))
+      .limit(40).select("grp").collect().map(_.getString(0)).toSeq
+    assert(again == order)
+    // unknown groups take the default rate
+    val withU = d.union(Seq((1000L, "u")).toDF("id", "grp"))
+    val keyed = Sampling.interleaveWeighted(withU, "grp", "id",
+      Map("a" -> 1.0), defaultRate = 0.5)
+    val uKey = keyed.filter(col("grp") === "u").head.getDouble(2)
+    assert(uKey == 2.0) // rank 1 / 0.5
+  }
+
   test("shuffleDeterministic: a real permutation, stable across runs and input order") {
     val out = Sampling.shuffleDeterministic(docs, "doc_id", 7L, 4)
       .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
