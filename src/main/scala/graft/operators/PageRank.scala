@@ -36,15 +36,19 @@ object PageRank {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst"))).distinct()
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    // out-degree pre-joined onto the edge list ONCE: the loop then does a
+    // single rank⋈edge join per iteration instead of rank⋈deg⋈edge, and
+    // the static relations don't recompute under each checkpoint action
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .localCheckpoint(true)
     val base = scale * 15L / 100L
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(scale))
     var i = 0
     while (i < iters) {
       val contrib = ranks
-        .join(outdeg, Seq("id"))
-        .join(e, ranks("id") === e("src"))
+        .join(eDeg, ranks("id") === eDeg("src"))
         .select(col("dst").as("id"),
           expr("(rank * 85) div (100 * deg)").as("c"))
       ranks = nodes
@@ -52,7 +56,12 @@ object PageRank {
           Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
+      // each rank feeds the next iteration exactly once, so a short loop
+      // is a pure chain one action executes end-to-end — checkpoint only
+      // every few iterations to bound plan growth on long runs, not per
+      // iteration (which forces a full materialization each round)
+      if ((i + 1) % 5 == 0 && i + 1 < iters)
+        ranks = ranks.localCheckpoint(true)
       i += 1
     }
     ranks
