@@ -296,7 +296,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "dedup_exact", "minhash_dedup", "substring_dedup", "ann_topk",
           "decontaminate", "pmi_topk", "quality_filter", "bm25_topk",
           "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply",
-          "connected_components", "weighted_sample", "kmv_overlap")
+          "connected_components", "weighted_sample", "kmv_overlap",
+          "interleave", "proximity_topk", "pagerank")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -339,6 +340,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "connected_components" => new ConnectedComponentsProcedure
       case "weighted_sample" => new WeightedSampleProcedure
       case "kmv_overlap" => new KmvOverlapProcedure
+      case "interleave" => new InterleaveProcedure
+      case "proximity_topk" => new ProximityTopKProcedure
+      case "pagerank" => new PageRankProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
@@ -349,7 +353,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "substring_dedup, ann_topk, decontaminate, pmi_topk, " +
           "quality_filter, bm25_topk, hybrid_topk, drift_psi, " +
           "quantile_buckets, scd2_apply, connected_components, " +
-          "weighted_sample, kmv_overlap)")
+          "weighted_sample, kmv_overlap, interleave, proximity_topk, " +
+          "pagerank)")
     }
 
   /** Parse a procedure's `NS.TABLE` argument; `mustExist` gates the
@@ -1709,6 +1714,100 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("est_intersect", org.apache.spark.sql.types.DoubleType, nullable = false))),
         rows.toArray)
     }
+  }
+
+  private final class InterleaveProcedure extends MaintenanceProcedure {
+    override def name(): String = "interleave"
+    override def description(): String =
+      "deterministic weighted curriculum order: adds interleave_key " +
+        "(k/rate per group); rates as 'group:rate,group:rate'"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter.in("rates", StringType).build(),
+        procedures.ProcedureParameter
+          .in("default_rate", org.apache.spark.sql.types.DoubleType)
+          .defaultValue("1.0").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rates = input.getUTF8String(4).toString.split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          val Array(g, r) = kv.split(":")
+          g.trim -> r.trim.toDouble
+        }.toMap
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.Sampling.interleaveWeighted(df,
+          input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+          rates, input.getDouble(5))
+      }
+    }
+  }
+
+  private final class ProximityTopKProcedure extends MaintenanceProcedure {
+    override def name(): String = "proximity_topk"
+    override def description(): String =
+      "top-k docs by minimum token distance between two terms; " +
+        "bounded (id, min_dist, n_a, n_b) rows"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter.in("term_a", StringType).build(),
+        procedures.ProcedureParameter.in("term_b", StringType).build(),
+        procedures.ProcedureParameter
+          .in("k", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("10").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val idCol = input.getUTF8String(2).toString
+      val rows = graft.operators.Relevance.proximity(table(id).read,
+          input.getUTF8String(1).toString, idCol,
+          input.getUTF8String(3).toString, input.getUTF8String(4).toString)
+        .orderBy(col("min_dist"), col(idCol))
+        .limit(input.getInt(5))
+        .collect()
+        .map(r => InternalRow(r.getLong(0), r.getInt(1).toLong,
+          r.getLong(2), r.getLong(3)))
+      rowsScan(
+        StructType(Seq(
+          StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("min_dist", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("n_a", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("n_b", org.apache.spark.sql.types.LongType, nullable = false))),
+        rows)
+    }
+  }
+
+  private final class PageRankProcedure extends MaintenanceProcedure {
+    override def name(): String = "pagerank"
+    override def description(): String =
+      "fixed-point scaled-integer PageRank over (src, dst) edge rows; " +
+        "bit-reproducible ranks land in target"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("src_col", StringType)
+          .defaultValue("'src'").build(),
+        procedures.ProcedureParameter.in("dst_col", StringType)
+          .defaultValue("'dst'").build(),
+        procedures.ProcedureParameter
+          .in("iters", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("10").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.PageRank.scaledRanks(
+          df.select(col(input.getUTF8String(2).toString).as("src"),
+            col(input.getUTF8String(3).toString).as("dst")),
+          input.getInt(4))
+      }
   }
 
   private final class AnnTopKProcedure extends MaintenanceProcedure {

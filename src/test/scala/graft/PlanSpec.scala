@@ -366,6 +366,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q107 interleave: prefix selection is TakeOrdered over the window, no global sort") {
+    val p = planOf("q107_curriculum_interleave")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q108 proximity: corpus scan prunes to (doc_id, text); no cartesian") {
+    val p = planOf("q108_term_proximity")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.forall(r => !r.contains("lang") && !r.contains("source")), reads.toString)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("kmv sketch build: rank filter runs as WindowGroupLimit before the shuffle") {
     import org.apache.spark.sql.functions._
     val ev = Tables(spark, dir, "events")

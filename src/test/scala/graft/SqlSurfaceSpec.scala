@@ -978,6 +978,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 4.0 && r.getDouble(5) == 1.0)
   }
 
+  test("LLM-operator procedures: interleave/proximity_topk/pagerank from SQL (r7)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm12",
+      java.nio.file.Files.createTempDirectory("sql_llm12_").toString)
+    spark.sql("CREATE NAMESPACE llm12.G")
+
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("id", "grp").createOrReplaceTempView("seed12_mix")
+    spark.sql("CREATE TABLE llm12.G.MIX AS SELECT * FROM seed12_mix")
+    val il = spark.sql(
+      "CALL llm12.system.interleave(source => 'G.MIX', target => 'G.ORD', " +
+        "group_col => 'grp', id_col => 'id', rates => 'a:1.0,b:0.5')").head
+    assert(il.getLong(1) == 4L)
+    val keys = spark.sql(
+      "SELECT grp, interleave_key FROM llm12.G.ORD ORDER BY interleave_key, grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(keys == Seq(("a", 1.0), ("b", 2.0), ("a", 2.0), ("b", 4.0))
+      || keys == Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 4.0)))
+
+    Seq((1L, "data x stream"), (2L, "data only"), (3L, "stream y z data"))
+      .toDF("doc_id", "text").createOrReplaceTempView("seed12_docs")
+    spark.sql("CREATE TABLE llm12.G.D AS SELECT * FROM seed12_docs")
+    val px = spark.sql(
+      "CALL llm12.system.proximity_topk(table => 'G.D', text_col => 'text', " +
+        "id_col => 'doc_id', term_a => 'data', term_b => 'stream', k => 5)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(px == Map(1L -> 2L, 3L -> 3L))
+
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+      .createOrReplaceTempView("seed12_edges")
+    spark.sql("CREATE TABLE llm12.G.E AS SELECT * FROM seed12_edges")
+    spark.sql("CALL llm12.system.pagerank(source => 'G.E', " +
+      "target => 'G.R', iters => 1)")
+    val pr = spark.sql("SELECT id, rank FROM llm12.G.R")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == Map(1L -> 150000000L, 2L -> 575000000L, 3L -> 1425000000L))
+  }
+
   test("clean_text SQL function: NFC + control strip + whitespace collapse") {
     import spark.implicits._
     // raw BEL + decomposed accent, routed through the SQL function surface
