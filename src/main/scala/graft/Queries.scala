@@ -2346,6 +2346,15 @@ object Queries {
       .select(expr("(id - 1) div 2").as("part_id"), col("rank"))
   }
 
+  /** Corpus data card (X82): the per-(lang, source) release datasheet —
+    * sizes, token mass, exact-dup rate (128-bit content keys), langid
+    * agreement, token-length distribution — one grouped pass, every
+    * statistic engine-exact.
+    */
+  def q110DataCard(s: SparkSession, dir: String): DataFrame =
+    operators.DataCard.summarize(t(s, dir, "documents"),
+      "text", "lang", "source")
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2459,7 +2468,8 @@ object Queries {
     "q106_incremental_components" -> (q106IncrementalComponents _),
     "q107_curriculum_interleave" -> (q107CurriculumInterleave _),
     "q108_term_proximity" -> (q108TermProximity _),
-    "q109_pagerank" -> (q109PageRank _)
+    "q109_pagerank" -> (q109PageRank _),
+    "q110_data_card" -> (q110DataCard _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4023,6 +4033,43 @@ object Queries {
         |       FROM nodes n LEFT JOIN c3 ON n.id = c3.id)
         |SELECT (id - 1) // 2 AS part_id, CAST(rank AS BIGINT) AS rank
         |FROM r3 WHERE id % 2 = 1
-        |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+        |ORDER BY rank DESC, id LIMIT 20""".stripMargin,
+    // the whole datasheet from relational primitives: md5 content keys,
+    // the q25 langid spec inlined, quantile_cont medians
+    "q110_data_card" ->
+      """WITH f AS (
+        |  SELECT lang, source, md5(text) AS ck,
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT lang, source, ck, tok, chars,
+        |    coalesce(len(list_filter(toks, t -> t IN ('the','and','of','is','that','with','for','this'))), 0) AS en,
+        |    coalesce(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))), 0) AS de,
+        |    coalesce(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','que','pas'))), 0) AS fr,
+        |    coalesce(len(list_filter(toks, t -> t IN ('el','los','las','es','que','una','por','con'))), 0) AS es,
+        |    toks IS NULL AS empty
+        |  FROM f),
+        |p AS (
+        |  SELECT lang, source, ck, tok, chars,
+        |    CASE WHEN empty THEN 'und'
+        |      WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |      WHEN de >= fr AND de >= es THEN 'de'
+        |      WHEN fr >= es THEN 'fr'
+        |      ELSE 'es' END AS pred
+        |  FROM scored)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT ck) AS n_unique,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_langid_match,
+        |  MIN(tok) AS min_tok, quantile_cont(tok, 0.5) AS p50_tok,
+        |  MAX(tok) AS max_tok
+        |FROM p GROUP BY lang, source""".stripMargin
   )
 }

@@ -297,7 +297,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "decontaminate", "pmi_topk", "quality_filter", "bm25_topk",
           "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply",
           "connected_components", "weighted_sample", "kmv_overlap",
-          "interleave", "proximity_topk", "pagerank")
+          "interleave", "proximity_topk", "pagerank", "data_card")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -343,6 +343,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "interleave" => new InterleaveProcedure
       case "proximity_topk" => new ProximityTopKProcedure
       case "pagerank" => new PageRankProcedure
+      case "data_card" => new DataCardProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
@@ -354,7 +355,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "quality_filter, bm25_topk, hybrid_topk, drift_psi, " +
           "quantile_buckets, scd2_apply, connected_components, " +
           "weighted_sample, kmv_overlap, interleave, proximity_topk, " +
-          "pagerank)")
+          "pagerank, data_card)")
     }
 
   /** Parse a procedure's `NS.TABLE` argument; `mustExist` gates the
@@ -1807,6 +1808,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           df.select(col(input.getUTF8String(2).toString).as("src"),
             col(input.getUTF8String(3).toString).as("dst")),
           input.getInt(4))
+      }
+  }
+
+  private final class DataCardProcedure extends MaintenanceProcedure {
+    override def name(): String = "data_card"
+    override def description(): String =
+      "corpus datasheet per (lang, source): sizes, token mass, exact-dup " +
+        "rate, langid agreement, token-length distribution; lands in target"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType)
+          .defaultValue("'text'").build(),
+        procedures.ProcedureParameter.in("lang_col", StringType)
+          .defaultValue("'lang'").build(),
+        procedures.ProcedureParameter.in("source_col", StringType)
+          .defaultValue("'source'").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.DataCard.summarize(df,
+          input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+          input.getUTF8String(4).toString)
       }
   }
 
