@@ -297,7 +297,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "decontaminate", "pmi_topk", "quality_filter", "bm25_topk",
           "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply",
           "connected_components", "weighted_sample", "kmv_overlap",
-          "interleave", "proximity_topk", "pagerank", "data_card")
+          "interleave", "proximity_topk", "pagerank", "data_card",
+          "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -344,6 +345,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "proximity_topk" => new ProximityTopKProcedure
       case "pagerank" => new PageRankProcedure
       case "data_card" => new DataCardProcedure
+      case "profile" => new ProfileProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
           "(compact, cluster, zorder, vacuum, clone, history, zonemaps, " +
@@ -355,7 +357,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "quality_filter, bm25_topk, hybrid_topk, drift_psi, " +
           "quantile_buckets, scd2_apply, connected_components, " +
           "weighted_sample, kmv_overlap, interleave, proximity_topk, " +
-          "pagerank, data_card)")
+          "pagerank, data_card, profile)")
     }
 
   /** Parse a procedure's `NS.TABLE` argument; `mustExist` gates the
@@ -1833,6 +1835,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           input.getUTF8String(2).toString, input.getUTF8String(3).toString,
           input.getUTF8String(4).toString)
       }
+  }
+
+  /** ANALYZE-style one-pass column profile: null count, distinct count,
+    * min/max (rendered as strings) for every column — the stats surface a
+    * query planner or a data-quality audit reads first. One job: all
+    * columns' aggregates ride a single scan.
+    */
+  private final class ProfileProcedure extends MaintenanceProcedure {
+    override def name(): String = "profile"
+    override def description(): String =
+      "per-column profile: n_nulls, approx_ndv, min, max in ONE scan"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val df = table(id).read
+      val cols = df.schema.fields
+      import org.apache.spark.sql.functions.{sum, when, approx_count_distinct, min => fmin, max => fmax}
+      val aggs = cols.flatMap { f =>
+        val c = col(f.name)
+        val countable = f.dataType match {
+          case _: org.apache.spark.sql.types.MapType => false
+          case _ => true
+        }
+        Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+          (if (countable) approx_count_distinct(c)
+           else lit(-1L)).as(s"${f.name}__ndv"),
+          (if (countable) fmin(c).cast(StringType)
+           else lit(null).cast(StringType)).as(s"${f.name}__min"),
+          (if (countable) fmax(c).cast(StringType)
+           else lit(null).cast(StringType)).as(s"${f.name}__max"))
+      }
+      val n = df.count()
+      val r = df.agg(aggs.head, aggs.tail.toSeq: _*).head
+      val rows = cols.zipWithIndex.map { case (f, i) =>
+        val b = i * 4
+        InternalRow(
+          UTF8String.fromString(f.name),
+          UTF8String.fromString(f.dataType.simpleString),
+          n,
+          r.getLong(b),
+          r.getLong(b + 1),
+          if (r.isNullAt(b + 2)) null else UTF8String.fromString(r.getString(b + 2)),
+          if (r.isNullAt(b + 3)) null else UTF8String.fromString(r.getString(b + 3)))
+      }
+      rowsScan(
+        StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("n_nulls", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("approx_ndv", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("min", StringType, nullable = true),
+          StructField("max", StringType, nullable = true))),
+        rows.toArray)
+    }
   }
 
   private final class AnnTopKProcedure extends MaintenanceProcedure {

@@ -1016,6 +1016,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(pr == Map(1L -> 150000000L, 2L -> 575000000L, 3L -> 1425000000L))
   }
 
+  test("profile procedure: per-column stats in one scan") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm13",
+      java.nio.file.Files.createTempDirectory("sql_llm13_").toString)
+    spark.sql("CREATE NAMESPACE llm13.G")
+    Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("b")))
+      .toDF("id", "v").createOrReplaceTempView("seed13")
+    spark.sql("CREATE TABLE llm13.G.T AS SELECT * FROM seed13")
+    val prof = spark.sql("CALL llm13.system.profile(table => 'G.T')")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))).toMap
+    assert(prof("id") == ((4L, 0L, 4L, "1", "4")))
+    val (n, nulls, ndv, mn, mx) = prof("v")
+    assert(n == 4L && nulls == 1L && ndv == 2L && mn == "a" && mx == "b")
+  }
+
   test("clean_text SQL function: NFC + control strip + whitespace collapse") {
     import spark.implicits._
     // raw BEL + decomposed accent, routed through the SQL function surface
