@@ -2355,6 +2355,22 @@ object Queries {
     operators.DataCard.summarize(t(s, dir, "documents"),
       "text", "lang", "source")
 
+  /** Stratified weighted sampling (X83): 100 docs per language, weighted
+    * by token count without replacement — per-stratum A-ES with the same
+    * SQL-reproducible key as q102, selection pinned exactly.
+    */
+  def q111StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    operators.Sampling.weightedSamplePerGroup(d, "lang", "doc_id",
+      col("tok"), kPerGroup = 100)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2469,7 +2485,8 @@ object Queries {
     "q107_curriculum_interleave" -> (q107CurriculumInterleave _),
     "q108_term_proximity" -> (q108TermProximity _),
     "q109_pagerank" -> (q109PageRank _),
-    "q110_data_card" -> (q110DataCard _)
+    "q110_data_card" -> (q110DataCard _),
+    "q111_stratified_sample" -> (q111StratifiedSample _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4070,6 +4087,29 @@ object Queries {
         |    AS n_langid_match,
         |  MIN(tok) AS min_tok, quantile_cont(tok, 0.5) AS p50_tok,
         |  MAX(tok) AS max_tok
-        |FROM p GROUP BY lang, source""".stripMargin
+        |FROM p GROUP BY lang, source""".stripMargin,
+    // per-stratum A-ES with the q102 key; rank windows reproduce the
+    // exact per-language selection
+    "q111_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS tok
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, lang, tok,
+        |    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-s42'),
+        |                1, 13)) AS BIGINT) + 1) / 4503599627370496.0)
+        |      / tok AS k
+        |  FROM d WHERE tok > 0),
+        |ranked AS (
+        |  SELECT doc_id, lang, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk
+        |  FROM keyed)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM ranked WHERE rk <= 100 GROUP BY lang""".stripMargin
   )
 }

@@ -85,6 +85,28 @@ object Sampling {
       .drop("_wkey")
   }
 
+  /** Stratified [[weightedSample]]: k rows per GROUP, weighted without
+    * replacement within each group (A-ES per stratum) — per-language /
+    * per-domain quota sampling with importance weights. The rank filter
+    * plans as WindowGroupLimit (per-partition top-k heaps before the
+    * shuffle), so the exchange carries at most k·groups·partitions rows.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             weight: Column, kPerGroup: Int,
+                             salt: String = "s42"): DataFrame = {
+    require(kPerGroup > 0, "kPerGroup must be positive")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("-" + salt))), 1, 13), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0)
+    val key = -log(u) / weight.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(key.asc, col(idCol).asc)
+    df.filter(weight.isNotNull && (weight > lit(0)))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= kPerGroup)
+      .drop("_rk")
+  }
+
   /** Deterministic weighted interleave — the CURRICULUM/DATALOADER
     * ordering step: a global training order where group g's items appear
     * with density ∝ `rates(g)`, evenly spread rather than clumped (the

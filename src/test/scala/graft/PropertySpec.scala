@@ -274,4 +274,37 @@ class PropertySpec extends AnyFunSuite {
       if (h1.toSet == h2.toSet) assert(fwd == 0.0)
     }
   }
+
+  test("starComponents equals driver union-find on arbitrary random graphs") {
+    // 12 generated graphs across densities (sparse forests to dense
+    // near-cliques) — the property that matters: EXACT agreement with the
+    // reference union-find on every shape, not just handpicked cases
+    val graphs = (0 until 12).map { i =>
+      val rng = new scala.util.Random(1000 + i)
+      val n = 5 + rng.nextInt(60)
+      val m = rng.nextInt(3 * n)
+      (0 until m).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+    }
+    graphs.foreach { edges =>
+      val expected: Map[Long, Long] = {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          r
+        }
+        edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keys.map(k => k -> find(k)).toMap
+      }
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else graft.operators.Dedup.starComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
 }
