@@ -433,6 +433,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Scene-change keyframe selection: decode every frame
+    * ([[sampleFrames]] with everyN = 1 — REAL decode for animated GIF and
+    * MJPEG-AVI), then keep a frame iff its aHash differs from the LAST
+    * KEPT frame by more than `minHamming` bits (frame 0 always kept) —
+    * the standard shot-boundary reduction that turns minutes of video
+    * into a handful of training frames. Per-payload sequential scan
+    * inside one partition-local pass; no shuffle.
+    *
+    * Output: input row + `(frame_no: int, frame: binary)` for kept
+    * frames only.
+    */
+  def keyframes(df: DataFrame, payloadCol: String, minHamming: Int = 4,
+                frameBytes: Int = 1024): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    def hashOf(frame: Array[Byte]): Long = {
+      val px = ImageIoCodec.decodeImage(frame) match {
+        case Some((p, w, h)) => ImageIoCodec.resize(p, w, h, 8, 8)
+        case None => StubCodec.featurize(frame, 64)
+      }
+      val mean = px.sum / px.length
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (px(i) > mean) bits |= (1L << i); i += 1 }
+      bits
+    }
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val frames = GifCodec.sampleFrames(payload, 1)
+          .orElse(AviMjpegCodec.sampleFrames(payload, 1))
+          .getOrElse(StubCodec.sampleFrames(payload, frameBytes, 1))
+        var lastKept = Long.MinValue
+        var first = true
+        frames.zipWithIndex.flatMap { case (frame, i) =>
+          val h = hashOf(frame)
+          val keep = first || java.lang.Long.bitCount(h ^ lastKept) > minHamming
+          if (keep) { lastKept = h; first = false
+            Some(Row.fromSeq(r.toSeq ++ Seq(i, frame)))
+          } else None
+        }
+      }
+    }(enc)
+  }
+
   /** Near-duplicate image pairs at aHash hamming ≤ `maxHamming` —
     * composes the SimHash pigeonhole banding ([[Dedup.simhashPairsOn]]:
     * 4 × 16-bit chunks, so completeness is GUARANTEED for maxHamming ≤ 3

@@ -250,6 +250,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.agg(sum("n_copies")).head.getLong(0) == 55L)
   }
 
+  test("keyframes: scene changes kept, repeated frames dropped (real GIF decode)") {
+    // 8x8 animated GIF: frames 0-2 left-half bright, frames 3-5 top-half
+    // bright -> exactly two scenes -> exactly two keyframes {0, 3}
+    def frame(leftBright: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(x => (0 until 8).foreach { y =>
+        val bright = if (leftBright) x < 4 else y < 4
+        val v = if (bright) 230 else 20
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 6).foreach { i =>
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(frame(i < 3), null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val df = Seq((1L, bos.toByteArray)).toDF("media_id", "payload")
+    val kept = Multimodal.keyframes(df, "payload", minHamming = 4)
+      .select("frame_no").collect().map(_.getInt(0)).toSeq.sorted
+    assert(kept == Seq(0, 3), s"kept $kept")
+  }
+
   test("perceptual near-dup: re-encoded/mildly-edited images pair, unrelated don't") {
     def png(f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(16, 16,
