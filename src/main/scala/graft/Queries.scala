@@ -2371,6 +2371,74 @@ object Queries {
         sum(col("doc_id")).as("sum_ids"))
   }
 
+  private val q112Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental KMV overlap monitoring (X85): the q105 segment-overlap
+    * question answered from DELTA-MAINTAINED sketch state — events
+    * arrive as two appends, each refresh folds only the delta, and the
+    * maintained min-sets must behave exactly like batch-built ones
+    * (same output contract and oracle as q105).
+    */
+  def q112IncrementalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val margin = 5.0 / math.sqrt(k.toDouble)
+    val types = Seq("click", "purchase", "view")
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin(types: _*))
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val root = q112Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q112_inckmv").toString
+      val src = storage.VersionedTable(s, s"$r/src", collectStats = false)
+      val kmv = operators.IncrementalKmv(s, src, s"$r/state",
+        "event_type", "user_id", k)
+      val mid = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      src.append(ev.filter(col("event_id") <= mid).drop("event_id"))
+      val a1 = kmv.refresh()
+      src.append(ev.filter(col("event_id") > mid).drop("event_id"))
+      val a2 = kmv.refresh()
+      require(a1 == 1 && a2 == 1, s"refreshes must be delta-only: $a1 $a2")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val kmv = operators.IncrementalKmv(s,
+      storage.VersionedTable(s, s"$root/src", collectStats = false),
+      s"$root/state", "event_type", "user_id", k)
+    require(kmv.refresh() == 0L, "state must already be current")
+    val sk = kmv.sketches
+    val flagCols = types.map(tp =>
+      max(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"f_$tp"))
+    val flags = ev.groupBy(col("user_id"))
+      .agg(flagCols.head, flagCols.tail: _*)
+    val pairs = Seq(("click", "purchase"), ("click", "view"),
+      ("purchase", "view"))
+    val exactAggs = types.map(tp => sum(col(s"f_$tp")).as(s"n_$tp")) ++
+      pairs.flatMap { case (a, b) => Seq(
+        sum(col(s"f_$a") * col(s"f_$b")).as(s"int_${a}_$b"),
+        sum(greatest(col(s"f_$a"), col(s"f_$b"))).as(s"uni_${a}_$b")) }
+    val exRow = flags.agg(exactAggs.head, exactAggs.tail: _*).head
+    def ex(n: String): Long = exRow.getLong(exRow.fieldIndex(n))
+    def ok(est: Double, exact: Long, scale: Long): Boolean =
+      math.abs(est - exact.toDouble) <= margin * scale.toDouble
+    val out = pairs.map { case (a, b) =>
+      val (sa, sb) = (sk(a), sk(b))
+      val (na, nb) = (ex(s"n_$a"), ex(s"n_$b"))
+      val (ni, nu) = (ex(s"int_${a}_$b"), ex(s"uni_${a}_$b"))
+      (a, b, na, nb, nu, ni,
+        ok(sa.estimate, na, na), ok(sb.estimate, nb, nb),
+        ok(sa.union(sb).estimate, nu, nu),
+        ok(sa.intersectEstimate(sb), ni, nu))
+    }
+    val sq = s
+    import sq.implicits._
+    out.toDF("type_a", "type_b", "exact_a", "exact_b", "exact_union",
+      "exact_intersect", "a_ok", "b_ok", "union_ok", "intersect_ok")
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2486,7 +2554,8 @@ object Queries {
     "q108_term_proximity" -> (q108TermProximity _),
     "q109_pagerank" -> (q109PageRank _),
     "q110_data_card" -> (q110DataCard _),
-    "q111_stratified_sample" -> (q111StratifiedSample _)
+    "q111_stratified_sample" -> (q111StratifiedSample _),
+    "q112_incremental_overlap" -> (q112IncrementalOverlap _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4110,6 +4179,29 @@ object Queries {
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
-        |FROM ranked WHERE rk <= 100 GROUP BY lang""".stripMargin
+        |FROM ranked WHERE rk <= 100 GROUP BY lang""".stripMargin,
+    // maintained sketches must satisfy the SAME contract as batch ones
+    "q112_incremental_overlap" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fc,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fp,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fv
+        |  FROM events WHERE event_type IN ('click', 'purchase', 'view')
+        |  GROUP BY user_id)
+        |SELECT 'click' AS type_a, 'purchase' AS type_b,
+        |  CAST(SUM(fc) AS BIGINT) AS exact_a, CAST(SUM(fp) AS BIGINT) AS exact_b,
+        |  CAST(SUM(CASE WHEN fc + fp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_union,
+        |  CAST(SUM(fc * fp) AS BIGINT) AS exact_intersect,
+        |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS intersect_ok
+        |FROM f
+        |UNION ALL
+        |SELECT 'click', 'view', CAST(SUM(fc) AS BIGINT), CAST(SUM(fv) AS BIGINT),
+        |  CAST(SUM(CASE WHEN fc + fv > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(fc * fv) AS BIGINT), TRUE, TRUE, TRUE, TRUE FROM f
+        |UNION ALL
+        |SELECT 'purchase', 'view', CAST(SUM(fp) AS BIGINT), CAST(SUM(fv) AS BIGINT),
+        |  CAST(SUM(CASE WHEN fp + fv > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(fp * fv) AS BIGINT), TRUE, TRUE, TRUE, TRUE FROM f""".stripMargin
   )
 }
