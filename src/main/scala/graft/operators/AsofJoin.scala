@@ -95,4 +95,52 @@ object AsofJoin {
       .select(left.columns.map(col) ++
         payloadCols.map(c => when(matchOk, col(s"$P.$c")).as(c)): _*)
   }
+
+  /** pandas merge_asof `direction="nearest"`: the right row CLOSEST in
+    * time on either side (ties break backward — the earlier row). Both
+    * directional carries are computed over the SAME union in one
+    * key-partitioned exchange (two window sorts, one shuffle); the
+    * per-row choice is then a scalar comparison of the two carried
+    * match times. `tolerance` bounds |leftTime − matchedTime| as in
+    * [[leftAsof]].
+    */
+  def leftAsofNearest(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      tolerance: Option[Long] = None): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
+    require(payloadCols.nonEmpty, "right side needs at least one payload column")
+    require(!payloadCols.contains("_asof_rt"), "_asof_rt is reserved")
+    val rightUnique = right
+      .filter(col(rightTime).isNotNull)
+      .groupBy(col(rightKey), col(rightTime))
+      .agg(max(struct((col(rightTime).as("_asof_rt") +: payloadCols.map(col)): _*))
+        .as("_asof_payload"))
+    val K = "_asof_key"; val T = "_asof_t"; val TAG = "_asof_tag"; val P = "_asof_payload"
+    val taggedLeft = left
+      .withColumn(K, col(leftKey)).withColumn(T, col(leftTime))
+      .withColumn(TAG, lit(1)).withColumn(P,
+        lit(null).cast(rightUnique.schema(P).dataType))
+    val taggedRight = rightUnique.select(
+      col(rightKey).as(K), col(rightTime).as(T), lit(0).as(TAG), col(P))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val wB = Window.partitionBy(col(K)).orderBy(col(T).asc, col(TAG).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(K)).orderBy(col(T).desc, col(TAG).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_pb", last(col(P), ignoreNulls = true).over(wB))
+      .withColumn("_pf", last(col(P), ignoreNulls = true).over(wF))
+    val tol = tolerance.map(lit(_)).getOrElse(lit(Long.MaxValue))
+    val db = col(T).cast("long") - col("_pb._asof_rt").cast("long")
+    val dfw = col("_pf._asof_rt").cast("long") - col(T).cast("long")
+    val validB = col(T).isNotNull && col("_pb").isNotNull && db <= tol
+    val validF = col(T).isNotNull && col("_pf").isNotNull && dfw <= tol
+    val chosen = when(validB && (!validF || db <= dfw), col("_pb"))
+      .when(validF, col("_pf"))
+    carried.filter(col(TAG) === 1)
+      .withColumn("_pc", chosen)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"_pc.$c").as(c)): _*)
+  }
 }

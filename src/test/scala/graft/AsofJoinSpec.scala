@@ -82,6 +82,34 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out.head.getDouble(2) == 9.0) // max-struct survivor
   }
 
+  test("nearest: closest side wins, ties break backward, tolerance nulls") {
+    val quotes = Seq(
+      ("A", ts("2026-01-01 10:00:00"), 1.0),
+      ("A", ts("2026-01-01 10:10:00"), 2.0),
+      ("B", ts("2026-01-01 10:00:00"), 3.0),
+      ("B", ts("2026-01-01 10:04:00"), 4.0)
+    ).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2026-01-01 10:07:00"), 1),  // 7 vs 3 min -> forward 2.0
+      ("A", ts("2026-01-01 10:05:00"), 2),  // tie 5 vs 5 -> backward 1.0
+      ("A", ts("2026-01-01 10:01:00"), 3),  // 1 vs 9 -> backward 1.0
+      ("B", ts("2026-01-01 10:30:00"), 4),  // only backward exists -> 4.0
+      ("C", ts("2026-01-01 10:00:00"), 5)   // no key -> null
+    ).toDF("sym", "tts", "qty")
+    val out = AsofJoin.leftAsofNearest(trades, quotes, "sym", "sym",
+      "tts", "qts").orderBy("qty").collect()
+    assert(out(0).getDouble(3) == 2.0)
+    assert(out(1).getDouble(3) == 1.0)
+    assert(out(2).getDouble(3) == 1.0)
+    assert(out(3).getDouble(3) == 4.0)
+    assert(out(4).isNullAt(3))
+    // tolerance: 120s window nulls the 26-min-away match
+    val tout = AsofJoin.leftAsofNearest(trades, quotes, "sym", "sym",
+      "tts", "qts", tolerance = Some(120L)).orderBy("qty").collect()
+    assert(tout(3).isNullAt(3))
+    assert(tout(2).getDouble(3) == 1.0) // 60s away survives
+  }
+
   test("no theta-join blowup: union+window plan, no nested-loop join") {
     val right = Seq(("A", 1L, 5.0)).toDF("k", "t", "v")
     val left = Seq(("A", 2L)).toDF("k", "t")

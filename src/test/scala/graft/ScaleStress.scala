@@ -249,7 +249,27 @@ object ScaleStress {
       operators.Sampling.weightedSample(scoredT, "doc_id", col("tok"), 5000)
         .count())
 
+    // incremental CC: a 20k-link chain arriving as 4 appends — every
+    // refresh merges a new segment INTO the existing giant component
+    // (the frontier-touching worst case: members ∪ delta grows each
+    // round); final assignment must be ONE component, delta-refreshes only
+    val incRoot = java.nio.file.Files.createTempDirectory("stress_inccc").toString
+    val incSrc = graft.storage.VersionedTable(spark, s"$incRoot/src",
+      collectStats = false)
+    val incCc = operators.IncrementalComponents(spark, incSrc, s"$incRoot/state")
+    time("incremental CC (20k chain, 4 deltas)") {
+      (0 until 4).foreach { b =>
+        incSrc.append(chain
+          .filter(col("id_a") >= b * 5000L && col("id_a") < (b + 1) * 5000L))
+        require(incCc.refresh() == 1L, "delta-only refresh")
+      }
+    }
+    val incComps = incCc.read.select(countDistinct(col("component")))
+      .head.getLong(0)
+    println(s"[stress] incremental chain components (want 1): $incComps")
+
     val ok = chainComp == 1 && commComps == 5000 && ws == 5000 &&
+      incComps == 1 &&
       lostExact == 0 && lostNear == 0 && uniques == expectedUniques &&
       exactReplicasLeft == 0 && uniqueDropped == 0 &&
       hotRow.getLong(2) < 1100 &&
