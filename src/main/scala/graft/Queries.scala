@@ -2439,6 +2439,21 @@ object Queries {
       "exact_intersect", "a_ok", "b_ok", "union_ok", "intersect_ok")
   }
 
+  /** Nearest as-of join (X15 completion — pandas merge_asof
+    * direction="nearest"): each event picks the user's order CLOSEST in
+    * time on either side, ties backward. Oracle: two DuckDB ASOF joins
+    * (>= and <=) + the same truncated-seconds distance comparison.
+    */
+  def q113AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(s, dir, "orders").select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").as("ots"),
+      col("o_totalprice").as("nearest_price"))
+    AsofJoin.leftAsofNearest(ev, ord, "user_id", "user_id", "ts", "ots")
+      .select(col("event_id"), col("user_id"), col("nearest_price"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2555,7 +2570,8 @@ object Queries {
     "q109_pagerank" -> (q109PageRank _),
     "q110_data_card" -> (q110DataCard _),
     "q111_stratified_sample" -> (q111StratifiedSample _),
-    "q112_incremental_overlap" -> (q112IncrementalOverlap _)
+    "q112_incremental_overlap" -> (q112IncrementalOverlap _),
+    "q113_asof_nearest" -> (q113AsofNearest _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4180,6 +4196,31 @@ object Queries {
         |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM ranked WHERE rk <= 100 GROUP BY lang""".stripMargin,
+    // nearest = the closer of the two directional ASOF joins, ties
+    // backward; distances in truncated epoch seconds on both engines
+    "q113_asof_nearest" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |    MAX(o_totalprice) AS px
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (
+        |  SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |    r.ots AS bots, r.px AS bpx
+        |  FROM events e ASOF LEFT JOIN r
+        |    ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) >= r.ots),
+        |f AS (
+        |  SELECT e.event_id, r.ots AS fots, r.px AS fpx
+        |  FROM events e ASOF LEFT JOIN r
+        |    ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) <= r.ots)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN bots IS NOT NULL AND (fots IS NULL OR
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |           - CAST(FLOOR(epoch(bots)) AS BIGINT)
+        |         <= CAST(FLOOR(epoch(fots)) AS BIGINT)
+        |           - CAST(FLOOR(epoch(ts)) AS BIGINT))
+        |       THEN bpx
+        |       WHEN fots IS NOT NULL THEN fpx END AS nearest_price
+        |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
     // maintained sketches must satisfy the SAME contract as batch ones
     "q112_incremental_overlap" ->
       """WITH f AS (

@@ -87,8 +87,10 @@ object AsofJoin {
       case Some(tol) =>
         val diff =
           if (direction == "backward")
-            col(T).cast("long") - col(s"$P._asof_rt").cast("long")
-          else col(s"$P._asof_rt").cast("long") - col(T).cast("long")
+            col(T).cast("timestamp").cast("long") -
+              col(s"$P._asof_rt").cast("timestamp").cast("long")
+          else col(s"$P._asof_rt").cast("timestamp").cast("long") -
+            col(T).cast("timestamp").cast("long")
         col(T).isNotNull && col(P).isNotNull && diff <= tol
     }
     carried.filter(col(TAG) === 1)
@@ -132,8 +134,12 @@ object AsofJoin {
       .withColumn("_pb", last(col(P), ignoreNulls = true).over(wB))
       .withColumn("_pf", last(col(P), ignoreNulls = true).over(wF))
     val tol = tolerance.map(lit(_)).getOrElse(lit(Long.MaxValue))
-    val db = col(T).cast("long") - col("_pb._asof_rt").cast("long")
-    val dfw = col("_pf._asof_rt").cast("long") - col(T).cast("long")
+    // NTZ time columns cannot cast straight to long — route through
+    // TimestampType (session TZ is the caller's concern; UTC here)
+    def secs(c: org.apache.spark.sql.Column) =
+      c.cast("timestamp").cast("long")
+    val db = secs(col(T)) - secs(col("_pb._asof_rt"))
+    val dfw = secs(col("_pf._asof_rt")) - secs(col(T))
     val validB = col(T).isNotNull && col("_pb").isNotNull && db <= tol
     val validF = col(T).isNotNull && col("_pf").isNotNull && dfw <= tol
     val chosen = when(validB && (!validF || db <= dfw), col("_pb"))
