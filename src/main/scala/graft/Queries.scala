@@ -2454,6 +2454,28 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("nearest_price"))
   }
 
+  /** Temporally-blocked near-dup pairs (X86): candidates only between
+    * 50-doc windows at distance ≤ 1 (the rolling-corpus blocking trick),
+    * exact-Jaccard rescored, so the oracle — all pairs with |Δw| ≤ 1 at
+    * J ≥ 0.7 — is matched exactly. Per-window pair counts + id sums.
+    */
+  def q114WindowedDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("w", expr("doc_id div 50"))
+    val cand = operators.Dedup.minhashPairsWindowed(d, "text", "doc_id", "w",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.0)
+      .select(col("id_a"), col("id_b"))
+    val sh = d.select(col("doc_id"),
+      operators.Dedup.shingles(col("text"), 3).as("s"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double")
+        / size(array_union(col("sa"), col("sb"))) >= 0.7)
+      .select(expr("id_a div 50").as("w"), col("id_b"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("id_b")).as("sum_ids"))
+  }
+
   // ---------------------------------------------------------------------
   // Catalog
   // ---------------------------------------------------------------------
@@ -2571,7 +2593,8 @@ object Queries {
     "q110_data_card" -> (q110DataCard _),
     "q111_stratified_sample" -> (q111StratifiedSample _),
     "q112_incremental_overlap" -> (q112IncrementalOverlap _),
-    "q113_asof_nearest" -> (q113AsofNearest _)
+    "q113_asof_nearest" -> (q113AsofNearest _),
+    "q114_windowed_dedup" -> (q114WindowedDedup _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4196,6 +4219,26 @@ object Queries {
         |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM ranked WHERE rk <= 100 GROUP BY lang""".stripMargin,
+    // ground truth: ALL pairs at |Δw| <= 1 and exact Jaccard >= 0.7 —
+    // the blocked candidates + exact rescore must equal it
+    "q114_windowed_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 50 AS w,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS wt
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(wt) < 3 THEN [array_to_string(wt, ' ')]
+        |         ELSE list_distinct([array_to_string(wt[i:i+2], ' ')
+        |                             for i in range(1, len(wt) - 1)]) END AS s
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.w AS wa
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND abs(a.w - b.w) <= 1
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.7)
+        |SELECT wa AS w, COUNT(*) AS n_pairs, CAST(SUM(id_b) AS BIGINT) AS sum_ids
+        |FROM pairs GROUP BY wa""".stripMargin,
     // nearest = the closer of the two directional ASOF joins, ties
     // backward; distances in truncated epoch seconds on both engines
     "q113_asof_nearest" ->

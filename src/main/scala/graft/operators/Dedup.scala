@@ -233,6 +233,47 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  /** Temporally-blocked [[minhashPairs]]: near-dup candidates only
+    * between documents whose `windowCol` values differ by ≤ 1 — the
+    * standard BLOCKING trick for rolling corpora (a crawl snapshot
+    * dedups against itself and its neighbors, never against last
+    * year's). Each doc is banded into its own window and the next, so
+    * every |Δw| ≤ 1 pair still shares a bucket (w==w′ meet in both
+    * windows, w′ = w+1 meet in w+1) while |Δw| ≥ 2 pairs are never even
+    * CANDIDATES — candidate volume drops from corpus² to
+    * Σ_w (|w| + |w+1|)², which is what keeps an ever-growing corpus's
+    * dedup cost per snapshot constant.
+    *
+    * Pair semantics are exactly [[minhashPairs]] restricted to
+    * |Δw| ≤ 1 (DedupSpec pins the equivalence).
+    */
+  def minhashPairsWindowed(df: DataFrame, textCol: String, idCol: String,
+                           windowCol: String,
+                           shingleSize: Int = 3, numHashes: Int = 64,
+                           bands: Int = 16, threshold: Double = 0.7,
+                           maxBucketSize: Int = 512): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    requireIntegralId(df, idCol, "minhashPairsWindowed")
+    val rows = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      col(windowCol).cast("long").as("w"),
+      minhashText(col(textCol), shingleSize, numHashes).as("sig"))
+    // band into (own window, next window); pairs surface wherever the
+    // two docs' banded windows coincide
+    val banded = withSig
+      .select(col("id"), col("sig").as("payload"),
+        explode(array(col("w"), col("w") + 1L)).as("wb"))
+      .select(col("id"), col("payload"), col("wb"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", bandBucket(col("payload"), col("band"), rows))
+    cappedBucketPairs(banded, Seq("wb", "band", "bucket"), maxBucketSize,
+      (a, b) => sigAgreement(a, b), "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
   /** Cross-relation near-duplicate JOIN (record linkage / fuzzy join):
     * LSH-bucket BOTH relations with the same banding and equi-join on
     * (band, bucket) — candidate pairs between two different corpora

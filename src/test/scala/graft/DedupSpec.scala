@@ -45,6 +45,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("windowed minhash pairs: |Δw| <= 1 pairs survive, distant windows never candidates") {
+    import spark.implicits._
+    val windowed = docs.withColumn("w", col("doc_id")) // window = id: only adjacent ids pair
+    val got = Dedup.minhashPairsWindowed(windowed, "text", "doc_id", "w",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unwindowed finds (1,2),(1,3),(1,4),(2,3),... — blocking must keep
+    // exactly the |Δw| <= 1 subset of those
+    val unblocked = Dedup.minhashPairs(docs, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = unblocked.filter { case (a, b) => math.abs(a - b) <= 1 }
+    assert(got == expected, s"got $got want $expected")
+    assert(got.contains((1L, 2L)) && !got.contains((1L, 3L)))
+    // no duplicate pair rows from double-banding
+    val n = Dedup.minhashPairsWindowed(windowed, "text", "doc_id", "w",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5).count()
+    assert(n == got.size)
+  }
+
   test("minhash dedup keeps one survivor per near-dup cluster") {
     val kept = Dedup.minhashDedup(docs, "text", "doc_id",
       shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)
