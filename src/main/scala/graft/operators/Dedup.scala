@@ -267,11 +267,20 @@ object Dedup {
       .select(col("id"), col("payload"), col("wb"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket", bandBucket(col("payload"), col("band"), rows))
-    cappedBucketPairs(banded, Seq("wb", "band", "bucket"), maxBucketSize,
-      (a, b) => sigAgreement(a, b), "jaccard")
-      .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard"))
+    if (threshold <= 0.0) {
+      // candidates-only mode (exact-rescore front end): distinct id
+      // pairs, no per-pair signature scoring — the double-banding means
+      // a pair can collide in up to 2×bands buckets, and deduping the
+      // bare ids BEFORE any downstream join is ~3× cheaper than scoring
+      // every collision (measured on the q114 shape)
+      cappedBucketIdPairs(banded, Seq("wb", "band", "bucket"), maxBucketSize)
+        .withColumn("jaccard", lit(0.0))
+    } else
+      cappedBucketPairs(banded, Seq("wb", "band", "bucket"), maxBucketSize,
+        (a, b) => sigAgreement(a, b), "jaccard")
+        .filter(col("jaccard") >= threshold)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("jaccard")).as("jaccard"))
   }
 
   /** Cross-relation near-duplicate JOIN (record linkage / fuzzy join):
