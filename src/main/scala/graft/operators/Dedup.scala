@@ -492,8 +492,11 @@ object Dedup {
       edges = small
       i += 1
     }
+    // fail LOUDLY: labels are documented correct only at fixpoint, and a
+    // warning would let connectedComponents / the SQL procedure silently
+    // persist wrong component assignments downstream
     if (!converged)
-      log.warn(
+      throw new IllegalStateException(
         s"starComponents: contraction stopped at maxIters=$maxIters without " +
           "reaching a fixpoint — raise maxIters (components are correct only " +
           "at fixpoint)")

@@ -80,9 +80,14 @@ final class IncrementalKmv(spark: SparkSession, source: VersionedTable,
             .groupBy(col("g"))
             .agg(sort_array(collect_list(col("h"))).as("mins"))
         }
-      state.overwrite(merged, Map(OFFSET_KEY -> latest))
-      val n = state.read.count()
-      require(n <= maxGroups, s"$n groups exceed maxGroups=$maxGroups")
+      // guard BEFORE committing: a violating refresh must fail without
+      // persisting the oversized state or consuming the source offset
+      val cached = merged.cache()
+      try {
+        val n = cached.count()
+        require(n <= maxGroups, s"$n groups exceed maxGroups=$maxGroups")
+        state.overwrite(cached, Map(OFFSET_KEY -> latest))
+      } finally cached.unpersist(blocking = false)
       latest - from
     } finally changes.unpersist(blocking = false)
   }

@@ -156,9 +156,12 @@ object ExprKernels {
   /** Unicode text cleanup — NFC canonical composition (java.text.Normalizer,
     * the JDK's implementation of the same Unicode UAX#15 spec DuckDB's
     * `nfc_normalize` follows, so results are oracle-comparable), then
-    * strip non-whitespace C0 control chars + DEL, then collapse ASCII
-    * whitespace runs ([\t\n\x0B\f\r ] — RE2 `\s` semantics, matching the
-    * SQL `regexp_replace(…, '\s+', ' ')` oracle form exactly) to one
+    * strip non-whitespace C0 control chars + DEL (class
+    * [\x00-\x08\x0b\x0e-\x1f\x7f] — vertical tab 0x0B is a STRIPPED
+    * control here, because RE2's `\s` is [\t\n\f\r ] and does NOT
+    * include it), then collapse ASCII whitespace runs ([\t\n\f\r ] —
+    * RE2 `\s` semantics, matching the SQL
+    * `regexp_replace(…, '\s+', ' ')` oracle form exactly) to one
     * space and trim the ends. Case is PRESERVED (unlike
     * [[normalizeText]], which is a dedup key, this is a cleanup pass
     * whose output feeds training).
@@ -173,7 +176,7 @@ object ExprKernels {
     val n = nfc.length
     while (i < n) {
       val c = nfc.charAt(i)
-      if (c == ' ' || (c >= 0x09 && c <= 0x0d)) {
+      if (c == ' ' || c == 0x09 || c == 0x0a || c == 0x0c || c == 0x0d) {
         if (any) pendingSep = true
       } else if (c >= 0x20 && c != 0x7f) {
         if (pendingSep) { sb.append(' '); pendingSep = false }

@@ -1854,15 +1854,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
       val df = table(id).read
       val cols = df.schema.fields
-      import org.apache.spark.sql.functions.{sum, when, approx_count_distinct, min => fmin, max => fmax}
-      val aggs = cols.flatMap { f =>
+      import org.apache.spark.sql.functions.{coalesce, count, sum, when, approx_count_distinct, min => fmin, max => fmax}
+      // row count rides the SAME aggregate as the per-column stats, so the
+      // whole profile is genuinely one scan; coalesce guards the zero-row
+      // table (sum over no rows is SQL NULL, and getLong on it would NPE)
+      val perCol = cols.flatMap { f =>
         val c = col(f.name)
         val countable = f.dataType match {
           case _: org.apache.spark.sql.types.MapType => false
           case _ => true
         }
         Seq(
-          sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+          coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"${f.name}__nulls"),
           (if (countable) approx_count_distinct(c)
            else lit(-1L)).as(s"${f.name}__ndv"),
           (if (countable) fmin(c).cast(StringType)
@@ -1870,10 +1874,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (if (countable) fmax(c).cast(StringType)
            else lit(null).cast(StringType)).as(s"${f.name}__max"))
       }
-      val n = df.count()
+      val aggs = count(lit(1)).as("__n_rows") +: perCol
       val r = df.agg(aggs.head, aggs.tail.toSeq: _*).head
+      val n = r.getLong(0)
       val rows = cols.zipWithIndex.map { case (f, i) =>
-        val b = i * 4
+        val b = 1 + i * 4
         InternalRow(
           UTF8String.fromString(f.name),
           UTF8String.fromString(f.dataType.simpleString),

@@ -130,6 +130,15 @@ class DedupSpec extends AnyFunSuite {
     assert(viaStar(40L) == 0L && viaStar(101L) == 100L)
   }
 
+  test("starComponents: non-convergence at maxIters throws, never mislabels") {
+    import spark.implicits._
+    // a 40-link chain cannot reach fixpoint in 1 contraction round
+    val chain = (0L until 40L).map(i => (i, i + 1L))
+    val e = intercept[IllegalStateException](
+      Dedup.starComponents(chain.toDF("id_a", "id_b"), maxIters = 1).collect())
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("starComponents: self-loops and empty input are harmless") {
     import spark.implicits._
     assert(Dedup.starComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))

@@ -50,4 +50,23 @@ class IncrementalKmvSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](kmv.refresh())
     assert(e.getMessage.contains("append-only"))
   }
+
+  test("maxGroups violation fails WITHOUT committing state or consuming offset") {
+    val root = java.nio.file.Files.createTempDirectory("inc_kmv_max").toString
+    val src = VersionedTable(spark, s"$root/src", collectStats = false)
+    val kmv = IncrementalKmv(spark, src, s"$root/state", "g", "v", k = 16,
+      maxGroups = 2)
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
+    assert(kmv.refresh() == 1L)
+    val before = kmv.sketches
+    // third group exceeds maxGroups=2 — the refresh must throw and leave
+    // the durable state exactly as it was (same groups, same offset), so
+    // a later retry still sees the violating delta instead of skipping it
+    src.append(Seq(("c", 3L)).toDF("g", "v"))
+    val e = intercept[IllegalArgumentException](kmv.refresh())
+    assert(e.getMessage.contains("maxGroups"))
+    assert(kmv.sketches.keySet == before.keySet)
+    val e2 = intercept[IllegalArgumentException](kmv.refresh())
+    assert(e2.getMessage.contains("maxGroups"), "offset was consumed")
+  }
 }

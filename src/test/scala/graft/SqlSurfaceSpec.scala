@@ -1030,6 +1030,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(prof("id") == ((4L, 0L, 4L, "1", "4")))
     val (n, nulls, ndv, mn, mx) = prof("v")
     assert(n == 4L && nulls == 1L && ndv == 2L && mn == "a" && mx == "b")
+
+    // zero-row table: every count is 0 (not SQL NULL -> NPE), min/max null
+    spark.sql("CREATE TABLE llm13.G.E0 AS SELECT * FROM seed13 WHERE id < 0")
+    val prof0 = spark.sql("CALL llm13.system.profile(table => 'G.E0')")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))).toMap
+    assert(prof0("id") == ((0L, 0L, 0L, null, null)), prof0.toString)
+    assert(prof0("v") == ((0L, 0L, 0L, null, null)), prof0.toString)
   }
 
   test("clean_text SQL function: NFC + control strip + whitespace collapse") {
@@ -1038,5 +1046,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val got = Seq("a  b" + "\u0007" + "  cafe" + "\u0301").toDF("c")
       .selectExpr("clean_text(c)").head.getString(0)
     assert(got == "a b caf" + "\u00e9", got.codePoints().toArray.toSeq.toString)
+  }
+
+  test("clean_text strips vertical tab (0x0B) as a control char, not whitespace") {
+    import spark.implicits._
+    // RE2 \s is [\t\n\f\r ] — VT is NOT whitespace there, so the
+    // oracle contract strips it via the control class [\x00-\x08\x0b...].
+    // "a<VT>b" must join ("ab"), not collapse to "a b"; "a <VT> b" must
+    // still collapse the surrounding real spaces to one.
+    val rows = Seq("a" + "\u000b" + "b", "a " + "\u000b" + " b").toDF("c")
+      .selectExpr("clean_text(c)").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("ab", "a b"), rows.toString)
   }
 }
