@@ -1053,19 +1053,26 @@ object Queries {
         from_json(col("props"), "k BIGINT", Map.empty[String, String])
           .getField("k"))
       .withColumn("_k2", get_json_object(col("props"), "$.k").cast("long"))
-    // the parity check covers EVERY row (null-safe), BEFORE the value
-    // filter — a typed-parse failure that the path parse survives (e.g.
-    // a quoted numeric) flips the boolean instead of silently vanishing
-    // into the filtered-out set
-    val agree = parsed.agg(
-      (sum(when(col("k") <=> col("_k2"), 0L).otherwise(1L)) === 0L)
-        .as("parse_agree"))
-    parsed.filter(col("k") > 50)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("k")).cast("long").as("sum_k"),
-        max(col("k")).as("max_k"))
-      .crossJoin(broadcast(agree))
+    // ONE pass: each row parses props once per route, and BOTH the
+    // parity count (over EVERY row, null-safe, BEFORE the value filter —
+    // a typed-parse failure the path parse survives must flip the
+    // boolean, not vanish into the filtered-out set) and the k>50
+    // aggregates ride the same grouped aggregation as conditional aggs.
+    // Map-side partial aggregation means the shuffle carries only
+    // #event_types rows; the global parity roll-up is an empty-frame
+    // window over that already-tiny grouped result, not a second scan.
+    val hit = col("k") > 50
+    val g = parsed.groupBy(col("event_type"))
+      .agg(count(when(hit, 1L)).as("n"),
+        sum(when(hit, col("k"))).cast("long").as("sum_k"),
+        max(when(hit, col("k"))).as("max_k"),
+        sum(when(col("k") <=> col("_k2"), 0L).otherwise(1L))
+          .as("_mismatch"))
+    g.withColumn("parse_agree",
+        sum(col("_mismatch")).over(Window.partitionBy()) === 0L)
+      .filter(col("n") > 0)
+      .select(col("event_type"), col("n"), col("sum_k"), col("max_k"),
+        col("parse_agree"))
   }
 
   /** One-per-JVM persisted IVF indexes for q67 (q58 pattern). */
