@@ -48,15 +48,21 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    /** (first-rep seconds, min-of-3 seconds); negative on failure. */
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    /** (first-rep seconds, min-of-3 seconds, min of the WARM reps 2-3);
+      * negative on failure. The warm-rep min is the steady-state tier:
+      * for queries that build persisted state on first touch (IVF/PQ
+      * indexes, incremental sketch/posting/bucket stores, rewritten
+      * tables) rep 1 measures build+query while reps 2-3 measure the
+      * delta-refresh/query cost a long-lived 100 TB deployment actually
+      * pays — the two numbers answer different capacity questions and
+      * are emitted as separate columns.
+      */
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
       val a = runOnce(fn)
-      if (a < 0) return (a, a)
-      val best = (1 to 2).foldLeft(a) { (m, _) =>
-        val r = runOnce(fn)
-        if (r < 0) m else math.min(m, r)
-      }
-      (a, best)
+      if (a < 0) return (a, a, a)
+      val warm = (1 to 2).map(_ => runOnce(fn)).filter(_ >= 0)
+      val warmMin = if (warm.isEmpty) a else warm.min
+      (a, math.min(a, warmMin), warmMin)
     }
 
     // JVM/codegen warmup on the first catalog entry, unmeasured
@@ -85,31 +91,47 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     }
 
+    // queries whose first invocation per (JVM, sf-dir) builds persisted
+    // state — one-time index/table builds memoized via TrieMap in
+    // Queries.scala. Their "queries_first" entry is build+query; their
+    // "queries_steady" entry is the state-warm number that matters at
+    // 100 TB (delta refresh, not rebuild).
+    val stateful = Set(
+      "q58_zone_map", "q66_stream_net", "q67_ivf_index", "q68_bloom_prune",
+      "q69_incr_distinct", "q70_zorder_prune", "q74_pq_topk",
+      "q75_ivfpq_topk", "q76_incremental_dedup", "q77_incremental_topk",
+      "q81_incremental_decontaminate", "q84_incremental_bm25",
+      "q85_incremental_quantiles", "q88_ivf_append",
+      "q99_incremental_buckets", "q104_jsonl_roundtrip",
+      "q106_incremental_components", "q112_incremental_overlap")
     val results = Queries.all
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> run(fn) } ++
       (if (only.forall(_.contains("co2_pipeline_19k")))
         Seq("co2_pipeline_19k" -> {
           val a = runPipeline()
-          if (a < 0) (a, a)
+          if (a < 0) (a, a, a)
           else {
-            val best = (1 to 2).foldLeft(a) { (m, _) =>
-              val r = runPipeline(); if (r < 0) m else math.min(m, r)
-            }
-            (a, best)
+            val warm = (1 to 2).map(_ => runPipeline()).filter(_ >= 0)
+            val wm = if (warm.isEmpty) a else warm.min
+            (a, math.min(a, wm), wm)
           }
         })
       else Seq.empty)
     val loadAfter = loadavg()
     val qs = results
-      .map { case (k, (_, v)) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, (_, v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val firsts = results
-      .map { case (k, (a, _)) => "\"" + k + "\":" + f"$a%.3f" }
+      .map { case (k, (a, _, _)) => "\"" + k + "\":" + f"$a%.3f" }
+      .mkString("{", ",", "}")
+    val steady = results
+      .filter { case (k, _) => stateful.contains(k) }
+      .map { case (k, (_, _, w)) => "\"" + k + "\":" + f"$w%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_first":$firsts,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_first":$firsts,"queries_steady":$steady,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
     println(json)
     // The stdout line alone is fragile: a capture that keeps only the tail
     // of a long log can truncate it mid-record (BENCH_r05 was lost exactly

@@ -291,7 +291,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Array("compact", "cluster", "zorder", "vacuum", "clone", "history",
           "zonemaps", "create_stream", "describe_stream", "show_streams",
           "show_tasks", "task_history", "create_task", "alter_task",
-          "drop_task", "execute_task", "create_role", "drop_role",
+          "drop_task", "execute_task", "run_due", "create_role", "drop_role",
           "grant_privilege", "revoke_privilege", "show_grants", "show_roles",
           "dedup_exact", "minhash_dedup", "substring_dedup", "ann_topk",
           "decontaminate", "pmi_topk", "quality_filter", "bm25_topk",
@@ -320,6 +320,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "alter_task" => new AlterTaskProcedure
       case "drop_task" => new DropTaskProcedure
       case "execute_task" => new ExecuteTaskProcedure
+      case "run_due" => new RunDueProcedure
       case "create_role" => new CreateRoleProcedure
       case "drop_role" => new DropRoleProcedure
       case "grant_privilege" => new GrantPrivilegeProcedure
@@ -894,6 +895,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (after.nonEmpty)
         require(existing.exists(_.name.equalsIgnoreCase(after)),
           s"task $taskName: AFTER parent '$after' does not exist")
+      // a schedule must parse NOW — a typo'd cron that silently never
+      // fires is the worst failure mode a scheduler can have
+      if (schedule.nonEmpty)
+        require(TaskSchedule.parse(schedule).nonEmpty,
+          s"task $taskName: SCHEDULE must be 'USING CRON <m> <h> <dom> " +
+            s"<mon> <dow> <tz>' or '<n> MINUTE', got '$schedule'")
       val sched =
         if (after.nonEmpty) Some(s"AFTER $after")
         else if (schedule.nonEmpty) Some(schedule)
@@ -1010,57 +1017,188 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val all = readTasks()
       val rootTask = all.find(_.name.equalsIgnoreCase(rootName)).getOrElse(
         throw new IllegalArgumentException(s"task $rootName does not exist"))
-      val results = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      val visited = scala.collection.mutable.Set[String]()
-      def children(parent: String): Seq[TaskDef] = all
-        .filter(_.schedule.exists(_.trim.equalsIgnoreCase(s"AFTER $parent")))
-        .sortBy(_.name)
-      def exec(t: TaskDef, isRoot: Boolean): Unit = {
-        if (!visited.add(t.name.toUpperCase)) return // AFTER-cycle guard
-        if (t.suspended && !isRoot) {
-          results += t.name -> "SKIPPED (suspended)"
-          return
+      val results = runTaskDag(rootTask, all, rootEvenIfSuspended = true,
+        scheduledTime = new java.sql.Timestamp(System.currentTimeMillis()))
+      rowsScan(
+        StructType(Seq(
+          StructField("task_name", StringType, nullable = false),
+          StructField("state", StringType, nullable = false))),
+        results.toArray.map { case (t, s) =>
+          InternalRow(UTF8String.fromString(t), UTF8String.fromString(s))
+        })
+    }
+  }
+
+  /** Shared DAG executor behind `execute_task` (manual trigger — the root
+    * runs even if suspended) and `run_due` (scheduler tick — a suspended
+    * root never fires). Runs the root then AFTER-descendants in
+    * dependency order; a suspended child / false WHEN gate / failed body
+    * stops its subtree. Every visited task appends
+    * (TASK_NAME, STATE, SCHEDULED_TIME) to `_TASK_HISTORY`.
+    */
+  private def runTaskDag(rootTask: TaskDef, all: Seq[TaskDef],
+                         rootEvenIfSuspended: Boolean,
+                         scheduledTime: java.sql.Timestamp)
+      : Seq[(String, String)] = {
+    import org.apache.spark.sql.types._
+    val results = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val visited = scala.collection.mutable.Set[String]()
+    def children(parent: String): Seq[TaskDef] = all
+      .filter(_.schedule.exists(_.trim.equalsIgnoreCase(s"AFTER $parent")))
+      .sortBy(_.name)
+    def exec(t: TaskDef, isRoot: Boolean): Unit = {
+      if (!visited.add(t.name.toUpperCase)) return // AFTER-cycle guard
+      if (t.suspended && !(isRoot && rootEvenIfSuspended)) {
+        results += t.name -> "SKIPPED (suspended)"
+        return
+      }
+      val gate =
+        try t.condition.forall(conditionHolds)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            results += t.name -> s"FAILED: ${firstLine(e)}"
+            return
         }
-        val gate =
-          try t.condition.forall(conditionHolds)
-          catch {
+      if (!gate) {
+        results += t.name -> "SKIPPED (WHEN condition false)"
+        return
+      }
+      t.body match {
+        case None =>
+          results += t.name -> ("FAILED: task has no SQL body " +
+            "(Scala-defined task; run it from its own pipeline)")
+          return
+        case Some(b) =>
+          try {
+            splitStatements(b).foreach(stmt => spark.sql(stmt).collect())
+            results += t.name -> "SUCCEEDED"
+          } catch {
             case scala.util.control.NonFatal(e) =>
               results += t.name -> s"FAILED: ${firstLine(e)}"
               return
           }
-        if (!gate) {
-          results += t.name -> "SKIPPED (WHEN condition false)"
-          return
+      }
+      children(t.name).foreach(exec(_, isRoot = false))
+    }
+    exec(rootTask, isRoot = true)
+
+    val histSchema = StructType(Seq(
+      StructField("TASK_NAME", StringType, nullable = false),
+      StructField("STATE", StringType, nullable = false),
+      StructField("SCHEDULED_TIME", TimestampType, nullable = false)))
+    VersionedTable(spark, s"$root/_TASK_HISTORY", collectStats = false)
+      .append(spark.createDataFrame(
+        results.toSeq.map { case (t, s) => Row(t, s, scheduledTime) }.asJava,
+        histSchema))
+    results.toSeq
+  }
+
+  // ------------------------------------------- scheduler (run_due) --
+
+  /** Per-task last-fire watermarks backing [[RunDueProcedure]] —
+    * (TASK_NAME, LAST_FIRE). Tiny (one row per scheduled task),
+    * overwritten whole on each tick.
+    */
+  private def taskRunsVt =
+    VersionedTable(spark, s"$root/_TASK_RUNS", collectStats = false)
+
+  private def readTaskRuns(): Map[String, java.time.Instant] = {
+    val vt = taskRunsVt
+    if (!vt.exists) return Map.empty
+    vt.read.collect().map(r => r.getString(0) ->
+      r.getTimestamp(1).toInstant).toMap
+  }
+
+  private def writeTaskRuns(m: Map[String, java.time.Instant]): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("TASK_NAME", StringType, nullable = false),
+      StructField("LAST_FIRE", TimestampType, nullable = false)))
+    taskRunsVt.overwrite(spark.createDataFrame(
+      m.toSeq.sortBy(_._1)
+        .map { case (n, i) => Row(n, java.sql.Timestamp.from(i)) }.asJava,
+      schema))
+  }
+
+  /** The scheduler tick Snowflake runs internally: evaluates every
+    * non-suspended ROOT task's SCHEDULE (`USING CRON …` / `<n> MINUTE`,
+    * [[TaskSchedule]]) against a clock and fires due DAGs through the
+    * same executor as `execute_task`. The clock is an explicit `now`
+    * parameter (ISO-8601 instant or 'yyyy-MM-dd HH:mm[:ss]' UTC; empty =
+    * wall clock) so schedules are testable and replayable — a driver
+    * loop becomes `while true { CALL run_due(); sleep }`.
+    *
+    * Semantics, per task:
+    *   - first tick ever seen registers a BASELINE watermark and does
+    *     NOT fire (Snowflake: a resumed task first runs at the NEXT
+    *     occurrence, never a past one);
+    *   - cron: fires iff an occurrence exists in (last_fire, now]; the
+    *     watermark advances to the OCCURRENCE time, so N missed ticks
+    *     collapse to one catch-up run, and sub-schedule-resolution
+    *     ticks are idempotent;
+    *   - interval: fires iff now ≥ last_fire + n minutes; watermark
+    *     advances to `now`.
+    */
+  private final class RunDueProcedure extends MaintenanceProcedure {
+    override def name(): String = "run_due"
+    override def description(): String =
+      "scheduler tick: fire every non-suspended root task whose " +
+        "SCHEDULE is due at `now` (default: wall clock); missed " +
+        "occurrences collapse to one run"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(procedures.ProcedureParameter
+        .in("now", org.apache.spark.sql.types.StringType)
+        .defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val nowStr = input.getUTF8String(0).toString.trim
+      val now: java.time.Instant =
+        if (nowStr.isEmpty) java.time.Instant.now()
+        else try java.time.Instant.parse(nowStr)
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            val lt = java.time.LocalDateTime.parse(
+              nowStr.replace(' ', 'T'))
+            lt.toInstant(java.time.ZoneOffset.UTC)
         }
-        t.body match {
-          case None =>
-            results += t.name -> ("FAILED: task has no SQL body " +
-              "(Scala-defined task; run it from its own pipeline)")
-            return
-          case Some(b) =>
-            try {
-              splitStatements(b).foreach(stmt => spark.sql(stmt).collect())
-              results += t.name -> "SUCCEEDED"
-            } catch {
-              case scala.util.control.NonFatal(e) =>
-                results += t.name -> s"FAILED: ${firstLine(e)}"
-                return
+      val all = readTasks()
+      var runs = readTaskRuns()
+      val results = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      all.foreach { t =>
+        t.schedule.flatMap(TaskSchedule.parse) match {
+          case None => // AFTER-child or unscheduled: never fires directly
+          case Some(_) if t.suspended =>
+            results += t.name -> "SKIPPED (suspended)"
+          case Some(sched) =>
+            val key = t.name.toUpperCase
+            runs.get(key) match {
+              case None =>
+                runs += key -> now
+                results += t.name -> "BASELINE (first tick registered)"
+              case Some(last) => sched match {
+                case c: CronSchedule =>
+                  c.latestAtOrBefore(now) match {
+                    case Some(occ) if occ.isAfter(last) =>
+                      runs += key -> occ
+                      results ++= runTaskDag(t, all,
+                        rootEvenIfSuspended = false,
+                        scheduledTime = java.sql.Timestamp.from(occ))
+                    case _ =>
+                      results += t.name -> "NOT DUE"
+                  }
+                case i: IntervalSchedule =>
+                  if (i.due(last, now)) {
+                    runs += key -> now
+                    results ++= runTaskDag(t, all,
+                      rootEvenIfSuspended = false,
+                      scheduledTime = java.sql.Timestamp.from(now))
+                  } else results += t.name -> "NOT DUE"
+              }
             }
         }
-        children(t.name).foreach(exec(_, isRoot = false))
       }
-      exec(rootTask, isRoot = true)
-
-      val now = new java.sql.Timestamp(System.currentTimeMillis())
-      val histSchema = StructType(Seq(
-        StructField("TASK_NAME", StringType, nullable = false),
-        StructField("STATE", StringType, nullable = false),
-        StructField("SCHEDULED_TIME", TimestampType, nullable = false)))
-      VersionedTable(spark, s"$root/_TASK_HISTORY", collectStats = false)
-        .append(spark.createDataFrame(
-          results.toSeq.map { case (t, s) => Row(t, s, now) }.asJava,
-          histSchema))
-
+      writeTaskRuns(runs)
       rowsScan(
         StructType(Seq(
           StructField("task_name", StringType, nullable = false),

@@ -634,6 +634,78 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(afterDrop == Seq("ROOT2"), afterDrop.toString)
   }
 
+  test("run_due: cron scheduler tick fires a 3-task DAG from a simulated clock") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sched_").toString
+    graft.sql.GraftCatalog.register(spark, "sch", wh)
+    spark.sql("CREATE NAMESPACE sch.G")
+    spark.sql("CREATE TABLE sch.G.LOG (STEP STRING)")
+    // the reference's DAG shape: cron root, two AFTER children
+    spark.sql(
+      """CALL sch.system.create_task(task => 'R',
+        |  schedule => 'USING CRON 0 10 * * * UTC',
+        |  body => 'INSERT INTO sch.G.LOG VALUES (''raw'')')""".stripMargin)
+      .collect()
+    spark.sql(
+      """CALL sch.system.create_task(task => 'C1', after => 'R',
+        |  body => 'INSERT INTO sch.G.LOG VALUES (''harmonized'')')"""
+        .stripMargin).collect()
+    spark.sql(
+      """CALL sch.system.create_task(task => 'C2', after => 'C1',
+        |  body => 'INSERT INTO sch.G.LOG VALUES (''analytics'')')"""
+        .stripMargin).collect()
+    Seq("C2", "C1", "R").foreach(t => spark.sql(
+      s"CALL sch.system.alter_task(task => '$t', action => 'RESUME')").collect())
+
+    def tick(now: String): Map[String, String] =
+      spark.sql(s"CALL sch.system.run_due(now => '$now')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // first tick ever: registers the watermark, does NOT fire (a resumed
+    // task first runs at the NEXT occurrence, never a past one)
+    assert(tick("2026-01-01T09:00:00Z") ==
+      Map("R" -> "BASELINE (first tick registered)"))
+    assert(tick("2026-01-01T09:59:00Z") == Map("R" -> "NOT DUE"))
+    // the 10:00 occurrence passed: the whole DAG fires in order
+    assert(tick("2026-01-01T10:00:30Z") == Map(
+      "R" -> "SUCCEEDED", "C1" -> "SUCCEEDED", "C2" -> "SUCCEEDED"))
+    // same occurrence again: idempotent
+    assert(tick("2026-01-01T10:20:00Z") == Map("R" -> "NOT DUE"))
+    // three MISSED days collapse to ONE catch-up run (not three)
+    assert(tick("2026-01-05T12:00:00Z")("R") == "SUCCEEDED")
+    assert(spark.sql("SELECT count(*) FROM sch.G.LOG").head.getLong(0) == 6L)
+    // history stamps the catch-up with the OCCURRENCE time, not the tick
+    val hist = spark.sql("CALL sch.system.task_history(limit => 20)").collect()
+    val times = hist.map(_.getTimestamp(2).toInstant.toString).distinct.sorted
+    assert(times.contains("2026-01-05T10:00:00Z"), times.toSeq.toString)
+
+    // a suspended root never fires from the scheduler (unlike execute_task)
+    spark.sql("CALL sch.system.alter_task(task => 'R', action => 'SUSPEND')")
+      .collect()
+    assert(tick("2026-01-06T12:00:00Z") == Map("R" -> "SKIPPED (suspended)"))
+
+    // interval schedule: '<n> MINUTE' from the last fire
+    spark.sql(
+      """CALL sch.system.create_task(task => 'IV', schedule => '30 MINUTE',
+        |  body => 'INSERT INTO sch.G.LOG VALUES (''iv'')')""".stripMargin)
+      .collect()
+    spark.sql("CALL sch.system.alter_task(task => 'IV', action => 'RESUME')")
+      .collect()
+    assert(tick("2026-01-07T00:00:00Z")("IV") ==
+      "BASELINE (first tick registered)")
+    assert(tick("2026-01-07T00:29:00Z")("IV") == "NOT DUE")
+    assert(tick("2026-01-07T00:31:00Z")("IV") == "SUCCEEDED")
+
+    // a schedule that cannot parse is rejected AT CREATE, not at tick time
+    intercept[Exception](spark.sql(
+      """CALL sch.system.create_task(task => 'BAD',
+        |  schedule => 'USING CRON 61 10 * * * UTC', body => 'SELECT 1')"""
+        .stripMargin).collect())
+    intercept[Exception](spark.sql(
+      """CALL sch.system.create_task(task => 'BAD',
+        |  schedule => 'whenever', body => 'SELECT 1')""".stripMargin)
+      .collect())
+  }
+
   test("RBAC: roles + grants gate SELECT/INSERT/DELETE/UPDATE/MERGE/DDL from SQL") {
     val root = java.nio.file.Files.createTempDirectory("graft_sec_").toString
     graft.sql.GraftCatalog.register(spark, "sec", root)

@@ -1,0 +1,93 @@
+package graft
+
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.{CronSchedule, IntervalSchedule, TaskSchedule}
+
+/** The schedule grammar behind CREATE TASK / run_due — Snowflake's
+  * `USING CRON <5 fields> <tz>` (orchestrate_tasks.sql.j2:28-31 via
+  * config/dev.yml:17) and `<n> MINUTE`. The scheduler's single primitive
+  * is latest-occurrence-at-or-before, so that is what gets pinned.
+  */
+class TaskScheduleSpec extends AnyFunSuite {
+
+  private def cron(s: String): CronSchedule =
+    TaskSchedule.parse(s).get.asInstanceOf[CronSchedule]
+  private def latest(s: String, now: String): Option[String] =
+    cron(s).latestAtOrBefore(Instant.parse(now)).map(_.toString)
+
+  test("interval shape: '<n> MINUTE[S]', case-insensitive") {
+    assert(TaskSchedule.parse("60 MINUTE").contains(IntervalSchedule(60)))
+    assert(TaskSchedule.parse(" 5 minutes ").contains(IntervalSchedule(5)))
+    val iv = IntervalSchedule(30)
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    assert(!iv.due(t0, t0.plusSeconds(29 * 60)))
+    assert(iv.due(t0, t0.plusSeconds(30 * 60)))
+  }
+
+  test("AFTER edges and garbage are not schedules; bad cron fields throw") {
+    assert(TaskSchedule.parse("AFTER CO2_RAW_DATA_TASK").isEmpty)
+    assert(TaskSchedule.parse("").isEmpty)
+    assert(TaskSchedule.parse("whenever").isEmpty)
+    // malformed FIELDS inside a recognized cron shape must fail loudly
+    intercept[IllegalArgumentException](
+      TaskSchedule.parse("USING CRON 61 10 * * * UTC"))
+    intercept[IllegalArgumentException](
+      TaskSchedule.parse("USING CRON 0 25 * * * UTC"))
+    intercept[IllegalArgumentException](
+      TaskSchedule.parse("USING CRON 5-1 * * * * UTC"))
+    intercept[Exception](TaskSchedule.parse("USING CRON 0 10 * * * Mars/Olympus"))
+  }
+
+  test("daily 10:00 UTC: latest occurrence at/before a tick") {
+    val s = "USING CRON 0 10 * * * UTC"
+    assert(latest(s, "2026-01-02T09:59:00Z").contains("2026-01-01T10:00:00Z"))
+    assert(latest(s, "2026-01-02T10:00:00Z").contains("2026-01-02T10:00:00Z"))
+    assert(latest(s, "2026-01-02T23:00:00Z").contains("2026-01-02T10:00:00Z"))
+  }
+
+  test("lists, ranges and steps") {
+    // every 15 min during business hours Mon-Fri
+    val s = "USING CRON */15 9-17 * * 1-5 UTC"
+    // 2026-01-02 is a Friday
+    assert(latest(s, "2026-01-02T09:16:00Z").contains("2026-01-02T09:15:00Z"))
+    assert(latest(s, "2026-01-02T08:59:00Z") // before window: Thu 17:45
+      .contains("2026-01-01T17:45:00Z"))
+    // 2026-01-03/04 is a weekend: Saturday tick resolves to Friday 17:45
+    assert(latest(s, "2026-01-03T12:00:00Z").contains("2026-01-02T17:45:00Z"))
+    val lists = "USING CRON 5,35 0,12 1,15 * * UTC"
+    assert(latest(lists, "2026-02-15T12:40:00Z")
+      .contains("2026-02-15T12:35:00Z"))
+    assert(latest(lists, "2026-02-14T12:40:00Z")
+      .contains("2026-02-01T12:35:00Z"))
+  }
+
+  test("dom/dow cron union semantics: both restricted means EITHER matches") {
+    // day 13 OR Friday; 2026-02-13 is a Friday, 2026-03-13 likewise,
+    // 2026-02-20 is a Friday that is not the 13th, 2026-03-13+0 days…
+    val s = "USING CRON 0 0 13 * 5 UTC"
+    assert(latest(s, "2026-02-21T00:00:00Z") // Fri Feb 20 matched via dow
+      .contains("2026-02-20T00:00:00Z"))
+    assert(latest(s, "2026-02-14T00:00:00Z") // Fri Feb 13 (both)
+      .contains("2026-02-13T00:00:00Z"))
+    // dom-only restriction: dow must NOT filter
+    val domOnly = "USING CRON 0 0 13 * * UTC"
+    assert(latest(domOnly, "2026-02-21T00:00:00Z")
+      .contains("2026-02-13T00:00:00Z"))
+    // dow 7 normalizes to Sunday(0): 2026-02-15 is a Sunday
+    val sun = "USING CRON 0 0 * * 7 UTC"
+    assert(latest(sun, "2026-02-16T00:00:00Z")
+      .contains("2026-02-15T00:00:00Z"))
+  }
+
+  test("timezone: the cron evaluates in its own zone, result is an instant") {
+    // 08:00 America/New_York == 13:00 UTC in winter (EST, UTC-5)
+    val s = "USING CRON 0 8 * * * America/New_York"
+    assert(latest(s, "2026-01-15T12:59:00Z").contains("2026-01-14T13:00:00Z"))
+    assert(latest(s, "2026-01-15T13:00:00Z").contains("2026-01-15T13:00:00Z"))
+  }
+
+  test("unsatisfiable spec yields None instead of looping") {
+    assert(latest("USING CRON 0 0 30 2 * UTC", "2026-06-01T00:00:00Z").isEmpty)
+  }
+}
