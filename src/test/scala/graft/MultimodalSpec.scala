@@ -279,6 +279,154 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept == Seq(0, 3), s"kept $kept")
   }
 
+  // ---- hand-assembled spec-conformant H.264 Annex-B fixtures ----
+  // (ITU-T H.264: Annex B byte stream, baseline profile, I_PCM
+  // macroblocks — the uncompressed coding mode, so the bitstream is
+  // buildable AND decodable without an entropy coder)
+  private object H264Fixture {
+    final class BitWriter {
+      private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+      private var cur = 0; private var nbits = 0
+      def bit(b: Int): Unit = {
+        cur = (cur << 1) | (b & 1); nbits += 1
+        if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+      }
+      def u(n: Int, v: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => bit((v >> i) & 1))
+      def ue(v: Int): Unit = {
+        val cp = v + 1
+        val len = 32 - Integer.numberOfLeadingZeros(cp)
+        u(len - 1, 0); u(len, cp)
+      }
+      def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+      def byteAlign(zero: Boolean = true): Unit =
+        while (nbits != 0) bit(if (zero) 0 else 1)
+      def u8(v: Int): Unit = u(8, v)
+      def trailing(): Unit = { bit(1); byteAlign() }
+      def rbsp: Array[Byte] = { require(nbits == 0); buf.toArray }
+    }
+    /** RBSP -> NAL: emulation-prevention 03 insertion, start code, header. */
+    def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer[Byte](0, 0, 0, 1)
+      out += ((refIdc << 5) | nalType).toByte
+      var zeros = 0
+      rbsp.foreach { b =>
+        if (zeros >= 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
+        out += b
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      out.toArray
+    }
+    def sps(widthMbs: Int, heightMbs: Int): Array[Byte] = {
+      val w = new BitWriter
+      w.u8(66); w.u8(0); w.u8(10) // baseline, no constraints, level 1
+      w.ue(0)                     // sps_id
+      w.ue(0)                     // log2_max_frame_num_minus4
+      w.ue(0)                     // pic_order_cnt_type = 0
+      w.ue(0)                     // log2_max_pic_order_cnt_lsb_minus4
+      w.ue(1); w.bit(0)           // max_num_ref_frames, gaps_allowed
+      w.ue(widthMbs - 1); w.ue(heightMbs - 1)
+      w.bit(1)                    // frame_mbs_only
+      w.bit(1)                    // direct_8x8_inference
+      w.bit(0); w.bit(0)          // no cropping, no VUI
+      w.trailing(); w.rbsp
+    }
+    def pps(): Array[Byte] = {
+      val w = new BitWriter
+      w.ue(0); w.ue(0)            // pps_id, sps_id
+      w.bit(0); w.bit(0)          // CAVLC, no bottom-field poc
+      w.ue(0)                     // one slice group
+      w.ue(0); w.ue(0)            // ref idx defaults
+      w.bit(0); w.u(2, 0)         // no weighted pred
+      w.se(0); w.se(0); w.se(0)   // qp/qs/chroma offsets
+      w.bit(0); w.bit(0); w.bit(0) // no deblock control/constr intra/redundant
+      w.trailing(); w.rbsp
+    }
+    /** Single-slice IDR picture, every MB I_PCM with the given luma fn. */
+    def idr(widthMbs: Int, heightMbs: Int, idrPicId: Int,
+            luma: (Int, Int) => Int): Array[Byte] = {
+      val w = new BitWriter
+      w.ue(0)        // first_mb_in_slice
+      w.ue(7)        // slice_type: I (all slices in picture)
+      w.ue(0)        // pps_id
+      w.u(4, 0)      // frame_num (log2_max_frame_num = 4)
+      w.ue(idrPicId) // idr_pic_id
+      w.u(4, 0)      // pic_order_cnt_lsb
+      w.bit(0); w.bit(0) // no_output_of_prior_pics, long_term_reference
+      w.se(0)        // slice_qp_delta
+      for (m <- 0 until widthMbs * heightMbs) {
+        w.ue(25)     // mb_type I_PCM
+        w.byteAlign()
+        val mbx = (m % widthMbs) * 16; val mby = (m / widthMbs) * 16
+        for (i <- 0 until 256) w.u8(luma(mbx + i % 16, mby + i / 16) & 0xff)
+        for (_ <- 0 until 128) w.u8(128) // neutral 4:2:0 chroma
+      }
+      w.trailing(); w.rbsp
+    }
+    /** Annex-B stream: SPS + PPS + one IDR per luma pattern (+ a fake
+      * non-IDR P-slice NAL an I-frame extractor must skip).
+      */
+    def stream(widthMbs: Int, heightMbs: Int,
+               patterns: Seq[(Int, Int) => Int]): Array[Byte] = {
+      val parts = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      parts += nal(3, 7, sps(widthMbs, heightMbs))
+      parts += nal(3, 8, pps())
+      patterns.zipWithIndex.foreach { case (f, i) =>
+        parts += nal(3, 5, idr(widthMbs, heightMbs, i, f))
+        // an entropy-coded non-IDR slice body (opaque): must be skipped
+        parts += nal(2, 1, Array[Byte](0x51, 0x22, 0x33))
+      }
+      parts.toArray.flatten
+    }
+  }
+
+  test("sampleFrames decodes REAL H.264 I_PCM IDR frames (Annex-B parse + SPS dims)") {
+    import spark.implicits._
+    // 32x16: two frames with distinct gradients; P-slices interleaved
+    val es = H264Fixture.stream(2, 1, Seq(
+      (x, y) => x * 7 + y,          // frame 0
+      (x, y) => 255 - x * 3 - y * 5 // frame 1
+    ))
+    val df = Multimodal.sampleFrames(
+      Seq((1L, es)).toDF("media_id", "payload"), "payload",
+      frameBytes = 64, everyN = 1)
+    val frames = df.orderBy("frame_no").collect()
+    assert(frames.length == 2, s"got ${frames.length} frames (stub path?)")
+    // each frame is a standalone PNG with the SPS-declared dimensions
+    val decoded = frames.map(r =>
+      Multimodal.ImageIoCodec.decodeImage(r.getAs[Array[Byte]]("frame")).get)
+    assert(decoded.forall { case (_, w, h) => w == 32 && h == 16 })
+    // pixel-exact: the I_PCM samples round-trip through PNG
+    val (px0, _, _) = decoded(0)
+    assert(math.abs(px0(0) - 0f) < 1e-3)                   // (0,0) = 0
+    assert(math.abs(px0(5 * 32 + 20) - (20 * 7 + 5) / 255f) < 1e-3)
+    val (px1, _, _) = decoded(1)
+    assert(math.abs(px1(0) - 1f) < 1e-3)                   // (0,0) = 255
+    // emulation-prevention bytes round-trip: a luma pattern full of zeros
+    // forces 00 00 00 runs in the RBSP that must be escaped and unescaped
+    val zeroes = H264Fixture.stream(1, 1, Seq((_, _) => 0))
+    val zf = Multimodal.sampleFrames(
+      Seq((2L, zeroes)).toDF("media_id", "payload"), "payload", 64, 1)
+      .collect()
+    assert(zf.length == 1)
+    val (zpx, zw, zh) = Multimodal.ImageIoCodec.decodeImage(
+      zf(0).getAs[Array[Byte]]("frame")).get
+    assert(zw == 16 && zh == 16 && zpx.forall(_ < 1e-3))
+  }
+
+  test("keyframes over H.264: repeated I-frames dropped, scene changes kept") {
+    import spark.implicits._
+    val es = H264Fixture.stream(1, 1, Seq(
+      (x, y) => if (x < 8) 230 else 20, // A
+      (x, y) => if (x < 8) 230 else 20, // A again -> dropped
+      (x, y) => if (y < 8) 20 else 230  // B -> kept
+    ))
+    val kept = Multimodal.keyframes(
+      Seq((1L, es)).toDF("media_id", "payload"), "payload", minHamming = 4)
+      .select("frame_no").collect().map(_.getInt(0)).toSeq
+    assert(kept == Seq(0, 2), kept.toString)
+  }
+
   test("perceptual near-dup: re-encoded/mildly-edited images pair, unrelated don't") {
     def png(f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(16, 16,
