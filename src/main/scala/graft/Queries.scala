@@ -2498,6 +2498,45 @@ object Queries {
   // Catalog
   // ---------------------------------------------------------------------
 
+  private val q115Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental data card (X87): the q110 datasheet maintained from
+    * commit-log deltas — two appends plus a delete window, each refresh
+    * delta-only, and the state-read card must EQUAL the batch card over
+    * the net corpus (same schema, same values, interpolated median
+    * included — the oracle is the q110 SQL restricted to surviving
+    * rows).
+    */
+  def q115IncrementalCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val root = q115Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q115_card").toString
+      val src = storage.VersionedTable(s, s"$r/src", collectStats = false)
+      val card = operators.IncrementalDataCard(s, src, s"$r/state",
+        "text", "lang", "source")
+      src.append(d.filter(col("doc_id") % 2 === 0))
+      val a1 = card.refresh()
+      src.append(d.filter(col("doc_id") % 2 === 1))
+      val a2 = card.refresh()
+      src.deleteWhere(col("doc_id") % 13 === 5)
+      val a3 = card.refresh()
+      require(a1 == 1 && a2 == 1 && a3 == 1,
+        s"refreshes must be delta-only: $a1 $a2 $a3")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val card = operators.IncrementalDataCard(s,
+      storage.VersionedTable(s, s"$root/src", collectStats = false),
+      s"$root/state", "text", "lang", "source")
+    require(card.refresh() == 0L, "state must already be current")
+    card.card
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2612,7 +2651,8 @@ object Queries {
     "q111_stratified_sample" -> (q111StratifiedSample _),
     "q112_incremental_overlap" -> (q112IncrementalOverlap _),
     "q113_asof_nearest" -> (q113AsofNearest _),
-    "q114_windowed_dedup" -> (q114WindowedDedup _)
+    "q114_windowed_dedup" -> (q114WindowedDedup _),
+    "q115_incremental_card" -> (q115IncrementalCard _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4191,6 +4231,42 @@ object Queries {
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
         |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
         |  FROM documents),
+        |scored AS (
+        |  SELECT lang, source, ck, tok, chars,
+        |    coalesce(len(list_filter(toks, t -> t IN ('the','and','of','is','that','with','for','this'))), 0) AS en,
+        |    coalesce(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))), 0) AS de,
+        |    coalesce(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','que','pas'))), 0) AS fr,
+        |    coalesce(len(list_filter(toks, t -> t IN ('el','los','las','es','que','una','por','con'))), 0) AS es,
+        |    toks IS NULL AS empty
+        |  FROM f),
+        |p AS (
+        |  SELECT lang, source, ck, tok, chars,
+        |    CASE WHEN empty THEN 'und'
+        |      WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |      WHEN de >= fr AND de >= es THEN 'de'
+        |      WHEN fr >= es THEN 'fr'
+        |      ELSE 'es' END AS pred
+        |  FROM scored)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT ck) AS n_unique,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_langid_match,
+        |  MIN(tok) AS min_tok, quantile_cont(tok, 0.5) AS p50_tok,
+        |  MAX(tok) AS max_tok
+        |FROM p GROUP BY lang, source""".stripMargin,
+    // the SAME datasheet, net of the deleted window, from maintained state
+    "q115_incremental_card" ->
+      """WITH f AS (
+        |  SELECT lang, source, md5(text) AS ck,
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents WHERE NOT (doc_id % 13 = 5)),
         |scored AS (
         |  SELECT lang, source, ck, tok, chars,
         |    coalesce(len(list_filter(toks, t -> t IN ('the','and','of','is','that','with','for','this'))), 0) AS en,

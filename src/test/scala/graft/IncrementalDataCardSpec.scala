@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DataCard, IncrementalDataCard}
+import graft.storage.VersionedTable
+
+/** The delta-maintained data card must EQUAL the batch card over the net
+  * corpus — same schema, same values, interpolated median included —
+  * under appends AND deletes, with delta-only refreshes.
+  */
+class IncrementalDataCardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "en", "web", "the cat and the dog sat with the mat"),
+    (2L, "en", "web", "the cat and the dog sat with the mat"), // exact dup
+    (3L, "en", "book", "a longer text that is full of the and of and is"),
+    (4L, "de", "web", "der hund und die katze ist nicht hier mit ein"),
+    (5L, "de", "web", "die sonne ist nicht der mond und das meer"),
+    (6L, "en", "web", "this is that and for with the of the end"),
+    (7L, "en", "web", "short the of and")
+  ).toDF("doc_id", "lang", "source", "text")
+
+  test("two appends + a delete window equal the batch card over the net corpus") {
+    val root = java.nio.file.Files.createTempDirectory("inc_card").toString
+    val src = VersionedTable(spark, s"$root/src", collectStats = false)
+    val card = IncrementalDataCard(spark, src, s"$root/state",
+      "text", "lang", "source")
+
+    src.append(docs.filter(col("doc_id") <= 4))
+    assert(card.refresh() == 1L)
+    src.append(docs.filter(col("doc_id") > 4))
+    assert(card.refresh() == 1L)
+    src.deleteWhere(col("doc_id") === 2L || col("doc_id") === 5L)
+    assert(card.refresh() == 1L)
+    assert(card.refresh() == 0L)
+
+    val net = docs.filter(col("doc_id") =!= 2L && col("doc_id") =!= 5L)
+    val want = DataCard.summarize(net, "text", "lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    val got = card.card
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(got.keySet == want.keySet, s"segments: $got vs $want")
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"segment $k: $v != ${want(k)}")
+    }
+    // the exact-dup delete really exercised the ck multiset: en/web had
+    // docs {1,2,6,7} with 1 ≡ 2 (n_docs=4, n_unique=3); deleting doc 2
+    // decrements the shared content's count to 1, so it still counts once
+    val enWeb = got(("en", "web"))
+    assert(enWeb(2) == 3L && enWeb(3) == 3L, enWeb.toString) // n_docs, n_unique
+  }
+
+  test("interpolated median matches percentile() for even-sized groups") {
+    val root = java.nio.file.Files.createTempDirectory("inc_card_med").toString
+    val src = VersionedTable(spark, s"$root/src", collectStats = false)
+    val card = IncrementalDataCard(spark, src, s"$root/state",
+      "text", "lang", "source")
+    // token counts 2,3,5,9 -> percentile 0.5 = (3+5)/2 = 4.0
+    src.append(Seq(
+      (1L, "en", "w", "a b"), (2L, "en", "w", "a b c"),
+      (3L, "en", "w", "a b c d e"), (4L, "en", "w", "a b c d e f g h i"))
+      .toDF("doc_id", "lang", "source", "text"))
+    assert(card.refresh() == 1L)
+    val r = card.card.head
+    assert(r.getAs[Double]("p50_tok") == 4.0, r.toString)
+    assert(r.getAs[Long]("min_tok") == 2L && r.getAs[Long]("max_tok") == 9L)
+  }
+}

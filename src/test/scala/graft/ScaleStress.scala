@@ -20,19 +20,20 @@ import org.apache.spark.sql.functions._
   *     shingle sets) ⇒ NOT a duplicate of anything, must ALL survive.
   */
 object ScaleStress {
-  def main(args: Array[String]): Unit = {
-    val spark = GraftSession.get()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[stress] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  /** The ×10 mass-duplicated corpus: per base doc, one exact-copy group
+    * (%10==0), one near-dup group (%10==1, per-replica tail), and 8
+    * replica-unique synthetic docs. Returns (base, corpus, nDocs).
+    */
+  def corpusOf(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
     import spark.implicits._
-
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[stress] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-
     val base = Tables(spark, dir, "documents").select("doc_id", "text")
     val nBase = base.count()
     val replicas = spark.range(0, 10).toDF("r")
@@ -50,14 +51,21 @@ object ScaleStress {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = corpus.count()
     println(s"[stress] corpus: $n docs (${nBase}×10)")
+    (base, corpus, n)
+  }
 
-    // ---- q23 path: exact pre-pass + LSH banding + exact rescore + CC ----
-    val survivors = time("minhashDedupExact (50k docs)")(
+  /** q23 tier: exact pre-pass + LSH banding + exact rescore + CC, with
+    * structural recall checks. Returns (lostExact, lostNear, uniques,
+    * expectedUniques) — all-zero-loss means every constructed 10-group
+    * collapsed to exactly its min-id member and nothing unique merged.
+    */
+  def dedupRecall(corpus: org.apache.spark.sql.DataFrame, label: String)
+      : (Long, Long, Long, Long) = {
+    val survivors = time(s"minhashDedupExact ($label)")(
       operators.Dedup.minhashDedupExact(corpus.select("doc_id", "text"),
         "text", "doc_id").persist())
     val nSurv = survivors.count()
     println(s"[stress] survivors: $nSurv")
-
     // Recall on constructed duplicates: each exact 10-group and each
     // near-dup 10-group must keep exactly its min-id member; survivors
     // from those groups with r > 0 would mean cap/recall loss.
@@ -68,9 +76,22 @@ object ScaleStress {
     // Replica-unique docs must ALL survive (no false merges):
     val uniques = survivors.filter(col("doc_id") % 10 >= 2).count()
     val expectedUniques = corpus.filter(col("doc_id") % 10 >= 2).count()
+    survivors.unpersist(blocking = false)
     println(s"[stress] exact-group extra survivors (want 0): $lostExact")
     println(s"[stress] near-dup extra survivors   (want 0): $lostNear")
     println(s"[stress] unique survivors: $uniques / $expectedUniques")
+    (lostExact, lostNear, uniques, expectedUniques)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    import spark.implicits._
+
+    val (base, corpus, n) = corpusOf(spark, dir)
+    val (lostExact, lostNear, uniques, expectedUniques) =
+      dedupRecall(corpus, "50k docs")
 
     // ---- q54 path: paragraph dedup at 50k docs ----
     val paras = time("paragraphDedup (50k docs)")(
@@ -277,6 +298,27 @@ object ScaleStress {
       nQf > 0 && nQf < n && nBm == 10 &&
       nQBuckets <= 5005 && nQuant == 10 &&
       nAssigned == n && nLangs == 5 && overBudget == 0 && straddle == 0
+    println(s"[stress] RECALL ${if (ok) "PASS" else "FAIL"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
+
+/** The q23 dedup tier ALONE at the next scale step: ×10 of whatever the
+  * dir holds — point it at an sf1 copy (50k base docs) for the 500k-doc
+  * pressure run that exercises the 512/band bucket caps and the
+  * star-contraction path end-to-end. Zero recall loss is the gate, same
+  * structural checks as [[ScaleStress]].
+  */
+object ScaleStressDedup {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val (_, corpus, n) = ScaleStress.corpusOf(spark, dir)
+    val (lostExact, lostNear, uniques, expectedUniques) =
+      ScaleStress.dedupRecall(corpus, s"$n docs")
+    val ok = lostExact == 0 && lostNear == 0 && uniques == expectedUniques
     println(s"[stress] RECALL ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)
