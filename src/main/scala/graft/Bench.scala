@@ -103,7 +103,8 @@ object Bench {
       "q81_incremental_decontaminate", "q84_incremental_bm25",
       "q85_incremental_quantiles", "q88_ivf_append",
       "q99_incremental_buckets", "q104_jsonl_roundtrip",
-      "q106_incremental_components", "q112_incremental_overlap")
+      "q106_incremental_components", "q112_incremental_overlap",
+      "q115_incremental_card")
     val results = Queries.all
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> run(fn) } ++
