@@ -298,6 +298,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply",
           "connected_components", "weighted_sample", "kmv_overlap",
           "interleave", "proximity_topk", "pagerank", "data_card",
+          "incremental_card",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -346,6 +347,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "proximity_topk" => new ProximityTopKProcedure
       case "pagerank" => new PageRankProcedure
       case "data_card" => new DataCardProcedure
+      case "incremental_card" => new IncrementalCardProcedure
       case "profile" => new ProfileProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
@@ -1973,6 +1975,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           input.getUTF8String(2).toString, input.getUTF8String(3).toString,
           input.getUTF8String(4).toString)
       }
+  }
+
+  /** The X87 delta-maintained datasheet from SQL: each call folds the
+    * source table's commit-log delta into persisted card state (under
+    * the catalog root at `_CARD_STATE/<ns>/<table>` — scalar sums +
+    * content-key multiset + token histogram) and lands the CURRENT card
+    * in `target` (overwritten: the card is a dashboard table, and the
+    * refresh is idempotent per source version). The source is never
+    * rescanned — repeat calls cost delta time.
+    */
+  private final class IncrementalCardProcedure extends MaintenanceProcedure {
+    override def name(): String = "incremental_card"
+    override def description(): String =
+      "delta-maintained data card: fold the source's commit-log delta " +
+        "into persisted card state, land the current card in target"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("text_col", StringType)
+          .defaultValue("'text'").build(),
+        procedures.ProcedureParameter.in("lang_col", StringType)
+          .defaultValue("'lang'").build(),
+        procedures.ProcedureParameter.in("source_col", StringType)
+          .defaultValue("'source'").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val srcId = resolveIdent(input.getUTF8String(0).toString, "source")
+      security.requirePriv(spark, "SELECT", srcId.namespace.toSeq, srcId.name)
+      val tgtId = resolveIdent(input.getUTF8String(1).toString, "target",
+        mustExist = false)
+      if (!namespaceExists(tgtId.namespace))
+        throw new NoSuchNamespaceException(tgtId.namespace.toSeq)
+      security.requirePriv(spark,
+        if (tableExists(tgtId)) "INSERT" else "CREATE TABLE",
+        tgtId.namespace.toSeq, tgtId.name)
+      val stateRoot = (s"$root/_CARD_STATE" +: srcId.namespace.toSeq :+
+        srcId.name).mkString("/")
+      val card = graft.operators.IncrementalDataCard(spark,
+        VersionedTable(spark, dirFor(srcId)), stateRoot,
+        input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+        input.getUTF8String(4).toString)
+      val applied = card.refresh()
+      val result = card.card.cache()
+      try {
+        val n = result.count()
+        table(tgtId).overwrite(result)
+        rowsScan(
+          StructType(Seq(
+            StructField("target", StringType, nullable = false),
+            StructField("versions_applied",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            StructField("n_segments",
+              org.apache.spark.sql.types.LongType, nullable = false))),
+          Array(InternalRow(
+            UTF8String.fromString(input.getUTF8String(1).toString),
+            applied, n)))
+      } finally result.unpersist(blocking = false)
+    }
   }
 
   /** ANALYZE-style one-pass column profile: null count, distinct count,

@@ -706,6 +706,54 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect())
   }
 
+  test("data_card + incremental_card procedures: batch and delta-maintained datasheets from SQL") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_card_").toString
+    graft.sql.GraftCatalog.register(spark, "crd", wh)
+    spark.sql("CREATE NAMESPACE crd.G")
+    Seq(
+      (1L, "en", "web", "the cat and the dog sat with the mat"),
+      (2L, "en", "web", "the cat and the dog sat with the mat"),
+      (3L, "de", "web", "der hund und die katze ist nicht hier mit ein"))
+      .toDF("doc_id", "lang", "source", "text")
+      .createOrReplaceTempView("card_seed")
+    spark.sql("CREATE TABLE crd.G.DOCS AS SELECT * FROM card_seed")
+
+    // batch datasheet lands in a fresh target
+    spark.sql(
+      """CALL crd.system.data_card(source => 'G.DOCS',
+        |  target => 'G.CARD_BATCH')""".stripMargin).collect()
+    val batch = spark.sql(
+      "SELECT lang, n_docs, n_unique FROM crd.G.CARD_BATCH ORDER BY lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch == Seq(("de", 1L, 1L), ("en", 2L, 1L)), batch.toString)
+
+    // incremental: first call folds the whole history as one delta
+    val r1 = spark.sql(
+      """CALL crd.system.incremental_card(source => 'G.DOCS',
+        |  target => 'G.CARD')""".stripMargin).head
+    assert(r1.getLong(1) >= 1L && r1.getLong(2) == 2L, r1.toString)
+    // delete the exact dup + append a french doc; repeat call = delta only
+    spark.sql("DELETE FROM crd.G.DOCS WHERE doc_id = 2")
+    spark.sql("""INSERT INTO crd.G.DOCS VALUES
+      (4, 'fr', 'web', 'le chat est une bete et pas le chien')""")
+    val r2 = spark.sql(
+      """CALL crd.system.incremental_card(source => 'G.DOCS',
+        |  target => 'G.CARD')""".stripMargin).head
+    assert(r2.getLong(2) == 3L, r2.toString) // en, de, fr segments
+    val card = spark.sql(
+      "SELECT lang, n_docs, n_unique, n_langid_match FROM crd.G.CARD ORDER BY lang")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(card == Seq(("de", 1L, 1L, 1L), ("en", 1L, 1L, 1L),
+      ("fr", 1L, 1L, 1L)), card.toString)
+    // a no-op repeat applies zero versions and leaves the card intact
+    val r3 = spark.sql(
+      """CALL crd.system.incremental_card(source => 'G.DOCS',
+        |  target => 'G.CARD')""".stripMargin).head
+    assert(r3.getLong(1) == 0L && r3.getLong(2) == 3L, r3.toString)
+  }
+
   test("RBAC: roles + grants gate SELECT/INSERT/DELETE/UPDATE/MERGE/DDL from SQL") {
     val root = java.nio.file.Files.createTempDirectory("graft_sec_").toString
     graft.sql.GraftCatalog.register(spark, "sec", root)
