@@ -51,6 +51,14 @@ class IncrementalDataCardSpec extends AnyFunSuite {
     // decrements the shared content's count to 1, so it still counts once
     val enWeb = got(("en", "web"))
     assert(enWeb(2) == 3L && enWeb(3) == 3L, enWeb.toString) // n_docs, n_unique
+
+    // folding the ck signed log in place (the OPTIMIZE of this state)
+    // changes neither the card nor the consumed offset
+    card.compactCk()
+    val gotC = card.card
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(gotC == got, "compactCk changed the card")
+    assert(card.refresh() == 0L, "compactCk must preserve the offset")
   }
 
   test("interpolated median matches percentile() for even-sized groups") {
