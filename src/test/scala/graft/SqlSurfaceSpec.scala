@@ -706,6 +706,57 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect())
   }
 
+  test("run_due fires the reference CO2 DAG: stream gate consulted at tick time") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sched2_").toString
+    graft.sql.GraftCatalog.register(spark, "sc2", wh)
+    Seq("RAW_CO2", "HARMONIZED_CO2").foreach(ns =>
+      spark.sql(s"CREATE NAMESPACE sc2.$ns"))
+    spark.sql("CREATE TABLE sc2.RAW_CO2.CO2_DATA (YEAR INT, CO2_PPM DOUBLE)")
+    spark.sql(
+      "CREATE TABLE sc2.HARMONIZED_CO2.HARMONIZED_CO2 (YEAR INT, CO2_PPM DOUBLE)")
+    spark.sql(
+      """CALL sc2.system.create_stream(
+        |  stream => 'RAW_CO2.CO2_DATA_STREAM', source => 'RAW_CO2.CO2_DATA',
+        |  consumer => 'HARMONIZED_CO2.HARMONIZED_CO2')""".stripMargin).collect()
+    // the reference's exact DAG shape: cron root (10:00 UTC) + gated child
+    spark.sql(
+      """CALL sc2.system.create_task(task => 'CO2_RAW_DATA_TASK',
+        |  schedule => 'USING CRON 0 10 * * * UTC',
+        |  body => 'INSERT INTO sc2.RAW_CO2.CO2_DATA VALUES (2026, 424.5)')"""
+        .stripMargin).collect()
+    spark.sql(
+      """CALL sc2.system.create_task(task => 'CO2_HARMONIZED_TASK',
+        |  after => 'CO2_RAW_DATA_TASK',
+        |  condition => 'SYSTEM$STREAM_HAS_DATA(''RAW_CO2.CO2_DATA_STREAM'')',
+        |  body => 'INSERT INTO sc2.HARMONIZED_CO2.HARMONIZED_CO2
+        |    SELECT YEAR, CO2_PPM FROM sc2.RAW_CO2.CO2_DATA_STREAM
+        |    WHERE `METADATA$ACTION` = ''INSERT''')""".stripMargin).collect()
+    Seq("CO2_HARMONIZED_TASK", "CO2_RAW_DATA_TASK").foreach(t => spark.sql(
+      s"CALL sc2.system.alter_task(task => '$t', action => 'RESUME')").collect())
+
+    def tick(now: String): Map[String, String] =
+      spark.sql(s"CALL sc2.system.run_due(now => '$now')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tick("2026-03-01T09:00:00Z") ==
+      Map("CO2_RAW_DATA_TASK" -> "BASELINE (first tick registered)"))
+    // no batch published yet: the fired root succeeds, the child's stream
+    // gate is FALSE at tick time
+    val t1 = tick("2026-03-01T10:00:10Z")
+    assert(t1 == Map("CO2_RAW_DATA_TASK" -> "SUCCEEDED",
+      "CO2_HARMONIZED_TASK" -> "SKIPPED (WHEN condition false)"), t1)
+    // a producer lands a batch on the stream; next occurrence fires the
+    // WHOLE chain and the harmonized insert consumes it
+    graft.changefeed.ChangeFeed(spark, "RAW_CO2.CO2_DATA_STREAM",
+      s"$wh/RAW_CO2/CO2_DATA_STREAM")
+      .publish(spark.sql("SELECT 2025 AS YEAR, CAST(423.0 AS DOUBLE) AS CO2_PPM"))
+    val t2 = tick("2026-03-02T10:00:10Z")
+    assert(t2 == Map("CO2_RAW_DATA_TASK" -> "SUCCEEDED",
+      "CO2_HARMONIZED_TASK" -> "SUCCEEDED"), t2)
+    assert(spark.sql(
+      "SELECT count(*) FROM sc2.HARMONIZED_CO2.HARMONIZED_CO2")
+      .head.getLong(0) >= 1L)
+  }
+
   test("data_card + incremental_card procedures: batch and delta-maintained datasheets from SQL") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_card_").toString
