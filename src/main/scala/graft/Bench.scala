@@ -67,6 +67,27 @@ object Bench {
 
     // JVM/codegen warmup on the first catalog entry, unmeasured
     Queries.all.headOption.foreach { case (_, fn) => run(fn) }
+    // …plus the expression-heavy fused kernels (MinHash/SimHash/shingle/
+    // cleanup), still unmeasured: pushes their hot loops through C2
+    // tiered compilation before any measured query touches them. (The
+    // remaining q23-class first-rep gap is Janino whole-stage-codegen
+    // compile of that query's own plan — plan-specific, cached from rep 2,
+    // and amortized to zero on any long-lived cluster; measured: kernel
+    // warmup alone does not move it.)
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.plans.expressions._
+      val warm = spark.range(0, 20000)
+        .select(concat_ws(" ",
+          (0 until 12).map(i => concat(lit(s"w$i"), col("id") % 97)): _*)
+          .as("text"))
+      warm.select(
+          minhashText(col("text"), 3, 64).as("a"),
+          simhash64(col("text")).as("b"),
+          graft.operators.Dedup.shingles(col("text"), 3).as("c"),
+          cleanText(col("text")).as("d"))
+        .write.mode("overwrite").format("noop").save()
+    }
 
     // reference-shaped pipeline: ingest → harmonize → analytics over a
     // ~19k-row NOAA-format fixture (BASELINE.md "seconds on local[*]" tier)
