@@ -705,19 +705,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       import org.apache.spark.sql.types._
       import org.apache.spark.unsafe.types.UTF8String
+      // columns 4-6 (r8): scheduler state — suspended flag, last fire
+      // from _TASK_RUNS, and the computed next occurrence (strictly after
+      // the last fire, at/after now; interval = last_fire + n, null until
+      // baselined; null for suspended tasks and AFTER-children)
       val schema = StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("schedule", StringType, nullable = true),
-        StructField("condition", StringType, nullable = true)))
-      val vt = VersionedTable(spark, s"$root/_TASKS")
+        StructField("condition", StringType, nullable = true),
+        StructField("suspended", org.apache.spark.sql.types.BooleanType,
+          nullable = false),
+        StructField("last_fire", TimestampType, nullable = true),
+        StructField("next_fire", TimestampType, nullable = true)))
+      val runs = readTaskRuns()
+      val now = java.time.Instant.now()
+      def micros(i: java.time.Instant): Long =
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
       val rows =
-        if (!vt.exists) Array.empty[InternalRow]
-        else vt.read.select(col("NAME"), col("SCHEDULE"), col("CONDITION"))
-          .collect().map { r =>
-            def s(i: Int) =
-              if (r.isNullAt(i)) null else UTF8String.fromString(r.getString(i))
-            InternalRow(s(0), s(1), s(2))
-          }
+        if (!tasksVt.exists) Array.empty[InternalRow]
+        else readTasks().toArray.map { t =>
+          val last = runs.get(t.name.toUpperCase)
+          val next: Option[java.time.Instant] =
+            if (t.suspended) None
+            else t.schedule.flatMap(TaskSchedule.parse).flatMap {
+              case c: CronSchedule =>
+                val floor = last.map(_.plusSeconds(60)) match {
+                  case Some(l) if l.isAfter(now) => l
+                  case _ => now
+                }
+                c.earliestAtOrAfter(floor)
+              case IntervalSchedule(n) =>
+                last.map(_.plusSeconds(n * 60))
+            }
+          def s(v: Option[String]) =
+            v.map(UTF8String.fromString).orNull
+          InternalRow(UTF8String.fromString(t.name), s(t.schedule),
+            s(t.condition), t.suspended,
+            last.map(micros).map(Long.box).orNull,
+            next.map(micros).map(Long.box).orNull)
+        }
       rowsScan(schema, rows)
     }
   }

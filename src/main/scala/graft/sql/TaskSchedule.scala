@@ -78,6 +78,33 @@ final case class CronSchedule(minutes: Set[Int], hours: Set[Int],
     }
     None
   }
+
+  /** Earliest scheduled occurrence ≥ `now` (the SHOW TASKS "next fire"
+    * column), or None within 5 years. Same day-walk as
+    * [[latestAtOrBefore]], forward.
+    */
+  def earliestAtOrAfter(now: Instant): Option[Instant] = {
+    val z = now.atZone(zone)
+    var day = z.toLocalDate
+    val ceilDay = day.plusYears(5)
+    while (!day.isAfter(ceilDay)) {
+      val d0 = day.atStartOfDay(zone)
+      if (dateMatches(d0)) {
+        val sameDay = day == z.toLocalDate
+        val hFrom = if (sameDay) z.getHour else 0
+        hours.filter(_ >= hFrom).toSeq.sorted.foreach { h =>
+          val mFrom = if (sameDay && h == z.getHour) z.getMinute else 0
+          val mC = minutes.filter(_ >= mFrom)
+          if (mC.nonEmpty) {
+            val t = d0.plusHours(h).plusMinutes(mC.min)
+            if (!t.toInstant.isBefore(now)) return Some(t.toInstant)
+          }
+        }
+      }
+      day = day.plusDays(1)
+    }
+    None
+  }
 }
 
 object TaskSchedule {

@@ -695,6 +695,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(tick("2026-01-07T00:29:00Z")("IV") == "NOT DUE")
     assert(tick("2026-01-07T00:31:00Z")("IV") == "SUCCEEDED")
 
+    // show_tasks now surfaces scheduler state: suspended flag, last
+    // fire, and the computed next occurrence (null for AFTER-children)
+    val st = spark.sql("CALL sch.system.show_tasks()").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st("R").getBoolean(3), "R was suspended above")
+    assert(st("R").isNullAt(5), "suspended task has no next_fire")
+    assert(st("C1").isNullAt(4) && st("C1").isNullAt(5), "AFTER-child")
+    val iv = st("IV")
+    assert(!iv.getBoolean(3) && !iv.isNullAt(4) && !iv.isNullAt(5))
+    // interval next_fire = last_fire + 30 min exactly
+    assert(iv.getTimestamp(5).getTime - iv.getTimestamp(4).getTime ==
+      30L * 60 * 1000, iv.toString)
+
     // a schedule that cannot parse is rejected AT CREATE, not at tick time
     intercept[Exception](spark.sql(
       """CALL sch.system.create_task(task => 'BAD',
