@@ -90,4 +90,50 @@ class TaskScheduleSpec extends AnyFunSuite {
   test("unsatisfiable spec yields None instead of looping") {
     assert(latest("USING CRON 0 0 30 2 * UTC", "2026-06-01T00:00:00Z").isEmpty)
   }
+
+  test("property: day-walk search equals brute-force minute scan (100 random specs)") {
+    // the day-walk is an optimization; a minute-by-minute scan over a
+    // bounded window is the trivially-correct spec. Seeded, reproducible.
+    val rnd = new scala.util.Random(20260814L)
+    def randField(lo: Int, hi: Int): String = rnd.nextInt(4) match {
+      case 0 => "*"
+      case 1 => (lo + rnd.nextInt(hi - lo + 1)).toString
+      case 2 =>
+        val a = lo + rnd.nextInt(hi - lo + 1)
+        val b = a + rnd.nextInt(hi - a + 1)
+        s"$a-$b"
+      case _ => s"*/${1 + rnd.nextInt(7)}"
+    }
+    def matchesAt(c: CronSchedule, t: Instant): Boolean = {
+      val z = t.atZone(java.time.ZoneId.of("UTC"))
+      val domOk = c.dom.contains(z.getDayOfMonth)
+      val dowOk = c.dow.contains(z.getDayOfWeek.getValue % 7)
+      c.minutes.contains(z.getMinute) && c.hours.contains(z.getHour) &&
+        c.months.contains(z.getMonthValue) &&
+        ((c.domStar && c.dowStar) || (if (c.domStar) dowOk
+          else if (c.dowStar) domOk else domOk || dowOk))
+    }
+    val t0 = Instant.parse("2026-02-26T00:00:00Z") // window spans Feb->Mar
+    (1 to 100).foreach { i =>
+      val spec = s"USING CRON ${randField(0, 59)} ${randField(0, 23)} " +
+        s"${randField(1, 28)} ${randField(1, 12)} ${randField(0, 6)} UTC"
+      val c = cron(spec)
+      val now = t0.plusSeconds(rnd.nextInt(5 * 24 * 60) * 60L)
+      // brute force: newest matching minute in the trailing 400 days
+      val brute = Iterator.iterate(now.truncatedTo(
+          java.time.temporal.ChronoUnit.MINUTES))(_.minusSeconds(60))
+        .take(400 * 24 * 60).find(matchesAt(c, _))
+      val got = c.latestAtOrBefore(now)
+      assert(got == brute || (brute.isEmpty && got.isDefined),
+        s"[$i] $spec at $now: got $got want $brute")
+      if (brute.isEmpty) // outside the brute window: just sanity-bound it
+        got.foreach(g => assert(!g.isAfter(now)))
+      // forward search agrees with its own backward search: the next
+      // occurrence's latestAtOrBefore is itself
+      c.earliestAtOrAfter(now).foreach { n =>
+        assert(!n.isBefore(now) && matchesAt(c, n), s"[$i] $spec next $n")
+        assert(c.latestAtOrBefore(n).contains(n), s"[$i] $spec roundtrip $n")
+      }
+    }
+  }
 }
