@@ -61,6 +61,48 @@ class IncrementalDataCardSpec extends AnyFunSuite {
     assert(card.refresh() == 0L, "compactCk must preserve the offset")
   }
 
+  test("property: random append/delete rounds always equal the batch card") {
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(8L)
+    val langs = Seq("en", "de", "fr")
+    val words = Seq("the", "and", "der", "und", "le", "la", "cat", "dog",
+      "x1", "x2", "x3")
+    def randDoc(id: Long): (Long, String, String, String) = {
+      val n = 1 + rnd.nextInt(12)
+      (id, langs(rnd.nextInt(3)), s"s${rnd.nextInt(2)}",
+        Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val root = java.nio.file.Files.createTempDirectory("inc_card_prop").toString
+    val src = VersionedTable(spark, s"$root/src", collectStats = false)
+    val card = IncrementalDataCard(spark, src, s"$root/state",
+      "text", "lang", "source")
+    var live = Vector.empty[(Long, String, String, String)]
+    var nextId = 0L
+    (1 to 4).foreach { round =>
+      // append a random batch (with intentional duplicate texts)
+      val batch = (0 until 30).map { _ => nextId += 1; randDoc(nextId) }
+      live ++= batch
+      src.append(batch.toDF("doc_id", "lang", "source", "text"))
+      assert(card.refresh() == 1L)
+      // delete a random subset of LIVE rows
+      if (round % 2 == 0) {
+        val victims = live.filter(_ => rnd.nextBoolean()).map(_._1).toSet
+        if (victims.nonEmpty) {
+          src.deleteWhere(col("doc_id").isin(victims.toSeq: _*))
+          live = live.filterNot(v => victims.contains(v._1))
+          assert(card.refresh() == 1L)
+        }
+      }
+      val want = DataCard.summarize(
+        live.toDF("doc_id", "lang", "source", "text"),
+        "text", "lang", "source")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+      val got = card.card
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+      assert(got == want, s"round $round: $got != $want")
+    }
+  }
+
   test("interpolated median matches percentile() for even-sized groups") {
     val root = java.nio.file.Files.createTempDirectory("inc_card_med").toString
     val src = VersionedTable(spark, s"$root/src", collectStats = false)
