@@ -31,12 +31,13 @@ object ScaleStress {
     * (%10==0), one near-dup group (%10==1, per-replica tail), and 8
     * replica-unique synthetic docs. Returns (base, corpus, nDocs).
     */
-  def corpusOf(spark: org.apache.spark.sql.SparkSession, dir: String)
+  def corpusOf(spark: org.apache.spark.sql.SparkSession, dir: String,
+               nReplicas: Int = 10)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
     import spark.implicits._
     val base = Tables(spark, dir, "documents").select("doc_id", "text")
     val nBase = base.count()
-    val replicas = spark.range(0, 10).toDF("r")
+    val replicas = spark.range(0, nReplicas).toDF("r")
     val corpus = base.crossJoin(replicas)
       .select(
         (col("doc_id") + col("r") * 1000000L).as("doc_id"),
@@ -50,7 +51,7 @@ object ScaleStress {
         col("doc_id").as("base_id"), col("r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = corpus.count()
-    println(s"[stress] corpus: $n docs (${nBase}×10)")
+    println(s"[stress] corpus: $n docs (${nBase}×$nReplicas)")
     (base, corpus, n)
   }
 
@@ -315,7 +316,8 @@ object ScaleStressDedup {
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val (_, corpus, n) = ScaleStress.corpusOf(spark, dir)
+    val nReplicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val (_, corpus, n) = ScaleStress.corpusOf(spark, dir, nReplicas)
     val (lostExact, lostNear, uniques, expectedUniques) =
       ScaleStress.dedupRecall(corpus, s"$n docs")
     val ok = lostExact == 0 && lostNear == 0 && uniques == expectedUniques
