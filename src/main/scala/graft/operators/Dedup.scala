@@ -124,14 +124,14 @@ object Dedup {
     * per-pair estimate is computed (a pair colliding in many bands costs
     * one long-pair per band, deduplicated by the distinct).
     */
-  private def cappedBucketIdPairs(banded: DataFrame, keyCols: Seq[String],
-                                  cap: Int): DataFrame = {
+  /** All distinct id pairs within each bucket of an (id, keys…) relation —
+    * the quadratic core both the capped and the subdivided candidate
+    * generators share. Caller bounds bucket sizes.
+    */
+  private def allPairsInBuckets(banded: DataFrame,
+                                keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
-    val capped = banded
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(keys: _*).orderBy(col("id"))))
-      .filter(col("_rn") <= cap)
-    val buckets = capped
+    val buckets = banded
       .groupBy(keys: _*)
       .agg(sort_array(collect_list(col("id"))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -139,7 +139,68 @@ object Dedup {
     val pairsCol = flatten(transform(ms, (x, i) =>
       transform(slice(ms, i + lit(2), size(ms)), y =>
         struct(x.as("id_a"), y.as("id_b")))))
-    buckets.select(explode(pairsCol).as("p")).select(col("p.*")).distinct()
+    buckets.select(explode(pairsCol).as("p")).select(col("p.*"))
+  }
+
+  private def cappedBucketIdPairs(banded: DataFrame, keyCols: Seq[String],
+                                  cap: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val capped = banded
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("id"))))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+    allPairsInBuckets(capped, keyCols).distinct()
+  }
+
+  /** Candidate id pairs with HOT-BUCKET SUBDIVISION instead of cap-drop —
+    * the fix for the failure mode the 5M-doc stress run surfaced: a corpus
+    * whose GENUINE near-dup clusters (which the exact pre-pass cannot
+    * collapse — the texts differ) are larger than `cap` puts those docs
+    * past the cap in EVERY band, and the capped generator silently never
+    * proposes them.
+    *
+    * Shape: buckets ≤ cap take the normal all-pairs path. An OVERSIZED
+    * (…, band, bucket) re-keys its members by the NEXT band's signature
+    * slice (members of one true near-dup group agree on any other band
+    * slice with prob ≈ J², so a group lands together in a sub-bucket with
+    * 32 independent chances across bands, while unrelated hot-bucket
+    * cohabitants separate); sub-buckets ≤ cap again take all-pairs, and
+    * residue past the cap STAR-LINKS to its sub-bucket's min id instead
+    * of dropping (a sub-bucket that oversized is one mass-near-dup group
+    * agreeing on 2×`rowsPerBand` signature components — the min is a true
+    * near-dup of the members, so the exact rescore keeps the star edges
+    * and connected components glues the group). Pair volume stays
+    * O(cap²/2 + size) per bucket — never quadratic in a hot bucket.
+    */
+  private[operators] def subdividedBucketIdPairs(banded: DataFrame,
+      keyCols: Seq[String], sigCol: String, bands: Int, rowsPerBand: Int,
+      cap: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+    val sized = banded.withColumn("_cnt", count(lit(1)).over(w))
+    val small = sized.filter(col("_cnt") <= cap)
+      .select(col("id") +: keys: _*)
+    val smallPairs = allPairsInBuckets(small, keyCols)
+    // oversized: sub-bucket on the next band's slice
+    val hot = sized.filter(col("_cnt") > cap)
+      .withColumn("_b2", xxhash64(col("bucket"),
+        slice(col(sigCol), ((col("band") + 1) % bands) * rowsPerBand + 1,
+          lit(rowsPerBand))))
+    val subKeys = keyCols :+ "_b2"
+    val w2 = Window.partitionBy(subKeys.map(col): _*)
+    val sub = hot
+      .withColumn("_rn", row_number().over(w2.orderBy(col("id"))))
+      .withColumn("_min", min(col("id")).over(w2))
+    val subPairs = allPairsInBuckets(
+      sub.filter(col("_rn") <= cap).select(col("id") +: subKeys.map(col): _*),
+      subKeys)
+    val starPairs = sub.filter(col("_rn") > cap)
+      .select(least(col("_min"), col("id")).as("id_a"),
+        greatest(col("_min"), col("id")).as("id_b"))
+    smallPairs.unionByName(subPairs).unionByName(starPairs)
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
   }
 
   /** One 64-bit bucket key per band: xxhash64 over (band index, the band's
@@ -163,6 +224,16 @@ object Dedup {
       .select(col("id"), col("band"),
         bandBucket(col("sig"), col("band"), rows).as("bucket"))
 
+  /** [[bandedBuckets]] keeping the signature column — the subdivided
+    * candidate generator needs it to re-key oversized buckets.
+    */
+  private def bandedBucketsSig(withSig: DataFrame, bands: Int, rows: Int): DataFrame =
+    withSig
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("sig"), col("band"),
+        bandBucket(col("sig"), col("band"), rows).as("bucket"))
+
   /** [[minhashCandidatePairs]] over a PRE-COMPUTED signature relation
     * `(id long, sig array<long>)` — for callers that already paid the
     * minhash pass (the incremental dedup index keeps signatures, so
@@ -171,8 +242,8 @@ object Dedup {
     */
   private[operators] def candidatePairsFromSigs(withSig: DataFrame,
       bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame =
-    cappedBucketIdPairs(bandedBuckets(withSig, bands, rowsPerBand),
-      Seq("band", "bucket"), maxBucketSize)
+    subdividedBucketIdPairs(bandedBucketsSig(withSig, bands, rowsPerBand),
+      Seq("band", "bucket"), "sig", bands, rowsPerBand, maxBucketSize)
 
   /** Candidate near-dup id pairs from MinHash banding alone (no Jaccard
     * estimate): the cheap front end of an LSH → exact-rescore pipeline.
@@ -185,9 +256,7 @@ object Dedup {
     val withSig = df.select(
       col(idCol).cast("long").as("id"),
       minhashText(col(textCol), shingleSize, numHashes).as("sig"))
-    cappedBucketIdPairs(
-      bandedBuckets(withSig, bands, numHashes / bands),
-      Seq("band", "bucket"), maxBucketSize)
+    candidatePairsFromSigs(withSig, bands, numHashes / bands, maxBucketSize)
   }
 
   /** MinHash-LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
@@ -272,8 +341,10 @@ object Dedup {
       // pairs, no per-pair signature scoring — the double-banding means
       // a pair can collide in up to 2×bands buckets, and deduping the
       // bare ids BEFORE any downstream join is ~3× cheaper than scoring
-      // every collision (measured on the q114 shape)
-      cappedBucketIdPairs(banded, Seq("wb", "band", "bucket"), maxBucketSize)
+      // every collision (measured on the q114 shape). Hot buckets
+      // subdivide instead of dropping (see [[subdividedBucketIdPairs]]).
+      subdividedBucketIdPairs(banded.withColumnRenamed("payload", "sig"),
+        Seq("wb", "band", "bucket"), "sig", bands, rows, maxBucketSize)
         .withColumn("jaccard", lit(0.0))
     } else
       cappedBucketPairs(banded, Seq("wb", "band", "bucket"), maxBucketSize,
@@ -601,12 +672,16 @@ object Dedup {
     * single-linkage dedup while the join stays bucket-bounded.
     *
     * EXACTNESS CONTRACT: equality with the all-pairs ground truth holds
-    * while every (band, bucket) population stays ≤ `maxBucketSize`. The
-    * exact pre-pass collapses case/whitespace-normalized identical texts
-    * first, so only DISTINCT near-identical docs count toward a bucket;
-    * for heavy-boilerplate corpora raise the cap (id-only bucket rows make
-    * that cheap) — past it, pairs beyond the cap in every matching band
-    * are dropped, trading recall for a bounded worst case.
+    * while every (band, bucket) population stays ≤ `maxBucketSize`, and
+    * — since r8 — degrades gracefully instead of silently past it: an
+    * oversized bucket SUBDIVIDES on another band's signature slice and
+    * its residue star-links to the sub-bucket min
+    * ([[subdividedBucketIdPairs]]), so mass-near-duplicated corpora
+    * (genuine >cap-sized near-dup clusters — the shape the 5M-doc stress
+    * run surfaced, where the old cap-drop lost 11% of near-dup removals)
+    * keep their groups connected. The exact pre-pass still collapses
+    * identical texts first, so only DISTINCT near-identical docs count
+    * toward a bucket.
     */
   def minhashDedupExact(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, numHashes: Int = 64,
@@ -643,11 +718,11 @@ object Dedup {
     // candidate pairs also feed three branches (id extraction + both rescore
     // sides); a bounded relation (≤ cap²/2 per bucket), tiny next to the
     // corpus
-    val cand = cappedBucketIdPairs(
-      bandedBuckets(
+    val cand = subdividedBucketIdPairs(
+      bandedBucketsSig(
         reps.select(id.as("id"), col("_sig").as("sig")),
         bands, numHashes / bands),
-      Seq("band", "bucket"), maxBucketSize)
+      Seq("band", "bucket"), "sig", bands, numHashes / bands, maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // exact rescore: join the candidate pairs back to text. Shingle sets

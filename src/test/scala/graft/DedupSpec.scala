@@ -130,6 +130,27 @@ class DedupSpec extends AnyFunSuite {
     assert(viaStar(40L) == 0L && viaStar(101L) == 100L)
   }
 
+  test("hot-bucket subdivision: near-dup clusters LARGER than the cap stay connected") {
+    import spark.implicits._
+    // 6 true near-dup groups of 30 docs each, all sharing a long common
+    // prefix: the prefix's shingles dominate every band's min-signature,
+    // so MANY (band, bucket) cells hold most of the 180 docs — far past
+    // cap = 8. The old capped generator dropped everything past the cap
+    // in every band (exactly the 5M-doc stress failure); subdivision must
+    // keep every group's 30 docs in one component and never merge groups.
+    val prefix = (1 to 40).map(i => s"p$i").mkString(" ")
+    val docs = (for {
+      g <- 0 until 6
+      r <- 0 until 30
+    } yield {
+      val body = (1 to 12).map(i => s"g${g}w$i").mkString(" ")
+      (g * 1000L + r, s"$prefix $body tail$r")
+    }).toDF("doc_id", "text")
+    val surv = Dedup.minhashDedupExact(docs, "text", "doc_id",
+      maxBucketSize = 8).collect().map(_.getLong(0)).toSeq.sorted
+    assert(surv == (0 until 6).map(_ * 1000L), surv.toString)
+  }
+
   test("starComponents: non-convergence at maxIters throws, never mislabels") {
     import spark.implicits._
     // a 40-link chain cannot reach fixpoint in 1 contraction round
