@@ -142,17 +142,6 @@ object Dedup {
     buckets.select(explode(pairsCol).as("p")).select(col("p.*"))
   }
 
-  private def cappedBucketIdPairs(banded: DataFrame, keyCols: Seq[String],
-                                  cap: Int): DataFrame = {
-    val keys = keyCols.map(col)
-    val capped = banded
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(keys: _*).orderBy(col("id"))))
-      .filter(col("_rn") <= cap)
-      .drop("_rn")
-    allPairsInBuckets(capped, keyCols).distinct()
-  }
-
   /** Candidate id pairs with HOT-BUCKET SUBDIVISION instead of cap-drop —
     * the fix for the failure mode the 5M-doc stress run surfaced: a corpus
     * whose GENUINE near-dup clusters (which the exact pre-pass cannot
