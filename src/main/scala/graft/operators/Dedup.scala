@@ -161,30 +161,52 @@ object Dedup {
     * near-dup of the members, so the exact rescore keeps the star edges
     * and connected components glues the group). Pair volume stays
     * O(cap²/2 + size) per bucket — never quadratic in a hot bucket.
+    *
+    * SKEW CONTRACT (pinned by PlanSpec): no task ever buffers an
+    * unbounded bucket. Bucket sizes come from a `groupBy(keys).count()`
+    * pre-aggregate (map-side partial agg whose output is buckets-sized;
+    * AQE broadcasts the typically-tiny hot-key set back, so the small
+    * path's anti-join never shuffles the corpus) — NOT from
+    * `count().over(Window.partitionBy(keys))`, which would ship a hot
+    * bucket's entire population to a single reducer before subdividing
+    * it. The sub-bucket top-`cap` selection is a pure rank-limit
+    * (`row_number <= cap` with no other window consumer), which Catalyst
+    * plans as a map-side WindowGroupLimit: each mapper ships at most
+    * `cap` rows per sub-bucket into the exchange. Residue membership is
+    * detected by joining back a one-row-per-sub-bucket (count, min)
+    * aggregate — the join streams, nothing sorts or collects a whole
+    * sub-bucket.
     */
   private[operators] def subdividedBucketIdPairs(banded: DataFrame,
       keyCols: Seq[String], sigCol: String, bands: Int, rowsPerBand: Int,
       cap: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val w = Window.partitionBy(keys: _*)
-    val sized = banded.withColumn("_cnt", count(lit(1)).over(w))
-    val small = sized.filter(col("_cnt") <= cap)
+    val hotKeys = banded.groupBy(keys: _*).count()
+      .filter(col("count") > cap).drop("count")
+    val small = banded.join(hotKeys, keyCols, "left_anti")
       .select(col("id") +: keys: _*)
     val smallPairs = allPairsInBuckets(small, keyCols)
     // oversized: sub-bucket on the next band's slice
-    val hot = sized.filter(col("_cnt") > cap)
+    val hot = banded.join(hotKeys, keyCols, "left_semi")
       .withColumn("_b2", xxhash64(col("bucket"),
         slice(col(sigCol), ((col("band") + 1) % bands) * rowsPerBand + 1,
           lit(rowsPerBand))))
     val subKeys = keyCols :+ "_b2"
-    val w2 = Window.partitionBy(subKeys.map(col): _*)
-    val sub = hot
-      .withColumn("_rn", row_number().over(w2.orderBy(col("id"))))
-      .withColumn("_min", min(col("id")).over(w2))
-    val subPairs = allPairsInBuckets(
-      sub.filter(col("_rn") <= cap).select(col("id") +: subKeys.map(col): _*),
-      subKeys)
-    val starPairs = sub.filter(col("_rn") > cap)
+    // top-cap per sub-bucket: rank-limit only → map-side WindowGroupLimit
+    val w2 = Window.partitionBy(subKeys.map(col): _*).orderBy(col("id"))
+    val subTop = hot
+      .withColumn("_rn", row_number().over(w2))
+      .filter(col("_rn") <= cap)
+      .select(col("id") +: subKeys.map(col): _*)
+    val subPairs = allPairsInBuckets(subTop, subKeys)
+    // residue: every member of a still-oversized sub-bucket star-links to
+    // the sub-bucket min (rank 1, so its pairs with the top-cap rows are
+    // already in subPairs; the final distinct absorbs the overlap)
+    val subStats = hot.groupBy(subKeys.map(col): _*)
+      .agg(min(col("id")).as("_min"), count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > cap)
+      .select(subKeys.map(col) :+ col("_min"): _*)
+    val starPairs = hot.join(subStats, subKeys)
       .select(least(col("_min"), col("id")).as("id_a"),
         greatest(col("_min"), col("id")).as("id_b"))
     smallPairs.unionByName(subPairs).unionByName(starPairs)

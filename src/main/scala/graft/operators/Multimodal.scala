@@ -258,6 +258,7 @@ object Multimodal {
 
     private case class Sps(widthMbs: Int, heightMbs: Int,
                            width: Int, height: Int,
+                           cropLeft: Int, cropTop: Int,
                            log2MaxFrameNum: Int, pocType: Int,
                            log2MaxPocLsb: Int, frameMbsOnly: Boolean,
                            chromaFormatIdc: Int)
@@ -306,7 +307,11 @@ object Multimodal {
               138, 139, 134, 135).contains(profile)) {
         chromaFormatIdc = r.ue()
         if (chromaFormatIdc == 3) r.bit() // separate_colour_plane
-        r.ue(); r.ue(); r.bit() // bit depths + qpprime
+        // >8-bit depths: I_PCM samples would be 10/12-bit — out of scope
+        // (consistent with the other gates: skip loudly, don't misparse)
+        if (r.ue() != 0) return None // bit_depth_luma_minus8
+        if (r.ue() != 0) return None // bit_depth_chroma_minus8
+        r.bit() // qpprime_y_zero_transform_bypass
         if (r.bit() == 1) return None // scaling matrices: out of scope
       }
       val log2MaxFrameNum = r.ue() + 4
@@ -326,10 +331,15 @@ object Multimodal {
       var (cl, cr, ct, cb) = (0, 0, 0, 0)
       if (r.bit() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
       val hMbs = (if (frameMbsOnly) 1 else 2) * hUnits
-      // 4:2:0 crop units: X = 2, Y = 2 × (frame coding ? 1 : 2)
-      val width = wMbs * 16 - (cl + cr) * 2
-      val height = hMbs * 16 - (ct + cb) * 2 * (if (frameMbsOnly) 1 else 2)
-      Some(Sps(wMbs, hMbs, width, height, log2MaxFrameNum, pocType,
+      // crop units (§7.4.2.1.1): X = SubWidthC (2 for 4:2:0/4:2:2, else
+      // 1), Y = SubHeightC (2 for 4:2:0, else 1) × (frame coding ? 1 : 2)
+      val cropUnitX = if (chromaFormatIdc == 1 || chromaFormatIdc == 2) 2 else 1
+      val cropUnitY = (if (chromaFormatIdc == 1) 2 else 1) *
+        (if (frameMbsOnly) 1 else 2)
+      val width = wMbs * 16 - (cl + cr) * cropUnitX
+      val height = hMbs * 16 - (ct + cb) * cropUnitY
+      Some(Sps(wMbs, hMbs, width, height, cl * cropUnitX, ct * cropUnitY,
+        log2MaxFrameNum, pocType,
         log2MaxPocLsb, frameMbsOnly, chromaFormatIdc))
     }
 
@@ -389,12 +399,14 @@ object Multimodal {
         while (c < chromaSamples) { r.u8(); c += 1 } // grayscale output
         m += 1
       }
-      // crop to the SPS-declared picture size
+      // crop to the SPS-declared picture WINDOW — offset by the left/top
+      // crop, not always the top-left corner
       if (sps.width == sps.widthMbs * 16 && sps.height == sps.heightMbs * 16)
         Some(luma)
       else Some(Array.tabulate(sps.width * sps.height) { i =>
-        val y = i / sps.width
-        luma(y * sps.widthMbs * 16 + i % sps.width)
+        val y = sps.cropTop + i / sps.width
+        val x = sps.cropLeft + i % sps.width
+        luma(y * sps.widthMbs * 16 + x)
       })
     }
 

@@ -67,9 +67,10 @@ final case class CronSchedule(minutes: Set[Int], hours: Set[Int],
           val mLimit = if (sameDay && h == z.getHour) z.getMinute else 59
           val mCands = minutes.filter(_ <= mLimit)
           if (mCands.nonEmpty) {
-            val t = d0.plusHours(h).plusMinutes(mCands.max)
-            // DST-shifted wall times: accept what the zone resolves to,
-            // as long as it did not land after `now`
+            // wall-clock resolution, not startOfDay+duration: java.time
+            // resolves a DST gap/overlap to a valid wall time, so
+            // '0 10 …' on a spring-forward day still means 10:00 local
+            val t = day.atTime(h, mCands.max).atZone(zone)
             if (!t.toInstant.isAfter(now)) return Some(t.toInstant)
           }
         }
@@ -96,7 +97,7 @@ final case class CronSchedule(minutes: Set[Int], hours: Set[Int],
           val mFrom = if (sameDay && h == z.getHour) z.getMinute else 0
           val mC = minutes.filter(_ >= mFrom)
           if (mC.nonEmpty) {
-            val t = d0.plusHours(h).plusMinutes(mC.min)
+            val t = day.atTime(h, mC.min).atZone(zone)
             if (!t.toInstant.isBefore(now)) return Some(t.toInstant)
           }
         }
@@ -115,6 +116,9 @@ object TaskSchedule {
   /** One cron field → value set over [lo, hi]; `normalize` folds aliases
     * (dow 7 → 0). Throws IllegalArgumentException on malformed input —
     * a bad SCHEDULE must fail at CREATE TASK, not silently never fire.
+    * Raw values are range-checked BEFORE normalization (against
+    * [lo, hi]), so dow '8'..'13' is rejected rather than silently
+    * accepted as (v % 7); only the single alias 7→0 passes through.
     */
   private[sql] def parseField(f: String, lo: Int, hi: Int,
                               normalize: Int => Int = identity): Set[Int] = {
@@ -137,11 +141,12 @@ object TaskSchedule {
           if (step > 1) (v, hi) else (v, v)
       }
       require(a <= b, s"inverted cron range '$tok'")
+      require(a >= lo && b <= hi,
+        s"cron token '$tok' out of range [$lo,$hi]")
       (a to b by step).map(normalize)
     }
     val vals = f.split(",").toSeq.flatMap(one).toSet
-    require(vals.nonEmpty && vals.forall(v => v >= lo && v <= hi),
-      s"cron field '$f' out of range [$lo,$hi]")
+    require(vals.nonEmpty, s"cron field '$f' matches nothing")
     vals
   }
 
@@ -157,8 +162,11 @@ object TaskSchedule {
         parseField(dm, 1, 31),
         parseField(mo, 1, 12),
         parseField(dw, 0, 7, v => v % 7),
-        domStar = dm == "*",
-        dowStar = dw == "*",
+        // Vixie cron: the dom/dow union rule keys on whether the field
+        // STARTS with '*' ('*' or '*/n' both count as unrestricted), not
+        // on literal equality with "*"
+        domStar = dm.startsWith("*"),
+        dowStar = dw.startsWith("*"),
         ZoneId.of(tz)))
     case _ => None
   }

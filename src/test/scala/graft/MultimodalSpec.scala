@@ -317,7 +317,8 @@ class MultimodalSpec extends AnyFunSuite {
       }
       out.toArray
     }
-    def sps(widthMbs: Int, heightMbs: Int): Array[Byte] = {
+    def sps(widthMbs: Int, heightMbs: Int,
+            crop: (Int, Int, Int, Int) = (0, 0, 0, 0)): Array[Byte] = {
       val w = new BitWriter
       w.u8(66); w.u8(0); w.u8(10) // baseline, no constraints, level 1
       w.ue(0)                     // sps_id
@@ -328,7 +329,12 @@ class MultimodalSpec extends AnyFunSuite {
       w.ue(widthMbs - 1); w.ue(heightMbs - 1)
       w.bit(1)                    // frame_mbs_only
       w.bit(1)                    // direct_8x8_inference
-      w.bit(0); w.bit(0)          // no cropping, no VUI
+      if (crop == (0, 0, 0, 0)) w.bit(0) // no cropping
+      else {
+        w.bit(1)
+        w.ue(crop._1); w.ue(crop._2); w.ue(crop._3); w.ue(crop._4)
+      }
+      w.bit(0)                    // no VUI
       w.trailing(); w.rbsp
     }
     def pps(): Array[Byte] = {
@@ -367,9 +373,10 @@ class MultimodalSpec extends AnyFunSuite {
       * non-IDR P-slice NAL an I-frame extractor must skip).
       */
     def stream(widthMbs: Int, heightMbs: Int,
-               patterns: Seq[(Int, Int) => Int]): Array[Byte] = {
+               patterns: Seq[(Int, Int) => Int],
+               crop: (Int, Int, Int, Int) = (0, 0, 0, 0)): Array[Byte] = {
       val parts = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      parts += nal(3, 7, sps(widthMbs, heightMbs))
+      parts += nal(3, 7, sps(widthMbs, heightMbs, crop))
       parts += nal(3, 8, pps())
       patterns.zipWithIndex.foreach { case (f, i) =>
         parts += nal(3, 5, idr(widthMbs, heightMbs, i, f))
@@ -412,6 +419,25 @@ class MultimodalSpec extends AnyFunSuite {
     val (zpx, zw, zh) = Multimodal.ImageIoCodec.decodeImage(
       zf(0).getAs[Array[Byte]]("frame")).get
     assert(zw == 16 && zh == 16 && zpx.forall(_ < 1e-3))
+  }
+
+  test("H.264 frame cropping honors the LEFT/TOP offsets, not just size") {
+    import spark.implicits._
+    // 2x1 MBs (32x16 coded); crop l=1,r=2,t=1,b=3 in 4:2:0 crop units of
+    // 2 luma samples -> window is x in [2,28), y in [2,10): 26x8 output
+    // whose (0,0) is coded sample (2,2)
+    val es = H264Fixture.stream(2, 1, Seq((x, y) => x * 7 + y),
+      crop = (1, 2, 1, 3))
+    val df = Multimodal.sampleFrames(
+      Seq((1L, es)).toDF("media_id", "payload"), "payload",
+      frameBytes = 64, everyN = 1)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val (px, w, h) = Multimodal.ImageIoCodec.decodeImage(
+      rows(0).getAs[Array[Byte]]("frame")).get
+    assert(w == 26 && h == 8, s"got ${w}x$h")
+    assert(math.abs(px(0) - (2 * 7 + 2) / 255f) < 1e-3, s"px(0)=${px(0)}")
+    assert(math.abs(px(3 * 26 + 10) - (12 * 7 + 5) / 255f) < 1e-3)
   }
 
   test("keyframes over H.264: repeated I-frames dropped, scene changes kept") {

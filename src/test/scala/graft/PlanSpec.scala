@@ -142,16 +142,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("split("), p)
   }
 
-  test("LSH bucket cap plans as a map-side WindowGroupLimit before the shuffle") {
+  test("LSH subdivision keeps the map-side skew bound: WindowGroupLimit " +
+      "rank-limit, no unbounded count window") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir, "documents")
     val p = graft.operators.Dedup
       .minhashCandidatePairs(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
-    // Partial (pre-shuffle) + Final: a hot bucket ships at most cap rows
-    // per mapper instead of flooding one reducer
+    // The sub-bucket top-cap selection is a pure rank-limit: Partial
+    // (pre-shuffle) + Final WindowGroupLimit, so a hot sub-bucket ships
+    // at most cap rows per mapper instead of flooding one reducer
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
     assert(p.contains("Partial"), p)
+    // Bucket sizing is a groupBy(keys).count() pre-aggregate joined back
+    // — NOT count().over(Window.partitionBy(keys)), which would ship a
+    // hot bucket's whole population to a single reducer unbounded
+    assert(!p.contains("count(1) windowspecdefinition"), p)
   }
 
   test("partition-scoped table read prunes shadowed partitions by PATH") {

@@ -91,6 +91,46 @@ class TaskScheduleSpec extends AnyFunSuite {
     assert(latest("USING CRON 0 0 30 2 * UTC", "2026-06-01T00:00:00Z").isEmpty)
   }
 
+  test("DST: occurrences are wall-clock times, not startOfDay+duration") {
+    // US spring-forward 2026-03-08: 02:00 EST jumps to 03:00 EDT.
+    // '0 10' must mean 10:00 local = 14:00 UTC (EDT), not midnight+10h
+    // = 11:00 wall = 15:00 UTC
+    val s = "USING CRON 0 10 * * * America/New_York"
+    assert(latest(s, "2026-03-08T20:00:00Z").contains("2026-03-08T14:00:00Z"))
+    // fall-back 2026-11-01: 10:00 EST = 15:00 UTC (not an hour early)
+    assert(latest(s, "2026-11-01T20:00:00Z").contains("2026-11-01T15:00:00Z"))
+    // a time INSIDE the spring-forward gap resolves to a valid instant
+    // (java.time shifts it forward by the gap) and never lands after now
+    val gap = "USING CRON 30 2 * * * America/New_York"
+    val got = latest(gap, "2026-03-08T12:00:00Z")
+    assert(got.isDefined && !java.time.Instant.parse(got.get)
+      .isAfter(java.time.Instant.parse("2026-03-08T12:00:00Z")))
+  }
+
+  test("raw out-of-range values are rejected BEFORE normalization") {
+    // dow 8..13 must throw, not alias to (v % 7)
+    intercept[IllegalArgumentException](
+      TaskSchedule.parse("USING CRON 0 10 * * 8 UTC"))
+    intercept[IllegalArgumentException](
+      TaskSchedule.parse("USING CRON 0 10 * * 1-13 UTC"))
+    // dow 7 is the one sanctioned alias for Sunday(0)
+    assert(TaskSchedule.parse("USING CRON 0 10 * * 7 UTC").isDefined)
+    intercept[IllegalArgumentException](
+      TaskSchedule.parse("USING CRON 0 10 0 * * UTC")) // dom 0
+    intercept[IllegalArgumentException](
+      TaskSchedule.parse("USING CRON 0 10 32 * * UTC"))
+  }
+
+  test("'*/1' in dow counts as unrestricted for the dom/dow union rule") {
+    // Vixie cron: dom 15 with dow '*/1' fires ONLY on the 15th (dow is
+    // star-shaped so it does not union-in every day)
+    val s = "USING CRON 0 10 15 * */1 UTC"
+    assert(latest(s, "2026-02-20T12:00:00Z").contains("2026-02-15T10:00:00Z"))
+    // but an explicit range '0-6' IS restricted: dom 15 OR any dow → daily
+    val r = "USING CRON 0 10 15 * 0-6 UTC"
+    assert(latest(r, "2026-02-20T12:00:00Z").contains("2026-02-20T10:00:00Z"))
+  }
+
   test("property: day-walk search equals brute-force minute scan (100 random specs)") {
     // the day-walk is an optimization; a minute-by-minute scan over a
     // bounded window is the trivially-correct spec. Seeded, reproducible.
