@@ -2537,6 +2537,40 @@ object Queries {
     card.card
   }
 
+  private val q116Runs = scala.collection.concurrent.TrieMap[String, Unit]()
+
+  /** JDBC warehouse roundtrip (source/sink shim, BASELINE's "Spark SQL +
+    * JDBC source/sink … with incremental logic"): supplier loads into an
+    * in-process Derby warehouse through the batched JDBC writer, a delta
+    * batch (acctbal +1000 for every 10th supplier) upserts via one
+    * server-side MERGE, a batch of brand-new suppliers (key+1e6 for every
+    * 25th) inserts through the same MERGE, and the result reads back
+    * through the pushdown-capable JDBC source under a high-watermark
+    * predicate. Oracle: the equivalent CASE + UNION ALL over the parquet
+    * table.
+    */
+  def q116JdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val wh = new sources.JdbcWarehouse(s, sources.JdbcProfile(
+      url = s"jdbc:derby:memory:graft_q116_${math.abs(dir.hashCode)};create=true",
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver")))
+    q116Runs.getOrElseUpdate(dir, {
+      wh.dropTable("supplier")
+      wh.writeTable(sup, "supplier",
+        org.apache.spark.sql.SaveMode.Overwrite,
+        columnTypes = Some("s_name VARCHAR(64)"))
+      val delta = sup.filter(col("s_suppkey") % 10 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(1000.0))
+      wh.merge(delta, "supplier", Seq("s_suppkey"))
+      val fresh = sup.filter(col("s_suppkey") % 25 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L))
+      wh.merge(fresh, "supplier", Seq("s_suppkey"))
+    })
+    wh.readIncremental("supplier", "s_suppkey", -1L)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_sup"), dsum(col("s_acctbal")).as("total_bal"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2652,7 +2686,8 @@ object Queries {
     "q112_incremental_overlap" -> (q112IncrementalOverlap _),
     "q113_asof_nearest" -> (q113AsofNearest _),
     "q114_windowed_dedup" -> (q114WindowedDedup _),
-    "q115_incremental_card" -> (q115IncrementalCard _)
+    "q115_incremental_card" -> (q115IncrementalCard _),
+    "q116_jdbc_roundtrip" -> (q116JdbcRoundtrip _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4293,6 +4328,21 @@ object Queries {
         |  MIN(tok) AS min_tok, quantile_cont(tok, 0.5) AS p50_tok,
         |  MAX(tok) AS max_tok
         |FROM p GROUP BY lang, source""".stripMargin,
+    // the warehouse after overwrite + two MERGEs equals CASE + UNION ALL
+    // over the parquet source
+    "q116_jdbc_roundtrip" ->
+      """WITH merged AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 1000.0
+        |         ELSE s_acctbal END AS bal
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 25 = 0)
+        |SELECT s_nationkey, COUNT(*) AS n_sup,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM merged WHERE s_suppkey > -1
+        |GROUP BY s_nationkey""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->
