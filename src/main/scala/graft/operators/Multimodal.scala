@@ -227,34 +227,8 @@ object Multimodal {
     * [[featurize]] / [[keyframes]] unchanged.
     */
   object H264Codec {
-    /** MSB-first bit reader over an RBSP (already unescaped) payload. */
-    private final class BitReader(bytes: Array[Byte]) {
-      private var pos = 0
-      def bit(): Int = {
-        val b = (bytes(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; b
-      }
-      def u(n: Int): Int = {
-        var v = 0; var i = 0
-        while (i < n) { v = (v << 1) | bit(); i += 1 }
-        v
-      }
-      /** ue(v) — unsigned Exp-Golomb (§9.1). */
-      def ue(): Int = {
-        var zeros = 0
-        while (bit() == 0) {
-          zeros += 1
-          require(zeros < 32, "exp-golomb run too long")
-        }
-        if (zeros == 0) 0 else (1 << zeros) - 1 + u(zeros)
-      }
-      /** se(v) — signed Exp-Golomb (§9.1.1). */
-      def se(): Int = {
-        val k = ue(); if (k % 2 == 0) -(k / 2) else (k + 1) / 2
-      }
-      def byteAlign(): Unit = while ((pos & 7) != 0) pos += 1
-      def u8(): Int = { val v = bytes(pos >> 3) & 0xff; pos += 8; v }
-      def remainingBits: Int = bytes.length * 8 - pos
-    }
+    /** Bit reader shared with the CAVLC macroblock decoder. */
+    private type BitReader = H264Cavlc.BitReader
 
     private case class Sps(widthMbs: Int, heightMbs: Int,
                            width: Int, height: Int,
@@ -263,7 +237,7 @@ object Multimodal {
                            log2MaxPocLsb: Int, frameMbsOnly: Boolean,
                            chromaFormatIdc: Int)
     private case class Pps(entropyCabac: Boolean, bottomFieldPoc: Boolean,
-                           deblockControl: Boolean)
+                           deblockControl: Boolean, initQp: Int)
 
     /** Strip emulation-prevention bytes: 00 00 03 → 00 00 (§7.4.1.1). */
     private def rbsp(nal: Array[Byte], from: Int): Array[Byte] = {
@@ -349,13 +323,19 @@ object Multimodal {
       val bottomPoc = r.bit() == 1
       if (r.ue() != 0) return None // FMO slice groups: out of scope
       r.ue(); r.ue(); r.bit(); r.u(2) // ref counts, weighted pred
-      r.se(); r.se(); r.se() // init qp/qs, chroma offset
+      val initQp = 26 + r.se() // pic_init_qp_minus26
+      r.se(); r.se() // init qs, chroma offset
       val deblock = r.bit() == 1
       r.bit(); r.bit() // constrained_intra, redundant_pic_cnt
-      Some(Pps(cabac, bottomPoc, deblock))
+      Some(Pps(cabac, bottomPoc, deblock, initQp))
     }
 
-    /** Decode one single-slice I_PCM IDR picture to grayscale [0,1]. */
+    /** Decode one single-slice all-intra IDR picture to grayscale [0,1]:
+      * I_PCM macroblocks read raw samples; I_4x4 / I_16x16 macroblocks go
+      * through the CAVLC entropy + intra-prediction + inverse-transform
+      * path ([[H264Cavlc]]). CABAC, non-4:2:0 coded MBs and field coding
+      * fall to None (stub).
+      */
     private def decodeIdr(r: BitReader, sps: Sps, pps: Pps)
         : Option[Array[Float]] = {
       if (pps.entropyCabac || !sps.frameMbsOnly) return None
@@ -370,35 +350,41 @@ object Multimodal {
         if (pps.bottomFieldPoc) r.se()
       }
       r.bit(); r.bit() // no_output_of_prior_pics, long_term_reference
-      r.se() // slice_qp_delta
+      val sliceQp = pps.initQp + r.se() // slice_qp_delta
+      if (sliceQp < 0 || sliceQp > 51) return None
       if (pps.deblockControl) { if (r.ue() != 1) { r.se(); r.se() } }
       val nMbs = sps.widthMbs * sps.heightMbs
-      val luma = new Array[Float](sps.widthMbs * 16 * sps.heightMbs * 16)
       val chromaSamples = sps.chromaFormatIdc match {
         case 0 => 0
         case 1 => 128 // 4:2:0 — 2 × 8×8
         case 2 => 256 // 4:2:2
         case _ => 512 // 4:4:4
       }
+      val dec = new H264Cavlc.SliceDecoder(sps.widthMbs, sps.heightMbs, sliceQp)
       var m = 0
       while (m < nMbs) {
-        if (r.remainingBits < 16) return None
-        if (r.ue() != 25) return None // I_PCM only — no entropy stage here
-        r.byteAlign()
-        if (r.remainingBits < (256 + chromaSamples) * 8) return None
-        val mbx = (m % sps.widthMbs) * 16
-        val mby = (m / sps.widthMbs) * 16
-        var i = 0
-        while (i < 256) {
-          val y = mby + i / 16
-          val x = mbx + i % 16
-          luma(y * sps.widthMbs * 16 + x) = r.u8() / 255f
-          i += 1
+        if (r.remainingBits < 1) return None
+        val mbType = r.ue()
+        if (mbType == 25) { // I_PCM: raw samples, no entropy stage
+          r.byteAlign()
+          if (r.remainingBits < (256 + chromaSamples) * 8) return None
+          val px = new Array[Int](256)
+          var i = 0
+          while (i < 256) { px(i) = r.u8(); i += 1 }
+          var c = 0
+          while (c < chromaSamples) { r.u8(); c += 1 } // grayscale output
+          dec.setPcm(m, px)
+        } else {
+          // the CAVLC residual layout is 4:2:0-specific
+          if (sps.chromaFormatIdc != 1) return None
+          if (!dec.decodeMb(r, m, mbType)) return None
         }
-        var c = 0
-        while (c < chromaSamples) { r.u8(); c += 1 } // grayscale output
         m += 1
       }
+      val raw = dec.plane
+      val luma = new Array[Float](raw.length)
+      var i = 0
+      while (i < raw.length) { luma(i) = raw(i) / 255f; i += 1 }
       // crop to the SPS-declared picture WINDOW — offset by the left/top
       // crop, not always the top-left corner
       if (sps.width == sps.widthMbs * 16 && sps.height == sps.heightMbs * 16)
