@@ -2571,6 +2571,53 @@ object Queries {
       .agg(count(lit(1)).as("n_sup"), dsum(col("s_acctbal")).as("total_bal"))
   }
 
+  private val q117Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incremental JDBC ingestion (S14 + JdbcIngest): customers land in an
+    * external Derby warehouse in two key-ranged batches; each
+    * [[sources.JdbcIngest.pull]] moves only the delta (watermark predicate
+    * pushed into the remote scan, new watermark in the same commit), a
+    * third pull is a 0-row no-op, and the versioned target then equals
+    * the full source — the reference's incremental_raw_co2data high-
+    * watermark load loop end-to-end. Oracle: the aggregate over the
+    * whole parquet table.
+    */
+  def q117JdbcIngest(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val root = q117Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q117_ingest").toString
+      val wh = new sources.JdbcWarehouse(s, sources.JdbcProfile(
+        url = s"jdbc:derby:memory:graft_q117_${math.abs(dir.hashCode)};create=true",
+        driver = Some("org.apache.derby.jdbc.EmbeddedDriver")))
+      wh.dropTable("customer")
+      val target = storage.VersionedTable(s, s"$r/t")
+      val split = cust.agg(max(col("c_custkey"))).head.getLong(0) / 2
+      wh.writeTable(cust.filter(col("c_custkey") <= split), "customer",
+        org.apache.spark.sql.SaveMode.Overwrite,
+        columnTypes = Some("c_name VARCHAR(64), c_mktsegment VARCHAR(32)"))
+      val n1 = sources.JdbcIngest.pull(wh, "customer", "c_custkey", target)
+      wh.writeTable(cust.filter(col("c_custkey") > split), "customer",
+        org.apache.spark.sql.SaveMode.Append)
+      val n2 = sources.JdbcIngest.pull(wh, "customer", "c_custkey", target,
+        parts = 2)
+      val n3 = sources.JdbcIngest.pull(wh, "customer", "c_custkey", target)
+      require(n1 > 0 && n2 > 0 && n3 == 0 && n1 + n2 == cust.count(),
+        s"delta-only ingest contract violated: $n1 + $n2 (+$n3)")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    storage.VersionedTable(s, s"$root/t").read
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("total_bal"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2687,7 +2734,8 @@ object Queries {
     "q113_asof_nearest" -> (q113AsofNearest _),
     "q114_windowed_dedup" -> (q114WindowedDedup _),
     "q115_incremental_card" -> (q115IncrementalCard _),
-    "q116_jdbc_roundtrip" -> (q116JdbcRoundtrip _)
+    "q116_jdbc_roundtrip" -> (q116JdbcRoundtrip _),
+    "q117_jdbc_ingest" -> (q117JdbcIngest _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4343,6 +4391,12 @@ object Queries {
         |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM merged WHERE s_suppkey > -1
         |GROUP BY s_nationkey""".stripMargin,
+    // two watermark-windowed pulls reassemble the whole table exactly
+    "q117_jdbc_ingest" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->
