@@ -141,6 +141,28 @@ class H264CavlcSpec extends AnyFunSuite {
     }
   }
 
+  test("keyframes over CAVLC frames: repeat dropped, scene change kept") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val qp = 30
+    val headerLen = H264Enc.sliceHeaderBits(qp).length
+    // same encoder seed for the two scene-A frames -> same mode choices,
+    // near-identical reconstruction; scene B inverts the pattern
+    def frame(seed: Long, f: (Int, Int) => Int): String = {
+      val src = Array.tabulate(256)(i => f(i % 16, i / 16))
+      new H264Enc(1, 1, qp, new scala.util.Random(seed), headerLen)
+        .encodeFrame(src)._1
+    }
+    val a1 = frame(11L, (x, _) => if (x < 8) 230 else 20)
+    val a2 = frame(11L, (x, _) => if (x < 8) 228 else 22)
+    val b = frame(11L, (_, y) => if (y < 8) 20 else 230)
+    val es = H264Enc.annexBStreamMulti(1, 1, qp, Seq(a1, a2, b))
+    val kept = operators.Multimodal.keyframes(
+      Seq((1L, es)).toDF("media_id", "payload"), "payload", minHamming = 4)
+      .select("frame_no").collect().map(_.getInt(0)).toSeq
+    assert(kept == Seq(0, 2), kept.toString)
+  }
+
   test("end-to-end: CAVLC IDR through Multimodal.sampleFrames") {
     val spark = TestSpark.session
     import spark.implicits._
@@ -839,7 +861,14 @@ object H264Enc {
     * whose slice data is `sliceBits` (already a legal MB layer).
     */
   def annexBStream(wMbs: Int, hMbs: Int, sliceQp: Int,
-                   sliceBits: String): Array[Byte] = {
+                   sliceBits: String): Array[Byte] =
+    annexBStreamMulti(wMbs, hMbs, sliceQp, Seq(sliceBits))
+
+  /** Multi-frame variant: SPS + PPS + one IDR NAL per MB-layer
+    * bitstring (each frame is an independent all-intra picture).
+    */
+  def annexBStreamMulti(wMbs: Int, hMbs: Int, sliceQp: Int,
+                        slices: Seq[String]): Array[Byte] = {
     def bitsToRbsp(bits: String): Array[Byte] = {
       val full = bits + "1" + "0" * ((8 - (bits.length + 1) % 8) % 8)
       full.grouped(8).map(b => Integer.parseInt(b, 2).toByte).toArray
@@ -889,8 +918,9 @@ object H264Enc {
       w.append('0'); w.append('0'); w.append('0') // deblock ctl etc.
       bitsToRbsp(w.toString)
     }
-    val idr = bitsToRbsp(sliceHeaderBits(sliceQp) + sliceBits)
-    Array(nal(3, 7, sps), nal(3, 8, pps), nal(3, 5, idr)).flatten
+    val idrs = slices.map(sb =>
+      nal(3, 5, bitsToRbsp(sliceHeaderBits(sliceQp) + sb)))
+    (Seq(nal(3, 7, sps), nal(3, 8, pps)) ++ idrs).flatten.toArray
   }
 
   /** The IDR slice-header bitstring matching [[annexBStream]]'s SPS/PPS
