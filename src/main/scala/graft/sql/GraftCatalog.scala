@@ -298,7 +298,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply",
           "connected_components", "weighted_sample", "kmv_overlap",
           "interleave", "proximity_topk", "pagerank", "data_card",
-          "incremental_card",
+          "incremental_card", "jdbc_ingest",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -348,6 +348,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "pagerank" => new PageRankProcedure
       case "data_card" => new DataCardProcedure
       case "incremental_card" => new IncrementalCardProcedure
+      case "jdbc_ingest" => new JdbcIngestProcedure
       case "profile" => new ProfileProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
@@ -2059,6 +2060,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             UTF8String.fromString(input.getUTF8String(1).toString),
             applied, n)))
       } finally result.unpersist(blocking = false)
+    }
+  }
+
+  /** Scheduled incremental load from an external JDBC warehouse — the
+    * reference's task-driven high-watermark COPY loop
+    * (templates/orchestrate_tasks.sql.j2 scheduling
+    * incremental_raw_co2data.py's only-new-years load) as one SQL verb:
+    * `CALL gp.system.jdbc_ingest(url => …, source_table => …,
+    * watermark_col => …, target => 'NS.T')`. Pulls only the delta above
+    * the target's recorded watermark ([[graft.sources.JdbcIngest]]:
+    * server-side MAX probe, pushed-down bounded window, watermark in the
+    * same commit, exactly-once under replays) — composable with
+    * create_task/run_due for a fully in-engine scheduled ingest DAG.
+    */
+  private final class JdbcIngestProcedure extends MaintenanceProcedure {
+    override def name(): String = "jdbc_ingest"
+    override def description(): String =
+      "incremental pull from a JDBC warehouse table into a versioned " +
+        "table: delta above the recorded watermark only, exactly-once"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("url", StringType).build(),
+        procedures.ProcedureParameter.in("source_table", StringType).build(),
+        procedures.ProcedureParameter.in("watermark_col", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("driver", StringType)
+          .defaultValue("''").build(),
+        procedures.ProcedureParameter.in("user", StringType)
+          .defaultValue("''").build(),
+        procedures.ProcedureParameter.in("password", StringType)
+          .defaultValue("''").build(),
+        procedures.ProcedureParameter
+          .in("parts", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val tgtId = resolveIdent(input.getUTF8String(3).toString, "target",
+        mustExist = false)
+      if (!namespaceExists(tgtId.namespace))
+        throw new NoSuchNamespaceException(tgtId.namespace.toSeq)
+      security.requirePriv(spark,
+        if (tableExists(tgtId)) "INSERT" else "CREATE TABLE",
+        tgtId.namespace.toSeq, tgtId.name)
+      def opt(i: Int): Option[String] = {
+        val s = input.getUTF8String(i).toString
+        if (s.isEmpty) None else Some(s)
+      }
+      val wh = new graft.sources.JdbcWarehouse(spark,
+        graft.sources.JdbcProfile(
+          url = input.getUTF8String(0).toString,
+          driver = opt(4), user = opt(5), password = opt(6)))
+      val srcTable = input.getUTF8String(1).toString
+      val wmCol = input.getUTF8String(2).toString
+      val target = table(tgtId)
+      val n = graft.sources.JdbcIngest.pull(wh, srcTable, wmCol, target,
+        parts = input.getInt(7))
+      val hw = target.offsets
+        .getOrElse(graft.sources.JdbcIngest.streamId(srcTable, wmCol), -1L)
+      singleRowScan(
+        StructType(Seq(
+          StructField("target", StringType, nullable = false),
+          StructField("rows_ingested",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("watermark",
+            org.apache.spark.sql.types.LongType, nullable = false))),
+        InternalRow(
+          UTF8String.fromString(input.getUTF8String(3).toString), n, hw))
     }
   }
 

@@ -1242,4 +1242,56 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .selectExpr("clean_text(c)").collect().map(_.getString(0)).toSeq
     assert(rows == Seq("ab", "a b"), rows.toString)
   }
+
+  test("CALL jdbc_ingest: delta-only warehouse pull, schedulable as a task") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_jing_").toString
+    graft.sql.GraftCatalog.register(spark, "ji", root)
+    spark.sql("CREATE NAMESPACE ji.ING")
+    val url = "jdbc:derby:memory:graft_sqlproc_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(10) +
+      ";create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    val wh = new graft.sources.JdbcWarehouse(spark,
+      graft.sources.JdbcProfile(url = url, driver = Some(drv)))
+    def rows(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    wh.writeTable(rows(0, 9), "src", SaveMode.Overwrite)
+    val callSql =
+      s"""CALL ji.system.jdbc_ingest(url => '$url',
+         |  source_table => 'src', watermark_col => 'id',
+         |  target => 'ING.T', driver => '$drv')""".stripMargin
+    val r1 = spark.sql(callSql).head
+    assert(r1.getLong(1) == 10L && r1.getLong(2) == 9L, r1.toString)
+    assert(spark.sql("SELECT count(*) FROM ji.ING.T").head.getLong(0) == 10)
+    // nothing new: 0 rows, watermark unchanged
+    val r2 = spark.sql(callSql).head
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 9L)
+    // source grows: only the delta lands
+    wh.writeTable(rows(10, 14), "src", SaveMode.Append)
+    assert(spark.sql(callSql).head.getLong(1) == 5L)
+    assert(spark.sql("SELECT sum(id) FROM ji.ING.T").head.getLong(0) ==
+      (0 to 14).sum)
+
+    // the reference's production shape: the pull on a cron task, fired
+    // by the in-engine scheduler tick
+    val body = callSql.replace("'", "''")
+    spark.sql(
+      s"""CALL ji.system.create_task(task => 'PULL',
+         |  schedule => 'USING CRON 0 10 * * * UTC', body => '$body')"""
+        .stripMargin).collect()
+    spark.sql("CALL ji.system.alter_task(task => 'PULL', action => 'RESUME')")
+      .collect()
+    def tick(now: String): Map[String, String] =
+      spark.sql(s"CALL ji.system.run_due(now => '$now')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tick("2026-02-01T09:00:00Z")("PULL").startsWith("BASELINE"))
+    wh.writeTable(rows(15, 19), "src", SaveMode.Append)
+    assert(tick("2026-02-01T10:00:30Z")("PULL") == "SUCCEEDED")
+    assert(spark.sql("SELECT count(*) FROM ji.ING.T").head.getLong(0) == 20)
+    // next tick, same occurrence: no re-fire, no double-ingest
+    assert(tick("2026-02-01T10:30:00Z")("PULL") == "NOT DUE")
+    assert(spark.sql("SELECT count(*) FROM ji.ING.T").head.getLong(0) == 20)
+  }
 }
