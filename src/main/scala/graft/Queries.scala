@@ -2618,6 +2618,39 @@ object Queries {
         countDistinct(col("c_nationkey")).as("n_nations"))
   }
 
+  private val q118Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** ORC source/sink roundtrip — columnar-format parity beyond parquet
+    * (the other pushdown-capable built-in format a warehouse migration
+    * meets). Documents write once per session as lang-partitioned ORC;
+    * the read proves BOTH scale levers in-plan (PlanSpec): the lang
+    * filter prunes to one partition DIRECTORY and the n_chars predicate
+    * pushes into the ORC scan. An md5 checksum over the text column
+    * pins byte-exact string roundtrip. Oracle: same filter+agg over the
+    * parquet table.
+    */
+  def q118OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val root = q118Runs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("q118_orc").toString
+      d.write.partitionBy("lang").mode("overwrite").orc(tmp)
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+        catch { case _: Throwable => () }
+      }
+      tmp
+    })
+    s.read.orc(root)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("text_checksum"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2735,7 +2768,8 @@ object Queries {
     "q114_windowed_dedup" -> (q114WindowedDedup _),
     "q115_incremental_card" -> (q115IncrementalCard _),
     "q116_jdbc_roundtrip" -> (q116JdbcRoundtrip _),
-    "q117_jdbc_ingest" -> (q117JdbcIngest _)
+    "q117_jdbc_ingest" -> (q117JdbcIngest _),
+    "q118_orc_roundtrip" -> (q118OrcRoundtrip _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4397,6 +4431,14 @@ object Queries {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
         |  COUNT(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    // lang-partitioned ORC roundtrip: byte-exact text via md5 checksum
+    "q118_orc_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |           % 1000000007) AS BIGINT) AS text_checksum
+        |FROM documents WHERE lang = 'en' AND n_chars >= 200
+        |GROUP BY source""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->

@@ -142,6 +142,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("split("), p)
   }
 
+  test("q118 ORC read prunes the lang partition and pushes the n_chars filter") {
+    val p = planOf("q118_orc_roundtrip")
+    // lang is a partition directory: the filter must prune, not scan+filter
+    assert(p.contains("PartitionFilters") && !p.contains("PartitionFilters: []"), p)
+    // n_chars predicate reaches the ORC scan
+    assert(p.contains("PushedFilters") && p.contains("n_chars"), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    // text column checksum only: the scan must not read doc_id
+    assert("ReadSchema:[^\n]*doc_id".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("LSH subdivision keeps the map-side skew bound: WindowGroupLimit " +
       "rank-limit, no unbounded count window") {
     import org.apache.spark.sql.functions._
