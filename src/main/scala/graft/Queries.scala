@@ -2651,6 +2651,35 @@ object Queries {
           % 1000000007L).as("text_checksum"))
   }
 
+  private val q119Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Sharded training-data export + loader-side verification (the
+    * pipeline hand-off): documents leave as 8 md5-sharded parquet
+    * directories with a manifest; the query result is the manifest
+    * RECOMPUTED from the written files (Export.verify), and the memoized
+    * setup requires it to equal the write-side manifest — so oracle
+    * equality proves assignment determinism AND roundtrip integrity.
+    */
+  def q119ShardedExport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val root = q119Runs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("q119_export").toString
+      val writeSide = operators.Export
+        .shardedExport(d, "doc_id", "text", 42L, 8, tmp)
+      val readBack = operators.Export.verify(s, tmp, "text")
+      require(writeSide.collect().toSet == readBack.collect().toSet,
+        "export manifest mismatch between input and written shards")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+        catch { case _: Throwable => () }
+      }
+      tmp
+    })
+    operators.Export.verify(s, root, "text")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2769,7 +2798,8 @@ object Queries {
     "q115_incremental_card" -> (q115IncrementalCard _),
     "q116_jdbc_roundtrip" -> (q116JdbcRoundtrip _),
     "q117_jdbc_ingest" -> (q117JdbcIngest _),
-    "q118_orc_roundtrip" -> (q118OrcRoundtrip _)
+    "q118_orc_roundtrip" -> (q118OrcRoundtrip _),
+    "q119_sharded_export" -> (q119ShardedExport _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4439,6 +4469,18 @@ object Queries {
         |           % 1000000007) AS BIGINT) AS text_checksum
         |FROM documents WHERE lang = 'en' AND n_chars >= 200
         |GROUP BY source""".stripMargin,
+    // the manifest recomputed from the written shards: md5-shard
+    // assignment + order-independent payload checksum, both id-pure
+    "q119_sharded_export" ->
+      """WITH s AS (SELECT text,
+        |  (CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |     % 8 + 8) % 8 AS shard
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |           % 1000000007) AS BIGINT) AS checksum
+        |FROM s GROUP BY shard""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->
