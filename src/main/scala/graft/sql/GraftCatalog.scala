@@ -717,7 +717,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         StructField("suspended", org.apache.spark.sql.types.BooleanType,
           nullable = false),
         StructField("last_fire", TimestampType, nullable = true),
-        StructField("next_fire", TimestampType, nullable = true)))
+        StructField("next_fire", TimestampType, nullable = true),
+        // r9: SUSPEND_TASK_AFTER_NUM_FAILURES state — the configured
+        // threshold (0 = never) and the running consecutive-failure count
+        StructField("suspend_after_failures", IntegerType, nullable = false),
+        StructField("consec_failures", IntegerType, nullable = false)))
       val runs = readTaskRuns()
       val now = java.time.Instant.now()
       def micros(i: java.time.Instant): Long =
@@ -743,7 +747,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           InternalRow(UTF8String.fromString(t.name), s(t.schedule),
             s(t.condition), t.suspended,
             last.map(micros).map(Long.box).orNull,
-            next.map(micros).map(Long.box).orNull)
+            next.map(micros).map(Long.box).orNull,
+            t.suspendAfter, t.consecFailures)
         }
       rowsScan(schema, rows)
     }
@@ -767,22 +772,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val schema = StructType(Seq(
         StructField("task_name", StringType, nullable = false),
         StructField("state", StringType, nullable = false),
-        StructField("scheduled_time", TimestampType, nullable = false)))
+        StructField("scheduled_time", TimestampType, nullable = false),
+        StructField("error_message", StringType, nullable = true)))
       val vt = VersionedTable(spark, s"$root/_TASK_HISTORY")
       val rows =
         if (!vt.exists) Array.empty[InternalRow]
-        else vt.read
-          .orderBy(org.apache.spark.sql.functions.desc("SCHEDULED_TIME"))
-          .limit(math.max(0, input.getInt(0)))
-          .collect().map { r =>
-            InternalRow(
-              UTF8String.fromString(r.getString(0)),
-              UTF8String.fromString(r.getString(1)),
-              // fromJavaTimestamp keeps the nanos field; getTime*1000
-              // would truncate to millisecond precision
-              org.apache.spark.sql.catalyst.util.DateTimeUtils
-                .fromJavaTimestamp(r.getTimestamp(2)))
-          }
+        else {
+          // the Scala pipeline's runLog predates ERROR_MESSAGE — absent
+          // column reads as null (same tolerance as readTasks)
+          var df = vt.read
+          if (!df.columns.contains("ERROR_MESSAGE"))
+            df = df.withColumn("ERROR_MESSAGE", lit(null).cast("string"))
+          df.select("TASK_NAME", "STATE", "SCHEDULED_TIME", "ERROR_MESSAGE")
+            .orderBy(org.apache.spark.sql.functions.desc("SCHEDULED_TIME"))
+            .limit(math.max(0, input.getInt(0)))
+            .collect().map { r =>
+              InternalRow(
+                UTF8String.fromString(r.getString(0)),
+                UTF8String.fromString(r.getString(1)),
+                // fromJavaTimestamp keeps the nanos field; getTime*1000
+                // would truncate to millisecond precision
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .fromJavaTimestamp(r.getTimestamp(2)),
+                if (r.isNullAt(3)) null
+                else UTF8String.fromString(r.getString(3)))
+            }
+        }
       rowsScan(schema, rows)
     }
   }
@@ -795,10 +810,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * SHOW TASKS displays. `body` is the task's SQL text (`;`-separated
     * statements); Scala-driven tasks (the pipeline DAG) have no body and
     * are executed by their own orchestrator, not `execute_task`.
+    * `suspendAfter` is Snowflake's `SUSPEND_TASK_AFTER_NUM_FAILURES`
+    * parameter (0 = never auto-suspend); `consecFailures` is the running
+    * count of consecutive failed runs behind it, reset on any success.
     */
   private case class TaskDef(name: String, schedule: Option[String],
                              condition: Option[String], body: Option[String],
-                             suspended: Boolean)
+                             suspended: Boolean, suspendAfter: Int = 0,
+                             consecFailures: Int = 0)
 
   private def tasksVt =
     VersionedTable(spark, s"$root/_TASKS", collectStats = false)
@@ -815,12 +834,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       df = df.withColumn("BODY", lit(null).cast("string"))
     if (!df.columns.contains("SUSPENDED"))
       df = df.withColumn("SUSPENDED", lit(false))
+    if (!df.columns.contains("SUSPEND_AFTER_FAILURES"))
+      df = df.withColumn("SUSPEND_AFTER_FAILURES", lit(0))
+    if (!df.columns.contains("CONSEC_FAILURES"))
+      df = df.withColumn("CONSEC_FAILURES", lit(0))
     df.select(col("NAME"), col("SCHEDULE"), col("CONDITION"), col("BODY"),
-        col("SUSPENDED"))
+        col("SUSPENDED"), col("SUSPEND_AFTER_FAILURES"),
+        col("CONSEC_FAILURES"))
       .collect().toSeq.map { r =>
         def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
         TaskDef(r.getString(0), opt(1), opt(2), opt(3),
-          !r.isNullAt(4) && r.getBoolean(4))
+          !r.isNullAt(4) && r.getBoolean(4),
+          if (r.isNullAt(5)) 0 else r.getInt(5),
+          if (r.isNullAt(6)) 0 else r.getInt(6))
       }
   }
 
@@ -831,10 +857,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructField("SCHEDULE", StringType, nullable = true),
       StructField("CONDITION", StringType, nullable = true),
       StructField("BODY", StringType, nullable = true),
-      StructField("SUSPENDED", BooleanType, nullable = false)))
+      StructField("SUSPENDED", BooleanType, nullable = false),
+      StructField("SUSPEND_AFTER_FAILURES", IntegerType, nullable = false),
+      StructField("CONSEC_FAILURES", IntegerType, nullable = false)))
     val rows = ts.map(t =>
       Row(t.name, t.schedule.orNull, t.condition.orNull, t.body.orNull,
-        t.suspended))
+        t.suspended, t.suspendAfter, t.consecFailures))
     tasksVt.overwrite(spark.createDataFrame(rows.asJava, schema))
   }
 
@@ -899,7 +927,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         procedures.ProcedureParameter.in("condition", StringType)
           .defaultValue("''").build(),
         procedures.ProcedureParameter.in("or_replace", BooleanType)
-          .defaultValue("true").build())
+          .defaultValue("true").build(),
+        procedures.ProcedureParameter.in("suspend_after_failures", IntegerType)
+          .defaultValue("0").build())
     }
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       import org.apache.spark.sql.types._
@@ -910,6 +940,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val after = input.getUTF8String(3).toString.trim
       val condition = input.getUTF8String(4).toString.trim
       val orReplace = input.getBoolean(5)
+      val suspendAfter = input.getInt(6)
+      require(suspendAfter >= 0,
+        s"task $taskName: suspend_after_failures must be >= 0, got $suspendAfter")
       require(taskName.nonEmpty, "task name must be non-empty")
       require(body.trim.nonEmpty, s"task $taskName needs a SQL body")
       require(schedule.isEmpty || after.isEmpty,
@@ -935,7 +968,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         else if (schedule.nonEmpty) Some(schedule)
         else None
       val t = TaskDef(taskName, sched,
-        Option(condition).filter(_.nonEmpty), Some(body), suspended = true)
+        Option(condition).filter(_.nonEmpty), Some(body), suspended = true,
+        suspendAfter = suspendAfter)
       writeTasks(existing.filterNot(_.name.equalsIgnoreCase(taskName)) :+ t)
       singleRowScan(
         StructType(Seq(
@@ -976,7 +1010,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val status = if (!found) "not found (if_exists)" else {
         writeTasks(existing.map(t =>
           if (t.name.equalsIgnoreCase(taskName))
-            t.copy(suspended = action == "SUSPEND")
+            // RESUME forgives the failure streak, like Snowflake's
+            // auto-suspend counter resetting on ALTER TASK RESUME
+            t.copy(suspended = action == "SUSPEND",
+              consecFailures =
+                if (action == "RESUME") 0 else t.consecFailures)
           else t))
         action.toLowerCase + "d"
       }
@@ -1063,7 +1101,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * root never fires). Runs the root then AFTER-descendants in
     * dependency order; a suspended child / false WHEN gate / failed body
     * stops its subtree. Every visited task appends
-    * (TASK_NAME, STATE, SCHEDULED_TIME) to `_TASK_HISTORY`.
+    * (TASK_NAME, STATE, SCHEDULED_TIME, ERROR_MESSAGE) to `_TASK_HISTORY`
+    * — STATE is the outcome string (FAILED states carry the first line of
+    * the error, Snowflake TASK_HISTORY ERROR_MESSAGE parity in the
+    * dedicated column). Failure accounting: a task whose body fails has
+    * its consecutive-failure counter bumped (reset on success); reaching
+    * a non-zero `suspendAfter` threshold auto-suspends the task —
+    * `SUSPEND_TASK_AFTER_NUM_FAILURES` parity. The suspension is durable
+    * (written to `_TASKS`) and lifted by `alter_task RESUME`, which also
+    * resets the counter.
     */
   private def runTaskDag(rootTask: TaskDef, all: Seq[TaskDef],
                          rootEvenIfSuspended: Boolean,
@@ -1111,13 +1157,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     exec(rootTask, isRoot = true)
 
+    // SUSPEND_TASK_AFTER_NUM_FAILURES accounting: bump/reset each visited
+    // task's consecutive-failure counter; crossing a non-zero threshold
+    // suspends the task durably. One _TASKS write per DAG run, only when
+    // a counter actually moved.
+    val outcomes = results.toMap
+    var changed = false
+    // re-read rather than reuse `all`: a prior DAG in the same run_due
+    // tick may have written counters this snapshot predates
+    val updated = readTasks().map { t =>
+      outcomes.get(t.name) match {
+        case Some(s) if s.startsWith("FAILED") =>
+          val n = t.consecFailures + 1
+          val trip = t.suspendAfter > 0 && n >= t.suspendAfter && !t.suspended
+          changed = true
+          t.copy(consecFailures = n, suspended = t.suspended || trip)
+        case Some("SUCCEEDED") if t.consecFailures != 0 =>
+          changed = true
+          t.copy(consecFailures = 0)
+        case _ => t
+      }
+    }
+    if (changed) writeTasks(updated)
+
     val histSchema = StructType(Seq(
       StructField("TASK_NAME", StringType, nullable = false),
       StructField("STATE", StringType, nullable = false),
-      StructField("SCHEDULED_TIME", TimestampType, nullable = false)))
+      StructField("SCHEDULED_TIME", TimestampType, nullable = false),
+      StructField("ERROR_MESSAGE", StringType, nullable = true)))
     VersionedTable(spark, s"$root/_TASK_HISTORY", collectStats = false)
       .append(spark.createDataFrame(
-        results.toSeq.map { case (t, s) => Row(t, s, scheduledTime) }.asJava,
+        results.toSeq.map { case (t, s) =>
+          val err = if (s.startsWith("FAILED: ")) s.stripPrefix("FAILED: ")
+                    else null
+          Row(t, s, scheduledTime, err)
+        }.asJava,
         histSchema))
     results.toSeq
   }

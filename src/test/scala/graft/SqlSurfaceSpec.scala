@@ -1294,4 +1294,59 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(tick("2026-02-01T10:30:00Z")("PULL") == "NOT DUE")
     assert(spark.sql("SELECT count(*) FROM ji.ING.T").head.getLong(0) == 20)
   }
+
+  test("SUSPEND AFTER n FAILURES: repeated task failure auto-suspends; RESUME resets") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_saf_").toString
+    graft.sql.GraftCatalog.register(spark, "saf", wh)
+    spark.sql("CREATE NAMESPACE saf.G")
+    spark.sql("CREATE TABLE saf.G.LOG (STEP STRING)")
+    // a body that always fails (missing table) with auto-suspend at 3
+    spark.sql(
+      """CALL saf.system.create_task(task => 'FLAKY',
+        |  schedule => 'USING CRON 0 10 * * * UTC',
+        |  body => 'INSERT INTO saf.G.NO_SUCH_TABLE VALUES (''x'')',
+        |  suspend_after_failures => 3)""".stripMargin).collect()
+    spark.sql("CALL saf.system.alter_task(task => 'FLAKY', action => 'RESUME')")
+      .collect()
+    def tick(now: String): Map[String, String] =
+      spark.sql(s"CALL saf.system.run_due(now => '$now')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def taskRow() = spark.sql("CALL saf.system.show_tasks()").collect()
+      .find(_.getString(0) == "FLAKY").get
+    assert(tick("2026-04-01T09:00:00Z")("FLAKY").startsWith("BASELINE"))
+    // failures 1 and 2: counter climbs, task stays active
+    assert(tick("2026-04-01T10:00:30Z")("FLAKY").startsWith("FAILED"))
+    assert(tick("2026-04-02T10:00:30Z")("FLAKY").startsWith("FAILED"))
+    val mid = taskRow()
+    assert(!mid.getBoolean(3) && mid.getInt(6) == 3 && mid.getInt(7) == 2,
+      mid.toString)
+    // failure 3 trips the threshold: durable auto-suspend
+    assert(tick("2026-04-03T10:00:30Z")("FLAKY").startsWith("FAILED"))
+    val tripped = taskRow()
+    assert(tripped.getBoolean(3) && tripped.getInt(7) == 3, tripped.toString)
+    // suspended tasks never fire from the scheduler
+    assert(tick("2026-04-04T10:00:30Z") == Map("FLAKY" -> "SKIPPED (suspended)"))
+    // history carries per-run error state in the dedicated column
+    val hist = spark.sql("CALL saf.system.task_history(limit => 10)").collect()
+    val failed = hist.filter(_.getString(1).startsWith("FAILED"))
+    assert(failed.length == 3, hist.toSeq.toString)
+    assert(failed.forall(r => !r.isNullAt(3) &&
+      r.getString(3).contains("NO_SUCH_TABLE")), failed.toSeq.toString)
+    // RESUME lifts the suspension AND forgives the streak
+    spark.sql("CALL saf.system.alter_task(task => 'FLAKY', action => 'RESUME')")
+      .collect()
+    val resumed = taskRow()
+    assert(!resumed.getBoolean(3) && resumed.getInt(7) == 0, resumed.toString)
+    // a later success (fixed body) also keeps the counter at zero
+    spark.sql(
+      """CALL saf.system.create_task(task => 'FLAKY',
+        |  schedule => 'USING CRON 0 10 * * * UTC',
+        |  body => 'INSERT INTO saf.G.LOG VALUES (''ok'')',
+        |  suspend_after_failures => 3)""".stripMargin).collect()
+    spark.sql("CALL saf.system.alter_task(task => 'FLAKY', action => 'RESUME')")
+      .collect()
+    // the run watermark survives re-creation: next occurrence fires
+    assert(tick("2026-04-05T10:00:30Z")("FLAKY") == "SUCCEEDED")
+    assert(taskRow().getInt(7) == 0)
+  }
 }
