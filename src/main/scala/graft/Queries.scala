@@ -2479,16 +2479,11 @@ object Queries {
     */
   def q114WindowedDedup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").withColumn("w", expr("doc_id div 50"))
-    val cand = operators.Dedup.minhashPairsWindowed(d, "text", "doc_id", "w",
-        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.0)
-      .select(col("id_a"), col("id_b"))
-    val sh = d.select(col("doc_id"),
-      operators.Dedup.shingles(col("text"), 3).as("s"))
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), Seq("id_b"))
-      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double")
-        / size(array_union(col("sa"), col("sb"))) >= 0.7)
+    // one operator call: LSH-blocked candidates rescored to exact Jaccard
+    // (signatures cached once, only candidate docs shingled — the r9 fix
+    // for the r8 +11% subdivision regression)
+    operators.Dedup.minhashPairsWindowedExact(d, "text", "doc_id", "w",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.7)
       .select(expr("id_a div 50").as("w"), col("id_b"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("id_b")).as("sum_ids"))

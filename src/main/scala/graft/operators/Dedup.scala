@@ -365,6 +365,61 @@ object Dedup {
         .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  /** EXACT temporally-blocked near-dup pairs: [[minhashPairsWindowed]]
+    * candidates rescored with true shingle Jaccard — all |Δw| ≤ 1 pairs
+    * at `jaccard >= threshold`, exactly (the LSH front end only prunes,
+    * never decides). Same persist/semi-join economics as
+    * [[minhashDedupExact]]: the signature relation is computed ONCE and
+    * cached (three candidate-generation branches re-derive banding from
+    * the cache instead of re-running the minhash text kernel per branch),
+    * and shingle sets are built only for docs that appear in a candidate
+    * pair, each shingled once. EAGER: the bounded pair set is
+    * localCheckpoint'd so every intermediate cache is released before
+    * returning — at cluster scale, substitute an intermediate table
+    * write.
+    */
+  def minhashPairsWindowedExact(df: DataFrame, textCol: String, idCol: String,
+                                windowCol: String,
+                                shingleSize: Int = 3, numHashes: Int = 64,
+                                bands: Int = 16, threshold: Double = 0.7,
+                                maxBucketSize: Int = 512): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    requireIntegralId(df, idCol, "minhashPairsWindowedExact")
+    val rows = numHashes / bands
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      col(windowCol).cast("long").as("w"),
+      col(textCol).as("_text"),
+      minhashText(col(textCol), shingleSize, numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base
+      .select(col("id"), col("sig"),
+        explode(array(col("w"), col("w") + 1L)).as("wb"))
+      .select(col("id"), col("sig"), col("wb"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", bandBucket(col("sig"), col("band"), rows))
+    val cand = subdividedBucketIdPairs(banded,
+      Seq("wb", "band", "bucket"), "sig", bands, rows, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candIds = cand
+        .select(explode(array(col("id_a"), col("id_b"))).as("_id")).distinct()
+      val sh = base.select(col("id").as("_id"), col("_text"))
+        .join(candIds, Seq("_id"), "left_semi")
+        .select(col("_id"), shingles(col("_text"), shingleSize).as("_sh"))
+      cand
+        .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+        .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally {
+      cand.unpersist(blocking = false)
+      base.unpersist(blocking = false)
+    }
+  }
+
   /** Cross-relation near-duplicate JOIN (record linkage / fuzzy join):
     * LSH-bucket BOTH relations with the same banding and equi-join on
     * (band, bucket) — candidate pairs between two different corpora
