@@ -2675,6 +2675,32 @@ object Queries {
     operators.Export.verify(s, root, "text")
   }
 
+  /** PII redaction (X-series scrub stage): the corpus carries no PII by
+    * construction, so the query INJECTS deterministic id-derived PII
+    * shapes (an email, a URL, a 10-digit account number per doc) and the
+    * redaction must scrub every one — the md5 checksum over the redacted
+    * strings pins exact output equality against the oracle's
+    * `regexp_replace(…, 'g')` chain, not just counts.
+    */
+  def q120RedactPii(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val aug = d.withColumn("t2", concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@example.com or https://ex.am/p/"), col("doc_id").cast("string"),
+      lit(" acct "), (col("doc_id") + lit(1000000000L)).cast("string")))
+    aug
+      .select(col("lang"),
+        functions.TextFunctions.redactPii(col("t2")).as("r"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("r").contains("<EMAIL>"), 1L).otherwise(0L)).as("n_email"),
+        sum(when(col("r").contains("<URL>"), 1L).otherwise(0L)).as("n_url"),
+        sum(when(col("r").contains("<NUMBER>"), 1L).otherwise(0L)).as("n_number"),
+        sum(length(col("r")).cast("long")).as("sum_len"),
+        sum(conv(substring(md5(col("r")), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("red_checksum"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2794,7 +2820,8 @@ object Queries {
     "q116_jdbc_roundtrip" -> (q116JdbcRoundtrip _),
     "q117_jdbc_ingest" -> (q117JdbcIngest _),
     "q118_orc_roundtrip" -> (q118OrcRoundtrip _),
-    "q119_sharded_export" -> (q119ShardedExport _)
+    "q119_sharded_export" -> (q119ShardedExport _),
+    "q120_redact_pii" -> (q120RedactPii _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4476,6 +4503,31 @@ object Queries {
         |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
         |           % 1000000007) AS BIGINT) AS checksum
         |FROM s GROUP BY shard""".stripMargin,
+    // identical injected-PII construction + the same 3-pattern replace
+    // chain (global flag); checksum pins exact redacted-string equality
+    "q120_redact_pii" ->
+      """WITH aug AS (
+        |  SELECT lang,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |            || '@example.com or https://ex.am/p/'
+        |            || CAST(doc_id AS VARCHAR) || ' acct '
+        |            || CAST(doc_id + 1000000000 AS VARCHAR),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        'https?://\S+', '<URL>', 'g'),
+        |      '\d{9,}', '<NUMBER>', 'g') AS r
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(SUM(CASE WHEN r LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+        |  CAST(SUM(CASE WHEN r LIKE '%<URL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+        |  CAST(SUM(CASE WHEN r LIKE '%<NUMBER>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_number,
+        |  CAST(SUM(length(r)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)
+        |           % 1000000007) AS BIGINT) AS red_checksum
+        |FROM aug GROUP BY lang""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->
