@@ -401,23 +401,36 @@ object Dedup {
     val cand = subdividedBucketIdPairs(banded,
       Seq("wb", "band", "bucket"), "sig", bands, rows, maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val candIds = cand
-        .select(explode(array(col("id_a"), col("id_b"))).as("_id")).distinct()
-      val sh = base.select(col("id").as("_id"), col("_text"))
-        .join(candIds, Seq("_id"), "left_semi")
-        .select(col("_id"), shingles(col("_text"), shingleSize).as("_sh"))
-      cand
-        .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
-        .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
+    try
+      exactRescorePairs(cand, base.select(col("id"), col("_text")), "_text",
+        shingleSize, threshold)
         .localCheckpoint(true)
-    } finally {
+    finally {
       cand.unpersist(blocking = false)
       base.unpersist(blocking = false)
     }
+  }
+
+  /** Exact-Jaccard rescore of an LSH candidate id-pair set — the shared
+    * back end of [[minhashDedupExact]] and [[minhashPairsWindowedExact]].
+    * Shingle sets are built ONLY for docs that appear in a candidate pair
+    * (semi-join first) and each such doc is shingled once however many
+    * pairs it joins; output `(id_a, id_b, jaccard)` keeps pairs at or
+    * above `threshold`. `docs` must expose (`id`, `textCol`).
+    */
+  private def exactRescorePairs(cand: DataFrame, docs: DataFrame,
+      textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("_id")).distinct()
+    val sh = docs.select(col("id").as("_id"), col(textCol))
+      .join(candIds, Seq("_id"), "left_semi")
+      .select(col("_id"), shingles(col(textCol), shingleSize).as("_sh"))
+    cand
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Cross-relation near-duplicate JOIN (record linkage / fuzzy join):
@@ -791,21 +804,9 @@ object Dedup {
       Seq("band", "bucket"), "sig", bands, numHashes / bands, maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // exact rescore: join the candidate pairs back to text. Shingle sets
-      // are built ONLY for docs that appear in a candidate pair (semi-join
-      // first) — typically a tiny fraction of the corpus — and each such
-      // doc is shingled ONCE even when it appears in many pairs.
-      val candIds = cand
-        .select(explode(array(col("id_a"), col("id_b"))).as("_id")).distinct()
-      val sh = reps.select(id.as("_id"), col(textCol))
-        .join(candIds, Seq("_id"), "left_semi")
-        .select(col("_id"), shingles(col(textCol), shingleSize).as("_sh"))
-      val exactPairs = cand
-        .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
-        .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
+      val exactPairs = exactRescorePairs(cand,
+        reps.select(id.as("id"), col(textCol)), textCol,
+        shingleSize, threshold)
       val dupIds = connectedComponents(exactPairs)
         .filter(col("id") =!= col("component"))
         .select(col("id").as("_dup_id"))

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** Sharded training-data export — the pipeline's LAST stage: the curated
   * corpus leaves the engine as N balanced shards plus a MANIFEST the
   * trainer's data loader verifies before consuming (shard membership,
-  * row counts, byte mass, content checksum). No reference analogue (the
+  * row counts, CHARACTER mass — `length()`, not bytes; UTF-8 byte size
+  * would differ on non-ASCII payloads — and a content checksum). No
+  * reference analogue (the
   * reference's terminal stage is an analytics table); this is the
   * standard hand-off shape of LLM data pipelines (sharded dataset dirs +
   * a manifest of per-shard statistics).
@@ -34,7 +36,7 @@ object Export {
       lit(nShards.toLong))
 
   /** Per-shard manifest of a relation that already carries `shard`:
-    * (shard, n_rows, n_bytes, checksum), checksum order-independent.
+    * (shard, n_rows, n_chars, checksum), checksum order-independent.
     */
   private def manifestOf(sharded: DataFrame, payloadCol: String): DataFrame =
     // shard cast: partition-directory read-back infers int, the write

@@ -60,12 +60,26 @@ object JdbcIngest {
         // keeps growing
         val delta = base.filter(
           col(watermarkCol) > lit(lo) && col(watermarkCol) <= lit(h))
-        val n = delta.count()
+        // the row count is probed SERVER-side (one 1-row query) instead
+        // of delta.count(): a JDBC DataFrame re-runs the remote query on
+        // every action, so counting the Spark-side relation would
+        // transfer the whole delta twice per pull. The window (lo, h] is
+        // immutable under the monotone-watermark premise, so the probe
+        // and the landed batch agree.
+        val wq = wh.quoteCol(watermarkCol)
+        val wpred = // Long.MinValue is not a portable SQL literal
+          if (lo == Long.MinValue) s"$wq <= $h"
+          else s"$wq > $lo AND $wq <= $h"
+        val n = wh.readQuery(
+          s"SELECT COUNT(*) AS N FROM ${wh.qualify(srcTable)} WHERE $wpred")
+          .head().get(0).asInstanceOf[Number].longValue()
         if (n == 0) 0L
-        // appendExactlyOnce's commit-time guard (recorded offset for sid
-        // still < h, checked against the claimed state snapshot) makes a
-        // replayed or racing pull a no-op instead of a double-ingest
-        else if (target.appendExactlyOnce(delta, sid, h)) n
+        // compare-and-set commit: lands IFF the recorded offset still
+        // equals the `lo` this window was read against. A monotone
+        // (`< h`) guard would let two overlapping concurrent pulls both
+        // land — (w, h1] then (w, h2] with h2 > h1 double-ingests
+        // (w, h1]. Equality makes the loser a clean no-op.
+        else if (target.appendIfOffsetIs(delta, sid, last, h)) n
         else 0L // lost the race: another pull landed this window
     }
   }

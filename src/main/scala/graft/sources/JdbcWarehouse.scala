@@ -68,6 +68,11 @@ final class JdbcWarehouse(spark: SparkSession, profile: JdbcProfile) {
     profile.schema.map(s => s"${dialect.quoteIdentifier(s)}.$q").getOrElse(q)
   }
 
+  /** Quoted column identifier for server-side SQL built outside this
+    * class (e.g. [[JdbcIngest]]'s window-count probe).
+    */
+  def quoteCol(column: String): String = dialect.quoteIdentifier(column)
+
   private def baseOptions: Map[String, String] =
     Map("url" -> profile.url, "fetchsize" -> profile.fetchSize.toString) ++
       profile.user.map("user" -> _) ++
@@ -158,20 +163,24 @@ final class JdbcWarehouse(spark: SparkSession, profile: JdbcProfile) {
     // mapping (Derby: CLOB) and LOB columns break server-side MERGE
     execute(s"CREATE TABLE ${qualify(stage)} AS SELECT * FROM " +
       s"${qualify(table)} WITH NO DATA")
-    writeTable(df, stage, SaveMode.Append)
-    val cols = df.schema.fieldNames.toSeq
-    val nonKey = cols.filterNot(keyCols.contains)
-    val q = (c: String) => dialect.quoteIdentifier(c)
-    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val set = nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
-    val ins = cols.map(q).mkString(", ")
-    val vals = cols.map(c => s"s.${q(c)}").mkString(", ")
-    val matched = if (nonKey.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set " else ""
-    try execute(
-      s"""MERGE INTO ${qualify(table)} t USING ${qualify(stage)} s
-         |ON $on
-         |${matched}WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin)
-    finally dropTable(stage)
+    // everything after stage creation is under the finally: a failed
+    // stage LOAD (connection loss, constraint violation) must not leave
+    // an orphan _stg_ table behind any more than a failed MERGE
+    try {
+      writeTable(df, stage, SaveMode.Append)
+      val cols = df.schema.fieldNames.toSeq
+      val nonKey = cols.filterNot(keyCols.contains)
+      val q = (c: String) => dialect.quoteIdentifier(c)
+      val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val set = nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val ins = cols.map(q).mkString(", ")
+      val vals = cols.map(c => s"s.${q(c)}").mkString(", ")
+      val matched = if (nonKey.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set " else ""
+      execute(
+        s"""MERGE INTO ${qualify(table)} t USING ${qualify(stage)} s
+           |ON $on
+           |${matched}WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin)
+    } finally dropTable(stage)
   }
 
   /** Run one server-side statement (DDL, MERGE, DELETE …). */

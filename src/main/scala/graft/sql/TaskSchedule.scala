@@ -40,9 +40,10 @@ final case class CronSchedule(minutes: Set[Int], hours: Set[Int],
     val domOk = dom.contains(d.getDayOfMonth)
     // java.time: MONDAY=1..SUNDAY=7 — cron wants SUNDAY=0
     val dowOk = dow.contains(d.getDayOfWeek.getValue % 7)
-    if (domStar && dowStar) true
-    else if (domStar) dowOk
-    else if (dowStar) domOk
+    // Vixie cron: the star flags only select AND-vs-OR; the value sets
+    // are ALWAYS consulted — '*/2' in dom keeps its star flag (AND with
+    // dow) but still restricts to its own bitmap {1,3,…}
+    if (domStar || dowStar) domOk && dowOk
     else domOk || dowOk // both restricted: classic cron OR
   }
 

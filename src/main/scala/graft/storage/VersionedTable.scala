@@ -537,6 +537,22 @@ final class VersionedTable(spark: SparkSession, val root: String,
       guard = st =>
         st.forall(_.offsets.getOrElse(streamId, -1L) < batchId)) >= 0
 
+  /** Compare-and-set append for watermark-window ingests: lands `df` IFF
+    * the recorded offset for `streamId` still EQUALS `expected` — the
+    * value the caller read its delta window against. Stricter than
+    * [[appendExactlyOnce]]'s monotone `< new` guard, which admits a race
+    * where pull A (window (w, h1]) commits between pull B's read of w and
+    * B's commit of (w, h2], h2 > h1 — B's guard would pass and rows
+    * (w, h1] would land twice. Equality makes the overlapping loser a
+    * no-op; it re-pulls against the fresh offset. Returns false when
+    * skipped.
+    */
+  def appendIfOffsetIs(df: DataFrame, streamId: String,
+                       expected: Option[Long], newOffset: Long): Boolean =
+    commit(df, Commit.Append, Map(streamId -> newOffset),
+      guard = st =>
+        st.map(_.offsets.get(streamId)).getOrElse(None) == expected) >= 0
+
   /** Replace ONLY the partitions present in `df` (replaceWhere semantics):
     * rows of earlier commits whose `partitionCol` value appears in `df` are
     * shadowed; everything else is untouched — no data dir is rewritten.

@@ -385,6 +385,23 @@ class StorageSpec extends AnyFunSuite {
     assert(t.offsets("S") == 7L)
   }
 
+  test("appendIfOffsetIs: CAS on the watermark — overlapping-window race loses cleanly") {
+    val t = VersionedTable(spark, tmp() + "/cas")
+    // first pull: no offset yet, expected None
+    assert(t.appendIfOffsetIs(Seq((1, "a")).toDF("k", "v"), "F", None, 10L))
+    assert(t.offsets("F") == 10L)
+    // the race: pull B read its window against offset 10, but pull A
+    // landed (10, 20] first — B's expected Some(10) no longer holds after
+    // A advances to 20, so B must be a no-op (the monotone `< h` guard
+    // would have let B's (10, 25] window double-land rows 11-20)
+    assert(t.appendIfOffsetIs(Seq((2, "b")).toDF("k", "v"), "F", Some(10L), 20L))
+    assert(!t.appendIfOffsetIs(Seq((3, "c")).toDF("k", "v"), "F", Some(10L), 25L))
+    assert(t.offsets("F") == 20L && t.read.count() == 2)
+    // the loser re-pulls against the fresh offset and lands
+    assert(t.appendIfOffsetIs(Seq((3, "c")).toDF("k", "v"), "F", Some(20L), 25L))
+    assert(t.offsets("F") == 25L && t.read.count() == 3)
+  }
+
   test("commit claim is atomic: double-create of a version file fails; losers don't corrupt") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("vt_conflict").toString

@@ -131,6 +131,18 @@ class TaskScheduleSpec extends AnyFunSuite {
     assert(latest(r, "2026-02-20T12:00:00Z").contains("2026-02-20T10:00:00Z"))
   }
 
+  test("'*/2' in dom still restricts: star flag picks AND-vs-OR, never skips the bitmap") {
+    // every-other-day means odd days ({1,3,…,31}); the star PREFIX only
+    // decides the dom/dow combination rule, it must not disable the set
+    val s = "USING CRON 0 0 */2 * * UTC"
+    assert(latest(s, "2026-01-04T12:00:00Z").contains("2026-01-03T00:00:00Z"))
+    assert(latest(s, "2026-01-03T12:00:00Z").contains("2026-01-03T00:00:00Z"))
+    // dom '*/2' AND dow restricted: both sets must hold (Vixie AND path)
+    // 2026-01-05 is an odd-day Monday; 2026-01-12 is an even-day Monday
+    val t = "USING CRON 0 0 */2 * 1 UTC"
+    assert(latest(t, "2026-01-13T12:00:00Z").contains("2026-01-05T00:00:00Z"))
+  }
+
   test("property: day-walk search equals brute-force minute scan (100 random specs)") {
     // the day-walk is an optimization; a minute-by-minute scan over a
     // bounded window is the trivially-correct spec. Seeded, reproducible.
@@ -148,10 +160,11 @@ class TaskScheduleSpec extends AnyFunSuite {
       val z = t.atZone(java.time.ZoneId.of("UTC"))
       val domOk = c.dom.contains(z.getDayOfMonth)
       val dowOk = c.dow.contains(z.getDayOfWeek.getValue % 7)
+      // Vixie: star flags pick AND-vs-OR, bitmaps are always consulted
+      // (so '*/2' in dom restricts even though its star flag is set)
       c.minutes.contains(z.getMinute) && c.hours.contains(z.getHour) &&
         c.months.contains(z.getMonthValue) &&
-        ((c.domStar && c.dowStar) || (if (c.domStar) dowOk
-          else if (c.dowStar) domOk else domOk || dowOk))
+        (if (c.domStar || c.dowStar) domOk && dowOk else domOk || dowOk)
     }
     val t0 = Instant.parse("2026-02-26T00:00:00Z") // window spans Feb->Mar
     (1 to 100).foreach { i =>
