@@ -44,15 +44,18 @@ object Dedup {
     }
   }
 
-  /** Normalized word shingles of size k (distinct, order-insensitive set). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    array_distinct(
-      when(size(toks) < k, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
-  }
+  /** Normalized word shingles of size k (distinct, order-insensitive
+    * set). r9: a fused codegen kernel — output byte-identical (incl.
+    * first-occurrence order) to the declarative formulation
+    * `array_distinct(when(size(toks) < k, array(concat_ws(" ", toks)))
+    * .otherwise(transform(sequence(1, size-(k-1)), i => concat_ws(" ",
+    * slice(toks, i, k)))))` over `toks = split(lower(trim(text)),
+    * "\s+")`, which churned intermediate arrays per row and dominated
+    * the exact-rescore dedup family's runtime (DedupSpec pins the
+    * equivalence property-style).
+    */
+  def shingles(text: Column, k: Int): Column =
+    graft.plans.expressions.shingleSet(text, k)
 
   /** k-wise MinHash signature of a shingle set — a single-pass custom
     * expression (each shingle string-hashed once, k derived mixes), not

@@ -25,6 +25,46 @@ object ExprKernels {
     * semantics match [[trigramStats]]/`wordNgrams`:
     * `split(lower(trim(text)), "\s+")` at limit -1.
     */
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Distinct word k-shingles of a document in ONE pass — the kernel
+    * behind [[graft.operators.Dedup.shingles]]. Output is byte-identical
+    * to the declarative formulation `array_distinct(transform(sequence(…),
+    * i => concat_ws(" ", slice(split(lower(trim(s)), "\s+"), i, k))))` —
+    * including the shorter-than-k whole-token-sequence shingle, empty
+    * tokens from Java split-at-limit-(-1) semantics, and array_distinct's
+    * first-occurrence order (DedupSpec pins the equivalence on random
+    * corpora). Exists because the declarative chain materializes and
+    * churns intermediate arrays per row — measured 5× slower than this
+    * single scan at bench scale, as the dominant cost of the exact-rescore
+    * dedup family.
+    */
+  def shingleSet(u: UTF8String, k: Int): ArrayData = {
+    val toks = WS.split(u.trim.toLowerCase.toString, -1)
+    val out = new java.util.LinkedHashSet[String]
+    val m = toks.length
+    if (m < k) out.add(String.join(" ", toks: _*))
+    else {
+      val sb = new java.lang.StringBuilder(64)
+      var w = 0
+      while (w + k <= m) {
+        sb.setLength(0)
+        var t = w
+        while (t < w + k) {
+          if (t > w) sb.append(' ')
+          sb.append(toks(t)); t += 1
+        }
+        out.add(sb.toString)
+        w += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    var i = 0
+    val it = out.iterator()
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   def ngramHashes(u: UTF8String, n: Int): ArrayData = {
     val toks = u.trim.toLowerCase.toString.split("\\s+", -1)
     val m = toks.length - (n - 1)

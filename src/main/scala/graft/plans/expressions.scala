@@ -287,6 +287,21 @@ object expressions {
     override def prettyName: String = "minhash_text"
   }
 
+  /** Distinct word k-shingles in one scan — byte-identical to the
+    * declarative split/transform/slice/concat_ws/array_distinct chain it
+    * replaces (see [[ExprKernels.shingleSet]]).
+    */
+  case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.shingleSet(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.shingleSet($c, $k)")
+    override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+    override def prettyName: String = "shingle_set"
+  }
+
   /** Fraction of equal components between two equal-length signature arrays
     * — the unbiased MinHash estimate of Jaccard similarity.
     */
@@ -443,6 +458,7 @@ object expressions {
   def ngramHashes(c: Column, n: Int): Column = col(NgramHashes(ex(c), n))
   def md5SimHash60(c: Column): Column = col(Md5SimHash60(ex(c)))
   def minhashSig(c: Column, k: Int): Column = col(MinHashSig(ex(c), k))
+  def shingleSet(c: Column, k: Int): Column = col(ShingleSet(ex(c), k))
   def minhashText(c: Column, shingleSize: Int, k: Int): Column =
     col(MinHashText(ex(c), shingleSize, k))
   def sigAgreement(a: Column, b: Column): Column = col(SigAgreement(ex(a), ex(b)))

@@ -151,6 +151,37 @@ class DedupSpec extends AnyFunSuite {
     assert(surv == (0 until 6).map(_ * 1000L), surv.toString)
   }
 
+  test("property: shingleSet kernel is byte-identical to the declarative formulation") {
+    import spark.implicits._
+    // the r9 fused kernel must reproduce split/transform/slice/concat_ws/
+    // array_distinct EXACTLY — element order included — on adversarial
+    // whitespace (tabs/newlines Spark trim does NOT strip, leading/
+    // trailing runs producing empty tokens, repeats, short docs, unicode)
+    def declarative(text: org.apache.spark.sql.Column, k: Int) = {
+      val toks = split(lower(trim(text)), "\\s+")
+      array_distinct(
+        when(size(toks) < k, array(concat_ws(" ", toks)))
+          .otherwise(transform(
+            sequence(lit(1), size(toks) - (k - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(k))))))
+    }
+    val rnd = new scala.util.Random(7)
+    val glyphs = Seq("a", "B", "wort", "ÄÖü", "汉字", "x1", ".", "", "\t", "\n")
+    val fixed = Seq("", " ", "\t", "a", "a b", " a\tb  c\nd ", "a a a a",
+      "one two three four five", "v tab", "Ü Ä ẞ")
+    val random = (1 to 60).map(_ =>
+      (1 to rnd.nextInt(12)).map(_ => glyphs(rnd.nextInt(glyphs.size)))
+        .mkString(Seq(" ", "  ", "\t", "\n")(rnd.nextInt(4))))
+    val df = (fixed ++ random).toDF("text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val both = df.select(
+        Dedup.shingles(col("text"), k).as("kernel"),
+        declarative(col("text"), k).as("sql"))
+      val bad = both.filter(not(col("kernel") === col("sql"))).count()
+      assert(bad == 0L, s"k=$k: $bad rows differ")
+    }
+  }
+
   test("property: subdivision matches the uncapped path on random hot-cluster corpora") {
     import spark.implicits._
     // VERDICT r8 #8: across random corpora whose TRUE near-dup clusters
