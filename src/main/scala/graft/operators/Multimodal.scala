@@ -467,7 +467,133 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("meta", mediaMetaType)))
 
-  /** ======== STUB ======== deterministic fake codec for audio/video (no
+  /** VP9-in-IVF keyframe DETECTION — container + uncompressed-header
+    * parse only, no entropy decode (VP9 pixel reconstruction needs the
+    * full arithmetic decoder and is out of scope; pixels stay with
+    * [[StubCodec]], honesty matrix in README).
+    *
+    * IVF layout (libvpx's raw-stream container): 32-byte file header
+    * `DKIF` + version/u16 + hdrlen/u16 + fourcc + width/u16 + height/u16
+    * + timebase + frame count, then per frame a 12-byte header
+    * (size/u32-LE, pts/u64-LE) and the raw VP9 frame. Per frame the VP9
+    * UNCOMPRESSED header start (VP9 bitstream spec §6.2, MSB-first):
+    * frame_marker(2)=0b10, profile_low(1), profile_high(1)
+    * [+reserved(1) if profile==3], show_existing_frame(1) [+map_idx(3),
+    * stop], frame_type(1) (0=KEY), show_frame(1), error_resilient(1);
+    * keyframes then carry frame_sync_code 0x49 0x83 0x42, the
+    * color_config (bit_depth for profile≥2, color_space(3),
+    * color_range(1) when not CS_RGB, explicit subsampling for
+    * profile 1/3), and frame_size_minus_1 as two 16-bit fields.
+    */
+  object Vp9IvfCodec {
+    private final class BitReader(b: Array[Byte], var pos: Int) {
+      var bit = 0
+      def read(n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) {
+          if (pos >= b.length) throw new IllegalStateException("eof")
+          v = (v << 1) | ((b(pos) >> (7 - bit)) & 1)
+          bit += 1
+          if (bit == 8) { bit = 0; pos += 1 }
+          i += 1
+        }
+        v
+      }
+    }
+
+    private def u16le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def u32le(b: Array[Byte], o: Int): Long =
+      (u16le(b, o).toLong) | (u16le(b, o + 2).toLong << 16)
+
+    /** (frame_no, is_keyframe, width, height, frame payload) per frame;
+      * None when the payload is not VP9-in-IVF. Width/height are the
+      * keyframe header's own frame_size (authoritative, may differ from
+      * the container's); non-keyframes report the container dimensions.
+      * A frame whose header fails to parse is reported as non-key with
+      * container dims — a corrupt frame must flag, not throw.
+      */
+    def frameInfo(payload: Array[Byte])
+        : Option[Seq[(Int, Boolean, Int, Int, Array[Byte])]] = {
+      if (payload == null || payload.length < 44) return None
+      if (!(payload(0) == 'D' && payload(1) == 'K' && payload(2) == 'I' &&
+            payload(3) == 'F')) return None
+      val fourcc = new String(payload.slice(8, 12), "US-ASCII")
+      if (fourcc != "VP90") return None
+      val hdrLen = u16le(payload, 6)
+      val cw = u16le(payload, 12)
+      val ch = u16le(payload, 14)
+      val out = Seq.newBuilder[(Int, Boolean, Int, Int, Array[Byte])]
+      var off = hdrLen
+      var no = 0
+      while (off + 12 <= payload.length) {
+        val sz = u32le(payload, off).toInt
+        val fo = off + 12
+        if (sz <= 0 || fo + sz > payload.length) return Some(out.result())
+        val frame = java.util.Arrays.copyOfRange(payload, fo, fo + sz)
+        val info =
+          try {
+            val r = new BitReader(frame, 0)
+            require(r.read(2) == 2, "frame_marker")
+            val profile = r.read(1) | (r.read(1) << 1)
+            if (profile == 3) r.read(1)
+            if (r.read(1) == 1) None // show_existing_frame: no new frame
+            else {
+              val frameType = r.read(1) // 0 = KEY
+              r.read(1) // show_frame
+              r.read(1) // error_resilient
+              if (frameType == 0) {
+                require(r.read(8) == 0x49 && r.read(8) == 0x83 &&
+                  r.read(8) == 0x42, "sync code")
+                if (profile >= 2) r.read(1) // 10/12 bit
+                val colorSpace = r.read(3)
+                if (colorSpace != 7) { // != CS_RGB
+                  r.read(1) // color_range
+                  if (profile == 1 || profile == 3) r.read(3)
+                } else if (profile == 1 || profile == 3) r.read(1)
+                val w = r.read(16) + 1
+                val h = r.read(16) + 1
+                Some((true, w, h))
+              } else Some((false, cw, ch))
+            }
+          } catch { case _: Exception => Some((false, cw, ch)) }
+        info.foreach { case (k, w, h) => out += ((no, k, w, h, frame)) }
+        no += 1
+        off = fo + sz
+      }
+      val r = out.result()
+      if (r.isEmpty) None else Some(r)
+    }
+  }
+
+  /** VP9 keyframe selection over IVF payloads: one output row per
+    * KEYFRAME — original columns + (frame_no, width, height,
+    * frame bytes). Detection is a real header parse
+    * ([[Vp9IvfCodec]]); the frame payload itself stays entropy-coded
+    * (no pixel decode — see the README honesty matrix). Partition-local
+    * flatMap, no shuffle.
+    */
+  def vp9Keyframes(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_no", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Vp9IvfCodec.frameInfo(r.getAs[Array[Byte]](idx))
+          .getOrElse(Seq.empty)
+          .collect { case (no, true, w, h, frame) =>
+            Row.fromSeq(r.toSeq ++ Seq(no, w, h, frame))
+          }
+      }
+    }(enc)
+  }
+
+  /** Deterministic fake decode for entropy-coded payloads (no real
     * codecs in this environment) and for image payloads ImageIO cannot
     * parse; outputs are pure functions of the input bytes so tests are
     * reproducible.

@@ -487,4 +487,100 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.perceptualHash64(withNull, "payload")
       .filter(col("phash").isNull).count() == 1L)
   }
+
+  // ---- VP9-in-IVF keyframe detection --------------------------------
+
+  /** Independent MSB-first bit writer (the codec under test has its own
+    * reader — fixture and parser share no code).
+    */
+  private final class BitW {
+    private val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0; private var nbits = 0
+    def put(v: Int, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1); nbits += 1
+        if (nbits == 8) { bytes += cur.toByte; cur = 0; nbits = 0 }
+        i -= 1
+      }
+      this
+    }
+    def result(): Array[Byte] = {
+      val out = bytes.clone()
+      if (nbits > 0) out += (cur << (8 - nbits)).toByte
+      out.toArray
+    }
+  }
+
+  /** VP9 uncompressed-header prefix per spec §6.2 (profile 0 unless
+    * stated), padded with trailer bytes standing in for the compressed
+    * payload the parser must never touch.
+    */
+  private def vp9Frame(key: Boolean, w: Int = 0, h: Int = 0,
+                       profile: Int = 0): Array[Byte] = {
+    val b = new BitW
+    b.put(2, 2)                                     // frame_marker
+    b.put(profile & 1, 1).put((profile >> 1) & 1, 1)
+    if (profile == 3) b.put(0, 1)
+    b.put(0, 1)                                     // show_existing_frame
+    b.put(if (key) 0 else 1, 1)                     // frame_type
+    b.put(1, 1)                                     // show_frame
+    b.put(0, 1)                                     // error_resilient
+    if (key) {
+      b.put(0x49, 8).put(0x83, 8).put(0x42, 8)      // sync code
+      if (profile >= 2) b.put(0, 1)                 // ten_or_twelve_bit
+      b.put(2, 3)                                   // color_space = BT.601
+      b.put(0, 1)                                   // color_range
+      if (profile == 1 || profile == 3) b.put(0, 3)
+      b.put(w - 1, 16).put(h - 1, 16)
+    }
+    b.result() ++ Array.fill(20)(0x5A.toByte)
+  }
+
+  private def ivf(frames: Seq[Array[Byte]], cw: Int, ch: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(32 + frames.map(_.length + 12).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("DKIF".getBytes).putShort(0).putShort(32)
+      .put("VP90".getBytes).putShort(cw.toShort).putShort(ch.toShort)
+      .putInt(30).putInt(1).putInt(frames.size).putInt(0)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      bb.putInt(f.length).putLong(i.toLong).put(f)
+    }
+    bb.array()
+  }
+
+  test("VP9/IVF: keyframes detected from the uncompressed header, dims from the frame") {
+    // keyframe carries 64x48 in its OWN header while the container says
+    // 320x240 — detection must read the frame, not the container
+    val payload = ivf(Seq(
+      vp9Frame(key = true, 64, 48),
+      vp9Frame(key = false),
+      vp9Frame(key = false),
+      vp9Frame(key = true, 128, 96, profile = 2)), 320, 240)
+    val info = Multimodal.Vp9IvfCodec.frameInfo(payload).get
+    assert(info.map(f => (f._1, f._2, f._3, f._4)) == Seq(
+      (0, true, 64, 48), (1, false, 320, 240),
+      (2, false, 320, 240), (3, true, 128, 96)))
+    // operator surface: keyframe rows only, partition-local
+    val df = Seq((1L, payload)).toDF("media_id", "payload")
+    val kf = Multimodal.vp9Keyframes(df, "payload")
+      .select("media_id", "frame_no", "width", "height").collect()
+    assert(kf.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 64, 48), (3, 128, 96)))
+  }
+
+  test("VP9/IVF: non-IVF and corrupt payloads flag instead of throwing") {
+    assert(Multimodal.Vp9IvfCodec.frameInfo("not a container".getBytes).isEmpty)
+    assert(Multimodal.Vp9IvfCodec.frameInfo(null).isEmpty)
+    // a frame whose header is garbage reports as non-key, never throws
+    val bad = ivf(Seq(Array[Byte](0, 0, 0, 0)), 320, 240)
+    val info = Multimodal.Vp9IvfCodec.frameInfo(bad).get
+    assert(info.map(f => (f._1, f._2)) == Seq((0, false)))
+    // a truncated last frame is dropped, earlier frames survive
+    val trunc = ivf(Seq(vp9Frame(key = true, 64, 48)), 320, 240)
+      .dropRight(5)
+    val ti = Multimodal.Vp9IvfCodec.frameInfo(trunc)
+    assert(ti.isEmpty || ti.get.forall(_._1 == 0))
+  }
 }
