@@ -396,6 +396,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q55 bm25: per-doc term counting — no corpus-token explode-then-filter") {
+    // the r9 rewrite counts each query term inside the scan projection;
+    // the regression it guards against is exploding EVERY token of every
+    // document and filtering with `_term IN (…)` afterwards — a
+    // corpus-token-sized (~200× docs) relation feeding the first shuffle
+    val p = planOf("q55_bm25")
+    assert(!p.contains(" IN ("), p.split("\n").filter(_.contains(" IN (")).mkString)
+    // every Generate is the |terms|-wide per-doc array, never raw tokens
+    val gens = p.split("\n").filter(_.contains("Generate"))
+    assert(gens.nonEmpty && gens.forall(_.contains("explode(array(struct")), gens.mkString("\n"))
+  }
+
+  test("windowed LSH candidates keep the same subdivision skew contract") {
+    import org.apache.spark.sql.functions._
+    // q114's operator is eager (localCheckpoint), so its candidate plan is
+    // asserted through the lazy candidates-only front end it shares
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("w", expr("doc_id div 50"))
+    val p = graft.operators.Dedup
+      .minhashPairsWindowed(docs, "text", "doc_id", "w", threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // sub-bucket top-cap as map-side WindowGroupLimit; bucket sizing as a
+    // groupBy pre-aggregate, never an unbounded count-over-bucket window
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    // the only window is the rank-limit; bucket sizing must stay a
+    // groupBy pre-aggregate, never count().over(partitionBy(bucket…))
+    assert(!p.contains("count(1) windowspecdefinition"), "unbounded bucket count window leaked")
+  }
+
   test("kmv sketch build: rank filter runs as WindowGroupLimit before the shuffle") {
     import org.apache.spark.sql.functions._
     val ev = Tables(spark, dir, "events")
