@@ -2701,6 +2701,62 @@ object Queries {
           % 1000000007L).as("red_checksum"))
   }
 
+  private val q121Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** TIMESTAMP-watermarked incremental JDBC ingestion — the reference's
+    * actual watermark shape (loading_data_sp/function.py:41-52 keys its
+    * high-watermark on `MAX(TO_DATE(...))`, not an integer). Orders land
+    * in Derby in two date-ranged batches; each pull's delta window is a
+    * timestamp range pushed into the remote scan, the offset stores the
+    * epoch-micros encoding, and a third pull is a no-op. Oracle: the
+    * aggregate over the whole parquet table.
+    */
+  def q121JdbcTsIngest(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val root = q121Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q121_ingest").toString
+      val wh = new sources.JdbcWarehouse(s, sources.JdbcProfile(
+        url = s"jdbc:derby:memory:graft_q121_${math.abs(dir.hashCode)};create=true",
+        driver = Some("org.apache.derby.jdbc.EmbeddedDriver")))
+      wh.dropTable("orders")
+      val target = storage.VersionedTable(s, s"$r/t")
+      // split at the midpoint of the date range: batch 2 is strictly
+      // above every batch-1 timestamp, so pull 2's window is exactly it.
+      // o_orderdate is parquet timestamp-without-zone → TIMESTAMP_NTZ in
+      // Spark 4 (LocalDateTime rows); handle the LTZ shape too.
+      val mm = ord.agg(min(col("o_orderdate")), max(col("o_orderdate"))).head
+      val cutTs: Any = mm.get(0) match {
+        case a: java.time.LocalDateTime =>
+          val b = mm.getAs[java.time.LocalDateTime](1)
+          a.plusSeconds(java.time.Duration.between(a, b).getSeconds / 2)
+        case _ => new java.sql.Timestamp(
+          (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+      }
+      val batch1 = ord.filter(col("o_orderdate") <= lit(cutTs))
+      val batch2 = ord.filter(col("o_orderdate") > lit(cutTs))
+      wh.writeTable(batch1, "orders", org.apache.spark.sql.SaveMode.Overwrite,
+        columnTypes = Some("o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32)"))
+      val n1 = sources.JdbcIngest.pull(wh, "orders", "o_orderdate", target, parts = 2)
+      wh.writeTable(batch2, "orders", org.apache.spark.sql.SaveMode.Append)
+      val n2 = sources.JdbcIngest.pull(wh, "orders", "o_orderdate", target, parts = 2)
+      val n3 = sources.JdbcIngest.pull(wh, "orders", "o_orderdate", target)
+      require(n1 > 0 && n2 > 0 && n3 == 0 && n1 + n2 == ord.count(),
+        s"timestamp-watermark delta contract violated: $n1 + $n2 (+$n3)")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    storage.VersionedTable(s, s"$root/t").read
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderdate")).as("last_order"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2821,7 +2877,8 @@ object Queries {
     "q117_jdbc_ingest" -> (q117JdbcIngest _),
     "q118_orc_roundtrip" -> (q118OrcRoundtrip _),
     "q119_sharded_export" -> (q119ShardedExport _),
-    "q120_redact_pii" -> (q120RedactPii _)
+    "q120_redact_pii" -> (q120RedactPii _),
+    "q121_jdbc_ts_ingest" -> (q121JdbcTsIngest _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4501,7 +4558,7 @@ object Queries {
         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
         |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
-        |           % 1000000007) AS BIGINT) AS checksum
+        |           % 1000000007) % 1000000007 AS BIGINT) AS checksum
         |FROM s GROUP BY shard""".stripMargin,
     // identical injected-PII construction + the same 3-pattern replace
     // chain (global flag); checksum pins exact redacted-string equality
@@ -4528,6 +4585,12 @@ object Queries {
         |  CAST(SUM(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)
         |           % 1000000007) AS BIGINT) AS red_checksum
         |FROM aug GROUP BY lang""".stripMargin,
+    // two timestamp-watermark-windowed pulls reassemble the table exactly
+    "q121_jdbc_ts_ingest" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  MAX(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->

@@ -37,6 +37,11 @@ object Export {
 
   /** Per-shard manifest of a relation that already carries `shard`:
     * (shard, n_rows, n_chars, checksum), checksum order-independent.
+    * The checksum is a true sum-mod-prime: per-row terms reduce mod the
+    * prime, the running sum accumulates in DECIMAL(38,0) (exact to 10^29
+    * rows — a Long sum of ~1e9-sized terms would wrap at ~9e9 rows per
+    * shard, inside the 100 TB design envelope), and the final value
+    * reduces again. Exact, order-independent, ANSI-reproducible.
     */
   private def manifestOf(sharded: DataFrame, payloadCol: String): DataFrame =
     // shard cast: partition-directory read-back infers int, the write
@@ -44,8 +49,10 @@ object Export {
     sharded.groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         sum(length(col(payloadCol)).cast("long")).as("n_chars"),
-        sum(conv(substring(md5(col(payloadCol)), 1, 15), 16, 10)
-          .cast("long") % ChecksumPrime).as("checksum"))
+        (sum((conv(substring(md5(col(payloadCol)), 1, 15), 16, 10)
+            .cast("long") % ChecksumPrime)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % ChecksumPrime).cast("long").as("checksum"))
 
   /** Export `df` as `nShards` shard directories under `outDir`
     * (`shard=K/` parquet, one writer partition per shard) and return the

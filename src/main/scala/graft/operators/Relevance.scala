@@ -54,9 +54,12 @@ object Relevance {
     // corpus-token-sized relation (~200× the doc count) just to discard
     // all but the query terms; counting each term with an array filter
     // keeps the relation doc-sized, and the explode that follows is
-    // |terms|-wide per doc — measured 4× on the q55 shape. Same
-    // (id, dl, term, tf>0) rows as the explode formulation.
-    val perTerm = array(queryTerms.map(q =>
+    // |terms|-wide per doc — measured 4× on the q55 shape. Duplicate
+    // query terms are treated as a set (.distinct below): emitting one
+    // struct per input element would double-count df (negative idf) and
+    // score; the explode+groupBy formulation and IncrementalRelevance
+    // both collapse duplicates, and this matches them.
+    val perTerm = array(queryTerms.distinct.map(q =>
       struct(lit(q).as("_term"),
         size(filter(col("_toks"), x => x === lit(q))).cast("long").as("_tf"))): _*)
     val tf = docs

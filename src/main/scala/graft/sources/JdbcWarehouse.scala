@@ -97,10 +97,21 @@ final class JdbcWarehouse(spark: SparkSession, profile: JdbcProfile) {
     */
   def readTablePartitioned(table: String, column: String,
                            lower: Long, upper: Long, parts: Int): DataFrame =
+    readTablePartitioned(table, column, lower.toString, upper.toString, parts)
+
+  /** String-bound variant: Spark's JDBC partitioner accepts date
+    * (`2020-01-01`) and timestamp (`2020-01-01 12:34:56.123456`) bounds
+    * when `column` is of that type — this is how a date-watermarked
+    * incremental pull fans out. Bounds only set the partition stride;
+    * rows outside them still land in the edge partitions, so correctness
+    * never depends on them.
+    */
+  def readTablePartitioned(table: String, column: String,
+                           lower: String, upper: String, parts: Int): DataFrame =
     reader.option("dbtable", qualify(table))
       .option("partitionColumn", column)
-      .option("lowerBound", lower.toString)
-      .option("upperBound", upper.toString)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
       .option("numPartitions", parts.toString)
       .load()
 

@@ -55,6 +55,14 @@ class ExportSpec extends AnyFunSuite {
     assert(v != m && v.size == 3)
   }
 
+  test("manifest checksum is a true sum-mod-prime (reduced, overflow-safe)") {
+    // one shard of 500 rows: an UNREDUCED sum of ~5e8-sized terms would be
+    // ~2.5e11 >> the prime, so < prime pins the aggregate-level reduction
+    val out = java.nio.file.Files.createTempDirectory("exp6").toString
+    val m = Export.shardedExport(corpus, "doc_id", "text", 7L, 1, out).collect()
+    assert(m.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 1000000007L))
+  }
+
   test("a shard's files are written by one partition (no small files)") {
     val out = java.nio.file.Files.createTempDirectory("exp5").toString
     Export.shardedExport(corpus.repartition(32), "doc_id", "text", 7L, 4, out)

@@ -73,6 +73,60 @@ class JdbcIngestSpec extends AnyFunSuite {
     assert(t.read.agg(sum("id")).as[Long].head() == (0L to 400L).sum)
   }
 
+  test("first pull with parts>1 fans out via a server-side MIN lower bound") {
+    val wh = freshWh(); val t = freshTarget()
+    wh.writeTable(rows(0, 399), "src", SaveMode.Overwrite)
+    assert(JdbcIngest.pull(wh, "src", "id", t, parts = 4) == 400L)
+    assert(t.read.count() == 400)
+    assert(t.offsets(JdbcIngest.streamId("src", "id")) == 399L)
+  }
+
+  test("DATE watermark: delta pulls, epoch-day offset encoding, replay no-op") {
+    val wh = freshWh(); val t = freshTarget()
+    def days(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i)), s"d$i")).toDF("d", "name")
+    wh.writeTable(days(0, 9), "src_d", SaveMode.Overwrite)
+    assert(JdbcIngest.pull(wh, "src_d", "d", t) == 10L)
+    val expect0 = java.time.LocalDate.of(2020, 1, 10).toEpochDay
+    assert(t.offsets(JdbcIngest.streamId("src_d", "d")) == expect0)
+    // replay: nothing new
+    assert(JdbcIngest.pull(wh, "src_d", "d", t) == 0L)
+    // growth: only the new dates transfer; partitioned pull agrees
+    wh.writeTable(days(10, 39), "src_d", SaveMode.Append)
+    assert(JdbcIngest.pull(wh, "src_d", "d", t, parts = 3) == 30L)
+    assert(t.read.count() == 40)
+    assert(t.read.select(max(col("d"))).head().getDate(0).toLocalDate ==
+      java.time.LocalDate.of(2020, 2, 9))
+  }
+
+  test("TIMESTAMP watermark: epoch-micros encoding, sub-second boundaries exact") {
+    val wh = freshWh(); val t = freshTarget()
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val first = Seq((ts(1000L), "a"), (ts(2500L), "b"), (ts(2501L), "c"))
+      .toDF("at", "name")
+    wh.writeTable(first, "src_t", SaveMode.Overwrite)
+    assert(JdbcIngest.pull(wh, "src_t", "at", t) == 3L)
+    assert(t.offsets(JdbcIngest.streamId("src_t", "at")) == 2501000L) // micros
+    // a 1ms-later row is strictly above the watermark; an equal one is not
+    wh.writeTable(Seq((ts(2501L), "dup"), (ts(2502L), "d")).toDF("at", "name"),
+      "src_t", SaveMode.Append)
+    assert(JdbcIngest.pull(wh, "src_t", "at", t) == 1L)
+    assert(t.read.count() == 4)
+    assert(!t.read.select("name").as[String].collect().contains("dup"))
+  }
+
+  test("non-orderable watermark type fails loud") {
+    val wh = freshWh(); val t = freshTarget()
+    wh.writeTable(Seq(("x", 1L)).toDF("s", "v"), "src_s", SaveMode.Overwrite,
+      columnTypes = Some("s VARCHAR(16)")) // Derby's CLOB default can't MAX
+    val e = intercept[Exception](JdbcIngest.pull(wh, "src_s", "s", t))
+    // Spark may wrap the codec error; the root message must be ours
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("unsupported watermark type")), e)
+  }
+
   test("watermark predicate reaches the remote scan in the delta read") {
     val wh = freshWh()
     wh.writeTable(rows(0, 50), "src", SaveMode.Overwrite)

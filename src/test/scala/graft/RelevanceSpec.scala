@@ -40,6 +40,17 @@ class RelevanceSpec extends AnyFunSuite {
     assert(hits(1L) == 2L && hits(2L) == 1L)
   }
 
+  test("bm25: duplicate query terms are treated as a set (no df double-count)") {
+    // repeated term once doubled df past N -> negative idf; pin set semantics
+    val dup = Relevance.bm25(corpus, "text", "doc_id", Seq("spark", "spark", "gardens"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val set = Relevance.bm25(corpus, "text", "doc_id", Seq("spark", "gardens"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(dup == set)
+    assert(dup.values.forall(_._1 > 0)) // no negative-idf scores
+    assert(dup(1L)._2 == 1L) // n_terms_hit counts distinct terms
+  }
+
   test("tfidf matches the manual formula; minDf prunes rare terms") {
     val docs = Seq(
       (1L, "a a b"), (2L, "a c"), (3L, "a d")
