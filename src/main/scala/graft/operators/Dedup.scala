@@ -372,30 +372,32 @@ object Dedup {
     * candidates rescored with true shingle Jaccard — all |Δw| ≤ 1 pairs
     * at `jaccard >= threshold`, exactly (the LSH front end only prunes,
     * never decides). Same persist/semi-join economics as
-    * [[minhashDedupExact]]: the signature relation is computed ONCE and
-    * cached (three candidate-generation branches re-derive banding from
-    * the cache instead of re-running the minhash text kernel per branch),
-    * and shingle sets are built only for docs that appear in a candidate
-    * pair, each shingled once. EAGER: the bounded pair set is
-    * localCheckpoint'd so every intermediate cache is released before
-    * returning — at cluster scale, substitute an intermediate table
-    * write.
+    * [[minhashDedupExact]]: the SIGNATURE relation (id, w, sig — never
+    * the text; ~0.5 KB/doc instead of the corpus payload, so the cache
+    * fits in memory even in a block manager already crowded by other
+    * work) is computed once and cached, the four candidate-generation
+    * branches re-derive banding from it, and shingle sets are built only
+    * for docs that appear in a candidate pair — re-read from the
+    * column-pruned source scan, each shingled once. EAGER: the bounded
+    * pair set is materialized so every intermediate cache is released
+    * before returning — localCheckpoint blocks in local mode, a durable
+    * parquet scratch write when `scratchDir` is set (the cluster path).
     */
   def minhashPairsWindowedExact(df: DataFrame, textCol: String, idCol: String,
                                 windowCol: String,
                                 shingleSize: Int = 3, numHashes: Int = 64,
                                 bands: Int = 16, threshold: Double = 0.7,
-                                maxBucketSize: Int = 512): DataFrame = {
+                                maxBucketSize: Int = 512,
+                                scratchDir: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireIntegralId(df, idCol, "minhashPairsWindowedExact")
     val rows = numHashes / bands
-    val base = df.select(
+    val sigs = df.select(
       col(idCol).cast("long").as("id"),
       col(windowCol).cast("long").as("w"),
-      col(textCol).as("_text"),
       minhashText(col(textCol), shingleSize, numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = base
+    val banded = sigs
       .select(col("id"), col("sig"),
         explode(array(col("w"), col("w") + 1L)).as("wb"))
       .select(col("id"), col("sig"), col("wb"),
@@ -405,13 +407,33 @@ object Dedup {
       Seq("wb", "band", "bucket"), "sig", bands, rows, maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try
-      exactRescorePairs(cand, base.select(col("id"), col("_text")), "_text",
-        shingleSize, threshold)
-        .localCheckpoint(true)
+      materializeEager(
+        exactRescorePairs(cand,
+          df.select(col(idCol).cast("long").as("id"), col(textCol)), textCol,
+          shingleSize, threshold),
+        scratchDir)
     finally {
       cand.unpersist(blocking = false)
-      base.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
     }
+  }
+
+  /** Eagerly materialize an operator result so every upstream cache can
+    * be released before returning. Local mode (`scratchDir = None`):
+    * eager `localCheckpoint` — result blocks live in the session's block
+    * manager and die with it. Cluster path: write the result to a
+    * parquet scratch directory and hand back a scan of it — durable
+    * across executor loss and exactly the "intermediate table"
+    * substitute the localCheckpoint contract calls for.
+    */
+  private[operators] def materializeEager(df: DataFrame,
+      scratchDir: Option[String]): DataFrame = scratchDir match {
+    case Some(dir) =>
+      val p = dir.stripSuffix("/") + "/mat_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      df.write.mode("errorifexists").parquet(p)
+      df.sparkSession.read.parquet(p)
+    case None => df.localCheckpoint(true)
   }
 
   /** Exact-Jaccard rescore of an LSH candidate id-pair set — the shared
@@ -768,7 +790,8 @@ object Dedup {
   def minhashDedupExact(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 32, threshold: Double = 0.7,
-                        maxBucketSize: Int = 512): DataFrame = {
+                        maxBucketSize: Int = 512,
+                        scratchDir: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireIntegralId(df, idCol, "minhashDedupExact")
     val id = col(idCol).cast("long")
@@ -781,9 +804,9 @@ object Dedup {
     // instead materializes its RESULT via an eager localCheckpoint and
     // unpersists every intermediate before returning. The returned blocks
     // belong to the result's RDD and are freed by the ContextCleaner when
-    // the caller drops it. At cluster scale the equivalent move is writing
-    // the survivors to an intermediate table; MEMORY_AND_DISK blocks spill,
-    // they never OOM.
+    // the caller drops it. At cluster scale pass `scratchDir` to write the
+    // survivors to a durable parquet scratch instead ([[materializeEager]]);
+    // MEMORY_AND_DISK blocks spill, they never OOM.
     //
     // Exact pre-pass (CCNet-style): one doc per distinct fingerprint (min
     // id) BEFORE LSH, so mass-duplicated text never reaches the buckets.
@@ -813,9 +836,9 @@ object Dedup {
       val dupIds = connectedComponents(exactPairs)
         .filter(col("id") =!= col("component"))
         .select(col("id").as("_dup_id"))
-      reps.join(dupIds, id === col("_dup_id"), "left_anti")
-        .drop("_sig")
-        .localCheckpoint(true)
+      materializeEager(
+        reps.join(dupIds, id === col("_dup_id"), "left_anti").drop("_sig"),
+        scratchDir)
     } finally {
       cand.unpersist(blocking = false)
       reps.unpersist(blocking = false)

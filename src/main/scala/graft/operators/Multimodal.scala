@@ -451,6 +451,194 @@ object Multimodal {
     }
   }
 
+  /** MP4 (ISO BMFF) container demux for AVC video tracks — the
+    * highest-traffic real-corpus container (a crawled video corpus is
+    * mostly MP4-contained H.264). Pure container work, no new entropy
+    * coding: the demux walks `moov/trak/mdia/minf/stbl`, reads the
+    * `avcC` AVCDecoderConfigurationRecord (out-of-band SPS/PPS + NAL
+    * length-prefix size, ISO 14496-15 §5.2.4.1), resolves every sample's
+    * file offset from the `stsc`/`stsz`/`stco|co64` tables (ISO
+    * 14496-12 §8.7), converts the length-prefixed NALs to Annex-B start
+    * codes, and hands the elementary stream to [[H264Codec]] — so the
+    * existing CAVLC intra decoder reaches MP4 files directly. CABAC /
+    * inter-coded tracks still fall through to the stub at the decode
+    * stage (H264Codec's gates), and any malformed table returns None
+    * rather than misparsing.
+    */
+  object Mp4AvcCodec {
+    private final case class Box(typ: String, start: Int, end: Int)
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def typ(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Child boxes of [from, to); malformed sizes end the walk. */
+    private def boxes(b: Array[Byte], from: Int, to: Int): Seq[Box] = {
+      val out = scala.collection.mutable.ArrayBuffer[Box]()
+      var i = from
+      while (i + 8 <= to) {
+        val size32 = u32(b, i)
+        val t = typ(b, i + 4)
+        val (payloadOff, size) =
+          if (size32 == 1L && i + 16 <= to) (i + 16, u64(b, i + 8))
+          else if (size32 == 0L) (i + 8, (to - i).toLong) // to end of span
+          else (i + 8, size32)
+        if (size < 8 || i + size > to) return out.toSeq
+        out += Box(t, payloadOff, i + size.toInt)
+        i += size.toInt
+      }
+      out.toSeq
+    }
+
+    private def child(b: Array[Byte], parent: Box, t: String): Option[Box] =
+      boxes(b, parent.start, parent.end).find(_.typ == t)
+
+    /** SPS/PPS NALs + NAL length-prefix size from an avcC record. */
+    private def parseAvcC(b: Array[Byte], box: Box)
+        : Option[(Seq[Array[Byte]], Int)] = {
+      var i = box.start
+      if (i + 6 > box.end || b(i) != 1) return None // configurationVersion
+      val lengthSize = (b(i + 4) & 0x3) + 1
+      val nSps = b(i + 5) & 0x1f
+      i += 6
+      val nals = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var k = 0
+      while (k < nSps) {
+        if (i + 2 > box.end) return None
+        val len = u16(b, i); i += 2
+        if (i + len > box.end) return None
+        nals += b.slice(i, i + len); i += len; k += 1
+      }
+      if (i + 1 > box.end) return None
+      val nPps = b(i) & 0xff; i += 1
+      k = 0
+      while (k < nPps) {
+        if (i + 2 > box.end) return None
+        val len = u16(b, i); i += 2
+        if (i + len > box.end) return None
+        nals += b.slice(i, i + len); i += len; k += 1
+      }
+      Some((nals.toSeq, lengthSize))
+    }
+
+    /** Absolute (offset, size) of every sample in track order, resolved
+      * from stsc (samples per chunk) + stsz (sizes) + stco/co64 (chunk
+      * starts) — samples inside a chunk are contiguous.
+      */
+    private def sampleSpans(b: Array[Byte], stbl: Box)
+        : Option[Seq[(Long, Int)]] = {
+      val stsz = child(b, stbl, "stsz").getOrElse(return None)
+      val stsc = child(b, stbl, "stsc").getOrElse(return None)
+      val stcoOpt = child(b, stbl, "stco")
+      val co64Opt = child(b, stbl, "co64")
+      // stsz: version/flags, uniform size, count, [sizes]
+      val uniform = u32(b, stsz.start + 4)
+      val nSamples = u32(b, stsz.start + 8).toInt
+      if (nSamples <= 0 || nSamples > (1 << 20)) return None
+      val sizes = Array.tabulate(nSamples)(k =>
+        if (uniform != 0) uniform.toInt
+        else u32(b, stsz.start + 12 + 4 * k).toInt)
+      // chunk offsets
+      val chunkOffsets: IndexedSeq[Long] = (stcoOpt, co64Opt) match {
+        case (Some(st), _) =>
+          val n = u32(b, st.start + 4).toInt
+          IndexedSeq.tabulate(n)(k => u32(b, st.start + 8 + 4 * k))
+        case (_, Some(st)) =>
+          val n = u32(b, st.start + 4).toInt
+          IndexedSeq.tabulate(n)(k => u64(b, st.start + 8 + 8 * k))
+        case _ => return None
+      }
+      // stsc entries: (first_chunk 1-based, samples_per_chunk)
+      val nRuns = u32(b, stsc.start + 4).toInt
+      val runs = IndexedSeq.tabulate(nRuns)(k =>
+        (u32(b, stsc.start + 8 + 12 * k).toInt,
+          u32(b, stsc.start + 12 + 12 * k).toInt))
+      if (runs.isEmpty || chunkOffsets.isEmpty) return None
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+      var sample = 0
+      var run = 0
+      var chunk = 1
+      while (sample < nSamples && chunk <= chunkOffsets.length) {
+        while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+        var off = chunkOffsets(chunk - 1)
+        var k = 0
+        while (k < runs(run)._2 && sample < nSamples) {
+          out += ((off, sizes(sample)))
+          off += sizes(sample); sample += 1; k += 1
+        }
+        chunk += 1
+      }
+      if (sample < nSamples) None else Some(out.toSeq)
+    }
+
+    /** Demux an MP4 payload's first AVC track to one Annex-B elementary
+      * stream: SPS/PPS from avcC first, then every sample's NALs with
+      * start codes. None unless the payload is ISO BMFF with a
+      * complete avc1/avc3 sample table.
+      */
+    def toAnnexB(payload: Array[Byte]): Option[Array[Byte]] = {
+      if (payload == null || payload.length < 16) return None
+      if (typ(payload, 4) != "ftyp") return None // ISO BMFF magic
+      try {
+        val top = boxes(payload, 0, payload.length)
+        val moov = top.find(_.typ == "moov").getOrElse(return None)
+        // first trak whose stsd carries an AVC sample entry
+        val hit = boxes(payload, moov.start, moov.end)
+          .filter(_.typ == "trak")
+          .flatMap { trak =>
+            for {
+              mdia <- child(payload, trak, "mdia")
+              minf <- child(payload, mdia, "minf")
+              stbl <- child(payload, minf, "stbl")
+              stsd <- child(payload, stbl, "stsd")
+              // stsd: version/flags + entry_count, then sample entries;
+              // VisualSampleEntry fixed part after the box header =
+              // 8 (SampleEntry) + 70 = 78 bytes, then the codec boxes
+              entry <- boxes(payload, stsd.start + 8, stsd.end)
+                .find(e => e.typ == "avc1" || e.typ == "avc3")
+              avcc <- boxes(payload, entry.start + 78, entry.end)
+                .find(_.typ == "avcC")
+              cfg <- parseAvcC(payload, avcc)
+              spans <- sampleSpans(payload, stbl)
+            } yield (cfg, spans)
+          }.headOption
+        hit.flatMap { case ((paramNals, lengthSize), spans) =>
+          val out = new java.io.ByteArrayOutputStream()
+          def startCode(): Unit =
+            { out.write(0); out.write(0); out.write(0); out.write(1) }
+          paramNals.foreach { n => startCode(); out.write(n) }
+          var ok = true
+          spans.foreach { case (off, size) =>
+            if (ok && (off < 0 || off + size > payload.length)) ok = false
+            if (ok) {
+              var i = off.toInt
+              val end = off.toInt + size
+              while (ok && i + lengthSize <= end) {
+                var len = 0L
+                var k = 0
+                while (k < lengthSize) { len = (len << 8) | (payload(i + k) & 0xffL); k += 1 }
+                i += lengthSize
+                if (len <= 0 || i + len > end) ok = false // corrupt prefix
+                else { startCode(); out.write(payload, i, len.toInt); i += len.toInt }
+              }
+            }
+          }
+          if (ok) Some(out.toByteArray) else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** [[H264Codec.sampleFrames]] over the demuxed elementary stream. */
+    def sampleFrames(payload: Array[Byte], everyN: Int): Option[Seq[Array[Byte]]] =
+      toAnnexB(payload).flatMap(H264Codec.sampleFrames(_, everyN))
+  }
+
   /** Typed metadata carried next to every media payload. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("format", StringType),        // e.g. "jpeg", "wav", "mp4"
@@ -735,8 +923,10 @@ object Multimodal {
     * `(… , frame_no: int, frame: binary)`. Partition-local explode — row
     * count grows but nothing shuffles. Animated GIFs decode for REAL via
     * [[GifCodec]] and MJPEG-in-AVI via [[AviMjpegCodec]] (each sampled
-    * frame is a standalone PNG, ready for [[decodeResize]]); containers
-    * needing true codecs (H.264/VP9/…) fall back to the deterministic
+    * frame is a standalone PNG, ready for [[decodeResize]]); Annex-B
+    * H.264 and MP4-contained AVC decode their Baseline-intra keyframes
+    * via [[H264Codec]]/[[Mp4AvcCodec]]; remaining entropy-coded shapes
+    * (CABAC, inter frames, VP9 pixels) fall back to the deterministic
     * byte-slice stub (`frameBytes` applies only to that stub path).
     */
   def sampleFrames(df: DataFrame, payloadCol: String,
@@ -752,6 +942,7 @@ object Multimodal {
         val frames = GifCodec.sampleFrames(payload, everyN)
           .orElse(AviMjpegCodec.sampleFrames(payload, everyN))
           .orElse(H264Codec.sampleFrames(payload, everyN))
+          .orElse(Mp4AvcCodec.sampleFrames(payload, everyN))
           .getOrElse(StubCodec.sampleFrames(payload, frameBytes, everyN))
         frames.zipWithIndex.map {
           case (frame, i) => Row.fromSeq(r.toSeq ++ Seq(i, frame))

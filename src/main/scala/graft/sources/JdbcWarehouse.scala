@@ -163,9 +163,28 @@ final class JdbcWarehouse(spark: SparkSession, profile: JdbcProfile) {
     * update on match; whole rows insert on miss. The target table never
     * transfers through Spark. Creates the target from `df` when it does
     * not exist yet.
+    *
+    * DIALECT CONTRACT (fail-loud, not best-effort): the statement pair is
+    * standard SQL — `CREATE TABLE … AS SELECT … WITH NO DATA` (SQL:2008
+    * CTAS) to clone the stage and `MERGE INTO … WHEN MATCHED / WHEN NOT
+    * MATCHED` (SQL:2003 F312) — verified in-process against Apache Derby
+    * and accepted by warehouses implementing those features (H2, HSQLDB,
+    * Oracle, DB2, PostgreSQL 15+). Warehouses KNOWN to lack one of the
+    * two (MySQL/MariaDB: no MERGE; SQLite: neither) are rejected up
+    * front with a pointer to the engine-side alternative
+    * ([[graft.operators.MergeInto]] over a readTable/writeTable pair)
+    * instead of failing mid-stage with an orphaned temp table.
     */
   def merge(df: DataFrame, table: String, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    val scheme = profile.url.split(":").lift(1).getOrElse("").toLowerCase
+    val noMerge = Set("mysql", "mariadb", "sqlite")
+    if (noMerge.contains(scheme))
+      throw new IllegalArgumentException(
+        s"server-side merge is unsupported on '$scheme': it requires " +
+          "standard SQL MERGE INTO and CTAS … WITH NO DATA, which this " +
+          "dialect lacks. Use graft.operators.MergeInto over " +
+          "readTable/writeTable, or stage-and-swap with writeTable.")
     if (!tableExists(table)) { writeTable(df, table, SaveMode.ErrorIfExists); return }
     val stage = table + "_stg_" + java.util.UUID.randomUUID.toString.replace("-", "").take(8)
     // the stage CLONES the target's DDL (standard SQL:2008 WITH NO DATA)

@@ -65,6 +65,30 @@ class DedupSpec extends AnyFunSuite {
     assert(n == got.size)
   }
 
+  test("scratchDir materialization path: identical output to localCheckpoint, durable on disk") {
+    import spark.implicits._
+    val windowed = docs.withColumn("w", col("doc_id"))
+    val local = Dedup.minhashPairsWindowedExact(windowed, "text", "doc_id", "w",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratch = java.nio.file.Files.createTempDirectory("dedup_scratch").toString
+    val viaTable = Dedup.minhashPairsWindowedExact(windowed, "text", "doc_id", "w",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5,
+      scratchDir = Some(scratch))
+    assert(viaTable.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == local)
+    // the cluster path left a durable parquet materialization behind
+    assert(new java.io.File(scratch).listFiles.exists(_.getName.startsWith("mat_")))
+    // dedup variant too: same survivors through both paths
+    val keptLocal = Dedup.minhashDedupExact(docs, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptScratch = Dedup.minhashDedupExact(docs, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5,
+      scratchDir = Some(scratch))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptScratch == keptLocal)
+  }
+
   test("minhash dedup keeps one survivor per near-dup cluster") {
     val kept = Dedup.minhashDedup(docs, "text", "doc_id",
       shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)

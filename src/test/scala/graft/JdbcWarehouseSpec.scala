@@ -99,6 +99,18 @@ class JdbcWarehouseSpec extends AnyFunSuite {
     assert(wh.readTable("fresh").count() == 4)
   }
 
+  test("merge fails loud on dialects without standard MERGE (no orphaned stage)") {
+    import spark.implicits._
+    // MySQL-shaped URL: rejected BEFORE any server round-trip, with a
+    // pointer to the engine-side alternative
+    val wh = new JdbcWarehouse(spark, JdbcProfile(
+      url = "jdbc:mysql://example.invalid:3306/db"))
+    val e = intercept[IllegalArgumentException](
+      wh.merge(Seq((1L, "a")).toDF("k", "v"), "t", Seq("k")))
+    assert(e.getMessage.contains("unsupported on 'mysql'"))
+    assert(e.getMessage.contains("MergeInto"))
+  }
+
   test("supplier parquet -> jdbc -> merge -> incremental read (pipeline shape)") {
     val dir = "/root/testdata/sf0.001"
     val wh = freshWh()

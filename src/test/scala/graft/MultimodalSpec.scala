@@ -440,6 +440,141 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(px(3 * 26 + 10) - (12 * 7 + 5) / 255f) < 1e-3)
   }
 
+  /** Independent minimal MP4 (ISO BMFF) muxer — written from the public
+    * ISO 14496-12/-15 box layout, NOT by inverting the demuxer, so a
+    * demux bug cannot cancel against a mux bug. Packs bare NAL units
+    * (header byte + EPB-escaped RBSP, no start codes) as 4-byte
+    * length-prefixed samples in `mdat`, SPS/PPS out-of-band in `avcC`,
+    * and a real stsc/stsz/stco sample table with caller-chosen chunking.
+    */
+  private object Mp4Fixture {
+    private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    private def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+    /** Strip the Annex-B start code from a fixture NAL. */
+    def bare(nalWithStartCode: Array[Byte]): Array[Byte] =
+      nalWithStartCode.drop(4)
+
+    /** `samples(i)` = the bare NALs of sample i (usually one IDR NAL);
+      * `chunking` = samples per chunk, must sum to samples.length.
+      */
+    def mux(sps: Array[Byte], pps: Array[Byte],
+            samples: Seq[Seq[Array[Byte]]], chunking: Seq[Int],
+            width: Int, height: Int): Array[Byte] = {
+      require(chunking.sum == samples.length, "chunking must cover samples")
+      val sampleBytes = samples.map(nals =>
+        nals.flatMap(n => be32(n.length) ++ n).toArray)
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32(0) ++
+          "isomavc1".getBytes("US-ASCII"))
+      val mdatPayload = sampleBytes.flatten.toArray
+      val mdat = box("mdat", mdatPayload)
+      // absolute chunk offsets: ftyp + mdat box header precede the data
+      val mdatDataStart = ftyp.length + 8
+      val chunkStarts = chunking.scanLeft(0)(_ + _).dropRight(1)
+        .map(firstSample => mdatDataStart +
+          sampleBytes.take(firstSample).map(_.length).sum)
+      val avcC = box("avcC", Array[Byte](1, 66, 0, 10, // ver/profile/compat/level
+          (0xFC | 3).toByte, (0xE0 | 1).toByte) ++ // lengthSize 4, 1 SPS
+        be16(sps.length) ++ sps ++ Array[Byte](1) ++ be16(pps.length) ++ pps)
+      val avc1 = box("avc1",
+        Array.fill[Byte](6)(0) ++ be16(1) ++        // reserved + data_ref_idx
+          Array.fill[Byte](16)(0) ++                 // pre_defined/reserved
+          be16(width) ++ be16(height) ++
+          be32(0x00480000L) ++ be32(0x00480000L) ++  // 72 dpi
+          be32(0) ++ be16(1) ++                      // reserved, frame_count
+          Array.fill[Byte](32)(0) ++                 // compressorname
+          be16(24) ++ be16(0xFFFF) ++                // depth, pre_defined -1
+          avcC)
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ avc1)
+      val stts = box("stts", be32(0) ++ be32(1) ++
+        be32(samples.length) ++ be32(1))
+      // one stsc run per DISTINCT samples-per-chunk prefix (real shape)
+      val stscRuns = chunking.zipWithIndex
+        .filter { case (n, i) => i == 0 || chunking(i - 1) != n }
+        .map { case (n, i) => be32(i + 1) ++ be32(n) ++ be32(1) }
+      val stsc = box("stsc", be32(0) ++ be32(stscRuns.length) ++
+        stscRuns.flatten.toArray)
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(samples.length) ++
+        sampleBytes.flatMap(s => be32(s.length)).toArray)
+      val stco = box("stco", be32(0) ++ be32(chunkStarts.length) ++
+        chunkStarts.flatMap(o => be32(o)).toArray)
+      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", minf)
+      val trak = box("trak", mdia)
+      val moov = box("moov", trak)
+      ftyp ++ mdat ++ moov
+    }
+  }
+
+  test("sampleFrames decodes MP4-contained AVC (ISO BMFF demux -> CAVLC decoder)") {
+    import spark.implicits._
+    // two I_PCM IDR frames, 32x16, packed as 4-byte length-prefixed
+    // samples across TWO chunks (exercises the stsc/stco walk)
+    val sps = H264Fixture.nal(3, 7, H264Fixture.sps(2, 1))
+    val pps = H264Fixture.nal(3, 8, H264Fixture.pps())
+    val idr0 = H264Fixture.nal(3, 5, H264Fixture.idr(2, 1, 0, (x, y) => x * 7 + y))
+    val idr1 = H264Fixture.nal(3, 5, H264Fixture.idr(2, 1, 1, (x, y) => 255 - x * 3 - y * 5))
+    val mp4 = Mp4Fixture.mux(
+      Mp4Fixture.bare(sps), Mp4Fixture.bare(pps),
+      Seq(Seq(Mp4Fixture.bare(idr0)), Seq(Mp4Fixture.bare(idr1))),
+      chunking = Seq(1, 1), width = 32, height = 16)
+    val df = Multimodal.sampleFrames(
+      Seq((1L, mp4)).toDF("media_id", "payload"), "payload",
+      frameBytes = 64, everyN = 1)
+    val frames = df.orderBy("frame_no").collect()
+    assert(frames.length == 2, s"got ${frames.length} frames (stub path?)")
+    val decoded = frames.map(r =>
+      Multimodal.ImageIoCodec.decodeImage(r.getAs[Array[Byte]]("frame")).get)
+    assert(decoded.forall { case (_, w, h) => w == 32 && h == 16 })
+    // pixel-exact parity with the Annex-B path on the same pictures
+    val (px0, _, _) = decoded(0)
+    assert(math.abs(px0(5 * 32 + 20) - (20 * 7 + 5) / 255f) < 1e-3)
+    val (px1, _, _) = decoded(1)
+    assert(math.abs(px1(0) - 1f) < 1e-3)
+  }
+
+  test("MP4 demux: toAnnexB equals the reference Annex-B stream byte-for-byte") {
+    val sps = H264Fixture.nal(3, 7, H264Fixture.sps(1, 1))
+    val pps = H264Fixture.nal(3, 8, H264Fixture.pps())
+    val idr = H264Fixture.nal(3, 5, H264Fixture.idr(1, 1, 0, (x, y) => x + y))
+    // one chunk of two single-NAL samples (idr twice)
+    val mp4 = Mp4Fixture.mux(
+      Mp4Fixture.bare(sps), Mp4Fixture.bare(pps),
+      Seq(Seq(Mp4Fixture.bare(idr)), Seq(Mp4Fixture.bare(idr))),
+      chunking = Seq(2), width = 16, height = 16)
+    val es = Multimodal.Mp4AvcCodec.toAnnexB(mp4)
+    assert(es.isDefined, "demux returned None")
+    val expected = sps ++ pps ++ idr ++ idr // fixture NALs carry start codes
+    assert(java.util.Arrays.equals(es.get, expected))
+  }
+
+  test("MP4 demux: corrupt tables fall to the stub, never misparse") {
+    import spark.implicits._
+    val sps = H264Fixture.nal(3, 7, H264Fixture.sps(1, 1))
+    val pps = H264Fixture.nal(3, 8, H264Fixture.pps())
+    val idr = H264Fixture.nal(3, 5, H264Fixture.idr(1, 1, 0, (x, y) => x))
+    val good = Mp4Fixture.mux(
+      Mp4Fixture.bare(sps), Mp4Fixture.bare(pps),
+      Seq(Seq(Mp4Fixture.bare(idr))), Seq(1), 16, 16)
+    // corrupt a NAL length prefix inside mdat: demux must return None
+    // (stub path = byte slices, not PNGs)
+    val bad = good.clone()
+    val mdatData = 24 + 8 // ftyp(24) + mdat header
+    bad(mdatData) = 0x7F.toByte // absurd length prefix
+    assert(Multimodal.Mp4AvcCodec.toAnnexB(bad).isEmpty)
+    val stub = Multimodal.sampleFrames(
+      Seq((1L, bad)).toDF("media_id", "payload"), "payload",
+      frameBytes = 64, everyN = 1).collect()
+    assert(stub.nonEmpty && Multimodal.ImageIoCodec
+      .decodeImage(stub(0).getAs[Array[Byte]]("frame")).isEmpty)
+    // truncated moov: also None
+    assert(Multimodal.Mp4AvcCodec.toAnnexB(good.dropRight(40)).isEmpty)
+  }
+
   test("keyframes over H.264: repeated I-frames dropped, scene changes kept") {
     import spark.implicits._
     val es = H264Fixture.stream(1, 1, Seq(
