@@ -2757,6 +2757,73 @@ object Queries {
         max(col("o_orderdate")).as("last_order"))
   }
 
+  /** Time-RANGE window frames (the value-based frame type the q60 family
+    * does not cover): per user, each event's trailing-1-hour event count
+    * and exact decimal-summed value total via
+    * `rangeBetween(-3599, 0)` over epoch seconds. Frame membership is
+    * value-based, so same-second ties enter the frame together in any
+    * engine — deterministic, unlike a rowsBetween over a tied ordering.
+    * Scale shape: one hash shuffle on user_id, per-partition sort, no
+    * self-join (the naive equivalent is an O(n·w) range self-join).
+    */
+  def q122RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3599L, 0L)
+    ev.select(col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("value").cast(dec)).over(w).cast("double").as("sum_1h"))
+  }
+
+  /** Cross-source vocabulary overlap (corpus mixture diagnostics): the
+    * pairwise Jaccard of each source pair's DISTINCT token vocabularies —
+    * the standard contamination/overlap dashboard between corpus slices.
+    * Scale shape: the corpus collapses to a (source, token) DISTINCT
+    * relation (vocabulary-sized, not token-occurrence-sized) before any
+    * join; the self-join keys on token, and a token's join output is
+    * bounded by sources² (≤ 25 here) — never quadratic in occurrences.
+    */
+  def q123VocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val v = d.select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = v.as("a").join(v.as("b"), "tok")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("_na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("_nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("_na") + col("_nb") - col("n_common")), 6).as("jaccard_r"))
+  }
+
+  /** URL host analytics over injected id-derived URLs (the corpus carries
+    * none): Spark's native `parse_url` extracts the HOST in the scan
+    * projection; the registrable-domain suffix comes from one shared
+    * regex. Oracle equality pins parse_url's host semantics against a
+    * plain regexp extraction. One scan, one vocabulary-sized shuffle.
+    */
+  def q124UrlHostStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val url = concat(lit("https://h"), (col("doc_id") % 50).cast("string"),
+      lit(".example"), (col("doc_id") % 7).cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"))
+    d.select(col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"))
+      .select(col("doc_id"), col("host"),
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("host")).as("n_hosts"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2878,7 +2945,10 @@ object Queries {
     "q118_orc_roundtrip" -> (q118OrcRoundtrip _),
     "q119_sharded_export" -> (q119ShardedExport _),
     "q120_redact_pii" -> (q120RedactPii _),
-    "q121_jdbc_ts_ingest" -> (q121JdbcTsIngest _)
+    "q121_jdbc_ts_ingest" -> (q121JdbcTsIngest _),
+    "q122_range_window" -> (q122RangeWindow _),
+    "q123_vocab_overlap" -> (q123VocabOverlap _),
+    "q124_url_host_stats" -> (q124UrlHostStats _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4591,6 +4661,47 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  MAX(o_orderdate) AS last_order
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // same value-based RANGE frame over truncated epoch seconds; decimal
+    // window sums make the totals order-independent and engine-exact
+    "q122_range_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM (SELECT event_id, user_id, value,
+        |        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // distinct vocabularies first, then the token-keyed pair join
+    "q123_vocab_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |s AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        COUNT(*) AS n_common
+        |      FROM v a JOIN v b USING (tok)
+        |      WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+        |    AS jaccard_r
+        |FROM i JOIN s sa ON sa.source = i.src_a
+        |       JOIN s sb ON sb.source = i.src_b""".stripMargin,
+    // the same injected URLs; host via regexp (pins Spark parse_url)
+    "q124_url_host_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    regexp_extract('https://h' || CAST(doc_id % 50 AS VARCHAR)
+        |      || '.example' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com/p/' || CAST(doc_id AS VARCHAR),
+        |      'https://([^/]+)/', 1) AS host
+        |  FROM documents)
+        |SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  COUNT(*) AS n_urls, COUNT(DISTINCT host) AS n_hosts,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM u GROUP BY 1""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->
