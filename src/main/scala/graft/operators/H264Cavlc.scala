@@ -459,6 +459,8 @@ private[graft] object H264Cavlc {
     private val cH = heightMbs * 2
     private val chromaNz = Array(Array.fill(cW * cH)(-1), Array.fill(cW * cH)(-1))
     private var qp = sliceQp
+    /** Per-MB QPY as the deblocking filter sees it (§8.7.2: I_PCM = 0). */
+    val mbQp: Array[Int] = new Array[Int](widthMbs * heightMbs)
 
     private def mbX(m: Int) = m % widthMbs
     private def mbY(m: Int) = m / widthMbs
@@ -494,6 +496,7 @@ private[graft] object H264Cavlc {
         plane((y0 + i / 16) * planeW + x0 + i % 16) = luma(i)
         i += 1
       }
+      mbQp(m) = 0 // §8.7.2: I_PCM counts as QPY 0 for deblocking
       markMb(m, 16, -1)
     }
 
@@ -532,8 +535,11 @@ private[graft] object H264Cavlc {
       */
     def decodeMb(r: BitReader, m: Int, mbType: Int): Boolean = {
       if (mbType > 24) return false
-      if (mbType == 0) decodeI4x4Mb(r, m)
-      else decodeI16x16Mb(r, m, mbType)
+      val ok =
+        if (mbType == 0) decodeI4x4Mb(r, m)
+        else decodeI16x16Mb(r, m, mbType)
+      if (ok) mbQp(m) = qp // running QPY after this MB's mb_qp_delta
+      ok
     }
 
     // ---- I_4x4 ----

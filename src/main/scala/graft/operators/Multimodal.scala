@@ -352,7 +352,14 @@ object Multimodal {
       r.bit(); r.bit() // no_output_of_prior_pics, long_term_reference
       val sliceQp = pps.initQp + r.se() // slice_qp_delta
       if (sliceQp < 0 || sliceQp > 51) return None
-      if (pps.deblockControl) { if (r.ue() != 1) { r.se(); r.se() } }
+      // deblocking slice-header fields (§7.3.3): idc 1 disables the
+      // filter; otherwise the offsets shift the alpha/beta thresholds
+      var deblock = true
+      var offA = 0; var offB = 0
+      if (pps.deblockControl) {
+        if (r.ue() == 1) deblock = false
+        else { offA = 2 * r.se(); offB = 2 * r.se() }
+      }
       val nMbs = sps.widthMbs * sps.heightMbs
       val chromaSamples = sps.chromaFormatIdc match {
         case 0 => 0
@@ -381,6 +388,13 @@ object Multimodal {
         }
         m += 1
       }
+      // in-loop deblocking (§8.7), honored per the stream's own
+      // disable_deblocking_filter_idc — conformant output pixels, not
+      // just the pre-deblock reconstruction. I_PCM-only pictures are
+      // unchanged by construction (I_PCM QPY counts as 0 → alpha = 0).
+      if (deblock)
+        H264Deblock.filterLuma(dec.plane, sps.widthMbs, sps.heightMbs,
+          dec.mbQp, offA, offB)
       val raw = dec.plane
       val luma = new Array[Float](raw.length)
       var i = 0

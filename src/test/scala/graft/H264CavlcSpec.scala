@@ -216,14 +216,20 @@ final class H264Enc(wMbs: Int, hMbs: Int, sliceQp: Int,
     var m = 0
     while (m < wMbs * hMbs) {
       rnd.nextInt(10) match {
-        case 0 => encodePcm(w, m, src)
-        case x if x < 5 => encodeI16(w, m, src)
-        case _ => encodeI4x4(w, m, src)
+        case 0 => { encodePcm(w, m, src); mbQps(m) = 0 } // deblock QPY rule
+        case x if x < 5 => { encodeI16(w, m, src); mbQps(m) = qp }
+        case _ => { encodeI4x4(w, m, src); mbQps(m) = qp }
       }
       m += 1
     }
     (w.toString, recon)
   }
+
+  /** Per-MB QPY as the deblocking filter sees it (I_PCM = 0), recorded
+    * by encodeFrame — lets the deblock integration test compute the
+    * expected filtered picture from the reconstruction.
+    */
+  val mbQps: Array[Int] = new Array[Int](wMbs * hMbs)
 
   // ---- bit emission helpers (string-of-bits keeps assertions readable)
 
@@ -868,7 +874,7 @@ object H264Enc {
     * bitstring (each frame is an independent all-intra picture).
     */
   def annexBStreamMulti(wMbs: Int, hMbs: Int, sliceQp: Int,
-                        slices: Seq[String]): Array[Byte] = {
+                        slices: Seq[String], idc: Int = 1): Array[Byte] = {
     def bitsToRbsp(bits: String): Array[Byte] = {
       val full = bits + "1" + "0" * ((8 - (bits.length + 1) % 8) % 8)
       full.grouped(8).map(b => Integer.parseInt(b, 2).toByte).toArray
@@ -915,11 +921,14 @@ object H264Enc {
       ue2(0); ue2(0); ue2(0) // 1 slice group, ref idx defaults
       w.append('0'); u2(2, 0) // no weighted pred
       se2(0); se2(0); se2(0) // init qp 26, qs, chroma offset
-      w.append('0'); w.append('0'); w.append('0') // deblock ctl etc.
+      // deblocking_filter_control_present: the encoder's reconstruction
+      // is PRE-deblock, so its streams must carry idc=1 (filter off,
+      // a conformant encoder choice) for closed-loop bit-exactness
+      w.append('1'); w.append('0'); w.append('0')
       bitsToRbsp(w.toString)
     }
     val idrs = slices.map(sb =>
-      nal(3, 5, bitsToRbsp(sliceHeaderBits(sliceQp) + sb)))
+      nal(3, 5, bitsToRbsp(sliceHeaderBits(sliceQp, idc) + sb)))
     (Seq(nal(3, 7, sps), nal(3, 8, pps)) ++ idrs).flatten.toArray
   }
 
@@ -927,7 +936,7 @@ object H264Enc {
     * choices — its LENGTH is the encoder's `alignOffset` (I_PCM
     * alignment counts from the RBSP start).
     */
-  def sliceHeaderBits(sliceQp: Int): String = {
+  def sliceHeaderBits(sliceQp: Int, idc: Int = 1): String = {
     val w = new StringBuilder
     def u2(n: Int, v: Int) = (n - 1 to 0 by -1)
       .foreach(i => w.append(if (((v >> i) & 1) == 1) '1' else '0'))
@@ -944,6 +953,8 @@ object H264Enc {
     u2(4, 0) // poc lsb
     w.append('0'); w.append('0') // prior pics, long term
     se2(sliceQp - 26) // slice_qp_delta
+    ue2(idc) // disable_deblocking_filter_idc (1 = off, see pps comment)
+    if (idc != 1) { se2(0); se2(0) } // alpha/beta offsets 0
     w.toString
   }
 }
