@@ -4662,11 +4662,12 @@ object Queries {
         |  MAX(o_orderdate) AS last_order
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // same value-based RANGE frame over truncated epoch seconds; decimal
-    // window sums make the totals order-independent and engine-exact
+    // window sums make the totals order-independent and engine-exact —
+    // DECIMAL(18,2) matching the Spark side's shared `dec` exactly
     "q122_range_window" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_1h,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
         |FROM (SELECT event_id, user_id, value,
         |        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
         |      FROM events)

@@ -378,7 +378,12 @@ object Dedup {
     * work) is computed once and cached, the four candidate-generation
     * branches re-derive banding from it, and shingle sets are built only
     * for docs that appear in a candidate pair — re-read from the
-    * column-pruned source scan, each shingled once. EAGER: the bounded
+    * column-pruned source scan, each shingled once. That second scan
+    * assumes `df` is IMMUTABLE for the duration of the call (a snapshot
+    * read — the norm for a versioned table or a parquet dir): a source
+    * mutating between the signature pass and the rescore pass could
+    * prune pairs on stale signatures. Re-read through a pinned version
+    * if the input is a live table. EAGER: the bounded
     * pair set is materialized so every intermediate cache is released
     * before returning — localCheckpoint blocks in local mode, a durable
     * parquet scratch write when `scratchDir` is set (the cluster path).

@@ -496,7 +496,13 @@ private[graft] object H264Cavlc {
         plane((y0 + i / 16) * planeW + x0 + i % 16) = luma(i)
         i += 1
       }
-      mbQp(m) = 0 // §8.7.2: I_PCM counts as QPY 0 for deblocking
+      // §7.4.5 / §8.7.2: an I_PCM macroblock's QPY IS 0 — both for the
+      // deblocking thresholds and as QPY,prev for the NEXT macroblock's
+      // mb_qp_delta (a conformant encoder emits that delta relative to
+      // 0, so failing to reset the running qp would dequantize every MB
+      // after a PCM one at the wrong QP)
+      qp = 0
+      mbQp(m) = 0
       markMb(m, 16, -1)
     }
 

@@ -551,25 +551,37 @@ object Multimodal {
       val stsc = child(b, stbl, "stsc").getOrElse(return None)
       val stcoOpt = child(b, stbl, "stco")
       val co64Opt = child(b, stbl, "co64")
+      // every table read is bounded by ITS OWN box end: a declared count
+      // larger than the box holds (truncated or hostile file) must
+      // return None, not walk into the following boxes' bytes and emit
+      // garbage spans that happen to stay in-bounds
       // stsz: version/flags, uniform size, count, [sizes]
+      if (stsz.start + 12 > stsz.end) return None
       val uniform = u32(b, stsz.start + 4)
       val nSamples = u32(b, stsz.start + 8).toInt
       if (nSamples <= 0 || nSamples > (1 << 20)) return None
+      if (uniform == 0 && stsz.start + 12 + 4L * nSamples > stsz.end) return None
       val sizes = Array.tabulate(nSamples)(k =>
         if (uniform != 0) uniform.toInt
         else u32(b, stsz.start + 12 + 4 * k).toInt)
       // chunk offsets
       val chunkOffsets: IndexedSeq[Long] = (stcoOpt, co64Opt) match {
         case (Some(st), _) =>
+          if (st.start + 8 > st.end) return None
           val n = u32(b, st.start + 4).toInt
+          if (n < 0 || st.start + 8 + 4L * n > st.end) return None
           IndexedSeq.tabulate(n)(k => u32(b, st.start + 8 + 4 * k))
         case (_, Some(st)) =>
+          if (st.start + 8 > st.end) return None
           val n = u32(b, st.start + 4).toInt
+          if (n < 0 || st.start + 8 + 8L * n > st.end) return None
           IndexedSeq.tabulate(n)(k => u64(b, st.start + 8 + 8 * k))
         case _ => return None
       }
       // stsc entries: (first_chunk 1-based, samples_per_chunk)
+      if (stsc.start + 8 > stsc.end) return None
       val nRuns = u32(b, stsc.start + 4).toInt
+      if (nRuns < 0 || stsc.start + 8 + 12L * nRuns > stsc.end) return None
       val runs = IndexedSeq.tabulate(nRuns)(k =>
         (u32(b, stsc.start + 8 + 12 * k).toInt,
           u32(b, stsc.start + 12 + 12 * k).toInt))

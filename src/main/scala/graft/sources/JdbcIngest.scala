@@ -27,7 +27,13 @@ import graft.storage.VersionedTable
   * (`loading_data_sp/function.py:41-52`: `MAX(TO_DATE(...))`). Offsets
   * store an order-preserving integral encoding (value / epoch day /
   * epoch micros), so the CAS exactly-once contract is identical across
-  * the three types.
+  * the three types. Precision contract: fractional numeric watermarks
+  * are rejected loudly (truncation could skip rows forever), and
+  * TIMESTAMP watermarks are treated at MICROsecond granularity — a
+  * column carrying meaningful sub-microsecond precision (e.g. Derby
+  * TIMESTAMP(9)) can leave rows above the micros-truncated max
+  * permanently unpulled and should watermark on an integral epoch
+  * column instead.
   *
   * 100 TB design: the delta read fans out over `parts` range-partitioned
   * connections when the caller expects large batches (including the
@@ -57,7 +63,24 @@ object JdbcIngest {
   }
 
   private object IntegralWm extends WmCodec {
-    def enc(v: Any): Long = v.asInstanceOf[Number].longValue
+    // fractional numerics are REJECTED, not truncated: flooring the
+    // server-side MAX shrinks the window's upper bound, so rows between
+    // floor(max) and max are excluded by the pushed-down filter and — on
+    // a quiescent source — never ingest on any later pull either
+    def enc(v: Any): Long = v match {
+      case b: java.math.BigDecimal =>
+        try b.longValueExact
+        catch { case _: ArithmeticException => fractional(v) }
+      case d @ (_: java.lang.Double | _: java.lang.Float) =>
+        val x = d.asInstanceOf[Number].doubleValue
+        if (x != math.floor(x) || x.isInfinite ||
+            math.abs(x) > 9.007199254740992e15) fractional(v) // 2^53
+        else x.toLong
+      case n: Number => n.longValue
+    }
+    private def fractional(v: Any): Nothing = sys.error(
+      s"non-integral numeric watermark $v: truncating it can permanently " +
+        "skip rows — use an integral, DATE or TIMESTAMP watermark column")
     def sparkLit(l: Long): Column = lit(l)
     def sqlLit(l: Long): String = l.toString
     def boundStr(l: Long): String = l.toString

@@ -216,7 +216,12 @@ final class H264Enc(wMbs: Int, hMbs: Int, sliceQp: Int,
     var m = 0
     while (m < wMbs * hMbs) {
       rnd.nextInt(10) match {
-        case 0 => { encodePcm(w, m, src); mbQps(m) = 0 } // deblock QPY rule
+        case 0 =>
+          encodePcm(w, m, src)
+          // §7.4.5: I_PCM QPY is 0 — both recorded for deblocking AND as
+          // the running QPY,prev the next MB's mb_qp_delta is relative to
+          qp = 0
+          mbQps(m) = 0
         case x if x < 5 => { encodeI16(w, m, src); mbQps(m) = qp }
         case _ => { encodeI4x4(w, m, src); mbQps(m) = qp }
       }

@@ -116,6 +116,22 @@ class JdbcIngestSpec extends AnyFunSuite {
     assert(!t.read.select("name").as[String].collect().contains("dup"))
   }
 
+  test("fractional numeric watermark fails loud (truncation would skip rows)") {
+    val wh = freshWh(); val t = freshTarget()
+    wh.writeTable(Seq((2.5, "a"), (1.0, "b")).toDF("v", "name"), "src_f",
+      SaveMode.Overwrite, columnTypes = Some("v DECIMAL(10,2)"))
+    val e = intercept[Exception](JdbcIngest.pull(wh, "src_f", "v", t))
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => y.getMessage +: msgs(y.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("non-integral numeric")), e)
+    // integral-valued decimals are fine (exact long conversion)
+    val t2 = freshTarget()
+    wh.writeTable(Seq((3.0, "c"), (1.0, "d")).toDF("v", "name"), "src_g",
+      SaveMode.Overwrite, columnTypes = Some("v DECIMAL(10,2)"))
+    assert(JdbcIngest.pull(wh, "src_g", "v", t2) == 2L)
+    assert(t2.offsets(JdbcIngest.streamId("src_g", "v")) == 3L)
+  }
+
   test("non-orderable watermark type fails loud") {
     val wh = freshWh(); val t = freshTarget()
     wh.writeTable(Seq(("x", 1L)).toDF("s", "v"), "src_s", SaveMode.Overwrite,

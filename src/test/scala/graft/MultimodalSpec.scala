@@ -573,6 +573,15 @@ class MultimodalSpec extends AnyFunSuite {
       .decodeImage(stub(0).getAs[Array[Byte]]("frame")).isEmpty)
     // truncated moov: also None
     assert(Multimodal.Mp4AvcCodec.toAnnexB(good.dropRight(40)).isEmpty)
+    // a sample-count larger than the stsz box holds must be None, not a
+    // walk into the following boxes' bytes
+    val overflow = good.clone()
+    val szIdx = good.indices.find(i => i + 4 <= good.length &&
+      new String(good, i, 4, "US-ASCII") == "stsz").get
+    // count field sits at boxStart+16 = fourccIdx+12
+    overflow(szIdx + 12) = 0; overflow(szIdx + 13) = 0
+    overflow(szIdx + 14) = 0; overflow(szIdx + 15) = 50 // claims 50 samples
+    assert(Multimodal.Mp4AvcCodec.toAnnexB(overflow).isEmpty)
   }
 
   test("keyframes over H.264: repeated I-frames dropped, scene changes kept") {
