@@ -2824,6 +2824,55 @@ object Queries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** Reciprocal Rank Fusion (X-series hybrid retrieval, robust variant):
+    * the q86 lexical and vector lists fused by `Σ 1/(60 + rank)` instead
+    * of a calibrated weighted sum — rank-only fusion survives
+    * incomparable score scales. Both lists are top-30 TakeOrdered heads
+    * ranked AFTER the limit (a 30-row window, never a corpus window);
+    * scores round to 4 decimals before ranking so ranks are engine-stable.
+    */
+  def q125RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    def ranked(scored: DataFrame, scoreCol: String, idCol: String): DataFrame = {
+      val top = scored.orderBy(desc(scoreCol), col(idCol)).limit(30)
+      top.withColumn("rank", row_number().over(
+        Window.orderBy(desc(scoreCol), col(idCol))))
+        .select(col(idCol).as("doc_id"), col("rank"))
+    }
+    val lex = ranked(operators.Relevance
+        .bm25(docs, "text", "doc_id", Seq("merge", "stream", "filter"))
+        .select(col("doc_id"), round(col("score"), 4).as("s")),
+      "s", "doc_id")
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val vec = ranked(emb.select(col("vec_id"),
+        round(operators.Similarity.cosineScore(col("embedding"), qv), 4).as("s")),
+      "s", "vec_id")
+    operators.Relevance.rrfFuse(Seq(lex, vec), "doc_id", k = 60)
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf_r"), col("n_lists"))
+      .orderBy(desc("rrf_r"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** Directional shingle containment (sub-document duplication): snippet
+    * docs built from each sampled doc's first 20 tokens must score
+    * C(snippet→source) = 1.0 while the reverse stays far below — the
+    * asymmetry symmetric Jaccard cannot express. Exact tier (no
+    * stop-shingle cap), DuckDB-oracle-checked.
+    */
+  def q126Containment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+    val snippets = d.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 20))
+        .as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionByName(snippets)
+    operators.Dedup.containmentPairs(corpus, "text", "doc_id",
+        shingleSize = 3, threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2948,7 +2997,9 @@ object Queries {
     "q121_jdbc_ts_ingest" -> (q121JdbcTsIngest _),
     "q122_range_window" -> (q122RangeWindow _),
     "q123_vocab_overlap" -> (q123VocabOverlap _),
-    "q124_url_host_stats" -> (q124UrlHostStats _)
+    "q124_url_host_stats" -> (q124UrlHostStats _),
+    "q125_rrf_fusion" -> (q125RrfFusion _),
+    "q126_containment" -> (q126Containment _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4703,6 +4754,66 @@ object Queries {
         |  COUNT(*) AS n_urls, COUNT(DISTINCT host) AS n_hosts,
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM u GROUP BY 1""".stripMargin,
+    // same two ranked lists (bm25 CTE as q86, brute cosine), RRF k=60
+    "q125_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+        |tf AS (SELECT doc_id, u.t AS term, COUNT(*) AS tf
+        |  FROM d, unnest(d.w) AS u(t)
+        |  WHERE u.t IN ('merge', 'stream', 'filter') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * b.dl / s.avgdl))) AS score
+        |  FROM tf JOIN df USING (term) JOIN base b ON tf.doc_id = b.doc_id,
+        |    stats s
+        |  GROUP BY tf.doc_id),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+        |  FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT 30),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |  WHERE vec_id = 7),
+        |vecall AS (SELECT e.vec_id AS doc_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+        |         x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS s
+        |  FROM embeddings e, q),
+        |vec AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+        |  FROM vecall ORDER BY s DESC, doc_id LIMIT 30),
+        |u AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM lex
+        |      UNION ALL
+        |      SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM vec)
+        |SELECT doc_id, round(SUM(c), 6) AS rrf_r, COUNT(*) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_r DESC, doc_id LIMIT 10""".stripMargin,
+    // same snippet construction + shingle CASE as q114's oracle;
+    // containment divides the intersection by the LEFT size only
+    "q126_containment" ->
+      """WITH src AS (SELECT doc_id, lower(trim(text)) AS t
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |snip AS (SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(regexp_split_to_array(t, '\s+')[1:20], ' ') AS t
+        |  FROM src),
+        |corpus AS (SELECT doc_id, t FROM src
+        |           UNION ALL SELECT doc_id, t FROM snip),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+        |                             for i in range(1, len(w) - 1)]) END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(t, '\s+') AS w
+        |        FROM corpus)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS c
+        |  FROM sh a, sh b WHERE a.doc_id <> b.doc_id AND len(a.s) > 0)
+        |SELECT id_a, id_b, round(c, 4) AS containment_r
+        |FROM pairs WHERE c >= 0.8""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->

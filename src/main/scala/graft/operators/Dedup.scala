@@ -1077,6 +1077,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directional shingle CONTAINMENT pairs: `C(A→B) = |S_A ∩ S_B| / |S_A|`
+    * — the asymmetric near-dup measure that catches a document CONTAINED
+    * in a longer one (quote inclusion, snippet-of-article, page-within-
+    * crawl), which symmetric Jaccard misses whenever the sizes differ a
+    * lot (a 20-token snippet inside a 500-token doc has J ≈ 0.04 but
+    * C ≈ 1.0). Output `(id_a, id_b, containment)` = pairs with
+    * C(A→B) >= threshold; both directions emitted independently.
+    *
+    * Scale shape: one shingle-granularity explode, one equi-join keyed
+    * on the shingle (intersection counts arrive as a map-side-partial
+    * groupBy — shingle sets never ride the exchange), sizes joined back
+    * on id. A mass-shared shingle ("the end") fans out as df² rows for
+    * that key; `maxShingleFreq` drops shingles shared by more than that
+    * many docs (stop-shingles carry ~zero containment evidence but
+    * dominate join volume). The drop makes C an UNDERCOUNT — pass
+    * `maxShingleFreq = Int.MaxValue` for the exact tier (the oracle
+    * setting); production corpora keep the cap and accept the
+    * conservative bias, the standard PPJoin-family trade.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.5,
+                       maxShingleFreq: Int = 256): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val withSh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val sizes = withSh.select(col("id"), size(col("sh")).as("_n"))
+      .filter(col("_n") > 0)
+    val toks = withSh.select(col("id"), explode(col("sh")).as("_s"))
+    val kept =
+      if (maxShingleFreq == Int.MaxValue) toks
+      else {
+        val hot = toks.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxShingleFreq).select(col("_s"))
+        toks.join(hot, Seq("_s"), "left_anti")
+      }
+    val inter = kept.select(col("_s"), col("id").as("id_a"))
+      .join(kept.select(col("_s"), col("id").as("id_b")), Seq("_s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("_n")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        (col("_inter").cast("double") / col("_n")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // ---------------------------------------------------------------------
   // Span-level (substring) dedup
   // ---------------------------------------------------------------------

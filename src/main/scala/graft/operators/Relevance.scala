@@ -157,6 +157,28 @@ object Relevance {
     * (id, term)-granularity rows (tf agg, df agg + join back). Bound the
     * output with `minDf` (rare-term noise) before using at scale.
     */
+  /** Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009): fuse any
+    * number of ranked retrieval lists by `Σ 1/(k + rank_i)` — the
+    * standard robust hybrid-fusion rule (score scales never have to be
+    * calibrated against each other, unlike a weighted score sum). Each
+    * input carries (`idCol`, `rank`) with rank 1-based; ids missing from
+    * a list contribute 0 for it.
+    *
+    * Scale shape: the inputs are top-k lists (k rows each — produce them
+    * with orderBy+limit, which plans as TakeOrderedAndProject, and rank
+    * the k survivors), so the union + groupBy here is k·lists-sized; no
+    * corpus-sized relation ever reaches this operator.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 0, "k must be non-negative")
+    lists.map(_.select(col(idCol),
+        (lit(1.0) / (lit(k) + col("rank"))).as("_c")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("rrf"), count(lit(1)).as("n_lists"))
+  }
+
   def tfidf(docs: DataFrame, textCol: String, idCol: String,
             minDf: Long = 1L): DataFrame = {
     val n = docs.select(count(lit(1)).as("_n"))

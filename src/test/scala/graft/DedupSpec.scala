@@ -89,6 +89,27 @@ class DedupSpec extends AnyFunSuite {
     assert(keptScratch == keptLocal)
   }
 
+  test("containmentPairs: snippet-in-doc scores 1.0 one way, low the other; cap undercounts only") {
+    import spark.implicits._
+    val doc = (1 to 60).map(i => s"w$i").mkString(" ")
+    val snippet = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, snippet), (3L, other)).toDF("id", "text")
+    val c = Dedup.containmentPairs(df, "text", "id", shingleSize = 3,
+        threshold = 0.05, maxShingleFreq = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // snippet (8 trigrams) fully inside doc (58 trigrams): directional
+    assert(math.abs(c((2L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(c((1L, 2L)) - 8.0 / 58) < 1e-12)
+    // disjoint doc pairs never appear
+    assert(!c.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // stop-shingle cap only removes evidence (undercount), never adds
+    val capped = Dedup.containmentPairs(df, "text", "id", shingleSize = 3,
+        threshold = 0.0001, maxShingleFreq = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    capped.foreach { case (k, v) => assert(v <= c.getOrElse(k, 0.0) + 1e-12) }
+  }
+
   test("minhash dedup keeps one survivor per near-dup cluster") {
     val kept = Dedup.minhashDedup(docs, "text", "doc_id",
       shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)

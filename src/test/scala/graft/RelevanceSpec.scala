@@ -51,6 +51,18 @@ class RelevanceSpec extends AnyFunSuite {
     assert(dup(1L)._2 == 1L) // n_terms_hit counts distinct terms
   }
 
+  test("rrfFuse: hand-computed fusion, missing-from-one-list ids contribute once") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val out = Relevance.rrfFuse(Seq(a, b), "id", k = 60)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(out(1L)._1 - 1.0 / 61) < 1e-12 && out(1L)._2 == 1L)
+    assert(math.abs(out(2L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-12 && out(2L)._2 == 2L)
+    assert(math.abs(out(4L)._1 - 1.0 / 62) < 1e-12)
+    // the doc in both lists outranks a single-list rank-1 doc (the RRF point)
+    assert(out(2L)._1 > out(1L)._1)
+  }
+
   test("tfidf matches the manual formula; minDf prunes rare terms") {
     val docs = Seq(
       (1L, "a a b"), (2L, "a c"), (3L, "a d")
