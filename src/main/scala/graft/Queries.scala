@@ -2873,6 +2873,31 @@ object Queries {
         round(col("containment"), 4).as("containment_r"))
   }
 
+  /** Triangle counts + local clustering coefficients over the part
+    * co-purchase graph (parts sharing an order — the classic co-occurrence
+    * graph; TPC-H order size is bounded, so the per-order pair fanout is
+    * too). The operator orients edges by (degree, id) so wedge work at any
+    * hub is O(√m)-bounded — the naive all-wedges join is quadratic in hub
+    * degree; the oracle uses the equivalent a<b<c enumeration, which is
+    * fine at DuckDB's scale but is exactly the shape that would NOT
+    * survive a hub at 100 TB.
+    */
+  def q127TriangleCounts(s: SparkSession, dir: String): DataFrame = {
+    // Order subset (1/8): the full co-purchase graph is quasi-REGULAR
+    // (uniform partkeys), the intrinsic ~m^1.5 worst case for ANY triangle
+    // algorithm — degree orientation protects against hubs, not uniform
+    // density. A production corpus graph is power-law, where orientation
+    // wins; here we bound the demo's density, not the operator.
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    operators.Triangles.triangleCounts(edges)
+      .select(col("node_id"), col("degree"), col("triangles"),
+        round(col("lcc"), 6).as("lcc_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -2999,7 +3024,8 @@ object Queries {
     "q123_vocab_overlap" -> (q123VocabOverlap _),
     "q124_url_host_stats" -> (q124UrlHostStats _),
     "q125_rrf_fusion" -> (q125RrfFusion _),
-    "q126_containment" -> (q126Containment _)
+    "q126_containment" -> (q126Containment _),
+    "q127_triangle_counts" -> (q127TriangleCounts _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4814,6 +4840,35 @@ object Queries {
         |  FROM sh a, sh b WHERE a.doc_id <> b.doc_id AND len(a.s) > 0)
         |SELECT id_a, id_b, round(c, 4) AS containment_r
         |FROM pairs WHERE c >= 0.8""".stripMargin,
+    // same triangle set via the a<b<c enumeration (each triangle found
+    // once at its smallest-id corner; Spark finds it once at its
+    // smallest-(degree,id) corner — same set either way)
+    "q127_triangle_counts" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey % 8 = 0),
+        |deg AS (
+        |  SELECT id, COUNT(*) AS degree FROM (
+        |    SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+        |  GROUP BY id),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tc AS (
+        |  SELECT id, COUNT(*) AS triangles FROM (
+        |    SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+        |    UNION ALL SELECT z AS id FROM tri)
+        |  GROUP BY id)
+        |SELECT d.id AS node_id, d.degree,
+        |  COALESCE(tc.triangles, CAST(0 AS BIGINT)) AS triangles,
+        |  ROUND(2.0 * COALESCE(tc.triangles, 0) /
+        |        (d.degree * (d.degree - 1)), 6) AS lcc_r
+        |FROM deg d LEFT JOIN tc ON tc.id = d.id
+        |WHERE d.degree >= 2""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->
