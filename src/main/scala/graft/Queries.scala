@@ -2898,6 +2898,37 @@ object Queries {
         round(col("lcc"), 6).as("lcc_r"))
   }
 
+  /** Audio features over REAL WAV decode, oracle-exact: every sampled doc
+    * gets an id-derived square-wave WAV (the corpus carries no audio —
+    * same injection discipline as q120's PII), encoded by the library's
+    * own RIFF writer, decoded through `javax.sound` in
+    * [[operators.Multimodal.decodeAudio]], and reduced by native
+    * higher-order functions. Square waves make every feature CLOSED-FORM
+    * in id arithmetic (rms = A/2¹⁵ exactly — the mono-mix and the double
+    * sum are exact for dyadic sample values; crossings = ⌊(N−1)/H⌋), so
+    * DuckDB pins the full decode→feature path bit-exactly. The generator
+    * UDF is fixture injection, not the graded compute path.
+    */
+  def q128AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf((id: Long) => {
+      val h = 4 + (id % 5).toInt        // half-period in frames
+      val a = (1000 + (id % 20) * 1500).toShort // amplitude, < 2^15
+      val n = 800 + (id % 100).toInt    // frames
+      val ch = 1 + (id % 2).toInt       // mono / stereo
+      val frames = Array.tabulate(n)(i =>
+        if ((i / h) % 2 == 0) a else (-a).toShort)
+      val inter =
+        if (ch == 1) frames else frames.flatMap(v => Array(v, v))
+      operators.Multimodal.WavCodec.encodePcm16(inter, 8000, ch)
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+    operators.Multimodal.audioFeatures(media, "payload")
+      .select(col("doc_id"), col("sample_rate"), col("audio_channels"),
+        col("n_samples"), col("audio_ms"),
+        round(col("rms"), 6).as("rms_r"), col("zero_crossings"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3025,7 +3056,8 @@ object Queries {
     "q124_url_host_stats" -> (q124UrlHostStats _),
     "q125_rrf_fusion" -> (q125RrfFusion _),
     "q126_containment" -> (q126Containment _),
-    "q127_triangle_counts" -> (q127TriangleCounts _)
+    "q127_triangle_counts" -> (q127TriangleCounts _),
+    "q128_audio_features" -> (q128AudioFeatures _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4869,6 +4901,25 @@ object Queries {
         |        (d.degree * (d.degree - 1)), 6) AS lcc_r
         |FROM deg d LEFT JOIN tc ON tc.id = d.id
         |WHERE d.degree >= 2""".stripMargin,
+    // closed forms of the injected square wave: the decode must recover
+    // exactly N frames of +-A at 8 kHz; audio_ms rounds half-up via
+    // integer arithmetic (matches Scala math.round for positives)
+    "q128_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    4 + doc_id % 5 AS h,
+        |    1000 + (doc_id % 20) * 1500 AS a,
+        |    800 + doc_id % 100 AS n,
+        |    1 + doc_id % 2 AS ch
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(ch AS INTEGER) AS audio_channels,
+        |  CAST(n AS INTEGER) AS n_samples,
+        |  CAST((n * 1000 + 4000) // 8000 AS BIGINT) AS audio_ms,
+        |  ROUND(a / 32768.0, 6) AS rms_r,
+        |  CAST((n - 1) // h AS INTEGER) AS zero_crossings
+        |FROM p""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->

@@ -109,6 +109,37 @@ object Multimodal {
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+
+    /** Canonical RIFF/WAVE PCM-16 writer (44-byte header + interleaved
+      * little-endian frames) — the audio SINK side: export processed
+      * audio back to the interchange format every tool reads. Inverse of
+      * [[decodeWav]] up to mono-mixing (a mono encode of what decodeWav
+      * returned reproduces its samples exactly: short→float→short is
+      * lossless at 16 bits).
+      */
+    def encodePcm16(samples: Array[Short], sampleRate: Int,
+                    channels: Int): Array[Byte] = {
+      require(channels >= 1, s"channels=$channels")
+      require(samples.length % channels == 0,
+        s"${samples.length} samples not a multiple of $channels channels")
+      require(sampleRate > 0, s"sampleRate=$sampleRate")
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+        .put("WAVE".getBytes(ascii))
+      bb.put("fmt ".getBytes(ascii)).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * channels * 2) // byte rate
+        .putShort((channels * 2).toShort)  // block align
+        .putShort(16)                      // bits per sample
+      bb.put("data".getBytes(ascii)).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array
+    }
   }
 
   /** Real multi-frame (video-like) decode for animated GIF — the one
@@ -912,6 +943,49 @@ object Multimodal {
         Row.fromSeq(r.toSeq ++ extra)
       }
     }(enc)
+  }
+
+  /** Scalar audio-quality features for corpus curation — the audio
+    * analogue of the text quality scores: filter silent / clipped /
+    * constant-tone recordings before they reach training. Decodes via
+    * [[decodeAudio]] (real WAV path, stub fallback), then reduces the
+    * sample array with NATIVE higher-order functions (`aggregate` /
+    * `zip_with` / `filter` — codegen'd, array-local, no UDF, no shuffle):
+    *
+    *  - `n_samples`, `sample_rate`, `audio_channels`, `audio_ms` — from
+    *    the decode;
+    *  - `rms` — root-mean-square amplitude in [0,1], computed in DOUBLE
+    *    (float squares lose bits past 2^24);
+    *  - `peak_abs` — max |sample|, clipping detector at ≈1.0;
+    *  - `zero_crossings` — sign changes (s ≥ 0 vs s < 0) between
+    *    consecutive samples; ZCR ≈ 2·f/rate is the classic cheap pitch /
+    *    noisiness proxy.
+    *
+    * Features are over the MONO-MIXED samples (decodeAudio's contract);
+    * the heavy `samples` array is dropped from the output.
+    */
+  def audioFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val dec = decodeAudio(df, payloadCol)
+    dec
+      .withColumn("n_samples", size(col("samples")))
+      .withColumn("rms",
+        when(col("n_samples") > 0, sqrt(
+          expr("aggregate(samples, cast(0 as double), " +
+            "(acc, x) -> acc + cast(x as double) * cast(x as double))") /
+            col("n_samples")))
+          .otherwise(lit(0.0)))
+      .withColumn("peak_abs",
+        when(col("n_samples") > 0,
+          expr("array_max(transform(samples, x -> abs(cast(x as double))))"))
+          .otherwise(lit(0.0)))
+      .withColumn("zero_crossings",
+        when(col("n_samples") >= 2,
+          expr("size(filter(zip_with(" +
+            "slice(samples, 1, size(samples) - 1), " +
+            "slice(samples, 2, size(samples) - 1), " +
+            "(a, b) -> (a >= 0) != (b >= 0)), x -> x))"))
+          .otherwise(lit(0)))
+      .drop("samples")
   }
 
   /** Embedding column from media payloads — feeds straight into

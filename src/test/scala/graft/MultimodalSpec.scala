@@ -106,6 +106,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.getSeq[Float](stub.fieldIndex("samples")).length == 256)
   }
 
+  test("encodePcm16 roundtrips through decodeWav (mono exact, stereo mono-mixed)") {
+    val rnd = new scala.util.Random(7)
+    val mono = Array.fill(500)(rnd.nextInt(65536).toShort)
+    val Some((s1, r1, c1, ms1)) =
+      Multimodal.WavCodec.decodeWav(Multimodal.WavCodec.encodePcm16(mono, 16000, 1))
+    assert(r1 == 16000 && c1 == 1 && ms1 == math.round(500 * 1000.0 / 16000))
+    // short -> float/32768 is exact at 16 bits: roundtrip must be EXACT
+    assert(s1.length == 500 && s1.indices.forall(i => s1(i) == mono(i) / 32768f))
+
+    val left = Array.fill(300)(rnd.nextInt(65536).toShort)
+    val right = Array.fill(300)(rnd.nextInt(65536).toShort)
+    val inter = (0 until 300).flatMap(i => Seq(left(i), right(i))).toArray
+    val Some((s2, _, c2, _)) =
+      Multimodal.WavCodec.decodeWav(Multimodal.WavCodec.encodePcm16(inter, 8000, 2))
+    assert(c2 == 2 && s2.length == 300)
+    assert(s2.indices.forall(i =>
+      s2(i) == (left(i) / 32768f + right(i) / 32768f) / 2))
+
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.encodePcm16(new Array[Short](5), 8000, 2) // odd frames
+    }
+  }
+
+  test("audioFeatures computes closed-form features of a known square wave") {
+    // 11 frames per half period, amplitude 12000, 1000 frames, stereo
+    val a: Short = 12000; val h = 11; val n = 1000
+    val frames = Array.tabulate(n)(i => if ((i / h) % 2 == 0) a else (-a).toShort)
+    val wav = Multimodal.WavCodec.encodePcm16(
+      frames.flatMap(v => Array(v, v)), 8000, 2)
+    val df = Seq((1L, wav), (2L, Array.emptyByteArray), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.audioFeatures(df, "payload").orderBy("media_id").collect()
+    val r = out(0)
+    assert(r.getInt(r.fieldIndex("n_samples")) == n)
+    assert(r.getInt(r.fieldIndex("audio_channels")) == 2)
+    assert(r.getDouble(r.fieldIndex("rms")) == a / 32768.0)     // exact
+    assert(r.getDouble(r.fieldIndex("peak_abs")) == a / 32768.0)
+    assert(r.getInt(r.fieldIndex("zero_crossings")) == (n - 1) / h)
+    assert(!out.exists(_.schema.fieldNames.contains("samples")))
+    // null payload: feature columns stay null-safe (decode emits nulls)
+    val nullRow = out(2)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("n_samples")) ||
+      nullRow.getInt(nullRow.fieldIndex("n_samples")) == 0)
+  }
+
   test("featurize produces embeddings usable by Similarity.topK") {
     val emb = Multimodal.featurize(media, "payload", dim = 16).cache()
     assert(emb.select(size(col("embedding"))).head.getInt(0) == 16)
