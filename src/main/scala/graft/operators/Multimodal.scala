@@ -752,6 +752,41 @@ object Multimodal {
     private def u32le(b: Array[Byte], o: Int): Long =
       (u16le(b, o).toLong) | (u16le(b, o + 2).toLong << 16)
 
+    /** One frame's uncompressed-header parse, shared by the IVF and WebM
+      * container paths: None = show_existing_frame (no new coded frame);
+      * Some((isKey, w, h)) otherwise — keyframes report their header's own
+      * frame_size (authoritative), non-keyframes the container dims
+      * `(cw, ch)`. A header that fails to parse reports non-key with
+      * container dims — a corrupt frame must flag, not throw.
+      */
+    private[operators] def parseFrameHeader(frame: Array[Byte], cw: Int,
+        ch: Int): Option[(Boolean, Int, Int)] =
+      try {
+        val r = new BitReader(frame, 0)
+        require(r.read(2) == 2, "frame_marker")
+        val profile = r.read(1) | (r.read(1) << 1)
+        if (profile == 3) r.read(1)
+        if (r.read(1) == 1) None // show_existing_frame: no new frame
+        else {
+          val frameType = r.read(1) // 0 = KEY
+          r.read(1) // show_frame
+          r.read(1) // error_resilient
+          if (frameType == 0) {
+            require(r.read(8) == 0x49 && r.read(8) == 0x83 &&
+              r.read(8) == 0x42, "sync code")
+            if (profile >= 2) r.read(1) // 10/12 bit
+            val colorSpace = r.read(3)
+            if (colorSpace != 7) { // != CS_RGB
+              r.read(1) // color_range
+              if (profile == 1 || profile == 3) r.read(3)
+            } else if (profile == 1 || profile == 3) r.read(1)
+            val w = r.read(16) + 1
+            val h = r.read(16) + 1
+            Some((true, w, h))
+          } else Some((false, cw, ch))
+        }
+      } catch { case _: Exception => Some((false, cw, ch)) }
+
     /** (frame_no, is_keyframe, width, height, frame payload) per frame;
       * None when the payload is not VP9-in-IVF. Width/height are the
       * keyframe header's own frame_size (authoritative, may differ from
@@ -777,33 +812,9 @@ object Multimodal {
         val fo = off + 12
         if (sz <= 0 || fo + sz > payload.length) return Some(out.result())
         val frame = java.util.Arrays.copyOfRange(payload, fo, fo + sz)
-        val info =
-          try {
-            val r = new BitReader(frame, 0)
-            require(r.read(2) == 2, "frame_marker")
-            val profile = r.read(1) | (r.read(1) << 1)
-            if (profile == 3) r.read(1)
-            if (r.read(1) == 1) None // show_existing_frame: no new frame
-            else {
-              val frameType = r.read(1) // 0 = KEY
-              r.read(1) // show_frame
-              r.read(1) // error_resilient
-              if (frameType == 0) {
-                require(r.read(8) == 0x49 && r.read(8) == 0x83 &&
-                  r.read(8) == 0x42, "sync code")
-                if (profile >= 2) r.read(1) // 10/12 bit
-                val colorSpace = r.read(3)
-                if (colorSpace != 7) { // != CS_RGB
-                  r.read(1) // color_range
-                  if (profile == 1 || profile == 3) r.read(3)
-                } else if (profile == 1 || profile == 3) r.read(1)
-                val w = r.read(16) + 1
-                val h = r.read(16) + 1
-                Some((true, w, h))
-              } else Some((false, cw, ch))
-            }
-          } catch { case _: Exception => Some((false, cw, ch)) }
-        info.foreach { case (k, w, h) => out += ((no, k, w, h, frame)) }
+        parseFrameHeader(frame, cw, ch).foreach {
+          case (k, w, h) => out += ((no, k, w, h, frame))
+        }
         no += 1
         off = fo + sz
       }
@@ -812,12 +823,173 @@ object Multimodal {
     }
   }
 
-  /** VP9 keyframe selection over IVF payloads: one output row per
-    * KEYFRAME — original columns + (frame_no, width, height,
-    * frame bytes). Detection is a real header parse
-    * ([[Vp9IvfCodec]]); the frame payload itself stays entropy-coded
-    * (no pixel decode — see the README honesty matrix). Partition-local
-    * flatMap, no shuffle.
+  /** WebM (Matroska/EBML) container demux for VP9 video tracks — the
+    * container the open web actually serves VP9 in (IVF is libvpx's raw
+    * test wrapper; crawled VP9 is WebM). Pure container work on the
+    * public Matroska/EBML spec, reusing [[Vp9IvfCodec.parseFrameHeader]]
+    * for the per-frame keyframe decision (the frame's own uncompressed
+    * header is authoritative — container keyframe flags can lie).
+    *
+    * EBML element = variable-length id (marker bit kept, 1–4 bytes) +
+    * variable-length size (marker stripped, 1–8 bytes; all-ones = UNKNOWN
+    * size, common for streamed Segment/Cluster) + payload. The walk is
+    * Segment → Tracks → TrackEntry (TrackNumber, TrackType, CodecID
+    * "V_VP9", Video → PixelWidth/PixelHeight) and Segment → Cluster →
+    * SimpleBlock | BlockGroup→Block. An unknown-size element extends to
+    * its parent's end; a following sibling Cluster then appears nested
+    * and is recursed into, so streamed layouts still demux. Laced blocks
+    * (multiple frames per block) are skipped — VP9 video frames are not
+    * laced in practice; a skip must not desync the walk. Malformed
+    * headers end the walk rather than misparse.
+    */
+  object WebmVp9Codec {
+    private val SEGMENT = 0x18538067L
+    private val TRACKS = 0x1654AE6BL
+    private val TRACK_ENTRY = 0xAEL
+    private val TRACK_NUMBER = 0xD7L
+    private val TRACK_TYPE = 0x83L
+    private val CODEC_ID = 0x86L
+    private val VIDEO = 0xE0L
+    private val PIXEL_W = 0xB0L
+    private val PIXEL_H = 0xBAL
+    private val CLUSTER = 0x1F43B675L
+    private val SIMPLE_BLOCK = 0xA3L
+    private val BLOCK_GROUP = 0xA0L
+    private val BLOCK = 0xA1L
+
+    private final case class El(id: Long, start: Int, end: Int)
+
+    /** VINT at `o`: (value, nBytes, isAllOnes). IDs keep the marker bit
+      * (Matroska convention); sizes strip it.
+      */
+    private def vint(b: Array[Byte], o: Int,
+        stripMarker: Boolean): Option[(Long, Int, Boolean)] = {
+      if (o >= b.length) return None
+      val fb = b(o) & 0xff
+      if (fb == 0) return None // >8-byte VINT: not valid here
+      val len = java.lang.Integer.numberOfLeadingZeros(fb) - 23
+      if (o + len > b.length) return None
+      val valueMask = 0xff >>> len
+      var v: Long = if (stripMarker) (fb & valueMask).toLong else fb.toLong
+      var allOnes = (fb & valueMask) == valueMask
+      var i = 1
+      while (i < len) {
+        val x = b(o + i) & 0xff
+        v = (v << 8) | x
+        if (x != 0xff) allOnes = false
+        i += 1
+      }
+      Some((v, len, allOnes))
+    }
+
+    /** Child elements of [from, to); an unknown-size child extends to
+      * `to` and ends the walk; malformed headers end the walk.
+      */
+    private def children(b: Array[Byte], from: Int, to: Int): Seq[El] = {
+      val out = scala.collection.mutable.ArrayBuffer[El]()
+      var i = from
+      var done = false
+      while (!done && i < to) {
+        (for {
+          (id, idLen, _) <- vint(b, i, stripMarker = false)
+          (sz, szLen, unknown) <- vint(b, i + idLen, stripMarker = true)
+        } yield (id, i + idLen + szLen, sz, unknown)) match {
+          case Some((id, p, sz, unknown)) =>
+            val end = if (unknown) to else p + sz
+            if (p > to || end > to || end < p) done = true
+            else { out += El(id, p, end.toInt); i = end.toInt }
+          case None => done = true
+        }
+      }
+      out.toSeq
+    }
+
+    private def uint(b: Array[Byte], el: El): Long = {
+      var v = 0L
+      var i = el.start
+      while (i < el.end && i - el.start < 8) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+      v
+    }
+
+    private def str(b: Array[Byte], el: El): String =
+      new String(b, el.start, el.end - el.start,
+        java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != '\u0000')
+
+    /** The VP9 video track's (trackNumber, pixelW, pixelH), if any. */
+    private def vp9Track(b: Array[Byte], segment: El): Option[(Long, Int, Int)] =
+      children(b, segment.start, segment.end)
+        .filter(_.id == TRACKS)
+        .flatMap(tr => children(b, tr.start, tr.end))
+        .filter(_.id == TRACK_ENTRY)
+        .flatMap { te =>
+          val kids = children(b, te.start, te.end)
+          val codec = kids.find(_.id == CODEC_ID).map(str(b, _))
+          val num = kids.find(_.id == TRACK_NUMBER).map(uint(b, _))
+          val isVideo = kids.find(_.id == TRACK_TYPE).forall(uint(b, _) == 1L)
+          val dims = kids.find(_.id == VIDEO).map { v =>
+            val vk = children(b, v.start, v.end)
+            (vk.find(_.id == PIXEL_W).map(uint(b, _).toInt).getOrElse(0),
+              vk.find(_.id == PIXEL_H).map(uint(b, _).toInt).getOrElse(0))
+          }
+          if (codec.contains("V_VP9") && isVideo && num.isDefined)
+            Some((num.get, dims.map(_._1).getOrElse(0),
+              dims.map(_._2).getOrElse(0)))
+          else None
+        }.headOption
+
+    /** Raw frame payloads of `track`, cluster by cluster (recursing into
+      * clusters that a previous unknown-size cluster swallowed). A laced
+      * block (flags bits 0x06 ≠ 0) is skipped.
+      */
+    private def trackFrames(b: Array[Byte], el: El,
+        track: Long): Seq[Array[Byte]] = {
+      def blockFrame(blk: El): Option[Array[Byte]] =
+        vint(b, blk.start, stripMarker = true).flatMap {
+          case (tn, tnLen, _) =>
+            val flagsOff = blk.start + tnLen + 2 // skip s16 rel. timecode
+            if (tn != track || flagsOff >= blk.end) None
+            else if (((b(flagsOff) >> 1) & 0x3) != 0) None // laced: skip
+            else Some(java.util.Arrays.copyOfRange(b, flagsOff + 1, blk.end))
+        }
+      children(b, el.start, el.end).flatMap {
+        case c if c.id == CLUSTER => trackFrames(b, c, track)
+        case blk if blk.id == SIMPLE_BLOCK => blockFrame(blk).toSeq
+        case g if g.id == BLOCK_GROUP =>
+          children(b, g.start, g.end).filter(_.id == BLOCK)
+            .flatMap(blockFrame)
+        case _ => Seq.empty
+      }
+    }
+
+    /** Same shape as [[Vp9IvfCodec.frameInfo]]: (frame_no, is_keyframe,
+      * width, height, frame payload) per coded frame of the VP9 track;
+      * None unless the payload is an EBML container with a V_VP9 track.
+      */
+    def frameInfo(payload: Array[Byte])
+        : Option[Seq[(Int, Boolean, Int, Int, Array[Byte])]] = {
+      if (payload == null || payload.length < 8) return None
+      if (!(payload(0) == 0x1A.toByte && payload(1) == 0x45.toByte &&
+            payload(2) == 0xDF.toByte && payload(3) == 0xA3.toByte))
+        return None
+      val top = children(payload, 0, payload.length)
+      val out = for {
+        segment <- top.find(_.id == SEGMENT).toSeq
+        (track, cw, ch) <- vp9Track(payload, segment).toSeq
+        (frame, no) <- children(payload, segment.start, segment.end)
+          .filter(_.id == CLUSTER)
+          .flatMap(trackFrames(payload, _, track)).zipWithIndex
+        (k, w, h) <- Vp9IvfCodec.parseFrameHeader(frame, cw, ch).toSeq
+      } yield (no, k, w, h, frame)
+      if (out.isEmpty) None else Some(out)
+    }
+  }
+
+  /** VP9 keyframe selection over IVF or WebM payloads: one output row
+    * per KEYFRAME — original columns + (frame_no, width, height,
+    * frame bytes). Detection is a real container demux + header parse
+    * ([[Vp9IvfCodec]], [[WebmVp9Codec]]); the frame payload itself stays
+    * entropy-coded (no pixel decode — see the README honesty matrix).
+    * Partition-local flatMap, no shuffle.
     */
   def vp9Keyframes(df: DataFrame, payloadCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -829,7 +1001,9 @@ object Multimodal {
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        Vp9IvfCodec.frameInfo(r.getAs[Array[Byte]](idx))
+        val payload = r.getAs[Array[Byte]](idx)
+        Vp9IvfCodec.frameInfo(payload)
+          .orElse(WebmVp9Codec.frameInfo(payload))
           .getOrElse(Seq.empty)
           .collect { case (no, true, w, h, frame) =>
             Row.fromSeq(r.toSeq ++ Seq(no, w, h, frame))

@@ -772,4 +772,109 @@ class MultimodalSpec extends AnyFunSuite {
     val ti = Multimodal.Vp9IvfCodec.frameInfo(trunc)
     assert(ti.isEmpty || ti.get.forall(_._1 == 0))
   }
+
+  // ---- VP9-in-WebM (Matroska/EBML) demux ----------------------------
+
+  /** Independent EBML writer — fixture and demuxer share no code. */
+  private def ebmlId(id: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8)
+    (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+  }
+  private def ebmlSize(v: Int): Array[Byte] = {
+    var len = 1
+    while (v >= (1L << (7 * len)) - 1) len += 1 // avoid the all-ones code
+    val marker = 1L << (7 * len)
+    val coded = marker | v.toLong
+    (0 until len).map(i => ((coded >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+  }
+  private val ebmlUnknown = Array(0xFF.toByte) // 1-byte all-ones size
+  private def wel(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(payload.length) ++ payload
+  private def welUnknown(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlUnknown ++ payload
+  private def uintEl(id: Long, v: Long): Array[Byte] =
+    wel(id, ebmlId(math.max(v, 1))) // minimal big-endian bytes (v>0 here)
+  private def webmSimpleBlock(track: Int, frame: Array[Byte], key: Boolean,
+                              lacing: Int = 0): Array[Byte] =
+    wel(0xA3L, Array((0x80 | track).toByte, 0.toByte, 0.toByte,
+      (((if (key) 1 else 0) << 7) | (lacing << 1)).toByte) ++ frame)
+  private def webmTrackEntry(num: Int, codec: String, w: Int, h: Int,
+                             tpe: Int = 1): Array[Byte] =
+    wel(0xAEL, uintEl(0xD7L, num) ++ uintEl(0x83L, tpe) ++
+      wel(0x86L, codec.getBytes("US-ASCII")) ++
+      wel(0xE0L, uintEl(0xB0L, w) ++ uintEl(0xBAL, h)))
+  private def webm(tracks: Array[Byte], clusters: Array[Byte],
+                   unknownSegmentSize: Boolean = false): Array[Byte] = {
+    val header = wel(0x1A45DFA3L, wel(0x4282L, "webm".getBytes("US-ASCII")))
+    val body = wel(0x1654AE6BL, tracks) ++ clusters
+    header ++ (if (unknownSegmentSize) welUnknown(0x18538067L, body)
+               else wel(0x18538067L, body))
+  }
+
+  test("WebM: VP9 track demuxed, keyframes from the frame header, other tracks ignored") {
+    val f = Seq(vp9Frame(key = true, 64, 48), vp9Frame(key = false),
+      vp9Frame(key = false), vp9Frame(key = true, 128, 96, profile = 2))
+    val tracks = webmTrackEntry(1, "A_OPUS", 0, 0, tpe = 2) ++
+      webmTrackEntry(2, "V_VP9", 320, 240)
+    val clusters =
+      wel(0x1F43B675L, uintEl(0xE7L, 1) ++
+        webmSimpleBlock(2, f(0), key = true) ++
+        webmSimpleBlock(1, Array[Byte](9, 9), key = true) ++ // audio: skip
+        webmSimpleBlock(2, f(1), key = false)) ++
+      wel(0x1F43B675L, uintEl(0xE7L, 2) ++
+        // BlockGroup->Block path for frame 2
+        wel(0xA0L, wel(0xA1L, Array((0x80 | 2).toByte, 0.toByte, 0.toByte,
+          0.toByte) ++ f(2))) ++
+        webmSimpleBlock(2, f(3), key = true))
+    val payload = webm(tracks, clusters)
+    val info = Multimodal.WebmVp9Codec.frameInfo(payload).get
+    assert(info.map(x => (x._1, x._2, x._3, x._4)) == Seq(
+      (0, true, 64, 48), (1, false, 320, 240),
+      (2, false, 320, 240), (3, true, 128, 96)))
+    // frame BYTES roundtrip the container exactly
+    assert(info.map(_._5.toSeq) == f.map(_.toSeq))
+    // operator surface dispatches WebM after IVF
+    val df = Seq((1L, payload)).toDF("media_id", "payload")
+    val kf = Multimodal.vp9Keyframes(df, "payload")
+      .select("frame_no", "width", "height").collect()
+    assert(kf.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((0, 64, 48), (3, 128, 96)))
+  }
+
+  test("WebM: streamed layout (unknown-size segment + cluster) still demuxes") {
+    val f = Seq(vp9Frame(key = true, 64, 48), vp9Frame(key = false))
+    val tracks = webmTrackEntry(1, "V_VP9", 320, 240)
+    // first cluster has UNKNOWN size: swallows the second, which must be
+    // found by recursion into the over-long span
+    val c2 = wel(0x1F43B675L, uintEl(0xE7L, 2) ++
+      webmSimpleBlock(1, f(1), key = false))
+    val c1 = welUnknown(0x1F43B675L, uintEl(0xE7L, 1) ++
+      webmSimpleBlock(1, f(0), key = true) ++ c2)
+    val payload = webm(tracks, c1, unknownSegmentSize = true)
+    val info = Multimodal.WebmVp9Codec.frameInfo(payload).get
+    assert(info.map(x => (x._1, x._2, x._3, x._4)) == Seq(
+      (0, true, 64, 48), (1, false, 320, 240)))
+  }
+
+  test("WebM: laced blocks are skipped without desyncing; corrupt payloads flag") {
+    val f0 = vp9Frame(key = true, 64, 48)
+    val tracks = webmTrackEntry(1, "V_VP9", 320, 240)
+    val clusters = wel(0x1F43B675L,
+      webmSimpleBlock(1, Array[Byte](1, 2, 3, 4), key = false, lacing = 2) ++
+        webmSimpleBlock(1, f0, key = true))
+    val info = Multimodal.WebmVp9Codec.frameInfo(webm(tracks, clusters)).get
+    assert(info.map(x => (x._1, x._2)) == Seq((0, true)))
+
+    assert(Multimodal.WebmVp9Codec.frameInfo(null).isEmpty)
+    assert(Multimodal.WebmVp9Codec.frameInfo("EBML? nope".getBytes).isEmpty)
+    // V_VP8 track: wrong codec, no VP9 frames -> None
+    val vp8 = webm(webmTrackEntry(1, "V_VP8", 320, 240),
+      wel(0x1F43B675L, webmSimpleBlock(1, f0, key = true)))
+    assert(Multimodal.WebmVp9Codec.frameInfo(vp8).isEmpty)
+    // truncated mid-cluster: earlier frames survive, no throw
+    val whole = webm(tracks, wel(0x1F43B675L,
+      webmSimpleBlock(1, f0, key = true) ++ webmSimpleBlock(1, f0, key = true)))
+    val trunc = Multimodal.WebmVp9Codec.frameInfo(whole.dropRight(6))
+    assert(trunc.isEmpty || trunc.get.nonEmpty)
+  }
 }
