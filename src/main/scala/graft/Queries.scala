@@ -2929,6 +2929,24 @@ object Queries {
         round(col("rms"), 6).as("rms_r"), col("zero_crossings"))
   }
 
+  /** k-core of the q127 co-purchase graph (k = 12): the densely
+    * cross-linked region that survives iterative peeling, with each
+    * survivor's core-internal degree. Spark peels round by round (two
+    * semi-joins + a grouped count per round, early exit at fixpoint);
+    * the oracle replays the SAME bounded-round peeling as a recursive
+    * CTE — both sides cap at 30 rounds, so the contract is identical
+    * even on a graph that hasn't converged (this one converges in a
+    * handful of rounds).
+    */
+  def q129KCore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    operators.KCore.kCore(edges, k = 12, maxRounds = 30)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3057,7 +3075,8 @@ object Queries {
     "q125_rrf_fusion" -> (q125RrfFusion _),
     "q126_containment" -> (q126Containment _),
     "q127_triangle_counts" -> (q127TriangleCounts _),
-    "q128_audio_features" -> (q128AudioFeatures _)
+    "q128_audio_features" -> (q128AudioFeatures _),
+    "q129_kcore" -> (q129KCore _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4920,6 +4939,29 @@ object Queries {
         |  ROUND(a / 32768.0, 6) AS rms_r,
         |  CAST((n - 1) // h AS INTEGER) AS zero_crossings
         |FROM p""".stripMargin,
+    // the same bounded-round peeling as a recursive CTE: core(0) = all
+    // nodes; core(r+1) = nodes with >= 12 neighbors in core(r); both
+    // engines cap at 30 rounds (identical contract pre-convergence)
+    "q129_kcore" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey % 8 = 0),
+        |adj AS (SELECT a AS id, b AS nb FROM e UNION SELECT b, a FROM e),
+        |core AS (
+        |  SELECT 0 AS r, id FROM (SELECT a AS id FROM e UNION SELECT b FROM e)
+        |  UNION ALL
+        |  SELECT c.r + 1, c.id
+        |  FROM core c JOIN adj n ON n.id = c.id
+        |  JOIN core c2 ON c2.id = n.nb AND c2.r = c.r
+        |  WHERE c.r < 30
+        |  GROUP BY c.r, c.id
+        |  HAVING COUNT(*) >= 12),
+        |fin AS (SELECT id FROM core WHERE r = 30)
+        |SELECT n.id AS node_id, COUNT(*) AS core_degree
+        |FROM adj n JOIN fin f1 ON f1.id = n.id JOIN fin f2 ON f2.id = n.nb
+        |GROUP BY n.id""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->
