@@ -2947,6 +2947,23 @@ object Queries {
     operators.KCore.kCore(edges, k = 12, maxRounds = 30)
   }
 
+  /** Flesch Reading-Ease readability per document — the classic prose
+    * complexity gate next to the q27/q83 quality filters, from the
+    * regex-reproducible syllable heuristic in
+    * [[functions.TextFunctions.fleschStats]]. One codegen'd scan, no
+    * shuffle before the tiny per-doc output.
+    */
+  def q130Readability(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+    val st = TextFunctions.fleschStats(col("text"))
+    d.select(col("doc_id"), st.as("st"),
+        round(TextFunctions.fleschReadingEase(col("text")), 4).as("flesch_r"))
+      .select(col("doc_id"), col("st.n_words").as("n_words"),
+        col("st.n_sentences").as("n_sentences"),
+        col("st.n_syllables").as("n_syllables"), col("flesch_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3076,7 +3093,8 @@ object Queries {
     "q126_containment" -> (q126Containment _),
     "q127_triangle_counts" -> (q127TriangleCounts _),
     "q128_audio_features" -> (q128AudioFeatures _),
-    "q129_kcore" -> (q129KCore _)
+    "q129_kcore" -> (q129KCore _),
+    "q130_readability" -> (q130Readability _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -4962,6 +4980,31 @@ object Queries {
         |SELECT n.id AS node_id, COUNT(*) AS core_degree
         |FROM adj n JOIN fin f1 ON f1.id = n.id JOIN fin f2 ON f2.id = n.nb
         |GROUP BY n.id""".stripMargin,
+    // same regex heuristic, term by term; len() is BIGINT in DuckDB so
+    // every count casts to INTEGER to match Spark's size()
+    "q130_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lower(trim(text)) AS lt
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+        |      AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS INTEGER) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lt, '[aeiouy]+')) AS INTEGER)
+        |      AS groups,
+        |    CAST(len(regexp_extract_all(lt, '[b-df-hj-np-tv-z]e\b'))
+        |      AS INTEGER) AS silente
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences,
+        |  greatest(n_words, groups - silente) AS n_syllables,
+        |  ROUND(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(greatest(n_words, groups - silente) AS DOUBLE)
+        |              / n_words), 4) AS flesch_r
+        |FROM m""".stripMargin,
     // per-stratum A-ES with the q102 key; rank windows reproduce the
     // exact per-language selection
     "q111_stratified_sample" ->

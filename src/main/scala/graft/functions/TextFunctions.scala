@@ -194,6 +194,51 @@ object TextFunctions {
   def docFingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Struct of the Flesch Reading-Ease inputs — `n_words`, `n_sentences`,
+    * `n_syllables` — from a DOCUMENTED, regex-reproducible heuristic
+    * (Flesch 1948 needs syllables; exact syllabification needs a
+    * dictionary, so large-corpus pipelines all use a vowel-group proxy):
+    *
+    *  - words = whitespace tokens;
+    *  - sentences = `[.!?]+` runs, floored at 1;
+    *  - syllables = vowel-group runs `[aeiouy]+` in the lowercased text,
+    *    minus silent-e candidates (`[consonant]e` at a word boundary),
+    *    floored at the word count (≥ 1 syllable per word, applied
+    *    globally so the formula stays one regex pass per term — not the
+    *    per-word clamp a dictionary method would use).
+    *
+    * Every term is a single `regexp_extract_all` inside whole-stage
+    * codegen, and each is expressible in ANSI SQL, so the score is
+    * oracle-checkable (q130). NULL/blank text → NULL.
+    */
+  def fleschStats(text: Column): Column = {
+    val lower0 = lower(trim(text))
+    val nWords = size(split(trim(text), "\\s+"))
+    val groups = size(regexp_extract_all(lower0, lit("[aeiouy]+"), lit(0)))
+    val silentE =
+      size(regexp_extract_all(lower0, lit("[b-df-hj-np-tv-z]e\\b"), lit(0)))
+    val nSent =
+      greatest(lit(1), size(regexp_extract_all(text, lit("[.!?]+"), lit(0))))
+    when(text.isNull || length(trim(text)) === 0, lit(null))
+      .otherwise(struct(
+        nWords.as("n_words"),
+        nSent.as("n_sentences"),
+        greatest(nWords, groups - silentE).as("n_syllables")))
+  }
+
+  /** Flesch Reading-Ease score over [[fleschStats]]:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` —
+    * high = simple prose, low/negative = dense or degenerate text; the
+    * classic cheap readability gate next to [[qualityScore]].
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val st = fleschStats(text)
+    when(st.isNull, lit(null)).otherwise(
+      lit(206.835)
+        - lit(1.015) * (st("n_words").cast("double") / st("n_sentences"))
+        - lit(84.6) * (st("n_syllables").cast("double") / st("n_words")))
+  }
+
   /** SQL-callable shims (the Column API above stays fully codegen'd; these
     * exist only so `spark.sql("SELECT TOKEN_COUNT(text) ...")` works).
     */

@@ -83,6 +83,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("flesch stats match a hand implementation of the documented heuristic") {
+    val ts = samples(text) ++ Seq(
+      "The cat sat. The dog ran!", "One", "e e e", "same same same.",
+      "Able bakers make cake late; time flies?!", "  spaced   out  .  ")
+    val rows = ts.toDF("text").select(col("text"),
+      TextFunctions.fleschStats(col("text")).as("st"),
+      TextFunctions.fleschReadingEase(col("text")).as("f")).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      if (t == null || t.trim.isEmpty) {
+        assert(r.isNullAt(1) && r.isNullAt(2), s"blank '$t' must be NULL")
+      } else {
+        val lt = t.trim.toLowerCase
+        val w = t.trim.split("\\s+").length
+        val sent = math.max(1, "[.!?]+".r.findAllIn(t).length)
+        val groups = "[aeiouy]+".r.findAllIn(lt).length
+        val silent = "[b-df-hj-np-tv-z]e\\b".r.findAllIn(lt).length
+        val syl = math.max(w, groups - silent)
+        val st = r.getStruct(1)
+        assert((st.getInt(0), st.getInt(1), st.getInt(2)) == ((w, sent, syl)),
+          s"stats for '$t'")
+        val expected = 206.835 - 1.015 * (w.toDouble / sent) -
+          84.6 * (syl.toDouble / w)
+        assert(r.getDouble(2) == expected, s"flesch for '$t'")
+      }
+    }
+  }
+
   test("fingerprint is invariant to case and whitespace runs, sensitive to content") {
     val ws = samples(Gen.nonEmptyListOf(word)).filter(_.nonEmpty)
     val pairs = ws.map { w =>
