@@ -297,7 +297,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "decontaminate", "pmi_topk", "quality_filter", "bm25_topk",
           "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply",
           "connected_components", "weighted_sample", "kmv_overlap",
-          "interleave", "proximity_topk", "pagerank", "data_card",
+          "interleave", "proximity_topk", "pagerank", "triangle_counts",
+          "kcore", "data_card",
           "incremental_card", "jdbc_ingest",
           "profile")
         .map(Identifier.of(Array("system"), _))
@@ -346,6 +347,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "interleave" => new InterleaveProcedure
       case "proximity_topk" => new ProximityTopKProcedure
       case "pagerank" => new PageRankProcedure
+      case "triangle_counts" => new TriangleCountsProcedure
+      case "kcore" => new KCoreProcedure
       case "data_card" => new DataCardProcedure
       case "incremental_card" => new IncrementalCardProcedure
       case "jdbc_ingest" => new JdbcIngestProcedure
@@ -2051,6 +2054,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           df.select(col(input.getUTF8String(2).toString).as("src"),
             col(input.getUTF8String(3).toString).as("dst")),
           input.getInt(4))
+      }
+  }
+
+  private final class TriangleCountsProcedure extends MaintenanceProcedure {
+    override def name(): String = "triangle_counts"
+    override def description(): String =
+      "per-node triangle counts + local clustering coefficients over " +
+        "(src, dst) edge rows via degree-ordered orientation; lands in target"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("src_col", StringType)
+          .defaultValue("'src'").build(),
+        procedures.ProcedureParameter.in("dst_col", StringType)
+          .defaultValue("'dst'").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.Triangles.triangleCounts(
+          df.select(col(input.getUTF8String(2).toString).as("src"),
+            col(input.getUTF8String(3).toString).as("dst")))
+      }
+  }
+
+  private final class KCoreProcedure extends MaintenanceProcedure {
+    override def name(): String = "kcore"
+    override def description(): String =
+      "k-core survivors (node_id, core_degree) of the (src, dst) edge " +
+        "graph by bounded-round iterative peeling; lands in target"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter
+          .in("k", org.apache.spark.sql.types.IntegerType).build(),
+        procedures.ProcedureParameter.in("src_col", StringType)
+          .defaultValue("'src'").build(),
+        procedures.ProcedureParameter.in("dst_col", StringType)
+          .defaultValue("'dst'").build(),
+        procedures.ProcedureParameter
+          .in("max_rounds", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("30").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.KCore.kCore(
+          df.select(col(input.getUTF8String(3).toString).as("src"),
+            col(input.getUTF8String(4).toString).as("dst")),
+          input.getInt(2), input.getInt(5))
       }
   }
 

@@ -1200,6 +1200,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(pr == Map(1L -> 150000000L, 2L -> 575000000L, 3L -> 1425000000L))
   }
 
+  test("graph procedures: triangle_counts/kcore from SQL (r10)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm14",
+      java.nio.file.Files.createTempDirectory("sql_llm14_").toString)
+    spark.sql("CREATE NAMESPACE llm14.G")
+    // K4 on 1..4 with a 4-5-6 tail
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+      .createOrReplaceTempView("seed14_edges")
+    spark.sql("CREATE TABLE llm14.G.E AS SELECT * FROM seed14_edges")
+
+    spark.sql("CALL llm14.system.triangle_counts(source => 'G.E', " +
+      "target => 'G.TRI')")
+    val tri = spark.sql("SELECT node_id, triangles FROM llm14.G.TRI")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+
+    spark.sql("CALL llm14.system.kcore(source => 'G.E', " +
+      "target => 'G.CORE', k => 3)")
+    val core = spark.sql("SELECT node_id, core_degree FROM llm14.G.CORE")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
   test("profile procedure: per-column stats in one scan") {
     import spark.implicits._
     graft.sql.GraftCatalog.register(spark, "llm13",
