@@ -2964,6 +2964,50 @@ object Queries {
         col("st.n_syllables").as("n_syllables"), col("flesch_r"))
   }
 
+  private val q131Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incrementally-maintained triangle counts: the q127 co-purchase graph
+    * arrives as TWO commits (split by order key), each folded into
+    * persisted adjacency + count state in delta time; the oracle
+    * recomputes the WHOLE graph from scratch — the maintained state must
+    * be indistinguishable (same rows as q127's batch answer, and the
+    * same SQL pins it).
+    */
+  def q131IncrementalTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("ok"), col("pa").as("id_a"), col("pb").as("id_b"))
+    val root = q131Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q131_inctri").toString
+      val src = storage.VersionedTable(s, s"$r/src", collectStats = false)
+      val it = operators.IncrementalTriangles(s, src, s"$r/state")
+      // split on the ORDER key: a part pair can re-appear in both halves,
+      // and triangles routinely straddle the boundary — the second
+      // refresh exercises every cross-batch credit class
+      val mid = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
+      src.append(edges.filter(col("ok") <= mid).drop("ok"))
+      val a1 = it.refresh()
+      src.append(edges.filter(col("ok") > mid).drop("ok"))
+      val a2 = it.refresh()
+      require(a1 == 1 && a2 == 1, s"refreshes must be delta-only: $a1 $a2")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val it = operators.IncrementalTriangles(s,
+      storage.VersionedTable(s, s"$root/src", collectStats = false),
+      s"$root/state")
+    require(it.refresh() == 0L, "state must already be current")
+    it.read.select(col("node_id"), col("degree"), col("triangles"),
+      round(col("lcc"), 6).as("lcc_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3094,7 +3138,8 @@ object Queries {
     "q127_triangle_counts" -> (q127TriangleCounts _),
     "q128_audio_features" -> (q128AudioFeatures _),
     "q129_kcore" -> (q129KCore _),
-    "q130_readability" -> (q130Readability _)
+    "q130_readability" -> (q130Readability _),
+    "q131_incremental_triangles" -> (q131IncrementalTriangles _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -5097,4 +5142,32 @@ object Queries {
         |  CAST(SUM(CASE WHEN fp + fv > 0 THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(SUM(fp * fv) AS BIGINT), TRUE, TRUE, TRUE, TRUE FROM f""".stripMargin
   )
+    // the maintained state must be indistinguishable from the batch
+    // recompute — BY DESIGN the oracle is q127's, verbatim
+    .updated("q131_incremental_triangles",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey % 8 = 0),
+        |deg AS (
+        |  SELECT id, COUNT(*) AS degree FROM (
+        |    SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+        |  GROUP BY id),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tc AS (
+        |  SELECT id, COUNT(*) AS triangles FROM (
+        |    SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+        |    UNION ALL SELECT z AS id FROM tri)
+        |  GROUP BY id)
+        |SELECT d.id AS node_id, d.degree,
+        |  COALESCE(tc.triangles, CAST(0 AS BIGINT)) AS triangles,
+        |  ROUND(2.0 * COALESCE(tc.triangles, 0) /
+        |        (d.degree * (d.degree - 1)), 6) AS lcc_r
+        |FROM deg d LEFT JOIN tc ON tc.id = d.id
+        |WHERE d.degree >= 2""".stripMargin)
 }
