@@ -2889,10 +2889,8 @@ object Queries {
     // density. A production corpus graph is power-law, where orientation
     // wins; here we bound the demo's density, not the operator.
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
-    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
+    val edges = operators.Graphs.coOccurrenceEdges(
+      li, "l_orderkey", "l_partkey", maxGroupSize = 100)
     operators.Triangles.triangleCounts(edges)
       .select(col("node_id"), col("degree"), col("triangles"),
         round(col("lcc"), 6).as("lcc_r"))
@@ -2940,10 +2938,8 @@ object Queries {
     */
   def q129KCore(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
-    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
+    val edges = operators.Graphs.coOccurrenceEdges(
+      li, "l_orderkey", "l_partkey", maxGroupSize = 100)
     operators.KCore.kCore(edges, k = 12, maxRounds = 30)
   }
 
@@ -3006,6 +3002,30 @@ object Queries {
     require(it.refresh() == 0L, "state must already be current")
     it.read.select(col("node_id"), col("degree"), col("triangles"),
       round(col("lcc"), 6).as("lcc_r"))
+  }
+
+  /** Market-basket association over the FULL co-purchase projection:
+    * pair support (shared-order count) and lift
+    * `P(a,b) / (P(a)·P(b))` for every pair bought together at least
+    * twice — the classic affinity dashboard, and the weighted face of
+    * [[operators.Graphs.coOccurrenceEdges]]. The total-order count is
+    * the one driver scalar (the A1 minmax-literal pattern); everything
+    * else is pair-/item-keyed shuffles.
+    */
+  def q132CopurchaseLift(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val e = operators.Graphs
+      .coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 100)
+      .filter(col("weight") >= 2)
+    val gi = li.select(col("l_orderkey").as("g"),
+      col("l_partkey").cast("long").as("i")).distinct()
+    val pop = gi.groupBy(col("i")).agg(count(lit(1)).as("c"))
+    val n = gi.select(col("g")).distinct().count()
+    e.join(pop.select(col("i").as("src"), col("c").as("ca")), "src")
+      .join(pop.select(col("i").as("dst"), col("c").as("cb")), "dst")
+      .select(col("src"), col("dst"), col("weight"),
+        round(col("weight").cast("double") * lit(n) /
+          (col("ca") * col("cb")), 4).as("lift_r"))
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -3139,7 +3159,8 @@ object Queries {
     "q128_audio_features" -> (q128AudioFeatures _),
     "q129_kcore" -> (q129KCore _),
     "q130_readability" -> (q130Readability _),
-    "q131_incremental_triangles" -> (q131IncrementalTriangles _)
+    "q131_incremental_triangles" -> (q131IncrementalTriangles _),
+    "q132_copurchase_lift" -> (q132CopurchaseLift _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -5142,6 +5163,23 @@ object Queries {
         |  CAST(SUM(CASE WHEN fp + fv > 0 THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(SUM(fp * fv) AS BIGINT), TRUE, TRUE, TRUE, TRUE FROM f""".stripMargin
   )
+    // same projection + popularity in plain SQL; lift's arithmetic order
+    // mirrors the Spark side exactly ((w·n) / (ca·cb), double late)
+    .updated("q132_copurchase_lift",
+      """WITH gi AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |pairs AS (
+        |  SELECT a.i AS src, b.i AS dst, COUNT(*) AS weight
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY a.i, b.i),
+        |pop AS (SELECT i, COUNT(*) AS c FROM gi GROUP BY i),
+        |n AS (SELECT COUNT(DISTINCT g) AS nn FROM gi)
+        |SELECT src, dst, weight,
+        |  ROUND(CAST(weight AS DOUBLE) * n.nn / (pa.c * pb.c), 4) AS lift_r
+        |FROM pairs, n
+        |JOIN pop pa ON pa.i = src
+        |JOIN pop pb ON pb.i = dst
+        |WHERE weight >= 2""".stripMargin)
     // the maintained state must be indistinguishable from the batch
     // recompute — BY DESIGN the oracle is q127's, verbatim
     .updated("q131_incremental_triangles",
