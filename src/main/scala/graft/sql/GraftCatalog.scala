@@ -298,7 +298,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "hybrid_topk", "drift_psi", "quantile_buckets", "scd2_apply",
           "connected_components", "weighted_sample", "kmv_overlap",
           "interleave", "proximity_topk", "pagerank", "triangle_counts",
-          "kcore", "data_card",
+          "kcore", "audio_features", "data_card",
           "incremental_card", "jdbc_ingest",
           "profile")
         .map(Identifier.of(Array("system"), _))
@@ -349,6 +349,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "pagerank" => new PageRankProcedure
       case "triangle_counts" => new TriangleCountsProcedure
       case "kcore" => new KCoreProcedure
+      case "audio_features" => new AudioFeaturesProcedure
       case "data_card" => new DataCardProcedure
       case "incremental_card" => new IncrementalCardProcedure
       case "jdbc_ingest" => new JdbcIngestProcedure
@@ -2104,6 +2105,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           df.select(col(input.getUTF8String(3).toString).as("src"),
             col(input.getUTF8String(4).toString).as("dst")),
           input.getInt(2), input.getInt(5))
+      }
+  }
+
+  private final class AudioFeaturesProcedure extends MaintenanceProcedure {
+    override def name(): String = "audio_features"
+    override def description(): String =
+      "audio quality features (rms/peak/zero-crossings/duration) per " +
+        "payload row via the real WAV decode path; lands in target"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("payload_col", StringType)
+          .defaultValue("'payload'").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.Multimodal.audioFeatures(df,
+          input.getUTF8String(2).toString)
       }
   }
 

@@ -1222,6 +1222,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val core = spark.sql("SELECT node_id, core_degree FROM llm14.G.CORE")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core == (1L to 4L).map(_ -> 3L).toMap)
+
+    // audio_features procedure over a REAL WAV payload
+    val a: Short = 8000
+    val frames = Array.tabulate(400)(i =>
+      if ((i / 5) % 2 == 0) a else (-a).toShort)
+    val wav = graft.operators.Multimodal.WavCodec.encodePcm16(frames, 8000, 1)
+    Seq((1L, wav)).toDF("media_id", "payload")
+      .createOrReplaceTempView("seed14_audio")
+    spark.sql("CREATE TABLE llm14.G.AU AS SELECT * FROM seed14_audio")
+    spark.sql("CALL llm14.system.audio_features(source => 'G.AU', " +
+      "target => 'G.AF')")
+    val af = spark.sql(
+      "SELECT n_samples, zero_crossings, rms FROM llm14.G.AF").head
+    assert(af.getInt(0) == 400 && af.getInt(1) == 399 / 5)
+    assert(af.getDouble(2) == a / 32768.0)
   }
 
   test("profile procedure: per-column stats in one scan") {
