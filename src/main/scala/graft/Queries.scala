@@ -3028,6 +3028,112 @@ object Queries {
           (col("ca") * col("cb")), 4).as("lift_r"))
   }
 
+  /** Bipartite HITS authorities (X96): mutually-reinforcing hub/authority
+    * scores over the order→part purchase graph — 2 integer-scaled rounds,
+    * every score exact by construction ([[operators.Hits]]); top-20
+    * authority parts.
+    */
+  def q133Hits(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val e = li.select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    operators.Hits.scaledHits(e, iters = 2)
+      .filter(col("kind") === "auth")
+      .orderBy(desc("score"), col("id"))
+      .limit(20)
+      .select(col("id").as("part_id"), col("score").as("auth"))
+  }
+
+  /** Robust per-group outlier screen (X97): median / MAD / outlier count
+    * for the metric column per event type — the data-quality dashboard
+    * row a mean/stddev z-score can't provide under contamination
+    * ([[operators.Outliers]]).
+    */
+  def q134MadOutliers(s: SparkSession, dir: String): DataFrame =
+    operators.Outliers.madOutliers(t(s, dir, "events"),
+        Seq("event_type"), "value", k = 3.0)
+      .select(col("event_type"), col("n"),
+        round(col("median"), 4).as("med_r"),
+        round(col("mad"), 4).as("mad_r"), col("n_outliers"))
+
+  /** Code-point entropy screen (X98): the 20 lowest-entropy documents —
+    * the gibberish/boilerplate tail a corpus release drops first. One
+    * fused codegen'd scan ([[plans.expressions.CharEntropyStats]]); the
+    * whole statistic is reproducible from `string_split(text, '')` in
+    * ANSI SQL.
+    */
+  def q135CharEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("st", plans.expressions.charEntropyStats(col("text")))
+      .select(col("doc_id"), col("st.n_cp").as("n_cp"),
+        col("st.n_distinct").as("n_distinct"),
+        round(col("st.entropy"), 4).as("entropy_r"))
+      .orderBy(col("entropy_r"), col("doc_id"))
+      .limit(20)
+
+  /** Linear gap interpolation (X99): the daily high-value series per
+    * event type on a COMMON date spine, gaps reconstructed on the
+    * straight line through the nearest observations (lead/trail edges
+    * fill from the boundary observation) — the trend-preserving
+    * complement of q97's step-function LOCF ([[operators.Timeseries]]).
+    */
+  def q136Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("value") > 300)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(dsum(col("value")).as("v"))
+    // global spine: per-type min/max would make lead/trail unreachable
+    val bounds = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(bounds)
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val grid = spine.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("x", datediff(col("d"), lit("1992-01-01").cast("date")))
+    operators.Timeseries.interpolateLinear(grid, Seq("event_type"), "x", "v")
+      .select(col("event_type"), col("d"), col("fill_kind"),
+        round(col("filled"), 4).as("filled_r"))
+  }
+
+  private val q137Runs =
+    scala.collection.concurrent.TrieMap[String, (String, Long, Long)]()
+
+  /** Time-travel diff (X100): an orders dimension committed, merged
+    * (updates + inserts), then row-level-deleted — and the question every
+    * audit asks, "what changed between v1 and HEAD", answered from the
+    * commit log alone ([[storage.VersionedTable.diffVersions]]): per
+    * change class, row count, key sum, and the net price delta.
+    */
+  def q137VersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val (root, v0, v1) = q137Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q137_vdiff").toString
+      val vt = storage.VersionedTable(s, s"$r/dim", collectStats = false)
+      val dim0 = o.filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      val va = vt.overwrite(dim0)
+      val updates = o.filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").as("k"),
+          concat(col("o_orderstatus"), lit("*")).as("status"),
+          (col("o_totalprice") + 10.0d).as("price"))
+      operators.MergeInto(s, vt, updates, Seq("k"))
+      vt.deleteWhere(col("k") % 10 === 0)
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      (r, va, vt.versions.max)
+    })
+    storage.VersionedTable(s, s"$root/dim", collectStats = false)
+      .diffVersions(v0, v1, Seq("k"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("key_sum"),
+        dsum(coalesce(col("new.price"), lit(0.0d)) -
+          coalesce(col("old.price"), lit(0.0d))).as("price_delta"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3160,7 +3266,12 @@ object Queries {
     "q129_kcore" -> (q129KCore _),
     "q130_readability" -> (q130Readability _),
     "q131_incremental_triangles" -> (q131IncrementalTriangles _),
-    "q132_copurchase_lift" -> (q132CopurchaseLift _)
+    "q132_copurchase_lift" -> (q132CopurchaseLift _),
+    "q133_hits" -> (q133Hits _),
+    "q134_mad_outliers" -> (q134MadOutliers _),
+    "q135_char_entropy" -> (q135CharEntropy _),
+    "q136_interpolate" -> (q136Interpolate _),
+    "q137_version_diff" -> (q137VersionDiff _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -5208,4 +5319,107 @@ object Queries {
         |        (d.degree * (d.degree - 1)), 6) AS lcc_r
         |FROM deg d LEFT JOIN tc ON tc.id = d.id
         |WHERE d.degree >= 2""".stripMargin)
+    // 2 unrolled HITS rounds in pure integer arithmetic: hub0 = scale on
+    // every order, so the first raw authority is indeg*scale; each
+    // rescale is floor division by the side's 1-row max
+    .updated("q133_hits",
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+        |a1r AS (SELECT dst, COUNT(*) * 1000000 AS s FROM e GROUP BY dst),
+        |a1 AS (SELECT dst, (s * 1000000) // (SELECT MAX(s) FROM a1r) AS sc
+        |       FROM a1r),
+        |h1r AS (SELECT e.src, SUM(a1.sc) AS s
+        |        FROM e JOIN a1 USING (dst) GROUP BY e.src),
+        |h1 AS (SELECT src, (s * 1000000) // (SELECT MAX(s) FROM h1r) AS sc
+        |       FROM h1r),
+        |a2r AS (SELECT e.dst, SUM(h1.sc) AS s
+        |        FROM e JOIN h1 USING (src) GROUP BY e.dst),
+        |a2 AS (SELECT dst, (s * 1000000) // (SELECT MAX(s) FROM a2r) AS sc
+        |       FROM a2r)
+        |SELECT dst AS part_id, CAST(sc AS BIGINT) AS auth
+        |FROM a2 ORDER BY auth DESC, part_id LIMIT 20""".stripMargin)
+    .updated("q134_mad_outliers",
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        |      FROM events e JOIN m USING (event_type)
+        |      WHERE e.value IS NOT NULL),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n, round(d.med, 4) AS med_r,
+        |  round(md.mad, 4) AS mad_r,
+        |  CAST(SUM(CASE WHEN d.dev > md.mad * 3.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type, d.med, md.mad""".stripMargin)
+    // the whole fused-kernel statistic from relational primitives:
+    // string_split('') is per code point, ln is natural log
+    .updated("q135_char_entropy",
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |           FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, ch, COUNT(*) AS c FROM c GROUP BY 1, 2),
+        |st AS (SELECT doc_id, SUM(c) AS n,
+        |         CAST(COUNT(*) AS INTEGER) AS n_distinct,
+        |         SUM(c * ln(c)) AS slc
+        |       FROM f GROUP BY 1)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_cp, n_distinct,
+        |  round(ln(n) - slc / n, 4) AS entropy_r
+        |FROM st ORDER BY entropy_r, doc_id LIMIT 20""".stripMargin)
+    // identical lerp association: pv + (nv - pv) * (x - px) / (nx - px)
+    .updated("q136_interpolate",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE value > 300 GROUP BY 1, 2),
+        |b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+        |spine AS (SELECT t.event_type,
+        |    CAST(UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
+        |      CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN b),
+        |g AS (SELECT s.event_type, s.d, daily.v,
+        |    s.d - DATE '1992-01-01' AS x
+        |  FROM spine s LEFT JOIN daily
+        |    ON s.event_type = daily.event_type AND s.d = daily.d),
+        |w AS (SELECT event_type, d, v, x,
+        |    last_value(v IGNORE NULLS) OVER pw AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+        |      OVER pw AS px,
+        |    first_value(v IGNORE NULLS) OVER nw AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+        |      OVER nw AS nx
+        |  FROM g
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    nw AS (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, d,
+        |  CASE WHEN v IS NOT NULL THEN 'obs'
+        |       WHEN pv IS NULL AND nv IS NULL THEN 'empty'
+        |       WHEN pv IS NULL THEN 'lead'
+        |       WHEN nv IS NULL THEN 'trail'
+        |       ELSE 'interp' END AS fill_kind,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL AND nv IS NULL THEN NULL
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (x - px) / (nx - px) END, 4) AS filled_r
+        |FROM w""".stripMargin)
+    // three semantic legs — the diff classes are decidable from the key
+    // arithmetic that BUILT the versions: v1 = keys %4≠0; merge updates
+    // %6=0 (inserting the %4=0 ones), delete removes %10=0
+    .updated("q137_version_diff",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders)
+        |SELECT 'added' AS change, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(price + 10.0 AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_delta
+        |FROM base WHERE k % 4 = 0 AND k % 6 = 0 AND k % 10 <> 0
+        |UNION ALL
+        |SELECT 'removed', COUNT(*), CAST(SUM(k) AS BIGINT),
+        |  CAST(SUM(CAST(-price AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM base WHERE k % 4 <> 0 AND k % 10 = 0
+        |UNION ALL
+        |SELECT 'changed', COUNT(*), CAST(SUM(k) AS BIGINT),
+        |  CAST(SUM(CAST(10.0 AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM base WHERE k % 4 <> 0 AND k % 10 <> 0 AND k % 6 = 0""".stripMargin)
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (public algorithm, Kleinberg 1999, JACM 46(5))
+  * in SCALED INTEGER arithmetic — bipartite endorsement scoring for
+  * corpus curation: which containers (orders, hosts, playlists) are good
+  * *hubs* and which members (parts, documents, tracks) are good
+  * *authorities*, each side defined by the other.
+  *
+  * Same bit-reproducibility argument as [[PageRank.scaledRanks]]: the
+  * canonical formulation L2-normalizes floating-point score vectors each
+  * round, which is neither order-independent under distributed summation
+  * nor SQL-provable. Here scores are longs and each half-round is
+  *
+  *   auth_raw(v) = Σ_{(u,v)∈E} hub(u)
+  *   auth(v)     = (auth_raw(v) * scale) div max_v auth_raw(v)
+  *
+  * (then symmetrically for hubs) — integer sums and floor division only,
+  * so every score is EXACT and reproducible in any engine with 64-bit
+  * integers. The max-rescale replaces norm division: scores stay in
+  * [0, scale], rank order within a side is preserved (positive integer
+  * rescale by a common divisor is monotone), and the product
+  * `raw * scale` is overflow-guarded per round.
+  *
+  * Scale shape: each half-round is one score⋈edge join (shuffle keyed on
+  * the node id) + one grouped sum — the PageRank round shape — plus a
+  * single 1-row max (the §2.4 A1 minmax-literal pattern). Intermediates
+  * are truncated with an eager localCheckpoint so the per-round driver
+  * action never recomputes the chain.
+  */
+object Hits {
+
+  /** Bipartite HITS over `edges(src, dst)`. Returns one row per node per
+    * side: (id, kind ∈ {hub, auth}, score). `iters` full (auth, hub)
+    * rounds; hubs initialize to `scale`.
+    */
+  def scaledHits(edges: DataFrame, iters: Int,
+                 scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
+    require(scale >= 1000L && scale <= 1000000000L,
+      s"scale=$scale out of [1e3,1e9]")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+
+    def rescaled(raw: DataFrame): DataFrame = {
+      // 1-row driver scalar, the A1 pattern; also the loud overflow gate:
+      // raw * scale must fit a long for every row, and raw is maximal here
+      val mRow = raw.agg(max(col("s"))).head
+      require(!mRow.isNullAt(0) && mRow.getLong(0) > 0,
+        "HITS on an empty edge set")
+      val m = mRow.getLong(0)
+      require(m <= Long.MaxValue / scale,
+        s"raw score $m would overflow at scale=$scale; lower the scale")
+      // `div`, not `/`: Column `/` on longs is DOUBLE division in Spark
+      raw.select(col("id"), expr(s"(s * ${scale}L) div ${m}L").as("score"))
+        .localCheckpoint(true)
+    }
+
+    var hub = e.select(col("src").as("id")).distinct()
+      .withColumn("score", lit(scale)).localCheckpoint(true)
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      auth = rescaled(
+        e.join(hub, e("src") === hub("id"))
+          .groupBy(e("dst").as("id")).agg(sum(col("score")).as("s")))
+      hub = rescaled(
+        e.join(auth, e("dst") === auth("id"))
+          .groupBy(e("src").as("id")).agg(sum(col("score")).as("s")))
+      i += 1
+    }
+    hub.select(col("id"), lit("hub").as("kind"), col("score"))
+      .unionByName(
+        auth.select(col("id"), lit("auth").as("kind"), col("score")))
+  }
+}

@@ -582,4 +582,37 @@ object ExprKernels {
     }
     InternalRow(UTF8String.fromString(sb.toString), kept, dropped)
   }
+
+  /** Code-point frequency entropy in ONE pass: `(n_cp, n_distinct,
+    * entropy_nats)` where entropy = ln(n) − (Σ_c count_c·ln count_c)/n —
+    * the Shannon entropy of the document's code-point distribution, the
+    * classic gibberish/boilerplate screen (natural text sits ~2.9–3.2
+    * nats; runs of one character or base64 blobs fall far outside).
+    * Characters are Unicode CODE POINTS (surrogate pairs count once),
+    * matching `unnest(string_split(text, ''))` in ANSI engines. The
+    * Σ c·ln c accumulation runs in ascending-code-point order so the
+    * kernel is deterministic; cross-engine comparison is at rounded
+    * precision (the q79 ln-parity precedent), not raw-double bits.
+    */
+  def charEntropyStats(u: UTF8String): InternalRow = {
+    val s = u.toString
+    val counts = new java.util.TreeMap[Integer, Array[Int]]
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+    }
+    if (n == 0) return InternalRow(0, 0, 0.0)
+    var slc = 0.0
+    val it = counts.values.iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      slc += c * java.lang.Math.log(c)
+    }
+    InternalRow(n, counts.size, java.lang.Math.log(n.toDouble) - slc / n)
+  }
 }

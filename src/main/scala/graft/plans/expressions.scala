@@ -408,6 +408,23 @@ object expressions {
     override def prettyName: String = "trigram_stats"
   }
 
+  /** Code-point entropy stats (gibberish/boilerplate screen) in one fused
+    * scan — see [[ExprKernels.charEntropyStats]] for the exact contract.
+    * Codegen'd: one static call, stays inside the whole-stage span.
+    */
+  case class CharEntropyStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_cp", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("entropy", DoubleType, nullable = false)))
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.charEntropyStats(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.charEntropyStats($c)")
+    override protected def withNewChildInternal(c: Expression): CharEntropyStats = copy(child = c)
+    override def prettyName: String = "char_entropy_stats"
+  }
+
   /** Entire composite quality score in ONE text scan, Spark-ROUND HALF_UP
     * at 4 dp — mirrors TextFunctions.qualityScoreFromStats term by term so
     * the DuckDB oracle stays bit-exact.
@@ -455,6 +472,7 @@ object expressions {
   def normalizedText(c: Column): Column = col(NormalizedText(ex(c)))
   def cleanText(c: Column): Column = col(CleanText(ex(c)))
   def trigramStats(c: Column): Column = col(TrigramStats(ex(c)))
+  def charEntropyStats(c: Column): Column = col(CharEntropyStats(ex(c)))
   def ngramHashes(c: Column, n: Int): Column = col(NgramHashes(ex(c), n))
   def md5SimHash60(c: Column): Column = col(Md5SimHash60(ex(c)))
   def minhashSig(c: Column, k: Int): Column = col(MinHashSig(ex(c), k))

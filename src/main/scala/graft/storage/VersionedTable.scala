@@ -2,7 +2,7 @@ package graft.storage
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, struct, when}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 import java.nio.charset.StandardCharsets
@@ -160,6 +160,52 @@ final class VersionedTable(spark: SparkSession, val root: String,
       throw new IllegalArgumentException(
         s"no committed version $version at $root" +
           (if (vs.isEmpty) "" else s" (available: ${vs.min}..${vs.max})"))
+  }
+
+  /** Time-travel diff: what changed between two committed versions, keyed
+    * by `keyCols` — the audit face of the commit log ("what did last
+    * night's merge actually do"), and the generic CDC extractor for
+    * consumers that cannot read the engine's change feed. One row per key
+    * whose payload differs: `change ∈ added | removed | changed`, with
+    * both payload sides as structs (null on the absent side).
+    *
+    * Keys must be unique within each version (the [[graft.operators
+    * .MergeInto]] invariant) — duplicate keys would make "the" old/new
+    * payload ambiguous, so they fail loud rather than pick one.
+    *
+    * Scale shape: one full-outer join, shuffle keyed on the key columns —
+    * both sides are column-pruned scans of exactly the two versions'
+    * parts; equality is evaluated per row and unchanged keys drop before
+    * anything aggregates. No driver materialization.
+    */
+  def diffVersions(vOld: Long, vNew: Long,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diffVersions requires key columns")
+    val o = readVersion(vOld)
+    val n = readVersion(vNew)
+    val cols = o.columns.toSeq
+    require(cols == n.columns.toSeq,
+      s"schema changed between v$vOld and v$vNew (${cols.mkString(",")} vs " +
+        s"${n.columns.mkString(",")}): diff keys would be ambiguous")
+    val payload = cols.filterNot(keyCols.contains)
+    def keyed(df: DataFrame, side: String): DataFrame = {
+      val ks = keyCols.map(col)
+      val dups = df.groupBy(ks: _*).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") > 1).limit(1).collect()
+      require(dups.isEmpty,
+        s"duplicate keys on the $side side of the diff " +
+          s"(${keyCols.mkString(",")} = ${dups.headOption.mkString})")
+      df.select(ks :+ struct(payload.map(col): _*).as(s"_$side"): _*)
+    }
+    keyed(o, "old").join(keyed(n, "new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_old").isNull, lit("added"))
+          .when(col("_new").isNull, lit("removed"))
+          .when(col("_old") === col("_new"), lit(null))
+          .otherwise(lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change") :+
+        col("_old").as("old") :+ col("_new").as("new"): _*)
   }
 
   /** Committed schema as of `version` (metadata only, no data files). */

