@@ -46,7 +46,11 @@ object Hits {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
 
-    def rescaled(raw: DataFrame): DataFrame = {
+    def rescaled(raw0: DataFrame): DataFrame = {
+      // materialize the join+agg ONCE: the 1-row max action and the next
+      // half-round's join both reread the checkpointed raw scores instead
+      // of each re-running the shuffle chain
+      val raw = raw0.localCheckpoint(true)
       // 1-row driver scalar, the A1 pattern; also the loud overflow gate:
       // raw * scale must fit a long for every row, and raw is maximal here
       val mRow = raw.agg(max(col("s"))).head
@@ -57,13 +61,18 @@ object Hits {
         s"raw score $m would overflow at scale=$scale; lower the scale")
       // `div`, not `/`: Column `/` on longs is DOUBLE division in Spark
       raw.select(col("id"), expr(s"(s * ${scale}L) div ${m}L").as("score"))
-        .localCheckpoint(true)
     }
 
-    var hub = e.select(col("src").as("id")).distinct()
-      .withColumn("score", lit(scale)).localCheckpoint(true)
-    var auth: DataFrame = null
-    var i = 0
+    // hub0 = `scale` on every source, so the first raw authority is just
+    // indegree * scale — computed straight off the edge list, no join and
+    // no materialized all-scale hub relation (the oracle SQL does the
+    // same); hubs then start from the first rescaled authorities
+    var auth = rescaled(e.groupBy(col("dst").as("id"))
+      .agg((count(lit(1)) * scale).as("s")))
+    var hub = rescaled(
+      e.join(auth, e("dst") === auth("id"))
+        .groupBy(col("src").as("id")).agg(sum(col("score")).as("s")))
+    var i = 1
     while (i < iters) {
       auth = rescaled(
         e.join(hub, e("src") === hub("id"))
