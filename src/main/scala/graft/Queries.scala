@@ -3134,6 +3134,89 @@ object Queries {
           coalesce(col("old.price"), lit(0.0d))).as("price_delta"))
   }
 
+  /** Sessionization (X101): each user's event stream split at >2 h
+    * inactivity gaps, summarized per session — the canonical analytics
+    * grain between raw events and funnels ([[operators.Sessions]]).
+    * Epoch-second boundary arithmetic keeps the split integer-exact.
+    */
+  def q138Sessionize(s: SparkSession, dir: String): DataFrame =
+    operators.Sessions.sessionStats(t(s, dir, "events"),
+      Seq("user_id"), "ts", gapSeconds = 7200L)
+
+  /** Edit-distance dirty lookup (X102): supplier names corrupted by one
+    * id-derived character deletion, matched back against the dimension
+    * through the deletion-neighborhood join ([[operators.FuzzyText]]) —
+    * record linkage without an all-pairs scan. Per probe: how many
+    * dimension rows / distinct names land within one edit.
+    */
+  def q139EditJoin(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val probes = sup.select(col("s_name").as("nm")).distinct()
+      .withColumn("num", expr("CAST(substring(nm, 10) AS BIGINT)"))
+      .withColumn("pos", (col("num") % length(col("nm"))) + 1)
+      .select(col("num").as("probe_id"),
+        concat(expr("substring(nm, 1, pos - 1)"),
+          expr("substring(nm, pos + 1, length(nm))")).as("probe"))
+    operators.FuzzyText.editJoin1(
+        probes, "probe_id", "probe", sup, "s_suppkey", "s_name")
+      .groupBy(col("l_id").as("probe_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("r_id")).as("min_key"), max(col("r_id")).as("max_key"))
+  }
+
+  /** TextRank keywords (X103): PageRank over the token-adjacency graph
+    * of the corpus (Mihalcea & Tarau 2004) — the unsupervised keyword
+    * extractor, composed entirely from existing operators: adjacency via
+    * array zip (no self-join), ranks via the integer-scaled
+    * [[operators.PageRank.scaledRanks]] (bit-reproducible, so the whole
+    * pipeline is SQL-provable). Top 20 tokens of ≥ 4 letters.
+    */
+  def q140Textrank(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(split(lower(col("text")), "[^a-z]+").as("a"))
+    val adj = d.select(expr(
+        """explode(transform(slice(a, 1, size(a) - 1),
+          |  (x, i) -> struct(x AS w1, element_at(a, i + 2) AS w2)))"""
+          .stripMargin).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(length(col("w1")) >= 4 && length(col("w2")) >= 4 &&
+        col("w1") =!= col("w2"))
+    // undirected: both directions, deduplicated
+    val und = adj.union(adj.select(col("w2").as("w1"), col("w1").as("w2")))
+      .distinct()
+    // dense vocab ids by token order: vocabulary-sized relation, so the
+    // single-partition window is bounded by the dictionary, not the corpus
+    val vocab = und.select(col("w1").as("tok")).distinct()
+      .withColumn("vid", row_number().over(
+        Window.orderBy(col("tok"))).cast("long"))
+    val edges = und
+      .join(vocab.select(col("tok").as("w1"), col("vid").as("src")), "w1")
+      .join(vocab.select(col("tok").as("w2"), col("vid").as("dst")), "w2")
+      .select(col("src"), col("dst"))
+    operators.PageRank.scaledRanks(edges, iters = 2)
+      .join(vocab.select(col("vid").as("id"), col("tok")), "id")
+      .orderBy(desc("rank"), col("tok"))
+      .limit(20)
+      .select(col("tok"), col("rank"))
+  }
+
+  /** CUSUM change-point scan (X104): for each event type's daily
+    * high-value series, where does the cumulative mean-deviation peak —
+    * the classic level-shift locator ([[operators.Timeseries
+    * .cusumChangePoint]]), run on the same decimal-exact daily series as
+    * q136.
+    */
+  def q141Cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("value") > 300)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(dsum(col("value")).as("v"))
+      .withColumn("x", datediff(col("d"), lit("1992-01-01").cast("date")))
+    operators.Timeseries.cusumChangePoint(daily, Seq("event_type"), "x", "v")
+      .select(col("event_type"), col("n"), round(col("mean"), 4).as("mean_r"),
+        col("change_x"), round(col("peak_cusum"), 4).as("peak_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3271,7 +3354,11 @@ object Queries {
     "q134_mad_outliers" -> (q134MadOutliers _),
     "q135_char_entropy" -> (q135CharEntropy _),
     "q136_interpolate" -> (q136Interpolate _),
-    "q137_version_diff" -> (q137VersionDiff _)
+    "q137_version_diff" -> (q137VersionDiff _),
+    "q138_sessionize" -> (q138Sessionize _),
+    "q139_edit_join" -> (q139EditJoin _),
+    "q140_textrank" -> (q140Textrank _),
+    "q141_cusum" -> (q141Cusum _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -5422,4 +5509,113 @@ object Queries {
         |SELECT 'changed', COUNT(*), CAST(SUM(k) AS BIGINT),
         |  CAST(SUM(CAST(10.0 AS DECIMAL(18,2))) AS DOUBLE)
         |FROM base WHERE k % 4 <> 0 AND k % 10 <> 0 AND k % 6 = 0""".stripMargin)
+    // the boundary decision is integer epoch-second arithmetic (the q122
+    // idiom), so session assignment is tie-order-invariant
+    .updated("q138_sessionize",
+      """WITH ev AS (SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |  FROM events),
+        |w AS (SELECT user_id, es,
+        |    lag(es) OVER (PARTITION BY user_id ORDER BY es) AS p
+        |  FROM ev),
+        |s AS (SELECT user_id, es,
+        |    CAST(SUM(CASE WHEN p IS NULL OR es - p > 7200 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY es
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM w)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(es) AS t_start_s, MAX(es) AS t_end_s,
+        |  MAX(es) - MIN(es) AS duration_s
+        |FROM s GROUP BY 1, 2""".stripMargin)
+    // the SAME deletion-neighborhood candidate join as the operator,
+    // then the same levenshtein rescore
+    .updated("q139_edit_join",
+      """WITH probes AS (
+        |  SELECT num AS probe_id,
+        |    substr(nm, 1, pos - 1) || substr(nm, pos + 1) AS probe
+        |  FROM (SELECT nm, num,
+        |          CAST(num % length(nm) AS INT) + 1 AS pos
+        |        FROM (SELECT nm, CAST(substr(nm, 10) AS BIGINT) AS num
+        |              FROM (SELECT DISTINCT s_name AS nm FROM supplier)))),
+        |pk AS (
+        |  SELECT probe_id, probe, probe AS key FROM probes
+        |  UNION
+        |  SELECT probe_id, probe,
+        |    substr(probe, 1, i - 1) || substr(probe, i + 1) AS key
+        |  FROM (SELECT probe_id, probe,
+        |          unnest(generate_series(1, length(probe))) AS i
+        |        FROM probes)),
+        |sk AS (
+        |  SELECT s_suppkey, s_name, s_name AS key FROM supplier
+        |  UNION
+        |  SELECT s_suppkey, s_name,
+        |    substr(s_name, 1, i - 1) || substr(s_name, i + 1) AS key
+        |  FROM (SELECT s_suppkey, s_name,
+        |          unnest(generate_series(1, length(s_name))) AS i
+        |        FROM supplier)),
+        |cand AS (
+        |  SELECT DISTINCT p.probe_id, p.probe, s.s_suppkey, s.s_name
+        |  FROM pk p JOIN sk s USING (key))
+        |SELECT probe_id, COUNT(*) AS n_rows, MIN(s_suppkey) AS min_key,
+        |  MAX(s_suppkey) AS max_key
+        |FROM cand WHERE levenshtein(probe, s_name) <= 1
+        |GROUP BY 1""".stripMargin)
+    // token adjacency by zipped list slices; then the q109 integer
+    // PageRank, 2 unrolled rounds, over row_number vocab ids
+    .updated("q140_textrank",
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(lower(text), '[^a-z]+') AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |adj0 AS (SELECT unnest(a[1:len(a)-1]) AS w1,
+        |                unnest(a[2:len(a)]) AS w2 FROM d),
+        |adj AS (SELECT w1, w2 FROM adj0
+        |        WHERE length(w1) >= 4 AND length(w2) >= 4 AND w1 <> w2),
+        |und AS (SELECT DISTINCT w1, w2 FROM (
+        |          SELECT w1, w2 FROM adj
+        |          UNION ALL SELECT w2, w1 FROM adj)),
+        |vocab AS (SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS vid
+        |  FROM (SELECT DISTINCT w1 AS tok FROM und)),
+        |e AS (SELECT va.vid AS src, vb.vid AS dst
+        |      FROM und JOIN vocab va ON va.tok = und.w1
+        |               JOIN vocab vb ON vb.tok = und.w2),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS id, SUM((r0.rank * 85) // (100 * deg.deg)) AS s
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.id, 150000000 + COALESCE(c1.s, 0) AS rank
+        |       FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, SUM((r1.rank * 85) // (100 * deg.deg)) AS s
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.id, 150000000 + COALESCE(c2.s, 0) AS rank
+        |       FROM nodes n LEFT JOIN c2 ON n.id = c2.id)
+        |SELECT v.tok, CAST(r2.rank AS BIGINT) AS rank
+        |FROM r2 JOIN vocab v ON v.vid = r2.id
+        |ORDER BY rank DESC, tok LIMIT 20""".stripMargin)
+    // running sum is sequential in x order -> identical doubles; argmax
+    // tie-broken by smallest x on both sides
+    .updated("q141_cusum",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE value > 300 GROUP BY 1, 2),
+        |g AS (SELECT event_type, d - DATE '1992-01-01' AS x, v FROM daily),
+        |st AS (SELECT event_type,
+        |         CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |           AS mean,
+        |         COUNT(*) AS n
+        |       FROM g GROUP BY 1),
+        |c AS (SELECT g.event_type, g.x, st.n, st.mean,
+        |        SUM(g.v - st.mean) OVER (PARTITION BY g.event_type
+        |          ORDER BY g.x ROWS UNBOUNDED PRECEDING) AS cusum
+        |      FROM g JOIN st USING (event_type)),
+        |r AS (SELECT event_type, n, mean, x, abs(cusum) AS ac,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY abs(cusum) DESC, x) AS rn
+        |      FROM c)
+        |SELECT event_type, n, round(mean, 4) AS mean_r, x AS change_x,
+        |  round(ac, 4) AS peak_r
+        |FROM r WHERE rn = 1""".stripMargin)
 }
