@@ -3217,6 +3217,90 @@ object Queries {
         col("change_x"), round(col("peak_cusum"), 4).as("peak_r"))
   }
 
+  /** Per-group OLS trend screen (X105): does price move linearly with
+    * quantity inside each (returnflag, linestatus) stratum —
+    * [[operators.Stats.linearFit]] on the repo's scaled-integer contract
+    * (cents / integral quantities; floor, not cast — DuckDB's double→int
+    * cast rounds where Spark's truncates).
+    */
+  def q142LinearFit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("x", floor(col("l_quantity")).cast("long"))
+      .withColumn("y", floor(col("l_extendedprice") * 100).cast("long"))
+    operators.Stats.linearFit(li, Seq("l_returnflag", "l_linestatus"), "x", "y")
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(col("slope"), 4).as("slope_r"),
+        round(col("intercept"), 4).as("intercept_r"),
+        round(col("r2"), 6).as("r2_r"))
+  }
+
+  /** Spearman rank correlation (X106): is `value` drifting with time
+    * within each event type — rank-based, so it sees any monotone trend
+    * regardless of shape and ignores outlier magnitude
+    * ([[operators.Stats.spearman]]; 2×-scaled average ranks keep ties
+    * integer-exact).
+    */
+  def q143Spearman(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("xv", floor(col("value") * 100).cast("long"))
+      .withColumn("yt", unix_micros(col("ts")))
+    operators.Stats.spearman(ev, Seq("event_type"), "xv", "yt")
+      .select(col("event_type"), col("n"), round(col("rho"), 6).as("rho_r"))
+  }
+
+  /** Rolling z-score anomaly screen (X107): each event scored against the
+    * 200 events before it in its own type's stream
+    * ([[operators.Timeseries.rollingZscore]], self-excluded frame, exact
+    * integer frame sums); per type: how many points sit beyond |z| > 1.5,
+    * an id-sum checksum of exactly which ones, and the peak surprise.
+    */
+  def q144RollingZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+    operators.Timeseries.rollingZscore(ev, Seq("event_type"),
+        Seq("ts", "event_id"), "v", window = 200, k = 1.5, minN = 30)
+      .groupBy(col("event_type"))
+      .agg(count(col("z")).as("scored"),
+        count(when(col("is_anomaly"), 1)).as("n_anom"),
+        coalesce(sum(when(col("is_anomaly"), col("event_id"))), lit(0L))
+          .as("id_sum"),
+        round(max(abs(col("z"))), 4).as("max_abs_z_r"))
+  }
+
+  /** Rolling-median spike screen (X108): the daily per-type revenue
+    * series smoothed by a trailing 7-day exact median
+    * ([[operators.Timeseries.rollingMedian]]); the 20 days that deviate
+    * most from their own smoothed level. Medians are held at 2× scale so
+    * even-count interpolation stays integer-exact.
+    */
+  def q145RollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg((sum(col("value").cast(dec)) * 100).cast("long").as("v"))
+    operators.Timeseries.rollingMedian(daily, Seq("event_type"), Seq("d"),
+        "v", window = 7)
+      .withColumn("med2x", (col("med") * 2).cast("long"))
+      .withColumn("dev2x", abs(col("v") * 2 - col("med2x")))
+      .orderBy(desc("dev2x"), col("event_type"), col("d"))
+      .limit(20)
+      .select(col("event_type"), col("d"), col("v").as("v_cents"),
+        col("med2x"), col("dev2x"))
+  }
+
+  /** Lagged autocorrelation (X109): day-over-day and week-over-week
+    * memory of each type's daily revenue series
+    * ([[operators.Stats.autocorr]] at lags 1 and 7 — one window exchange
+    * serves both lags).
+    */
+  def q146Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg((sum(col("value").cast(dec)) * 100).cast("long").as("v"))
+    operators.Stats.autocorr(daily, Seq("event_type"), "d", "v", Seq(1, 7))
+      .select(col("event_type"), col("lag").as("lag_k"), col("n_pairs"),
+        round(col("acf"), 6).as("acf_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3358,7 +3442,12 @@ object Queries {
     "q138_sessionize" -> (q138Sessionize _),
     "q139_edit_join" -> (q139EditJoin _),
     "q140_textrank" -> (q140Textrank _),
-    "q141_cusum" -> (q141Cusum _)
+    "q141_cusum" -> (q141Cusum _),
+    "q142_linear_fit" -> (q142LinearFit _),
+    "q143_spearman" -> (q143Spearman _),
+    "q144_rolling_zscore" -> (q144RollingZscore _),
+    "q145_rolling_median" -> (q145RollingMedian _),
+    "q146_autocorr" -> (q146Autocorr _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -5618,4 +5707,124 @@ object Queries {
         |SELECT event_type, n, round(mean, 4) AS mean_r, x AS change_x,
         |  round(ac, 4) AS peak_r
         |FROM r WHERE rn = 1""".stripMargin)
+    // exact integer moments (floor-scaled cents), then ONE fixed
+    // double expression per statistic — identical association on both
+    // sides (SURVEY §6 scaled-integer contract)
+    .updated("q142_linear_fit",
+      """WITH b AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(l_quantity) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS dy
+        |  FROM s)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  round(CASE WHEN dx > 0 THEN num / dx END, 4) AS slope_r,
+        |  round((sy - CASE WHEN dx > 0 THEN num / dx END * sx) / nd, 4)
+        |    AS intercept_r,
+        |  round(CASE WHEN dx > 0 AND dy > 0
+        |    THEN num * num / (dx * dy) END, 6) AS r2_r
+        |FROM c""".stripMargin)
+    // 2x-scaled average ranks: asc rank + n + 1 - desc rank (min + max
+    // rank of the tie block), exactly the Spark side's formulation
+    .updated("q143_spearman",
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS x, epoch_us(ts) AS y
+        |  FROM events),
+        |r AS (SELECT event_type,
+        |    rank() OVER (PARTITION BY event_type ORDER BY x ASC)
+        |      + COUNT(*) OVER (PARTITION BY event_type) + 1
+        |      - rank() OVER (PARTITION BY event_type ORDER BY x DESC) AS rx,
+        |    rank() OVER (PARTITION BY event_type ORDER BY y ASC)
+        |      + COUNT(*) OVER (PARTITION BY event_type) + 1
+        |      - rank() OVER (PARTITION BY event_type ORDER BY y DESC) AS ry
+        |  FROM b),
+        |s AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+        |    CAST(SUM(rx*ry) AS DOUBLE) AS sxy,
+        |    CAST(SUM(rx*rx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(ry*ry) AS DOUBLE) AS syy
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS dy FROM s)
+        |SELECT event_type, n,
+        |  round(CASE WHEN dx > 0 AND dy > 0
+        |    THEN num / sqrt(dx * dy) END, 6) AS rho_r
+        |FROM c""".stripMargin)
+    // self-excluded trailing frame (200 PRECEDING .. 1 PRECEDING),
+    // sample variance from exact frame sums
+    .updated("q144_rolling_zscore",
+      """WITH b AS (SELECT event_type, event_id, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |w AS (SELECT event_type, event_id, CAST(v AS DOUBLE) AS vd,
+        |    COUNT(v) OVER f AS cnt,
+        |    CAST(SUM(v) OVER f AS DOUBLE) AS sv,
+        |    CAST(SUM(v*v) OVER f AS DOUBLE) AS svv
+        |  FROM b WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 200 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, event_id,
+        |    CASE WHEN cnt >= 30 AND CAST(cnt AS DOUBLE)*svv - sv*sv > 0
+        |      THEN (vd - sv / CAST(cnt AS DOUBLE)) /
+        |        sqrt((CAST(cnt AS DOUBLE)*svv - sv*sv) /
+        |          (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1)))
+        |    END AS z
+        |  FROM w)
+        |SELECT event_type, COUNT(z) AS scored,
+        |  COUNT(CASE WHEN abs(z) > 1.5 THEN 1 END) AS n_anom,
+        |  COALESCE(CAST(SUM(CASE WHEN abs(z) > 1.5 THEN event_id END)
+        |    AS BIGINT), 0) AS id_sum,
+        |  round(MAX(abs(z)), 4) AS max_abs_z_r
+        |FROM z GROUP BY 1""".stripMargin)
+    // 2x-scaled median: even-count interpolation of integers is exact
+    // (lo + (hi-lo)/2 over exactly representable doubles) on both sides
+    .updated("q145_rolling_median",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, d, v,
+        |    CAST(median(v) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 2 AS BIGINT)
+        |      AS med2x
+        |  FROM daily)
+        |SELECT event_type, d, v AS v_cents, med2x,
+        |  abs(v * 2 - med2x) AS dev2x
+        |FROM m ORDER BY dev2x DESC, event_type, d LIMIT 20""".stripMargin)
+    // one lag window serves both lags; Pearson over the aligned pairs
+    // from exact integer moments
+    .updated("q146_autocorr",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, v,
+        |    lag(v, 1) OVER w AS p1, lag(v, 7) OVER w AS p7
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |p AS (SELECT event_type, 1 AS lag_k, v, p1 AS pv FROM l
+        |    WHERE p1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 7 AS lag_k, v, p7 AS pv FROM l
+        |    WHERE p7 IS NOT NULL),
+        |s AS (SELECT event_type, lag_k, COUNT(*) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS sx, CAST(SUM(pv) AS DOUBLE) AS sy,
+        |    CAST(SUM(v*pv) AS DOUBLE) AS sxy,
+        |    CAST(SUM(v*v) AS DOUBLE) AS sxx,
+        |    CAST(SUM(pv*pv) AS DOUBLE) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |c AS (SELECT event_type, lag_k, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS dy FROM s)
+        |SELECT event_type, lag_k, n AS n_pairs,
+        |  round(CASE WHEN dx > 0 AND dy > 0
+        |    THEN num / sqrt(dx * dy) END, 6) AS acf_r
+        |FROM c""".stripMargin)
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact per-group second-order statistics: OLS linear fit, Spearman rank
+  * correlation, and lagged autocorrelation — the screening statistics a
+  * training-data pipeline runs before trusting a numeric column (is this
+  * metric drifting with time? do these two fields encode the same signal?).
+  *
+  * Reference scope: the reference's analytics layer stops at grouped
+  * sums/averages (`co2_analytical_sp/function.py` daily/weekly rollups);
+  * these close the gap to the standard correlation/trend screens run on
+  * the same shaped series.
+  *
+  * Determinism discipline (the repo's scaled-integer contract, SURVEY §6):
+  * callers pass INTEGER-VALUED x/y columns (scale doubles to cents/micros
+  * with `floor(v * 100)` — floor, not cast: DuckDB's double→int cast
+  * rounds, Spark's truncates). All five moments (Σx, Σy, Σxy, Σx², Σy²)
+  * accumulate in DECIMAL(38,0) — exact, order-independent — and every
+  * derived statistic is ONE fixed-association double expression over those
+  * exact sums, so any engine computing the same formula produces the same
+  * bits. Compare rounded for defense in depth.
+  *
+  * Scale shape: each statistic is a single hash-partitioned groupBy over
+  * the group keys with map-side partial aggregation — no window over the
+  * raw rows (linearFit/pearson), or exactly the per-series window the
+  * semantics require (spearman's ranks, autocorr's lag), keyed on the
+  * group so one exchange serves all derived columns. Nothing is collected;
+  * output is groups-sized.
+  */
+object Stats {
+
+  private val bigDec = DecimalType(38, 0)
+
+  /** Exact Σ in DECIMAL(38,0) of an integer-valued column product. */
+  private def esum(c: Column): Column = sum(c.cast(bigDec))
+
+  /** The five exact moments → (n, sx, sy, sxy, sxx, syy) double columns
+    * plus the shared covariance parts:
+    * num = n·Σxy − Σx·Σy, dx = n·Σx² − (Σx)², dy = n·Σy² − (Σy)².
+    */
+  private def momentAggs(x: Column, y: Column): Seq[Column] = Seq(
+    count(lit(1)).as("_n"),
+    esum(x).as("_sx"), esum(y).as("_sy"),
+    esum(x * y).as("_sxy"), esum(x * x).as("_sxx"), esum(y * y).as("_syy"))
+
+  private def covParts(df: DataFrame): DataFrame = {
+    val nD = col("_n").cast("double")
+    val sxD = col("_sx").cast("double"); val syD = col("_sy").cast("double")
+    df.withColumn("_num", nD * col("_sxy").cast("double") - sxD * syD)
+      .withColumn("_dx", nD * col("_sxx").cast("double") - sxD * sxD)
+      .withColumn("_dy", nD * col("_syy").cast("double") - syD * syD)
+  }
+
+  /** Per-group simple OLS fit `y ≈ intercept + slope·x` (+ Pearson r²):
+    * one row per group with `n, slope, intercept, r2`. Degenerate groups
+    * (constant x) get null slope/intercept/r2; r2 is additionally null
+    * when y is constant (0/0). x and y MUST be integer-valued (see the
+    * class doc's scaling contract).
+    */
+  def linearFit(df: DataFrame, groupCols: Seq[String],
+                xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "linearFit requires group columns")
+    val x = col(xCol); val y = col(yCol)
+    val sums = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(momentAggs(x, y).head, momentAggs(x, y).tail: _*)
+    val p = covParts(sums)
+    val nD = col("_n").cast("double")
+    val slope = when(col("_dx") > 0d, col("_num") / col("_dx"))
+    p.withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("_sy").cast("double") - slope * col("_sx").cast("double")) / nD)
+      .withColumn("r2",
+        when(col("_dx") > 0d && col("_dy") > 0d,
+          col("_num") * col("_num") / (col("_dx") * col("_dy"))))
+      .select(groupCols.map(col) ++
+        Seq(col("_n").as("n"), col("slope"), col("intercept"), col("r2")): _*)
+  }
+
+  /** Per-group Spearman rank correlation between two integer-valued
+    * columns, with standard average ranks for ties. Ranks are held at 2×
+    * scale so tied average ranks (…·.5) stay integers:
+    * `2·avgrank = rank_asc + n + 1 − rank_desc` (for a tie block, asc rank
+    * is the block's min rank and `n + 1 − rank_desc` its max). ρ is then
+    * the Pearson of the scaled ranks — the ×2 cancels. One row per group:
+    * `n, rho` (null when either side is constant).
+    *
+    * Scale shape: two rank windows + the count ride ONE group-keyed
+    * exchange (same partitioning, different sort orders); the moment
+    * aggregation reuses the same hash family.
+    */
+  def spearman(df: DataFrame, groupCols: Seq[String],
+               xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "spearman requires group columns")
+    val keys = groupCols.map(col)
+    val part = Window.partitionBy(keys: _*)
+    def rank2(c: Column): Column =
+      rank().over(part.orderBy(c.asc)) +
+        count(lit(1)).over(part) + lit(1) -
+        rank().over(part.orderBy(c.desc))
+    val ranked = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keys :+ rank2(col(xCol)).as("_rx") :+
+        rank2(col(yCol)).as("_ry"): _*)
+    val sums = ranked.groupBy(keys: _*)
+      .agg(momentAggs(col("_rx"), col("_ry")).head,
+        momentAggs(col("_rx"), col("_ry")).tail: _*)
+    covParts(sums)
+      .withColumn("rho",
+        when(col("_dx") > 0d && col("_dy") > 0d,
+          col("_num") / sqrt(col("_dx") * col("_dy"))))
+      .select(keys ++ Seq(col("_n").as("n"), col("rho")): _*)
+  }
+
+  /** Per-series autocorrelation at the given positive lags: Pearson of
+    * `(v_t, v_{t−lag})` over the t where both exist. One row per
+    * (series, lag): `lag, n_pairs, acf` (null acf when either slice is
+    * constant — e.g. a flat series). `orderCol` must be unique per series
+    * (aggregate to the series grain first). Values integer-valued per the
+    * scaling contract.
+    *
+    * Scale shape: ONE series-keyed window exchange computes every lag
+    * column; the per-lag pairs are exploded doc-side (|lags| × series
+    * rows) into a single grouped moment aggregation.
+    */
+  def autocorr(df: DataFrame, seriesCols: Seq[String], orderCol: String,
+               valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(seriesCols.nonEmpty, "autocorr requires series columns")
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    val keys = seriesCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+    val v = col(valueCol)
+    val lagged = df.filter(v.isNotNull)
+      .select(keys :+ v.as("_v") :+
+        array(lags.map(l =>
+          struct(lit(l).as("lag"), lag(v, l).over(w).as("_pv"))): _*)
+          .as("_ls"): _*)
+      .select(keys :+ col("_v") :+ explode(col("_ls")).as("_e"): _*)
+      .select(keys :+ col("_e.lag").as("lag") :+ col("_v") :+
+        col("_e._pv").as("_pv"): _*)
+      .filter(col("_pv").isNotNull)
+    val sums = lagged.groupBy(keys :+ col("lag"): _*)
+      .agg(momentAggs(col("_v"), col("_pv")).head,
+        momentAggs(col("_v"), col("_pv")).tail: _*)
+    covParts(sums)
+      .withColumn("acf",
+        when(col("_dx") > 0d && col("_dy") > 0d,
+          col("_num") / sqrt(col("_dx") * col("_dy"))))
+      .select(keys ++ Seq(col("lag"), col("_n").as("n_pairs"),
+        col("acf")): _*)
+  }
+}

@@ -27,6 +27,66 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** Rolling z-score anomaly screen per series: each point scored against
+    * the trailing `window` rows STRICTLY BEFORE it (self-exclusion keeps a
+    * genuine spike from diluting its own baseline), with sample variance.
+    * Adds `z` (null until `minN` history rows exist, or when the history
+    * is constant) and `is_anomaly` (`|z| > k`). The standard streaming
+    * telemetry/data-quality gate: "is this point surprising given its own
+    * recent history".
+    *
+    * Determinism: `valueCol` must be integer-valued (class-contract
+    * scaling, see [[Stats]]); the frame sums are exact DECIMAL(38,0), and
+    * z is one fixed-association double expression over them — identical
+    * bits in any engine. `orderCols` must be a per-series unique ordering.
+    *
+    * Scale shape: ONE series-keyed window exchange carries all three
+    * frame aggregates; per-series partitions must fit an executor (§W1
+    * window contract — at 100 TB, series keys are the parallelism unit).
+    */
+  def rollingZscore(df: DataFrame, seriesCols: Seq[String],
+                    orderCols: Seq[String], valueCol: String,
+                    window: Int, k: Double, minN: Int = 2): DataFrame = {
+    require(seriesCols.nonEmpty, "rollingZscore requires series columns")
+    require(window >= minN && minN >= 2, "window must cover minN >= 2 rows")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = col(valueCol)
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-window.toLong, -1L)
+    val nD = count(v).over(w).cast("double")
+    val svD = sum(v.cast(dec)).over(w).cast("double")
+    val svvD = sum((v * v).cast(dec)).over(w).cast("double")
+    val varN = nD * svvD - svD * svD // n²·(n−1)/n × sample variance ≥ 0
+    val z = when(count(v).over(w) >= minN && varN > 0d,
+      (v.cast("double") - svD / nD) /
+        sqrt(varN / (nD * (nD - 1d))))
+    df.withColumn("z", z).withColumn("is_anomaly", abs(col("z")) > k)
+  }
+
+  /** Rolling exact median per series over the trailing `window` rows
+    * (current row inclusive) — the robust smoother for spike screens
+    * (a Hampel-style despiker reads `|v − med|` off this column).
+    * Integer-valued input ⇒ the interpolated median is an exact integer
+    * or half-integer in ANY engine (lo + (hi−lo)/2 over exactly
+    * representable doubles), so the column is hash-exact.
+    *
+    * Scale shape: one series-keyed window exchange; the exact-percentile
+    * aggregate re-evaluates its O(window) frame per row, so cost is
+    * rows × window — bound `window` (this is a smoother, not an unbounded
+    * running median).
+    */
+  def rollingMedian(df: DataFrame, seriesCols: Seq[String],
+                    orderCols: Seq[String], valueCol: String,
+                    window: Int): DataFrame = {
+    require(seriesCols.nonEmpty, "rollingMedian requires series columns")
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1).toLong, 0L)
+    df.withColumn("med", percentile(col(valueCol), lit(0.5)).over(w))
+  }
+
   /** CUSUM change-point detection per series: for each series, the x at
     * which the cumulative sum of mean-deviations `Σ_{t≤x}(v_t − v̄)`
     * attains its maximum absolute value — the classic single-change-point

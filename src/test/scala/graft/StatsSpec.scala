@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Stats, Timeseries}
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // ---- linearFit ---------------------------------------------------------
+
+  test("linearFit: a perfect line is recovered exactly") {
+    // y = 3x + 7 over x = 1..5 -> slope 3, intercept 7, r2 = 1
+    val df = (1L to 5L).map(x => ("g", x, 3 * x + 7)).toDF("g", "x", "y")
+    val r = Stats.linearFit(df, Seq("g"), "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Double]("intercept") == 7.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("linearFit: hand-computed non-perfect fit + degenerate groups") {
+    // (0,0),(1,1),(2,1): n=3 sx=3 sy=2 sxy=3 sxx=5 syy=2
+    // num = 9-6 = 3, dx = 15-9 = 6, dy = 6-4 = 2
+    // slope = 0.5, intercept = (2 - 0.5*3)/3 = 1/6, r2 = 9/12 = 0.75
+    val df = Seq(("a", 0L, 0L), ("a", 1L, 1L), ("a", 2L, 1L),
+      ("cx", 4L, 1L), ("cx", 4L, 9L), // constant x -> all null
+      ("cy", 1L, 5L), ("cy", 2L, 5L)) // constant y -> r2 null, slope 0
+      .toDF("g", "x", "y")
+    val m = Stats.linearFit(df, Seq("g"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Double]("slope") == 0.5)
+    assert(m("a").getAs[Double]("intercept") == 1.0 / 6.0)
+    assert(m("a").getAs[Double]("r2") == 0.75)
+    assert(m("cx").isNullAt(m("cx").fieldIndex("slope")))
+    assert(m("cx").isNullAt(m("cx").fieldIndex("r2")))
+    assert(m("cy").getAs[Double]("slope") == 0.0)
+    assert(m("cy").isNullAt(m("cy").fieldIndex("r2")))
+  }
+
+  test("linearFit: null x or y rows are dropped, not zero-filled") {
+    val df = Seq(("g", Some(1L), Some(10L)), ("g", Some(2L), Some(20L)),
+      ("g", None, Some(99L)), ("g", Some(9L), None)).toDF("g", "x", "y")
+    val r = Stats.linearFit(df, Seq("g"), "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("slope") == 10.0)
+  }
+
+  // ---- spearman ----------------------------------------------------------
+
+  test("spearman: monotone is +1, reversed is -1, ties average") {
+    val mono = (1L to 10L).map(i => ("up", i, i * i)) ++
+      (1L to 10L).map(i => ("down", i, -3 * i))
+    val r = Stats.spearman(mono.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rho")).toMap
+    assert(r("up") == 1.0)
+    assert(r("down") == -1.0)
+  }
+
+  test("spearman: tied ranks match the classic averaged-rank formula") {
+    // x: 1,2,2,4  -> avg ranks 1, 2.5, 2.5, 4
+    // y: 10,20,30,40 -> ranks 1,2,3,4
+    // pearson(ranks): sx=10 sy=10 sxy=(1+5+7.5+16)=29.5 sxx=(1+6.25+6.25+16)=29.5 syy=30
+    // num = 4*29.5-100 = 18, dx = 4*29.5-100 = 18, dy = 20
+    // rho = 18/sqrt(360) = 0.94868...
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 2L, 30L), ("g", 4L, 40L))
+      .toDF("g", "x", "y")
+    val rho = Stats.spearman(df, Seq("g"), "x", "y")
+      .collect().head.getAs[Double]("rho")
+    assert(math.abs(rho - 18.0 / math.sqrt(360.0)) < 1e-12)
+  }
+
+  test("spearman: constant side yields null rho") {
+    val df = Seq(("g", 1L, 7L), ("g", 2L, 7L), ("g", 3L, 7L)).toDF("g", "x", "y")
+    val r = Stats.spearman(df, Seq("g"), "x", "y").collect().head
+    assert(r.isNullAt(r.fieldIndex("rho")))
+  }
+
+  // ---- autocorr ----------------------------------------------------------
+
+  test("autocorr: alternating series has lag-1 acf -1, lag-2 acf +1") {
+    val df = (1L to 12L).map(i => ("g", i, if (i % 2 == 0) 5L else -5L))
+      .toDF("g", "x", "v")
+    val out = Stats.autocorr(df, Seq("g"), "x", "v", Seq(1, 2)).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(out(1) == -1.0)
+    assert(out(2) == 1.0)
+    val n = Stats.autocorr(df, Seq("g"), "x", "v", Seq(1)).collect()
+      .head.getAs[Long]("n_pairs")
+    assert(n == 11L)
+  }
+
+  test("autocorr: constant series yields null acf; lag >= n yields no row") {
+    val df = Seq(("g", 1L, 4L), ("g", 2L, 4L), ("g", 3L, 4L)).toDF("g", "x", "v")
+    val r = Stats.autocorr(df, Seq("g"), "x", "v", Seq(1)).collect().head
+    assert(r.isNullAt(r.fieldIndex("acf")))
+    assert(Stats.autocorr(df, Seq("g"), "x", "v", Seq(5)).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Stats.autocorr(df, Seq("g"), "x", "v", Seq(0))
+    }
+  }
+
+  // ---- rollingZscore -----------------------------------------------------
+
+  test("rollingZscore: planted spike is flagged against its own history") {
+    // 30 quiet points alternating 99/101 (mean 100), then a 200 spike
+    val rows = (1 to 30).map(i => ("s", i, if (i % 2 == 0) 99L else 101L)) :+
+      (("s", 31, 200L))
+    val out = Timeseries.rollingZscore(rows.toDF("g", "i", "v"),
+      Seq("g"), Seq("i"), "v", window = 50, k = 3.0, minN = 10)
+    val flagged = out.filter(col("is_anomaly")).collect()
+    assert(flagged.map(_.getAs[Int]("i")).toSeq == Seq(31))
+    // z of the spike: history mean 100, sample sd ~1.017 -> z ~ 98
+    assert(flagged.head.getAs[Double]("z") > 50.0)
+    // warmup rows (< minN history) are unscored
+    assert(out.filter(col("z").isNotNull && col("i") <= 10).count() == 0L)
+  }
+
+  test("rollingZscore: constant history leaves z null (no div-by-zero)") {
+    val rows = (1 to 20).map(i => ("s", i, 7L)) :+ (("s", 21, 8L))
+    val out = Timeseries.rollingZscore(rows.toDF("g", "i", "v"),
+      Seq("g"), Seq("i"), "v", window = 50, k = 3.0, minN = 5)
+    assert(out.filter(col("z").isNotNull).count() == 0L)
+  }
+
+  test("rollingZscore: frame excludes the current row") {
+    // v = i: trailing mean of 1..k-1 is (k)/2 < k, so every scored z > 0
+    val rows = (1 to 15).map(i => ("s", i, i.toLong))
+    val out = Timeseries.rollingZscore(rows.toDF("g", "i", "v"),
+      Seq("g"), Seq("i"), "v", window = 50, k = 0.5, minN = 3)
+    val scored = out.filter(col("z").isNotNull).collect()
+    assert(scored.nonEmpty && scored.forall(_.getAs[Double]("z") > 0))
+  }
+
+  // ---- rollingMedian -----------------------------------------------------
+
+  test("rollingMedian: exact windowed medians, including even-count halves") {
+    val rows = Seq(("s", 1, 10L), ("s", 2, 20L), ("s", 3, 90L), ("s", 4, 40L))
+    val out = Timeseries.rollingMedian(rows.toDF("g", "i", "v"),
+        Seq("g"), Seq("i"), "v", window = 3)
+      .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("med")).toMap
+    assert(out == Map(1 -> 10.0, 2 -> 15.0, 3 -> 20.0, 4 -> 40.0))
+  }
+
+  test("rollingMedian: series are independent") {
+    val rows = Seq(("a", 1, 1L), ("a", 2, 3L), ("b", 1, 100L), ("b", 2, 200L))
+    val out = Timeseries.rollingMedian(rows.toDF("g", "i", "v"),
+        Seq("g"), Seq("i"), "v", window = 7)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("i")) ->
+        r.getAs[Double]("med")).toMap
+    assert(out(("a", 2)) == 2.0 && out(("b", 2)) == 150.0)
+  }
+}
