@@ -3301,6 +3301,56 @@ object Queries {
         round(col("acf"), 6).as("acf_r"))
   }
 
+  /** The q132/q147/q148 co-purchase graph: item-item edges over orders,
+    * degenerate-group-gated, thinned to pairs seen at least twice.
+    */
+  private def copurchaseGraph(s: SparkSession, dir: String): DataFrame =
+    operators.Graphs
+      .coOccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        maxGroupSize = 100)
+      .filter(col("weight") >= 2)
+
+  /** Link prediction (X110): parts never co-purchased but sharing
+    * co-purchase partners — the top-30 recommendation candidates by
+    * common-neighbor count, with Jaccard and exact-integer Adamic-Adar
+    * ([[operators.Graphs.linkPredict]], hub-center gated wedge join).
+    */
+  def q147LinkPredict(s: SparkSession, dir: String): DataFrame =
+    operators.Graphs.linkPredict(copurchaseGraph(s, dir), maxWedgeDegree = 1000)
+      .orderBy(desc("cn"), desc("aa_scaled"), col("u"), col("v"))
+      .limit(30)
+      .select(col("u"), col("v"), col("cn"),
+        round(col("jaccard"), 6).as("jaccard_r"), col("aa_scaled"))
+
+  /** Degree assortativity (X111): do popular parts co-purchase with other
+    * popular parts — Newman's r over the co-purchase graph
+    * ([[operators.Graphs.degreeAssortativity]]), one exact-moment global
+    * aggregate.
+    */
+  def q148Assortativity(s: SparkSession, dir: String): DataFrame =
+    operators.Graphs.degreeAssortativity(copurchaseGraph(s, dir))
+      .select(col("n").as("n_edges"), round(col("r"), 6).as("assort_r"))
+
+  /** Personalized PageRank (X112): random walk with restart to the
+    * low-id part seeds over the undirected order↔part graph — "parts most
+    * reachable from this catalog section", the seed-anchored expansion
+    * primitive ([[operators.PageRank.scaledRanksPersonalized]], 3
+    * scaled-integer rounds, every rank exact).
+    */
+  def q149Ppr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val e = li.select((col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = li.filter(col("l_partkey") < 100)
+      .select((col("l_partkey") * 2 + 1).as("id"))
+    operators.PageRank.scaledRanksPersonalized(ue, seeds, iters = 3)
+      .filter(col("id") % 2 === 1)
+      .orderBy(desc("rank"), col("id"))
+      .limit(20)
+      .select(expr("(id - 1) div 2").as("part_id"), col("rank"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3447,7 +3497,10 @@ object Queries {
     "q143_spearman" -> (q143Spearman _),
     "q144_rolling_zscore" -> (q144RollingZscore _),
     "q145_rolling_median" -> (q145RollingMedian _),
-    "q146_autocorr" -> (q146Autocorr _)
+    "q146_autocorr" -> (q146Autocorr _),
+    "q147_link_predict" -> (q147LinkPredict _),
+    "q148_assortativity" -> (q148Assortativity _),
+    "q149_ppr" -> (q149Ppr _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -5827,4 +5880,96 @@ object Queries {
         |  round(CASE WHEN dx > 0 AND dy > 0
         |    THEN num / sqrt(dx * dy) END, 6) AS acf_r
         |FROM c""".stripMargin)
+    // the wedge join through non-hub centers, existing edges excluded by
+    // NOT EXISTS; Adamic-Adar as exact floored-long terms (float sums are
+    // order-dependent; a sum of longs is not)
+    .updated("q147_link_predict",
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |    FROM lineitem),
+        |small AS (SELECT g FROM gi GROUP BY g HAVING COUNT(*) <= 100),
+        |k AS (SELECT gi.g, gi.i FROM gi JOIN small USING (g)),
+        |e AS (SELECT a.i AS src, b.i AS dst FROM k a
+        |    JOIN k b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY a.i, b.i HAVING COUNT(*) >= 2),
+        |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT a AS id, COUNT(*) AS deg FROM und GROUP BY a),
+        |via AS (SELECT und.b AS w, und.a AS u FROM und
+        |    JOIN deg ON deg.id = und.b AND deg.deg <= 1000),
+        |wed AS (SELECT v1.w, v1.u, v2.u AS v FROM via v1
+        |    JOIN via v2 ON v1.w = v2.w AND v1.u < v2.u),
+        |ne AS (SELECT * FROM wed WHERE NOT EXISTS
+        |    (SELECT 1 FROM und WHERE und.a = wed.u AND und.b = wed.v)),
+        |aat AS (SELECT id AS w,
+        |    CAST(floor(1e9 / ln(deg)) AS BIGINT) AS aa_term FROM deg
+        |  WHERE deg >= 2),
+        |sc AS (SELECT u, v, COUNT(*) AS cn, SUM(aa_term) AS aa
+        |    FROM ne JOIN aat USING (w) GROUP BY u, v)
+        |SELECT sc.u, sc.v, cn,
+        |  round(CAST(cn AS DOUBLE) /
+        |    CAST(d1.deg + d2.deg - cn AS DOUBLE), 6) AS jaccard_r,
+        |  CAST(aa AS BIGINT) AS aa_scaled
+        |FROM sc JOIN deg d1 ON d1.id = sc.u JOIN deg d2 ON d2.id = sc.v
+        |ORDER BY cn DESC, aa_scaled DESC, u, v LIMIT 30""".stripMargin)
+    // Newman's r: Pearson of endpoint degrees over the directed doubling,
+    // exact integer moments
+    .updated("q148_assortativity",
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |    FROM lineitem),
+        |small AS (SELECT g FROM gi GROUP BY g HAVING COUNT(*) <= 100),
+        |k AS (SELECT gi.g, gi.i FROM gi JOIN small USING (g)),
+        |e AS (SELECT a.i AS src, b.i AS dst FROM k a
+        |    JOIN k b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY a.i, b.i HAVING COUNT(*) >= 2),
+        |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT a AS id, COUNT(*) AS deg FROM und GROUP BY a),
+        |wd AS (SELECT d1.deg AS x, d2.deg AS y FROM und
+        |    JOIN deg d1 ON d1.id = und.a JOIN deg d2 ON d2.id = und.b),
+        |s AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy FROM wd),
+        |c AS (SELECT n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS dy FROM s)
+        |SELECT n AS n_edges,
+        |  round(CASE WHEN dx > 0 AND dy > 0
+        |    THEN num / sqrt(dx * dy) END, 6) AS assort_r
+        |FROM c""".stripMargin)
+    // q109's unrolled integer rounds, with teleport mass gated to the
+    // seed set (r0 = scale on seeds, 0 elsewhere)
+    .updated("q149_ppr",
+      """WITH e AS (SELECT DISTINCT l_orderkey * 2 AS src,
+        |    l_partkey * 2 + 1 AS dst FROM lineitem),
+        |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT src AS id FROM ue),
+        |sd AS (SELECT DISTINCT l_partkey * 2 + 1 AS id FROM lineitem
+        |    WHERE l_partkey < 100),
+        |n2 AS (SELECT nodes.id,
+        |    nodes.id IN (SELECT id FROM sd) AS seed FROM nodes),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM ue GROUP BY src),
+        |r0 AS (SELECT id, CASE WHEN seed THEN CAST(1000000000 AS BIGINT)
+        |    ELSE 0 END AS rank FROM n2),
+        |c1 AS (SELECT ue.dst AS id, SUM((r0.rank * 85) // (100 * deg.deg))
+        |    AS s FROM ue JOIN r0 ON ue.src = r0.id
+        |    JOIN deg ON deg.id = ue.src GROUP BY ue.dst),
+        |r1 AS (SELECT n2.id, (CASE WHEN n2.seed THEN 150000000 ELSE 0 END)
+        |    + COALESCE(c1.s, 0) AS rank
+        |  FROM n2 LEFT JOIN c1 ON n2.id = c1.id),
+        |c2 AS (SELECT ue.dst AS id, SUM((r1.rank * 85) // (100 * deg.deg))
+        |    AS s FROM ue JOIN r1 ON ue.src = r1.id
+        |    JOIN deg ON deg.id = ue.src GROUP BY ue.dst),
+        |r2 AS (SELECT n2.id, (CASE WHEN n2.seed THEN 150000000 ELSE 0 END)
+        |    + COALESCE(c2.s, 0) AS rank
+        |  FROM n2 LEFT JOIN c2 ON n2.id = c2.id),
+        |c3 AS (SELECT ue.dst AS id, SUM((r2.rank * 85) // (100 * deg.deg))
+        |    AS s FROM ue JOIN r2 ON ue.src = r2.id
+        |    JOIN deg ON deg.id = ue.src GROUP BY ue.dst),
+        |r3 AS (SELECT n2.id, (CASE WHEN n2.seed THEN 150000000 ELSE 0 END)
+        |    + COALESCE(c3.s, 0) AS rank
+        |  FROM n2 LEFT JOIN c3 ON n2.id = c3.id)
+        |SELECT (id - 1) // 2 AS part_id, CAST(rank AS BIGINT) AS rank
+        |FROM r3 WHERE id % 2 = 1
+        |ORDER BY rank DESC, id LIMIT 20""".stripMargin)
 }

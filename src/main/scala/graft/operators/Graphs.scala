@@ -43,4 +43,79 @@ object Graphs {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("weight"))
   }
+
+  /** Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg 2003):
+    * for every NON-adjacent pair two hops apart, the three classic scores —
+    * common-neighbor count `cn`, Jaccard `cn / (deg_u + deg_v − cn)`, and
+    * Adamic-Adar `Σ_w 1/ln(deg w)` held as the exact integer
+    * `aa_scaled = Σ_w floor(10⁹ / ln(deg w))` (float summation is
+    * order-dependent; a sum of floored longs is not). Input edges are
+    * treated as undirected; self-loops drop. Output: `(u, v, cn, jaccard,
+    * aa_scaled)` with `u < v`.
+    *
+    * Scale shape: the wedge join `adj(u,w) ⋈ adj(w,v)` is the operator —
+    * one shuffle keyed on the wedge center — and its 100 TB hazard is the
+    * HUB center: a node of degree d emits d² candidate pairs, so one
+    * celebrity node with 10⁶ neighbors is 10¹² rows from one key. Wedge
+    * centers with degree > `maxWedgeDegree` are therefore dropped (size
+    * gate by pre-aggregated count + semi-join, the [[coOccurrenceEdges]]
+    * contract): `cn`/`aa` count NON-HUB common neighbors — the standard
+    * practical estimator, since a hub neighbor carries ~1/ln(10⁶) signal
+    * anyway — while `deg_u`/`deg_v` in the Jaccard denominator stay TRUE
+    * degrees. The existing-edge exclusion is one anti-join.
+    */
+  def linkPredict(edges: DataFrame, maxWedgeDegree: Int = 1000): DataFrame = {
+    require(maxWedgeDegree >= 2, s"maxWedgeDegree=$maxWedgeDegree must be >= 2")
+    val dir = edges
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val okCenters = deg.filter(col("deg") <= maxWedgeDegree).select(col("id"))
+    // wedge u - w - v through non-hub centers, each center once per pair
+    val viaW = und.select(col("b").as("w"), col("a").as("u"))
+      .join(okCenters.withColumnRenamed("id", "w"), Seq("w"), "left_semi")
+    val wedges = viaW
+      .join(viaW.select(col("w"), col("u").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val nonEdges = wedges
+      .join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+    // a wedge center is adjacent to two distinct nodes, so deg(w) >= 2 and
+    // ln(deg) > 0 — but compute the term only there (ANSI: x/0 errors)
+    val degW = deg.filter(col("deg") >= 2).select(col("id").as("w"),
+      floor(lit(1e9) / log(col("deg").cast("double"))).as("aa_term"))
+    val scored = nonEdges.join(degW, Seq("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("aa_term")).as("aa_scaled"))
+    scored
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"),
+        (col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn")).cast("double")).as("jaccard"),
+        col("aa_scaled"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the directed doubling of the undirected edge
+    * set — one number answering "do hubs link to hubs (r > 0) or to
+    * leaves (r < 0)", the first structural question asked of any link
+    * graph. One row: `n` (directed edge count), `r`. Exact integer
+    * moments via [[Stats.pearson]]; one degree join + one global
+    * aggregate.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dir = edges
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val withDegs = und
+      .join(deg.select(col("id").as("a"), col("deg").as("dx")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("dy")), Seq("b"))
+    Stats.pearson(withDegs, Seq.empty, "dx", "dy")
+  }
 }

@@ -81,6 +81,25 @@ object Stats {
         Seq(col("_n").as("n"), col("slope"), col("intercept"), col("r2")): _*)
   }
 
+  /** Per-group Pearson correlation of two integer-valued columns — one
+    * row per group with `n, r` (null when either side is constant).
+    * `groupCols` may be EMPTY for a global single-row correlation (the
+    * grouped form of every other statistic here stays mandatory-keyed).
+    * Exactness contract as [[linearFit]].
+    */
+  def pearson(df: DataFrame, groupCols: Seq[String],
+              xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    val sums = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(momentAggs(x, y).head, momentAggs(x, y).tail: _*)
+    covParts(sums)
+      .withColumn("r",
+        when(col("_dx") > 0d && col("_dy") > 0d,
+          col("_num") / sqrt(col("_dx") * col("_dy"))))
+      .select(groupCols.map(col) ++ Seq(col("_n").as("n"), col("r")): _*)
+  }
+
   /** Per-group Spearman rank correlation between two integer-valued
     * columns, with standard average ranks for ties. Ranks are held at 2×
     * scale so tied average ranks (…·.5) stay integers:
