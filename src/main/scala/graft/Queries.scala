@@ -3351,6 +3351,83 @@ object Queries {
       .select(expr("(id - 1) div 2").as("part_id"), col("rank"))
   }
 
+  /** URL canonicalization dedup (X113): five id-derived cosmetic variants
+    * per canonical URL — uppercase host + trailing slash, explicit :443,
+    * utm_* params, fragment, and a ref tracking param beside a REAL param
+    * — folded by [[functions.TextFunctions.canonicalizeUrl]]; the
+    * group-size histogram plus min/max canonical strings pin the exact
+    * canonical forms. Variants 1–4 collapse; the page=2 variant must NOT.
+    */
+  def q150UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val k = expr("doc_id div 5")
+    val h = (k % 50).cast("string"); val ks = k.cast("string")
+    val variant = col("doc_id") % 5
+    val url = when(variant === 0,
+        concat(lit("https://H"), h, lit(".Example.com/p/"), ks, lit("/")))
+      .when(variant === 1,
+        concat(lit("https://h"), h, lit(".example.com:443/p/"), ks))
+      .when(variant === 2,
+        concat(lit("https://h"), h, lit(".example.com/p/"), ks,
+          lit("?utm_source=x&utm_medium=y")))
+      .when(variant === 3,
+        concat(lit("https://h"), h, lit(".example.com/p/"), ks, lit("#frag")))
+      .otherwise(
+        concat(lit("https://h"), h, lit(".example.com/p/"), ks,
+          lit("?ref=abc&page=2")))
+    d.select(TextFunctions.canonicalizeUrl(url).as("canon"))
+      .groupBy(col("canon")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("canon")).as("min_canon"), max(col("canon")).as("max_canon"))
+  }
+
+  /** Chi-square independence screen (X114): is event type independent of
+    * day-of-week — [[operators.Stats.chiSquare]] over an engine-neutral
+    * dow key (epoch-day mod 7, not the engines' differing dayofweek
+    * conventions); the statistic is an exact ppm-scaled long.
+    */
+  def q151Chi2(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("dow",
+      datediff(col("ts").cast("date"), lit("1992-01-01").cast("date")) % 7)
+    operators.Stats.chiSquare(ev, "event_type", "dow")
+  }
+
+  /** Benford first-digit screen (X115): leading-digit distribution of
+    * order totals vs Benford's law ([[operators.Stats.benford]] — digit
+    * from the integer's decimal string, expectations and observed shares
+    * as exact ppm integers).
+    */
+  def q152Benford(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+    operators.Stats.benford(o, "cents").orderBy(col("digit"))
+  }
+
+  /** Gini concentration (X116): how unequal is customer spend inside each
+    * nation — [[operators.Stats.gini]] over per-customer lifetime order
+    * totals (decimal-exact cents).
+    */
+  def q153Gini(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(dec)) * 100).cast("long").as("v"))
+    val withNation = spend.join(
+      t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), "o_custkey")
+    operators.Stats.gini(withNation, Seq("c_nationkey"), "v")
+      .select(col("c_nationkey"), col("n"), round(col("gini"), 6).as("gini_r"))
+  }
+
+  /** Functional-dependency profile (X117): does order key determine
+    * supplier (it must not — multi-supplier orders are the norm) —
+    * [[operators.Expectations.fdViolations]], the schema-discovery /
+    * ETL-integrity one-liner.
+    */
+  def q154FdCheck(s: SparkSession, dir: String): DataFrame =
+    operators.Expectations.fdViolations(t(s, dir, "lineitem"),
+      Seq("l_orderkey"), Seq("l_suppkey"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3500,7 +3577,12 @@ object Queries {
     "q146_autocorr" -> (q146Autocorr _),
     "q147_link_predict" -> (q147LinkPredict _),
     "q148_assortativity" -> (q148Assortativity _),
-    "q149_ppr" -> (q149Ppr _)
+    "q149_ppr" -> (q149Ppr _),
+    "q150_url_canonical" -> (q150UrlCanonical _),
+    "q151_chi2" -> (q151Chi2 _),
+    "q152_benford" -> (q152Benford _),
+    "q153_gini" -> (q153Gini _),
+    "q154_fd_check" -> (q154FdCheck _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -5972,4 +6054,103 @@ object Queries {
         |SELECT (id - 1) // 2 AS part_id, CAST(rank AS BIGINT) AS rank
         |FROM r3 WHERE id % 2 = 1
         |ORDER BY rank DESC, id LIMIT 20""".stripMargin)
+    // the same regexp chain (no lookarounds -> identical under Java
+    // regex and RE2); DuckDB needs the 'g' flag and \1 refs where Spark
+    // replaces all matches with $1 by default
+    .updated("q150_url_canonical",
+      """WITH u AS (SELECT
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://H' || CAST((doc_id // 5) % 50 AS VARCHAR)
+        |        || '.Example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+        |      WHEN 1 THEN 'https://h' || CAST((doc_id // 5) % 50 AS VARCHAR)
+        |        || '.example.com:443/p/' || CAST(doc_id // 5 AS VARCHAR)
+        |      WHEN 2 THEN 'https://h' || CAST((doc_id // 5) % 50 AS VARCHAR)
+        |        || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+        |        || '?utm_source=x&utm_medium=y'
+        |      WHEN 3 THEN 'https://h' || CAST((doc_id // 5) % 50 AS VARCHAR)
+        |        || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
+        |      ELSE 'https://h' || CAST((doc_id // 5) % 50 AS VARCHAR)
+        |        || '.example.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+        |        || '?ref=abc&page=2' END AS url
+        |  FROM documents),
+        |p1 AS (SELECT regexp_replace(url, '#.*$', '', 'g') AS nf FROM u),
+        |p2 AS (SELECT nf,
+        |    regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+        |      AS pre FROM p1),
+        |p3 AS (SELECT
+        |    regexp_replace(regexp_replace(lower(pre),
+        |      '^(http://.*):80$', '\1', 'g'),
+        |      '^(https://.*):443$', '\1', 'g') AS cp,
+        |    substr(nf, length(pre) + 1) AS rest FROM p2),
+        |p4 AS (SELECT cp, regexp_replace(rest,
+        |    '([?&])(utm_[^=&#]*|gclid|fbclid|msclkid|ref)=[^&#]*', '\1', 'g')
+        |    AS r1 FROM p3),
+        |p5 AS (SELECT cp, regexp_replace(regexp_replace(regexp_replace(r1,
+        |    '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g') AS r2
+        |  FROM p4),
+        |c AS (SELECT cp || regexp_replace(r2, '^(.+)/$', '\1', 'g')
+        |    AS canon FROM p5),
+        |g AS (SELECT canon, COUNT(*) AS sz FROM c GROUP BY canon)
+        |SELECT sz AS group_size, COUNT(*) AS n_groups,
+        |  MIN(canon) AS min_canon, MAX(canon) AS max_canon
+        |FROM g GROUP BY sz""".stripMargin)
+    // zero-observed cells materialized by the AxB cross join; per-cell
+    // term floored to an exact ppm long before the (order-independent)
+    // integer sum
+    .updated("q151_chi2",
+      """WITH b AS (SELECT event_type AS a,
+        |    (CAST(ts AS DATE) - DATE '1992-01-01') % 7 AS bb FROM events),
+        |cells AS (SELECT a, bb, COUNT(*) AS o FROM b GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT bb, SUM(o) AS ct FROM cells GROUP BY 1),
+        |f AS (SELECT rt.a, ct.bb, rt.rt, ct.ct, COALESCE(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.bb = ct.bb),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM f),
+        |t AS (SELECT CAST(o AS DOUBLE) * CAST(nn.n AS DOUBLE)
+        |    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) AS d,
+        |    CAST(nn.n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      AS den, a, bb
+        |  FROM f CROSS JOIN nn)
+        |SELECT (SELECT n FROM nn) AS n,
+        |  (SELECT (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT bb) - 1)
+        |    FROM f) AS dof,
+        |  CAST(SUM(CAST(FLOOR(1e6 * (d * d) / den) AS BIGINT)) AS BIGINT)
+        |    AS chi2_ppm
+        |FROM t""".stripMargin)
+    // first digit from the integer's decimal STRING (engine-identical),
+    // shares as exact integer-division ppm
+    .updated("q152_benford",
+      """WITH b AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |    FROM orders),
+        |c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    COUNT(*) AS n FROM b WHERE v > 0 GROUP BY 1),
+        |t AS (SELECT SUM(n) AS t FROM c)
+        |SELECT digit, n, CAST((n * 1000000) // t AS BIGINT) AS obs_ppm,
+        |  CAST(FLOOR(1e6 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+        |    AS BIGINT) AS exp_ppm
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin)
+    // tie order inside the ascending sort cannot change sum(i*v)
+    .updated("q153_gini",
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS v FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey, v FROM sp
+        |  JOIN customer ON c_custkey = o_custkey),
+        |r AS (SELECT c_nationkey, v, row_number() OVER
+        |    (PARTITION BY c_nationkey ORDER BY v) AS i FROM j),
+        |s AS (SELECT c_nationkey, COUNT(*) AS n,
+        |    SUM(v) AS sx, SUM(i * v) AS six FROM r GROUP BY 1)
+        |SELECT c_nationkey, n,
+        |  round(CASE WHEN sx > 0 THEN
+        |    2 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) END, 6) AS gini_r
+        |FROM s""".stripMargin)
+    .updated("q154_fd_check",
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |g AS (SELECT l_orderkey, COUNT(*) AS nv FROM d GROUP BY 1)
+        |SELECT COUNT(*) AS n_keys,
+        |  COUNT(CASE WHEN nv > 1 THEN 1 END) AS n_violating,
+        |  MAX(nv) AS max_variants
+        |FROM g""".stripMargin)
 }

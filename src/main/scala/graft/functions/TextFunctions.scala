@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** URL canonicalization for web-corpus dedup — the normalization pass
+    * run before any URL-keyed dedup/frequency analysis, folding the five
+    * highest-traffic cosmetic variants onto one key:
+    *   1. fragment stripped (`#…` is client-side only);
+    *   2. scheme + authority lowercased (case-insensitive per RFC 3986
+    *      §6.2.2.1 — the PATH stays case-sensitive);
+    *   3. default ports dropped (`http…:80`, `https…:443`);
+    *   4. tracking parameters removed (`utm_*`, `gclid`, `fbclid`,
+    *      `msclkid`, `ref`), separators re-tidied, empty query dropped;
+    *   5. a single trailing slash dropped (except the bare root).
+    * Pure regexp/string composition (codegen'd, one projection) and
+    * reproducible in ANSI SQL — no lookarounds, so the patterns run
+    * identically under Java regex and RE2. NULL in → NULL out.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val canonPrefix = regexp_replace(
+      regexp_replace(lower(prefix), "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val noTrack = regexp_replace(rest,
+      "([?&])(utm_[^=&#]*|gclid|fbclid|msclkid|ref)=[^&#]*", "$1")
+    val tidy = regexp_replace(regexp_replace(regexp_replace(
+      noTrack, "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
+    val noSlash = regexp_replace(tidy, "^(.+)/$", "$1")
+    concat(canonPrefix, noSlash)
+  }
+
   /** Whitespace token count. NULL/empty/blank text → 0. */
   def tokenCount(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, lit(0))

@@ -84,6 +84,32 @@ object Expectations {
       scalars.map(r => when(violation(df, r), lit(r.name))): _*))
   }
 
+  /** Functional-dependency profile: does `detCols →  depCols` hold —
+    * the schema-discovery / ETL-integrity question ("does order key
+    * determine supplier?", "does email determine account id?"). One row:
+    * `n_keys`, `n_violating` (determinant values seen with more than one
+    * distinct dependent combination), `max_variants` (the worst key's
+    * distinct dependent count — 1 means the FD holds exactly).
+    *
+    * Scale shape: one distinct over (det, dep) then one grouped count on
+    * det — both map-side-partial hash aggregations on the same key
+    * family; output is one row.
+    */
+  def fdViolations(df: DataFrame, detCols: Seq[String],
+                   depCols: Seq[String]): DataFrame = {
+    require(detCols.nonEmpty && depCols.nonEmpty,
+      "fdViolations needs determinant and dependent columns")
+    require(detCols.intersect(depCols).isEmpty,
+      s"determinant and dependent overlap: ${detCols.intersect(depCols)}")
+    val variants = df
+      .select((detCols ++ depCols).map(col): _*).distinct()
+      .groupBy(detCols.map(col): _*)
+      .agg(count(lit(1)).as("_nv"))
+    variants.agg(count(lit(1)).as("n_keys"),
+      count(when(col("_nv") > 1, 1)).as("n_violating"),
+      max(col("_nv")).as("max_variants"))
+  }
+
   /** Route rows by the scalar rules: (clean rows with the ORIGINAL
     * schema, violating rows with the `violations` column attached).
     */

@@ -134,6 +134,96 @@ object Stats {
       .select(keys ++ Seq(col("_n").as("n"), col("rho")): _*)
   }
 
+  /** Chi-square test of independence between two categorical columns —
+    * ONE row: `n`, `dof = (|A|−1)(|B|−1)`, and `chi2_ppm` = the statistic
+    * scaled by 10⁶ and held as an exact long sum (each cell's
+    * `(o·n − rt·ct)² / (n·rt·ct)` is one fixed double expression over
+    * exact counts, floored to a long at ppm scale — so the SUM is
+    * order-independent where a float sum would not be). Zero-observed
+    * cells are materialized by the A×B cross join (they still contribute
+    * their expected mass). The first independence screen run between any
+    * two metadata fields of a corpus ("is `lang` independent of
+    * `source`?").
+    *
+    * Scale shape: one grouped count over the raw rows; everything after
+    * is domain-sized (|A|×|B| cells — categorical domains, so the cross
+    * join is deliberate and bounded; AQE broadcasts the marginals).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val rt = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_rt"))
+    val ct = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_ct"))
+    val full = rt.crossJoin(ct)
+      .join(cells, Seq("_a", "_b"), "left")
+      .withColumn("_o", coalesce(col("_o"), lit(0L)))
+    val n = full.agg(sum(col("_o"))).withColumnRenamed("sum(_o)", "_n")
+    val term = {
+      val oD = col("_o").cast("double"); val nD = col("_n").cast("double")
+      val rtD = col("_rt").cast("double"); val ctD = col("_ct").cast("double")
+      val d = oD * nD - rtD * ctD
+      floor(lit(1e6) * (d * d) / (nD * rtD * ctD))
+    }
+    full.crossJoin(n)
+      .agg(first(col("_n")).as("n"),
+        ((countDistinct(col("_a")) - 1) *
+          (countDistinct(col("_b")) - 1)).as("dof"),
+        sum(term).as("chi2_ppm"))
+  }
+
+  /** Benford first-digit screen over a positive integer-valued column
+    * (floor-scale currency to cents first): per leading digit 1–9, the
+    * observed count, observed ppm (`n·10⁶ div total` — exact integer
+    * division), and the Benford-law expectation
+    * `floor(10⁶·log₁₀(1 + 1/d))`. The classic fabricated-data /
+    * broken-ETL detector. The digit comes from the integer's DECIMAL
+    * STRING (engine-identical), not from float log arithmetic.
+    * One grouped count (9 groups) + one broadcast total.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val digit = substring(v.cast("string"), 1, 1).cast("int")
+    val counts = df.filter(v.isNotNull && v > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_t"))
+    val expPpm = (d: Column) =>
+      floor(lit(1e6) * log10(lit(1.0) + lit(1.0) / d.cast("double")))
+    counts.crossJoin(total)
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div _t").as("obs_ppm"),
+        expPpm(col("digit")).as("exp_ppm"))
+  }
+
+  /** Per-group Gini coefficient of a non-negative integer-valued column:
+    * `G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n` over the ascending sort —
+    * the concentration measure behind "how skewed is revenue across
+    * customers / token mass across documents". Tie order does not matter
+    * (equal x swap freely in Σ i·x), both sums are decimal-exact, and G
+    * is one fixed double expression. Null when the group sums to zero.
+    *
+    * Scale shape: one group-keyed window sort for the ranks + one grouped
+    * agg on the same key; per-group rows must fit an executor (§W1).
+    */
+  def gini(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "gini requires group columns")
+    val keys = groupCols.map(col)
+    val v = col(valueCol)
+    val w = Window.partitionBy(keys: _*).orderBy(v.asc)
+    val ranked = df.filter(v.isNotNull && v >= 0)
+      .select(keys :+ v.as("_v") :+ row_number().over(w).as("_i"): _*)
+    ranked.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), esum(col("_v")).as("_sx"),
+        esum(col("_i") * col("_v")).as("_six"))
+      .withColumn("gini", {
+        val nD = col("n").cast("double")
+        when(col("_sx") > 0,
+          lit(2d) * col("_six").cast("double") /
+            (nD * col("_sx").cast("double")) - (nD + 1d) / nD)
+      })
+      .select(keys ++ Seq(col("n"), col("gini")): _*)
+  }
+
   /** Per-series autocorrelation at the given positive lags: Pearson of
     * `(v_t, v_{t−lag})` over the t where both exist. One row per
     * (series, lag): `lag, n_pairs, acf` (null acf when either slice is
