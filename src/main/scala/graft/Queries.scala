@@ -3428,6 +3428,42 @@ object Queries {
     operators.Expectations.fdViolations(t(s, dir, "lineitem"),
       Seq("l_orderkey"), Seq("l_suppkey"))
 
+  /** Retrieval rank evaluation (X118): how much top-k quality does int8
+    * quantization cost — exact float cosine top-10 as ground truth vs the
+    * same retrieval over the quantize→dequantize roundtrip
+    * ([[operators.Relevance.rankEval]]); recall/MRR/ln-nDCG at cutoffs
+    * 1/5/10 as exact ppm integers, averaged over a 1-in-500 query batch.
+    */
+  def q155RankEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 500 === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def ranked(corpus: DataFrame): DataFrame =
+      Similarity.topKBatch(corpus, "embedding", "vec_id",
+          queries, "qid", "qvec", 10)
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(desc("score"), col("vec_id"))))
+        .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    val truth = ranked(emb)
+    val cand = ranked(Similarity.dequantizeInt8(
+      Similarity.quantizeInt8(emb, "embedding"), "embedding"))
+    operators.Relevance.rankEval(truth, cand, Seq(1, 5, 10))
+      .orderBy(col("k"))
+  }
+
+  /** Cohen's kappa (X119): chance-corrected agreement between the stored
+    * `lang` label and the stopword-profile classifier
+    * ([[operators.Stats.cohenKappa]] over [[TextFunctions.langId]]) —
+    * "is the weak labeler better than chance", one double division of
+    * exact longs.
+    */
+  def q156Kappa(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+    operators.Stats.cohenKappa(d, "lang", "pred")
+      .select(col("n"), col("agree"), round(col("kappa"), 6).as("kappa_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3582,7 +3618,9 @@ object Queries {
     "q151_chi2" -> (q151Chi2 _),
     "q152_benford" -> (q152Benford _),
     "q153_gini" -> (q153Gini _),
-    "q154_fd_check" -> (q154FdCheck _)
+    "q154_fd_check" -> (q154FdCheck _),
+    "q155_rank_eval" -> (q155RankEval _),
+    "q156_kappa" -> (q156Kappa _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6153,4 +6191,101 @@ object Queries {
         |  COUNT(CASE WHEN nv > 1 THEN 1 END) AS n_violating,
         |  MAX(nv) AS max_variants
         |FROM g""".stripMargin)
+    // truth = q21's exact cosine arithmetic; candidate = the q89
+    // quantize spec reconstructed (exact double product cast to REAL =
+    // the engines' shared float-multiply rounding); every metric an
+    // exact integer (ln-weighted DCG terms floored to longs)
+    .updated("q155_rank_eval",
+      """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    CAST(embedding AS REAL[]) AS vf FROM embeddings),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 500 = 7),
+        |ts AS (SELECT q.qid, c.vec_id,
+        |    list_dot_product(c.v, q.qv) /
+        |      (sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+        |  FROM corpus c CROSS JOIN q),
+        |tr AS (SELECT qid, vec_id AS id, row_number() OVER
+        |    (PARTITION BY qid ORDER BY score DESC, vec_id) AS rt
+        |  FROM ts QUALIFY rt <= 10),
+        |sc AS (SELECT vec_id,
+        |    CAST(list_max(list_transform(vf, x -> abs(x)))
+        |      / CAST(127 AS REAL) AS REAL) AS sc, vf FROM corpus),
+        |rec AS (SELECT vec_id, CASE WHEN sc = 0
+        |    THEN list_transform(vf, x -> CAST(0 AS REAL))
+        |    ELSE list_transform(vf, x -> CAST(
+        |      CAST(CAST(round(CAST(x AS DOUBLE) / CAST(sc AS DOUBLE))
+        |        AS TINYINT) AS DOUBLE) * CAST(sc AS DOUBLE) AS REAL))
+        |    END AS rv FROM sc),
+        |cs AS (SELECT q.qid, r.vec_id,
+        |    list_dot_product(CAST(r.rv AS DOUBLE[]), q.qv) /
+        |      (sqrt(list_sum(list_transform(CAST(r.rv AS DOUBLE[]),
+        |        x -> x * x))) *
+        |       sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+        |  FROM rec r CROSS JOIN q),
+        |cr AS (SELECT qid, vec_id AS id, row_number() OVER
+        |    (PARTITION BY qid ORDER BY score DESC, vec_id) AS rc
+        |  FROM cs QUALIFY rc <= 10),
+        |ks AS (SELECT UNNEST([1, 5, 10]) AS k),
+        |j AS (SELECT tr.qid, ks.k, tr.rt, cr.rc
+        |  FROM tr JOIN cr ON tr.qid = cr.qid AND tr.id = cr.id
+        |  CROSS JOIN ks WHERE tr.rt <= ks.k),
+        |per AS (SELECT qid, k,
+        |    COUNT(CASE WHEN rc <= k THEN 1 END) AS hits, MIN(rc) AS minrc,
+        |    COALESCE(SUM(CASE WHEN rc <= k
+        |      THEN CAST(FLOOR(1e9 / ln(rc + 1)) AS BIGINT) END), 0) AS dcg
+        |  FROM j GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT tr.qid, ks.k FROM tr CROSS JOIN ks),
+        |idcg AS (SELECT ks.k,
+        |    SUM(CAST(FLOOR(1e9 / ln(rr.r + 1)) AS BIGINT)) AS idcg
+        |  FROM ks, (SELECT UNNEST(range(1, 11)) AS r) rr
+        |  WHERE rr.r <= ks.k GROUP BY ks.k),
+        |rs AS (SELECT g.k,
+        |    COALESCE(p.hits, 0) * 1000000 // g.k AS r_ppm,
+        |    COALESCE(1000000 // p.minrc, 0) AS rr_ppm,
+        |    COALESCE(p.dcg, 0) * 1000000 // i.idcg AS n_ppm
+        |  FROM grid g LEFT JOIN per p ON p.qid = g.qid AND p.k = g.k
+        |  JOIN idcg i ON i.k = g.k)
+        |SELECT k, COUNT(*) AS n_queries,
+        |  CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS recall_ppm,
+        |  CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT) AS mrr_ppm,
+        |  CAST(SUM(n_ppm) // COUNT(*) AS BIGINT) AS ndcg_ppm
+        |FROM rs GROUP BY k ORDER BY k""".stripMargin)
+    // the q25 langid spec as labeler B; kappa = one double division of
+    // exact longs: (agree*n - sum(rt*ct)) / (n*n - sum(rt*ct))
+    .updated("q156_kappa",
+      """WITH scored AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |counts AS (
+        |  SELECT a,
+        |    coalesce(len(list_filter(toks, t -> t IN ('the','and','of','is','that','with','for','this'))), 0) AS en,
+        |    coalesce(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','mit','ein'))), 0) AS de,
+        |    coalesce(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','que','pas'))), 0) AS fr,
+        |    coalesce(len(list_filter(toks, t -> t IN ('el','los','las','es','que','una','por','con'))), 0) AS es,
+        |    toks IS NULL AS empty
+        |  FROM scored),
+        |f AS (SELECT a,
+        |  CASE WHEN empty THEN 'und'
+        |    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |    WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |    WHEN de >= fr AND de >= es THEN 'de'
+        |    WHEN fr >= es THEN 'fr'
+        |    ELSE 'es' END AS b
+        |  FROM counts),
+        |cells AS (SELECT a, b, COUNT(*) AS o FROM f GROUP BY 1, 2),
+        |st AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(CASE WHEN a = b THEN o END), 0) AS BIGINT)
+        |      AS agree FROM cells),
+        |rt AS (SELECT a AS c, SUM(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT b AS c, SUM(o) AS ct FROM cells GROUP BY 1),
+        |pe AS (SELECT CAST(COALESCE(SUM(rt * ct), 0) AS BIGINT) AS pen2
+        |  FROM rt JOIN ct USING (c))
+        |SELECT n, agree,
+        |  round(CASE WHEN n * n - pen2 <> 0 THEN
+        |    CAST(agree * n - pen2 AS DOUBLE) /
+        |    CAST(n * n - pen2 AS DOUBLE) END, 6) AS kappa_r
+        |FROM st CROSS JOIN pe""".stripMargin)
 }

@@ -179,6 +179,61 @@ object Relevance {
       .agg(sum(col("_c")).as("rrf"), count(lit(1)).as("n_lists"))
   }
 
+  /** Retrieval quality evaluation — recall@k, MRR and (ln-weighted)
+    * nDCG@k of a candidate ranking against a ground-truth ranking, the
+    * offline harness that answers "how much quality does the cheap
+    * retrieval path (quantized / LSH / IVF) lose vs exact". Inputs carry
+    * `(qid, id, rank)` with rank 1-based; the truth top-k is the
+    * relevance set at each cutoff. One row per cutoff k:
+    * `k, n_queries, recall_ppm, mrr_ppm, ndcg_ppm` — every metric an
+    * EXACT integer:
+    *
+    *  - recall@k  = |cand@k ∩ truth@k| · 10⁶ div k, averaged by integer
+    *    division over all truth queries (misses count as 0);
+    *  - RR        = 10⁶ div (first candidate rank holding ANY truth@k
+    *    doc, full candidate list), 0 when none;
+    *  - DCG@k     = Σ_{hits, rc ≤ k} floor(10⁹ / ln(rc+1)) — the
+    *    ln-weighted gain variant, so each term is a floored long (a
+    *    float DCG sum would be order-dependent; the X110 Adamic-Adar
+    *    precedent) — normalized by the same-shaped ideal sum via
+    *    integer division.
+    *
+    * Scale shape: both inputs are top-k lists (queries × k rows), so
+    * everything here is evaluation-set-sized: one equi-join on
+    * (qid, id), one grouped agg, one cutoff explode (|ks| copies).
+    */
+  def rankEval(truth: DataFrame, cand: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "cutoffs must be >= 1")
+    val t = truth.select(col("qid"), col("id"), col("rank").as("_rt"))
+    val c = cand.select(col("qid"), col("id"), col("rank").as("_rc"))
+    val kCol = explode(array(ks.map(lit): _*)).as("k")
+    // matched (truth, cand) docs, one copy per cutoff where truth-relevant
+    val j = t.join(c, Seq("qid", "id"))
+      .select(col("qid"), col("_rt"), col("_rc"), kCol)
+      .filter(col("_rt") <= col("k"))
+    val per = j.groupBy(col("qid"), col("k"))
+      .agg(count(when(col("_rc") <= col("k"), 1)).as("_hits"),
+        min(col("_rc")).as("_minrc"),
+        coalesce(sum(when(col("_rc") <= col("k"),
+          floor(lit(1e9) / log(col("_rc").cast("double") + 1d)))), lit(0L))
+          .as("_dcg"))
+    // every (truth query, k) cell, including zero-overlap queries
+    val grid = t.select(col("qid")).distinct().select(col("qid"), kCol)
+    val idcg = aggregate(sequence(lit(1), col("k")), lit(0L),
+      (acc, r) => acc + floor(lit(1e9) / log(r.cast("double") + 1d)))
+    grid.join(per, Seq("qid", "k"), "left")
+      .withColumn("_idcg", idcg) // exact long, so `div` stays integral
+      .select(col("k"),
+        expr("coalesce(_hits, 0) * 1000000 div k").as("_r_ppm"),
+        coalesce(expr("1000000 div _minrc"), lit(0L)).as("_rr_ppm"),
+        expr("coalesce(_dcg, 0) * 1000000 div _idcg").as("_n_ppm"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum(_r_ppm) div count(1)").as("recall_ppm"),
+        expr("sum(_rr_ppm) div count(1)").as("mrr_ppm"),
+        expr("sum(_n_ppm) div count(1)").as("ndcg_ppm"))
+  }
+
   def tfidf(docs: DataFrame, textCol: String, idCol: String,
             minDf: Long = 1L): DataFrame = {
     val n = docs.select(count(lit(1)).as("_n"))

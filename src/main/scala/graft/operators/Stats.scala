@@ -172,6 +172,35 @@ object Stats {
         sum(term).as("chi2_ppm"))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelings of the same rows (annotator-vs-annotator, stored-label vs
+    * classifier, the standard "is my weak labeler better than chance"
+    * gate). ONE row: `n`, `agree` (diagonal count), and `kappa` computed
+    * as the single double division of two exact longs:
+    * `kappa = (po − pe)/(1 − pe) = (agree·n − Σ_c rt_c·ct_c) /
+    * (n² − Σ_c rt_c·ct_c)`. Null when pe = 1 (both sides constant —
+    * kappa undefined). Scale shape: one grouped count over raw rows,
+    * then category-domain-sized marginals (AQE broadcasts).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val rt = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_rt"))
+    val ct = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_ct"))
+    val stats = cells.agg(sum(col("_o")).as("n"),
+      coalesce(sum(when(col("_a") === col("_b"), col("_o"))), lit(0L))
+        .as("agree"))
+    val peN2 = rt.join(ct, col("_a") === col("_b"))
+      .agg(coalesce(sum(col("_rt") * col("_ct")), lit(0L)).as("_pe_n2"))
+    stats.crossJoin(peN2)
+      .select(col("n"), col("agree"),
+        when(col("n") * col("n") - col("_pe_n2") =!= 0L,
+          (col("agree") * col("n") - col("_pe_n2")).cast("double") /
+            (col("n") * col("n") - col("_pe_n2")).cast("double"))
+          .as("kappa"))
+  }
+
   /** Benford first-digit screen over a positive integer-valued column
     * (floor-scale currency to cents first): per leading digit 1–9, the
     * observed count, observed ppm (`n·10⁶ div total` — exact integer

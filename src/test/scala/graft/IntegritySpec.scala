@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.TextFunctions
-import graft.operators.{Expectations, Stats}
+import graft.operators.{Expectations, Relevance, Stats}
 
 class IntegritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
@@ -118,6 +118,83 @@ class IntegritySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> Option(r.get(r.fieldIndex("gini")))).toMap
     assert(out("g").contains(0.25))
     assert(out("z").isEmpty)
+  }
+
+  // ---- cohenKappa ------------------------------------------------------------
+
+  test("cohenKappa: perfect agreement is 1, simple hand case matches") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val r1 = Stats.cohenKappa(perfect, "a", "b").collect().head
+    assert(r1.getAs[Long]("agree") == 3L && r1.getAs[Double]("kappa") == 1.0)
+    // classic 2x2: agree 15 of 20; rt = (12, 8), ct = (11, 9)
+    // pe_n2 = 12*11 + 8*9 = 204; kappa = (15*20 - 204)/(400 - 204) = 96/196
+    val hand = (Seq.fill(9)(("p", "p")) ++ Seq.fill(3)(("p", "q")) ++
+      Seq.fill(2)(("q", "p")) ++ Seq.fill(6)(("q", "q"))).toDF("a", "b")
+    val r2 = Stats.cohenKappa(hand, "a", "b").collect().head
+    assert(r2.getAs[Long]("n") == 20L && r2.getAs[Long]("agree") == 15L)
+    assert(r2.getAs[Double]("kappa") == 96.0 / 196.0)
+  }
+
+  test("cohenKappa: both sides constant -> kappa null (pe = 1)") {
+    val df = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val r = Stats.cohenKappa(df, "a", "b").collect().head
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("cohenKappa: disjoint label sets -> pe 0, kappa = po") {
+    val df = Seq(("x", "u"), ("y", "v")).toDF("a", "b")
+    val r = Stats.cohenKappa(df, "a", "b").collect().head
+    assert(r.getAs[Long]("agree") == 0L && r.getAs[Double]("kappa") == 0.0)
+  }
+
+  // ---- rankEval --------------------------------------------------------------
+
+  private def rl(rows: (Long, Long, Int)*) =
+    rows.toDF("qid", "id", "rank")
+
+  test("rankEval: identical rankings score perfect at every cutoff") {
+    val l = rl((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val out = Relevance.rankEval(l, l, Seq(1, 3)).collect()
+      .map(r => r.getAs[Int]("k") -> ((r.getAs[Long]("recall_ppm"),
+        r.getAs[Long]("mrr_ppm"), r.getAs[Long]("ndcg_ppm")))).toMap
+    assert(out(1) == ((1000000L, 1000000L, 1000000L)))
+    assert(out(3) == ((1000000L, 1000000L, 1000000L)))
+  }
+
+  test("rankEval: hand-computed partial overlap") {
+    // truth 10,11,12; cand 11,99,10: at k=3 hits = 2 (10@3, 11@1)
+    // recall = 2/3 -> 666666 ppm; first relevant cand rank 1 -> mrr 1e6
+    // dcg = w(1) + w(3); idcg = w(1)+w(2)+w(3) with w(r)=floor(1e9/ln(r+1))
+    val truth = rl((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val cand = rl((1L, 11L, 1), (1L, 99L, 2), (1L, 10L, 3))
+    val r = Relevance.rankEval(truth, cand, Seq(3)).collect().head
+    def w(x: Int) = math.floor(1e9 / math.log(x + 1.0)).toLong
+    assert(r.getAs[Long]("recall_ppm") == 666666L)
+    assert(r.getAs[Long]("mrr_ppm") == 1000000L)
+    assert(r.getAs[Long]("ndcg_ppm") ==
+      (w(1) + w(3)) * 1000000L / (w(1) + w(2) + w(3)))
+  }
+
+  test("rankEval: zero-overlap queries still average into the mean") {
+    val truth = rl((1L, 10L, 1), (2L, 20L, 1))
+    val cand = rl((1L, 10L, 1), (2L, 99L, 1)) // query 2 misses entirely
+    val r = Relevance.rankEval(truth, cand, Seq(1)).collect().head
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Long]("recall_ppm") == 500000L)
+    assert(r.getAs[Long]("mrr_ppm") == 500000L)
+    assert(r.getAs[Long]("ndcg_ppm") == 500000L)
+    intercept[IllegalArgumentException] {
+      Relevance.rankEval(truth, cand, Seq.empty)
+    }
+  }
+
+  test("rankEval: MRR uses the full candidate list beyond the cutoff") {
+    // truth@1 = {10}; cand has 10 at rank 4: recall@1 = 0 but rr = 1/4
+    val truth = rl((1L, 10L, 1), (1L, 11L, 2))
+    val cand = rl((1L, 50L, 1), (1L, 51L, 2), (1L, 52L, 3), (1L, 10L, 4))
+    val r = Relevance.rankEval(truth, cand, Seq(1)).collect().head
+    assert(r.getAs[Long]("recall_ppm") == 0L)
+    assert(r.getAs[Long]("mrr_ppm") == 250000L)
   }
 
   // ---- fdViolations ----------------------------------------------------------
