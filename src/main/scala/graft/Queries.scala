@@ -3464,6 +3464,28 @@ object Queries {
       .select(col("n"), col("agree"), round(col("kappa"), 6).as("kappa_r"))
   }
 
+  /** Two-sample KS test (X120): are click and error `value` draws from
+    * the same distribution — [[operators.Stats.ksTest]], CDF supremum
+    * over exact integer counts at value granularity.
+    */
+  def q157Ks(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+    operators.Stats.ksTest(ev, "event_type", "v", "click", "error")
+  }
+
+  /** Mann–Whitney U (X121): location shift between click and purchase
+    * values — [[operators.Stats.mannWhitneyU]], 2×-scaled exact U plus
+    * the tie-corrected normal z.
+    */
+  def q158Mwu(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+    operators.Stats.mannWhitneyU(ev, "event_type", "v", "click", "purchase")
+      .select(col("n_a"), col("n_b"), col("u_a2"),
+        round(col("z"), 4).as("z_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3620,7 +3642,9 @@ object Queries {
     "q153_gini" -> (q153Gini _),
     "q154_fd_check" -> (q154FdCheck _),
     "q155_rank_eval" -> (q155RankEval _),
-    "q156_kappa" -> (q156Kappa _)
+    "q156_kappa" -> (q156Kappa _),
+    "q157_ks" -> (q157Ks _),
+    "q158_mwu" -> (q158Mwu _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6288,4 +6312,49 @@ object Queries {
         |    CAST(agree * n - pen2 AS DOUBLE) /
         |    CAST(n * n - pen2 AS DOUBLE) END, 6) AS kappa_r
         |FROM st CROSS JOIN pe""".stripMargin)
+    // CDF supremum over exact integer counts at value granularity
+    .updated("q157_ks",
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE event_type IN ('click', 'error')),
+        |bv AS (SELECT v,
+        |    COUNT(CASE WHEN g = 'click' THEN 1 END) AS ca,
+        |    COUNT(CASE WHEN g = 'error' THEN 1 END) AS cb
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+        |  FROM bv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b FROM bv)
+        |SELECT n_a, n_b,
+        |  CAST(MAX(abs(cuma * n_b - cumb * n_a)) * 1000000 // (n_a * n_b)
+        |    AS BIGINT) AS d_ppm
+        |FROM c CROSS JOIN t GROUP BY n_a, n_b""".stripMargin)
+    // per-value average rank (2x) from the running total; tie mass
+    // Sum(t^3 - t) feeds the corrected sigma
+    .updated("q158_mwu",
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |bv AS (SELECT v,
+        |    COUNT(CASE WHEN g = 'click' THEN 1 END) AS ca,
+        |    COUNT(CASE WHEN g = 'purchase' THEN 1 END) AS cb
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT ca, cb, ca + cb AS t,
+        |    SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumt
+        |  FROM bv),
+        |a AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(ca * (2 * (cumt - t) + t + 1)) AS BIGINT) AS ra2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties FROM r),
+        |s AS (SELECT n_a, n_b, ra2 - n_a * (n_a + 1) AS u_a2,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(ties AS DOUBLE) AS tiesd,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd FROM a)
+        |SELECT n_a, n_b, u_a2,
+        |  round(CASE WHEN
+        |      sqrt(nad * nbd / 12 * (nd + 1 - tiesd / (nd * (nd - 1)))) > 0
+        |    THEN (CAST(u_a2 AS DOUBLE) / 2 - nad * nbd / 2) /
+        |      sqrt(nad * nbd / 12 * (nd + 1 - tiesd / (nd * (nd - 1))))
+        |    END, 4) AS z_r
+        |FROM s""".stripMargin)
 }

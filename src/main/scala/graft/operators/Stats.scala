@@ -172,6 +172,91 @@ object Stats {
         sum(term).as("chi2_ppm"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the `ga` and `gb`
+    * slices of a group column — `D = max |F_a(x) − F_b(x)|`, the
+    * distribution-shift test that sees SHAPE changes PSI's fixed buckets
+    * blur. ONE row: `n_a, n_b, d_ppm` where
+    * `d_ppm = max|cum_a·n_b − cum_b·n_a| · 10⁶ div (n_a·n_b)` — the max
+    * runs over exact integers (no float CDFs), the final share is one
+    * 128-bit-safe integral division (DECIMAL(38,0) on the Spark side,
+    * HUGEINT in an oracle).
+    *
+    * Scale shape: the raw rows collapse to VALUE-GRANULARITY counts
+    * first (one hash groupBy), so the ordered CDF window runs over the
+    * distinct-value domain, not the rows — integer-valued inputs
+    * (cents) make that domain bounded by construction. The single
+    * global sort is inherent to a CDF supremum; it sorts the domain,
+    * never the data.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             ga: String, gb: String): DataFrame = {
+    require(ga != gb, "the two samples must be different groups")
+    val g = col(groupCol); val v = col(valueCol)
+    val byValue = df.filter(v.isNotNull && (g === ga || g === gb))
+      .groupBy(v.as("_v"))
+      .agg(count(when(g === ga, 1)).as("_ca"),
+        count(when(g === gb, 1)).as("_cb"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byValue
+      .select(sum(col("_ca")).over(w).as("_cuma"),
+        sum(col("_cb")).over(w).as("_cumb"))
+    val totals = byValue.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+    cum.crossJoin(totals)
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")))
+          .as("_dnum"))
+      .selectExpr("n_a", "n_b",
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "CAST(_dnum AS DECIMAL(38,0)) * 1000000 div " +
+          "CAST(n_a * n_b AS DECIMAL(38,0)) END AS d_ppm")
+  }
+
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the `ga` and
+    * `gb` slices: `U_a` held at 2× scale (`u_a2 = 2·R_a − n_a(n_a+1)`,
+    * average ranks for ties — all integers), plus the tie-corrected
+    * normal approximation `z` as one fixed double expression over the
+    * exact ingredients (`Σ(t³−t)` tie mass included). The location-shift
+    * test that needs no distributional assumption. ONE row:
+    * `n_a, n_b, u_a2, z`.
+    *
+    * Scale shape: identical to [[ksTest]] — value-granularity counts,
+    * one domain-sized ordered window (per-value average ranks derive
+    * from the running total), one global agg.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   ga: String, gb: String): DataFrame = {
+    require(ga != gb, "the two samples must be different groups")
+    val g = col(groupCol); val v = col(valueCol)
+    val byValue = df.filter(v.isNotNull && (g === ga || g === gb))
+      .groupBy(v.as("_v"))
+      .agg(count(when(g === ga, 1)).as("_ca"),
+        count(when(g === gb, 1)).as("_cb"))
+      .withColumn("_t", col("_ca") + col("_cb"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // avg rank (2x) of every row holding value v:
+    //   2·cum_before + t + 1  =  2·(cum_through − t) + t + 1
+    val ranked = byValue
+      .withColumn("_cumt", sum(col("_t")).over(w))
+      .withColumn("_r2", lit(2) * (col("_cumt") - col("_t")) + col("_t") + 1)
+    val agg = ranked.agg(
+      sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+      sum(col("_ca") * col("_r2")).as("_ra2"),
+      sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_ties"))
+    agg.withColumn("u_a2",
+        col("_ra2") - col("n_a") * (col("n_a") + 1))
+      .withColumn("z", {
+        val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+        val nD = naD + nbD
+        val sig = sqrt(naD * nbD / 12d *
+          (nD + 1d - col("_ties").cast("double") / (nD * (nD - 1d))))
+        when(sig > 0d,
+          (col("u_a2").cast("double") / 2d - naD * nbD / 2d) / sig)
+      })
+      .select(col("n_a"), col("n_b"), col("u_a2"), col("z"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * labelings of the same rows (annotator-vs-annotator, stored-label vs
     * classifier, the standard "is my weak labeler better than chance"

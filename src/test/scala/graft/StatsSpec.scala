@@ -101,6 +101,45 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- ksTest --------------------------------------------------------------
+
+  test("ksTest: disjoint samples have D = 1, identical samples D = 0") {
+    val disj = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r1 = Stats.ksTest(disj, "g", "v", "a", "b").collect().head
+    assert((r1.getAs[Long]("n_a"), r1.getAs[Long]("n_b"),
+      r1.getAs[Long]("d_ppm")) == ((2L, 2L, 1000000L)))
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    assert(Stats.ksTest(same, "g", "v", "a", "b")
+      .collect().head.getAs[Long]("d_ppm") == 0L)
+  }
+
+  test("ksTest: hand-computed partial shift; other groups are ignored") {
+    // A = {1,2,3}, B = {2,3,4}: sup|F_a - F_b| = 1/3
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L), ("zz", 999L)).toDF("g", "v")
+    val r = Stats.ksTest(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("d_ppm") == 333333L)
+    intercept[IllegalArgumentException] { Stats.ksTest(df, "g", "v", "a", "a") }
+  }
+
+  // ---- mannWhitneyU ----------------------------------------------------------
+
+  test("mannWhitneyU: hand-computed no-tie case") {
+    // A = {1,2}, B = {3,4}: R_a = 3, U_a = 0; z = -2 / sqrt(5/3)
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("u_a2") == 0L)
+    assert(math.abs(r.getAs[Double]("z") - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
+  }
+
+  test("mannWhitneyU: full tie degenerates sigma to 0 -> z null;" +
+      " tied ranks average") {
+    val df = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("u_a2") == 1L) // U_a = 0.5 at 2x scale
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   // ---- rollingZscore -----------------------------------------------------
 
   test("rollingZscore: planted spike is flagged against its own history") {
