@@ -300,6 +300,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "interleave", "proximity_topk", "pagerank", "triangle_counts",
           "kcore", "audio_features", "data_card",
           "incremental_card", "jdbc_ingest",
+          "link_predict", "chi2", "gini", "ks_test", "rank_eval",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -353,6 +354,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "data_card" => new DataCardProcedure
       case "incremental_card" => new IncrementalCardProcedure
       case "jdbc_ingest" => new JdbcIngestProcedure
+      case "link_predict" => new LinkPredictProcedure
+      case "chi2" => new Chi2Procedure
+      case "gini" => new GiniProcedure
+      case "ks_test" => new KsTestProcedure
+      case "rank_eval" => new RankEvalProcedure
       case "profile" => new ProfileProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
@@ -2125,6 +2131,150 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         graft.operators.Multimodal.audioFeatures(df,
           input.getUTF8String(2).toString)
       }
+  }
+
+  private final class LinkPredictProcedure extends MaintenanceProcedure {
+    override def name(): String = "link_predict"
+    override def description(): String =
+      "common-neighbor / Jaccard / Adamic-Adar scores for non-adjacent " +
+        "2-hop pairs of the (src, dst) edge graph (hub wedge centers " +
+        "beyond max_wedge_degree gated); lands (u, v, cn, jaccard, " +
+        "aa_scaled) in target"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("src_col", StringType)
+          .defaultValue("'src'").build(),
+        procedures.ProcedureParameter.in("dst_col", StringType)
+          .defaultValue("'dst'").build(),
+        procedures.ProcedureParameter
+          .in("max_wedge_degree", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("1000").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString) { df =>
+        graft.operators.Graphs.linkPredict(
+          df.select(col(input.getUTF8String(2).toString).as("src"),
+            col(input.getUTF8String(3).toString).as("dst")),
+          input.getInt(4))
+      }
+  }
+
+  private final class Chi2Procedure extends MaintenanceProcedure {
+    override def name(): String = "chi2"
+    override def description(): String =
+      "chi-square independence test between two categorical columns; " +
+        "returns one row (n, dof, chi2_ppm) — exact ppm-scaled statistic"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("a_col", StringType).build(),
+        procedures.ProcedureParameter.in("b_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Stats.chiSquare(table(id).read,
+        input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("n", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("dof", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("chi2_ppm", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2))))
+    }
+  }
+
+  private final class GiniProcedure extends MaintenanceProcedure {
+    override def name(): String = "gini"
+    override def description(): String =
+      "per-group Gini concentration of a non-negative integer-valued " +
+        "column; returns (group, n, gini) — groups-sized, bounded"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("value_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Stats.gini(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString)
+        .orderBy(col(gCol)).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("n", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("gini", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2))))
+    }
+  }
+
+  private final class KsTestProcedure extends MaintenanceProcedure {
+    override def name(): String = "ks_test"
+    override def description(): String =
+      "two-sample Kolmogorov-Smirnov statistic between the `a` and `b` " +
+        "slices of group_col over an integer-valued column; returns one " +
+        "row (n_a, n_b, d_ppm)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("value_col", StringType).build(),
+        procedures.ProcedureParameter.in("a", StringType).build(),
+        procedures.ProcedureParameter.in("b", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Stats.ksTest(table(id).read,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        input.getUTF8String(3).toString,
+        input.getUTF8String(4).toString).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("n_a", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("n_b", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("d_ppm", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2))))
+    }
+  }
+
+  private final class RankEvalProcedure extends MaintenanceProcedure {
+    override def name(): String = "rank_eval"
+    override def description(): String =
+      "recall@k / MRR / ln-nDCG of a candidate ranking vs ground truth " +
+        "(both tables carry qid, id, rank); returns one row per cutoff " +
+        "in `ks` (comma-separated) — exact ppm integers"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("truth", StringType).build(),
+        procedures.ProcedureParameter.in("cand", StringType).build(),
+        procedures.ProcedureParameter.in("ks", StringType)
+          .defaultValue("'1,5,10'").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tId = resolveIdent(input.getUTF8String(0).toString, "truth")
+      security.requirePriv(spark, "SELECT", tId.namespace.toSeq, tId.name)
+      val cId = resolveIdent(input.getUTF8String(1).toString, "cand")
+      security.requirePriv(spark, "SELECT", cId.namespace.toSeq, cId.name)
+      val ks = input.getUTF8String(2).toString.split(",").map(_.trim.toInt)
+      val rows = graft.operators.Relevance
+        .rankEval(table(tId).read, table(cId).read, ks.toSeq)
+        .orderBy(col("k")).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("k", org.apache.spark.sql.types.IntegerType, nullable = true),
+          StructField("n_queries", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("recall_ppm", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("mrr_ppm", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("ndcg_ppm", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2), r.get(3),
+          r.get(4))))
+    }
   }
 
   private final class DataCardProcedure extends MaintenanceProcedure {

@@ -1239,6 +1239,63 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(af.getDouble(2) == a / 32768.0)
   }
 
+  test("stats procedures: link_predict/chi2/gini/ks_test/rank_eval" +
+      " from SQL (r10)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm15",
+      java.nio.file.Files.createTempDirectory("sql_llm15_").toString)
+    spark.sql("CREATE NAMESPACE llm15.G")
+
+    // path 1-2-3: the only candidate is (1,3), jaccard 1
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .createOrReplaceTempView("s15e")
+    spark.sql("CREATE TABLE llm15.G.E AS SELECT * FROM s15e")
+    spark.sql("CALL llm15.system.link_predict(source => 'G.E', " +
+      "target => 'G.LP')")
+    val lp = spark.sql("SELECT u, v, cn, jaccard FROM llm15.G.LP").collect()
+    assert(lp.length == 1)
+    assert((lp.head.getLong(0), lp.head.getLong(1), lp.head.getLong(2),
+      lp.head.getDouble(3)) == ((1L, 3L, 1L, 1.0)))
+
+    // chi2: perfectly dependent 2x2 -> chi2 = n at ppm scale
+    (Seq.fill(10)(("x", "x")) ++ Seq.fill(10)(("y", "y"))).toDF("a", "b")
+      .createOrReplaceTempView("s15c")
+    spark.sql("CREATE TABLE llm15.G.C AS SELECT * FROM s15c")
+    val c2 = spark.sql("CALL llm15.system.chi2(table => 'G.C', " +
+      "a_col => 'a', b_col => 'b')").head
+    assert((c2.getLong(0), c2.getLong(1), c2.getLong(2)) ==
+      ((20L, 1L, 20000000L)))
+
+    // gini of 1,2,3,4 = 0.25 (IntegritySpec hand case)
+    Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L)).toDF("grp", "v")
+      .createOrReplaceTempView("s15g")
+    spark.sql("CREATE TABLE llm15.G.GN AS SELECT * FROM s15g")
+    val gn = spark.sql("CALL llm15.system.gini(table => 'G.GN', " +
+      "group_col => 'grp', value_col => 'v')").head
+    assert(gn.getString(0) == "g" && gn.getLong(1) == 4L &&
+      gn.getDouble(2) == 0.25)
+
+    // disjoint samples -> KS D = 1
+    Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("grp", "v")
+      .createOrReplaceTempView("s15k")
+    spark.sql("CREATE TABLE llm15.G.KS AS SELECT * FROM s15k")
+    val ks = spark.sql("CALL llm15.system.ks_test(table => 'G.KS', " +
+      "group_col => 'grp', value_col => 'v', a => 'a', b => 'b')").head
+    assert((ks.getLong(0), ks.getLong(1), ks.getLong(2)) ==
+      ((2L, 2L, 1000000L)))
+
+    // identical rankings -> perfect metrics at the one cutoff
+    Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "id", "rank")
+      .createOrReplaceTempView("s15r")
+    spark.sql("CREATE TABLE llm15.G.RT AS SELECT * FROM s15r")
+    spark.sql("CREATE TABLE llm15.G.RC AS SELECT * FROM s15r")
+    val re = spark.sql("CALL llm15.system.rank_eval(truth => 'G.RT', " +
+      "cand => 'G.RC', ks => '2')").head
+    assert(re.getInt(0) == 2 && re.getLong(1) == 1L)
+    assert((re.getLong(2), re.getLong(3), re.getLong(4)) ==
+      ((1000000L, 1000000L, 1000000L)))
+  }
+
   test("profile procedure: per-column stats in one scan") {
     import spark.implicits._
     graft.sql.GraftCatalog.register(spark, "llm13",
