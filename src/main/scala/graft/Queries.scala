@@ -3486,6 +3486,54 @@ object Queries {
         round(col("z"), 4).as("z_r"))
   }
 
+  /** Clamped label propagation (X122): catalog-section labels (low part
+    * ids, label = id mod 3) spread two rounds over the co-purchase graph
+    * ([[operators.Graphs.labelPropagate]] — deterministic majority vote,
+    * smallest label on ties); per-label node count + id-sum checksum,
+    * unreached nodes as label −1.
+    */
+  def q159LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val seeds = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("id")).filter(col("id") < 50)
+      .distinct().withColumn("label", col("id") % 3)
+    operators.Graphs.labelPropagate(copurchaseGraph(s, dir), seeds, iters = 2)
+      .groupBy(coalesce(col("label"), lit(-1L)).as("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_sum"))
+  }
+
+  /** Seasonal decomposition (X123, composed): daily revenue per type →
+    * trend = 7-day rolling exact median ([[operators.Timeseries
+    * .rollingMedian]]), seasonal = per-day-of-week mean of the detrended
+    * series — all arithmetic on 2×-scaled integers until one final
+    * double division.
+    */
+  def q160Decompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg((sum(col("value").cast(dec)) * 100).cast("long").as("v"))
+    operators.Timeseries.rollingMedian(daily, Seq("event_type"), Seq("d"),
+        "v", window = 7)
+      .withColumn("det2", col("v") * 2 - (col("med") * 2).cast("long"))
+      .withColumn("dow",
+        datediff(col("d"), lit("1992-01-01").cast("date")) % 7)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("det2").cast(DecimalType(38, 0))).cast("double") /
+          (lit(2d) * count(lit(1)).cast("double")), 4).as("seasonal_r"))
+  }
+
+  /** Trimmed mean (X124): per-type 10%-trimmed mean of the value column
+    * in cents ([[operators.Outliers.trimmedMean]]) next to the plain
+    * mean — how much the tails were pulling.
+    */
+  def q161TrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+    operators.Outliers.trimmedMean(ev, Seq("event_type"), "v", p = 0.1)
+      .select(col("event_type"), col("n"), col("n_trimmed"),
+        round(col("trimmed_mean"), 4).as("tmean_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3644,7 +3692,10 @@ object Queries {
     "q155_rank_eval" -> (q155RankEval _),
     "q156_kappa" -> (q156Kappa _),
     "q157_ks" -> (q157Ks _),
-    "q158_mwu" -> (q158Mwu _)
+    "q158_mwu" -> (q158Mwu _),
+    "q159_label_prop" -> (q159LabelProp _),
+    "q160_decompose" -> (q160Decompose _),
+    "q161_trimmed_mean" -> (q161TrimmedMean _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6357,4 +6408,72 @@ object Queries {
         |      sqrt(nad * nbd / 12 * (nd + 1 - tiesd / (nd * (nd - 1))))
         |    END, 4) AS z_r
         |FROM s""".stripMargin)
+    // two unrolled majority-vote rounds: row_number (c DESC, lbl) = the
+    // Spark side's min_by((-c, lbl)); seeds clamped by COALESCE
+    .updated("q159_label_prop",
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |    FROM lineitem),
+        |small AS (SELECT g FROM gi GROUP BY g HAVING COUNT(*) <= 100),
+        |k AS (SELECT gi.g, gi.i FROM gi JOIN small USING (g)),
+        |e AS (SELECT a.i AS src, b.i AS dst FROM k a
+        |    JOIN k b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY a.i, b.i HAVING COUNT(*) >= 2),
+        |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |sd AS (SELECT i AS id, i % 3 AS lbl FROM
+        |    (SELECT DISTINCT l_partkey AS i FROM lineitem
+        |     WHERE l_partkey < 50)),
+        |l0 AS (SELECT nodes.id, sd.lbl FROM nodes LEFT JOIN sd USING (id)),
+        |m1 AS (SELECT und.b AS id, l0.lbl, COUNT(*) AS c FROM und
+        |    JOIN l0 ON und.a = l0.id WHERE l0.lbl IS NOT NULL GROUP BY 1, 2),
+        |w1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
+        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM m1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT n.id, COALESCE(sd.lbl, w1.lbl) AS lbl FROM nodes n
+        |  LEFT JOIN sd ON sd.id = n.id LEFT JOIN w1 ON w1.id = n.id),
+        |m2 AS (SELECT und.b AS id, l1.lbl, COUNT(*) AS c FROM und
+        |    JOIN l1 ON und.a = l1.id WHERE l1.lbl IS NOT NULL GROUP BY 1, 2),
+        |w2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
+        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM m2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT n.id, COALESCE(sd.lbl, w2.lbl) AS lbl FROM nodes n
+        |  LEFT JOIN sd ON sd.id = n.id LEFT JOIN w2 ON w2.id = n.id)
+        |SELECT COALESCE(lbl, -1) AS label, COUNT(*) AS n_nodes,
+        |  CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM l2 GROUP BY 1""".stripMargin)
+    // trend from the q145 rolling-median spec; detrended series held at
+    // 2x scale so the only double is the final mean division
+    .updated("q160_decompose",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, d, v,
+        |    CAST(median(v) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 2 AS BIGINT)
+        |      AS med2 FROM daily),
+        |det AS (SELECT event_type, (d - DATE '1992-01-01') % 7 AS dow,
+        |    v * 2 - med2 AS det2 FROM m)
+        |SELECT event_type, dow, COUNT(*) AS n_days,
+        |  round(CAST(SUM(det2) AS DOUBLE) / (2 * COUNT(*)), 4) AS seasonal_r
+        |FROM det GROUP BY 1, 2""".stripMargin)
+    // rank cut may split a tie block, but tied rows hold the same value,
+    // so the kept-row sum is cut-order-invariant
+    .updated("q161_trimmed_mean",
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v ASC)
+        |      AS ra,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v DESC)
+        |      AS rd,
+        |    CAST(floor(0.1 * COUNT(*) OVER (PARTITION BY event_type))
+        |      AS BIGINT) AS cut
+        |  FROM b)
+        |SELECT event_type, COUNT(*) AS n, CAST(MIN(cut) AS BIGINT)
+        |    AS n_trimmed,
+        |  round(CAST(SUM(CASE WHEN ra > cut AND rd > cut THEN v END)
+        |      AS DOUBLE) /
+        |    CAST(COUNT(CASE WHEN ra > cut AND rd > cut THEN 1 END)
+        |      AS DOUBLE), 4) AS tmean_r
+        |FROM r GROUP BY 1""".stripMargin)
 }

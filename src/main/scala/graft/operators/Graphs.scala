@@ -98,6 +98,54 @@ object Graphs {
         col("aa_scaled"))
   }
 
+  /** Semi-supervised label propagation (clamped LPA, Zhu & Ghahramani
+    * 2002 / Raghavan et al. 2007): seed labels spread over the undirected
+    * graph for a FIXED number of rounds — each round, every node takes
+    * the majority label among its labeled neighbors (ties → smallest
+    * label, so every round is deterministic and SQL-provable); seed nodes
+    * are CLAMPED to their given label. The weak-supervision primitive:
+    * label a few thousand nodes, propagate to millions. Returns
+    * `(id, label)` with label null where no seed is reachable within
+    * `iters` hops. An id seeded twice keeps its smallest label
+    * (documented determinism rule — validate seeds upstream).
+    *
+    * Scale shape: each round is one edge⋈labels shuffle + one grouped
+    * vote + one `min_by((−count, label))` argmax — the PageRank round
+    * shape with labels instead of mass; lineage truncated every 5 rounds.
+    */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame,
+                     iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
+    val dir = edges
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    val nodes = und.select(col("a").as("id")).distinct()
+    val sd = seeds
+      .select(col("id").cast("long").as("id"), col("label").cast("long").as("_sl"))
+      .filter(col("id").isNotNull && col("_sl").isNotNull)
+      .groupBy(col("id")).agg(min(col("_sl")).as("_sl"))
+    val base = nodes.join(sd, Seq("id"), "left").localCheckpoint(true)
+    var labels = base.select(col("id"), col("_sl").as("lbl"))
+    var i = 0
+    while (i < iters) {
+      val votes = und
+        .join(labels.withColumnRenamed("id", "a"), Seq("a"))
+        .filter(col("lbl").isNotNull)
+        .groupBy(col("b").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("_c"))
+      val winner = votes.groupBy(col("id"))
+        .agg(expr("min_by(lbl, struct(-_c, lbl))").as("_win"))
+      labels = base.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_sl"), col("_win")).as("lbl"))
+      if ((i + 1) % 5 == 0 && i + 1 < iters)
+        labels = labels.localCheckpoint(true)
+      i += 1
+    }
+    labels.select(col("id"), col("lbl").as("label"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the directed doubling of the undirected edge
     * set — one number answering "do hubs link to hubs (r > 0) or to

@@ -89,6 +89,60 @@ object Streaming {
       }
   }
 
+  /** Streaming anomaly screen — the continuous twin of the batch
+    * [[graft.operators.Timeseries.rollingZscore]]: each arriving value
+    * is scored against its key's RUNNING history (count / Σv / Σv² —
+    * O(1) exact integer state per key) BEFORE being folded in
+    * (self-exclusion, same contract as the batch operator), and only
+    * rows beyond `|z| > k` with at least `minN` history are emitted —
+    * the alerting-sink shape (emit nothing in the steady state).
+    *
+    * Values are pre-scaled longs (the [[graft.operators.Stats]]
+    * contract), so state never drifts: the z for a given (history,
+    * value) is one fixed double expression over exact integers, and a
+    * replay from the same offsets reproduces identical alerts. Within a
+    * micro-batch, values of one key fold in iterator order — feed
+    * per-key-ordered batches when strict cross-run ordering matters
+    * (the usual structured-streaming contract).
+    *
+    * Scale shape: state is 3 longs per key (unbounded-history baseline,
+    * not a buffer); parallelism is the key domain; no timeout needed —
+    * a silent key just keeps its baseline.
+    */
+  case class ScoredEvent(key: String, value: Long)
+  /** public: the state encoder's generated code instantiates it */
+  case class AnomalyState(n: Long, sum: Long, sumsq: Long)
+  case class Anomaly(key: String, value: Long, z: Double, n_history: Long)
+
+  def anomalyStream(events: Dataset[ScoredEvent], k: Double,
+                    minN: Int = 30): Dataset[Anomaly] = {
+    require(k > 0 && minN >= 2, "need k > 0 and minN >= 2")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AnomalyState, Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          rows.foreach { e =>
+            if (st.n >= minN) {
+              val nD = st.n.toDouble
+              val varN = nD * st.sumsq.toDouble -
+                st.sum.toDouble * st.sum.toDouble
+              if (varN > 0d) {
+                val z = (e.value.toDouble - st.sum.toDouble / nD) /
+                  math.sqrt(varN / (nD * (nD - 1d)))
+                if (math.abs(z) > k) out += Anomaly(key, e.value, z, st.n)
+              }
+            }
+            st = AnomalyState(st.n + 1, st.sum + e.value,
+              st.sumsq + e.value * e.value)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming sessionization (the continuous twin of the batch q33
     * sessions query): events of a user belong to one session while gaps
     * stay ≤ `gapMs`; a CLOSED session is emitted either when a later

@@ -53,6 +53,45 @@ class LinkPredictSpec extends AnyFunSuite {
     assert(r.getAs[Long]("cn") == 1L && r.getAs[Double]("jaccard") == 1.0)
   }
 
+  // ---- labelPropagate -------------------------------------------------------
+
+  test("labelPropagate: labels spread one hop per round; unreached stay null") {
+    // path 1-2-3-4-5, seed 1 -> 7
+    val dir = (1L to 4L).map(i => (i, i + 1))
+    val e = dir.toDF("src", "dst")
+    val seeds = Seq((1L, 7L)).toDF("id", "label")
+    def labelled(iters: Int): Map[Long, Option[Long]] =
+      Graphs.labelPropagate(e, seeds, iters).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val one = labelled(1)
+    assert(one(2L).contains(7L) && one(3L).isEmpty)
+    val two = labelled(2)
+    assert(two(3L).contains(7L) && two(5L).isEmpty)
+  }
+
+  test("labelPropagate: majority wins; equal votes break to smallest label") {
+    // center 0 sees labels {5 (x2), 9 (x1)} -> 5; center 10 sees {3, 8} tied -> 3
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L), (10L, 12L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 5L), (2L, 5L), (3L, 9L), (11L, 8L), (12L, 3L))
+      .toDF("id", "label")
+    val out = Graphs.labelPropagate(e, seeds, iters = 1).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(0L).contains(5L))
+    assert(out(10L).contains(3L))
+  }
+
+  test("labelPropagate: seeds are clamped; duplicate seeds keep min label") {
+    // 1 (seed 9) - 2 (seed 1): after any rounds, each keeps its own seed
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq((1L, 9L), (2L, 1L), (2L, 4L)).toDF("id", "label")
+    val out = Graphs.labelPropagate(e, seeds, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 9L, 2L -> 1L))
+  }
+
   // ---- degreeAssortativity -------------------------------------------------
 
   test("degreeAssortativity: star is perfectly disassortative (r = -1)") {

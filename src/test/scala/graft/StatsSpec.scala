@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Stats, Timeseries}
+import graft.operators.{Outliers, Stats, Timeseries}
 
 class StatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
@@ -170,6 +170,28 @@ class StatsSpec extends AnyFunSuite {
       Seq("g"), Seq("i"), "v", window = 50, k = 0.5, minN = 3)
     val scored = out.filter(col("z").isNotNull).collect()
     assert(scored.nonEmpty && scored.forall(_.getAs[Double]("z") > 0))
+  }
+
+  // ---- trimmedMean ---------------------------------------------------------
+
+  test("trimmedMean: drops floor(p*n) per side; p=0 is the plain mean") {
+    val df = (1L to 10L).map(("g", _)).toDF("g", "v")
+    val r = Outliers.trimmedMean(df, Seq("g"), "v", p = 0.1).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_trimmed"),
+      r.getAs[Double]("trimmed_mean")) == ((10L, 1L, 5.5)))
+    val r0 = Outliers.trimmedMean(df, Seq("g"), "v", p = 0.0).collect().head
+    assert(r0.getAs[Double]("trimmed_mean") == 5.5 &&
+      r0.getAs[Long]("n_trimmed") == 0L)
+  }
+
+  test("trimmedMean: tie blocks straddling the cut cannot change the mean") {
+    // [1,1,1,9], p=0.25 -> drop one smallest and one largest: keep {1,1}
+    val df = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 9L)).toDF("g", "v")
+    val r = Outliers.trimmedMean(df, Seq("g"), "v", p = 0.25).collect().head
+    assert(r.getAs[Double]("trimmed_mean") == 1.0)
+    intercept[IllegalArgumentException] {
+      Outliers.trimmedMean(df, Seq("g"), "v", p = 0.5)
+    }
   }
 
   // ---- rollingMedian -----------------------------------------------------

@@ -62,6 +62,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("y", 1L, 10.0)))
   }
 
+  test("anomalyStream: spike flagged against running history, state" +
+      " carries across batches, quiet keys emit nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.ScoredEvent]
+    val out = Streaming.anomalyStream(in.toDS(), k = 3.0, minN = 10)
+    val q = out.writeStream.format("memory").queryName("anoms")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: 12 quiet points alternating 99/101 — builds history, no alerts
+    in.addData((1 to 12).map(i =>
+      Streaming.ScoredEvent("x", if (i % 2 == 0) 99L else 101L)): _*)
+    q.processAllAvailable()
+    assert(spark.table("anoms").count() == 0L)
+    // batch 2: a 200 spike on x (history carried over), quiet y (no history)
+    in.addData(Streaming.ScoredEvent("x", 200L),
+      Streaming.ScoredEvent("y", 500L))
+    q.processAllAvailable()
+    val rows = spark.table("anoms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    q.stop()
+    assert(rows.length == 1)
+    val (key, v, z, nh) = rows.head
+    assert(key == "x" && v == 200L && nh == 12L && z > 50.0)
+    // exact-integer state: z is the same fixed expression as the batch
+    // operator's — spot-check against the closed form
+    val (n, s, ss) = (12d, 12d * 100d, 6 * (99d * 99d) + 6 * (101d * 101d))
+    val expected = (200d - s / n) /
+      math.sqrt((n * ss - s * s) / (n * (n - 1d)))
+    assert(math.abs(z - expected) < 1e-12)
+  }
+
+  test("anomalyStream: constant history never divides by zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.ScoredEvent]
+    val out = Streaming.anomalyStream(in.toDS(), k = 1.0, minN = 3)
+    val q = out.writeStream.format("memory").queryName("anoms_const")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1 to 8).map(_ => Streaming.ScoredEvent("c", 7L)): _*)
+    q.processAllAvailable()
+    in.addData(Streaming.ScoredEvent("c", 9L)) // varN = 0 -> unscored
+    q.processAllAvailable()
+    val n = spark.table("anoms_const").count()
+    q.stop()
+    assert(n == 0L)
+  }
+
   test("sessionize: gap-closed and timeout-closed sessions via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
