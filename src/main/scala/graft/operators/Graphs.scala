@@ -69,9 +69,14 @@ object Graphs {
     val dir = edges
       .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // und feeds the degree table, both wedge legs and the anti-join —
+    // truncate lineage ONCE so the (possibly expensive) upstream graph
+    // construction is not re-executed per consumer (the [[PageRank]]
+    // contract; at cluster scale substitute an intermediate table)
     val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val okCenters = deg.filter(col("deg") <= maxWedgeDegree).select(col("id"))
     // wedge u - w - v through non-hub centers, each center once per pair
     val viaW = und.select(col("b").as("w"), col("a").as("u"))
@@ -158,8 +163,9 @@ object Graphs {
     val dir = edges
       .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // und feeds the degree build and both endpoint joins — one lineage cut
     val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
     val withDegs = und
       .join(deg.select(col("id").as("a"), col("deg").as("dx")), Seq("a"))
