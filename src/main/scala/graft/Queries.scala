@@ -3534,6 +3534,38 @@ object Queries {
         round(col("trimmed_mean"), 4).as("tmean_r"))
   }
 
+  /** Markov transition matrix (X126): what event type follows what,
+    * along each user's stream — counts plus exact ppm row-probabilities
+    * ([[operators.Markov.transitions]]).
+    */
+  def q162Transitions(s: SparkSession, dir: String): DataFrame =
+    operators.Markov.transitions(t(s, dir, "events"), Seq("user_id"),
+      Seq("ts", "event_id"), "event_type")
+
+  /** Markov stationary distribution (X127): the chain's long-run share
+    * of time per event type — 3 scaled-integer power-iteration rounds
+    * over the q162 matrix ([[operators.Markov.scaledStationary]]), every
+    * π exact.
+    */
+  def q163Stationary(s: SparkSession, dir: String): DataFrame = {
+    val trans = operators.Markov.transitions(t(s, dir, "events"),
+      Seq("user_id"), Seq("ts", "event_id"), "event_type")
+    operators.Markov.scaledStationary(trans, iters = 3)
+      .select(col("state"), col("pi"))
+  }
+
+  /** Wasserstein-1 distance (X128): total transported mass between the
+    * click and error value distributions — the integral companion of
+    * q157's KS supremum ([[operators.Stats.wasserstein1]]), exact
+    * integer accumulation, in cents.
+    */
+  def q164Wasserstein(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+    operators.Stats.wasserstein1(ev, "event_type", "v", "click", "error")
+      .select(col("n_a"), col("n_b"), round(col("w1"), 4).as("w1_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3695,7 +3727,10 @@ object Queries {
     "q158_mwu" -> (q158Mwu _),
     "q159_label_prop" -> (q159LabelProp _),
     "q160_decompose" -> (q160Decompose _),
-    "q161_trimmed_mean" -> (q161TrimmedMean _)
+    "q161_trimmed_mean" -> (q161TrimmedMean _),
+    "q162_transitions" -> (q162Transitions _),
+    "q163_stationary" -> (q163Stationary _),
+    "q164_wasserstein" -> (q164Wasserstein _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6476,4 +6511,62 @@ object Queries {
         |    CAST(COUNT(CASE WHEN ra > cut AND rd > cut THEN 1 END)
         |      AS DOUBLE), 4) AS tmean_r
         |FROM r GROUP BY 1""".stripMargin)
+    .updated("q162_transitions",
+      """WITH p AS (SELECT event_type AS s,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pr
+        |  FROM events),
+        |c AS (SELECT pr AS from_state, s AS to_state, COUNT(*) AS n
+        |  FROM p WHERE pr IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS out_total
+        |  FROM c GROUP BY 1)
+        |SELECT from_state, to_state, n, out_total,
+        |  CAST((n * 1000000) // out_total AS BIGINT) AS p_ppm
+        |FROM c JOIN o USING (from_state)""".stripMargin)
+    // three unrolled scaled-integer power-iteration rounds (the q109
+    // shape with transition weights): pi'(s) = Sum (pi(t)*n) // out(t)
+    .updated("q163_stationary",
+      """WITH p AS (SELECT event_type AS s,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pr
+        |  FROM events),
+        |c AS (SELECT pr AS f, s AS tt, COUNT(*) AS n
+        |  FROM p WHERE pr IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT f, SUM(n) AS ot FROM c GROUP BY 1),
+        |t AS (SELECT c.f, c.tt, c.n, o.ot FROM c JOIN o USING (f)),
+        |states AS (SELECT f AS state FROM t UNION SELECT tt FROM t),
+        |p0 AS (SELECT state, CAST(1000000000 AS BIGINT) AS pi FROM states),
+        |c1 AS (SELECT t.tt AS state, SUM((p0.pi * t.n) // t.ot) AS s
+        |  FROM t JOIN p0 ON p0.state = t.f GROUP BY 1),
+        |p1 AS (SELECT st.state, COALESCE(c1.s, 0) AS pi FROM states st
+        |  LEFT JOIN c1 USING (state)),
+        |c2 AS (SELECT t.tt AS state, SUM((p1.pi * t.n) // t.ot) AS s
+        |  FROM t JOIN p1 ON p1.state = t.f GROUP BY 1),
+        |p2 AS (SELECT st.state, COALESCE(c2.s, 0) AS pi FROM states st
+        |  LEFT JOIN c2 USING (state)),
+        |c3 AS (SELECT t.tt AS state, SUM((p2.pi * t.n) // t.ot) AS s
+        |  FROM t JOIN p2 ON p2.state = t.f GROUP BY 1),
+        |p3 AS (SELECT st.state, COALESCE(c3.s, 0) AS pi FROM states st
+        |  LEFT JOIN c3 USING (state))
+        |SELECT state, CAST(pi AS BIGINT) AS pi FROM p3""".stripMargin)
+    // integral of |F_a - F_b|: per-gap exact integer mass, one division
+    .updated("q164_wasserstein",
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE event_type IN ('click', 'error')),
+        |bv AS (SELECT v,
+        |    COUNT(CASE WHEN g = 'click' THEN 1 END) AS ca,
+        |    COUNT(CASE WHEN g = 'error' THEN 1 END) AS cb
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT v, SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+        |    lead(v) OVER (ORDER BY v) AS nv
+        |  FROM bv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b FROM bv)
+        |SELECT n_a, n_b,
+        |  round(CAST(SUM(abs(cuma * n_b - cumb * n_a) * (nv - v))
+        |      AS DOUBLE) /
+        |    CAST(n_a * n_b AS DOUBLE), 4) AS w1_r
+        |FROM c CROSS JOIN t WHERE nv IS NOT NULL
+        |GROUP BY n_a, n_b""".stripMargin)
 }

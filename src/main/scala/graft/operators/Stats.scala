@@ -212,6 +212,50 @@ object Stats {
           "CAST(n_a * n_b AS DECIMAL(38,0)) END AS d_ppm")
   }
 
+  /** 1-D Wasserstein-1 (earth mover's) distance between the `ga` and
+    * `gb` slices: `W₁ = ∫|F_a − F_b| dv`, the INTEGRAL companion of
+    * [[ksTest]]'s supremum — KS sees the worst point of disagreement,
+    * W₁ sees the total transported mass (in value units, here whatever
+    * the caller's integer scaling is). Computed exactly:
+    * `num = Σᵢ |cum_aᵢ·n_b − cum_bᵢ·n_a| · (vᵢ₊₁ − vᵢ)` over
+    * value-granularity integer counts (DECIMAL(38,0) accumulation), then
+    * ONE double division by `n_a·n_b`. One row:
+    * `n_a, n_b, w1` (null when either slice is empty).
+    *
+    * Scale shape: identical to [[ksTest]] — the ordered window runs over
+    * the bounded distinct-value domain, never the rows.
+    */
+  def wasserstein1(df: DataFrame, groupCol: String, valueCol: String,
+                   ga: String, gb: String): DataFrame = {
+    require(ga != gb, "the two samples must be different groups")
+    val g = col(groupCol); val v = col(valueCol)
+    val byValue = df.filter(v.isNotNull && (g === ga || g === gb))
+      .groupBy(v.as("_v"))
+      .agg(count(when(g === ga, 1)).as("_ca"),
+        count(when(g === gb, 1)).as("_cb"))
+    val w = Window.orderBy(col("_v"))
+    val cum = byValue
+      .select(col("_v"),
+        sum(col("_ca")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("_cuma"),
+        sum(col("_cb")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("_cumb"),
+        lead(col("_v"), 1).over(w).as("_nv"))
+      .filter(col("_nv").isNotNull)
+    val totals = byValue.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"))
+    cum.crossJoin(totals)
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        coalesce(sum(abs(col("_cuma") * col("n_b") -
+            col("_cumb") * col("n_a")).cast(bigDec) *
+          (col("_nv") - col("_v"))), lit(0L).cast(bigDec)).as("_num"))
+      .withColumn("w1",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")))
+      .select(col("n_a"), col("n_b"), col("w1"))
+  }
+
   /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the `ga` and
     * `gb` slices: `U_a` held at 2× scale (`u_a2 = 2·R_a − n_a(n_a+1)`,
     * average ranks for ties — all integers), plus the tie-corrected

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Markov, Stats}
+
+class MarkovSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // ---- transitions -----------------------------------------------------------
+
+  test("transitions: counts, out-totals and exact ppm on a hand sequence") {
+    // key k: A,B,A,B -> A->B x2 (out 2), B->A x1 (out 1)
+    val df = Seq(("k", 1, "A"), ("k", 2, "B"), ("k", 3, "A"), ("k", 4, "B"))
+      .toDF("u", "i", "s")
+    val out = Markov.transitions(df, Seq("u"), Seq("i"), "s").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("out_total"),
+          r.getAs[Long]("p_ppm")))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((2L, 2L, 1000000L)),
+      ("B", "A") -> ((1L, 1L, 1000000L))))
+  }
+
+  test("transitions: keys are independent; a 1-event key emits nothing") {
+    val df = Seq(("a", 1, "X"), ("a", 2, "Y"), ("b", 1, "Y"), ("c", 9, "Z"))
+      .toDF("u", "i", "s")
+    val out = Markov.transitions(df, Seq("u"), Seq("i"), "s").collect()
+    assert(out.length == 1)
+    assert((out.head.getString(0), out.head.getString(1)) == (("X", "Y")))
+  }
+
+  test("transitions: split probabilities are integer-div ppm") {
+    // A -> B twice, A -> C once: 666666 / 333333 ppm
+    val df = Seq(("k", 1, "A"), ("k", 2, "B"), ("k", 3, "A"), ("k", 4, "C"),
+      ("k2", 1, "A"), ("k2", 2, "B")).toDF("u", "i", "s")
+    val out = Markov.transitions(df, Seq("u"), Seq("i"), "s").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("p_ppm"))
+      .toMap
+    assert(out(("A", "B")) == 666666L && out(("A", "C")) == 333333L)
+  }
+
+  // ---- scaledStationary ------------------------------------------------------
+
+  test("scaledStationary: a 2-cycle is its own stationary point") {
+    val trans = Seq(("A", "B", 3L, 3L), ("B", "A", 2L, 2L))
+      .toDF("from_state", "to_state", "n", "out_total")
+    val out = Markov.scaledStationary(trans, iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("A" -> 1000000000L, "B" -> 1000000000L))
+  }
+
+  test("scaledStationary: absorbing state accumulates, hand-computed rounds") {
+    // A: 1/2 self, 1/2 -> B; B absorbing (2 self-loops)
+    val trans = Seq(("A", "A", 1L, 2L), ("A", "B", 1L, 2L),
+      ("B", "B", 2L, 2L)).toDF("from_state", "to_state", "n", "out_total")
+    val r1 = Markov.scaledStationary(trans, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("A" -> 500000000L, "B" -> 1500000000L))
+    val r2 = Markov.scaledStationary(trans, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map("A" -> 250000000L, "B" -> 1750000000L))
+    intercept[IllegalArgumentException] {
+      Markov.scaledStationary(trans, iters = 0)
+    }
+  }
+
+  // ---- wasserstein1 ----------------------------------------------------------
+
+  test("wasserstein1: point masses at distance d have W1 = d;" +
+      " identical samples have W1 = 0") {
+    val d = Seq(("a", 0L), ("b", 10L)).toDF("g", "v")
+    val r = Stats.wasserstein1(d, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Double]("w1") == 10.0)
+    val same = Seq(("a", 1L), ("a", 5L), ("b", 1L), ("b", 5L)).toDF("g", "v")
+    assert(Stats.wasserstein1(same, "g", "v", "a", "b")
+      .collect().head.getAs[Double]("w1") == 0.0)
+  }
+
+  test("wasserstein1: a constant shift of c moves W1 by exactly c") {
+    val base = Seq(1L, 3L, 7L)
+    val df = (base.map(("a", _)) ++ base.map(v => ("b", v + 5L)))
+      .toDF("g", "v")
+    val r = Stats.wasserstein1(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Double]("w1") == 5.0)
+  }
+
+  test("wasserstein1: hand-computed unequal sizes") {
+    // A = {0, 2} (n=2), B = {2} (n=1): F_a jumps .5 at 0, 1 at 2; F_b 1 at 2
+    // integral |F_a - F_b| over [0,2) = 0.5 * 2 = 1.0
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 2L)).toDF("g", "v")
+    val r = Stats.wasserstein1(df, "g", "v", "a", "b").collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Double]("w1")) == ((2L, 1L, 1.0)))
+  }
+}
