@@ -3566,6 +3566,33 @@ object Queries {
       .select(col("n_a"), col("n_b"), round(col("w1"), 4).as("w1_r"))
   }
 
+  /** Exact ROC-AUC (X129): does `value` separate purchase events from the
+    * rest — the rank-statistic AUC ([[operators.Stats.auc]]; no threshold
+    * sweep, ties by average rank, one double division of exact longs).
+    */
+  def q165Auc(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+      .withColumn("is_purchase", col("event_type") === "purchase")
+    operators.Stats.auc(ev, "is_purchase", "v")
+      .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc_r"))
+  }
+
+  /** Reliability table (X130): a ppm score with an id-derived label whose
+    * positive rate TRACKS the score by construction — the calibration
+    * harness itself is what's under test ([[operators.Stats
+    * .calibration]]); every bucket statistic an exact ppm integer.
+    */
+  def q166Calibration(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("score",
+        least(lit(999999L), floor(col("value") * 1000000 / 500).cast("long")))
+      .withColumn("label",
+        (col("event_id") * 2654435761L) % 1000000 < col("score"))
+    operators.Stats.calibration(ev, "score", "label", buckets = 10)
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3730,7 +3757,9 @@ object Queries {
     "q161_trimmed_mean" -> (q161TrimmedMean _),
     "q162_transitions" -> (q162Transitions _),
     "q163_stationary" -> (q163Stationary _),
-    "q164_wasserstein" -> (q164Wasserstein _)
+    "q164_wasserstein" -> (q164Wasserstein _),
+    "q165_auc" -> (q165Auc _),
+    "q166_calibration" -> (q166Calibration _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6569,4 +6598,38 @@ object Queries {
         |    CAST(n_a * n_b AS DOUBLE), 4) AS w1_r
         |FROM c CROSS JOIN t WHERE nv IS NOT NULL
         |GROUP BY n_a, n_b""".stripMargin)
+    // AUC = U+/(n+ n-): the q158 rank machinery with label as the group
+    .updated("q165_auc",
+      """WITH b AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+        |    event_type = 'purchase' AS lbl FROM events),
+        |bv AS (SELECT v, COUNT(CASE WHEN lbl THEN 1 END) AS cp,
+        |    COUNT(CASE WHEN NOT lbl THEN 1 END) AS cn FROM b GROUP BY 1),
+        |r AS (SELECT cp, cn, cp + cn AS t,
+        |    SUM(cp + cn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumt
+        |  FROM bv),
+        |a AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cn) AS BIGINT) AS n_neg,
+        |    CAST(SUM(cp * (2 * (cumt - t) + t + 1)) AS BIGINT) AS rp2
+        |  FROM r)
+        |SELECT n_pos, n_neg,
+        |  round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(rp2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |    (2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6)
+        |    AS auc_r
+        |FROM a""".stripMargin)
+    // id-derived label whose rate tracks the score; every bucket stat
+    // an exact integer-div ppm
+    .updated("q166_calibration",
+      """WITH s0 AS (SELECT event_id,
+        |    least(999999, CAST(floor(value * 1000000 / 500) AS BIGINT))
+        |      AS score FROM events),
+        |b AS (SELECT score,
+        |    (event_id * 2654435761) % 1000000 < score AS label FROM s0),
+        |g AS (SELECT least(9, CAST((score * 10) // 1000000 AS INT))
+        |    AS bucket, score, label FROM b)
+        |SELECT bucket, COUNT(*) AS n,
+        |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS conf_ppm,
+        |  CAST(SUM(CASE WHEN label THEN 1000000 ELSE 0 END) // COUNT(*)
+        |    AS BIGINT) AS obs_ppm
+        |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin)
 }

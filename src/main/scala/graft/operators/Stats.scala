@@ -301,6 +301,59 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("u_a2"), col("z"))
   }
 
+  /** Exact ROC-AUC of an integer score against a boolean label — the
+    * rank statistic (`AUC = U⁺/(n⁺·n⁻)`, ties by average rank), so no
+    * threshold sweep and no float CDF: average ranks at 2× scale (the
+    * [[spearman]] device) make `u2 = 2·R⁺ − n⁺(n⁺+1)` an exact long and
+    * AUC one double division. The first metric of any classifier-scored
+    * corpus filter. ONE row: `n_pos, n_neg, auc` (null if either class
+    * is empty).
+    *
+    * Scale shape: value-granularity counts + one domain-sized ordered
+    * window (the [[ksTest]] shape) — per-value average ranks derive from
+    * the running total, so raw rows never sort.
+    */
+  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("boolean"); val v = col(scoreCol)
+    val byValue = df.filter(v.isNotNull && lbl.isNotNull)
+      .groupBy(v.as("_v"))
+      .agg(count(when(lbl, 1)).as("_cp"), count(when(!lbl, 1)).as("_cn"))
+      .withColumn("_t", col("_cp") + col("_cn"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byValue
+      .withColumn("_cumt", sum(col("_t")).over(w))
+      .withColumn("_r2", lit(2) * (col("_cumt") - col("_t")) + col("_t") + 1)
+    ranked.agg(sum(col("_cp")).as("n_pos"), sum(col("_cn")).as("n_neg"),
+        sum(col("_cp") * col("_r2")).as("_rp2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("_rp2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2d) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))))
+      .select(col("n_pos"), col("n_neg"), col("auc"))
+  }
+
+  /** Reliability (calibration) table of a ppm-scaled score in [0, 10⁶)
+    * against a boolean label: per equal-width score bucket, the count,
+    * mean confidence and observed positive rate — all exact ppm integers
+    * (`div`) — the table an Expected-Calibration-Error or reliability
+    * diagram reads directly. One grouped pass; buckets-sized output.
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val sc = col(scoreCol).cast("long"); val lbl = col(labelCol).cast("boolean")
+    df.filter(sc.isNotNull && lbl.isNotNull)
+      .withColumn("_b", least(lit(buckets - 1),
+        expr(s"${scoreCol} * ${buckets} div 1000000").cast("int")))
+      .groupBy(col("_b").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"sum($scoreCol) div count(1)").as("conf_ppm"),
+        expr("sum(CASE WHEN " + labelCol +
+          " THEN 1000000 ELSE 0 END) div count(1)").as("obs_ppm"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * labelings of the same rows (annotator-vs-annotator, stored-label vs
     * classifier, the standard "is my weak labeler better than chance"

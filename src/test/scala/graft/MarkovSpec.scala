@@ -66,6 +66,54 @@ class MarkovSpec extends AnyFunSuite {
     }
   }
 
+  // ---- auc -------------------------------------------------------------------
+
+  test("auc: perfect separation is 1, reversed is 0, random-ish by hand") {
+    val perfect = Seq((false, 1L), (false, 2L), (true, 3L), (true, 4L))
+      .toDF("lbl", "v")
+    assert(Stats.auc(perfect, "lbl", "v").collect().head
+      .getAs[Double]("auc") == 1.0)
+    val reversed = Seq((true, 1L), (true, 2L), (false, 3L), (false, 4L))
+      .toDF("lbl", "v")
+    assert(Stats.auc(reversed, "lbl", "v").collect().head
+      .getAs[Double]("auc") == 0.0)
+    // pos {2,4}, neg {1,3}: pairs pos>neg = 3 of 4 -> AUC .75
+    val mixed = Seq((false, 1L), (true, 2L), (false, 3L), (true, 4L))
+      .toDF("lbl", "v")
+    val r = Stats.auc(mixed, "lbl", "v").collect().head
+    assert((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+      r.getAs[Double]("auc")) == ((2L, 2L, 0.75)))
+  }
+
+  test("auc: score ties contribute half; one-class input yields null") {
+    // pos {5}, neg {5}: tie -> AUC 0.5
+    val tie = Seq((true, 5L), (false, 5L)).toDF("lbl", "v")
+    assert(Stats.auc(tie, "lbl", "v").collect().head
+      .getAs[Double]("auc") == 0.5)
+    val one = Seq((true, 1L), (true, 2L)).toDF("lbl", "v")
+    val r = Stats.auc(one, "lbl", "v").collect().head
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  // ---- calibration -----------------------------------------------------------
+
+  test("calibration: exact bucket assignment and ppm statistics") {
+    // bucket width 100k: scores 50k (b0), 150k (b1) x2, 999999 (b9)
+    val df = Seq((50000L, false), (150000L, true), (150000L, false),
+      (999999L, true)).toDF("score", "lbl")
+    val out = Stats.calibration(df, "score", "lbl", buckets = 10).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("conf_ppm"),
+          r.getAs[Long]("obs_ppm")))).toMap
+    assert(out == Map(
+      0 -> ((1L, 50000L, 0L)),
+      1 -> ((2L, 150000L, 500000L)),
+      9 -> ((1L, 999999L, 1000000L))))
+    intercept[IllegalArgumentException] {
+      Stats.calibration(df, "score", "lbl", buckets = 1)
+    }
+  }
+
   // ---- wasserstein1 ----------------------------------------------------------
 
   test("wasserstein1: point masses at distance d have W1 = d;" +
