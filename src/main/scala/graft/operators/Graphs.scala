@@ -114,6 +114,15 @@ object Graphs {
     * `iters` hops. An id seeded twice keeps its smallest label
     * (documented determinism rule — validate seeds upstream).
     *
+    * HUB HAZARD (measured, ScaleStressGraph): a high-degree node wired
+    * across communities poisons LPA — it gets labeled in round 1 (it
+    * neighbors some seed) and then outvotes still-unlabeled regions
+    * before their own community labels reach them; on a planted
+    * 100k-degree hub, 99% of a 100-community graph collapsed to one
+    * label. DEGREE-GATE the edge list first (drop endpoints beyond the
+    * [[linkPredict]] maxWedgeDegree-style threshold) — the gated run
+    * recovers every community exactly.
+    *
     * Scale shape: each round is one edge⋈labels shuffle + one grouped
     * vote + one `min_by((−count, label))` argmax — the PageRank round
     * shape with labels instead of mass; lineage truncated every 5 rounds.
