@@ -3593,6 +3593,31 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Mutual information (X131): how much the day-of-week tells you about
+    * the event type — the effect-size companion of q151's chi-square
+    * ([[operators.Stats.mutualInfo]]; floored micro-nat terms, exact
+    * sums).
+    */
+  def q167MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("dow",
+      datediff(col("ts").cast("date"), lit("1992-01-01").cast("date")) % 7)
+    operators.Stats.mutualInfo(ev, "event_type", "dow")
+      .select(col("n"), round(col("mi"), 6).as("mi_r"),
+        round(col("hx"), 6).as("hx_r"), round(col("hy"), 6).as("hy_r"))
+  }
+
+  /** Per-group categorical entropy (X132): the 20 users with the most
+    * diverse event mix ([[operators.Stats.categoricalEntropy]]) — the
+    * bot/template screen at the user grain.
+    */
+  def q168GroupEntropy(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.categoricalEntropy(t(s, dir, "events"),
+        Seq("user_id"), "event_type")
+      .select(col("user_id"), col("n"), col("n_distinct"),
+        round(col("entropy"), 6).as("entropy_r"))
+      .orderBy(desc("entropy_r"), desc("n"), col("user_id"))
+      .limit(20)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3759,7 +3784,9 @@ object Queries {
     "q163_stationary" -> (q163Stationary _),
     "q164_wasserstein" -> (q164Wasserstein _),
     "q165_auc" -> (q165Auc _),
-    "q166_calibration" -> (q166Calibration _)
+    "q166_calibration" -> (q166Calibration _),
+    "q167_mutual_info" -> (q167MutualInfo _),
+    "q168_group_entropy" -> (q168GroupEntropy _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6632,4 +6659,48 @@ object Queries {
         |  CAST(SUM(CASE WHEN label THEN 1000000 ELSE 0 END) // COUNT(*)
         |    AS BIGINT) AS obs_ppm
         |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin)
+    // per-cell terms floored to micro-nat-count longs before the sum;
+    // zero cells contribute exactly 0 so no A x B cross join
+    .updated("q167_mutual_info",
+      """WITH b AS (SELECT event_type AS a,
+        |    (CAST(ts AS DATE) - DATE '1992-01-01') % 7 AS bb FROM events),
+        |cells AS (SELECT a, bb, COUNT(*) AS o FROM b GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT bb, SUM(o) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |mi AS (SELECT CAST(COALESCE(SUM(CAST(FLOOR(1e6 *
+        |      CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE) *
+        |        CAST(nn.n AS DOUBLE) /
+        |        (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))))
+        |      AS BIGINT)), 0) AS BIGINT) AS es
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (bb) CROSS JOIN nn),
+        |ex AS (SELECT CAST(COALESCE(SUM(CAST(FLOOR(1e6 *
+        |      CAST(rt AS DOUBLE) * ln(CAST(rt AS DOUBLE))) AS BIGINT)), 0)
+        |    AS BIGINT) AS es FROM rt),
+        |ey AS (SELECT CAST(COALESCE(SUM(CAST(FLOOR(1e6 *
+        |      CAST(ct AS DOUBLE) * ln(CAST(ct AS DOUBLE))) AS BIGINT)), 0)
+        |    AS BIGINT) AS es FROM ct)
+        |SELECT nn.n AS n,
+        |  round(CAST(mi.es AS DOUBLE) / (1e6 * CAST(nn.n AS DOUBLE)), 6)
+        |    AS mi_r,
+        |  round(ln(CAST(nn.n AS DOUBLE)) -
+        |    CAST(ex.es AS DOUBLE) / (1e6 * CAST(nn.n AS DOUBLE)), 6)
+        |    AS hx_r,
+        |  round(ln(CAST(nn.n AS DOUBLE)) -
+        |    CAST(ey.es AS DOUBLE) / (1e6 * CAST(nn.n AS DOUBLE)), 6)
+        |    AS hy_r
+        |FROM nn CROSS JOIN mi CROSS JOIN ex CROSS JOIN ey""".stripMargin)
+    .updated("q168_group_entropy",
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS o FROM events
+        |  GROUP BY 1, 2),
+        |g AS (SELECT user_id, CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(CAST(FLOOR(1e6 * CAST(o AS DOUBLE) *
+        |      ln(CAST(o AS DOUBLE))) AS BIGINT)) AS BIGINT) AS es
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n, n_distinct,
+        |  round(ln(CAST(n AS DOUBLE)) -
+        |    CAST(es AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)), 6) AS entropy_r
+        |FROM g ORDER BY entropy_r DESC, n DESC, user_id
+        |LIMIT 20""".stripMargin)
 }

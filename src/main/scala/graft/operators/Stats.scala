@@ -301,6 +301,69 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("u_a2"), col("z"))
   }
 
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies — "how much does knowing A tell you about B"
+    * in nats, the effect-size companion of [[chiSquare]]'s significance
+    * (and H(B|A) = hy − mi, IG-ratio = mi/hx read straight off the row).
+    * ONE row: `n, mi, hx, hy` — each statistic a sum of per-cell terms
+    * FLOORED to micro-nat·count longs (`Σ floor(10⁶·o·ln(o·n/(rt·ct)))`
+    * etc. — a float entropy sum is order-dependent, a long sum is not)
+    * over exact counts, divided once by `10⁶·n`. Zero cells contribute
+    * exactly 0 (no A×B cross join needed, unlike chi-square's expected
+    * mass).
+    *
+    * Scale shape: one grouped count over raw rows, then
+    * categorical-domain-sized marginals and one global agg.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val rt = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_rt"))
+    val ct = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_ct"))
+    val n = cells.agg(sum(col("_o")).as("_n"))
+    def entSum(counts: DataFrame, c: String): DataFrame =
+      counts.agg(coalesce(sum(floor(lit(1e6) * col(c).cast("double") *
+        log(col(c).cast("double")))), lit(0L)).as(s"${c}_es"))
+    val miSum = cells.join(rt, "_a").join(ct, "_b").crossJoin(n)
+      .agg(coalesce(sum(floor(lit(1e6) * col("_o").cast("double") *
+          log(col("_o").cast("double") * col("_n").cast("double") /
+            (col("_rt").cast("double") * col("_ct").cast("double"))))),
+        lit(0L)).as("_mi_es"))
+    val out = n.crossJoin(miSum)
+      .crossJoin(entSum(rt, "_rt")).crossJoin(entSum(ct, "_ct"))
+    val nD = col("_n").cast("double")
+    out.select(col("_n").as("n"),
+      (col("_mi_es").cast("double") / (lit(1e6) * nD)).as("mi"),
+      (log(nD) - col("_rt_es").cast("double") / (lit(1e6) * nD)).as("hx"),
+      (log(nD) - col("_ct_es").cast("double") / (lit(1e6) * nD)).as("hy"))
+  }
+
+  /** Per-group Shannon entropy of a categorical column — the diversity
+    * screen ("how varied is each user's event mix", "is this source a
+    * single-template bot"): one row per group with `n, n_distinct,
+    * entropy` in nats. Entropy terms are floored micro-nat·count longs
+    * (the [[mutualInfo]] device) so the per-group sum is exact;
+    * `entropy = ln(n) − Σfloor(10⁶·c·ln c)/(10⁶·n)`.
+    * Two grouped aggs on the same key family.
+    */
+  def categoricalEntropy(df: DataFrame, groupCols: Seq[String],
+                         catCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "categoricalEntropy requires group columns")
+    val keys = groupCols.map(col)
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(keys :+ col(catCol).as("_c"): _*)
+      .agg(count(lit(1)).as("_o"))
+    counts.groupBy(keys: _*)
+      .agg(sum(col("_o")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(floor(lit(1e6) * col("_o").cast("double") *
+          log(col("_o").cast("double")))).as("_es"))
+      .withColumn("entropy",
+        log(col("n").cast("double")) -
+          col("_es").cast("double") / (lit(1e6) * col("n").cast("double")))
+      .select(keys ++ Seq(col("n"), col("n_distinct"), col("entropy")): _*)
+  }
+
   /** Exact ROC-AUC of an integer score against a boolean label — the
     * rank statistic (`AUC = U⁺/(n⁺·n⁻)`, ties by average rank), so no
     * threshold sweep and no float CDF: average ranks at 2× scale (the

@@ -66,6 +66,46 @@ class MarkovSpec extends AnyFunSuite {
     }
   }
 
+  // ---- mutualInfo / categoricalEntropy ----------------------------------------
+
+  test("mutualInfo: identical columns give MI = H; independence gives ~0") {
+    // a == b, two values 2/2: H = ln 2, MI = ln 2 (floored micro-nats)
+    val same = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val r = Stats.mutualInfo(same, "a", "b").collect().head
+    val ln2Floor = // the operator's own floored-term arithmetic, by hand
+      (math.floor(1e6 * 2 * math.log(2 * 4 / (2.0 * 2.0))) * 2) / (1e6 * 4)
+    assert(math.abs(r.getAs[Double]("mi") - ln2Floor) < 1e-9)
+    assert(math.abs(r.getAs[Double]("hx") - math.log(2.0)) < 1e-5)
+    // independent uniform grid: every cell o*n = rt*ct -> ln 1 = 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q") } yield (a, b))
+      .toDF("a", "b")
+    assert(Stats.mutualInfo(ind, "a", "b").collect().head
+      .getAs[Double]("mi") == 0.0)
+  }
+
+  test("categoricalEntropy: uniform mix maxes entropy, constant is 0") {
+    val df = Seq(("u1", "a"), ("u1", "b"), ("u1", "c"), ("u1", "d"),
+      ("u2", "a"), ("u2", "a"), ("u3", "a"), ("u3", "a"), ("u3", "b"))
+      .toDF("u", "e")
+    val out = Stats.categoricalEntropy(df, Seq("u"), "e").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy")))).toMap
+    assert(out("u1")._2 == 4L &&
+      math.abs(out("u1")._3 - math.log(4.0)) < 1e-5)
+    // ulp-level tolerance: Spark's Log is StrictMath.log, which may sit
+    // one ulp off java.lang.Math.log on some inputs
+    assert((out("u2")._1, out("u2")._2) == ((2L, 1L)))
+    assert(math.abs(out("u2")._3 -
+      (math.log(2.0) - math.floor(1e6 * 2 * math.log(2.0)) / (1e6 * 2)))
+      < 1e-12)
+    // u3: n=3, counts 2,1: entropy = ln3 - floor(1e6*2ln2)/(1e6*3)
+    assert(math.abs(out("u3")._3 -
+      (math.log(3.0) - math.floor(1e6 * 2 * math.log(2.0)) / (1e6 * 3)))
+      < 1e-12)
+  }
+
   // ---- auc -------------------------------------------------------------------
 
   test("auc: perfect separation is 1, reversed is 0, random-ish by hand") {
