@@ -301,6 +301,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "kcore", "audio_features", "data_card",
           "incremental_card", "jdbc_ingest",
           "link_predict", "chi2", "gini", "ks_test", "rank_eval",
+          "mutual_info", "wasserstein", "auc", "calibration",
+          "markov_stationary", "label_propagate",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -359,6 +361,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "gini" => new GiniProcedure
       case "ks_test" => new KsTestProcedure
       case "rank_eval" => new RankEvalProcedure
+      case "mutual_info" => new MutualInfoProcedure
+      case "wasserstein" => new WassersteinProcedure
+      case "auc" => new AucProcedure
+      case "calibration" => new CalibrationProcedure
+      case "markov_stationary" => new MarkovStationaryProcedure
+      case "label_propagate" => new LabelPropagateProcedure
       case "profile" => new ProfileProcedure
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure '$other' " +
@@ -2274,6 +2282,187 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("ndcg_ppm", org.apache.spark.sql.types.LongType, nullable = true))),
         rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2), r.get(3),
           r.get(4))))
+    }
+  }
+
+  private final class MutualInfoProcedure extends MaintenanceProcedure {
+    override def name(): String = "mutual_info"
+    override def description(): String =
+      "mutual information + marginal entropies (nats) between two " +
+        "categorical columns; returns one row (n, mi, hx, hy)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("a_col", StringType).build(),
+        procedures.ProcedureParameter.in("b_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Stats.mutualInfo(table(id).read,
+        input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString).collect()
+      val d = org.apache.spark.sql.types.DoubleType
+      rowsScan(
+        StructType(Seq(
+          StructField("n", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("mi", d, nullable = true),
+          StructField("hx", d, nullable = true),
+          StructField("hy", d, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2), r.get(3))))
+    }
+  }
+
+  private final class WassersteinProcedure extends MaintenanceProcedure {
+    override def name(): String = "wasserstein"
+    override def description(): String =
+      "1-D Wasserstein-1 distance between the `a` and `b` slices of " +
+        "group_col over an integer-valued column; one row (n_a, n_b, w1)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("value_col", StringType).build(),
+        procedures.ProcedureParameter.in("a", StringType).build(),
+        procedures.ProcedureParameter.in("b", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Stats.wasserstein1(table(id).read,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        input.getUTF8String(3).toString,
+        input.getUTF8String(4).toString).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("n_a", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("n_b", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("w1", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2))))
+    }
+  }
+
+  private final class AucProcedure extends MaintenanceProcedure {
+    override def name(): String = "auc"
+    override def description(): String =
+      "exact rank-based ROC-AUC of an integer score against a boolean " +
+        "label; one row (n_pos, n_neg, auc)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("label_col", StringType).build(),
+        procedures.ProcedureParameter.in("score_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Stats.auc(table(id).read,
+        input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("n_pos", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("n_neg", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("auc", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2))))
+    }
+  }
+
+  private final class CalibrationProcedure extends MaintenanceProcedure {
+    override def name(): String = "calibration"
+    override def description(): String =
+      "reliability table of a ppm score vs a boolean label: per bucket " +
+        "(bucket, n, conf_ppm, obs_ppm) — exact integer-div ppm"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("score_col", StringType).build(),
+        procedures.ProcedureParameter.in("label_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("buckets", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("10").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Stats.calibration(table(id).read,
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+          input.getInt(3))
+        .orderBy(col("bucket")).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("bucket", org.apache.spark.sql.types.IntegerType, nullable = true),
+          StructField("n", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("conf_ppm", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("obs_ppm", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2), r.get(3))))
+    }
+  }
+
+  private final class MarkovStationaryProcedure extends MaintenanceProcedure {
+    override def name(): String = "markov_stationary"
+    override def description(): String =
+      "stationary distribution of the state column's Markov chain along " +
+        "each key's ordered stream — scaled-integer power iteration; " +
+        "returns (state, pi) at 1e9 scale"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("key_col", StringType).build(),
+        procedures.ProcedureParameter.in("order_col", StringType).build(),
+        procedures.ProcedureParameter.in("state_col", StringType).build(),
+        procedures.ProcedureParameter
+          .in("iters", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("3").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val trans = graft.operators.Markov.transitions(table(id).read,
+        Seq(input.getUTF8String(1).toString),
+        Seq(input.getUTF8String(2).toString),
+        input.getUTF8String(3).toString)
+      val rows = graft.operators.Markov
+        .scaledStationary(trans, input.getInt(4))
+        .orderBy(col("state")).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("state", StringType, nullable = true),
+          StructField("pi", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))), r.get(1))))
+    }
+  }
+
+  /** CTAS-shaped LPA: SELECT enforced on BOTH the edge table and the
+    * seed table (the [[DecontaminateProcedure]] two-input contract).
+    */
+  private final class LabelPropagateProcedure extends MaintenanceProcedure {
+    override def name(): String = "label_propagate"
+    override def description(): String =
+      "clamped label propagation: seed labels spread a fixed number of " +
+        "majority-vote rounds over the (src, dst) edge graph; lands " +
+        "(id, label) in target"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("seeds", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter
+          .in("iters", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("5").build(),
+        procedures.ProcedureParameter.in("src_col", StringType)
+          .defaultValue("'src'").build(),
+        procedures.ProcedureParameter.in("dst_col", StringType)
+          .defaultValue("'dst'").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val seedId = resolveIdent(input.getUTF8String(1).toString, "seeds")
+      security.requirePriv(spark, "SELECT",
+        seedId.namespace.toSeq, seedId.name)
+      val seeds = table(seedId).read
+      materializeResult(input.getUTF8String(0).toString,
+        input.getUTF8String(2).toString) { df =>
+        graft.operators.Graphs.labelPropagate(
+          df.select(col(input.getUTF8String(4).toString).as("src"),
+            col(input.getUTF8String(5).toString).as("dst")),
+          seeds, input.getInt(3))
+      }
     }
   }
 

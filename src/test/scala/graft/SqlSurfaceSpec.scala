@@ -1296,6 +1296,72 @@ class SqlSurfaceSpec extends AnyFunSuite {
       ((1000000L, 1000000L, 1000000L)))
   }
 
+  test("eval procedures: mutual_info/wasserstein/auc/calibration/" +
+      "markov_stationary/label_propagate from SQL (r10)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm16",
+      java.nio.file.Files.createTempDirectory("sql_llm16_").toString)
+    spark.sql("CREATE NAMESPACE llm16.G")
+
+    // identical columns: MI = H (up to the floored micro-nat terms)
+    (Seq.fill(2)(("x", "x")) ++ Seq.fill(2)(("y", "y"))).toDF("a", "b")
+      .createOrReplaceTempView("s16m")
+    spark.sql("CREATE TABLE llm16.G.M AS SELECT * FROM s16m")
+    val mi = spark.sql("CALL llm16.system.mutual_info(table => 'G.M', " +
+      "a_col => 'a', b_col => 'b')").head
+    assert(mi.getLong(0) == 4L && math.abs(mi.getDouble(1) - math.log(2.0)) < 1e-5)
+
+    // point masses at distance 10
+    Seq(("a", 0L), ("b", 10L)).toDF("grp", "v")
+      .createOrReplaceTempView("s16w")
+    spark.sql("CREATE TABLE llm16.G.W AS SELECT * FROM s16w")
+    val w1 = spark.sql("CALL llm16.system.wasserstein(table => 'G.W', " +
+      "group_col => 'grp', value_col => 'v', a => 'a', b => 'b')").head
+    assert(w1.getDouble(2) == 10.0)
+
+    // perfect separation
+    Seq((false, 1L), (false, 2L), (true, 3L), (true, 4L)).toDF("lbl", "v")
+      .createOrReplaceTempView("s16a")
+    spark.sql("CREATE TABLE llm16.G.A AS SELECT * FROM s16a")
+    val auc = spark.sql("CALL llm16.system.auc(table => 'G.A', " +
+      "label_col => 'lbl', score_col => 'v')").head
+    assert(auc.getDouble(2) == 1.0)
+
+    // calibration buckets (the MarkovSpec hand case)
+    Seq((50000L, false), (150000L, true), (150000L, false),
+      (999999L, true)).toDF("score", "lbl")
+      .createOrReplaceTempView("s16c")
+    spark.sql("CREATE TABLE llm16.G.C AS SELECT * FROM s16c")
+    val cal = spark.sql("CALL llm16.system.calibration(table => 'G.C', " +
+      "score_col => 'score', label_col => 'lbl')").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(cal == Map(0 -> ((1L, 50000L, 0L)), 1 -> ((2L, 150000L, 500000L)),
+      9 -> ((1L, 999999L, 1000000L))))
+
+    // 2-cycle chain: uniform stationary point
+    Seq((1L, 1, "A"), (1L, 2, "B"), (1L, 3, "A"), (1L, 4, "B"))
+      .toDF("k", "i", "s").createOrReplaceTempView("s16t")
+    spark.sql("CREATE TABLE llm16.G.T AS SELECT * FROM s16t")
+    val st = spark.sql("CALL llm16.system.markov_stationary(" +
+      "table => 'G.T', key_col => 'k', order_col => 'i', " +
+      "state_col => 's', iters => 4)").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == Map("A" -> 1000000000L, "B" -> 1000000000L))
+
+    // CTAS LPA over a path with one seed
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .createOrReplaceTempView("s16e")
+    spark.sql("CREATE TABLE llm16.G.E AS SELECT * FROM s16e")
+    Seq((1L, 7L)).toDF("id", "label").createOrReplaceTempView("s16s")
+    spark.sql("CREATE TABLE llm16.G.S AS SELECT * FROM s16s")
+    spark.sql("CALL llm16.system.label_propagate(source => 'G.E', " +
+      "seeds => 'G.S', target => 'G.L', iters => 2)")
+    val lp = spark.sql("SELECT id, label FROM llm16.G.L ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == Map(1L -> 7L, 2L -> 7L, 3L -> 7L))
+  }
+
   test("profile procedure: per-column stats in one scan") {
     import spark.implicits._
     graft.sql.GraftCatalog.register(spark, "llm13",
