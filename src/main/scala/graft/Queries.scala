@@ -3618,6 +3618,54 @@ object Queries {
       .orderBy(desc("entropy_r"), desc("n"), col("user_id"))
       .limit(20)
 
+  /** Deterministic walk corpus (X133): DeepWalk-style sequences over the
+    * co-purchase graph with hash-derived (reproducible) step choices
+    * ([[operators.Graphs.deterministicWalks]]); per-step count / node-sum
+    * checksum / distinct-node spread pin every choice.
+    */
+  def q169Walks(s: SparkSession, dir: String): DataFrame =
+    operators.Graphs.deterministicWalks(copurchaseGraph(s, dir), walkLen = 4)
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_walks"), sum(col("node")).as("node_sum"),
+        countDistinct(col("node")).as("n_distinct"))
+      .orderBy(col("step"))
+
+  /** Mutual nearest neighbors (X134): cross-corpus alignment between two
+    * disjoint embedding slices — pairs that are each other's cosine
+    * top-1 ([[Similarity.mutualNearest]]), the bitext-mining primitive.
+    */
+  def q170MutualNn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    Similarity.mutualNearest(
+        emb.filter(col("vec_id") % 20 === 0),
+        emb.filter(col("vec_id") % 20 === 1), "vec_id", "embedding")
+      .select(col("l_id"), col("r_id"), round(col("score"), 6).as("score_r"))
+      .orderBy(col("l_id"))
+  }
+
+  /** Zipf slope (X135, composed): the log-log rank-frequency line of the
+    * top-1000 corpus terms through [[operators.Stats.linearFit]] —
+    * healthy natural text sits near slope −1; template/bot corpora
+    * don't. Log coordinates floored to micro-nat integers so the fit is
+    * the X105 exact-moment machinery end-to-end.
+    */
+  def q171Zipf(s: SparkSession, dir: String): DataFrame = {
+    val terms = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ranked = terms
+      .withColumn("r",
+        row_number().over(Window.orderBy(desc("c"), col("term"))))
+      .filter(col("r") <= 1000)
+      .withColumn("x", floor(lit(1e6) * log(col("r").cast("double"))))
+      .withColumn("y", floor(lit(1e6) * log(col("c").cast("double"))))
+      .withColumn("g", lit(1))
+    operators.Stats.linearFit(ranked, Seq("g"), "x", "y")
+      .select(col("n"), round(col("slope"), 4).as("slope_r"),
+        round(col("r2"), 4).as("r2_r"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3786,7 +3834,10 @@ object Queries {
     "q165_auc" -> (q165Auc _),
     "q166_calibration" -> (q166Calibration _),
     "q167_mutual_info" -> (q167MutualInfo _),
-    "q168_group_entropy" -> (q168GroupEntropy _)
+    "q168_group_entropy" -> (q168GroupEntropy _),
+    "q169_walks" -> (q169Walks _),
+    "q170_mutual_nn" -> (q170MutualNn _),
+    "q171_zipf" -> (q171Zipf _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6703,4 +6754,92 @@ object Queries {
         |    CAST(es AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)), 6) AS entropy_r
         |FROM g ORDER BY entropy_r DESC, n DESC, user_id
         |LIMIT 20""".stripMargin)
+    // hash-derived step choice: argmin md5(start_w_step_candidate) —
+    // four unrolled frontier joins
+    .updated("q169_walks",
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |    FROM lineitem),
+        |small AS (SELECT g FROM gi GROUP BY g HAVING COUNT(*) <= 100),
+        |k AS (SELECT gi.g, gi.i FROM gi JOIN small USING (g)),
+        |e AS (SELECT a.i AS src, b.i AS dst FROM k a
+        |    JOIN k b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY a.i, b.i HAVING COUNT(*) >= 2),
+        |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        |f0 AS MATERIALIZED (SELECT DISTINCT a AS start, 0 AS w, a AS node FROM und),
+        |s1 AS (SELECT f0.start, f0.w, und.b, row_number() OVER
+        |    (PARTITION BY f0.start, f0.w ORDER BY
+        |      md5(concat_ws('_', f0.start, f0.w, 1, und.b)), und.b) AS rn
+        |  FROM f0 JOIN und ON und.a = f0.node),
+        |f1 AS MATERIALIZED (SELECT start, w, b AS node FROM s1 WHERE rn = 1),
+        |s2 AS (SELECT f1.start, f1.w, und.b, row_number() OVER
+        |    (PARTITION BY f1.start, f1.w ORDER BY
+        |      md5(concat_ws('_', f1.start, f1.w, 2, und.b)), und.b) AS rn
+        |  FROM f1 JOIN und ON und.a = f1.node),
+        |f2 AS MATERIALIZED (SELECT start, w, b AS node FROM s2 WHERE rn = 1),
+        |s3 AS (SELECT f2.start, f2.w, und.b, row_number() OVER
+        |    (PARTITION BY f2.start, f2.w ORDER BY
+        |      md5(concat_ws('_', f2.start, f2.w, 3, und.b)), und.b) AS rn
+        |  FROM f2 JOIN und ON und.a = f2.node),
+        |f3 AS MATERIALIZED (SELECT start, w, b AS node FROM s3 WHERE rn = 1),
+        |s4 AS (SELECT f3.start, f3.w, und.b, row_number() OVER
+        |    (PARTITION BY f3.start, f3.w ORDER BY
+        |      md5(concat_ws('_', f3.start, f3.w, 4, und.b)), und.b) AS rn
+        |  FROM f3 JOIN und ON und.a = f3.node),
+        |f4 AS MATERIALIZED (SELECT start, w, b AS node FROM s4 WHERE rn = 1),
+        |walks AS (SELECT 0 AS step, node FROM f0
+        |  UNION ALL SELECT 1, node FROM f1
+        |  UNION ALL SELECT 2, node FROM f2
+        |  UNION ALL SELECT 3, node FROM f3
+        |  UNION ALL SELECT 4, node FROM f4)
+        |SELECT step, COUNT(*) AS n_walks,
+        |  CAST(SUM(node) AS BIGINT) AS node_sum,
+        |  CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct
+        |FROM walks GROUP BY step ORDER BY step""".stripMargin)
+    // both directions' top-1 (ties -> smallest id) must agree; cosine
+    // arithmetic is q21's
+    .updated("q170_mutual_nn",
+      """WITH l AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |r AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 = 1),
+        |sc AS (SELECT l.id AS lid, r.id AS rid,
+        |    list_dot_product(r.v, l.v) /
+        |      (sqrt(list_sum(list_transform(r.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(l.v, x -> x * x)))) AS s
+        |  FROM l CROSS JOIN r),
+        |l2r AS (SELECT lid, rid, s FROM (SELECT lid, rid, s,
+        |    row_number() OVER (PARTITION BY lid ORDER BY s DESC, rid) AS rn
+        |  FROM sc) WHERE rn = 1),
+        |r2l AS (SELECT lid, rid FROM (SELECT lid, rid,
+        |    row_number() OVER (PARTITION BY rid ORDER BY s DESC, lid) AS rn
+        |  FROM sc) WHERE rn = 1)
+        |SELECT l2r.lid AS l_id, l2r.rid AS r_id, round(s, 6) AS score_r
+        |FROM l2r JOIN r2l ON l2r.lid = r2l.lid AND l2r.rid = r2l.rid
+        |ORDER BY l_id""".stripMargin)
+    // micro-nat log-log coordinates through the q142 exact-moment fit
+    .updated("q171_zipf",
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text),
+        |      '[^a-z]+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tc AS (SELECT term, COUNT(*) AS c FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+        |  FROM tc),
+        |b AS (SELECT CAST(FLOOR(1e6 * ln(CAST(r AS DOUBLE))) AS BIGINT)
+        |      AS x,
+        |    CAST(FLOOR(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+        |  FROM rk WHERE r <= 1000),
+        |s AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy FROM b),
+        |c AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS dy FROM s)
+        |SELECT n, round(CASE WHEN dx > 0 THEN num / dx END, 4) AS slope_r,
+        |  round(CASE WHEN dx > 0 AND dy > 0
+        |    THEN num * num / (dx * dy) END, 4) AS r2_r
+        |FROM c""".stripMargin)
 }

@@ -160,6 +160,50 @@ object Graphs {
     labels.select(col("id"), col("lbl").as("label"))
   }
 
+  /** Deterministic "random" walks (DeepWalk/node2vec corpus generation,
+    * Perozzi et al. 2014): `walksPerNode` walks of `walkLen` steps from
+    * every node, where step `i` of walk `(start, w)` moves to the
+    * neighbor minimizing `md5(start‖w‖i‖neighbor)` — hash-derived, so
+    * the walk corpus is REPRODUCIBLE (same graph → same corpus, any
+    * engine, any partitioning; real RNG walks can't be oracle-checked
+    * or replayed). Returns `(start, w, step, node)` with step 0 = start.
+    * Dead-end nodes (after the undirected fold there are none unless
+    * isolated) simply truncate their walk.
+    *
+    * Scale shape: one frontier⋈edges shuffle + a per-(walk, step)
+    * `min_by` per step — walkLen is small and fixed; the frontier stays
+    * nodes×walksPerNode-sized throughout. Lineage cut every few steps.
+    */
+  def deterministicWalks(edges: DataFrame, walkLen: Int,
+                         walksPerNode: Int = 1): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 40, s"walkLen=$walkLen out of [1,40]")
+    require(walksPerNode >= 1 && walksPerNode <= 100,
+      s"walksPerNode=$walksPerNode out of [1,100]")
+    val dir = edges
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var frontier = und.select(col("a").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("w"))
+      .withColumn("node", col("start"))
+    var out = frontier.withColumn("step", lit(0))
+    var i = 1
+    while (i <= walkLen) {
+      // next node = argmin md5(start‖w‖step‖candidate) over neighbors
+      frontier = frontier
+        .join(und, frontier("node") === und("a"))
+        .groupBy(col("start"), col("w"))
+        .agg(min_by(col("b"), md5(concat_ws("_",
+          col("start"), col("w"), lit(i), col("b")))).as("node"))
+      out = out.unionByName(frontier.withColumn("step", lit(i)))
+      if (i % 5 == 0 && i < walkLen) frontier = frontier.localCheckpoint(true)
+      i += 1
+    }
+    out.select(col("start"), col("w"), col("step"), col("node"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the directed doubling of the undirected edge
     * set — one number answering "do hubs link to hubs (r > 0) or to

@@ -819,4 +819,39 @@ object Similarity {
       .select(col("id").as("_dup_id"))
     df.join(dupIds, col(idCol).cast("long") === col("_dup_id"), "left_anti")
   }
+
+  /** Mutual nearest neighbors between two embedding sets — the bitext /
+    * cross-corpus alignment primitive (Artetxe & Schwenk 2019's margin
+    * criterion reduces to this at k=1): keep exactly the pairs
+    * `(l, r)` where r is l's cosine top-1 in RIGHT and l is r's top-1
+    * in LEFT (ties broken by smallest id, so the output is
+    * deterministic). Returns `(l_id, r_id, score)`.
+    *
+    * Scale shape: two [[topKBatch]]-shaped passes at k=1 — each
+    * broadcasts ONE side as the query set and streams the other as the
+    * corpus (map-side WindowGroupLimit keeps queries×1 rows per
+    * mapper) — then an equi-join on the agreeing pairs. For query sets
+    * too large to broadcast, pre-bucket with the IVF index and run
+    * per-list; the agreement join is unchanged.
+    */
+  def mutualNearest(left: DataFrame, right: DataFrame,
+                    idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def top1(corpus: DataFrame, queries: DataFrame): DataFrame = {
+      val q = queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+      corpus.crossJoin(broadcast(q))
+        .select(col("_qid"), col(idCol).as("_cid"),
+          cosineSimilarity(col(vecCol), col("_qv")).as("_s"))
+        .withColumn("_rk", row_number().over(Window.partitionBy(col("_qid"))
+          .orderBy(desc("_s"), col("_cid"))))
+        .filter(col("_rk") === 1).drop("_rk")
+    }
+    val l2r = top1(right, left) // per left id: best right
+      .select(col("_qid").as("l_id"), col("_cid").as("r_id"),
+        col("_s").as("score"))
+    val r2l = top1(left, right) // per right id: best left
+      .select(col("_cid").as("l_id"), col("_qid").as("r_id"))
+    l2r.join(r2l, Seq("l_id", "r_id"))
+      .select(col("l_id"), col("r_id"), col("score"))
+  }
 }

@@ -92,6 +92,39 @@ class LinkPredictSpec extends AnyFunSuite {
     assert(out == Map(1L -> 9L, 2L -> 1L))
   }
 
+  // ---- deterministicWalks ----------------------------------------------------
+
+  test("deterministicWalks: a single edge forces strict alternation") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graphs.deterministicWalks(e, walkLen = 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("step")) -> r.getLong(3)).toMap
+    assert(out((1L, 0)) == 1L && out((1L, 1)) == 2L &&
+      out((1L, 2)) == 1L && out((1L, 3)) == 2L)
+    assert(out((2L, 0)) == 2L && out((2L, 1)) == 1L)
+  }
+
+  test("deterministicWalks: every step lands on a graph neighbor and" +
+      " two runs are identical") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    def run() = Graphs.deterministicWalks(e, walkLen = 5, walksPerNode = 2)
+      .orderBy("start", "w", "step").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq)
+    // structural: consecutive steps are adjacent in the undirected graph
+    val adj = Set((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }
+    val byWalk = a.groupBy(t => (t._1, t._2)).values
+    byWalk.foreach { steps =>
+      steps.sortBy(_._3).sliding(2).foreach {
+        case Array(p, q) => assert(adj.contains((p._4, q._4)))
+        case _ =>
+      }
+    }
+    // 4 nodes x 2 walks x 6 steps
+    assert(a.length == 4 * 2 * 6)
+  }
+
   // ---- degreeAssortativity -------------------------------------------------
 
   test("degreeAssortativity: star is perfectly disassortative (r = -1)") {

@@ -368,4 +368,30 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.5 && mean < 1.5, s"JL distance ratio mean $mean")
   }
+
+  test("mutualNearest: only reciprocal top-1 pairs survive") {
+    import spark.implicits._
+    // l1 aligns with r1, l2 with r2; l3 points at r1 but r1 prefers l1
+    val left = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val right = Seq((10L, Array(1f, 0.05f)), (20L, Array(0.05f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .mutualNearest(left, right, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 10L, 2L -> 20L))
+  }
+
+  test("mutualNearest: score ties break to the smallest id on both sides") {
+    import spark.implicits._
+    // two identical right vectors: l's top-1 is the smaller right id;
+    // both rights pick the same left, but only (1, 10) is reciprocal
+    val left = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val right = Seq((10L, Array(1f, 0f)), (11L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .mutualNearest(left, right, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 10L, 1.0)))
+  }
 }
