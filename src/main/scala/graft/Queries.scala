@@ -3666,6 +3666,48 @@ object Queries {
         round(col("r2"), 4).as("r2_r"))
   }
 
+  private val q172Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** WARC web-archive roundtrip (X136): documents leave as member-gzipped
+    * WARC `response` records (the Common Crawl container —
+    * [[sources.Warc]]) across 8 archives and come back through the
+    * archive parser: HTTP status, URI-carried language, and the decoded
+    * body must survive byte-exactly. Oracle: the same aggregate straight
+    * off the parquet table — equality proves serialize → gzip → parse →
+    * HTTP-split loses nothing.
+    */
+  def q172WarcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val root = q172Runs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("q172_warc").toString
+      val staged = d.select(
+        concat(lit("https://corpus.example/"), col("lang"), lit("/"),
+          col("doc_id").cast("string")).as("uri"),
+        lit("text/plain").as("content_type"),
+        col("text").cast("binary").as("payload"))
+      sources.Warc.write(staged.repartition(8), tmp, gzip = true)
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+        catch { case _: Throwable => () }
+      }
+      tmp
+    })
+    sources.Warc.read(s, root)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(
+        regexp_extract(col("target_uri"),
+          "^https://corpus\\.example/([a-z]+)/", 1).as("lang"),
+        col("body").cast("string").as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("text_checksum"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3837,7 +3879,8 @@ object Queries {
     "q168_group_entropy" -> (q168GroupEntropy _),
     "q169_walks" -> (q169Walks _),
     "q170_mutual_nn" -> (q170MutualNn _),
-    "q171_zipf" -> (q171Zipf _)
+    "q171_zipf" -> (q171Zipf _),
+    "q172_warc_roundtrip" -> (q172WarcRoundtrip _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6842,4 +6885,11 @@ object Queries {
         |  round(CASE WHEN dx > 0 AND dy > 0
         |    THEN num * num / (dx * dy) END, 4) AS r2_r
         |FROM c""".stripMargin)
+    // the WARC write->parse roundtrip must preserve the corpus exactly
+    .updated("q172_warc_roundtrip",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |           % 1000000007) AS BIGINT) AS text_checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }
