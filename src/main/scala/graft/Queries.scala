@@ -3708,6 +3708,37 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** HTML → text extraction (X137): each document is wrapped in a full
+    * HTML page (head/title/style/script, entity-escaped body, comments,
+    * an entity-laden footer) and [[functions.TextFunctions.htmlToText]]
+    * must recover clean text — script/style/comment content gone, block
+    * structure as newlines, entities decoded. The md5 checksum pins the
+    * EXACT extracted string against the oracle's identical RE2 chain
+    * ([[functions.TextFunctions.htmlToTextSql]]).
+    */
+  def q173HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p {margin:0; color:#aaa}</style>" +
+        "<script type=\"text/javascript\">if (1<2) { x = \"<p>\"; }" +
+        "</script></head><body><h1 class=\"t\">Doc "), id,
+      lit("</h1><!-- hidden <b>comment</b> --><p>"), esc,
+      lit("</p><div id=\"f\">footer &amp;copy; &lt;graft&gt; " +
+        "&#39;v1&#39;&nbsp;end</div></body></html>"))
+    d.select(col("source"),
+        functions.TextFunctions.htmlToText(html).as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("x")).cast("long")).as("sum_chars"),
+        sum(conv(substring(md5(col("x")), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("text_checksum"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3880,7 +3911,8 @@ object Queries {
     "q169_walks" -> (q169Walks _),
     "q170_mutual_nn" -> (q170MutualNn _),
     "q171_zipf" -> (q171Zipf _),
-    "q172_warc_roundtrip" -> (q172WarcRoundtrip _)
+    "q172_warc_roundtrip" -> (q172WarcRoundtrip _),
+    "q173_html_extract" -> (q173HtmlExtract _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6892,4 +6924,25 @@ object Queries {
         |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
         |           % 1000000007) AS BIGINT) AS text_checksum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    // the oracle rebuilds the same page and runs the SAME RE2 chain
+    // (TextFunctions.htmlToTextSql keeps the two texts in lockstep)
+    .updated("q173_html_extract",
+      s"""WITH h AS (SELECT source,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>p {margin:0; color:#aaa}</style><script type="text/javascript">if (1<2) { x = "<p>"; }</script></head><body><h1 class="t">Doc ' ||
+        |  CAST(doc_id AS VARCHAR) ||
+        |  '</h1><!-- hidden <b>comment</b> --><p>' ||
+        |  replace(replace(replace(text, '&', '&amp;'),
+        |    '<', '&lt;'), '>', '&gt;') ||
+        |  '</p><div id="f">footer &amp;copy; &lt;graft&gt; &#39;v1&#39;&nbsp;end</div></body></html>'
+        |    AS html
+        |  FROM documents),
+        |x AS (SELECT source,
+        |  ${graft.functions.TextFunctions.htmlToTextSql("html")} AS x
+        |  FROM h)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(x)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+        |           % 1000000007) AS BIGINT) AS text_checksum
+        |FROM x GROUP BY source ORDER BY source""".stripMargin)
 }

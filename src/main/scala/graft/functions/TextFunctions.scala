@@ -41,6 +41,76 @@ object TextFunctions {
     concat(canonPrefix, noSlash)
   }
 
+  /** HTML → text extraction (X137) — the step between a web crawl's raw
+    * payloads ([[graft.sources.Warc]]) and every text operator in this
+    * library. A deterministic regexp/replace chain (codegen'd, one
+    * projection, reproducible bit-for-bit in RE2-based ANSI engines — no
+    * backreferences or lookarounds):
+    *   1. comments dropped (commented-out markup must not leak);
+    *   2. `<script>`/`<style>` blocks dropped WITH their contents
+    *      (separate patterns — a backreference `</\1>` would not port);
+    *   3. block-level tags become newlines (paragraph structure survives
+    *      for the chunkers/dedupers that split on lines);
+    *   4. all remaining tags become spaces;
+    *   5. the five core named entities + `&#39;`/`&nbsp;` decode,
+    *      `&amp;` LAST (single-pass order: `&amp;lt;` means literal
+    *      "&lt;" and must not double-decode);
+    *   6. whitespace normalizes (horizontal runs → one space, spaces
+    *      trimmed around newlines, newline runs → one, ends trimmed).
+    * Contract: numeric character references beyond `&#39;` and the long
+    * tail of named entities pass through verbatim (document-level
+    * fidelity needs a real entity table; this is the deterministic
+    * SQL-portable core).
+    */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val blocks = regexp_replace(noStyle,
+      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|blockquote|pre|section|article|header|footer|title)\\b[^>]*>",
+      "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    val hspace = regexp_replace(entities, "[ \\t\\f\\r]+", " ")
+    val tidy = regexp_replace(regexp_replace(hspace, " ?\\n ?", "\n"),
+      "\\n+", "\n")
+    // trim() strips spaces only (both here and in ANSI engines) — edge
+    // newlines need their own strip
+    trim(regexp_replace(tidy, "^\\n+|\\n+$", ""))
+  }
+
+  /** The [[htmlToText]] chain as SQL text over expression `x` — kept
+    * adjacent to the Column form so the two stay in lockstep (the oracle
+    * of any query using htmlToText embeds this). `global = true` emits
+    * the DuckDB/Postgres 4-arg `'g'` form; `false` the 3-arg form for
+    * engines (Spark SQL) whose regexp_replace is global by default —
+    * which is also how HtmlSpec proves the SQL text equals the Column
+    * chain byte-for-byte.
+    */
+  def htmlToTextSql(x: String, global: Boolean = true): String = {
+    def rr(inner: String, pat: String, rep: String) =
+      if (global) s"regexp_replace($inner, '$pat', $rep, 'g')"
+      else s"regexp_replace($inner, '$pat', $rep)"
+    val noComment = rr(x, "(?s)<!--.*?-->", "' '")
+    val noScript = rr(noComment, "(?is)<script[^>]*>.*?</script>", "' '")
+    val noStyle = rr(noScript, "(?is)<style[^>]*>.*?</style>", "' '")
+    val blocks = rr(noStyle,
+      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|blockquote|pre|section|article|header|footer|title)\\b[^>]*>",
+      "chr(10)")
+    val noTags = rr(blocks, "(?s)<[^>]*>", "' '")
+    val entities = Seq("&lt;" -> "'<'", "&gt;" -> "'>'",
+      "&quot;" -> "'\"'", "&#39;" -> "''''", "&nbsp;" -> "' '",
+      "&amp;" -> "'&'")
+      .foldLeft(noTags) { case (c, (e, ch)) => rr(c, e, ch) }
+    val hspace = rr(entities, "[ \\t\\f\\r]+", "' '")
+    val tidy = rr(rr(hspace, " ?\\n ?", "chr(10)"), "\\n+", "chr(10)")
+    s"trim(${rr(tidy, "^\\n+|\\n+$", "''")})"
+  }
+
   /** Whitespace token count. NULL/empty/blank text → 0. */
   def tokenCount(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, lit(0))
