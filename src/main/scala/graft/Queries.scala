@@ -3739,6 +3739,35 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Welch's t-test (X138): mean cents-value shift between purchase and
+    * view events ([[operators.Stats.welchT]]) — the parametric companion
+    * of q158's Mann–Whitney U, with Welch–Satterthwaite df.
+    */
+  def q174WelchT(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    operators.Stats.welchT(ev, "event_type", "cents", "purchase", "view")
+      .select(col("n_a"), col("n_b"), round(col("t"), 6).as("t_r"),
+        round(col("df"), 4).as("df_r"))
+  }
+
+  /** Distribution-moments profile (X139): per-event-type mean/variance/
+    * skewness/excess-kurtosis of the cents value in ONE grouped pass
+    * ([[operators.Stats.momentsProfile]]) — the numeric-column shape
+    * screen.
+    */
+  def q175Moments(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    operators.Stats.momentsProfile(ev, Seq("event_type"), "cents")
+      .select(col("event_type"), col("n"),
+        round(col("mean"), 6).as("mean_r"),
+        round(col("variance"), 4).as("var_r"),
+        round(col("skewness"), 6).as("skew_r"),
+        round(col("kurt_excess"), 6).as("kurt_r"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3912,7 +3941,9 @@ object Queries {
     "q170_mutual_nn" -> (q170MutualNn _),
     "q171_zipf" -> (q171Zipf _),
     "q172_warc_roundtrip" -> (q172WarcRoundtrip _),
-    "q173_html_extract" -> (q173HtmlExtract _)
+    "q173_html_extract" -> (q173HtmlExtract _),
+    "q174_welch_t" -> (q174WelchT _),
+    "q175_moments" -> (q175Moments _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -6945,4 +6976,70 @@ object Queries {
         |  CAST(SUM(CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
         |           % 1000000007) AS BIGINT) AS text_checksum
         |FROM x GROUP BY source ORDER BY source""".stripMargin)
+    // Welch t + Welch-Satterthwaite df: one fixed double expression over
+    // exact integer moments, association mirrored term-for-term
+    .updated("q174_welch_t",
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'view')),
+        |a AS (SELECT
+        |  COUNT(CASE WHEN g = 'purchase' THEN 1 END) AS n_a,
+        |  COUNT(CASE WHEN g = 'view' THEN 1 END) AS n_b,
+        |  CAST(SUM(CASE WHEN g = 'purchase' THEN CAST(x AS HUGEINT) END)
+        |    AS DOUBLE) AS s1a,
+        |  CAST(SUM(CASE WHEN g = 'purchase' THEN CAST(x AS HUGEINT) * x END)
+        |    AS DOUBLE) AS s2a,
+        |  CAST(SUM(CASE WHEN g = 'view' THEN CAST(x AS HUGEINT) END)
+        |    AS DOUBLE) AS s1b,
+        |  CAST(SUM(CASE WHEN g = 'view' THEN CAST(x AS HUGEINT) * x END)
+        |    AS DOUBLE) AS s2b
+        |  FROM v),
+        |b AS (SELECT n_a, n_b, s1a, s1b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    (CAST(n_a AS DOUBLE) * s2a - s1a * s1a) /
+        |      (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1)) AS va,
+        |    (CAST(n_b AS DOUBLE) * s2b - s1b * s1b) /
+        |      (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1)) AS vb
+        |  FROM a),
+        |c AS (SELECT n_a, n_b, na, nb, s1a, s1b,
+        |    va / na AS sea, vb / nb AS seb, va / na + vb / nb AS se2
+        |  FROM b)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        |    THEN (s1a / na - s1b / nb) / sqrt(se2) END, 6) AS t_r,
+        |  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        |    THEN se2 * se2 /
+        |      (sea * sea / (na - 1) + seb * seb / (nb - 1)) END, 4) AS df_r
+        |FROM c""".stripMargin)
+    // central moments from exact HUGEINT power sums; skew uses m2*sqrt(m2)
+    // (IEEE-reproducible), never pow(x, 1.5)
+    .updated("q175_moments",
+      """WITH v AS (SELECT event_type,
+        |    CAST(CAST(FLOOR(value * 100) AS BIGINT) AS HUGEINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS s1, CAST(SUM(x*x) AS DOUBLE) AS s2,
+        |    CAST(SUM(x*x*x) AS DOUBLE) AS s3,
+        |    CAST(SUM(x*x*x*x) AS DOUBLE) AS s4
+        |  FROM v GROUP BY 1),
+        |m AS (SELECT event_type, n, s1, CAST(n AS DOUBLE) AS nd,
+        |    s2 - s1 * s1 / CAST(n AS DOUBLE) AS m2,
+        |    s3 - 3 * s1 * s2 / CAST(n AS DOUBLE) +
+        |      2 * s1 * s1 * s1 /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m3,
+        |    s4 - 4 * s1 * s3 / CAST(n AS DOUBLE) +
+        |      6 * s1 * s1 * s2 /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) -
+        |      3 * s1 * s1 * s1 * s1 /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+        |         CAST(n AS DOUBLE)) AS m4
+        |  FROM s)
+        |SELECT event_type, n, round(s1 / nd, 6) AS mean_r,
+        |  round(CASE WHEN n >= 2 THEN m2 / (nd - 1) END, 4) AS var_r,
+        |  round(CASE WHEN n >= 2 AND m2 > 0
+        |    THEN sqrt(nd) * m3 / (m2 * sqrt(m2)) END, 6) AS skew_r,
+        |  round(CASE WHEN n >= 2 AND m2 > 0
+        |    THEN nd * m4 / (m2 * m2) - 3 END, 6) AS kurt_r
+        |FROM m ORDER BY event_type""".stripMargin)
 }

@@ -498,6 +498,84 @@ object Stats {
       .select(keys ++ Seq(col("n"), col("gini")): _*)
   }
 
+  /** Welch's two-sample t statistic between the `ga` and `gb` slices of a
+    * group column — the unequal-variance mean-shift test (the A/B answer
+    * [[mannWhitneyU]] gives rank-free). ONE row: `n_a, n_b, t, df` with
+    * the Welch–Satterthwaite degrees of freedom; both are single fixed
+    * double expressions over exact DECIMAL(38,0) moments (Σx, Σx² per
+    * slice — one conditional-aggregate pass, no window, no sort). Null
+    * t/df when either slice has < 2 rows or both variances are 0.
+    * Values integer-valued per the class scaling contract.
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             ga: String, gb: String): DataFrame = {
+    require(ga != gb, "the two samples must be different groups")
+    val g = col(groupCol); val v = col(valueCol)
+    val agg = df.filter(v.isNotNull && (g === ga || g === gb))
+      .agg(count(when(g === ga, 1)).as("n_a"),
+        count(when(g === gb, 1)).as("n_b"),
+        esum(when(g === ga, v)).as("_s1a"),
+        esum(when(g === ga, v * v)).as("_s2a"),
+        esum(when(g === gb, v)).as("_s1b"),
+        esum(when(g === gb, v * v)).as("_s2b"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val s1a = col("_s1a").cast("double"); val s2a = col("_s2a").cast("double")
+    val s1b = col("_s1b").cast("double"); val s2b = col("_s2b").cast("double")
+    val va = (naD * s2a - s1a * s1a) / (naD * (naD - 1d))
+    val vb = (nbD * s2b - s1b * s1b) / (nbD * (nbD - 1d))
+    val sea = va / naD; val seb = vb / nbD
+    val se2 = sea + seb
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0d,
+        (s1a / naD - s1b / nbD) / sqrt(se2)).as("t"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0d,
+        se2 * se2 / (sea * sea / (naD - 1d) + seb * seb / (nbD - 1d)))
+        .as("df"))
+  }
+
+  /** Per-group distribution-moments profile: `n, mean, variance` (sample,
+    * n−1), `skewness` (population g₁) and `kurt_excess` (g₂ = n·M₄/M₂²−3)
+    * — the one-pass shape screen run on every numeric column before
+    * trusting it (heavy tail? asymmetric? near-normal?). All four power
+    * sums Σx..Σx⁴ accumulate in DECIMAL(38,0) — the x⁴ PRODUCT is formed
+    * in decimal too (a cents-scaled value overflows a long at |x| >
+    * ~55 000), which bounds the caller's scale contract at
+    * |x| ≤ ~3·10⁷ for 10⁹-row groups (Σx⁴ < 10³⁸). Each output is one
+    * fixed double expression over the exact sums; skew/kurt null when
+    * the group is constant (M₂ = 0) or n < 2.
+    *
+    * Scale shape: one hash groupBy with map-side partial aggregation —
+    * nothing else.
+    */
+  def momentsProfile(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "momentsProfile requires group columns")
+    val keys = groupCols.map(col)
+    val x = col(valueCol).cast(bigDec)
+    val sums = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("_s1"), sum(x * x).as("_s2"),
+        sum(x * x * x).as("_s3"), sum(x * x * x * x).as("_s4"))
+    val nD = col("n").cast("double")
+    val s1 = col("_s1").cast("double"); val s2 = col("_s2").cast("double")
+    val s3 = col("_s3").cast("double"); val s4 = col("_s4").cast("double")
+    val m2 = s2 - s1 * s1 / nD
+    val m3 = s3 - lit(3d) * s1 * s2 / nD + lit(2d) * s1 * s1 * s1 / (nD * nD)
+    val m4 = s4 - lit(4d) * s1 * s3 / nD +
+      lit(6d) * s1 * s1 * s2 / (nD * nD) -
+      lit(3d) * s1 * s1 * s1 * s1 / (nD * nD * nD)
+    sums.select(keys ++ Seq(col("n"),
+      (s1 / nD).as("mean"),
+      when(col("n") >= 2, m2 / (nD - 1d)).as("variance"),
+      // m2·√m2, not pow(m2, 1.5): sqrt is IEEE-correctly-rounded on
+      // every engine, pow is not — the bit-reproducibility contract
+      when(col("n") >= 2 && m2 > 0d,
+        sqrt(nD) * m3 / (m2 * sqrt(m2))).as("skewness"),
+      when(col("n") >= 2 && m2 > 0d,
+        nD * m4 / (m2 * m2) - 3d).as("kurt_excess")): _*)
+  }
+
   /** Per-series autocorrelation at the given positive lags: Pearson of
     * `(v_t, v_{t−lag})` over the t where both exist. One row per
     * (series, lag): `lag, n_pairs, acf` (null acf when either slice is

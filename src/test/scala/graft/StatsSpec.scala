@@ -212,4 +212,65 @@ class StatsSpec extends AnyFunSuite {
         r.getAs[Double]("med")).toMap
     assert(out(("a", 2)) == 2.0 && out(("b", 2)) == 150.0)
   }
+
+  // ---- welchT ------------------------------------------------------------
+
+  test("welchT: textbook two-sample case matches the closed form") {
+    // a = {1,2,3,4,5} (mean 3, var 2.5), b = {2,4,6,8,10,12} (mean 7, var 14)
+    val rows = Seq(1, 2, 3, 4, 5).map(("a", _)) ++
+      Seq(2, 4, 6, 8, 10, 12).map(("b", _))
+    val r = Stats.welchT(rows.toDF("g", "x"), "g", "x", "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 6)
+    val se2 = 2.5 / 5 + 14.0 / 6
+    val t = (3.0 - 7.0) / math.sqrt(se2)
+    val df = se2 * se2 / (math.pow(2.5 / 5, 2) / 4 + math.pow(14.0 / 6, 2) / 5)
+    assert(math.abs(r.getDouble(2) - t) < 1e-12, r.getDouble(2))
+    assert(math.abs(r.getDouble(3) - df) < 1e-9, r.getDouble(3))
+  }
+
+  test("welchT: singleton or constant-both slices yield null t") {
+    val r1 = Stats.welchT(Seq(("a", 1), ("b", 2), ("b", 3)).toDF("g", "x"),
+      "g", "x", "a", "b").collect().head
+    assert(r1.isNullAt(2) && r1.isNullAt(3))
+    val r2 = Stats.welchT(
+      Seq(("a", 5), ("a", 5), ("b", 7), ("b", 7)).toDF("g", "x"),
+      "g", "x", "a", "b").collect().head
+    assert(r2.isNullAt(2)) // se2 = 0: no variance anywhere
+  }
+
+  // ---- momentsProfile ----------------------------------------------------
+
+  test("momentsProfile: hand-computed skew/kurtosis on a small group") {
+    // x = {2, 2, 5, 7}: mean 4; devs = {-2,-2,1,3};
+    // m2 = 4+4+1+9 = 18; m3 = -8-8+1+27 = 12; m4 = 16+16+1+81 = 114
+    val df = Seq(2, 2, 5, 7).map(("g", _)).toDF("k", "x")
+    val r = Stats.momentsProfile(df, Seq("k"), "x").collect().head
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("mean") == 4.0)
+    assert(math.abs(r.getAs[Double]("variance") - 6.0) < 1e-12)
+    val skew = math.sqrt(4.0) * 12.0 / (18.0 * math.sqrt(18.0))
+    val kurt = 4.0 * 114.0 / (18.0 * 18.0) - 3.0
+    assert(math.abs(r.getAs[Double]("skewness") - skew) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kurt_excess") - kurt) < 1e-12)
+  }
+
+  test("momentsProfile: constant group nulls shape stats; groups independent") {
+    val df = (Seq.fill(5)(("c", 9)) ++ Seq(("n", 1), ("n", 2), ("n", 3)))
+      .toDF("k", "x")
+    val out = Stats.momentsProfile(df, Seq("k"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("c").isNullAt(4) && out("c").isNullAt(5))
+    assert(math.abs(out("n").getAs[Double]("variance") - 1.0) < 1e-12)
+    assert(math.abs(out("n").getAs[Double]("skewness")) < 1e-12)
+  }
+
+  test("momentsProfile: cents-scale x^4 does not overflow (decimal product)") {
+    // |x| = 56021 -> x^4 ~ 9.8e18 > Long.MaxValue: the decimal product
+    // must carry it exactly
+    val df = Seq(56021L, -56021L, 56021L, -56021L).map(("g", _)).toDF("k", "x")
+    val r = Stats.momentsProfile(df, Seq("k"), "x").collect().head
+    assert(r.getAs[Double]("mean") == 0.0)
+    assert(r.getAs[Double]("kurt_excess") == 1.0 - 3.0) // two-point symmetric
+  }
 }
