@@ -3768,6 +3768,23 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Poisson-bootstrap mean CI (X140): per-event-type 95% interval for
+    * the mean cents value, 100 id-pure Poisson(1)-weighted replicates in
+    * ONE pass ([[operators.Stats.bootstrapMeanCI]]) — the
+    * uncertainty-at-scale primitive where classical resampling cannot
+    * index n rows.
+    */
+  def q176BootstrapCI(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    operators.Stats.bootstrapMeanCI(ev, Seq("event_type"), "event_id",
+        "cents", reps = 100, seed = 42L)
+      .select(col("event_type"), col("n"), round(col("mean"), 6).as("mean_r"),
+        col("n_reps"), round(col("lo"), 6).as("lo_r"),
+        round(col("hi"), 6).as("hi_r"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3943,7 +3960,8 @@ object Queries {
     "q172_warc_roundtrip" -> (q172WarcRoundtrip _),
     "q173_html_extract" -> (q173HtmlExtract _),
     "q174_welch_t" -> (q174WelchT _),
-    "q175_moments" -> (q175Moments _)
+    "q175_moments" -> (q175Moments _),
+    "q176_bootstrap_ci" -> (q176BootstrapCI _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7042,4 +7060,42 @@ object Queries {
         |  round(CASE WHEN n >= 2 AND m2 > 0
         |    THEN nd * m4 / (m2 * m2) - 3 END, 6) AS kurt_r
         |FROM m ORDER BY event_type""".stripMargin)
+    // id-pure Poisson(1) draws replayed through the same md5->uniform->
+    // inverse-CDF chain (thresholds shared from Stats.PoissonCdf)
+    .updated("q176_bootstrap_ci",
+      s"""WITH base AS (SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mean
+        |  FROM base GROUP BY 1),
+        |r AS (SELECT event_type, id, x, unnest(range(100)) AS rep FROM base),
+        |u AS (SELECT event_type, rep, x,
+        |    CAST(('0x' || substr(md5('42:' || id || ':' ||
+        |      CAST(rep AS VARCHAR)), 1, 13)) AS BIGINT)
+        |      / 4503599627370496.0 AS uu
+        |  FROM r),
+        |w AS (SELECT event_type, rep, x, CASE
+        |    ${operators.Stats.PoissonCdf.zipWithIndex.map {
+              case (c, k) => s"WHEN uu < $c THEN $k" }.mkString("\n        |    ")}
+        |    ELSE 10 END AS wt
+        |  FROM u),
+        |m AS (SELECT event_type, rep,
+        |    CAST(SUM(CAST(wt AS HUGEINT) * x) AS DOUBLE) /
+        |      CAST(SUM(CAST(wt AS HUGEINT)) AS DOUBLE) AS mm
+        |  FROM w GROUP BY 1, 2 HAVING SUM(wt) > 0),
+        |rk AS (SELECT event_type, rep, mm,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY mm, rep)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM m),
+        |ci AS (SELECT event_type, MAX(cnt) AS n_reps,
+        |    MIN(CASE WHEN rn = FLOOR(0.025 * (cnt - 1)) + 1 THEN mm END)
+        |      AS lo,
+        |    MIN(CASE WHEN rn = CEIL(0.975 * (cnt - 1)) + 1 THEN mm END)
+        |      AS hi
+        |  FROM rk GROUP BY 1)
+        |SELECT f.event_type, f.n, round(f.mean, 6) AS mean_r, ci.n_reps,
+        |  round(ci.lo, 6) AS lo_r, round(ci.hi, 6) AS hi_r
+        |FROM f JOIN ci USING (event_type) ORDER BY event_type""".stripMargin)
 }

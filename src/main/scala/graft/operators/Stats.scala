@@ -576,6 +576,80 @@ object Stats {
         nD * m4 / (m2 * m2) - 3d).as("kurt_excess")): _*)
   }
 
+  /** Cumulative Poisson(1) CDF thresholds F(0)..F(9) — shared verbatim
+    * with oracle SQL so the weight draw is engine-identical.
+    */
+  private[graft] val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988747974021,
+    0.9999998885745217)
+
+  /** Per-group bootstrap confidence interval for the MEAN of an
+    * integer-valued column, via the POISSON bootstrap (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012) —
+    * the resampling scheme that works when n is too large to index: each
+    * (row, replicate) draws a Poisson(1) weight instead of multinomial
+    * counts, so no global n is needed at draw time and the draw is
+    * id-pure (md5(seed:id:rep) → uniform → inverse-CDF through
+    * [[PoissonCdf]]) — reruns, retries, and repartitions reproduce the
+    * interval bit-for-bit, and an ANSI oracle can replay it.
+    *
+    * Output, one row per group: `n` (rows), `mean` (full-sample point
+    * estimate), `n_reps` (replicates with nonzero total weight — a
+    * replicate that draws all zeros is dropped, identically on any
+    * engine), `lo`/`hi` — the order statistics of the replicate means at
+    * `floor(α/2·(R−1))` / `ceil((1−α/2)·(R−1))` (0-based, ties broken
+    * by replicate id).
+    *
+    * Scale shape: the replicate explosion is (rows × reps) but only
+    * (key, weight·value) wide and collapses through map-side partial
+    * aggregation — the shuffle is (groups × reps) rows, NOT data-sized.
+    * The order-statistic window sorts reps-sized groups. Explode cost is
+    * the textbook Poisson-bootstrap trade: reps ≈ 100–500 scans' worth
+    * of CPU in ONE pass, zero extra I/O passes.
+    */
+  def bootstrapMeanCI(df: DataFrame, groupCols: Seq[String], idCol: String,
+                      valueCol: String, reps: Int = 200, seed: Long = 42L,
+                      alpha: Double = 0.05): DataFrame = {
+    require(groupCols.nonEmpty, "bootstrapMeanCI requires group columns")
+    require(reps >= 2, s"reps=$reps must be >= 2")
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha out of (0,1)")
+    val keys = groupCols.map(col)
+    val v = col(valueCol)
+    val base = df.filter(v.isNotNull)
+      .select(keys :+ col(idCol).cast("string").as("_id") :+ v.as("_v"): _*)
+    val full = base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        (esum(col("_v")).cast("double") / count(lit(1))).as("mean"))
+    val u = conv(substring(md5(concat_ws(":", lit(seed.toString),
+        col("_id"), col("_rep").cast("string"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(10): Column) {
+      case ((c, k), acc) => when(u < c, lit(k)).otherwise(acc)
+    }
+    val repMeans = base
+      .withColumn("_rep", explode(sequence(lit(0), lit(reps - 1))))
+      .groupBy(keys :+ col("_rep"): _*)
+      .agg(esum(w * col("_v")).as("_sw"), esum(w).as("_w"))
+      .filter(col("_w") > 0)
+      .select(keys :+ col("_rep") :+
+        (col("_sw").cast("double") / col("_w").cast("double")).as("_m"): _*)
+    val win = Window.partitionBy(keys: _*)
+    val ranked = repMeans
+      .withColumn("_rn", row_number().over(win.orderBy(col("_m"), col("_rep"))))
+      .withColumn("_cnt", count(lit(1)).over(win))
+    val loIdx = floor(lit(alpha / 2) * (col("_cnt") - 1)) + 1
+    val hiIdx = ceil(lit(1 - alpha / 2) * (col("_cnt") - 1)) + 1
+    val ci = ranked.groupBy(keys: _*)
+      .agg(max(col("_cnt")).as("n_reps"),
+        min(when(col("_rn") === loIdx, col("_m"))).as("lo"),
+        min(when(col("_rn") === hiIdx, col("_m"))).as("hi"))
+    full.join(ci, groupCols)
+      .select(keys ++ Seq(col("n"), col("mean"), col("n_reps"),
+        col("lo"), col("hi")): _*)
+  }
+
   /** Per-series autocorrelation at the given positive lags: Pearson of
     * `(v_t, v_{t−lag})` over the t where both exist. One row per
     * (series, lag): `lag, n_pairs, acf` (null acf when either slice is

@@ -265,6 +265,44 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(out("n").getAs[Double]("skewness")) < 1e-12)
   }
 
+  // ---- bootstrapMeanCI ---------------------------------------------------
+
+  test("bootstrapMeanCI: id-pure — reorder/repartition reproduces the CI") {
+    val df = (0 until 400).map(i => ("g", i.toLong, (i % 50).toLong))
+      .toDF("k", "id", "x")
+    val a = Stats.bootstrapMeanCI(df, Seq("k"), "id", "x", reps = 50)
+      .collect().head
+    val b = Stats.bootstrapMeanCI(df.orderBy(rand(3)).repartition(7),
+        Seq("k"), "id", "x", reps = 50)
+      .collect().head
+    assert(a == b)
+  }
+
+  test("bootstrapMeanCI: interval brackets the point estimate, lo <= hi") {
+    val df = (0 until 1000).map(i => ("g", i.toLong, (i % 100).toLong))
+      .toDF("k", "id", "x")
+    val r = Stats.bootstrapMeanCI(df, Seq("k"), "id", "x", reps = 100)
+      .collect().head
+    val (n, mean, nReps, lo, hi) = (r.getLong(1), r.getDouble(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5))
+    assert(n == 1000 && nReps == 100)
+    assert(lo <= mean && mean <= hi, s"$lo / $mean / $hi")
+    assert(lo < hi)
+    // a 95% CI of a 1000-row mean of U{0..99} is a few units wide, not 30
+    assert(hi - lo > 0.5 && hi - lo < 30, hi - lo)
+  }
+
+  test("bootstrapMeanCI: groups are independent and both get intervals") {
+    val df = ((0 until 300).map(i => ("a", i.toLong, 10L)) ++
+      (0 until 300).map(i => ("b", i.toLong + 1000, 500L)))
+      .toDF("k", "id", "x")
+    val out = Stats.bootstrapMeanCI(df, Seq("k"), "id", "x", reps = 40)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // constant columns: every replicate mean is the constant
+    assert(out("a").getDouble(4) == 10.0 && out("a").getDouble(5) == 10.0)
+    assert(out("b").getDouble(4) == 500.0 && out("b").getDouble(5) == 500.0)
+  }
+
   test("momentsProfile: cents-scale x^4 does not overflow (decimal product)") {
     // |x| = 56021 -> x^4 ~ 9.8e18 > Long.MaxValue: the decimal product
     // must carry it exactly
