@@ -3785,6 +3785,41 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Interval union / gaps-and-islands (X141): per-user coverage of
+    * derived event windows `[t, t+300+id%3600)` —
+    * [[operators.Timeseries.intervalUnion]] merges overlapping and
+    * touching windows into islands; the top-20 users by covered seconds.
+    */
+  def q177IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val es = unix_timestamp(col("ts"))
+    val iv = t(s, dir, "events").select(col("user_id"),
+      es.as("start_s"),
+      (es + lit(300L) + col("event_id") % 3600).as("end_s"))
+    operators.Timeseries.intervalUnion(iv, Seq("user_id"),
+        "start_s", "end_s")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("island_end") - col("island_start")).cast("long")
+          .as("coverage_s"),
+        max(col("n_merged")).as("max_merged"))
+      .orderBy(desc("coverage_s"), col("user_id"))
+      .limit(20)
+  }
+
+  /** 2-D Pareto frontier (X142): suppliers undominated on (total
+    * quantity shipped, total revenue cents) —
+    * [[operators.Selection.paretoFront]]'s one-window skyline, proved
+    * against the oracle's O(n²) NOT-EXISTS dominance semantics.
+    */
+  def q178Pareto(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("x"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("y"))
+    operators.Selection.paretoFront(pts, "x", "y")
+      .orderBy(desc("x"), col("l_suppkey"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3961,7 +3996,9 @@ object Queries {
     "q173_html_extract" -> (q173HtmlExtract _),
     "q174_welch_t" -> (q174WelchT _),
     "q175_moments" -> (q175Moments _),
-    "q176_bootstrap_ci" -> (q176BootstrapCI _)
+    "q176_bootstrap_ci" -> (q176BootstrapCI _),
+    "q177_interval_union" -> (q177IntervalUnion _),
+    "q178_pareto" -> (q178Pareto _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7098,4 +7135,41 @@ object Queries {
         |SELECT f.event_type, f.n, round(f.mean, 6) AS mean_r, ci.n_reps,
         |  round(ci.lo, 6) AS lo_r, round(ci.hi, 6) AS hi_r
         |FROM f JOIN ci USING (event_type) ORDER BY event_type""".stripMargin)
+    // classic gaps-and-islands: running-max-end open detection, running
+    // island count, per-island grouped agg
+    .updated("q177_interval_union",
+      """WITH iv AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+        |      + 300 + event_id % 3600 AS e
+        |  FROM events),
+        |o AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM iv),
+        |i AS (SELECT user_id, s, e,
+        |    SUM(CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM o),
+        |g AS (SELECT user_id, isl, MIN(s) AS a, MAX(e) AS b,
+        |    COUNT(*) AS m
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(b - a) AS BIGINT) AS coverage_s,
+        |  CAST(MAX(m) AS BIGINT) AS max_merged
+        |FROM g GROUP BY user_id
+        |ORDER BY coverage_s DESC, user_id LIMIT 20""".stripMargin)
+    // the O(n^2) dominance definition the one-window skyline must equal
+    .updated("q178_pareto",
+      """WITH p AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, x, y FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE q.x >= p.x AND q.y >= p.y
+        |    AND (q.x > p.x OR q.y > p.y))
+        |ORDER BY x DESC, l_suppkey""".stripMargin)
 }

@@ -141,4 +141,40 @@ object Selection {
       .select(col(tieCol), col("_cum"))
     df.join(kept, Seq(tieCol)) // unique-key equi-join, no sort
   }
+
+  /** 2-D Pareto frontier (skyline), both dimensions MAXIMIZED — the
+    * "best quality at every cost level" selection (quality vs length,
+    * score vs recency). A row survives iff NO other row is ≥ in both
+    * dimensions and > in at least one; exact duplicates of a frontier
+    * point all survive (neither strictly improves the other).
+    *
+    * One value-range window over x (integer-valued per the scaling
+    * contract — the frame offset is a VALUE offset), two frames:
+    * a row is on the frontier iff its y strictly exceeds the max y of
+    * every strictly-greater x (else that point dominates via x), and
+    * equals the max y of its own x tie-group (else a same-x point
+    * dominates via y). O(n log n) — never the O(n²) dominance join,
+    * which is what the oracle runs to prove this plan right.
+    *
+    * Scale note: the window is GLOBAL over x (a skyline is a global
+    * property). The sort is the scalable kind (range-partitioned global
+    * sort, no single-executor window buffer issue since frames only
+    * look backward via running max) — but if the skyline input is
+    * row-scale rather than aggregate-scale, pre-aggregate to the
+    * (x, max y) domain first: `groupBy(x).agg(max(y))` collapses the
+    * sort input to the x-domain.
+    */
+  def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    val byXDesc = Window.orderBy(x.desc)
+    val maxYStrictlyRight = max(y)
+      .over(byXDesc.rangeBetween(Window.unboundedPreceding, -1))
+    val maxYSameX = max(y).over(byXDesc.rangeBetween(0, 0))
+    df.filter(x.isNotNull && y.isNotNull)
+      .withColumn("_my_right", maxYStrictlyRight)
+      .withColumn("_my_tie", maxYSameX)
+      .filter((col("_my_right").isNull || y > col("_my_right")) &&
+        y === col("_my_tie"))
+      .drop("_my_right", "_my_tie")
+  }
 }

@@ -164,4 +164,38 @@ object Timeseries {
           .when(nv.isNull, lit("trail"))
           .otherwise(lit("interp")))
   }
+
+  /** Per-key union of half-open integer intervals `[start, end)` — the
+    * gaps-and-islands merge behind availability/coverage analytics
+    * ("how much wall-clock did this user's sessions actually cover",
+    * "which maintenance windows coalesce"). Overlapping AND touching
+    * intervals merge (`[1,3) ∪ [3,5) = [1,5)`). One row per merged
+    * island: `island_start, island_end, n_merged`.
+    *
+    * Classic two-window algorithm on ONE key-ordered exchange: an
+    * interval opens a new island iff its start exceeds the running max
+    * end of every earlier interval (ordered by start, then end, then
+    * input tiebreak); the running count of island-opens is the island
+    * id; a grouped agg on (key, island) finishes. Per-key rows must fit
+    * an executor's window buffer (the §W1 contract — key on the natural
+    * entity, not a global timeline).
+    */
+  def intervalUnion(df: DataFrame, groupCols: Seq[String],
+                    startCol: String, endCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "intervalUnion requires group columns")
+    val keys = groupCols.map(col)
+    val s = col(startCol); val e = col(endCol)
+    val ord = Window.partitionBy(keys: _*).orderBy(s.asc, e.asc)
+    val runMaxEnd = max(e)
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val opened = df.filter(s.isNotNull && e.isNotNull)
+      .withColumn("_new",
+        when(runMaxEnd.isNull || s > runMaxEnd, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    opened.groupBy(keys :+ col("_island"): _*)
+      .agg(min(s).as("island_start"), max(e).as("island_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("_island")
+  }
 }

@@ -167,4 +167,36 @@ class SelectionSpec extends AnyFunSuite {
     assert(got == Map("a" -> true, "b" -> false, "c" -> false,
       "d" -> false, "e" -> false, "f" -> true))
   }
+
+  // ---- paretoFront -------------------------------------------------------
+
+  private def front(pts: (Long, Long)*): Set[(Long, Long)] =
+    graft.operators.Selection.paretoFront(
+        pts.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("paretoFront: staircase survives, interior points fall") {
+    assert(front((1, 9), (5, 5), (9, 1), (2, 2), (4, 4), (5, 4)) ==
+      Set((1L, 9L), (5L, 5L), (9L, 1L)))
+  }
+
+  test("paretoFront: same-x keeps only the max y; same-y needs max x") {
+    assert(front((3, 7), (3, 9), (5, 9)) == Set((5L, 9L)))
+    assert(front((3, 9), (5, 9), (6, 1)) == Set((5L, 9L), (6L, 1L)))
+  }
+
+  test("paretoFront: exact duplicates of a frontier point all survive") {
+    val out = graft.operators.Selection.paretoFront(
+        Seq((4L, 4L), (4L, 4L), (1L, 1L)).toDF("x", "y"), "x", "y")
+      .collect()
+    assert(out.length == 2 && out.forall(r => r.getLong(0) == 4))
+  }
+
+  test("paretoFront: matches the O(n^2) dominance definition on random input") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val naive = pts.filter(p => !pts.exists(q =>
+      q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2))).toSet
+    assert(front(pts: _*) == naive)
+  }
 }

@@ -265,6 +265,35 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(out("n").getAs[Double]("skewness")) < 1e-12)
   }
 
+  // ---- intervalUnion -----------------------------------------------------
+
+  test("intervalUnion: overlap and touch merge, gaps split, counts exact") {
+    // [1,3)+[3,5) touch -> [1,5); [2,4) overlaps; [7,9) is its own island
+    val iv = Seq(("u", 1L, 3L), ("u", 3L, 5L), ("u", 2L, 4L), ("u", 7L, 9L))
+      .toDF("k", "s", "e")
+    val out = Timeseries.intervalUnion(iv, Seq("k"), "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 5L, 3L), (7L, 9L, 1L)))
+  }
+
+  test("intervalUnion: containment and duplicate intervals merge; keys independent") {
+    val iv = Seq(("a", 0L, 10L), ("a", 2L, 3L), ("a", 2L, 3L),
+      ("b", 2L, 3L)).toDF("k", "s", "e")
+    val out = Timeseries.intervalUnion(iv, Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(("a", 0L, 10L, 3L), ("b", 2L, 3L, 1L)))
+  }
+
+  test("intervalUnion: an island ending early inside a longer one stays merged") {
+    // running-max-end matters: [0,100), [1,2), [3,4) — the short end
+    // at 2 must not open a new island at 3
+    val iv = Seq(("k", 0L, 100L), ("k", 1L, 2L), ("k", 3L, 4L))
+      .toDF("k", "s", "e")
+    val out = Timeseries.intervalUnion(iv, Seq("k"), "s", "e").collect()
+    assert(out.length == 1 && out.head.getLong(3) == 3L)
+  }
+
   // ---- bootstrapMeanCI ---------------------------------------------------
 
   test("bootstrapMeanCI: id-pure — reorder/repartition reproduces the CI") {
