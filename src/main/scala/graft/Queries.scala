@@ -3820,6 +3820,24 @@ object Queries {
       .orderBy(desc("x"), col("l_suppkey"))
   }
 
+  /** Ridge regression (X143): per-returnflag fit of revenue cents on
+    * (quantity, discount bps) with λ = 1000
+    * ([[operators.Stats.ridgeFit]]) — closed normal equations from one
+    * grouped pass, Cramer-solved identically on both engines.
+    */
+  def q179Ridge(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_discount") * 10000).cast("long").as("disc_bps"),
+      floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+    operators.Stats.ridgeFit(li, Seq("l_returnflag"), "qty", "disc_bps",
+        "cents", lambda = 1000d)
+      .select(col("l_returnflag"), col("n"),
+        round(col("b0"), 6).as("b0_r"), round(col("b1"), 6).as("b1_r"),
+        round(col("b2"), 6).as("b2_r"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -3998,7 +4016,8 @@ object Queries {
     "q175_moments" -> (q175Moments _),
     "q176_bootstrap_ci" -> (q176BootstrapCI _),
     "q177_interval_union" -> (q177IntervalUnion _),
-    "q178_pareto" -> (q178Pareto _)
+    "q178_pareto" -> (q178Pareto _),
+    "q179_ridge" -> (q179Ridge _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7172,4 +7191,37 @@ object Queries {
         |  WHERE q.x >= p.x AND q.y >= p.y
         |    AND (q.x > p.x OR q.y > p.y))
         |ORDER BY x DESC, l_suppkey""".stripMargin)
+    // same nine exact moments, same canonical Cramer expansion
+    .updated("q179_ridge",
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x1,
+        |    CAST(CAST(FLOOR(l_discount * 10000) AS BIGINT) AS HUGEINT)
+        |      AS x2,
+        |    CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+        |      AS y
+        |  FROM lineitem),
+        |s AS (SELECT g, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x1*x1) AS DOUBLE) + 1000 AS s11,
+        |    CAST(SUM(x2*x2) AS DOUBLE) + 1000 AS s22,
+        |    CAST(SUM(x1*x2) AS DOUBLE) AS s12,
+        |    CAST(SUM(x1*y) AS DOUBLE) AS s1y,
+        |    CAST(SUM(x2*y) AS DOUBLE) AS s2y
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT g, n, s1, s2, sy, s1y, s2y, s11, s22, s12, nd,
+        |    nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM s)
+        |SELECT g AS l_returnflag, n,
+        |  round(CASE WHEN det <> 0 THEN det0 / det END, 6) AS b0_r,
+        |  round(CASE WHEN det <> 0 THEN det1 / det END, 6) AS b1_r,
+        |  round(CASE WHEN det <> 0 THEN det2 / det END, 6) AS b2_r
+        |FROM d ORDER BY l_returnflag""".stripMargin)
 }

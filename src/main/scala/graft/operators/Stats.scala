@@ -650,6 +650,56 @@ object Stats {
         col("lo"), col("hi")): _*)
   }
 
+  /** Per-group RIDGE regression `y ≈ b0 + b1·x1 + b2·x2` via the closed
+    * normal equations — the multivariate extension of [[linearFit]] (two
+    * correlated features need the cross-moment the simple fit cannot
+    * see; the L2 penalty `lambda` keeps near-collinear features stable).
+    * The intercept is NOT penalized (standard). One row per group:
+    * `n, b0, b1, b2` (null when the 3×3 system is singular).
+    *
+    * Exactness: the nine moments (Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂,
+    * Σx₁y, Σx₂y, n) accumulate in DECIMAL(38,0) over integer-valued
+    * inputs; the Cramer solve is a FIXED double expression over those
+    * exact sums (each 3×3 determinant expanded in one canonical
+    * association), so any engine reproduces the bits.
+    *
+    * Scale shape: ONE hash groupBy with map-side partial aggregation —
+    * the d=2 normal-equation trick that needs no per-group matrix
+    * library and no second pass.
+    */
+  def ridgeFit(df: DataFrame, groupCols: Seq[String], x1Col: String,
+               x2Col: String, yCol: String, lambda: Double): DataFrame = {
+    require(groupCols.nonEmpty, "ridgeFit requires group columns")
+    require(lambda >= 0, s"lambda=$lambda must be >= 0")
+    val x1 = col(x1Col); val x2 = col(x2Col); val y = col(yCol)
+    val sums = df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        esum(x1).as("_s1"), esum(x2).as("_s2"), esum(y).as("_sy"),
+        esum(x1 * x1).as("_s11"), esum(x2 * x2).as("_s22"),
+        esum(x1 * x2).as("_s12"),
+        esum(x1 * y).as("_s1y"), esum(x2 * y).as("_s2y"))
+    val nD = col("n").cast("double")
+    val s1 = col("_s1").cast("double"); val s2 = col("_s2").cast("double")
+    val sy = col("_sy").cast("double")
+    val s11 = col("_s11").cast("double") + lit(lambda)
+    val s22 = col("_s22").cast("double") + lit(lambda)
+    val s12 = col("_s12").cast("double")
+    val s1y = col("_s1y").cast("double"); val s2y = col("_s2y").cast("double")
+    // det3(a..i) = a(e*i - f*h) - b(d*i - f*g) + c(d*h - e*g), row-major
+    def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+             f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val det = det3(nD, s1, s2, s1, s11, s12, s2, s12, s22)
+    val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(nD, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val det2 = det3(nD, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    sums.select(groupCols.map(col) ++ Seq(col("n"),
+      when(det =!= 0d, det0 / det).as("b0"),
+      when(det =!= 0d, det1 / det).as("b1"),
+      when(det =!= 0d, det2 / det).as("b2")): _*)
+  }
+
   /** Per-series autocorrelation at the given positive lags: Pearson of
     * `(v_t, v_{t−lag})` over the t where both exist. One row per
     * (series, lag): `lag, n_pairs, acf` (null acf when either slice is

@@ -265,6 +265,44 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(out("n").getAs[Double]("skewness")) < 1e-12)
   }
 
+  // ---- ridgeFit ----------------------------------------------------------
+
+  test("ridgeFit: lambda=0 recovers an exact planar relationship") {
+    // y = 3 + 2*x1 + 5*x2 exactly
+    val rows = Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 3L))
+      .map { case (a, b) => ("g", a, b, 3 + 2 * a + 5 * b) }
+    val r = Stats.ridgeFit(rows.toDF("k", "x1", "x2", "y"),
+        Seq("k"), "x1", "x2", "y", lambda = 0d).collect().head
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 5.0) < 1e-9)
+  }
+
+  test("ridgeFit: collinear features are singular at lambda=0, stable above") {
+    val rows = (1L to 6L).map(i => ("g", i, 2 * i, 10 * i))
+    val df = rows.toDF("k", "x1", "x2", "y")
+    val r0 = Stats.ridgeFit(df, Seq("k"), "x1", "x2", "y", 0d).collect().head
+    assert(r0.isNullAt(2) && r0.isNullAt(3) && r0.isNullAt(4))
+    val r1 = Stats.ridgeFit(df, Seq("k"), "x1", "x2", "y", 10d).collect().head
+    // penalized solve exists and splits the collinear weight ~1:2
+    assert(!r1.isNullAt(3) && !r1.isNullAt(4))
+    assert(r1.getDouble(4) > r1.getDouble(3))
+  }
+
+  test("ridgeFit: growing lambda shrinks coefficients toward zero") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { _ =>
+      val a = rnd.nextInt(50).toLong; val b = rnd.nextInt(30).toLong
+      ("g", a, b, 7 + 3 * a - 2 * b + rnd.nextInt(5))
+    }
+    val df = rows.toDF("k", "x1", "x2", "y")
+    def norm(l: Double) = {
+      val r = Stats.ridgeFit(df, Seq("k"), "x1", "x2", "y", l).collect().head
+      math.abs(r.getDouble(3)) + math.abs(r.getDouble(4))
+    }
+    assert(norm(0d) > norm(1e6) && norm(1e6) > norm(1e9))
+  }
+
   // ---- intervalUnion -----------------------------------------------------
 
   test("intervalUnion: overlap and touch merge, gaps split, counts exact") {
