@@ -3838,6 +3838,41 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** G.711 telephony-audio roundtrip (X144): id-derived 16-bit signals
+    * leave as µ-law AND A-law WAVs ([[operators.AudioCodecs.encodeWav]]),
+    * decode back through [[operators.Multimodal.decodeAudio]]'s real
+    * codec chain, and the ORACLE replays the companding arithmetic
+    * itself in pure SQL (segment CASE + integer shifts — G.711 is
+    * closed-form integer math), pinning every decoded sample via an
+    * order-weighted checksum. The generator UDF is fixture injection
+    * (q128's discipline); the graded path is container parse + codec.
+    */
+  def q180G711Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    def gen(tag: Int) = udf((id: Long) => {
+      val n = 400 + (id % 50).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((id * 131 + i * 7919) % 65536) - 32768).toShort)
+      operators.AudioCodecs.encodeWav(tag, samples, 8000)
+    })
+    val d = t(s, dir, "documents").filter(col("doc_id") % 9 === 0)
+    val media = d.select(col("doc_id"), lit("mulaw").as("codec"),
+        gen(7)(col("doc_id")).as("payload"))
+      .unionAll(d.select(col("doc_id"), lit("alaw").as("codec"),
+        gen(6)(col("doc_id")).as("payload")))
+    operators.Multimodal.decodeAudio(media, "payload")
+      .select(col("doc_id"), col("codec"), col("sample_rate"),
+        posexplode(col("samples")).as(Seq("i", "f")))
+      // short/32768f is exact in float; recover the decoded short exactly
+      .withColumn("sv", round(col("f").cast("double") * 32768d).cast("long"))
+      .groupBy(col("codec"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_samples"),
+        min(col("sample_rate")).as("rate"),
+        sum(col("sv")).as("sum_sv"),
+        sum(col("sv") * (col("i") + 1)).as("wsum_sv"))
+      .orderBy(col("codec"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4017,7 +4052,8 @@ object Queries {
     "q176_bootstrap_ci" -> (q176BootstrapCI _),
     "q177_interval_union" -> (q177IntervalUnion _),
     "q178_pareto" -> (q178Pareto _),
-    "q179_ridge" -> (q179Ridge _)
+    "q179_ridge" -> (q179Ridge _),
+    "q180_g711_roundtrip" -> (q180G711Roundtrip _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7224,4 +7260,57 @@ object Queries {
         |  round(CASE WHEN det <> 0 THEN det1 / det END, 6) AS b1_r,
         |  round(CASE WHEN det <> 0 THEN det2 / det END, 6) AS b2_r
         |FROM d ORDER BY l_returnflag""".stripMargin)
+    // the oracle IS the codec: G.711 companding replayed as segment CASE
+    // + integer shifts over the same id-derived signal
+    .updated("q180_g711_roundtrip",
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 9 = 0),
+        |s AS (SELECT doc_id, unnest(range(400 + doc_id % 50)) AS i FROM d),
+        |v AS (SELECT doc_id, i,
+        |    (doc_id * 131 + i * 7919) % 65536 - 32768 AS x FROM s),
+        |mu AS (SELECT doc_id, i, x,
+        |    LEAST(CASE WHEN x < 0 THEN -x ELSE x END, 32635) + 132 AS mc
+        |  FROM v),
+        |mu2 AS (SELECT doc_id, i, x,
+        |    CASE WHEN mc < 256 THEN 0 WHEN mc < 512 THEN 1
+        |      WHEN mc < 1024 THEN 2 WHEN mc < 2048 THEN 3
+        |      WHEN mc < 4096 THEN 4 WHEN mc < 8192 THEN 5
+        |      WHEN mc < 16384 THEN 6 ELSE 7 END AS e, mc
+        |  FROM mu),
+        |mud AS (SELECT doc_id, i,
+        |    CASE WHEN x < 0 THEN -(((mc // (8 * (1 << e))) % 16 * 8 + 132)
+        |        * (1 << e) - 132)
+        |      ELSE ((mc // (8 * (1 << e))) % 16 * 8 + 132)
+        |        * (1 << e) - 132 END AS sv
+        |  FROM mu2),
+        |al AS (SELECT doc_id, i,
+        |    CAST(FLOOR(x / 8.0) AS BIGINT) AS p0 FROM v),
+        |al2 AS (SELECT doc_id, i, p0,
+        |    CASE WHEN p0 >= 0 THEN p0 ELSE -p0 - 1 END AS pm FROM al),
+        |al3 AS (SELECT doc_id, i, p0, pm,
+        |    CASE WHEN pm <= 31 THEN 0 WHEN pm <= 63 THEN 1
+        |      WHEN pm <= 127 THEN 2 WHEN pm <= 255 THEN 3
+        |      WHEN pm <= 511 THEN 4 WHEN pm <= 1023 THEN 5
+        |      WHEN pm <= 2047 THEN 6 ELSE 7 END AS seg
+        |  FROM al2),
+        |al4 AS (SELECT doc_id, i, p0, seg,
+        |    CASE WHEN seg < 2 THEN (pm // 2) % 16
+        |      ELSE (pm // (1 << seg)) % 16 END * 16 AS t
+        |  FROM al3),
+        |ald AS (SELECT doc_id, i,
+        |    (CASE WHEN p0 >= 0 THEN 1 ELSE -1 END) *
+        |    (CASE WHEN seg = 0 THEN t + 8 WHEN seg = 1 THEN t + 264
+        |      ELSE (t + 264) * (1 << (seg - 1)) END) AS sv
+        |  FROM al4),
+        |agg AS (
+        |  SELECT 'alaw' AS codec, COUNT(DISTINCT doc_id) AS n_docs,
+        |    COUNT(*) AS n_samples, 8000 AS rate,
+        |    CAST(SUM(sv) AS BIGINT) AS sum_sv,
+        |    CAST(SUM(sv * (i + 1)) AS BIGINT) AS wsum_sv
+        |  FROM ald
+        |  UNION ALL
+        |  SELECT 'mulaw', COUNT(DISTINCT doc_id), COUNT(*), 8000,
+        |    CAST(SUM(sv) AS BIGINT), CAST(SUM(sv * (i + 1)) AS BIGINT)
+        |  FROM mud)
+        |SELECT codec, n_docs, n_samples, rate, sum_sv, wsum_sv
+        |FROM agg ORDER BY codec""".stripMargin)
 }

@@ -1091,9 +1091,10 @@ object Multimodal {
   /** Audio decode in one partition-local batch pass. Output schema: input
     * columns + `samples: array<float>` (mono-mixed, [-1,1]),
     * `sample_rate: int`, `audio_channels: int`, `audio_ms: long`. WAV/PCM
-    * decodes for real via [[WavCodec]]; unparseable payloads fall back to a
-    * deterministic stub tone (256 samples at 8 kHz) so synthetic fixtures
-    * keep flowing through the same plumbing.
+    * decodes for real via [[WavCodec]]; G.711 µ-law/A-law and IMA ADPCM
+    * WAVs decode for real via [[AudioCodecs]]; unparseable payloads fall
+    * back to a deterministic stub tone (256 samples at 8 kHz) so
+    * synthetic fixtures keep flowing through the same plumbing.
     */
   def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -1108,7 +1109,8 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         val extra: Seq[Any] =
           if (payload == null) Seq(null, null, null, null)
-          else WavCodec.decodeWav(payload) match {
+          else WavCodec.decodeWav(payload)
+            .orElse(AudioCodecs.decodeWav(payload)) match {
             case Some((s, rate, ch, ms)) => Seq(s, rate, ch, ms)
             case None =>
               val fake = StubCodec.featurize(payload, 256).map(x => x * 2f - 1f)
