@@ -3873,6 +3873,43 @@ object Queries {
       .orderBy(col("codec"))
   }
 
+  /** robots.txt compliance gate (X145): four fixture policies (including
+    * a bot-specific group that outranks `*`, an Allow carve-out inside a
+    * Disallow, and a dropped `$` wildcard rule) parsed by
+    * [[operators.Robots.parseRules]] and applied to doc-derived URLs by
+    * the RFC 9309 longest-match rule. The oracle hard-codes the rule
+    * TABLE the parser must produce and replays the same longest-match
+    * decision in SQL — equality proves parser AND gate.
+    */
+  def q181RobotsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val robots = Seq(
+      ("h0.example",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"),
+      ("h1.example",
+        "User-agent: graftbot\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /tmp/\n"),
+      ("h2.example", "User-agent: otherbot\nDisallow: /\n"),
+      ("h3.example",
+        "# site policy\nUser-agent: *\nDisallow: /a\nAllow: /a/b\n" +
+          "Disallow: /a/b/c$\nCrawl-delay: 10\n")
+    ).toDF("host", "content")
+    val rules = operators.Robots.parseRules(robots, "host", "content")
+    val urls = t(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 5).cast("string"),
+          lit(".example")).as("host"),
+        (col("doc_id") % 8).cast("int").as("pk"))
+      .withColumn("path",
+        element_at(array(lit("/"), lit("/private/x"), lit("/private/pub/y"),
+          lit("/tmp/z"), lit("/a"), lit("/a/b/c"), lit("/a/bd"),
+          lit("/pub")), col("pk") + 1))
+      .select(col("host"), col("path")).distinct()
+      .withColumn("uid", concat(col("host"), col("path")))
+    operators.Robots.gate(urls, rules, "uid", "host", "path")
+      .select(col("host"), col("path"), col("allowed"), col("matched_rule"))
+      .orderBy(col("host"), col("path"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4053,7 +4090,8 @@ object Queries {
     "q177_interval_union" -> (q177IntervalUnion _),
     "q178_pareto" -> (q178Pareto _),
     "q179_ridge" -> (q179Ridge _),
-    "q180_g711_roundtrip" -> (q180G711Roundtrip _)
+    "q180_g711_roundtrip" -> (q180G711Roundtrip _),
+    "q181_robots_gate" -> (q181RobotsGate _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7313,4 +7351,33 @@ object Queries {
         |  FROM mud)
         |SELECT codec, n_docs, n_samples, rate, sum_sv, wsum_sv
         |FROM agg ORDER BY codec""".stripMargin)
+    // the rule table the parser must produce, then the same RFC 9309
+    // longest-match decision (h1: bot group outranks *; h3: $ rule gone)
+    .updated("q181_robots_gate",
+      """WITH u AS (SELECT DISTINCT
+        |    'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+        |    CASE doc_id % 8 WHEN 0 THEN '/' WHEN 1 THEN '/private/x'
+        |      WHEN 2 THEN '/private/pub/y' WHEN 3 THEN '/tmp/z'
+        |      WHEN 4 THEN '/a' WHEN 5 THEN '/a/b/c' WHEN 6 THEN '/a/bd'
+        |      ELSE '/pub' END AS path
+        |  FROM documents),
+        |r AS (SELECT * FROM (VALUES
+        |    ('h0.example', '/private/', FALSE),
+        |    ('h0.example', '/private/pub/', TRUE),
+        |    ('h1.example', '/', FALSE),
+        |    ('h3.example', '/a', FALSE),
+        |    ('h3.example', '/a/b', TRUE)) AS t(host, rule_path, allow)),
+        |j AS (SELECT u.host, u.path, r.rule_path, r.allow,
+        |    r.rule_path IS NOT NULL AND
+        |      substr(u.path, 1, length(r.rule_path)) = r.rule_path AS hit,
+        |    COALESCE(length(r.rule_path), 0) AS rl
+        |  FROM u LEFT JOIN r ON u.host = r.host),
+        |rk AS (SELECT host, path, rule_path, allow, hit,
+        |    row_number() OVER (PARTITION BY host, path
+        |      ORDER BY hit DESC, rl DESC, allow DESC, rule_path) AS rn
+        |  FROM j)
+        |SELECT host, path,
+        |  CASE WHEN hit THEN allow ELSE TRUE END AS allowed,
+        |  CASE WHEN hit THEN rule_path END AS matched_rule
+        |FROM rk WHERE rn = 1 ORDER BY host, path""".stripMargin)
 }

@@ -303,6 +303,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "link_predict", "chi2", "gini", "ks_test", "rank_eval",
           "mutual_info", "wasserstein", "auc", "calibration",
           "markov_stationary", "label_propagate",
+          "welch_t", "moments", "bootstrap_ci", "ridge", "coverage",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -363,6 +364,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "rank_eval" => new RankEvalProcedure
       case "mutual_info" => new MutualInfoProcedure
       case "wasserstein" => new WassersteinProcedure
+      case "welch_t" => new WelchTProcedure
+      case "moments" => new MomentsProcedure
+      case "bootstrap_ci" => new BootstrapCiProcedure
+      case "ridge" => new RidgeProcedure
+      case "coverage" => new CoverageProcedure
       case "auc" => new AucProcedure
       case "calibration" => new CalibrationProcedure
       case "markov_stationary" => new MarkovStationaryProcedure
@@ -2337,6 +2343,186 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("n_b", org.apache.spark.sql.types.LongType, nullable = true),
           StructField("w1", org.apache.spark.sql.types.DoubleType, nullable = true))),
         rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2))))
+    }
+  }
+
+  private final class WelchTProcedure extends MaintenanceProcedure {
+    override def name(): String = "welch_t"
+    override def description(): String =
+      "Welch two-sample t statistic + Welch-Satterthwaite df between " +
+        "the `a` and `b` slices of group_col over an integer-valued " +
+        "column; one row (n_a, n_b, t, df)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("value_col", StringType).build(),
+        procedures.ProcedureParameter.in("a", StringType).build(),
+        procedures.ProcedureParameter.in("b", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Stats.welchT(table(id).read,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        input.getUTF8String(3).toString,
+        input.getUTF8String(4).toString).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("n_a", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("n_b", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("t", org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField("df", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2), r.get(3))))
+    }
+  }
+
+  private final class MomentsProcedure extends MaintenanceProcedure {
+    override def name(): String = "moments"
+    override def description(): String =
+      "per-group distribution-shape profile of an integer-valued " +
+        "column: (group, n, mean, variance, skewness, kurt_excess) — " +
+        "one grouped pass, groups-sized"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("value_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Stats.momentsProfile(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString)
+        .orderBy(col(gCol)).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("n", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("mean", org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField("variance", org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField("skewness", org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField("kurt_excess", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3), r.get(4), r.get(5))))
+    }
+  }
+
+  private final class BootstrapCiProcedure extends MaintenanceProcedure {
+    override def name(): String = "bootstrap_ci"
+    override def description(): String =
+      "per-group Poisson-bootstrap 95% CI for the mean of an " +
+        "integer-valued column (id-pure md5 replicate weights); " +
+        "(group, n, mean, n_reps, lo, hi)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("id_col", StringType).build(),
+        procedures.ProcedureParameter.in("value_col", StringType).build(),
+        procedures.ProcedureParameter.in("reps",
+          org.apache.spark.sql.types.IntegerType).build(),
+        procedures.ProcedureParameter.in("seed",
+          org.apache.spark.sql.types.LongType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Stats.bootstrapMeanCI(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString,
+          reps = input.getInt(4), seed = input.getLong(5))
+        .orderBy(col(gCol)).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("n", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("mean", org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField("n_reps", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("lo", org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField("hi", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3), r.get(4), r.get(5))))
+    }
+  }
+
+  private final class RidgeProcedure extends MaintenanceProcedure {
+    override def name(): String = "ridge"
+    override def description(): String =
+      "per-group ridge fit y ~ b0 + b1*x1 + b2*x2 over integer-valued " +
+        "columns via exact normal equations; (group, n, b0, b1, b2)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("x1_col", StringType).build(),
+        procedures.ProcedureParameter.in("x2_col", StringType).build(),
+        procedures.ProcedureParameter.in("y_col", StringType).build(),
+        procedures.ProcedureParameter.in("lambda",
+          org.apache.spark.sql.types.DoubleType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Stats.ridgeFit(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString, input.getUTF8String(4).toString,
+          input.getDouble(5))
+        .orderBy(col(gCol)).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("n", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("b0", org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField("b1", org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField("b2", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3), r.get(4))))
+    }
+  }
+
+  private final class CoverageProcedure extends MaintenanceProcedure {
+    override def name(): String = "coverage"
+    override def description(): String =
+      "per-group union of half-open integer intervals [start, end): " +
+        "(group, n_islands, coverage, max_merged) — the gaps-and-islands " +
+        "summary, groups-sized"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("start_col", StringType).build(),
+        procedures.ProcedureParameter.in("end_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Timeseries.intervalUnion(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString)
+        .groupBy(col(gCol))
+        .agg(count(lit(1)).as("n_islands"),
+          org.apache.spark.sql.functions.sum(
+            col("island_end") - col("island_start")).cast("long")
+            .as("coverage"),
+          org.apache.spark.sql.functions.max(col("n_merged"))
+            .as("max_merged"))
+        .orderBy(col(gCol)).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("n_islands", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("coverage", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("max_merged", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3))))
     }
   }
 

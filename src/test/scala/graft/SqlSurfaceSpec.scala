@@ -1296,6 +1296,65 @@ class SqlSurfaceSpec extends AnyFunSuite {
       ((1000000L, 1000000L, 1000000L)))
   }
 
+  test("stat procedures: welch_t/moments/bootstrap_ci/ridge/coverage" +
+      " from SQL (r10)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm17",
+      java.nio.file.Files.createTempDirectory("sql_llm17_").toString)
+    spark.sql("CREATE NAMESPACE llm17.G")
+
+    // welch_t on the StatsSpec textbook case
+    (Seq(1, 2, 3, 4, 5).map(("a", _)) ++
+      Seq(2, 4, 6, 8, 10, 12).map(("b", _))).toDF("grp", "v")
+      .createOrReplaceTempView("s17w")
+    spark.sql("CREATE TABLE llm17.G.W AS SELECT * FROM s17w")
+    val wt = spark.sql("CALL llm17.system.welch_t(table => 'G.W', " +
+      "group_col => 'grp', value_col => 'v', a => 'a', b => 'b')").head
+    assert(wt.getLong(0) == 5 && wt.getLong(1) == 6)
+    assert(math.abs(wt.getDouble(2) -
+      (3.0 - 7.0) / math.sqrt(2.5 / 5 + 14.0 / 6)) < 1e-12)
+
+    // moments on the hand case {2,2,5,7}
+    Seq(2, 2, 5, 7).map(("g", _)).toDF("grp", "v")
+      .createOrReplaceTempView("s17m")
+    spark.sql("CREATE TABLE llm17.G.M AS SELECT * FROM s17m")
+    val mo = spark.sql("CALL llm17.system.moments(table => 'G.M', " +
+      "group_col => 'grp', value_col => 'v')").head
+    assert(mo.getString(0) == "g" && mo.getLong(1) == 4 &&
+      mo.getDouble(2) == 4.0 && math.abs(mo.getDouble(3) - 6.0) < 1e-12)
+
+    // bootstrap_ci: constant column pins lo = hi = mean
+    (0 until 100).map(i => ("g", i.toLong, 42L)).toDF("grp", "id", "v")
+      .createOrReplaceTempView("s17b")
+    spark.sql("CREATE TABLE llm17.G.B AS SELECT * FROM s17b")
+    val bc = spark.sql("CALL llm17.system.bootstrap_ci(table => 'G.B', " +
+      "group_col => 'grp', id_col => 'id', value_col => 'v', " +
+      "reps => 20, seed => 7)").head
+    assert(bc.getLong(1) == 100 && bc.getDouble(2) == 42.0 &&
+      bc.getDouble(4) == 42.0 && bc.getDouble(5) == 42.0)
+
+    // ridge at lambda=0 recovers the exact plane
+    Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 3L))
+      .map { case (a, b) => ("g", a, b, 3 + 2 * a + 5 * b) }
+      .toDF("grp", "x1", "x2", "y").createOrReplaceTempView("s17r")
+    spark.sql("CREATE TABLE llm17.G.R AS SELECT * FROM s17r")
+    val ri = spark.sql("CALL llm17.system.ridge(table => 'G.R', " +
+      "group_col => 'grp', x1_col => 'x1', x2_col => 'x2', " +
+      "y_col => 'y', lambda => 0.0)").head
+    assert(math.abs(ri.getDouble(2) - 3.0) < 1e-9 &&
+      math.abs(ri.getDouble(3) - 2.0) < 1e-9 &&
+      math.abs(ri.getDouble(4) - 5.0) < 1e-9)
+
+    // coverage: [1,3)+[3,5) merge, [7,9) separate -> 2 islands, 6 covered
+    Seq(("u", 1L, 3L), ("u", 3L, 5L), ("u", 7L, 9L)).toDF("grp", "s", "e")
+      .createOrReplaceTempView("s17i")
+    spark.sql("CREATE TABLE llm17.G.I AS SELECT * FROM s17i")
+    val cv = spark.sql("CALL llm17.system.coverage(table => 'G.I', " +
+      "group_col => 'grp', start_col => 's', end_col => 'e')").head
+    assert(cv.getString(0) == "u" && cv.getLong(1) == 2 &&
+      cv.getLong(2) == 6 && cv.getLong(3) == 2)
+  }
+
   test("eval procedures: mutual_info/wasserstein/auc/calibration/" +
       "markov_stationary/label_propagate from SQL (r10)") {
     import spark.implicits._
