@@ -3910,6 +3910,29 @@ object Queries {
       .orderBy(col("host"), col("path"))
   }
 
+  /** Grid-density clustering (X146): embeddings projected to their first
+    * two scaled dimensions, clustered by dense 500-cell grid regions
+    * ([[operators.Clustering.gridDensity]]) — cells-domain work + star
+    * contraction where exact DBSCAN would need a quadratic ε-join; the
+    * oracle replays the dense-cell graph through a recursive CTE.
+    */
+  def q182GridCluster(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      floor(lit(1e4) * element_at(col("embedding"), 1).cast("double"))
+        .cast("long").as("x"),
+      floor(lit(1e4) * element_at(col("embedding"), 2).cast("double"))
+        .cast("long").as("y"))
+    operators.Clustering.gridDensity(e, "vec_id", "x", "y",
+        cellSize = 500L, minPts = 3L)
+      .filter(col("cluster").isNotNull)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_pts"), min(col("vec_id")).as("min_id"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(desc("n_pts"), col("cluster"))
+      .limit(15)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4091,7 +4114,8 @@ object Queries {
     "q178_pareto" -> (q178Pareto _),
     "q179_ridge" -> (q179Ridge _),
     "q180_g711_roundtrip" -> (q180G711Roundtrip _),
-    "q181_robots_gate" -> (q181RobotsGate _)
+    "q181_robots_gate" -> (q181RobotsGate _),
+    "q182_grid_cluster" -> (q182GridCluster _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7380,4 +7404,34 @@ object Queries {
         |  CASE WHEN hit THEN allow ELSE TRUE END AS allowed,
         |  CASE WHEN hit THEN rule_path END AS matched_rule
         |FROM rk WHERE rn = 1 ORDER BY host, path""".stripMargin)
+    // same packed cell keys, dense-cell 8-adjacency replayed through a
+    // recursive min-label CTE (the starComponents contract)
+    .updated("q182_grid_cluster",
+      """WITH RECURSIVE p AS (SELECT vec_id,
+        |    CAST(FLOOR(1e4 * CAST(embedding[1] AS DOUBLE)) AS BIGINT) AS x,
+        |    CAST(FLOOR(1e4 * CAST(embedding[2] AS DOUBLE)) AS BIGINT) AS y
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, x, y,
+        |    ((x - ((x % 500 + 500) % 500)) // 500 + 1048576) * 2097152 +
+        |    ((y - ((y % 500 + 500) % 500)) // 500 + 1048576) AS ck
+        |  FROM p),
+        |dense AS (SELECT ck FROM c GROUP BY ck HAVING COUNT(*) >= 3),
+        |e AS (SELECT d.ck AS a, d.ck + o.dx * 2097152 + o.dy AS b
+        |  FROM dense d, (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+        |    (0, 1), (1, -1), (1, 0), (1, 1)) AS o(dx, dy)
+        |  WHERE d.ck + o.dx * 2097152 + o.dy IN (SELECT ck FROM dense)),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach AS (SELECT a AS id, a AS comp FROM und
+        |  UNION
+        |  SELECT u.b, r.comp FROM und u JOIN reach r ON u.a = r.id),
+        |cmp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+        |lab AS (SELECT d.ck, COALESCE(cmp.comp, d.ck) AS cluster
+        |  FROM dense d LEFT JOIN cmp ON cmp.id = d.ck),
+        |pts AS (SELECT c.vec_id, c.x, c.y, lab.cluster
+        |  FROM c JOIN lab ON c.ck = lab.ck)
+        |SELECT cluster, COUNT(*) AS n_pts, MIN(vec_id) AS min_id,
+        |  MIN(x) AS x_min, MAX(x) AS x_max,
+        |  MIN(y) AS y_min, MAX(y) AS y_max
+        |FROM pts GROUP BY cluster
+        |ORDER BY n_pts DESC, cluster LIMIT 15""".stripMargin)
 }
