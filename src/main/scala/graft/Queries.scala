@@ -3933,6 +3933,26 @@ object Queries {
       .limit(15)
   }
 
+  /** A-Priori frequent brand triples (X147): customers' brand baskets
+    * mined for 3-itemsets at 12% support
+    * ([[operators.Itemsets.frequentTriples]]) — the tier beyond q132's
+    * pair lift, where downward-closure pruning replaces k³ enumeration.
+    * The threshold derives from the basket count in-query on BOTH
+    * engines, so the same query certifies at every scale factor.
+    */
+  def q183FrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+    val nBaskets = baskets.select(col("cust")).distinct().count()
+    val minSup = math.max(1L, nBaskets * 12L / 100L)
+    operators.Itemsets.frequentTriples(baskets, "cust", "brand", minSup)
+      .orderBy(desc("support"), col("item_a"), col("item_b"), col("item_c"))
+      .limit(30)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4115,7 +4135,8 @@ object Queries {
     "q179_ridge" -> (q179Ridge _),
     "q180_g711_roundtrip" -> (q180G711Roundtrip _),
     "q181_robots_gate" -> (q181RobotsGate _),
-    "q182_grid_cluster" -> (q182GridCluster _)
+    "q182_grid_cluster" -> (q182GridCluster _),
+    "q183_frequent_triples" -> (q183FrequentTriples _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7434,4 +7455,22 @@ object Queries {
         |  MIN(y) AS y_min, MAX(y) AS y_max
         |FROM pts GROUP BY cluster
         |ORDER BY n_pts DESC, cluster LIMIT 15""".stripMargin)
+    // same A-Priori semantics by brute enumeration + HAVING (the oracle
+    // can afford k^3; the engine must not)
+    .updated("q183_frequent_triples",
+      """WITH bk AS (SELECT DISTINCT o_custkey AS cust, p_brand AS brand
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT COUNT(DISTINCT cust) AS nb FROM bk),
+        |thr AS (SELECT GREATEST(1, nb * 12 // 100) AS s FROM n),
+        |t3 AS (SELECT a.brand AS item_a, b.brand AS item_b,
+        |    c.brand AS item_c, COUNT(*) AS support
+        |  FROM bk a
+        |  JOIN bk b ON a.cust = b.cust AND a.brand < b.brand
+        |  JOIN bk c ON b.cust = c.cust AND b.brand < c.brand
+        |  GROUP BY 1, 2, 3)
+        |SELECT item_a, item_b, item_c, support
+        |FROM t3, thr WHERE support >= thr.s
+        |ORDER BY support DESC, item_a, item_b, item_c LIMIT 30""".stripMargin)
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A-Priori frequent-itemset mining, specialized to the 3-itemset tier
+  * (1- and 2-itemsets are q06/q132-style grouped counts; triples are
+  * where naive enumeration explodes and the A-Priori downward-closure
+  * prune earns its keep): a triple can only be frequent if ALL THREE of
+  * its pairs are, so baskets enumerate only pair-supported triples.
+  *
+  * Scale shape: items below support leave before any pair work
+  * (broadcast semi-join); frequent pairs are a within-basket self-join
+  * with map-side combine; candidate triples join F2⋈F2 on the leading
+  * item with the third pair checked by one more semi-join — all
+  * item-domain-sized. The basket-level triple count enumerates a<b<c
+  * only over PAIR-FREQUENT in-basket pairs, the classical candidate
+  * restriction. `maxBasketItems` hard-bounds the per-basket fanout (a
+  * pathological mega-basket contributes k³ triples; route it to review
+  * instead of letting it dominate a stage).
+  */
+object Itemsets {
+
+  /** Frequent triples with absolute support `minSupport`: one row per
+    * (item_a < item_b < item_c) with `support` ≥ minSupport.
+    */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+                      minSupport: Long, maxBasketItems: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport")
+    val baskets = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val f1 = baskets.groupBy(col("i")).agg(count(lit(1)).as("_s"))
+      .filter(col("_s") >= minSupport).select(col("i"))
+    val pruned = baskets.join(broadcast(f1), Seq("i"))
+      .select(col("b"), col("i"))
+    val small = pruned.groupBy(col("b")).agg(count(lit(1)).as("_k"))
+      .filter(col("_k") <= maxBasketItems).select(col("b"))
+    val kept = pruned.join(small, Seq("b"))
+    // frequent pairs within baskets
+    val pairs = kept.as("x").join(kept.as("y"), expr("x.b = y.b AND x.i < y.i"))
+      .select(expr("x.b").as("b"), expr("x.i").as("p"), expr("y.i").as("q"))
+    val f2 = pairs.groupBy(col("p"), col("q")).agg(count(lit(1)).as("_s"))
+      .filter(col("_s") >= minSupport).select(col("p"), col("q"))
+    // per-basket triples over pair-frequent in-basket pairs: (a,b) and
+    // (a,c) frequent with b < c, and (b,c) frequent (downward closure)
+    val bp = pairs.join(broadcast(f2), Seq("p", "q"))
+    val tri = bp.as("u").join(bp.as("v"),
+        expr("u.b = v.b AND u.p = v.p AND u.q < v.q"))
+      .select(expr("u.b").as("b"), expr("u.p").as("a"),
+        expr("u.q").as("bb"), expr("v.q").as("c"))
+      .join(broadcast(f2.select(col("p").as("bb"), col("q").as("c"))),
+        Seq("bb", "c"))
+    tri.groupBy(col("a").as("item_a"), col("bb").as("item_b"),
+        col("c").as("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+}
