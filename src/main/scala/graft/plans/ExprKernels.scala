@@ -615,4 +615,63 @@ object ExprKernels {
     }
     InternalRow(n, counts.size, java.lang.Math.log(n.toDouble) - slc / n)
   }
+
+  /** Jaro-Winkler similarity — the record-linkage string metric that
+    * weights agreeing prefixes (names/titles misspell at the END far
+    * more often than the start). Standard formulation (the
+    * RapidFuzz/Winkler convention, which ANSI engines with a built-in
+    * `jaro_winkler_similarity` follow): match window
+    * `max(|a|,|b|)/2 − 1`, transpositions = half the out-of-order
+    * matches, prefix bonus `ℓ·0.1·(1−jaro)` with ℓ ≤ 4 applied only
+    * when jaro > 0.7. Both empty → 1; one empty → 0. Char-exact
+    * (case-sensitive), UTF-16 code units (the same unit the engines
+    * compare).
+    */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString; val b = ub.toString
+    val la = a.length; val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = java.lang.Math.max(0, java.lang.Math.max(la, lb) / 2 - 1)
+    val am = new Array[Boolean](la)
+    val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = java.lang.Math.max(0, i - window)
+      val hi = java.lang.Math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+          am(i) = true; bm(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars of a vs matched chars of b, in order
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (am(i)) {
+        while (!bm(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    // the original strcmp95 (and the engines that descend from it)
+    // halves the raw mismatch count with INTEGER division — an odd
+    // count floors, it does not contribute 0.5
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = java.lang.Math.min(4, java.lang.Math.min(la, lb))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
 }

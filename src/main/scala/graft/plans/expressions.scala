@@ -67,6 +67,22 @@ object expressions {
     override def prettyName: String = "cosine_similarity"
   }
 
+  /** Jaro-Winkler similarity of two strings — the record-linkage metric
+    * ([[ExprKernels.jaroWinkler]]); fused, codegen'd, no UDF boxing.
+    */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      ExprKernels.jaroWinkler(l.asInstanceOf[UTF8String],
+        r.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.jaroWinkler($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "jaro_winkler"
+  }
+
   /** Dot product against a constant query vector (broadcast as a literal
     * reference object) — the ANN scoring hot loop.
     */
@@ -489,6 +505,8 @@ object expressions {
     col(LangId(ex(c), en, de, fr, es))
   def cosineSimilarity(a: Column, b: Column): Column =
     col(CosineSimilarity(ex(a), ex(b)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    col(JaroWinkler(ex(a), ex(b)))
   def dotConst(c: Column, q: Array[Double]): Column = col(DotConst(ex(c), q))
   def randomProject(c: Column, masks: Array[Long]): Column =
     col(RandomProject(ex(c), masks))

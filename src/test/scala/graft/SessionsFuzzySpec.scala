@@ -99,4 +99,38 @@ class SessionsFuzzySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Timeseries.cusumChangePoint(df, Seq.empty, "x", "v"))
   }
+
+  // ---- jaroWinkler -------------------------------------------------------
+
+  private def jw(a: String, b: String): Double =
+    graft.plans.ExprKernels.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("jaroWinkler: the textbook Winkler vectors") {
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-10)
+  }
+
+  test("jaroWinkler: identity, disjoint, empties, boost threshold") {
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    assert(jw("", "") == 1.0 && jw("a", "") == 0.0)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply:
+    // jaro("ab", "ax") = (1/2 + 1/2 + 1)/3 = 2/3 exactly
+    assert(math.abs(jw("ab", "ax") - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("jwJoin: blocked candidates only, threshold applied, codegen path") {
+    val left = Seq(("1", "martha"), ("2", "dwayne"), ("3", "zzz"))
+      .toDF("id", "s")
+    val right = Seq(("a", "marhta"), ("b", "duane"), ("c", "zzzzzzzzzzzz"))
+      .toDF("id", "s")
+    val out = FuzzyText.jwJoin(left, "id", "s", right, "id", "s",
+        minSim = 0.8).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // zzz vs zzzzzzzzzzzz is outside the length band despite high JW
+    assert(out == Set(("1", "a"), ("2", "b")))
+  }
 }
