@@ -4011,6 +4011,28 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Grid-blocked spatial within-radius self-join (X150): embedding
+    * dims 3/4 as scaled planar coordinates, all pairs within 300
+    * ([[operators.Spatial.withinRadiusJoin]]) — complete-recall cell
+    * blocking (a pair within r never spans beyond adjacent cells)
+    * proved against the oracle's brute-force O(n²) distance filter.
+    */
+  def q186SpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "embeddings").select(col("vec_id"),
+      floor(lit(1e4) * element_at(col("embedding"), 3).cast("double"))
+        .cast("long").as("x"),
+      floor(lit(1e4) * element_at(col("embedding"), 4).cast("double"))
+        .cast("long").as("y"))
+    operators.Spatial.withinRadiusJoin(pts, "vec_id", pts, "vec_id",
+        "x", "y", radius = 300L)
+      .filter(col("l_id") < col("r_id"))
+      .groupBy((col("l_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dist2")).as("sum_dist2"),
+        countDistinct(col("l_id")).as("n_left"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4196,7 +4218,8 @@ object Queries {
     "q182_grid_cluster" -> (q182GridCluster _),
     "q183_frequent_triples" -> (q183FrequentTriples _),
     "q184_cdc_chunks" -> (q184CdcChunks _),
-    "q185_jaro_winkler" -> (q185JaroWinkler _)
+    "q185_jaro_winkler" -> (q185JaroWinkler _),
+    "q186_spatial_join" -> (q186SpatialJoin _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7585,4 +7608,20 @@ object Queries {
         |    AS sim_micro_sum
         |FROM c WHERE sim >= 0.9
         |GROUP BY 1 ORDER BY bucket""".stripMargin)
+    // brute-force O(n^2) distance filter: the semantics the cell
+    // blocking must reproduce with zero recall loss
+    .updated("q186_spatial_join",
+      """WITH p AS (SELECT vec_id,
+        |    CAST(FLOOR(1e4 * CAST(embedding[3] AS DOUBLE)) AS BIGINT) AS x,
+        |    CAST(FLOOR(1e4 * CAST(embedding[4] AS DOUBLE)) AS BIGINT) AS y
+        |  FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS l_id, b.vec_id AS r_id,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |  WHERE (a.x - b.x) * (a.x - b.x) +
+        |    (a.y - b.y) * (a.y - b.y) <= 90000)
+        |SELECT l_id % 10 AS bucket, COUNT(*) AS n_pairs,
+        |  CAST(SUM(d2) AS BIGINT) AS sum_dist2,
+        |  CAST(COUNT(DISTINCT l_id) AS BIGINT) AS n_left
+        |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin)
 }
