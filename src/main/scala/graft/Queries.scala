@@ -3954,7 +3954,9 @@ object Queries {
   }
 
   /** Content-defined chunking (X148): documents split at content-local
-    * md5 gap boundaries ([[functions.TextFunctions.chunkContentDefined]],
+    * md5 gap boundaries ([[operators.CdcChunk.chunks]] — the relational
+    * corpus form; the array Column form is
+    * [[functions.TextFunctions.chunkContentDefined]], parity-pinned —
     * avg 16 tokens) — the insertion-resilient chunking that chunk-hash
     * dedup needs (fixed windows shift wholesale). Distinct-chunk counts
     * expose cross-document chunk reuse; the checksum pins every chunk
@@ -3962,11 +3964,7 @@ object Queries {
     */
   def q184CdcChunks(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(col("text").isNotNull)
-    d.select(col("doc_id"), col("lang"),
-        explode(functions.TextFunctions.chunkContentDefined(col("text"), 16))
-          .as("c"))
-      .select(col("doc_id"), col("lang"),
-        col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+    operators.CdcChunk.chunks(d, Seq("doc_id", "lang"), "text", 16)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("chunk")).as("n_distinct"),

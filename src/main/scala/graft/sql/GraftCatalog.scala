@@ -304,6 +304,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "mutual_info", "wasserstein", "auc", "calibration",
           "markov_stationary", "label_propagate",
           "welch_t", "moments", "bootstrap_ci", "ridge", "coverage",
+          "pareto", "frequent_triples",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -369,6 +370,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "bootstrap_ci" => new BootstrapCiProcedure
       case "ridge" => new RidgeProcedure
       case "coverage" => new CoverageProcedure
+      case "pareto" => new ParetoProcedure
+      case "frequent_triples" => new FrequentTriplesProcedure
       case "auc" => new AucProcedure
       case "calibration" => new CalibrationProcedure
       case "markov_stationary" => new MarkovStationaryProcedure
@@ -2523,6 +2526,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.unsafe.types.UTF8String.fromString(
             String.valueOf(r.get(0))),
           r.get(1), r.get(2), r.get(3))))
+    }
+  }
+
+  private final class ParetoProcedure extends MaintenanceProcedure {
+    override def name(): String = "pareto"
+    override def description(): String =
+      "2-D Pareto frontier (both dimensions maximized) over " +
+        "integer-valued columns; returns the undominated (x, y) points " +
+        "— frontier-sized by construction"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("x_col", StringType).build(),
+        procedures.ProcedureParameter.in("y_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val xc = input.getUTF8String(1).toString
+      val yc = input.getUTF8String(2).toString
+      val rows = graft.operators.Selection.paretoFront(
+          table(id).read.select(col(xc).cast("long").as("x"),
+            col(yc).cast("long").as("y")), "x", "y")
+        .orderBy(desc("x"), col("y")).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("x", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("y", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1))))
+    }
+  }
+
+  private final class FrequentTriplesProcedure extends MaintenanceProcedure {
+    override def name(): String = "frequent_triples"
+    override def description(): String =
+      "A-Priori frequent 3-itemsets over (basket, item) rows at an " +
+        "absolute support; returns (item_a, item_b, item_c, support)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("basket_col", StringType).build(),
+        procedures.ProcedureParameter.in("item_col", StringType).build(),
+        procedures.ProcedureParameter.in("min_support",
+          org.apache.spark.sql.types.LongType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Itemsets.frequentTriples(table(id).read,
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+          input.getLong(3))
+        .orderBy(desc("support"), col("item_a"), col("item_b"),
+          col("item_c"))
+        .collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("item_a", StringType, nullable = true),
+          StructField("item_b", StringType, nullable = true),
+          StructField("item_c", StringType, nullable = true),
+          StructField("support", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(1))),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(2))),
+          r.get(3))))
     }
   }
 

@@ -49,6 +49,21 @@ class ChunkingSpec extends AnyFunSuite {
     assert(math.abs(n.toDouble / k4 - 4) < 4, s"avg ${n.toDouble / k4}")
   }
 
+  test("relational CdcChunk.chunks equals the array form on a corpus") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 30 + i).map(j => s"t${(i * j) % 83}").mkString(" ")))
+      .toDF("id", "text")
+    val viaArray = docs.select(col("id"),
+        explode(TextFunctions.chunkContentDefined(col("text"), 8)).as("c"))
+      .select(col("id"), col("c.chunk_id"), col("c.chunk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    val viaRel = graft.operators.CdcChunk.chunks(docs, Seq("id"), "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        r.getAs[String]("chunk")).toMap
+    assert(viaRel == viaArray)
+  }
+
   test("single-token, empty, and null texts behave") {
     assert(chunks("solo") == Seq((0, "solo")))
     assert(chunks("") == Seq.empty)

@@ -425,6 +425,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("count(1) windowspecdefinition"), "unbounded bucket count window leaked")
   }
 
+  test("q176 bootstrap: the md5 draw is evaluated ONCE per exploded row") {
+    // conditionals defeat codegen CSE: if the draw inlines into the
+    // inverse-CDF terms the plan re-hashes up to 10x per row (the
+    // measured 49 s -> 3 s regression this pins)
+    val p = planOf("q176_bootstrap_ci")
+    assert("md5".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q178 pareto: one window, no cartesian/dominance join") {
+    val p = planOf("q178_pareto")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Window".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q186 spatial join: equi-join on the cell key, never a cross join") {
+    val p = planOf("q186_spatial_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q183 triples: frequent-set prunes run as broadcast/semi joins") {
+    val p = planOf("q183_frequent_triples")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q181 robots gate: rule side broadcasts; URL side never all-pairs") {
+    val p = planOf("q181_robots_gate")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("kmv sketch build: rank filter runs as WindowGroupLimit before the shuffle") {
     import org.apache.spark.sql.functions._
     val ev = Tables(spark, dir, "events")

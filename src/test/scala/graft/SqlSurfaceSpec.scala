@@ -1345,6 +1345,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
       math.abs(ri.getDouble(3) - 2.0) < 1e-9 &&
       math.abs(ri.getDouble(4) - 5.0) < 1e-9)
 
+    // pareto: staircase survives
+    Seq((1L, 9L), (5L, 5L), (9L, 1L), (4L, 4L)).toDF("x", "y")
+      .createOrReplaceTempView("s17p")
+    spark.sql("CREATE TABLE llm17.G.P AS SELECT * FROM s17p")
+    val pf = spark.sql("CALL llm17.system.pareto(table => 'G.P', " +
+      "x_col => 'x', y_col => 'y')").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf == Set((1L, 9L), (5L, 5L), (9L, 1L)))
+
+    // frequent_triples: the ItemsetsSpec hand case
+    Seq(("b1", "x"), ("b1", "y"), ("b1", "z"), ("b2", "x"), ("b2", "y"),
+      ("b2", "z"), ("b3", "x"), ("b3", "y")).toDF("bk", "it")
+      .createOrReplaceTempView("s17t")
+    spark.sql("CREATE TABLE llm17.G.T3 AS SELECT * FROM s17t")
+    val tr = spark.sql("CALL llm17.system.frequent_triples(" +
+      "table => 'G.T3', basket_col => 'bk', item_col => 'it', " +
+      "min_support => 2)").collect()
+    assert(tr.length == 1)
+    assert((tr.head.getString(0), tr.head.getString(1),
+      tr.head.getString(2), tr.head.getLong(3)) == (("x", "y", "z", 2L)))
+
     // coverage: [1,3)+[3,5) merge, [7,9) separate -> 2 islands, 6 covered
     Seq(("u", 1L, 3L), ("u", 3L, 5L), ("u", 7L, 9L)).toDF("grp", "s", "e")
       .createOrReplaceTempView("s17i")
