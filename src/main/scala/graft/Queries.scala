@@ -4031,6 +4031,68 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  private val q187Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Web-corpus pipeline end-to-end (X136+X137+X148 composed): pages are
+    * BUILT (q173's hostile HTML), SHIPPED as gzipped WARC archives
+    * (q172's container), PARSED back, text-EXTRACTED (htmlToText), and
+    * content-defined CHUNKED (CdcChunk) — one query through the whole
+    * ingestion chain. The oracle rebuilds the page and replays
+    * extraction + chunking in SQL; the WARC leg must be the identity it
+    * proved in q172.
+    */
+  def q187WebPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p {margin:0; color:#aaa}</style>" +
+        "<script type=\"text/javascript\">if (1<2) { x = \"<p>\"; }" +
+        "</script></head><body><h1 class=\"t\">Doc "), id,
+      lit("</h1><!-- hidden <b>comment</b> --><p>"), esc,
+      lit("</p><div id=\"f\">footer &amp;copy; &lt;graft&gt; " +
+        "&#39;v1&#39;&nbsp;end</div></body></html>"))
+    val root = q187Runs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("q187_web").toString
+      val staged = d.select(
+        concat(lit("https://corpus.example/"), col("lang"), lit("/"),
+          id).as("uri"),
+        lit("text/html").as("content_type"),
+        html.cast("binary").as("payload"))
+      sources.Warc.write(staged.repartition(8), tmp, gzip = true)
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+        catch { case _: Throwable => () }
+      }
+      tmp
+    })
+    val extracted = sources.Warc.read(s, root)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(
+        regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("target_uri"),
+          "^https://corpus\\.example/([a-z]+)/", 1).as("lang"),
+        functions.TextFunctions.htmlToText(col("body").cast("string"))
+          .as("xt"))
+    val perLang = extracted.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("xt")).cast("long")).as("sum_len"),
+        sum(conv(substring(md5(col("xt")), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("text_checksum"))
+    val chunks = operators.CdcChunk
+      .chunks(extracted.withColumnRenamed("xt", "text"),
+        Seq("doc_id", "lang"), "text", 16)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk")).as("n_distinct_chunks"))
+    perLang.join(chunks, Seq("lang")).orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4217,7 +4279,8 @@ object Queries {
     "q183_frequent_triples" -> (q183FrequentTriples _),
     "q184_cdc_chunks" -> (q184CdcChunks _),
     "q185_jaro_winkler" -> (q185JaroWinkler _),
-    "q186_spatial_join" -> (q186SpatialJoin _)
+    "q186_spatial_join" -> (q186SpatialJoin _),
+    "q187_web_pipeline" -> (q187WebPipeline _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7622,4 +7685,48 @@ object Queries {
         |  CAST(SUM(d2) AS BIGINT) AS sum_dist2,
         |  CAST(COUNT(DISTINCT l_id) AS BIGINT) AS n_left
         |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin)
+    // page build + RE2 extraction + chunk replay, composed; the WARC
+    // leg is the identity q172 proved
+    .updated("q187_web_pipeline",
+      s"""WITH h AS (SELECT doc_id, lang,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>p {margin:0; color:#aaa}</style><script type="text/javascript">if (1<2) { x = "<p>"; }</script></head><body><h1 class="t">Doc ' ||
+        |  CAST(doc_id AS VARCHAR) ||
+        |  '</h1><!-- hidden <b>comment</b> --><p>' ||
+        |  replace(replace(replace(text, '&', '&amp;'),
+        |    '<', '&lt;'), '>', '&gt;') ||
+        |  '</p><div id="f">footer &amp;copy; &lt;graft&gt; &#39;v1&#39;&nbsp;end</div></body></html>'
+        |    AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id, lang,
+        |  ${graft.functions.TextFunctions.htmlToTextSql("html")} AS xt
+        |  FROM h),
+        |pl AS (SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(length(xt)) AS BIGINT) AS sum_len,
+        |    CAST(SUM(CAST(('0x' || substr(md5(xt), 1, 15)) AS BIGINT)
+        |             % 1000000007) AS BIGINT) AS text_checksum
+        |  FROM x GROUP BY lang),
+        |dd AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(xt), '\\s+') AS a FROM x),
+        |tk AS (SELECT doc_id, lang, a,
+        |    unnest(range(1, len(a) + 1)) AS i FROM dd),
+        |fl AS (SELECT doc_id, lang, i, a[i] AS tok,
+        |    CASE WHEN i < len(a) AND
+        |      CAST(('0x' || substr(md5(a[i] || ':' || a[i + 1]), 1, 13))
+        |        AS BIGINT) % 16 = 0 THEN 1 ELSE 0 END AS f
+        |  FROM tk),
+        |ids AS (SELECT doc_id, lang, i, tok,
+        |    COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cid
+        |  FROM fl),
+        |ch AS (SELECT doc_id, lang, cid,
+        |    string_agg(tok, ' ' ORDER BY i) AS chunk
+        |  FROM ids GROUP BY 1, 2, 3),
+        |cl AS (SELECT lang, COUNT(*) AS n_chunks,
+        |    COUNT(DISTINCT chunk) AS n_distinct_chunks
+        |  FROM ch GROUP BY lang)
+        |SELECT pl.lang, pl.n_docs, pl.sum_len, pl.text_checksum,
+        |  cl.n_chunks, cl.n_distinct_chunks
+        |FROM pl JOIN cl USING (lang) ORDER BY lang""".stripMargin)
 }
