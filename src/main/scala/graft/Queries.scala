@@ -4093,6 +4093,45 @@ object Queries {
     perLang.join(chunks, Seq("lang")).orderBy(col("lang"))
   }
 
+  /** One-per-JVM q188 fixtures (q69 pattern). */
+  private val q188Tables = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Incrementally maintained Pareto frontier (X151): supplier (quantity,
+    * revenue) points arrive as four appends, each followed by a
+    * frontier+delta refresh ([[operators.IncrementalPareto]] — asserted
+    * delta-only, a rebuild is a bug); the maintained frontier must equal
+    * the from-scratch O(n²) dominance oracle over ALL points — the
+    * F(A∪B) = F(F(A)∪B) absorption law, checked end-to-end.
+    */
+  def q188IncrementalPareto(s: SparkSession, dir: String): DataFrame = {
+    val root = q188Tables.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q188_pareto").toString
+      val src = storage.VersionedTable(s, r + "/src")
+      val inc = operators.IncrementalPareto(s, src, r + "/front",
+        "l_suppkey", "x", "y")
+      val pts = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("x"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("y"))
+      (0 until 4).foreach { i =>
+        src.append(pts.filter(col("l_suppkey") % 4 === i))
+        val (applied, full) = inc.refresh()
+        require(applied == 1 && !full,
+          s"expected one insert-only delta refresh, got ($applied, $full)")
+      }
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    storage.VersionedTable(s, root + "/front").read
+      .select(col("l_suppkey"), col("x"), col("y"))
+      .orderBy(desc("x"), col("l_suppkey"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4280,7 +4319,8 @@ object Queries {
     "q184_cdc_chunks" -> (q184CdcChunks _),
     "q185_jaro_winkler" -> (q185JaroWinkler _),
     "q186_spatial_join" -> (q186SpatialJoin _),
-    "q187_web_pipeline" -> (q187WebPipeline _)
+    "q187_web_pipeline" -> (q187WebPipeline _),
+    "q188_incr_pareto" -> (q188IncrementalPareto _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7729,4 +7769,17 @@ object Queries {
         |SELECT pl.lang, pl.n_docs, pl.sum_len, pl.text_checksum,
         |  cl.n_chunks, cl.n_distinct_chunks
         |FROM pl JOIN cl USING (lang) ORDER BY lang""".stripMargin)
+    // the from-scratch dominance truth over ALL points (the maintained
+    // state reached it through four frontier+delta refreshes)
+    .updated("q188_incr_pareto",
+      """WITH p AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, x, y FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE q.x >= p.x AND q.y >= p.y
+        |    AND (q.x > p.x OR q.y > p.y))
+        |ORDER BY x DESC, l_suppkey""".stripMargin)
 }
