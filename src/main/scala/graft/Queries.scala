@@ -4132,6 +4132,24 @@ object Queries {
       .orderBy(desc("x"), col("l_suppkey"))
   }
 
+  /** Cross-correlation at signed lags (X152): daily click counts vs
+    * purchase counts at lags -2..2 ([[operators.Stats.crossCorr]]) — the
+    * lead-lag screen between two metrics ([[q146Autocorr]]'s machinery
+    * against a second series instead of the series' own past).
+    */
+  def q189CrossCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+      .withColumn("g", lit(1))
+    operators.Stats.crossCorr(daily, Seq("g"), "d", "x", "y",
+        Seq(-2, -1, 0, 1, 2))
+      .select(col("lag").as("lag_k"), col("n_pairs"),
+        round(col("ccf"), 6).as("ccf_r"))
+      .orderBy(col("lag_k"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4320,7 +4338,8 @@ object Queries {
     "q185_jaro_winkler" -> (q185JaroWinkler _),
     "q186_spatial_join" -> (q186SpatialJoin _),
     "q187_web_pipeline" -> (q187WebPipeline _),
-    "q188_incr_pareto" -> (q188IncrementalPareto _)
+    "q188_incr_pareto" -> (q188IncrementalPareto _),
+    "q189_cross_corr" -> (q189CrossCorr _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7782,4 +7801,33 @@ object Queries {
         |  WHERE q.x >= p.x AND q.y >= p.y
         |    AND (q.x > p.x OR q.y > p.y))
         |ORDER BY x DESC, l_suppkey""".stripMargin)
+    // the same signed-lag pairs via lag/lead windows + exact moments
+    .updated("q189_cross_corr",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS x,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT x,
+        |    lead(y, 2) OVER w AS m2, lead(y, 1) OVER w AS m1, y AS l0,
+        |    lag(y, 1) OVER w AS p1, lag(y, 2) OVER w AS p2
+        |  FROM daily WINDOW w AS (ORDER BY d)),
+        |p AS (SELECT -2 AS lag_k, x, m2 AS pv FROM l WHERE m2 IS NOT NULL
+        |  UNION ALL SELECT -1, x, m1 FROM l WHERE m1 IS NOT NULL
+        |  UNION ALL SELECT 0, x, l0 FROM l WHERE l0 IS NOT NULL
+        |  UNION ALL SELECT 1, x, p1 FROM l WHERE p1 IS NOT NULL
+        |  UNION ALL SELECT 2, x, p2 FROM l WHERE p2 IS NOT NULL),
+        |s AS (SELECT lag_k, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(pv) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*pv) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(pv*pv) AS DOUBLE) AS syy
+        |  FROM p GROUP BY 1),
+        |c AS (SELECT lag_k, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS dy FROM s)
+        |SELECT lag_k, n AS n_pairs,
+        |  round(CASE WHEN dx > 0 AND dy > 0
+        |    THEN num / sqrt(dx * dy) END, 6) AS ccf_r
+        |FROM c ORDER BY lag_k""".stripMargin)
 }

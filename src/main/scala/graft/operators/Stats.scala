@@ -713,6 +713,44 @@ object Stats {
       when(det =!= 0d, det2 / det).as("b2")): _*)
   }
 
+  /** Per-series CROSS-correlation between two integer-valued columns at
+    * the given SIGNED lags: Pearson of `(x_t, y_{t−lag})` — positive
+    * lags test "x follows y", negative "x leads y", lag 0 is plain
+    * contemporaneous correlation; the lead–lag screen ("do purchases
+    * trail clicks by two days?") that [[autocorr]] runs against a
+    * series' own past. One row per (series, lag): `lag, n_pairs, ccf`
+    * (null when either side is constant over the pair window).
+    * `orderCol` must be unique per series. Exactness and scale shape
+    * exactly as [[autocorr]]: ONE series-keyed window exchange computes
+    * every lag, one grouped moment aggregation finishes.
+    */
+  def crossCorr(df: DataFrame, seriesCols: Seq[String], orderCol: String,
+                xCol: String, yCol: String, lags: Seq[Int]): DataFrame = {
+    require(seriesCols.nonEmpty, "crossCorr requires series columns")
+    require(lags.nonEmpty, "crossCorr requires lags")
+    val keys = seriesCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+    val x = col(xCol); val y = col(yCol)
+    val lagged = df.filter(x.isNotNull)
+      .select(keys :+ x.as("_x") :+
+        array(lags.map(l =>
+          struct(lit(l).as("lag"), lag(y, l).over(w).as("_py"))): _*)
+          .as("_ls"): _*)
+      .select(keys :+ col("_x") :+ explode(col("_ls")).as("_e"): _*)
+      .select(keys :+ col("_e.lag").as("lag") :+ col("_x") :+
+        col("_e._py").as("_py"): _*)
+      .filter(col("_py").isNotNull)
+    val sums = lagged.groupBy(keys :+ col("lag"): _*)
+      .agg(momentAggs(col("_x"), col("_py")).head,
+        momentAggs(col("_x"), col("_py")).tail: _*)
+    covParts(sums)
+      .withColumn("ccf",
+        when(col("_dx") > 0d && col("_dy") > 0d,
+          col("_num") / sqrt(col("_dx") * col("_dy"))))
+      .select(keys ++ Seq(col("lag"), col("_n").as("n_pairs"),
+        col("ccf")): _*)
+  }
+
   /** Per-series autocorrelation at the given positive lags: Pearson of
     * `(v_t, v_{t−lag})` over the t where both exist. One row per
     * (series, lag): `lag, n_pairs, acf` (null acf when either slice is

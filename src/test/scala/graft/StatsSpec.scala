@@ -265,6 +265,32 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(out("n").getAs[Double]("skewness")) < 1e-12)
   }
 
+  // ---- crossCorr ---------------------------------------------------------
+
+  test("crossCorr: a 2-step trailing copy peaks at exactly lag -2") {
+    // y_t = x_{t-2}: pairs (x_t, y_{t-lag}) align perfectly at lag -2
+    def f(t: Int) = ((t * 37) % 11).toLong
+    val rows = (2 until 40).map(t => ("g", t, f(t), f(t - 2)))
+    val out = Stats.crossCorr(rows.toDF("k", "t", "x", "y"),
+        Seq("k"), "t", "x", "y", Seq(-2, -1, 0, 2))
+      .collect().map(r => r.getAs[Int]("lag") ->
+        Option(r.getAs[Any]("ccf")).map(_.asInstanceOf[Double])).toMap
+    assert(math.abs(out(-2).get - 1.0) < 1e-12)
+    assert(out(0).get < 0.999)
+  }
+
+  test("crossCorr: lag 0 equals pearson; constant side nulls") {
+    val rows = (0 until 20).map(t => ("g", t, t.toLong, (3 * t + 1).toLong))
+    val df = rows.toDF("k", "t", "x", "y")
+    val c0 = Stats.crossCorr(df, Seq("k"), "t", "x", "y", Seq(0))
+      .collect().head.getAs[Double]("ccf")
+    assert(math.abs(c0 - 1.0) < 1e-12) // perfectly linear
+    val const = (0 until 10).map(t => ("g", t, t.toLong, 5L))
+    val r = Stats.crossCorr(const.toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y", Seq(0)).collect().head
+    assert(r.isNullAt(r.fieldIndex("ccf")))
+  }
+
   // ---- ridgeFit ----------------------------------------------------------
 
   test("ridgeFit: lambda=0 recovers an exact planar relationship") {
