@@ -145,7 +145,8 @@ object Bench {
       "q106_incremental_components", "q112_incremental_overlap",
       "q115_incremental_card", "q116_jdbc_roundtrip", "q117_jdbc_ingest",
       "q118_orc_roundtrip", "q119_sharded_export", "q121_jdbc_ts_ingest",
-      "q131_incremental_triangles", "q137_version_diff")
+      "q131_incremental_triangles", "q137_version_diff",
+      "q172_warc_roundtrip", "q187_web_pipeline", "q188_incr_pareto")
     val builds: Seq[(String, Double)] = Queries.all
       .filter { case (name, _) =>
         stateful.contains(name) && only.forall(_.contains(name)) }
