@@ -2715,9 +2715,13 @@ object Queries {
     val ord = t(s, dir, "orders")
     val root = q121Runs.getOrElseUpdate(dir, {
       val r = java.nio.file.Files.createTempDirectory("q121_ingest").toString
+      // o_orderdate is zone-free (parquet TIMESTAMP_NTZ): the pull must
+      // read Derby's TIMESTAMP back as NTZ or the roundtrip silently
+      // retypes the column to session-zoned TIMESTAMP (r10's one red row)
       val wh = new sources.JdbcWarehouse(s, sources.JdbcProfile(
         url = s"jdbc:derby:memory:graft_q121_${math.abs(dir.hashCode)};create=true",
-        driver = Some("org.apache.derby.jdbc.EmbeddedDriver")))
+        driver = Some("org.apache.derby.jdbc.EmbeddedDriver"),
+        preferTimestampNTZ = true))
       wh.dropTable("orders")
       val target = storage.VersionedTable(s, s"$r/t")
       // split at the midpoint of the date range: batch 2 is strictly
@@ -3680,7 +3684,10 @@ object Queries {
     val d = t(s, dir, "documents")
     val root = q172Runs.getOrElseUpdate(dir, {
       val tmp = java.nio.file.Files.createTempDirectory("q172_warc").toString
-      val staged = d.select(
+      // NULL text must not stage: the sink would serialize it as an empty
+      // body whose md5('') contributes to text_checksum, while the
+      // oracle's SUM over md5(text) skips NULL rows (q184 posture)
+      val staged = d.filter(col("text").isNotNull).select(
         concat(lit("https://corpus.example/"), col("lang"), lit("/"),
           col("doc_id").cast("string")).as("uri"),
         lit("text/plain").as("content_type"),
@@ -4056,7 +4063,9 @@ object Queries {
         "&#39;v1&#39;&nbsp;end</div></body></html>"))
     val root = q187Runs.getOrElseUpdate(dir, {
       val tmp = java.nio.file.Files.createTempDirectory("q187_web").toString
-      val staged = d.select(
+      // NULL text would embed as an empty <p></p> page the oracle's
+      // NULL-skipping SUM never sees — filter it out up front (q184 posture)
+      val staged = d.filter(col("text").isNotNull).select(
         concat(lit("https://corpus.example/"), col("lang"), lit("/"),
           id).as("uri"),
         lit("text/html").as("content_type"),
@@ -7350,7 +7359,8 @@ object Queries {
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
         |           % 1000000007) AS BIGINT) AS text_checksum
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin)
     // the oracle rebuilds the same page and runs the SAME RE2 chain
     // (TextFunctions.htmlToTextSql keeps the two texts in lockstep)
     .updated("q173_html_extract",
@@ -7659,7 +7669,11 @@ object Queries {
         |FROM pts GROUP BY cluster
         |ORDER BY n_pts DESC, cluster LIMIT 15""".stripMargin)
     // same A-Priori semantics by brute enumeration + HAVING (the oracle
-    // can afford k^3; the engine must not)
+    // can afford k^3; the engine must not). The oracle has NO basket cap:
+    // the engine's maxBasketItems=1000 can never bite here because a
+    // basket's items are distinct p_brand values (TPC-H domain: 25), so
+    // the two supports agree at every scale — data with >1000-item
+    // baskets must mine with Itemsets.cappedBaskets audited first
     .updated("q183_frequent_triples",
       """WITH bk AS (SELECT DISTINCT o_custkey AS cust, p_brand AS brand
         |  FROM lineitem
@@ -7756,7 +7770,7 @@ object Queries {
         |    '<', '&lt;'), '>', '&gt;') ||
         |  '</p><div id="f">footer &amp;copy; &lt;graft&gt; &#39;v1&#39;&nbsp;end</div></body></html>'
         |    AS html
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |x AS (SELECT doc_id, lang,
         |  ${graft.functions.TextFunctions.htmlToTextSql("html")} AS xt
         |  FROM h),

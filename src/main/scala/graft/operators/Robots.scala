@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * `$` pattern rules are dropped at parse time into a `n_wildcard`
   * audit count rather than half-honored (RFC 9309 allows ignoring
   * patterns, but silently treating them as literals would misdecide).
-  * Group selection matches `userAgent` or `*`, case-insensitive,
-  * first-listed-group-wins per RFC when both match.
+  * Group selection matches `userAgent` or `*`, case-insensitive; when
+  * the file lists SEVERAL groups at the winning specificity their rules
+  * MERGE (RFC 9309 §2.2.1 — crawlers must combine split groups), and
+  * blank lines are insignificant (they do not close a group: rules
+  * after a blank line still belong to the open group).
   *
   * Scale shape: rules are host-keyed and tiny relative to URLs; the
   * gate is ONE equi-join on host (AQE broadcasts the rule side) with a
@@ -75,13 +78,19 @@ object Robots {
               } else curRules :+= ((value, field == "allow"))
             case _ => () // crawl-delay, sitemap, unknown: ignored
           }
-        } else if (line.isEmpty && inRules) { flush(); inRules = false }
+        }
+        // blank lines are insignificant per RFC 9309 §2.2: only the next
+        // user-agent line (or EOF) closes a group — rules appearing after
+        // a blank line still belong to it
       }
       flush()
-      // RFC: the most specific matching group applies (exact UA beats *);
-      // among equals, the FIRST listed wins
-      val chosen = groups.sortBy(-_._1).headOption.map(_._2)
-        .getOrElse(Vector.empty)
+      // RFC 9309 §2.2.1: the most specific matching groups apply (exact
+      // UA beats *), and ALL groups at that specificity MERGE — a file
+      // that splits its rules across several `User-agent: x` groups must
+      // be enforced as their union, not just the first group
+      val winning = groups.map(_._1).maxOption.getOrElse(0)
+      val chosen = groups.collect { case (s, rs) if s == winning => rs }
+        .foldLeft(Vector.empty[(String, Boolean)])(_ ++ _)
       if (chosen.isEmpty)
         Seq((host, null.asInstanceOf[String], true, 0, nWildcard))
       else chosen.map { case (p, a) => (host, p, a, p.length, nWildcard) }

@@ -148,33 +148,34 @@ object Selection {
     * dimensions and > in at least one; exact duplicates of a frontier
     * point all survive (neither strictly improves the other).
     *
-    * One value-range window over x (integer-valued per the scaling
-    * contract — the frame offset is a VALUE offset), two frames:
-    * a row is on the frontier iff its y strictly exceeds the max y of
-    * every strictly-greater x (else that point dominates via x), and
-    * equals the max y of its own x tie-group (else a same-x point
-    * dominates via y). O(n log n) — never the O(n²) dominance join,
-    * which is what the oracle runs to prove this plan right.
+    * The input is first collapsed to the (x, max y) DOMAIN with an
+    * ordinary hash aggregation — only that pair decides the skyline —
+    * and the global window runs over the collapsed relation: a domain
+    * point is on the frontier iff its max-y strictly exceeds the running
+    * max-y of every strictly-greater x. Survivor rows come back via a
+    * semi-join on (x, y). O(n) shuffle + O(|x-domain| log) sort — never
+    * the O(n²) dominance join, which is what the oracle runs to prove
+    * this plan right.
     *
-    * Scale note: the window is GLOBAL over x (a skyline is a global
-    * property). The sort is the scalable kind (range-partitioned global
-    * sort, no single-executor window buffer issue since frames only
-    * look backward via running max) — but if the skyline input is
-    * row-scale rather than aggregate-scale, pre-aggregate to the
-    * (x, max y) domain first: `groupBy(x).agg(max(y))` collapses the
-    * sort input to the x-domain.
+    * Scale note: an unpartitioned window is AllTuples — Spark moves its
+    * whole input to ONE partition. That is exactly why the window here
+    * runs AFTER the groupBy(x) collapse: the single-partition buffer
+    * holds the x-domain (bounded by the integer-scaling contract), not
+    * the row-scale input, and the row-scale work is all hash-partitioned
+    * (the aggregate and the semi-join, whose frontier side AQE
+    * broadcasts).
     */
   def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol); val y = col(yCol)
-    val byXDesc = Window.orderBy(x.desc)
-    val maxYStrictlyRight = max(y)
-      .over(byXDesc.rangeBetween(Window.unboundedPreceding, -1))
-    val maxYSameX = max(y).over(byXDesc.rangeBetween(0, 0))
-    df.filter(x.isNotNull && y.isNotNull)
-      .withColumn("_my_right", maxYStrictlyRight)
-      .withColumn("_my_tie", maxYSameX)
-      .filter((col("_my_right").isNull || y > col("_my_right")) &&
-        y === col("_my_tie"))
-      .drop("_my_right", "_my_tie")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+    val dom = base.groupBy(x.as("_px")).agg(max(y).as("_py"))
+    // x values are distinct after the collapse, so a rows-frame is the
+    // strictly-greater-x range frame
+    val maxYRight = max(col("_py")).over(Window.orderBy(col("_px").desc)
+      .rowsBetween(Window.unboundedPreceding, -1))
+    val front = dom.withColumn("_mr", maxYRight)
+      .filter(col("_mr").isNull || col("_py") > col("_mr"))
+      .select(col("_px"), col("_py"))
+    base.join(front, x === col("_px") && y === col("_py"), "left_semi")
   }
 }

@@ -60,6 +60,11 @@ object JdbcIngest {
     def sqlLit(l: Long): String
     /** Partition bound for [[JdbcWarehouse.readTablePartitioned]]. */
     def boundStr(l: Long): String
+    /** Whether Spark's JDBC stride partitioner accepts the column type
+      * ("numeric, date, or timestamp"); types it rejects (TIMESTAMP_NTZ)
+      * fan out via explicit slice predicates instead.
+      */
+    def stridePartitionable: Boolean = true
   }
 
   private object IntegralWm extends WmCodec {
@@ -127,6 +132,7 @@ object JdbcIngest {
       s"{ts '${java.sql.Timestamp.valueOf(ldt(l))}'}"
     def boundStr(l: Long): String =
       java.sql.Timestamp.valueOf(ldt(l)).toString
+    override def stridePartitionable: Boolean = false
   }
 
   private def codecFor(v: Any): WmCodec = v match {
@@ -182,8 +188,23 @@ object JdbcIngest {
                 .collect().headOption.flatMap(r => Option(r.get(0)))
                 .map(codec.enc))
             lo match {
-              case Some(l) if l < h => wh.readTablePartitioned(
-                srcTable, watermarkCol, codec.boundStr(l), codec.boundStr(h), parts)
+              case Some(l) if l < h && codec.stridePartitionable =>
+                wh.readTablePartitioned(
+                  srcTable, watermarkCol, codec.boundStr(l), codec.boundStr(h), parts)
+              case Some(l) if l < h =>
+                // explicit disjoint slice predicates (TIMESTAMP_NTZ —
+                // Spark's stride partitioner rejects the type). Slice 0
+                // is lower-open on the first pull: `l` is then the
+                // server-side MIN, which itself must ingest.
+                val wq = wh.quoteCol(watermarkCol)
+                val cuts = (0 to parts).map(i => l + (h - l) * i / parts)
+                val preds = cuts.sliding(2).zipWithIndex.map {
+                  case (Seq(a, b), i) =>
+                    val hi = s"$wq <= ${codec.sqlLit(b)}"
+                    if (i == 0 && last.isEmpty) hi
+                    else s"$wq > ${codec.sqlLit(a)} AND $hi"
+                }.toSeq
+                wh.readTablePredicates(srcTable, preds)
               case _ => wh.readTable(srcTable) // degenerate 1-value window
             }
           }

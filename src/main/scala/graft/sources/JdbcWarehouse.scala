@@ -22,6 +22,19 @@ import org.apache.spark.sql.jdbc.JdbcDialects
   *   - `maxWritePartitions`: cap on concurrent writer connections — a
   *     1000-executor cluster must not open 1000 connections against one
   *     warehouse; the writer coalesces to this bound.
+  *   - `preferTimestampNTZ`: how reads interpret the warehouse's
+  *     TIMESTAMP columns. SQL TIMESTAMP (without time zone) is zone-FREE
+  *     on the JDBC wire, but Spark's JDBC reader maps it to the
+  *     session-zoned `TimestampType` unless this is set — so a
+  *     `TIMESTAMP_NTZ` DataFrame written with [[JdbcWarehouse.writeTable]]
+  *     reads back as LTZ by default and the roundtrip silently changes
+  *     the column's Spark type. Set `true` when the warehouse columns
+  *     are wall-clock timestamps (the reference's own shape:
+  *     loading_data_sp/function.py:41-52 watermarks on a zone-free
+  *     date). One profile reads every TIMESTAMP column the same way: a
+  *     source mixing zoned and zone-free columns in one table cannot be
+  *     round-tripped faithfully over JDBC at all (the wire erases the
+  *     distinction) — split it or carry zones in a separate column.
   */
 final case class JdbcProfile(
     url: String,
@@ -32,6 +45,7 @@ final case class JdbcProfile(
     fetchSize: Int = 10000,
     batchSize: Int = 10000,
     maxWritePartitions: Int = 16,
+    preferTimestampNTZ: Boolean = false,
     extraOptions: Map[String, String] = Map.empty)
 
 /** JDBC warehouse source/sink — the `jdbc()`-shaped facade that lets a
@@ -74,7 +88,8 @@ final class JdbcWarehouse(spark: SparkSession, profile: JdbcProfile) {
   def quoteCol(column: String): String = dialect.quoteIdentifier(column)
 
   private def baseOptions: Map[String, String] =
-    Map("url" -> profile.url, "fetchsize" -> profile.fetchSize.toString) ++
+    Map("url" -> profile.url, "fetchsize" -> profile.fetchSize.toString,
+        "preferTimestampNTZ" -> profile.preferTimestampNTZ.toString) ++
       profile.user.map("user" -> _) ++
       profile.password.map("password" -> _) ++
       profile.driver.map("driver" -> _) ++
@@ -114,6 +129,17 @@ final class JdbcWarehouse(spark: SparkSession, profile: JdbcProfile) {
       .option("upperBound", upper)
       .option("numPartitions", parts.toString)
       .load()
+
+  /** Predicate-partitioned parallel read: one connection per WHERE-clause
+    * predicate — the fan-out path for partition column types Spark's
+    * stride partitioner rejects (TIMESTAMP_NTZ). The predicates must
+    * cover the wanted rows disjointly; each becomes one task's scan.
+    */
+  def readTablePredicates(table: String, predicates: Seq[String]): DataFrame = {
+    val props = new java.util.Properties()
+    baseOptions.foreach { case (k, v) => props.setProperty(k, v) }
+    spark.read.jdbc(profile.url, qualify(table), predicates.toArray, props)
+  }
 
   /** Server-side query read: the statement runs in the warehouse and only
     * its result transfers (the push-a-whole-aggregation-down escape

@@ -96,6 +96,13 @@ object Warc {
     * Determinism: record ids are md5(uri) (id-pure — reruns and task
     * retries produce identical records) and `date` is caller-fixed, so
     * archives are byte-reproducible per (partitioning, row order).
+    *
+    * Task-commit protocol: each task writes to an `.inprogress` temp path
+    * (invisible to [[read]]'s `*.warc*` glob) and atomically renames on
+    * success — a speculative/retried attempt racing a still-running one
+    * can never interleave bytes into the same archive, the first rename
+    * wins and the loser deletes its temp, and a failed task leaves no
+    * truncated `part-NNNNN` behind for a later read to treat as data.
     */
   def write(df: DataFrame, dir: String, gzip: Boolean = true,
             date: String = "2026-01-01T00:00:00Z"): Unit = {
@@ -104,12 +111,16 @@ object Warc {
     val suffix = if (gzip) ".warc.gz" else ".warc"
     cols.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val conf = new org.apache.hadoop.conf.Configuration()
         val path = new org.apache.hadoop.fs.Path(
           dir, f"part-$pid%05d$suffix")
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir, f"part-$pid%05d-${tc.taskAttemptId()}.inprogress")
         val fs = path.getFileSystem(conf)
-        val out = new DataOutputStream(fs.create(path, true))
+        val out = new DataOutputStream(fs.create(tmp, true))
+        var ok = false
         try {
           // leading warcinfo record (spec convention: first record names
           // the archive)
@@ -132,7 +143,16 @@ object Warc {
               "application/http;msgtype=response", payload)
             out.write(if (gzip) gzipMember(rec) else rec)
           }
-        } finally out.close()
+          ok = true
+        } finally {
+          out.close()
+          if (ok) {
+            // commit: rename fails if a racing attempt already landed the
+            // final path — keep the winner's archive, drop this one
+            if (!fs.rename(tmp, path) && fs.exists(tmp))
+              fs.delete(tmp, false)
+          } else fs.delete(tmp, false)
+        }
       }
     }
   }

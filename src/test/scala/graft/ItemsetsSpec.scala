@@ -42,6 +42,32 @@ class ItemsetsSpec extends AnyFunSuite {
     assert(uncapped(("i1", "i2", "i3")) == 4L)
   }
 
+  test("cappedBaskets emits exactly the excluded baskets with their sizes") {
+    val big = Seq("huge1", "huge2")
+      .flatMap(b => (0 until 50).map(i => b -> s"i$i"))
+    val rest = Seq("b1", "b2").flatMap(b => Seq(b -> "i1", b -> "i2", b -> "i3"))
+    val audit = Itemsets.cappedBaskets((big ++ rest).toDF("b", "i"),
+        "b", "i", maxBasketItems = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit == Map("huge1" -> 50L, "huge2" -> 50L))
+    // duplicate rows don't inflate the audited size (distinct granularity)
+    val dup = Itemsets.cappedBaskets(
+        (big ++ big).toDF("b", "i"), "b", "i", maxBasketItems = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dup == Map("huge1" -> 50L, "huge2" -> 50L))
+  }
+
+  test("scratchDir path produces identical triples to the checkpoint path") {
+    val baskets = Seq("b1" -> Seq("x", "y", "z"), "b2" -> Seq("x", "y", "z"),
+      "b3" -> Seq("x", "z")).flatMap { case (b, is) => is.map(b -> _) }
+    val tmp = java.nio.file.Files.createTempDirectory("itemsets_scratch")
+    val viaScratch = Itemsets.frequentTriples(baskets.toDF("b", "i"),
+        "b", "i", 2, scratchDir = Some(tmp.toString))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(viaScratch == mine(baskets, 2))
+  }
+
   test("matches naive enumeration on random baskets") {
     val rnd = new scala.util.Random(17)
     val baskets = (0 until 60).flatMap { b =>

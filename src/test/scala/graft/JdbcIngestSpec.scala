@@ -116,6 +116,37 @@ class JdbcIngestSpec extends AnyFunSuite {
     assert(!t.read.select("name").as[String].collect().contains("dup"))
   }
 
+  test("TIMESTAMP_NTZ watermark: NTZ type survives the pull; parts>1 fans out via slice predicates") {
+    // zone-free profile: Derby TIMESTAMP reads back as TIMESTAMP_NTZ
+    val db = "memory:graft_ntz_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val wh = new JdbcWarehouse(spark, JdbcProfile(
+      url = s"jdbc:derby:$db;create=true",
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"),
+      preferTimestampNTZ = true))
+    val t = freshTarget()
+    def ldt(i: Int) = java.time.LocalDateTime.of(2021, 1, 1, 0, 0, 0)
+      .plusMinutes(i.toLong)
+    def batch(lo: Int, hi: Int) = (lo to hi).map(i => (ldt(i), s"r$i"))
+      .toDF("at", "name")
+    wh.writeTable(batch(0, 99), "src_n", SaveMode.Overwrite)
+    // first pull, parts=4: TIMESTAMP_NTZ is not stride-partitionable —
+    // must fan out via disjoint slice predicates and still land ALL rows
+    // including the MIN (slice 0 is lower-open on first pull)
+    assert(JdbcIngest.pull(wh, "src_n", "at", t, parts = 4) == 100L)
+    assert(t.read.schema("at").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(t.read.count() == 100)
+    // delta pull with parts>1: lower-bounded slices, no double-ingest
+    wh.writeTable(batch(100, 159), "src_n", SaveMode.Append)
+    assert(JdbcIngest.pull(wh, "src_n", "at", t, parts = 3) == 60L)
+    assert(t.read.count() == 160)
+    assert(t.read.select(min(col("at")), max(col("at"))).head() ==
+      org.apache.spark.sql.Row(ldt(0), ldt(159)))
+    // replay no-op
+    assert(JdbcIngest.pull(wh, "src_n", "at", t, parts = 3) == 0L)
+  }
+
   test("fractional numeric watermark fails loud (truncation would skip rows)") {
     val wh = freshWh(); val t = freshTarget()
     wh.writeTable(Seq((2.5, "a"), (1.0, "b")).toDF("v", "name"), "src_f",

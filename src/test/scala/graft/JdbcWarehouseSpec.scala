@@ -111,6 +111,65 @@ class JdbcWarehouseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MergeInto"))
   }
 
+  test("type-fidelity matrix: INT/BIGINT/DOUBLE/DECIMAL/DATE/TIMESTAMP_NTZ/VARCHAR survive writeTable -> readTable") {
+    // zone-free warehouse: TIMESTAMP columns read back as TIMESTAMP_NTZ
+    val db = "memory:graft_tf_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val wh = new JdbcWarehouse(spark, JdbcProfile(
+      url = s"jdbc:derby:$db;create=true",
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"),
+      preferTimestampNTZ = true))
+    val src = Seq(1).toDF("one").select(
+      lit(42).as("c_int"),
+      lit(1234567890123L).as("c_long"),
+      lit(2.75).as("c_double"),
+      lit(BigDecimal("123456789.123")).cast("decimal(12,3)").as("c_dec"),
+      lit(java.sql.Date.valueOf("2021-03-04")).as("c_date"),
+      lit(java.time.LocalDateTime.of(2021, 3, 4, 5, 6, 7, 123456000)).as("c_ntz"),
+      lit("abc").as("c_str"))
+    wh.writeTable(src, "tf", SaveMode.Overwrite,
+      columnTypes = Some("c_str VARCHAR(16)"))
+    val back = wh.readTable("tf")
+    val types = back.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType.sql).toMap
+    assert(types == Map(
+      "c_int" -> "INT", "c_long" -> "BIGINT", "c_double" -> "DOUBLE",
+      "c_dec" -> "DECIMAL(12,3)", "c_date" -> "DATE",
+      "c_ntz" -> "TIMESTAMP_NTZ", "c_str" -> "STRING"), types)
+    val r = back.head()
+    assert(r.getAs[java.math.BigDecimal]("c_dec")
+      .compareTo(new java.math.BigDecimal("123456789.123")) == 0)
+    assert(r.getAs[java.sql.Date]("c_date") == java.sql.Date.valueOf("2021-03-04"))
+    assert(r.getAs[java.time.LocalDateTime]("c_ntz") ==
+      java.time.LocalDateTime.of(2021, 3, 4, 5, 6, 7, 123456000))
+  }
+
+  test("TIMESTAMP zone semantics follow the profile knob, not the written type") {
+    // the JDBC wire carries no zone: the reader's preferTimestampNTZ
+    // decides the Spark type of every TIMESTAMP column. Default profile
+    // (LTZ) retypes a written NTZ column — the exact q121 bug shape,
+    // pinned here so the erasure stays documented and deliberate.
+    val ntz = Seq(1).toDF("one").select(
+      lit(java.time.LocalDateTime.of(2021, 3, 4, 5, 6, 7)).as("c_ts"))
+    val ltzWh = freshWh()
+    ltzWh.writeTable(ntz, "tz", SaveMode.Overwrite)
+    assert(ltzWh.readTable("tz").schema("c_ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // and an LTZ column written under an NTZ profile reads back NTZ:
+    // wall-clock in the session zone (UTC here), instant identity lost
+    val db = "memory:graft_tz_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val ntzWh = new JdbcWarehouse(spark, JdbcProfile(
+      url = s"jdbc:derby:$db;create=true",
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"),
+      preferTimestampNTZ = true))
+    val ltz = Seq(1).toDF("one").select(
+      lit(java.sql.Timestamp.valueOf("2021-03-04 05:06:07")).as("c_ts"))
+    ntzWh.writeTable(ltz, "tz2", SaveMode.Overwrite)
+    assert(ntzWh.readTable("tz2").schema("c_ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+  }
+
   test("supplier parquet -> jdbc -> merge -> incremental read (pipeline shape)") {
     val dir = "/root/testdata/sf0.001"
     val wh = freshWh()

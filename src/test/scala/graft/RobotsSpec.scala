@@ -48,6 +48,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(rs == Set((Some("/shared"), false, 0L)))
   }
 
+  test("parse: split groups at the same specificity MERGE (RFC 9309 §2.2.1)") {
+    val txt = "User-agent: graftbot\nDisallow: /one\n\n" +
+      "User-agent: otherbot\nDisallow: /other\n\n" +
+      "User-agent: graftbot\nDisallow: /two\n"
+    assert(rulesOf(txt) ==
+      Set((Some("/one"), false, 0L), (Some("/two"), false, 0L)))
+    // star groups merge the same way when star is the best match
+    val star = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nAllow: /a/b\n"
+    assert(rulesOf(star, ua = "elsebot") ==
+      Set((Some("/a"), false, 0L), (Some("/a/b"), true, 0L)))
+  }
+
+  test("parse: blank lines do not close a group — later rules still belong") {
+    val rs = rulesOf("User-agent: *\nDisallow: /kept\n\nDisallow: /also\n")
+    assert(rs == Set((Some("/kept"), false, 0L), (Some("/also"), false, 0L)))
+  }
+
   test("gate: longest match wins; Allow beats Disallow on ties; default allow") {
     val rules = Robots.parseRules(Seq(
       ("h", "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"))

@@ -4,7 +4,21 @@ library): run `sbt "runMain graft.Verify <sfDir> <outDir>"` first, then this
 script compares each result parquet against its DuckDB oracle —
 columns sorted by name, rows sorted, exact + approx verdicts.
 """
-import duckdb, json, sys, math, os
+import duckdb, json, sys, math, os, re
+
+
+def canon_dtype(dt):
+    """Canonical dtype label: integer/float widths collapse (value
+    comparison already proves them equal), but tz-awareness and
+    date-vs-datetime do NOT — the driver's schema gate distinguishes
+    TIMESTAMP from TIMESTAMP_NTZ (the r10 q121 escape: values matched,
+    declared type didn't, and this script used to pass it)."""
+    s = str(dt)
+    if s.startswith("int") or s.startswith("uint"):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    return re.sub(r"datetime64\[[a-z]+", "datetime64[", s)
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -31,6 +45,13 @@ for name in sorted(oracle):
     want = want[sorted(want.columns)]
     if list(got.columns) != list(want.columns):
         print(f"FAIL  {name}: columns {list(got.columns)} != {list(want.columns)}")
+        fails += 1
+        continue
+    gd = [canon_dtype(t) for t in got.dtypes]
+    wd = [canon_dtype(t) for t in want.dtypes]
+    if gd != wd:
+        diffs = {c: (g, w) for c, g, w in zip(got.columns, gd, wd) if g != w}
+        print(f"FAIL  {name}: dtypes differ {diffs}")
         fails += 1
         continue
     if len(got) != len(want):
