@@ -3948,11 +3948,15 @@ object Queries {
     * engines, so the same query certifies at every scale factor.
     */
   def q183FrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    // the deduped basket relation is materialized ONCE and shared by the
+    // threshold count and the mining — the previous shape re-derived the
+    // 3-way join for each (the nBaskets count alone cost ~2-4 s at sf0.1)
     val baskets = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+      .distinct().localCheckpoint(true)
     val nBaskets = baskets.select(col("cust")).distinct().count()
     val minSup = math.max(1L, nBaskets * 12L / 100L)
     operators.Itemsets.frequentTriples(baskets, "cust", "brand", minSup)

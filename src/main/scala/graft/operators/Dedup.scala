@@ -182,10 +182,22 @@ object Dedup {
     */
   private[operators] def subdividedBucketIdPairs(banded: DataFrame,
       keyCols: Seq[String], sigCol: String, bands: Int, rowsPerBand: Int,
-      cap: Int): DataFrame = {
+      cap: Int, probeHot: Boolean = false): DataFrame = {
     val keys = keyCols.map(col)
     val hotKeys = banded.groupBy(keys: _*).count()
       .filter(col("count") > cap).drop("count")
+    // probeHot (EAGER callers only — it runs a bounded job): when NO
+    // bucket exceeds the cap — the measured common case once the exact
+    // pre-pass has collapsed mass duplicates — the subdivision machinery
+    // (anti/semi joins, rank-limit window, residue stats, 3-way union) is
+    // ~1 s of fixed plan overhead per call for provably-empty branches.
+    // The probe is one limit-1 job over the buckets-sized pre-aggregate;
+    // callers whose banded input derives from a persisted relation pay a
+    // cheap re-scan. Lazy front ends keep probeHot=false so their plan
+    // shape (and its PlanSpec skew pins) stays static.
+    if (probeHot && hotKeys.isEmpty)
+      return allPairsInBuckets(banded.select(col("id") +: keys: _*), keyCols)
+        .distinct()
     val small = banded.join(hotKeys, keyCols, "left_anti")
       .select(col("id") +: keys: _*)
     val smallPairs = allPairsInBuckets(small, keyCols)
@@ -409,7 +421,8 @@ object Dedup {
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket", bandBucket(col("sig"), col("band"), rows))
     val cand = subdividedBucketIdPairs(banded,
-      Seq("wb", "band", "bucket"), "sig", bands, rows, maxBucketSize)
+      Seq("wb", "band", "bucket"), "sig", bands, rows, maxBucketSize,
+      probeHot = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try
       materializeEager(
@@ -832,7 +845,8 @@ object Dedup {
       bandedBucketsSig(
         reps.select(id.as("id"), col("_sig").as("sig")),
         bands, numHashes / bands),
-      Seq("band", "bucket"), "sig", bands, numHashes / bands, maxBucketSize)
+      Seq("band", "bucket"), "sig", bands, numHashes / bands, maxBucketSize,
+      probeHot = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val exactPairs = exactRescorePairs(cand,

@@ -450,6 +450,16 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q183_frequent_triples")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+    // ONE candidate-enumeration chain in the executed plan: the basket
+    // arrays and F2 are materialized upstream, so the final plan holds
+    // exactly the pair generates (posexplode a, posexplode b-slice) plus
+    // the third-element explode — a re-derived pair stream would double
+    // the Generate count (the r10 shape re-ran the 17M-row closure
+    // enumeration per consumer)
+    assert("Generate".r.findAllIn(p).length == 3, p)
+    // and no shuffle between candidate generation and the support count
+    // beyond the final domain-sized aggregation exchanges
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q181 robots gate: rule side broadcasts; URL side never all-pairs") {
