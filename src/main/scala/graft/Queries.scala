@@ -4163,6 +4163,96 @@ object Queries {
       .orderBy(col("lag_k"))
   }
 
+  /** k-anonymity minimal generalization (X153): customers audited under
+    * QI = (market segment, account-balance bucket) with a synthetic
+    * sensitive attribute — [[operators.Privacy.minimalGeneralization]]
+    * searches the bucket-width lattice (2^level) for the least-coarse
+    * release satisfying k-anonymity AND 2-diversity; k is scale-relative
+    * (computed in-query on both engines). The oracle replays the whole
+    * lattice (levels 0..16 over the same finest pair relation) and picks
+    * the same minimal level — equality proves the search, the class
+    * audit, and the arithmetic-shift generalization.
+    */
+  def q190KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    // balances shift non-negative (TPC-H domain floor is -1000) before
+    // bucketing: an arithmetic-shift lattice can never merge the
+    // negatives' -1 bucket with the positives' 0, so a stray
+    // negative-balance customer would make (k, l) unsatisfiable at every
+    // level — the shift makes the coarsest level the whole-segment class
+    val cust = t(s, dir, "customer")
+      .select(col("c_mktsegment"), (col("c_acctbal") + 1000.0).as("bal"),
+        (col("c_custkey") % 7).as("sens"))
+    val k = math.max(3L, cust.count() / 500L)
+    val (level, classes) = operators.Privacy.minimalGeneralization(
+      cust, Seq("c_mktsegment"), "bal", "sens", k = k, l = 2)
+    require(level >= 0, s"no generalization level satisfies k=$k")
+    classes.withColumn("chosen_level", lit(level))
+      .select(col("chosen_level"), col("c_mktsegment"), col("qi_bucket"),
+        col("class_size"), col("l_diversity"))
+      .orderBy(col("class_size"), col("c_mktsegment"), col("qi_bucket"))
+      .limit(40)
+  }
+
+  /** Image perceptual near-dup hashing (X154): deterministic gray PNGs
+    * (36×32, pixel v = (base·31 + 7x + 13y) mod 256; odd-id copies
+    * perturb the top-left 4×4 block by +37 mod 256 — a one-block edit
+    * whose dHash lands within hamming ≤ 1) go through the REAL codec
+    * path — ImageIO PNG
+    * decode → integer-luma dHash ([[operators.Multimodal.imageDHash]]) —
+    * and the oracle recomputes every hash from the pixel FORMULA alone
+    * (PNG is lossless and gray-pixel luma is exactly v, so encode →
+    * decode → hash must land on the closed form). Planted (even, odd)
+    * pairs then measure hamming distance via bit_count(XOR) on both
+    * engines — the first oracle-exact IMAGE pixel path (q128 proved the
+    * same for audio).
+    */
+  def q191ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf((id: Long) => {
+      val base = if (id % 2 == 0) id else id - 1
+      val img = new java.awt.image.BufferedImage(
+        36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 36) {
+          var v = ((base * 31 + x * 7 + y * 13) % 256).toInt
+          if (id % 2 == 1 && x < 4 && y < 4) v = (v + 37) % 256
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") % 18 === 0)
+      .select(col("doc_id").as("base"), col("lang"),
+        explode(array(col("doc_id"), col("doc_id") + 1)).as("img_id"))
+      .withColumn("payload", gen(col("img_id")))
+    val hashed = operators.Multimodal.imageDHash(media, "payload")
+      .select(col("lang"), col("base"), col("img_id"),
+        shiftrightunsigned(col("dhash"), 32).as("hi"),
+        col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+    val perLang = hashed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_imgs"),
+        (sum(col("hi")) % 1000000007L).as("hi_csum"),
+        (sum(col("lo")) % 1000000007L).as("lo_csum"))
+    val ev = hashed.filter(col("img_id") % 2 === 0)
+      .select(col("lang"), col("base"), col("hi").as("ha"), col("lo").as("la"))
+    val od = hashed.filter(col("img_id") % 2 === 1)
+      .select(col("base"), col("hi").as("hb"), col("lo").as("lb"))
+    val pairs = ev.join(od, "base")
+      .withColumn("ham",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ham")).cast("long").as("sum_ham"),
+        max(col("ham")).as("max_ham"))
+    perLang.join(pairs, Seq("lang")).orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4352,7 +4442,9 @@ object Queries {
     "q186_spatial_join" -> (q186SpatialJoin _),
     "q187_web_pipeline" -> (q187WebPipeline _),
     "q188_incr_pareto" -> (q188IncrementalPareto _),
-    "q189_cross_corr" -> (q189CrossCorr _)
+    "q189_cross_corr" -> (q189CrossCorr _),
+    "q190_k_anonymity" -> (q190KAnonymity _),
+    "q191_image_dhash" -> (q191ImageDhash _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -7848,4 +7940,74 @@ object Queries {
         |  round(CASE WHEN dx > 0 AND dy > 0
         |    THEN num / sqrt(dx * dy) END, 6) AS ccf_r
         |FROM c ORDER BY lag_k""".stripMargin)
+    // the full lattice replayed: every level's classes from the same
+    // finest (QI, bucket0, sensitive) pair relation; minimal level with
+    // all classes at (k, l=2); arithmetic >> = floor division by 2^lvl
+    // in BOTH engines (sign-extending on negative balances)
+    .updated("q190_k_anonymity",
+      """WITH par AS (SELECT GREATEST(3, COUNT(*) // 500) AS k FROM customer),
+        |base AS (SELECT c_mktsegment,
+        |    CAST(FLOOR(c_acctbal + 1000.0) AS BIGINT) AS b0,
+        |    c_custkey % 7 AS s, COUNT(*) AS cnt
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |lv AS (SELECT l.lvl, c_mktsegment, b0 >> l.lvl AS qi_bucket,
+        |    CAST(SUM(cnt) AS BIGINT) AS class_size,
+        |    COUNT(DISTINCT s) AS l_diversity
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 17)) AS lvl) l
+        |  GROUP BY 1, 2, 3),
+        |chosen AS (SELECT MIN(lvl) AS lvl FROM (
+        |  SELECT lvl FROM lv GROUP BY lvl
+        |  HAVING MIN(class_size) >= (SELECT k FROM par)
+        |     AND MIN(l_diversity) >= 2))
+        |SELECT CAST(c.lvl AS INT) AS chosen_level, c_mktsegment, qi_bucket,
+        |  class_size, l_diversity
+        |FROM lv JOIN chosen c ON lv.lvl = c.lvl
+        |ORDER BY class_size, c_mktsegment, qi_bucket LIMIT 40""".stripMargin)
+    // the hash recomputed from the pixel FORMULA (PNG lossless; gray
+    // luma = v): 9x8 block sums (equal 4x4 areas at 36x32 -> sum compare
+    // = mean compare), bit (y,x) = [S(bx) < S(bx+1)], packed into 32-bit
+    // halves; planted-pair hamming via bit_count(xor) per half
+    .updated("q191_image_dhash",
+      """WITH ids AS (SELECT doc_id AS base, lang,
+        |    unnest([doc_id, doc_id + 1]) AS img_id
+        |  FROM documents WHERE doc_id % 18 = 0),
+        |px AS (SELECT i.lang, i.base, i.img_id, xs.x, ys.y,
+        |    CASE WHEN i.img_id % 2 = 1 AND xs.x < 4 AND ys.y < 4
+        |      THEN ((i.base * 31 + xs.x * 7 + ys.y * 13) % 256 + 37) % 256
+        |      ELSE (i.base * 31 + xs.x * 7 + ys.y * 13) % 256 END AS v
+        |  FROM ids i
+        |  CROSS JOIN (SELECT unnest(range(0, 36)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS y) ys),
+        |blk AS (SELECT lang, base, img_id, x // 4 AS bx, y // 4 AS by,
+        |    SUM(v) AS s
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |bits AS (SELECT l.lang, l.base, l.img_id, l.by, l.bx,
+        |    CASE WHEN l.s < r.s THEN 1 ELSE 0 END AS b
+        |  FROM blk l JOIN blk r ON l.img_id = r.img_id AND l.base = r.base
+        |    AND l.by = r.by AND r.bx = l.bx + 1
+        |  WHERE l.bx < 8),
+        |hsh AS (SELECT lang, base, img_id,
+        |    CAST(SUM(CASE WHEN by * 8 + bx >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << (by * 8 + bx - 32))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN by * 8 + bx < 32
+        |      THEN b * (CAST(1 AS BIGINT) << (by * 8 + bx))
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2, 3),
+        |pl AS (SELECT lang, COUNT(*) AS n_imgs,
+        |    CAST(SUM(hi) AS BIGINT) % 1000000007 AS hi_csum,
+        |    CAST(SUM(lo) AS BIGINT) % 1000000007 AS lo_csum
+        |  FROM hsh GROUP BY 1),
+        |pr AS (SELECT a.lang, COUNT(*) AS n_pairs,
+        |    CAST(SUM(bit_count(xor(a.hi, b.hi)) +
+        |             bit_count(xor(a.lo, b.lo))) AS BIGINT) AS sum_ham,
+        |    CAST(MAX(bit_count(xor(a.hi, b.hi)) +
+        |             bit_count(xor(a.lo, b.lo))) AS INT) AS max_ham
+        |  FROM hsh a JOIN hsh b ON a.base = b.base
+        |    AND a.img_id % 2 = 0 AND b.img_id % 2 = 1
+        |  GROUP BY 1)
+        |SELECT pl.lang, n_imgs, hi_csum, lo_csum, n_pairs, sum_ham, max_ham
+        |FROM pl JOIN pr ON pl.lang = pr.lang ORDER BY pl.lang""".stripMargin)
 }

@@ -1088,6 +1088,97 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit difference hash (dHash) of an image payload — the standard
+    * perceptual near-dup fingerprint for image corpora (row-wise
+    * brightness gradient signs over a 9×8 grid): REAL ImageIO decode,
+    * integer BT.601 luma `(299r + 587g + 114b) / 1000` (truncating — on
+    * gray pixels this is exactly v, which is what makes the whole path
+    * ANSI-SQL-replayable), box-pool to 9 columns × 8 rows, and bit
+    * (y, x) = 1 iff block mean (x, y) < block mean (x+1, y). Unequal
+    * block areas (width not divisible by 9) compare means as
+    * cross-multiplied integer fractions `s1·a2 < s2·a1` — exact, no
+    * float rounding anywhere. Near-dup pairs then come from
+    * `bit_count(dhash XOR dhash)` or the [[Dedup.simhashPairsOn]]
+    * pigeonhole at corpus scale (the hash is an ordinary long column).
+    *
+    * Output: input columns + `dhash: long`, `img_w`, `img_h`;
+    * undecodable payloads get NULLs (a perceptual hash of a stub decode
+    * would MEAN something false — unlike decodeResize's plumbing
+    * fallback, a null here is the honest route-to-review signal).
+    * Partition-local mapPartitions batch, no shuffle.
+    */
+  def imageDHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("dhash", LongType), StructField("img_w", IntegerType),
+      StructField("img_h", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val img =
+          if (payload == null || payload.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else Row.fromSeq(r.toSeq ++ Seq(
+          dHashOfImage(img), img.getWidth, img.getHeight))
+      }
+    }(enc)
+  }
+
+  /** The exact-integer dHash core (see [[imageDHash]]); exposed for spec
+    * vectors.
+    */
+  private[operators] def dHashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    // 9×8 block integer-luma sums + areas (box ranges as in
+    // ImageIoCodec.resize, but exact integer arithmetic)
+    val sums = new Array[Long](9 * 8)
+    val areas = new Array[Long](9 * 8)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        val x0 = bx * w / 9; val x1 = math.max(x0 + 1, (bx + 1) * w / 9)
+        val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+        var s = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            s += (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        sums(by * 9 + bx) = s
+        areas(by * 9 + bx) =
+          (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+        bx += 1
+      }
+      by += 1
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val l = y * 9 + x; val rr = l + 1
+        // mean(l) < mean(r) ⟺ s_l·a_r < s_r·a_l (exact integer compare)
+        if (sums(l) * areas(rr) < sums(rr) * areas(l))
+          hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   /** Audio decode in one partition-local batch pass. Output schema: input
     * columns + `samples: array<float>` (mono-mixed, [-1,1]),
     * `sample_rate: int`, `audio_channels: int`, `audio_ms: long`. WAV/PCM

@@ -304,7 +304,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "mutual_info", "wasserstein", "auc", "calibration",
           "markov_stationary", "label_propagate",
           "welch_t", "moments", "bootstrap_ci", "ridge", "coverage",
-          "pareto", "frequent_triples",
+          "pareto", "frequent_triples", "k_anonymity",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -372,6 +372,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "coverage" => new CoverageProcedure
       case "pareto" => new ParetoProcedure
       case "frequent_triples" => new FrequentTriplesProcedure
+      case "k_anonymity" => new KAnonymityProcedure
       case "auc" => new AucProcedure
       case "calibration" => new CalibrationProcedure
       case "markov_stationary" => new MarkovStationaryProcedure
@@ -2592,6 +2593,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.unsafe.types.UTF8String.fromString(
             String.valueOf(r.get(2))),
           r.get(3))))
+    }
+  }
+
+  private final class KAnonymityProcedure extends MaintenanceProcedure {
+    override def name(): String = "k_anonymity"
+    override def description(): String =
+      "minimal-generalization k-anonymity / l-diversity audit: searches " +
+        "bucket widths 2^level over the numeric QI for the least-coarse " +
+        "release with every class >= k rows and >= l distinct sensitive " +
+        "values; returns the risk frontier (smallest classes) at the " +
+        "chosen level, chosen_level = -1 when even the coarsest fails"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("qi_cat_col", StringType).build(),
+        procedures.ProcedureParameter.in("qi_num_col", StringType).build(),
+        procedures.ProcedureParameter.in("sensitive_col", StringType).build(),
+        procedures.ProcedureParameter.in("k",
+          org.apache.spark.sql.types.LongType).build(),
+        procedures.ProcedureParameter.in("l",
+          org.apache.spark.sql.types.LongType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val catCol = input.getUTF8String(1).toString
+      val (lvl, classes) = graft.operators.Privacy.minimalGeneralization(
+        table(id).read, Seq(catCol), input.getUTF8String(2).toString,
+        input.getUTF8String(3).toString, input.getLong(4), input.getLong(5))
+      val rows = classes
+        .orderBy(col("class_size"), col(catCol), col("qi_bucket"))
+        .limit(100).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("chosen_level", org.apache.spark.sql.types.IntegerType, nullable = true),
+          StructField("qi_cat", StringType, nullable = true),
+          StructField("qi_bucket", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("class_size", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("l_diversity", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(
+          lvl,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3))))
     }
   }
 

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Privacy
+
+/** k-anonymity / l-diversity audit and the minimal-generalization
+  * lattice search.
+  */
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // (segment, balance, sensitive) rows
+  private def rows(rs: (String, Double, Int)*) =
+    rs.toDF("seg", "bal", "s")
+
+  test("kAnonymityClasses: class sizes and l-diversity at a fixed level") {
+    val df = rows(("a", 10.0, 1), ("a", 11.0, 1), ("a", 12.0, 2),
+      ("b", 10.0, 1), ("a", 100.0, 3))
+    // level 4: bucket width 16 — balances 10..12 share bucket 0, 100 -> 6
+    val out = Privacy.kAnonymityClasses(df, Seq("seg"), "bal", "s", 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(("a", 0L) -> (3L, 2L), ("b", 0L) -> (1L, 1L),
+      ("a", 6L) -> (1L, 1L)))
+  }
+
+  test("negative balances generalize by floor division (sign-extending shift)") {
+    val out = Privacy.kAnonymityClasses(
+        rows(("a", -1.0, 1), ("a", -16.0, 2), ("a", -17.0, 3)),
+        Seq("seg"), "bal", "s", 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // floor(-1)>>4 = -1, floor(-16)>>4 = -1, floor(-17)>>4 = -2
+    assert(out == Map(-1L -> 2L, -2L -> 1L))
+  }
+
+  test("minimalGeneralization finds the least level satisfying (k, l)") {
+    // 8 rows in one segment, balances 0..7, sensitive alternating —
+    // level 0: classes of 1 (fails k=2); level 1: pairs {0,1}.. each
+    // size 2 with 2 distinct sensitive values -> satisfied at level 1
+    val df = rows((0 until 8).map(i => ("a", i.toDouble, i % 2)): _*)
+    val (lvl, classes) = Privacy.minimalGeneralization(
+      df, Seq("seg"), "bal", "s", k = 2, l = 2, maxLevel = 8)
+    assert(lvl == 1)
+    assert(classes.count() == 4)
+    assert(classes.agg(min("class_size"), min("l_diversity"))
+      .head() == org.apache.spark.sql.Row(2L, 2L))
+  }
+
+  test("minimalGeneralization returns -1 when even the coarsest level fails") {
+    // a lone row in segment b can never reach k=2 by numeric coarsening
+    val df = rows(("a", 1.0, 1), ("a", 2.0, 2), ("b", 1.0, 1))
+    val (lvl, audit) = Privacy.minimalGeneralization(
+      df, Seq("seg"), "bal", "s", k = 2, l = 1, maxLevel = 4)
+    assert(lvl == -1)
+    assert(audit.filter(col("class_size") < 2).count() == 1)
+  }
+
+  test("NULL QI or sensitive rows are excluded from classes") {
+    val df = Seq(("a", Some(1.0), Some(1)), ("a", None, Some(1)),
+      (null, Some(1.0), Some(1)), ("a", Some(1.5), None))
+      .toDF("seg", "bal", "s")
+    val out = Privacy.kAnonymityClasses(df, Seq("seg"), "bal", "s", 0)
+    assert(out.agg(sum("class_size")).head().getLong(0) == 1L)
+  }
+}

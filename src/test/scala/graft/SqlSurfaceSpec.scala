@@ -1374,6 +1374,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "group_col => 'grp', start_col => 's', end_col => 'e')").head
     assert(cv.getString(0) == "u" && cv.getLong(1) == 2 &&
       cv.getLong(2) == 6 && cv.getLong(3) == 2)
+
+    // k_anonymity: the PrivacySpec lattice case — satisfied at level 1
+    Seq(("a", 0.0, 0), ("a", 1.0, 1), ("a", 2.0, 0), ("a", 3.0, 1),
+      ("a", 4.0, 0), ("a", 5.0, 1), ("a", 6.0, 0), ("a", 7.0, 1))
+      .toDF("seg", "bal", "s").createOrReplaceTempView("s17k")
+    spark.sql("CREATE TABLE llm17.G.K AS SELECT * FROM s17k")
+    val ka = spark.sql("CALL llm17.system.k_anonymity(table => 'G.K', " +
+      "qi_cat_col => 'seg', qi_num_col => 'bal', sensitive_col => 's', " +
+      "k => 2, l => 2)").collect()
+    assert(ka.length == 4 && ka.forall(_.getInt(0) == 1) &&
+      ka.forall(r => r.getLong(3) == 2L && r.getLong(4) == 2L))
   }
 
   test("eval procedures: mutual_info/wasserstein/auc/calibration/" +
