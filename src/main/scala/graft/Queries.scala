@@ -4253,6 +4253,53 @@ object Queries {
     perLang.join(pairs, Seq("lang")).orderBy(col("lang"))
   }
 
+  /** Pre-flight shuffle-skew report (X155): the salt-or-not decision for
+    * a planned aggregation/join key, answered from the key-DOMAIN-sized
+    * count relation ([[operators.Diagnostics.skewReport]]) — events keyed
+    * by event_type (6 heavy keys) at a 1000-rows-per-task target. The
+    * oracle recomputes every statistic including the exact percentiles
+    * and the ceil-div salt from the same counts.
+    */
+  def q192SkewReport(s: SparkSession, dir: String): DataFrame =
+    operators.Diagnostics.skewReport(t(s, dir, "events"),
+        Seq("event_type"), targetRowsPerKey = 1000L)
+      .withColumn("skew_ratio", round(col("skew_ratio"), 6))
+
+  /** Exact join-cardinality preflight (X156): the output size of the
+    * lineitem ⋈ lineitem self-join on l_partkey — the Σc² explosion
+    * trap — computed WITHOUT executing the join
+    * ([[operators.Diagnostics.joinCardinality]]: per-key counts joined
+    * on the key, domain-sized). The oracle is the same Σc²/max c² over
+    * the key counts.
+    */
+  def q193JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    operators.Diagnostics.joinCardinality(li, li, Seq("l_partkey"))
+  }
+
+  /** DEFLATE compression-ratio quality screen (X157): the Gopher-style
+    * repetition signal ([[functions.TextFunctions.deflateRatio]]) over a
+    * bounded 2000-char prefix of each document. No SQL deflate exists,
+    * so the oracle pins ENVELOPE BOOLEANS (the q36 pattern): every doc's
+    * ratio lands in (0, 1.2), and the same text repeated 4× — inside one
+    * deflate window — must compress to under 0.6× the single-copy ratio
+    * (the property that makes the ratio a repetition detector).
+    */
+  def q194DeflateQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) >= 50)
+      .select(col("lang"), substring(col("text"), 1, 2000).as("base"))
+    val r1 = functions.TextFunctions.deflateRatio(col("base"))
+    val r4 = functions.TextFunctions.deflateRatio(
+      concat(col("base"), col("base"), col("base"), col("base")))
+    d.select(col("lang"), r1.as("r1"), r4.as("r4"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("r1") > 0d && col("r1") < 1.2).as("ratio_in_range"),
+        min(col("r4") < col("r1") * 0.6).as("rep_compresses_more"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4444,7 +4491,10 @@ object Queries {
     "q188_incr_pareto" -> (q188IncrementalPareto _),
     "q189_cross_corr" -> (q189CrossCorr _),
     "q190_k_anonymity" -> (q190KAnonymity _),
-    "q191_image_dhash" -> (q191ImageDhash _)
+    "q191_image_dhash" -> (q191ImageDhash _),
+    "q192_skew_report" -> (q192SkewReport _),
+    "q193_join_cardinality" -> (q193JoinCardinality _),
+    "q194_deflate_quality" -> (q194DeflateQuality _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8010,4 +8060,34 @@ object Queries {
         |  GROUP BY 1)
         |SELECT pl.lang, n_imgs, hi_csum, lo_csum, n_pairs, sum_ham, max_ham
         |FROM pl JOIN pr ON pl.lang = pr.lang ORDER BY pl.lang""".stripMargin)
+    // every statistic from the same key-count relation; percentiles via
+    // quantile_cont (= Spark percentile, the q34-proven pairing);
+    // ceil-div salt as integer //
+    .updated("q192_skew_report",
+      """WITH c AS (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1),
+        |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    COUNT(*) AS n_keys, CAST(MAX(c) AS BIGINT) AS max_key_rows,
+        |    quantile_cont(c, 0.5) AS p50_key_rows,
+        |    quantile_cont(c, 0.99) AS p99_key_rows
+        |  FROM c)
+        |SELECT n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+        |  round(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 6)
+        |    AS skew_ratio,
+        |  (max_key_rows + 999) // 1000 AS suggested_salt
+        |FROM a""".stripMargin)
+    // the sigma-c-squared preflight over the same per-key counts
+    .updated("q193_join_cardinality",
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem
+        |  WHERE l_partkey IS NOT NULL GROUP BY 1)
+        |SELECT COUNT(*) AS n_matching_keys,
+        |  CAST(SUM(c * c) AS BIGINT) AS join_rows,
+        |  CAST(MAX(c * c) AS BIGINT) AS max_key_contribution
+        |FROM c""".stripMargin)
+    // no SQL deflate: envelope booleans pinned TRUE (q36 pattern) over
+    // the same filtered doc set
+    .updated("q194_deflate_quality",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  TRUE AS ratio_in_range, TRUE AS rep_compresses_more
+        |FROM documents WHERE text IS NOT NULL AND length(text) >= 50
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -233,6 +233,38 @@ object TextFunctions {
         )
       )
 
+  /** DEFLATE compression ratio `compressed_bytes / raw_utf8_bytes` — the
+    * Gopher/FineWeb-style quality signal: highly repetitive or templated
+    * text compresses far below ~0.4, natural prose sits higher, and
+    * near-incompressible text (already-compressed or random bytes pasted
+    * as text) approaches or exceeds 1 (deflate adds framing overhead).
+    * Level 6 (zlib default), deterministic for a given JDK; NULL/empty →
+    * NULL. Per-row JNI-free `java.util.zip.Deflater`, partition-local —
+    * this is inherently per-document CPU, there is nothing to shuffle.
+    * Not ANSI-replayable (no SQL deflate), so oracle coverage uses the
+    * q36 bound-boolean pattern: envelope assertions the raw ratio must
+    * satisfy, pinned TRUE.
+    */
+  def deflateRatio(text: Column): Column = {
+    val f = udf((s: String) => {
+      if (s == null || s.isEmpty) None
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        try {
+          d.setInput(raw); d.finish()
+          // count output bytes only (buffer reused across deflate calls —
+          // incompressible input can exceed raw.length + 64 in total)
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          Some(n.toDouble / raw.length)
+        } finally d.end()
+      }
+    })
+    f(text)
+  }
+
   /** Redact common PII shapes with typed placeholders — emails, URLs, and
     * long digit runs (phone numbers, account ids, cards). Pure
     * `regexp_replace` chain: codegen'd, single pass per pattern, no UDF.
