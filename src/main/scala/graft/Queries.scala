@@ -4300,6 +4300,25 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Isotonic calibration (X158): the monotone least-squares fit of
+    * P(purchase) against a quantized value score
+    * ([[operators.Stats.isotonicFit]] — PAVA by its minimax closed form,
+    * fully relational: prefix sums → interval means → suffix-min window
+    * → per-point max, no sequential pooling loop). The oracle replays
+    * the identical four-stage pipeline in SQL; every mean is one double
+    * division of exact integer sums, so the fit is engine-exact.
+    */
+  def q195IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(lit("all").as("g"),
+        floor(col("value") / 10).cast("long").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+    operators.Stats.isotonicFit(ev, Seq("g"), "score", "label")
+      .select(col("x").as("score"), col("n"), col("y_sum"),
+        round(col("fitted"), 9).as("fitted_r"))
+      .orderBy(col("score"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4494,7 +4513,8 @@ object Queries {
     "q191_image_dhash" -> (q191ImageDhash _),
     "q192_skew_report" -> (q192SkewReport _),
     "q193_join_cardinality" -> (q193JoinCardinality _),
-    "q194_deflate_quality" -> (q194DeflateQuality _)
+    "q194_deflate_quality" -> (q194DeflateQuality _),
+    "q195_isotonic" -> (q195IsotonicCalibration _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8090,4 +8110,26 @@ object Queries {
         |  TRUE AS ratio_in_range, TRUE AS rep_compresses_more
         |FROM documents WHERE text IS NOT NULL AND length(text) >= 50
         |GROUP BY lang ORDER BY lang""".stripMargin)
+    // the identical minimax pipeline: prefix sums -> interval means ->
+    // per-j suffix-min window -> per-i max; one double division per mean
+    .updated("q195_isotonic",
+      """WITH dom AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS x,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y_sum
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |pre AS (SELECT x, n, y_sum,
+        |    SUM(n) OVER (ORDER BY x) AS w,
+        |    SUM(y_sum) OVER (ORDER BY x) AS s
+        |  FROM dom),
+        |m AS (SELECT j.x AS xj, k.x AS xk,
+        |    CAST(k.s - (j.s - j.y_sum) AS DOUBLE) /
+        |      CAST(k.w - (j.w - j.n) AS DOUBLE) AS m
+        |  FROM pre j JOIN pre k ON j.x <= k.x),
+        |r AS (SELECT xj, xk, MIN(m) OVER (PARTITION BY xj ORDER BY xk DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin
+        |  FROM m),
+        |f AS (SELECT xk AS x, MAX(rmin) AS fitted FROM r GROUP BY 1)
+        |SELECT d.x AS score, d.n, d.y_sum, round(f.fitted, 9) AS fitted_r
+        |FROM dom d JOIN f ON d.x = f.x ORDER BY score""".stripMargin)
 }

@@ -788,4 +788,66 @@ object Stats {
       .select(keys ++ Seq(col("lag"), col("_n").as("n_pairs"),
         col("acf")): _*)
   }
+
+  /** Isotonic (monotone non-decreasing) least-squares regression of
+    * integer `yCol` on `xCol` per group — the probability-calibration
+    * fit (Platt's rival; the step that turns a ranked score into a
+    * calibrated P(label)). Input collapses to the DISTINCT-x domain
+    * first (weights = row counts, y-sums exact integers); the fit is the
+    * PAVA solution computed by its minimax CLOSED FORM
+    * `fitted(i) = max_{j≤i} min_{k≥i} mean(y[j..k])` — fully relational:
+    * prefix sums → all (j ≤ k) interval means → per-j suffix-min window
+    * → per-i max. Every mean is ONE double division of exact integer
+    * sums, so the whole fit replays verbatim in ANSI SQL (no sequential
+    * pool-adjacent loop, no driver state).
+    *
+    * SCALE CONTRACT: the interval relation is O(d²) in the distinct-x
+    * domain d — quantize x first (floor/bucket) so d stays in the
+    * thousands; the contract is the same "collapse to value granularity
+    * before quadratic work" posture as ksTest/mannWhitneyU, except here
+    * the domain work is quadratic, so the bound matters. d is checked
+    * and the call fails loud above `maxDomain`.
+    *
+    * Returns one row per (group, x): `(…, x, n, y_sum, fitted)` with
+    * fitted non-decreasing in x within each group.
+    */
+  def isotonicFit(df: DataFrame, groupCols: Seq[String], xCol: String,
+                  yCol: String, maxDomain: Int = 4096): DataFrame = {
+    require(groupCols.nonEmpty, "isotonicFit requires group columns")
+    val keys = groupCols.map(col)
+    val dom = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keys :+ col(xCol).cast("long").as("x"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(yCol).cast("long")).as("y_sum"))
+    val dRow = dom.groupBy(keys: _*).agg(count(lit(1)).as("_d"))
+      .agg(max(col("_d"))).head()
+    val dMax = if (dRow.isNullAt(0)) 0L else dRow.getLong(0)
+    require(dMax <= maxDomain,
+      s"isotonicFit domain $dMax exceeds maxDomain=$maxDomain — quantize " +
+        "xCol (floor/bucket) before fitting: the interval relation is " +
+        "O(domain²)")
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("x"))
+    val pre = dom.select(keys ++ Seq(col("x"), col("n"), col("y_sum"),
+      sum(col("n")).over(wOrd).as("_W"),
+      sum(col("y_sum")).over(wOrd).as("_S")): _*)
+    // interval means m(j,k) = (S_k − S_{j−1}) / (W_k − W_{j−1}) for j ≤ k
+    val j = pre.select(keys ++ Seq(col("x").as("_xj"),
+      (col("_W") - col("n")).as("_Wj0"), (col("_S") - col("y_sum")).as("_Sj0")): _*)
+    val k = pre.select(keys ++ Seq(col("x").as("_xk"),
+      col("_W").as("_Wk"), col("_S").as("_Sk")): _*)
+    val m = j.join(k, groupCols).filter(col("_xj") <= col("_xk"))
+      .select(keys ++ Seq(col("_xj"), col("_xk"),
+        ((col("_Sk") - col("_Sj0")).cast("double") /
+          (col("_Wk") - col("_Wj0")).cast("double")).as("_m")): _*)
+    // suffix min over k per (group, j): rmin(j, i) = min_{k ≥ i} m(j, k)
+    val wSuf = Window.partitionBy(keys :+ col("_xj"): _*)
+      .orderBy(col("_xk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rmin = m.withColumn("_rmin", min(col("_m")).over(wSuf))
+    // fitted(i) = max over j ≤ i of rmin(j, i)
+    val fit = rmin.groupBy(keys :+ col("_xk").as("x"): _*)
+      .agg(max(col("_rmin")).as("fitted"))
+    dom.join(fit, groupCols :+ "x")
+      .select(keys ++ Seq(col("x"), col("n"), col("y_sum"), col("fitted")): _*)
+  }
 }

@@ -304,7 +304,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "mutual_info", "wasserstein", "auc", "calibration",
           "markov_stationary", "label_propagate",
           "welch_t", "moments", "bootstrap_ci", "ridge", "coverage",
-          "pareto", "frequent_triples", "k_anonymity",
+          "pareto", "frequent_triples", "k_anonymity", "isotonic_fit",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -373,6 +373,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "pareto" => new ParetoProcedure
       case "frequent_triples" => new FrequentTriplesProcedure
       case "k_anonymity" => new KAnonymityProcedure
+      case "isotonic_fit" => new IsotonicFitProcedure
       case "auc" => new AucProcedure
       case "calibration" => new CalibrationProcedure
       case "markov_stationary" => new MarkovStationaryProcedure
@@ -2636,6 +2637,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.unsafe.types.UTF8String.fromString(
             String.valueOf(r.get(0))),
           r.get(1), r.get(2), r.get(3))))
+    }
+  }
+
+  private final class IsotonicFitProcedure extends MaintenanceProcedure {
+    override def name(): String = "isotonic_fit"
+    override def description(): String =
+      "monotone (isotonic) least-squares calibration of an integer label " +
+        "against an integer score per group: PAVA by its minimax closed " +
+        "form, fully relational; returns (group, x, n, y_sum, fitted)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("x_col", StringType).build(),
+        procedures.ProcedureParameter.in("y_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Stats.isotonicFit(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString)
+        .orderBy(col(gCol), col("x")).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("x", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("n", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("y_sum", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("fitted", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3), r.get(4))))
     }
   }
 

@@ -1385,6 +1385,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "k => 2, l => 2)").collect()
     assert(ka.length == 4 && ka.forall(_.getInt(0) == 1) &&
       ka.forall(r => r.getLong(3) == 2L && r.getLong(4) == 2L))
+
+    // isotonic_fit: the (0,1,0) violation pools the last two at 1/2
+    Seq(("g", 0L, 0L), ("g", 1L, 1L), ("g", 2L, 0L)).toDF("grp", "x", "y")
+      .createOrReplaceTempView("s17iso")
+    spark.sql("CREATE TABLE llm17.G.ISO AS SELECT * FROM s17iso")
+    val fit = spark.sql("CALL llm17.system.isotonic_fit(table => 'G.ISO', " +
+      "group_col => 'grp', x_col => 'x', y_col => 'y')").collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(fit == Map(0L -> 0.0, 1L -> 0.5, 2L -> 0.5))
   }
 
   test("eval procedures: mutual_info/wasserstein/auc/calibration/" +

@@ -404,4 +404,62 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean") == 0.0)
     assert(r.getAs[Double]("kurt_excess") == 1.0 - 3.0) // two-point symmetric
   }
+
+  private def iso(pts: (Long, Long)*): Map[Long, Double] =
+    Stats.isotonicFit(pts.map { case (x, y) => ("g", x, y) }
+        .toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .collect().map(r => r.getAs[Long]("x") -> r.getAs[Double]("fitted"))
+      .toMap
+
+  test("isotonicFit: textbook PAVA pooling") {
+    // violation (0,1,0) pools the last two at 1/2
+    assert(iso(0L -> 0L, 1L -> 1L, 2L -> 0L) ==
+      Map(0L -> 0.0, 1L -> 0.5, 2L -> 0.5))
+    // already monotone input is returned unchanged
+    assert(iso(0L -> 0L, 1L -> 1L, 2L -> 1L) ==
+      Map(0L -> 0.0, 1L -> 1.0, 2L -> 1.0))
+    // fully decreasing input pools to the global mean
+    assert(iso(0L -> 3L, 1L -> 2L, 2L -> 1L).values.toSet == Set(2.0))
+  }
+
+  test("isotonicFit: duplicate x values weight the pooled means") {
+    // x=0 has rows y={0,0}, x=1 has y=1: means 0 then 1 — monotone
+    val m = Stats.isotonicFit(Seq(("g", 0L, 0L), ("g", 0L, 0L), ("g", 1L, 1L))
+        .toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .collect().map(r => r.getAs[Long]("x") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("fitted"))).toMap
+    assert(m == Map(0L -> (2L, 0.0), 1L -> (1L, 1.0)))
+    // violation with unequal weights: x=0 (two 1s), x=1 (one 0) pools at 2/3
+    assert(iso(0L -> 1L, 0L -> 1L, 1L -> 0L).values.toSet
+      == Set(2.0 / 3.0))
+  }
+
+  test("isotonicFit output is always non-decreasing on random input") {
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 40).map(i => i.toLong -> rnd.nextInt(10).toLong)
+    val fit = iso(pts: _*).toSeq.sortBy(_._1).map(_._2)
+    assert(fit.zip(fit.tail).forall { case (a, b) => a <= b }, fit)
+    // and it is the least-squares monotone fit: equals driver-side PAVA
+    val (xs, ys) = (pts.map(_._1), pts.map(_._2.toDouble))
+    val pool = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)] // (sum, w)
+    ys.foreach { y =>
+      pool += ((y, 1.0))
+      while (pool.length > 1 &&
+          pool(pool.length - 2)._1 / pool(pool.length - 2)._2 >=
+            pool.last._1 / pool.last._2) {
+        val a = pool.remove(pool.length - 1); val b = pool.remove(pool.length - 1)
+        pool += ((a._1 + b._1, a._2 + b._2))
+      }
+    }
+    val pava = pool.flatMap { case (s, w) =>
+      Seq.fill(w.toInt)(s / w) }.toSeq
+    assert(fit.zip(pava).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("isotonicFit fails loud above the domain bound") {
+    val df = (0 until 50).map(i => ("g", i.toLong, 1L)).toDF("k", "x", "y")
+    val e = intercept[IllegalArgumentException](
+      Stats.isotonicFit(df, Seq("k"), "x", "y", maxDomain = 10))
+    assert(e.getMessage.contains("quantize"))
+  }
 }
