@@ -4319,6 +4319,29 @@ object Queries {
       .orderBy(col("score"))
   }
 
+  /** Kaplan-Meier survival curve (X159): time from a user's first event
+    * to their first `error`, RIGHT-CENSORED at the corpus horizon for
+    * users who never error ([[operators.Stats.kaplanMeier]]) — the
+    * censoring-aware retention estimate q96's raw cohort counts cannot
+    * give. The horizon is one driver-side max (the reference's A1
+    * collect-then-literal pattern); the oracle replays the product-limit
+    * pipeline term for term.
+    */
+  def q196KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("birth"),
+        min(when(col("event_type") === "error", col("ts").cast("date")))
+          .as("death"))
+    val horizon = ev.agg(max(col("ts").cast("date"))).head().getDate(0)
+    val subjects = perUser.select(lit("all").as("g"),
+      datediff(coalesce(col("death"), lit(horizon)), col("birth")).as("dur"),
+      when(col("death").isNotNull, 1L).otherwise(0L).as("died"))
+    operators.Stats.kaplanMeier(subjects, Seq("g"), "dur", "died")
+      .select(col("t"), col("n_risk"), col("n_events"), col("survival"))
+      .orderBy(col("t"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4514,7 +4537,8 @@ object Queries {
     "q192_skew_report" -> (q192SkewReport _),
     "q193_join_cardinality" -> (q193JoinCardinality _),
     "q194_deflate_quality" -> (q194DeflateQuality _),
-    "q195_isotonic" -> (q195IsotonicCalibration _)
+    "q195_isotonic" -> (q195IsotonicCalibration _),
+    "q196_kaplan_meier" -> (q196KaplanMeier _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8132,4 +8156,37 @@ object Queries {
         |f AS (SELECT xk AS x, MAX(rmin) AS fitted FROM r GROUP BY 1)
         |SELECT d.x AS score, d.n, d.y_sum, round(f.fitted, 9) AS fitted_r
         |FROM dom d JOIN f ON d.x = f.x ORDER BY score""".stripMargin)
+    // the product-limit pipeline replayed term for term: duration domain,
+    // at-risk via before-window, exp(sum ln) rounded 6dp, explicit
+    // extinct flag (never ln(0))
+    .updated("q196_kaplan_meier",
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS birth,
+        |    MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END)
+        |      AS death
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT MAX(CAST(ts AS DATE)) AS hz FROM events),
+        |s AS (SELECT datediff('day', birth,
+        |      COALESCE(death, (SELECT hz FROM h))) AS t,
+        |    CASE WHEN death IS NOT NULL THEN 1 ELSE 0 END AS e FROM u),
+        |dom AS (SELECT t, COUNT(*) AS m, CAST(SUM(e) AS BIGINT) AS n_events
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT t, n_events,
+        |    CAST(SUM(m) OVER () - COALESCE(SUM(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM dom),
+        |x AS (SELECT t, n_risk, n_events,
+        |    CASE WHEN n_events = 0 THEN 0.0
+        |         WHEN n_events < n_risk
+        |           THEN ln(CAST(n_risk - n_events AS DOUBLE) / n_risk)
+        |         ELSE 0.0 END AS term,
+        |    MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS extinct
+        |  FROM r)
+        |SELECT t, n_risk, n_events,
+        |  CASE WHEN extinct = 1 THEN 0.0
+        |    ELSE round(exp(SUM(term) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS survival
+        |FROM x ORDER BY t""".stripMargin)
 }

@@ -789,6 +789,61 @@ object Stats {
         col("acf")): _*)
   }
 
+  /** Kaplan-Meier product-limit survival estimator per group — the
+    * censoring-aware retention curve (q96's cohort retention counts
+    * every user as observed forever; real cohorts are right-censored at
+    * the observation edge, and ignoring that biases survival DOWN).
+    * Input: one row per subject with an integer `durationCol` (time to
+    * event or to censoring) and `eventCol` = 1 observed event / 0
+    * censored. Output per (group, t in the duration domain):
+    * `(…, t, n_risk, n_events, survival)` with
+    * S(t) = Π_{u ≤ t} (1 − d_u / n_u).
+    *
+    * Determinism contract: the product runs as `exp(Σ ln(1 − d/n))` —
+    * each term is one double `ln` of an exact integer ratio, the sum is
+    * a domain-length window, and the result rounds to 6 dp (libm `ln`
+    * may differ by an ulp between engines; the accumulated error over a
+    * bounded domain is ≤ 1e-12, far inside the rounding). Full-death
+    * times (d = n) zero the curve via an explicit extinct flag, never
+    * via ln(0). Scale shape: one row-scale aggregation to the duration
+    * domain; everything after is domain-sized windows.
+    */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+                  durationCol: String, eventCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "kaplanMeier requires group columns")
+    val keys = groupCols.map(col)
+    val base = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(keys :+ col(durationCol).cast("long").as("_t") :+
+        col(eventCol).cast("long").as("_e"): _*)
+    val dom = base.groupBy(keys :+ col("_t"): _*)
+      .agg(count(lit(1)).as("_m"), sum(col("_e")).as("n_events"))
+    val wAll = Window.partitionBy(keys: _*)
+    val wBefore = Window.partitionBy(keys: _*).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.partitionBy(keys: _*).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = dom
+      .withColumn("n_risk",
+        sum(col("_m")).over(wAll) -
+          coalesce(sum(col("_m")).over(wBefore), lit(0L)))
+      .withColumn("_term",
+        when(col("n_events") === 0, lit(0d))
+          .when(col("n_events") < col("n_risk"),
+            log((col("n_risk") - col("n_events")).cast("double") /
+              col("n_risk").cast("double")))
+          .otherwise(lit(0d))) // full-death handled by the extinct flag
+      .withColumn("_extinct",
+        max(when(col("n_events") === col("n_risk"), 1).otherwise(0))
+          .over(wIncl))
+    risked
+      .withColumn("survival",
+        when(col("_extinct") === 1, lit(0d))
+          .otherwise(round(exp(sum(col("_term")).over(wIncl)), 6)))
+      .select(keys ++ Seq(col("_t").as("t"), col("n_risk"),
+        col("n_events"), col("survival")): _*)
+  }
+
   /** Isotonic (monotone non-decreasing) least-squares regression of
     * integer `yCol` on `xCol` per group — the probability-calibration
     * fit (Platt's rival; the step that turns a ranked score into a

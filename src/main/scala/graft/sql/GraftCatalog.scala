@@ -305,6 +305,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "markov_stationary", "label_propagate",
           "welch_t", "moments", "bootstrap_ci", "ridge", "coverage",
           "pareto", "frequent_triples", "k_anonymity", "isotonic_fit",
+          "kaplan_meier",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -374,6 +375,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "frequent_triples" => new FrequentTriplesProcedure
       case "k_anonymity" => new KAnonymityProcedure
       case "isotonic_fit" => new IsotonicFitProcedure
+      case "kaplan_meier" => new KaplanMeierProcedure
       case "auc" => new AucProcedure
       case "calibration" => new CalibrationProcedure
       case "markov_stationary" => new MarkovStationaryProcedure
@@ -2667,6 +2669,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("n", org.apache.spark.sql.types.LongType, nullable = true),
           StructField("y_sum", org.apache.spark.sql.types.LongType, nullable = true),
           StructField("fitted", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3), r.get(4))))
+    }
+  }
+
+  private final class KaplanMeierProcedure extends MaintenanceProcedure {
+    override def name(): String = "kaplan_meier"
+    override def description(): String =
+      "Kaplan-Meier product-limit survival curve per group over " +
+        "(duration, event 1/censored 0) rows; returns " +
+        "(group, t, n_risk, n_events, survival)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("duration_col", StringType).build(),
+        procedures.ProcedureParameter.in("event_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Stats.kaplanMeier(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString)
+        .orderBy(col(gCol), col("t")).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("t", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("n_risk", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("n_events", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("survival", org.apache.spark.sql.types.DoubleType, nullable = true))),
         rows.map(r => InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(
             String.valueOf(r.get(0))),

@@ -1394,6 +1394,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "group_col => 'grp', x_col => 'x', y_col => 'y')").collect()
       .map(r => r.getLong(1) -> r.getDouble(4)).toMap
     assert(fit == Map(0L -> 0.0, 1L -> 0.5, 2L -> 0.5))
+
+    // kaplan_meier: the StatsSpec textbook curve
+    Seq(("g", 1L, 1L), ("g", 2L, 0L), ("g", 3L, 1L), ("g", 4L, 0L))
+      .toDF("grp", "dur", "e").createOrReplaceTempView("s17km")
+    spark.sql("CREATE TABLE llm17.G.KM AS SELECT * FROM s17km")
+    val kmr = spark.sql("CALL llm17.system.kaplan_meier(table => 'G.KM', " +
+      "group_col => 'grp', duration_col => 'dur', event_col => 'e')")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(kmr == Map(1L -> 0.75, 2L -> 0.75, 3L -> 0.375, 4L -> 0.375))
   }
 
   test("eval procedures: mutual_info/wasserstein/auc/calibration/" +

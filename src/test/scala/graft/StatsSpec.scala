@@ -456,6 +456,39 @@ class StatsSpec extends AnyFunSuite {
     assert(fit.zip(pava).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  private def km(subjects: (Long, Long)*): Map[Long, (Long, Long, Double)] =
+    Stats.kaplanMeier(subjects.map { case (t, e) => ("g", t, e) }
+        .toDF("k", "dur", "e"), Seq("k"), "dur", "e")
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("survival")))).toMap
+
+  test("kaplanMeier: textbook curve with censoring") {
+    // 4 subjects: death at t=1, censored at t=2, death at t=3, censored t=4
+    // S(1) = 3/4; t=2 censor only: S stays 3/4, risk drops to 2 after;
+    // S(3) = 3/4 * 1/2 = 3/8; t=4 censor only
+    val out = km(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L)
+    assert(out(1L) == ((4L, 1L, 0.75)))
+    assert(out(2L) == ((3L, 0L, 0.75)))
+    assert(out(3L) == ((2L, 1L, 0.375)))
+    assert(out(4L) == ((1L, 0L, 0.375)))
+  }
+
+  test("kaplanMeier: censoring matters — naive death-rate would differ") {
+    // all-censored cohort: survival 1.0 throughout
+    assert(km(5L -> 0L, 6L -> 0L).values.forall(_._3 == 1.0))
+    // full death at the last time zeroes the curve via the extinct flag
+    val out = km(1L -> 1L, 2L -> 1L, 2L -> 1L)
+    assert(math.abs(out(1L)._3 - 0.666667) < 1e-9)
+    assert(out(2L)._3 == 0.0)
+  }
+
+  test("kaplanMeier: ties at one time count together") {
+    // 2 of 4 die at t=1 -> S(1) = 0.5; remaining censored at 2
+    val out = km(1L -> 1L, 1L -> 1L, 2L -> 0L, 2L -> 0L)
+    assert(out(1L) == ((4L, 2L, 0.5)) && out(2L) == ((2L, 0L, 0.5)))
+  }
+
   test("isotonicFit fails loud above the domain bound") {
     val df = (0 until 50).map(i => ("g", i.toLong, 1L)).toDF("k", "x", "y")
     val e = intercept[IllegalArgumentException](
