@@ -4342,6 +4342,46 @@ object Queries {
       .orderBy(col("t"))
   }
 
+  private val q197Runs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Right-to-erasure cascade (X160): the subject with the smallest
+    * order key is erased from BOTH a customer table and an orders table
+    * ([[operators.Privacy.forgetSubject]] — one atomic versioned commit
+    * per table, audit relation with a post-delete verification count).
+    * The oracle derives every audit number from the parquet fixtures:
+    * rows_deleted = the subject's row count per table, residual = 0.
+    */
+  def q197ForgetSubject(s: SparkSession, dir: String): DataFrame = {
+    val ords = t(s, dir, "orders")
+    val subject = ords.agg(min(col("o_custkey"))).head().getLong(0)
+    val root = q197Runs.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("q197_forget").toString
+      val tc = storage.VersionedTable(s, s"$r/cust")
+      tc.append(t(s, dir, "customer"))
+      val to = storage.VersionedTable(s, s"$r/ord")
+      to.append(ords)
+      operators.Privacy.forgetSubject(
+        Seq(tc -> "c_custkey", to -> "o_custkey"), subject)
+        .write.mode("overwrite").parquet(s"$r/audit")
+      sys.addShutdownHook {
+        try org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(r), true)
+        catch { case _: Throwable => () }
+      }
+      r
+    })
+    val audit = s.read.parquet(s"$root/audit")
+      .select(
+        when(col("key_col") === "c_custkey", "customer")
+          .otherwise("orders").as("tbl"),
+        col("rows_deleted"), col("residual_rows"))
+    val remaining = storage.VersionedTable(s, s"$root/cust").read
+      .agg(count(lit(1))).head().getLong(0)
+    audit.withColumn("customers_remaining", lit(remaining))
+      .orderBy(col("tbl"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4538,7 +4578,8 @@ object Queries {
     "q193_join_cardinality" -> (q193JoinCardinality _),
     "q194_deflate_quality" -> (q194DeflateQuality _),
     "q195_isotonic" -> (q195IsotonicCalibration _),
-    "q196_kaplan_meier" -> (q196KaplanMeier _)
+    "q196_kaplan_meier" -> (q196KaplanMeier _),
+    "q197_forget_subject" -> (q197ForgetSubject _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8189,4 +8230,21 @@ object Queries {
         |    ELSE round(exp(SUM(term) OVER (ORDER BY t ROWS BETWEEN
         |      UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS survival
         |FROM x ORDER BY t""".stripMargin)
+    // every audit number derived from the fixtures: the erased subject is
+    // MIN(o_custkey); residuals must be zero; remaining = total minus the
+    // subject's rows
+    .updated("q197_forget_subject",
+      """WITH subj AS (SELECT MIN(o_custkey) AS k FROM orders),
+        |cnts AS (
+        |  SELECT 'customer' AS tbl,
+        |    (SELECT COUNT(*) FROM customer, subj WHERE c_custkey = k)
+        |      AS rows_deleted
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    (SELECT COUNT(*) FROM orders, subj WHERE o_custkey = k))
+        |SELECT tbl, rows_deleted, CAST(0 AS BIGINT) AS residual_rows,
+        |  (SELECT COUNT(*) FROM customer) -
+        |    (SELECT COUNT(*) FROM customer, subj WHERE c_custkey = k)
+        |    AS customers_remaining
+        |FROM cnts ORDER BY tbl""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.storage.VersionedTable
 
 /** Privacy audits for training-data governance: k-anonymity /
   * l-diversity over quasi-identifier (QI) columns, plus the minimal
@@ -22,6 +23,40 @@ import org.apache.spark.sql.functions._
   * unlike float floor-divide).
   */
 object Privacy {
+
+  /** Right-to-erasure (GDPR Art. 17 / CCPA) cascade: delete every row
+    * keyed to `subject` across the given (table, keyCol) pairs — one
+    * atomic versioned commit per table, zone-map-pruned part rewrites
+    * only ([[VersionedTable.deleteWhere]]) — and return an audit
+    * relation `(table_root, key_col, rows_deleted, new_version,
+    * residual_rows)` where residual_rows is a post-delete verification
+    * count (must be 0; emitted rather than asserted so the audit trail
+    * records the check itself).
+    *
+    * ERASURE IS NOT COMPLETE UNTIL OLD VERSIONS ARE RECLAIMED: time
+    * travel to a pre-deletion version resurrects the subject. With
+    * `vacuumNow = true` each table is vacuumed to its newest version in
+    * the same call (destroys time travel — the compliance trade);
+    * otherwise schedule `vacuum()` before the erasure deadline.
+    */
+  def forgetSubject(tables: Seq[(VersionedTable, String)], subject: Any,
+                    vacuumNow: Boolean = false): DataFrame = {
+    require(tables.nonEmpty, "forgetSubject needs at least one table")
+    val spark = tables.head._1.read.sparkSession
+    import spark.implicits._
+    val audit = tables.map { case (t, keyCol) =>
+      // deleteWhere returns the committed VERSION; the deleted-row count
+      // is measured as before − residual so the audit never trusts a
+      // side channel
+      val before = t.read.filter(col(keyCol) === lit(subject)).count()
+      val newVersion = t.deleteWhere(col(keyCol) === lit(subject))
+      if (vacuumNow) t.vacuum(retainLast = 1)
+      val residual = t.read.filter(col(keyCol) === lit(subject)).count()
+      (t.root, keyCol, before - residual, newVersion, residual)
+    }
+    audit.toDF("table_root", "key_col", "rows_deleted", "new_version",
+      "residual_rows")
+  }
 
   /** Per-class k-anonymity / l-diversity audit at a fixed generalization
     * level: groups by the categorical QIs plus `shiftright(floor(numCol),

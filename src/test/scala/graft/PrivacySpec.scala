@@ -58,6 +58,44 @@ class PrivacySpec extends AnyFunSuite {
     assert(audit.filter(col("class_size") < 2).count() == 1)
   }
 
+  test("forgetSubject: cascade delete with verified audit; old versions resurrect until vacuum") {
+    val r = java.nio.file.Files.createTempDirectory("privacy_forget").toString
+    val ta = graft.storage.VersionedTable(spark, s"$r/a")
+    ta.append(Seq((1L, "x"), (2L, "y"), (1L, "z")).toDF("uid", "v"))
+    val tb = graft.storage.VersionedTable(spark, s"$r/b")
+    tb.append(Seq((1L, 10.0), (3L, 30.0)).toDF("uid", "w"))
+    val preVersion = ta.state.get.version
+    val audit = graft.operators.Privacy.forgetSubject(
+        Seq(ta -> "uid", tb -> "uid"), 1L)
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(2), row.getLong(4))).toMap
+    assert(audit(s"$r/a") == ((2L, 0L)) && audit(s"$r/b") == ((1L, 0L)))
+    assert(ta.read.count() == 1 && tb.read.count() == 1)
+    // the erasure gap the scaladoc warns about: time travel still holds
+    // the subject until vacuum
+    assert(ta.readVersion(preVersion).filter(col("uid") === 1).count() == 2)
+    // vacuumNow variant reclaims immediately (fresh tables)
+    val tc = graft.storage.VersionedTable(spark, s"$r/c")
+    tc.append(Seq((1L, "x"), (2L, "y")).toDF("uid", "v"))
+    val v0 = tc.state.get.version
+    graft.operators.Privacy.forgetSubject(Seq(tc -> "uid"), 1L,
+      vacuumNow = true)
+    assert(tc.read.count() == 1)
+    assert(intercept[Exception](tc.readVersion(v0).count()) != null)
+  }
+
+  test("forgetSubject: absent subject is a clean zero-row audit, no commit") {
+    val r = java.nio.file.Files.createTempDirectory("privacy_noop").toString
+    val ta = graft.storage.VersionedTable(spark, s"$r/a")
+    ta.append(Seq((2L, "y")).toDF("uid", "v"))
+    val v = ta.state.get.version
+    val a = graft.operators.Privacy.forgetSubject(Seq(ta -> "uid"), 1L)
+      .head()
+    assert(a.getLong(2) == 0L && a.getLong(4) == 0L)
+    // zone maps prove the no-op: version unchanged
+    assert(ta.state.get.version == v)
+  }
+
   test("NULL QI or sensitive rows are excluded from classes") {
     val df = Seq(("a", Some(1.0), Some(1)), ("a", None, Some(1)),
       (null, Some(1.0), Some(1)), ("a", Some(1.5), None))
