@@ -165,7 +165,8 @@ object Bench {
       "q115_incremental_card", "q116_jdbc_roundtrip", "q117_jdbc_ingest",
       "q118_orc_roundtrip", "q119_sharded_export", "q121_jdbc_ts_ingest",
       "q131_incremental_triangles", "q137_version_diff",
-      "q172_warc_roundtrip", "q187_web_pipeline", "q188_incr_pareto")
+      "q172_warc_roundtrip", "q187_web_pipeline", "q188_incr_pareto",
+      "q197_forget_subject")
     val builds: Seq[(String, Double)] = Queries.all
       .filter { case (name, _) =>
         stateful.contains(name) && only.forall(_.contains(name)) }

@@ -4382,6 +4382,23 @@ object Queries {
       .orderBy(col("tbl"))
   }
 
+  /** Token-weighted quantiles (X161): per return flag, the
+    * quantity-weighted median and p90 of price cents
+    * ([[operators.Stats.weightedQuantile]]) — the percentile where each
+    * row counts by its weight, not 1 (the token-weighted corpus
+    * question). The oracle replays the cumulative-weight crossing on the
+    * same (group, value) domain.
+    */
+  def q198WeightedQuantile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice")).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+    operators.Stats.weightedQuantile(li, Seq("l_returnflag"),
+        "cents", "qty", Seq(0.5, 0.9))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4579,7 +4596,8 @@ object Queries {
     "q194_deflate_quality" -> (q194DeflateQuality _),
     "q195_isotonic" -> (q195IsotonicCalibration _),
     "q196_kaplan_meier" -> (q196KaplanMeier _),
-    "q197_forget_subject" -> (q197ForgetSubject _)
+    "q197_forget_subject" -> (q197ForgetSubject _),
+    "q198_weighted_quantile" -> (q198WeightedQuantile _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8247,4 +8265,24 @@ object Queries {
         |    (SELECT COUNT(*) FROM customer, subj WHERE c_custkey = k)
         |    AS customers_remaining
         |FROM cnts ORDER BY tbl""".stripMargin)
+    // the cumulative-weight crossing replayed on the same value domain;
+    // the q*W threshold is the one mirrored double product
+    .updated("q198_weighted_quantile",
+      """WITH dom AS (SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS v,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, v,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cw,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM dom),
+        |qq AS (SELECT * FROM cum
+        |  CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q))
+        |SELECT l_returnflag, q, MIN(v) AS value, MAX(tw) AS total_weight
+        |FROM qq WHERE CAST(cw AS DOUBLE) >= q * CAST(tw AS DOUBLE)
+        |GROUP BY 1, 2 ORDER BY l_returnflag, q""".stripMargin)
 }

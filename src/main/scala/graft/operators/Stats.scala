@@ -789,6 +789,40 @@ object Stats {
         col("acf")): _*)
   }
 
+  /** Exact weighted discrete quantiles per group: the smallest value
+    * whose CUMULATIVE weight reaches q·W — the weighted median /
+    * percentile a token-weighted corpus needs (a document's influence is
+    * its token count, not 1; the unweighted q34 percentile answers the
+    * wrong question there). One row-scale aggregation to the
+    * (group, value) domain, one ordered window for the cumulative
+    * weights, then every requested q reads off the same cumulation —
+    * integer weights throughout, the only double being the q·W threshold
+    * (ONE fixed product, mirrored in the oracle). Returns one row per
+    * (group, q): `(…, q, value, total_weight)`.
+    */
+  def weightedQuantile(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, weightCol: String,
+                       qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "weightedQuantile requires group columns")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"qs=$qs")
+    val keys = groupCols.map(col)
+    val v = col(valueCol); val w = col(weightCol)
+    val dom = df.filter(v.isNotNull && w.isNotNull && w > 0)
+      .groupBy(keys :+ v.cast("long").as("_v"): _*)
+      .agg(sum(w.cast("long")).as("_w"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dom
+      .withColumn("_cw", sum(col("_w")).over(wCum))
+      .withColumn("_tw", sum(col("_w")).over(Window.partitionBy(keys: _*)))
+    cum
+      .select(keys ++ Seq(col("_v"), col("_cw"), col("_tw"),
+        explode(array(qs.map(lit): _*)).as("q")): _*)
+      .filter(col("_cw").cast("double") >= col("q") * col("_tw").cast("double"))
+      .groupBy(keys :+ col("q"): _*)
+      .agg(min(col("_v")).as("value"), max(col("_tw")).as("total_weight"))
+  }
+
   /** Kaplan-Meier product-limit survival estimator per group — the
     * censoring-aware retention curve (q96's cohort retention counts
     * every user as observed forever; real cohorts are right-censored at

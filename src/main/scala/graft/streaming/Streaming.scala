@@ -66,6 +66,28 @@ object Streaming {
       .select(col("win.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** Event-time SESSION windows via the built-in `session_window`
+    * aggregation: per key, events within `gap` of each other merge into
+    * one session row (start, end, n, sum) — the watermark bounds state,
+    * so an idle key's session closes and is emitted exactly once. This
+    * is the streaming twin of [[graft.operators.Sessions]]' batch
+    * sessionization (same gap semantics) and the dynamic-gap answer the
+    * fixed tumbling window of [[windowedStats]] cannot give.
+    */
+  def sessionStats(events: DataFrame, tsCol: String, keyCol: String,
+                   valueCol: String, gap: String = "30 minutes",
+                   watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.session_window(col(tsCol), gap)
+          .as("win"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col(keyCol),
+        col("n"), col("sum_value"))
+
   /** Keyed running state: per-key count / sum / last value, updated per
     * micro-batch via mapGroupsWithState — the custom-state primitive for
     * anything the built-in aggs can't express (the streaming analogue of

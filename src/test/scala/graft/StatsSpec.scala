@@ -489,6 +489,25 @@ class StatsSpec extends AnyFunSuite {
     assert(out(1L) == ((4L, 2L, 0.5)) && out(2L) == ((2L, 0L, 0.5)))
   }
 
+  test("weightedQuantile: cumulative-weight crossing, not row counting") {
+    // values 1 (w=1), 2 (w=1), 10 (w=8): unweighted median is 2, but the
+    // weight mass says 10 (cum 2/10 < 5 at v=2; crosses at v=10)
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 10L, 8L))
+      .toDF("k", "v", "w")
+    val out = Stats.weightedQuantile(df, Seq("k"), "v", "w", Seq(0.2, 0.5))
+      .collect().map(r => r.getAs[Double]("q") ->
+        (r.getAs[Long]("value"), r.getAs[Long]("total_weight"))).toMap
+    assert(out(0.5) == ((10L, 10L)))
+    assert(out(0.2) == ((2L, 10L))) // cum at v=2 is 2 = 0.2*10 exactly
+    // zero/negative weights are excluded; duplicate values merge
+    val out2 = Stats.weightedQuantile(
+        Seq(("g", 5L, 3L), ("g", 5L, 2L), ("g", 7L, 0L), ("g", 9L, -1L))
+          .toDF("k", "v", "w"), Seq("k"), "v", "w", Seq(1.0))
+      .head()
+    assert(out2.getAs[Long]("value") == 5L &&
+      out2.getAs[Long]("total_weight") == 5L)
+  }
+
   test("isotonicFit fails loud above the domain bound") {
     val df = (0 until 50).map(i => ("g", i.toLong, 1L)).toDF("k", "x", "y")
     val e = intercept[IllegalArgumentException](

@@ -43,6 +43,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(b10.getLong(2) == 1 && b10.getDouble(5) == 7.0)
   }
 
+  test("sessionStats: gap-merged event-time sessions close at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "key", "value")
+    val out = Streaming.sessionStats(df, "ts", "key", "value",
+      gap = "30 minutes", watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sessstats")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      (ts("2026-01-01 10:00:00"), "a", 1.0), // session 1: 10:00, 10:20
+      (ts("2026-01-01 10:20:00"), "a", 2.0),
+      (ts("2026-01-01 11:30:00"), "a", 5.0), // gap > 30m: session 2
+      (ts("2026-01-01 10:05:00"), "b", 7.0))
+    q.processAllAvailable()
+    in.addData((ts("2026-01-02 10:00:00"), "a", 0.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("sessstats").collect()
+    q.stop()
+    val aSessions = rows.filter(_.getString(2) == "a")
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1),
+        r.getLong(3), r.getDouble(4))).toSet
+    // session 1 spans 10:00..10:50 (last event + gap), n=2, sum=3
+    assert(aSessions.contains(
+      (ts("2026-01-01 10:00:00"), ts("2026-01-01 10:50:00"), 2L, 3.0)))
+    // session 2 is the lone 11:30 event
+    assert(aSessions.contains(
+      (ts("2026-01-01 11:30:00"), ts("2026-01-01 12:00:00"), 1L, 5.0)))
+    val b = rows.find(_.getString(2) == "b").get
+    assert(b.getLong(3) == 1 && b.getDouble(4) == 7.0)
+  }
+
   test("runningStats: mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
