@@ -4399,6 +4399,39 @@ object Queries {
       .orderBy(col("l_returnflag"), col("q"))
   }
 
+  /** URL path-tree rollup (X162): doc-derived hierarchical paths
+    * (`/s…/c…/d…/page…`) profiled by
+    * [[operators.WebAnalytics.pathTreeRollup]] — every ancestor prefix's
+    * URL mass and distinct-children fanout, the where-is-the-crawl-fat
+    * tree. The oracle replays the prefix explode + rollup with
+    * string_split + generate ranges.
+    */
+  def q199PathTree(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val path = concat(
+      lit("/s"), (col("doc_id") % 4).cast("string"),
+      lit("/c"), (col("doc_id") % 12).cast("string"),
+      lit("/d"), (col("doc_id") % 36).cast("string"),
+      lit("/page"), col("doc_id").cast("string"))
+    operators.WebAnalytics.pathTreeRollup(d.select(path.as("p")), "p")
+      .filter(col("depth") <= 3)
+      .orderBy(desc("n_urls"), col("prefix"))
+      .limit(30)
+  }
+
+  /** Corpus-source unigram divergence (X163): add-one-smoothed KL and
+    * cross-entropy between every ordered pair of the first five sources
+    * ([[operators.WebAnalytics.corpusDivergence]]) — the
+    * which-sources-drift dashboard. Exact integer counts; one rounded
+    * ln-sum per pair, replayed term-for-term by the oracle.
+    */
+  def q200CorpusDivergence(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    operators.WebAnalytics.corpusDivergence(d, "source", "text")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4597,7 +4630,9 @@ object Queries {
     "q195_isotonic" -> (q195IsotonicCalibration _),
     "q196_kaplan_meier" -> (q196KaplanMeier _),
     "q197_forget_subject" -> (q197ForgetSubject _),
-    "q198_weighted_quantile" -> (q198WeightedQuantile _)
+    "q198_weighted_quantile" -> (q198WeightedQuantile _),
+    "q199_path_tree" -> (q199PathTree _),
+    "q200_corpus_divergence" -> (q200CorpusDivergence _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8285,4 +8320,53 @@ object Queries {
         |SELECT l_returnflag, q, MIN(v) AS value, MAX(tw) AS total_weight
         |FROM qq WHERE CAST(cw AS DOUBLE) >= q * CAST(tw AS DOUBLE)
         |GROUP BY 1, 2 ORDER BY l_returnflag, q""".stripMargin)
+    // prefix explode + rollup replayed: split, ancestor prefixes via a
+    // per-depth range, distinct next segment below each prefix
+    .updated("q199_path_tree",
+      """WITH urls AS (SELECT
+        |    '/s' || CAST(doc_id % 4 AS VARCHAR) ||
+        |    '/c' || CAST(doc_id % 12 AS VARCHAR) ||
+        |    '/d' || CAST(doc_id % 36 AS VARCHAR) ||
+        |    '/page' || CAST(doc_id AS VARCHAR) AS p
+        |  FROM documents),
+        |parts AS (SELECT string_split(p, '/') AS a FROM urls),
+        |pfx AS (SELECT a, d.d AS depth,
+        |    '/' || array_to_string(a[2 : d.d + 1], '/') AS prefix,
+        |    CASE WHEN len(a) - 1 > d.d THEN a[d.d + 2] END AS child
+        |  FROM parts
+        |  CROSS JOIN (SELECT unnest(range(1, 9)) AS d) d
+        |  WHERE d.d <= len(a) - 1)
+        |SELECT prefix, CAST(depth AS INT) AS depth, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT child) AS n_children
+        |FROM pfx WHERE depth <= 3
+        |GROUP BY 1, 2 ORDER BY n_urls DESC, prefix LIMIT 30""".stripMargin)
+    // the smoothed KL / cross-entropy grid replayed over the union vocab
+    .updated("q200_corpus_divergence",
+      """WITH d5 AS (SELECT source, text FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4')
+        |    AND text IS NOT NULL),
+        |toks AS (SELECT source AS src,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+        |  FROM d5),
+        |c AS (SELECT src, tok, COUNT(*) AS c FROM toks
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |tots AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |v AS (SELECT DISTINCT tok FROM c),
+        |vs AS (SELECT COUNT(*) AS n FROM v),
+        |grid AS (SELECT a.src AS src_a, b.src AS src_b, v.tok,
+        |    a.tot AS tot_a, b.tot AS tot_b
+        |  FROM v CROSS JOIN tots a CROSS JOIN tots b
+        |  WHERE a.src <> b.src),
+        |j AS (SELECT g.src_a, g.src_b,
+        |    CAST(COALESCE(ca.c, 0) + 1 AS DOUBLE) /
+        |      (g.tot_a + (SELECT n FROM vs)) AS p,
+        |    CAST(COALESCE(cb.c, 0) + 1 AS DOUBLE) /
+        |      (g.tot_b + (SELECT n FROM vs)) AS q
+        |  FROM grid g
+        |  LEFT JOIN c ca ON ca.src = g.src_a AND ca.tok = g.tok
+        |  LEFT JOIN c cb ON cb.src = g.src_b AND cb.tok = g.tok)
+        |SELECT src_a, src_b, (SELECT n FROM vs) AS n_terms,
+        |  round(SUM(p * ln(p / q)), 6) AS kl,
+        |  round(SUM(-p * ln(q)), 6) AS cross_entropy
+        |FROM j GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)
 }
