@@ -4432,6 +4432,67 @@ object Queries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Rolling 7-day distinct actives (X164): exact sliding
+    * count-distinct — the non-additive dashboard metric a windowed SUM
+    * cannot give (a user active twice in the window counts once).
+    * Relational shape: collapse to the DISTINCT (type, user, day)
+    * relation first, then each row contributes to the 7 windows ending
+    * on days [day, day+6] via a bounded explode, and the window count is
+    * an ordinary countDistinct per (type, window_end) — the explode
+    * multiplies the distinct-domain relation by the window length, never
+    * the raw events. Windows ending after the corpus horizon are
+    * truncated; only fully-formed metric days survive.
+    */
+  def q201RollingActives(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val horizon = ev.agg(max(col("ts").cast("date"))).head().getDate(0)
+    val dau = ev.select(col("event_type"), col("user_id"),
+        col("ts").cast("date").as("d")).distinct()
+    dau.select(col("event_type"), col("user_id"),
+        explode(sequence(col("d"), least(date_add(col("d"), 6),
+          lit(horizon)))).as("wend"))
+      .groupBy(col("event_type"), col("wend"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .filter(col("wend") >= date_add(lit(horizon), -20))
+      .orderBy(col("event_type"), col("wend"))
+  }
+
+  /** Last-touch attribution (X165): each purchase attributes to the same
+    * user's most recent PRECEDING non-purchase event within one hour —
+    * the classic marketing-attribution join, expressed as one user-keyed
+    * window (last non-purchase event type/ts carried forward) + the
+    * tolerance filter, never an O(n·w) self-join. Purchases with no
+    * qualifying touch report `(none)`.
+    */
+  def q202Attribution(s: SparkSession, dir: String): DataFrame = {
+    // full-resolution micros + event_id make the window order TOTAL —
+    // second-truncated ordering leaves same-second ties to engine
+    // sort stability, which no oracle can replay
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = ev
+      .withColumn("_lt_type", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .withColumn("_lt_us", last(
+        when(col("event_type") =!= "purchase", col("us")),
+        ignoreNulls = true).over(w))
+    touched.filter(col("event_type") === "purchase")
+      .select(
+        when(col("_lt_us").isNotNull &&
+            col("us") - col("_lt_us") <= 3600L * 1000000L,
+          col("_lt_type")).otherwise("(none)").as("touch"),
+        col("value"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("attributed_value"))
+      .orderBy(col("touch"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4632,7 +4693,9 @@ object Queries {
     "q197_forget_subject" -> (q197ForgetSubject _),
     "q198_weighted_quantile" -> (q198WeightedQuantile _),
     "q199_path_tree" -> (q199PathTree _),
-    "q200_corpus_divergence" -> (q200CorpusDivergence _)
+    "q200_corpus_divergence" -> (q200CorpusDivergence _),
+    "q201_rolling_actives" -> (q201RollingActives _),
+    "q202_attribution" -> (q202Attribution _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8369,4 +8432,38 @@ object Queries {
         |  round(SUM(p * ln(p / q)), 6) AS kl,
         |  round(SUM(-p * ln(q)), 6) AS cross_entropy
         |FROM j GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)
+    // the 7-window explode replayed: distinct (type,user,day), each row
+    // lands in windows [d, min(d+6, horizon)], count-distinct per end day
+    .updated("q201_rolling_actives",
+      """WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS hz FROM events),
+        |dau AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |ex AS (SELECT event_type, user_id, CAST(u.w AS DATE) AS wend
+        |  FROM dau, LATERAL (SELECT unnest(generate_series(d,
+        |    least(d + 6, (SELECT hz FROM h)), INTERVAL 1 DAY)) AS w) u)
+        |SELECT event_type, wend, COUNT(DISTINCT user_id) AS active_7d
+        |FROM ex WHERE wend >= (SELECT hz FROM h) - 20
+        |GROUP BY 1, 2 ORDER BY event_type, wend""".stripMargin)
+    // the same total-ordered carry-forward window (micros + event_id)
+    .updated("q202_attribution",
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value
+        |  FROM events),
+        |t AS (SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_us
+        |  FROM e)
+        |SELECT CASE WHEN lt_us IS NOT NULL AND us - lt_us <= 3600000000
+        |    THEN lt_type ELSE '(none)' END AS touch,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch""".stripMargin)
 }
