@@ -4493,6 +4493,45 @@ object Queries {
       .orderBy(col("touch"))
   }
 
+  /** Theil-Sen robust trend (X166): the median pairwise slope of each
+    * event type's daily count series ([[operators.Stats.theilSen]]) —
+    * the trend a contaminated day cannot drag, where q142's OLS follows
+    * every outlier. Slopes floor-scale to integer micro-units so the
+    * median is a discrete order statistic; the oracle replays the pair
+    * enumeration and the lower-median rank.
+    */
+  def q203TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("d"), lit(java.sql.Date.valueOf("2024-01-01")))
+          .as("x"),
+        col("c"))
+    operators.Stats.theilSen(daily, Seq("event_type"), "x", "c")
+      .orderBy(col("event_type"))
+  }
+
+  /** Embedding centroid-outlier screen (X167): each vector's cosine to
+    * its collection's centroid DIRECTION
+    * ([[operators.Similarity.centroidOutliers]] — exact integer sums,
+    * one double expression, micro-scaled), rolled up per collection with
+    * a low-cosine outlier count. The oracle replays the component
+    * explode and the identical score expression.
+    */
+  def q204CentroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select((col("vec_id") % 4).as("grp"), col("vec_id"), col("embedding"))
+    operators.Similarity.centroidOutliers(e, Seq("grp"), "vec_id",
+        "embedding")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cos_micro") < 500000L, 1L).otherwise(0L)).as("n_low"),
+        min(col("cos_micro")).as("min_cos_micro"),
+        sum(col("cos_micro")).as("sum_cos_micro"))
+      .orderBy(col("grp"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4695,7 +4734,9 @@ object Queries {
     "q199_path_tree" -> (q199PathTree _),
     "q200_corpus_divergence" -> (q200CorpusDivergence _),
     "q201_rolling_actives" -> (q201RollingActives _),
-    "q202_attribution" -> (q202Attribution _)
+    "q202_attribution" -> (q202Attribution _),
+    "q203_theil_sen" -> (q203TheilSen _),
+    "q204_centroid_outliers" -> (q204CentroidOutliers _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8466,4 +8507,53 @@ object Queries {
         |    AS attributed_value
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY touch""".stripMargin)
+    // pair slopes in integer micro-units, lower median by rank
+    .updated("q203_theil_sen",
+      """WITH daily AS (SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, CAST(ts AS DATE)),
+        |pts AS (SELECT event_type, x, CAST(SUM(c) AS BIGINT) AS y
+        |  FROM daily GROUP BY 1, 2),
+        |sl AS (SELECT a.event_type,
+        |    CAST(FLOOR(1000000 * (b.y - a.y) / (b.x - a.x)) AS BIGINT) AS s
+        |  FROM pts a JOIN pts b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |rk AS (SELECT event_type, s,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM sl),
+        |med AS (SELECT event_type, n AS n_pairs, s AS slope_micro
+        |  FROM rk WHERE r = (n + 1) // 2)
+        |SELECT m.event_type,
+        |  (SELECT COUNT(*) FROM pts p WHERE p.event_type = m.event_type)
+        |    AS n_points,
+        |  n_pairs, slope_micro
+        |FROM med m ORDER BY event_type""".stripMargin)
+    // the identical integer-sum score expression over the component
+    // explode; S^2 in HUGEINT (the decimal(38,0) twin)
+    .updated("q204_centroid_outliers",
+      """WITH comps AS (SELECT vec_id % 4 AS grp, vec_id, u.k, u.vf,
+        |    CAST(FLOOR(1000000 * CAST(u.vf AS DOUBLE)) AS BIGINT) AS v
+        |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS vf,
+        |    generate_subscripts(embedding, 1) AS k) u),
+        |sums AS (SELECT grp, k, CAST(SUM(v) AS BIGINT) AS sv
+        |  FROM comps GROUP BY 1, 2),
+        |pv AS (SELECT c.grp, c.vec_id,
+        |    SUM(CAST(c.v AS HUGEINT) * s.sv) AS dot,
+        |    SUM(c.v * c.v) AS d2,
+        |    SUM(CAST(s.sv AS HUGEINT) * s.sv) AS s2
+        |  FROM comps c JOIN sums s ON c.grp = s.grp AND c.k = s.k
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT grp, vec_id,
+        |    CAST(FLOOR(1000000 * CAST(dot AS DOUBLE) /
+        |      sqrt(CAST(d2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS BIGINT)
+        |      AS cos_micro
+        |  FROM pv)
+        |SELECT grp, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN cos_micro < 500000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  MIN(cos_micro) AS min_cos_micro,
+        |  CAST(SUM(cos_micro) AS BIGINT) AS sum_cos_micro
+        |FROM sc GROUP BY 1 ORDER BY grp""".stripMargin)
 }

@@ -854,4 +854,44 @@ object Similarity {
     l2r.join(r2l, Seq("l_id", "r_id"))
       .select(col("l_id"), col("r_id"), col("score"))
   }
+
+  /** Per-group centroid-cosine outlier scores — the embedding-quality
+    * screen (a vector far from its collection's centroid is mislabeled,
+    * corrupt, or off-distribution). Cosine is scale-invariant, so the
+    * centroid DIRECTION is just the component-SUM vector — no division
+    * by n anywhere, and the whole score pipeline stays exact-integer:
+    * components floor-scale to 1e6 ints (the q103 contract), dot and
+    * norms are integer sums (S² in DECIMAL(38,0) — a group's summed
+    * component squares overflow long), and the one double expression
+    * `dot / sqrt(|d|²·|S|²)` floor-scales to micro-units. Returns one
+    * row per vector: `(…group…, id, cos_micro)`.
+    *
+    * Scale shape: explode to (group, component) once; the centroid is a
+    * 64-row-per-group aggregate broadcast back; no pairwise work at all.
+    */
+  def centroidOutliers(df: DataFrame, groupCols: Seq[String],
+                       idCol: String, vecCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "centroidOutliers requires group columns")
+    val keys = groupCols.map(col)
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val comps = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(keys ++ Seq(col(idCol).as("_id"),
+        posexplode(col(vecCol)).as(Seq("_k", "_vf"))): _*)
+      .withColumn("_v", floor(lit(1000000d) * col("_vf").cast("double"))
+        .cast("long"))
+    val sums = comps.groupBy(keys :+ col("_k"): _*)
+      .agg(sum(col("_v")).as("_S"))
+    val perVec = comps.join(sums, groupCols :+ "_k")
+      .groupBy(keys :+ col("_id"): _*)
+      .agg(sum(col("_v").cast(dec38) * col("_S")).as("_dot"),
+        sum(col("_v") * col("_v")).as("_d2"),
+        sum(col("_S").cast(dec38) * col("_S")).as("_s2"))
+    perVec
+      .withColumn("cos_micro",
+        floor(lit(1000000d) * col("_dot").cast("double") /
+          sqrt(col("_d2").cast("double") * col("_s2").cast("double")))
+          .cast("long"))
+      .select(keys ++ Seq(col("_id").as(idCol), col("cos_micro")): _*)
+  }
 }

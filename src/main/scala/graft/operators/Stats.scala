@@ -789,6 +789,51 @@ object Stats {
         col("acf")): _*)
   }
 
+  /** Theil-Sen robust trend per group: the MEDIAN of all pairwise slopes
+    * `(y_j − y_i)/(x_j − x_i)` — the slope estimator a 29%-contaminated
+    * series cannot drag where OLS ([[linearFit]]) follows every outlier.
+    * Slopes are floor-scaled to integer micro-units so the median is a
+    * DISCRETE order statistic (no double averaging, engine-exact); the
+    * lower median is taken on even counts. The pair relation is O(d²)
+    * in the per-group series length — aggregate to a bounded series
+    * first (daily/hourly rollup); `maxPoints` fails loud beyond the
+    * bound. Returns `(…, n_points, n_pairs, slope_micro)`.
+    */
+  def theilSen(df: DataFrame, groupCols: Seq[String], xCol: String,
+               yCol: String, maxPoints: Int = 4096): DataFrame = {
+    require(groupCols.nonEmpty, "theilSen requires group columns")
+    val keys = groupCols.map(col)
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keys :+ col(xCol).cast("long").as("_x"): _*)
+      .agg(sum(col(yCol).cast("long")).as("_y")) // duplicate x's collapse
+    val nRow = pts.groupBy(keys: _*).agg(count(lit(1)).as("_d"))
+      .agg(max(col("_d"))).head()
+    val nMax = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    require(nMax <= maxPoints,
+      s"theilSen series length $nMax exceeds maxPoints=$maxPoints — " +
+        "aggregate to a bounded series (daily/hourly rollup) first: the " +
+        "pair relation is O(points²)")
+    val a = pts.select(keys ++ Seq(col("_x").as("_xi"), col("_y").as("_yi")): _*)
+    val b = pts.select(keys ++ Seq(col("_x").as("_xj"), col("_y").as("_yj")): _*)
+    val slopes = a.join(b, groupCols).filter(col("_xi") < col("_xj"))
+      .select(keys :+
+        floor(lit(1000000L) * (col("_yj") - col("_yi")) /
+          (col("_xj") - col("_xi"))).cast("long").as("_s"): _*)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("_s"))
+    val ranked = slopes
+      .withColumn("_r", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+    // integer div: Column `/` is double division and (n+1)/2 = x.5 on
+    // even counts would match NO rank
+    ranked.filter(col("_r") === expr("(_n + 1) div 2")) // lower median
+      .groupBy(keys: _*)
+      .agg(max(col("_n")).as("n_pairs"), max(col("_s")).as("slope_micro"))
+      .join(pts.groupBy(keys: _*).agg(count(lit(1)).as("n_points")),
+        groupCols)
+      .select(keys ++ Seq(col("n_points"), col("n_pairs"),
+        col("slope_micro")): _*)
+  }
+
   /** Exact weighted discrete quantiles per group: the smallest value
     * whose CUMULATIVE weight reaches q·W — the weighted median /
     * percentile a token-weighted corpus needs (a document's influence is

@@ -394,4 +394,26 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 10L, 1.0)))
   }
+
+  test("centroidOutliers: the off-direction vector scores lowest; aligned score ~1") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 1L, Array(1.0f, 0.0f)),   // aligned with the group mass
+      (0L, 2L, Array(0.9f, 0.1f)),
+      (0L, 3L, Array(-1.0f, 0.0f)),  // anti-aligned outlier
+      (1L, 4L, Array(0.5f, 0.5f)))
+    val out = graft.operators.Similarity.centroidOutliers(
+        vecs.toDF("grp", "id", "vec"), Seq("grp"), "id", "vec")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cos_micro"))
+      .toMap
+    assert(out(3L) < 0L)                 // points against the centroid
+    assert(out(1L) > 900000L && out(2L) > 900000L)
+    assert(out(4L) == 999999L || out(4L) == 1000000L) // lone vector ~ exact 1
+    // determinism: identical inputs give identical micro scores
+    val again = graft.operators.Similarity.centroidOutliers(
+        vecs.toDF("grp", "id", "vec"), Seq("grp"), "id", "vec")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cos_micro"))
+      .toMap
+    assert(again == out)
+  }
 }

@@ -508,6 +508,33 @@ class StatsSpec extends AnyFunSuite {
       out2.getAs[Long]("total_weight") == 5L)
   }
 
+  test("theilSen: median slope shrugs off the outlier OLS follows") {
+    // clean slope 2 with ONE wild point: pairwise-median stays 2.0
+    val pts = Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L),
+      ("g", 3L, 6L), ("g", 4L, 1000L))
+    val r = Stats.theilSen(pts.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .head()
+    assert(r.getAs[Long]("n_points") == 5 && r.getAs[Long]("n_pairs") == 10)
+    assert(r.getAs[Long]("slope_micro") == 2000000L)
+    // OLS on the same data is dragged far above 2
+    val ols = Stats.linearFit(pts.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .head().getAs[Double]("slope")
+    assert(ols > 100)
+  }
+
+  test("theilSen: duplicate x's collapse by sum; domain bound fails loud") {
+    val r = Stats.theilSen(
+        Seq(("g", 0L, 1L), ("g", 0L, 1L), ("g", 1L, 4L)).toDF("k", "x", "y"),
+        Seq("k"), "x", "y").head()
+    // x=0 pools to y=2, x=1 is 4: one pair, slope 2
+    assert(r.getAs[Long]("n_pairs") == 1 &&
+      r.getAs[Long]("slope_micro") == 2000000L)
+    val big = (0 until 50).map(i => ("g", i.toLong, 1L)).toDF("k", "x", "y")
+    val e = intercept[IllegalArgumentException](
+      Stats.theilSen(big, Seq("k"), "x", "y", maxPoints = 10))
+    assert(e.getMessage.contains("rollup"))
+  }
+
   test("isotonicFit fails loud above the domain bound") {
     val df = (0 until 50).map(i => ("g", i.toLong, 1L)).toDF("k", "x", "y")
     val e = intercept[IllegalArgumentException](
