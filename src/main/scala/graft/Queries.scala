@@ -4532,6 +4532,57 @@ object Queries {
       .orderBy(col("grp"))
   }
 
+  /** Deadline-constrained funnel (X168): signup → view within 1 h →
+    * purchase within 1 h OF THE VIEW — the windowed multi-step funnel
+    * q95's unconstrained ordering cannot express. Shape: ONE
+    * following-frame carry per step (each event learns its next view /
+    * next purchase in total row order — micros + event_id), then the
+    * steps chain by an equi-join of signups to their matched view row
+    * (which already carries ITS next purchase); same-instant view ties
+    * collapse by min before the join so the chain stays deterministic.
+    * No O(n·w) self-join anywhere.
+    */
+  def q205WindowedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val wFol = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val aug = ev
+      .withColumn("nv_us", first(
+        when(col("event_type") === "view", col("us")),
+        ignoreNulls = true).over(wFol))
+      .withColumn("np_us", first(
+        when(col("event_type") === "purchase", col("us")),
+        ignoreNulls = true).over(wFol))
+    val signups = aug.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("us").as("s_us"), col("nv_us"))
+    val views = aug.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_uid"), col("us").as("v_us"))
+      .agg(min(col("np_us")).as("vp_us"))
+    signups
+      .join(views, col("s_uid") === col("v_uid") &&
+        col("nv_us") === col("v_us"), "left")
+      .select(
+        lit(1L).as("step1"),
+        when(col("nv_us").isNotNull &&
+          col("nv_us") - col("s_us") <= hourUs, 1L).otherwise(0L)
+          .as("step2"),
+        when(col("nv_us").isNotNull &&
+          col("nv_us") - col("s_us") <= hourUs &&
+          col("vp_us").isNotNull &&
+          col("vp_us") - col("nv_us") <= hourUs, 1L).otherwise(0L)
+          .as("step3"),
+        when(col("nv_us").isNotNull &&
+          col("nv_us") - col("s_us") <= hourUs,
+          col("nv_us") - col("s_us")).otherwise(0L).as("lat"))
+      .agg(sum(col("step1")).as("n_signups"),
+        sum(col("step2")).as("n_viewed_1h"),
+        sum(col("step3")).as("n_purchased_1h"),
+        sum(col("lat")).as("sum_view_latency_us"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4736,7 +4787,8 @@ object Queries {
     "q201_rolling_actives" -> (q201RollingActives _),
     "q202_attribution" -> (q202Attribution _),
     "q203_theil_sen" -> (q203TheilSen _),
-    "q204_centroid_outliers" -> (q204CentroidOutliers _)
+    "q204_centroid_outliers" -> (q204CentroidOutliers _),
+    "q205_windowed_funnel" -> (q205WindowedFunnel _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8556,4 +8608,37 @@ object Queries {
         |  MIN(cos_micro) AS min_cos_micro,
         |  CAST(SUM(cos_micro) AS BIGINT) AS sum_cos_micro
         |FROM sc GROUP BY 1 ORDER BY grp""".stripMargin)
+    // the same following-frame carries + min-collapsed view join
+    .updated("q205_windowed_funnel",
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |aug AS (SELECT *,
+        |    first_value(CASE WHEN event_type = 'view' THEN us END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv_us,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN us END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np_us
+        |  FROM e),
+        |sg AS (SELECT user_id, us AS s_us, nv_us FROM aug
+        |  WHERE event_type = 'signup'),
+        |vw AS (SELECT user_id, us AS v_us, MIN(np_us) AS vp_us FROM aug
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |f AS (SELECT s.s_us, s.nv_us, v.vp_us FROM sg s
+        |  LEFT JOIN vw v ON s.user_id = v.user_id AND s.nv_us = v.v_us)
+        |SELECT COUNT(*) AS n_signups,
+        |  CAST(SUM(CASE WHEN nv_us IS NOT NULL
+        |    AND nv_us - s_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_viewed_1h,
+        |  CAST(SUM(CASE WHEN nv_us IS NOT NULL
+        |    AND nv_us - s_us <= 3600000000 AND vp_us IS NOT NULL
+        |    AND vp_us - nv_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchased_1h,
+        |  CAST(SUM(CASE WHEN nv_us IS NOT NULL
+        |    AND nv_us - s_us <= 3600000000 THEN nv_us - s_us
+        |    ELSE 0 END) AS BIGINT) AS sum_view_latency_us
+        |FROM f""".stripMargin)
 }

@@ -305,7 +305,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "markov_stationary", "label_propagate",
           "welch_t", "moments", "bootstrap_ci", "ridge", "coverage",
           "pareto", "frequent_triples", "k_anonymity", "isotonic_fit",
-          "kaplan_meier",
+          "kaplan_meier", "weighted_quantile", "theil_sen",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -376,6 +376,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "k_anonymity" => new KAnonymityProcedure
       case "isotonic_fit" => new IsotonicFitProcedure
       case "kaplan_meier" => new KaplanMeierProcedure
+      case "weighted_quantile" => new WeightedQuantileProcedure
+      case "theil_sen" => new TheilSenProcedure
       case "auc" => new AucProcedure
       case "calibration" => new CalibrationProcedure
       case "markov_stationary" => new MarkovStationaryProcedure
@@ -2707,6 +2709,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.unsafe.types.UTF8String.fromString(
             String.valueOf(r.get(0))),
           r.get(1), r.get(2), r.get(3), r.get(4))))
+    }
+  }
+
+  private final class WeightedQuantileProcedure extends MaintenanceProcedure {
+    override def name(): String = "weighted_quantile"
+    override def description(): String =
+      "exact weighted discrete quantile per group: the smallest value " +
+        "whose cumulative weight reaches q*W; returns " +
+        "(group, q, value, total_weight)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("value_col", StringType).build(),
+        procedures.ProcedureParameter.in("weight_col", StringType).build(),
+        procedures.ProcedureParameter.in("q",
+          org.apache.spark.sql.types.DoubleType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Stats.weightedQuantile(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString, Seq(input.getDouble(4)))
+        .orderBy(col(gCol)).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("q", org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField("value", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("total_weight", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3))))
+    }
+  }
+
+  private final class TheilSenProcedure extends MaintenanceProcedure {
+    override def name(): String = "theil_sen"
+    override def description(): String =
+      "Theil-Sen robust trend per group: median pairwise slope in " +
+        "integer micro-units over a bounded series; returns " +
+        "(group, n_points, n_pairs, slope_micro)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("x_col", StringType).build(),
+        procedures.ProcedureParameter.in("y_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Stats.theilSen(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString)
+        .orderBy(col(gCol)).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("n_points", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("n_pairs", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("slope_micro", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3))))
     }
   }
 

@@ -1403,6 +1403,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "group_col => 'grp', duration_col => 'dur', event_col => 'e')")
       .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
     assert(kmr == Map(1L -> 0.75, 2L -> 0.75, 3L -> 0.375, 4L -> 0.375))
+
+    // weighted_quantile: weight mass beats row count
+    Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 10L, 8L)).toDF("grp", "v", "w")
+      .createOrReplaceTempView("s17wq")
+    spark.sql("CREATE TABLE llm17.G.WQ AS SELECT * FROM s17wq")
+    val wq = spark.sql("CALL llm17.system.weighted_quantile(" +
+      "table => 'G.WQ', group_col => 'grp', value_col => 'v', " +
+      "weight_col => 'w', q => 0.5)").head
+    assert(wq.getLong(2) == 10L && wq.getLong(3) == 10L)
+
+    // theil_sen: the outlier-immune slope
+    Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 6L),
+      ("g", 4L, 1000L)).toDF("grp", "x", "y")
+      .createOrReplaceTempView("s17ts")
+    spark.sql("CREATE TABLE llm17.G.TS AS SELECT * FROM s17ts")
+    val tsr = spark.sql("CALL llm17.system.theil_sen(table => 'G.TS', " +
+      "group_col => 'grp', x_col => 'x', y_col => 'y')").head
+    assert(tsr.getLong(3) == 2000000L)
   }
 
   test("eval procedures: mutual_info/wasserstein/auc/calibration/" +
