@@ -467,6 +467,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q201 rolling actives: the 7-window explode runs on the DISTINCT domain") {
+    val p = planOf("q201_rolling_actives")
+    // the Generate must sit above the distinct aggregate, not raw events:
+    // HashAggregate (distinct) appears below Generate in the plan tree,
+    // so the explode's input already collapsed to (type, user, day)
+    val genIdx = p.indexOf("Generate")
+    val aggBelow = p.indexOf("HashAggregate", genIdx)
+    assert(genIdx >= 0 && aggBelow > genIdx, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q204 centroid outliers: no pairwise work — explode + aggregate + one join") {
+    val p = planOf("q204_centroid_outliers")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q205 windowed funnel: window carries + equi-join, never a range self-join") {
+    val p = planOf("q205_windowed_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Window".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("kmv sketch build: rank filter runs as WindowGroupLimit before the shuffle") {
     import org.apache.spark.sql.functions._
     val ev = Tables(spark, dir, "events")
