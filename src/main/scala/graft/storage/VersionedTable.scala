@@ -178,6 +178,34 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * parts; equality is evaluated per row and unchanged keys drop before
     * anything aggregates. No driver materialization.
     */
+  /** Schema drift between two versions — the data-contract audit to run
+    * when [[diffVersions]] refuses on a schema change: one row per
+    * column whose presence or type differs, `(column, change, old_type,
+    * new_type)` with change ∈ ADDED | REMOVED | RETYPED (empty = schemas
+    * identical). Metadata-only: reads the two commits' schema DDL, never
+    * the data.
+    */
+  def schemaDrift(vOld: Long, vNew: Long): DataFrame = {
+    def fieldsOf(v: Long): Map[String, String] = {
+      val s = stateAt(v).getOrElse(
+        throw new IllegalArgumentException(s"no committed version $v at $root"))
+      s.schemaDdl.map(StructType.fromDDL)
+        .getOrElse(parquetRead(s, s.parts.map(p => partPath(p.dir))).schema)
+        .fields.map(f => f.name -> f.dataType.sql).toMap
+    }
+    val o = fieldsOf(vOld); val n = fieldsOf(vNew)
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c =>
+        (c, "ADDED", null.asInstanceOf[String], n(c))) ++
+      (o.keySet -- n.keySet).toSeq.sorted.map(c =>
+        (c, "REMOVED", o(c), null.asInstanceOf[String])) ++
+      (o.keySet & n.keySet).toSeq.sorted.collect {
+        case c if o(c) != n(c) => (c, "RETYPED", o(c), n(c))
+      }
+    import spark.implicits._
+    rows.toDF("column", "change", "old_type", "new_type")
+  }
+
   def diffVersions(vOld: Long, vNew: Long,
                    keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diffVersions requires key columns")

@@ -652,6 +652,26 @@ class StorageSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.diffVersions(v0, v3, Seq("k")))
   }
 
+  test("schemaDrift: ADDED/REMOVED/RETYPED columns; empty on identical schemas") {
+    val t = VersionedTable(spark, tmp() + "/drift")
+    val v0 = t.overwrite(Seq((1L, "a", 1.5)).toDF("k", "s", "x"))
+    // the audit diffVersions points to when it refuses: drop x (REMOVED),
+    // add extra (ADDED), retype s string -> int (RETYPED)
+    val v1 = t.overwrite(Seq((1L, 7, true)).toDF("k", "s", "extra"))
+    val drift = t.schemaDrift(v0, v1).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
+      .toMap
+    assert(drift == Map(
+      "extra" -> (("ADDED", None, Some("BOOLEAN"))),
+      "x" -> (("REMOVED", Some("DOUBLE"), None)),
+      "s" -> (("RETYPED", Some("STRING"), Some("INT")))))
+    // identical schemas drift empty even when the DATA changed
+    val v2 = t.overwrite(Seq((2L, 8, false)).toDF("k", "s", "extra"))
+    assert(t.schemaDrift(v1, v2).isEmpty)
+    intercept[IllegalArgumentException](t.schemaDrift(v0, 99L))
+  }
+
   test("OrderedLag matches global-window lag exactly (incl. bucket boundaries)") {
     import org.apache.spark.sql.expressions.Window
     // dates spanning 3 years with gaps; a year entirely missing
