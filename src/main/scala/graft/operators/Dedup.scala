@@ -196,7 +196,10 @@ object Dedup {
     // cheap re-scan. Lazy front ends keep probeHot=false so their plan
     // shape (and its PlanSpec skew pins) stays static.
     if (probeHot && hotKeys.isEmpty)
+      // same semantics as the subdivided path below: self-pairs (possible
+      // when a caller bands duplicate (id, keys) rows) are filtered out
       return allPairsInBuckets(banded.select(col("id") +: keys: _*), keyCols)
+        .filter(col("id_a") =!= col("id_b"))
         .distinct()
     val small = banded.join(hotKeys, keyCols, "left_anti")
       .select(col("id") +: keys: _*)

@@ -29,33 +29,153 @@ object Privacy {
     * atomic versioned commit per table, zone-map-pruned part rewrites
     * only ([[VersionedTable.deleteWhere]]) — and return an audit
     * relation `(table_root, key_col, rows_deleted, new_version,
-    * residual_rows)` where residual_rows is a post-delete verification
-    * count (must be 0; emitted rather than asserted so the audit trail
-    * records the check itself).
+    * residual_rows, vacuumed, resumed)` where residual_rows is a
+    * post-delete verification count (must be 0; emitted rather than
+    * asserted so the audit trail records the check itself) and
+    * `vacuumed` records IN THE AUDIT ITSELF whether old versions were
+    * reclaimed — a compliance reviewer reading the record must not have
+    * to consult scaladoc to learn the subject is still time-travel-
+    * recoverable when it is false.
     *
     * ERASURE IS NOT COMPLETE UNTIL OLD VERSIONS ARE RECLAIMED: time
     * travel to a pre-deletion version resurrects the subject. With
     * `vacuumNow = true` each table is vacuumed to its newest version in
     * the same call (destroys time travel — the compliance trade);
     * otherwise schedule `vacuum()` before the erasure deadline.
+    *
+    * CRASH SAFETY: each table's delete is one atomic commit, but the
+    * CASCADE spans tables, and a crash between commits would otherwise
+    * leave a half-applied erasure nothing replays. Pass `journalDir` to
+    * make the cascade resumable: before each table's delete an intent
+    * record (with the pre-delete row count) is persisted via atomic
+    * create, and after the commit a done record (the audit row). A
+    * re-run of the SAME call (same journalDir, subject, tables) skips
+    * tables whose done record exists — their audit rows replay from the
+    * journal verbatim — and for a table that crashed between delete and
+    * done-record the original intent count reconstructs `rows_deleted`
+    * exactly (deleteWhere on an already-erased subject commits nothing
+    * and returns the current version), so the combined audit is
+    * exactly-once per table no matter where the crash landed. Rows
+    * completed on an earlier attempt carry `resumed = true`.
     */
   def forgetSubject(tables: Seq[(VersionedTable, String)], subject: Any,
-                    vacuumNow: Boolean = false): DataFrame = {
+                    vacuumNow: Boolean = false,
+                    journalDir: Option[String] = None): DataFrame = {
     require(tables.nonEmpty, "forgetSubject needs at least one table")
     val spark = tables.head._1.read.sparkSession
     import spark.implicits._
-    val audit = tables.map { case (t, keyCol) =>
-      // deleteWhere returns the committed VERSION; the deleted-row count
-      // is measured as before − residual so the audit never trusts a
-      // side channel
-      val before = t.read.filter(col(keyCol) === lit(subject)).count()
-      val newVersion = t.deleteWhere(col(keyCol) === lit(subject))
-      if (vacuumNow) t.vacuum(retainLast = 1)
-      val residual = t.read.filter(col(keyCol) === lit(subject)).count()
-      (t.root, keyCol, before - residual, newVersion, residual)
+    val journal = journalDir.map(d => new ErasureJournal(spark, d, subject))
+    val audit = tables.zipWithIndex.map { case ((t, keyCol), idx) =>
+      journal.flatMap(_.readDone(idx, t.root)) match {
+        case Some(done) => done.copy(resumed = true)
+        case None =>
+          // deleteWhere returns the committed VERSION; the deleted-row
+          // count is measured against the INTENT-time count (journaled
+          // before the delete) so a crash between the table commit and
+          // the done record cannot lose it — post-crash the live count
+          // is already 0 and only the journal still knows `before`
+          val live = t.read.filter(col(keyCol) === lit(subject)).count()
+          val before = journal match {
+            case Some(j) => j.writeStartOnce(idx, t.root, live)
+            case None => live
+          }
+          val newVersion = t.deleteWhere(col(keyCol) === lit(subject))
+          val vacuumed = if (vacuumNow) { t.vacuum(retainLast = 1); true }
+                         else false
+          val residual = t.read.filter(col(keyCol) === lit(subject)).count()
+          val rec = ErasureRecord(t.root, keyCol, before - residual,
+            newVersion, residual, vacuumed, resumed = false)
+          journal.foreach(_.writeDone(idx, rec))
+          rec
+      }
     }
-    audit.toDF("table_root", "key_col", "rows_deleted", "new_version",
-      "residual_rows")
+    audit.toDF.select(col("tableRoot").as("table_root"),
+      col("keyCol").as("key_col"), col("rowsDeleted").as("rows_deleted"),
+      col("newVersion").as("new_version"),
+      col("residualRows").as("residual_rows"), col("vacuumed"),
+      col("resumed"))
+  }
+
+  /** One table's completed erasure step, as journaled and audited. */
+  case class ErasureRecord(tableRoot: String, keyCol: String,
+                           rowsDeleted: Long, newVersion: Long,
+                           residualRows: Long, vacuumed: Boolean,
+                           resumed: Boolean)
+
+  /** Durable per-(subject, table-index) erasure progress: one tiny file
+    * per step under `dir/forget_<md5(subject)>/`, each published by
+    * atomic create-no-overwrite (`<idx>.start` = intent + pre-delete
+    * count, written BEFORE the table commit; `<idx>.done` = the full
+    * audit row, written after). File-per-step instead of an appended log
+    * because atomic append is not portable across HDFS/object stores,
+    * while exclusive create is the same primitive VersionedTable's
+    * commit claim already relies on.
+    */
+  private final class ErasureJournal(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, subject: Any) {
+    private val subjectTag = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(subject).getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString.take(16)
+    }
+    private val base = new org.apache.hadoop.fs.Path(dir, s"forget_$subjectTag")
+    private val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def readFile(p: org.apache.hadoop.fs.Path): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+
+    /** Create-no-overwrite publish; a losing racer reads the winner's
+      * content back so both sides proceed from one truth.
+      */
+    private def createOnce(p: org.apache.hadoop.fs.Path,
+                           content: String): String = {
+      fs.mkdirs(base)
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        content
+      } catch {
+        case _: java.io.IOException =>
+          readFile(p).getOrElse(
+            throw new java.io.IOException(s"journal claim lost and $p unreadable"))
+      }
+    }
+
+    /** Journal intent for step `idx` (pre-delete count) if not already
+      * journaled; returns the AUTHORITATIVE count — the first attempt's
+      * on a resume, when the live count may already read 0.
+      */
+    def writeStartOnce(idx: Int, tableRoot: String, before: Long): Long = {
+      val p = new org.apache.hadoop.fs.Path(base, f"$idx%04d.start")
+      val won = createOnce(p, s"$tableRoot\n$before")
+      val lines = won.split("\n", 2)
+      require(lines(0) == tableRoot,
+        s"erasure journal step $idx was started for table ${lines(0)}, " +
+          s"but this cascade names $tableRoot — table lists must match " +
+          "across resume attempts")
+      lines(1).trim.toLong
+    }
+
+    def writeDone(idx: Int, rec: ErasureRecord): Unit = {
+      val p = new org.apache.hadoop.fs.Path(base, f"$idx%04d.done")
+      createOnce(p, Seq(rec.tableRoot, rec.keyCol, rec.rowsDeleted,
+        rec.newVersion, rec.residualRows, rec.vacuumed).mkString("\n"))
+    }
+
+    def readDone(idx: Int, tableRoot: String): Option[ErasureRecord] =
+      readFile(new org.apache.hadoop.fs.Path(base, f"$idx%04d.done")).map { s =>
+        val f = s.split("\n")
+        require(f(0) == tableRoot,
+          s"erasure journal step $idx completed for table ${f(0)}, but " +
+            s"this cascade names $tableRoot — table lists must match " +
+            "across resume attempts")
+        ErasureRecord(f(0), f(1), f(2).toLong, f(3).toLong, f(4).toLong,
+          f(5).toBoolean, resumed = false)
+      }
   }
 
   /** Per-class k-anonymity / l-diversity audit at a fixed generalization

@@ -880,13 +880,18 @@ object Similarity {
         posexplode(col(vecCol)).as(Seq("_k", "_vf"))): _*)
       .withColumn("_v", floor(lit(1000000d) * col("_vf").cast("double"))
         .cast("long"))
+    // every sum below is widened to DECIMAL(38,0) BEFORE its multiply/
+    // accumulate: a plain long sum of _v*_v (or of _S over a large group)
+    // would wrap silently under non-ANSI arithmetic once components pass
+    // ~1e3 magnitude in wide vectors, diverging from the oracle whose
+    // BIGINT sums auto-promote to HUGEINT
     val sums = comps.groupBy(keys :+ col("_k"): _*)
-      .agg(sum(col("_v")).as("_S"))
+      .agg(sum(col("_v").cast(dec38)).as("_S"))
     val perVec = comps.join(sums, groupCols :+ "_k")
       .groupBy(keys :+ col("_id"): _*)
       .agg(sum(col("_v").cast(dec38) * col("_S")).as("_dot"),
-        sum(col("_v") * col("_v")).as("_d2"),
-        sum(col("_S").cast(dec38) * col("_S")).as("_s2"))
+        sum(col("_v").cast(dec38) * col("_v")).as("_d2"),
+        sum(col("_S") * col("_S")).as("_s2"))
     perVec
       .withColumn("cos_micro",
         floor(lit(1000000d) * col("_dot").cast("double") /

@@ -798,6 +798,14 @@ object Stats {
     * in the per-group series length — aggregate to a bounded series
     * first (daily/hourly rollup); `maxPoints` fails loud beyond the
     * bound. Returns `(…, n_points, n_pairs, slope_micro)`.
+    *
+    * DUPLICATE-X CONTRACT: rows sharing an x value are collapsed by
+    * SUMMING y before slopes are formed — the right reduction for count/
+    * mass series (q203's daily order counts: two rows for one day ARE one
+    * day's total), but NOT for repeated measurements, where 10 samples on
+    * one day would become one 10× point and drag the trend. For repeated
+    * measurements pre-aggregate to the mean (or median) per x yourself —
+    * the operator cannot guess which reduction the series needs.
     */
   def theilSen(df: DataFrame, groupCols: Seq[String], xCol: String,
                yCol: String, maxPoints: Int = 4096): DataFrame = {

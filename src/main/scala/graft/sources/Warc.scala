@@ -109,6 +109,22 @@ object Warc {
     val cols = df.select(col("uri").cast("string"),
       col("content_type").cast("string"), col("payload").cast("binary"))
     val suffix = if (gzip) ".warc.gz" else ".warc"
+    // Driver-side dir prep: clear any PRE-EXISTING part files (and orphaned
+    // .inprogress temps from a killed prior job) before tasks launch. The
+    // task commit below refuses to rename over an existing destination —
+    // that protects against a RACING attempt within this job, but on HDFS
+    // (where rename-to-existing returns false, unlike RawLocalFileSystem)
+    // it would also silently keep a STALE archive from an earlier write
+    // into the same dir. Deleting here restores overwrite semantics while
+    // keeping the first-attempt-wins guarantee within the job.
+    locally {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(dirPath)) {
+        val stale = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "part-*"))
+        if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+      }
+    }
     cols.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val tc = org.apache.spark.TaskContext.get()

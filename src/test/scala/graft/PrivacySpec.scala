@@ -84,6 +84,82 @@ class PrivacySpec extends AnyFunSuite {
     assert(intercept[Exception](tc.readVersion(v0).count()) != null)
   }
 
+  test("forgetSubject: journaled cascade killed between tables resumes exactly once") {
+    val r = java.nio.file.Files.createTempDirectory("privacy_resume").toString
+    val ta = graft.storage.VersionedTable(spark, s"$r/a")
+    ta.append(Seq((1L, "x"), (2L, "y"), (1L, "z")).toDF("uid", "v"))
+    val tb = graft.storage.VersionedTable(spark, s"$r/b")
+    tb.append(Seq((1L, 10.0), (3L, 30.0)).toDF("uid", "w"))
+    val jd = s"$r/journal"
+    // "crash" after table a commits: the first attempt only ever reaches
+    // table a (a one-table cascade against the same journal)
+    val first = graft.operators.Privacy.forgetSubject(
+      Seq(ta -> "uid"), 1L, journalDir = Some(jd)).head()
+    assert(first.getLong(2) == 2L && !first.getBoolean(6)) // fresh, not resumed
+    assert(tb.read.filter(col("uid") === 1).count() == 1) // cascade half-applied
+    // re-run the FULL cascade: table a replays from the journal (original
+    // count, resumed=true, no new commit), table b completes fresh
+    val vA = ta.state.get.version
+    val audit = graft.operators.Privacy.forgetSubject(
+        Seq(ta -> "uid", tb -> "uid"), 1L, journalDir = Some(jd))
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(2), row.getLong(4), row.getBoolean(6))).toMap
+    assert(audit(s"$r/a") == ((2L, 0L, true)))
+    assert(audit(s"$r/b") == ((1L, 0L, false)))
+    assert(ta.state.get.version == vA) // replay, not re-delete
+    assert(tb.read.filter(col("uid") === 1).count() == 0)
+  }
+
+  test("forgetSubject: crash between a table's delete commit and its done record") {
+    val r = java.nio.file.Files.createTempDirectory("privacy_crash2").toString
+    val ta = graft.storage.VersionedTable(spark, s"$r/a")
+    ta.append(Seq((1L, "x"), (2L, "y"), (1L, "z")).toDF("uid", "v"))
+    val jd = s"$r/journal"
+    graft.operators.Privacy.forgetSubject(
+      Seq(ta -> "uid"), 1L, journalDir = Some(jd))
+    // simulate the crash window: the delete committed (live count is 0)
+    // but the done record was lost
+    val doneFiles = new java.io.File(jd).listFiles()
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".done"))
+    assert(doneFiles.length == 1)
+    doneFiles.foreach(_.delete())
+    val replay = graft.operators.Privacy.forgetSubject(
+      Seq(ta -> "uid"), 1L, journalDir = Some(jd)).head()
+    // the live table has 0 subject rows, yet the audit still reports the
+    // ORIGINAL 2 deleted rows — reconstructed from the journaled intent
+    assert(replay.getLong(2) == 2L && replay.getLong(4) == 0L)
+  }
+
+  test("forgetSubject: journal rejects a resume with a different table list") {
+    val r = java.nio.file.Files.createTempDirectory("privacy_mismatch").toString
+    val ta = graft.storage.VersionedTable(spark, s"$r/a")
+    ta.append(Seq((1L, "x")).toDF("uid", "v"))
+    val tb = graft.storage.VersionedTable(spark, s"$r/b")
+    tb.append(Seq((1L, 1.0)).toDF("uid", "w"))
+    val jd = s"$r/journal"
+    graft.operators.Privacy.forgetSubject(
+      Seq(ta -> "uid"), 1L, journalDir = Some(jd))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Privacy.forgetSubject(
+        Seq(tb -> "uid"), 1L, journalDir = Some(jd))
+    }
+    assert(e.getMessage.contains("table lists must match"))
+  }
+
+  test("forgetSubject audit carries the vacuumed flag") {
+    val r = java.nio.file.Files.createTempDirectory("privacy_vacflag").toString
+    val ta = graft.storage.VersionedTable(spark, s"$r/a")
+    ta.append(Seq((1L, "x"), (2L, "y")).toDF("uid", "v"))
+    val noVac = graft.operators.Privacy.forgetSubject(Seq(ta -> "uid"), 1L)
+      .head()
+    assert(!noVac.getBoolean(5)) // the subject is still time-travel-recoverable
+    val tb = graft.storage.VersionedTable(spark, s"$r/b")
+    tb.append(Seq((1L, "x"), (2L, "y")).toDF("uid", "v"))
+    val vac = graft.operators.Privacy.forgetSubject(Seq(tb -> "uid"), 1L,
+      vacuumNow = true).head()
+    assert(vac.getBoolean(5))
+  }
+
   test("forgetSubject: absent subject is a clean zero-row audit, no commit") {
     val r = java.nio.file.Files.createTempDirectory("privacy_noop").toString
     val ta = graft.storage.VersionedTable(spark, s"$r/a")

@@ -51,6 +51,28 @@ class WarcSpec extends AnyFunSuite {
     assert(ids(o1) == ids(o2))
   }
 
+  test("re-writing into a populated dir replaces the old archives") {
+    // pins overwrite semantics independent of the filesystem's rename-to-
+    // existing behavior: HDFS rename returns false over an existing file,
+    // so without driver-side dir prep a second write would silently keep
+    // the STALE archives (local-FS rename overwrites, hiding the bug)
+    val out = java.nio.file.Files.createTempDirectory("warc5").toString
+    Warc.write(corpus.repartition(4), out)
+    // also simulate an orphaned temp from a killed prior job
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-00000-999.inprogress"), "junk")
+    val fresh = (0 until 5)
+      .map(i => (s"https://ex.am/q/$i", "text/plain", s"new $i".getBytes(UTF_8)))
+      .toDF("uri", "content_type", "payload")
+    Warc.write(fresh.repartition(1), out)
+    val back = Warc.read(spark, out).filter(col("warc_type") === "response")
+    assert(back.count() == 5)
+    assert(back.filter(col("target_uri").startsWith("https://ex.am/p/"))
+      .count() == 0)
+    assert(!new java.io.File(out).listFiles()
+      .exists(_.getName.endsWith(".inprogress")))
+  }
+
   test("a truncated record routes to one corrupt row, prior records survive") {
     val out = java.nio.file.Files.createTempDirectory("warc4").toString
     Warc.write(corpus.limit(5).coalesce(1), out, gzip = false)
