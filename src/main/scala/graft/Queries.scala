@@ -3950,11 +3950,19 @@ object Queries {
   def q183FrequentTriples(s: SparkSession, dir: String): DataFrame = {
     // the deduped basket relation is materialized ONCE and shared by the
     // threshold count and the mining — the previous shape re-derived the
-    // 3-way join for each (the nBaskets count alone cost ~2-4 s at sf0.1)
+    // 3-way join for each (the nBaskets count alone cost ~2-4 s at sf0.1).
+    // Both dimension sides project to two narrow columns BEFORE the
+    // broadcast hint (orders → 2 longs, part → key + brand), so lineitem
+    // streams through two broadcast hash joins with zero shuffles ahead
+    // of the one distinct exchange
     val baskets = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"),
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
       .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
       .distinct().localCheckpoint(true)
     val nBaskets = baskets.select(col("cust")).distinct().count()

@@ -61,11 +61,19 @@ class ItemsetsSpec extends AnyFunSuite {
     val baskets = Seq("b1" -> Seq("x", "y", "z"), "b2" -> Seq("x", "y", "z"),
       "b3" -> Seq("x", "z")).flatMap { case (b, is) => is.map(b -> _) }
     val tmp = java.nio.file.Files.createTempDirectory("itemsets_scratch")
+    // maxDirectTriples = 0: the scratch materialization only exists on
+    // the A-Priori path, so force it
     val viaScratch = Itemsets.frequentTriples(baskets.toDF("b", "i"),
-        "b", "i", 2, scratchDir = Some(tmp.toString))
+        "b", "i", 2, scratchDir = Some(tmp.toString), maxDirectTriples = 0L)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
         r.getLong(3)).toMap
     assert(viaScratch == mine(baskets, 2))
+    // the scratch parquet is reclaimed by the cleanup API (the leak fix)
+    assert(new java.io.File(tmp.toString).listFiles()
+      .exists(_.getName.startsWith("itemsets_")))
+    Itemsets.cleanupScratch(spark, tmp.toString)
+    assert(!new java.io.File(tmp.toString).listFiles()
+      .exists(_.getName.startsWith("itemsets_")))
   }
 
   test("matches naive enumeration on random baskets") {
@@ -82,5 +90,27 @@ class ItemsetsSpec extends AnyFunSuite {
       .filter(_._2 >= 3)
       .map { case (Seq(a, b, c), n) => (a, b, c) -> n }
     assert(mine(baskets, 3) == naive)
+  }
+
+  test("A-Priori path (forced) equals the direct path and naive enumeration") {
+    val rnd = new scala.util.Random(29)
+    val baskets = (0 until 80).flatMap { b =>
+      val items = rnd.shuffle((0 until 15).toList).take(3 + rnd.nextInt(6))
+      items.map(i => s"b$b" -> s"i$i")
+    }
+    // maxDirectTriples = 0 forces the downward-closure machinery even on
+    // this small domain; the default takes the single-pass direct path
+    val apriori = Itemsets.frequentTriples(baskets.toDF("b", "i"),
+        "b", "i", 4, maxDirectTriples = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(apriori == mine(baskets, 4))
+    val bySet = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naive = bySet.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 4)
+      .map { case (Seq(a, b, c), n) => (a, b, c) -> n }
+    assert(apriori == naive)
   }
 }
