@@ -21,8 +21,53 @@ import org.apache.spark.sql.SparkSession
   *   - "queries_first": each query's FIRST-rep time next to the min in
   *     "queries" — a large uniform first/min ratio on non-first queries
   *     (where codegen warmup is already paid) is the contention signature.
+  *
+  * SUSTAINED contention (external load that slows all three reps equally)
+  * is invisible to the first/min ratio — the r11 record carried entries
+  * 4–13× their idle truth with first/min ≈ 1.02. The detector for that
+  * failure verifies AGAINST HISTORY, not against the run itself: the repo
+  * persists a per-query best-idle-min map
+  * (`tools/bench_idle_baseline.json`), any entry whose min lands >2× its
+  * recorded best (with a 0.5 s absolute excess so sub-second jitter can't
+  * flag) is reported in "history_regressions", and the record is stamped
+  * `"record_status":"provisional"` — unfit for round-over-round
+  * comparison until re-taken idle. A genuine code regression trips the
+  * same wire; that is intended (it must be either acknowledged by
+  * re-baselining or fixed, never silently recorded). The map self-updates:
+  * lower mins always (a lower min is better idle evidence regardless of
+  * load), new queries only from an idle-host full-catalog run.
   */
 object Bench {
+
+  /** Pure history comparison (spec-pinned by BenchHistorySpec): queries
+    * whose measured min exceeds 2× the recorded best-idle min AND by more
+    * than 0.5 s absolute — the sustained-contention / code-regression
+    * signal the within-run first/min ratio cannot see. Returns
+    * query → (measured, best).
+    */
+  def historyRegressions(measured: Map[String, Double],
+                         baseline: Map[String, Double])
+      : Map[String, (Double, Double)] =
+    measured.flatMap { case (q, m) =>
+      baseline.get(q).collect {
+        case b if m > 2 * b && m - b > 0.5 => q -> (m, b)
+      }
+    }
+
+  /** Merge a run's mins into the baseline: existing entries only ever
+    * DECREASE (a lower min is better idle evidence no matter the host
+    * state); new entries are admitted only when `admitNew` (idle host,
+    * full catalog — a loaded host must not seed a query's first truth).
+    */
+  def mergedBaseline(baseline: Map[String, Double],
+                     measured: Map[String, Double],
+                     admitNew: Boolean): Map[String, Double] = {
+    val lowered = baseline.map { case (q, b) =>
+      q -> measured.get(q).filter(_ > 0).fold(b)(math.min(b, _)) }
+    if (!admitNew) lowered
+    else lowered ++ measured.filter { case (q, m) =>
+      m > 0 && !baseline.contains(q) }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional comma-separated query-name filter for targeted idle-host
@@ -105,16 +150,19 @@ object Bench {
     }
 
     // …plus plan-shape warmups at sf0.001 for the shapes whose first-rep
-    // Janino compile breached the 3× warmup gate in the r10 record (q35
-    // as-of join, q64 fuzzy-join rescore, q96 retention): the SAME query
-    // functions over 100×-smaller data — plan shape and schema are
-    // identical, so the generated-class cache primed here serves the
-    // measured sf run; data-dependent cost at sf0.001 is milliseconds.
+    // Janino compile breached the 3× warmup gate in official records (q35
+    // as-of join, q64 fuzzy-join rescore, q96 retention in r10; q114
+    // windowed-dedup in r11 — the one repeat cold-start offender left):
+    // the SAME query functions over 100×-smaller data — plan shape and
+    // schema are identical, so the generated-class cache primed here
+    // serves the measured sf run; data-dependent cost at sf0.001 is
+    // milliseconds.
     locally {
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory) {
         val byName = Queries.all.toMap
-        Seq("q35_asof_join", "q64_fuzzy_join", "q96_retention").foreach { n =>
+        Seq("q35_asof_join", "q64_fuzzy_join", "q96_retention",
+            "q114_windowed_dedup").foreach { n =>
           byName.get(n).foreach { fn =>
             try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
             catch { case _: Throwable => () }
@@ -223,14 +271,62 @@ object Bench {
       if (ratioSet.isEmpty) 1.0 else ratioSet(ratioSet.size / 2)
     def load1(s: String): Double =
       s.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+    // history gate: compare each min against the repo's best-idle map
+    // (sustained contention hits all reps equally and is invisible to
+    // the within-run ratio — the r11 escape)
+    val baselinePath = java.nio.file.Paths.get("tools", "bench_idle_baseline.json")
+    val baselineAll: Map[String, Double] =
+      if (!java.nio.file.Files.exists(baselinePath)) Map.empty
+      else "\"([^\"]+)\":([0-9][0-9.]*)".r
+        .findAllMatchIn(java.nio.file.Files.readString(baselinePath))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val sfPrefix = s"$sfDir::"
+    val baseline = baselineAll.collect {
+      case (k, v) if k.startsWith(sfPrefix) => k.stripPrefix(sfPrefix) -> v }
+    val measured = results.collect { case (k, (_, v, _)) if v > 0 => k -> v }.toMap
+    val histReg = historyRegressions(measured, baseline)
     val contVerdict =
-      if (medianRatio > 2.5) "contended"
+      if (histReg.nonEmpty) "contended"
+      else if (medianRatio > 2.5) "contended"
       else if (load1(loadBefore) > 8.0) "loaded-host"
       else "clean"
+    val histJson = histReg.toSeq.sortBy(_._1)
+      .map { case (q, (m, b)) =>
+        f""""$q":{"min":$m%.3f,"best_idle":$b%.3f}""" }
+      .mkString("{", ",", "}")
+    // a -1 entry is a query that THREW — it must never pass as "excluded
+    // from the total": list failures explicitly and spoil the record
+    // (the r11 record carried two silent -1s for a whole round; the
+    // failure was a driver-side java.sql.Date decode that only breaks
+    // under a bare `java -cp` launch, invisible to sbt test and Verify)
+    val failed = results.collect { case (k, (_, v, _)) if v < 0 => k }
+    // one-official-record-per-round gate: a record taken on a busy host
+    // (load1 > 2 on this 32-thread box), that regresses vs the idle
+    // history, or that contains ANY failed query is stamped provisional —
+    // unfit for round-over-round comparison until fixed/re-taken idle
+    val recordStatus =
+      if (load1(loadBefore) > 2.0 || histReg.nonEmpty || failed.nonEmpty)
+        "provisional"
+      else "official"
+    // baseline self-update: lower existing mins always, admit new
+    // queries only from an idle full-catalog run
+    try {
+      val admitNew = load1(loadBefore) <= 2.0 && only.isEmpty
+      val merged = mergedBaseline(baseline, measured, admitNew)
+      if (merged != baseline && java.nio.file.Files.isDirectory(
+          baselinePath.getParent)) {
+        val untouched = baselineAll.filter { case (k, _) => !k.startsWith(sfPrefix) }
+        val all = untouched ++ merged.map { case (q, v) => s"$sfPrefix$q" -> v }
+        val body = all.toSeq.sorted
+          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",\n  ")
+        java.nio.file.Files.writeString(baselinePath, s"{\n  $body\n}\n")
+      }
+    } catch { case _: Throwable => () } // best-effort; the record is primary
     val contention =
-      f"""{"median_first_min_ratio":$medianRatio%.3f,"ratio_samples":${ratioSet.size},"load1_before":${load1(loadBefore)}%.2f,"load1_after":${load1(loadAfter)}%.2f,"verdict":"$contVerdict"}"""
+      f"""{"median_first_min_ratio":$medianRatio%.3f,"ratio_samples":${ratioSet.size},"load1_before":${load1(loadBefore)}%.2f,"load1_after":${load1(loadAfter)}%.2f,"history_regressions":$histJson,"verdict":"$contVerdict"}"""
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_first":$firsts,"queries_steady":$steady,"queries_build":$buildJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","contention":$contention,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","record_status":"$recordStatus","failed":$failedJson,"queries":$qs,"queries_first":$firsts,"queries_steady":$steady,"queries_build":$buildJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","contention":$contention,"sf":"$sfDir"}"""
     println(json)
     // The stdout line alone is fragile: a capture that keeps only the tail
     // of a long log can truncate it mid-record (BENCH_r05 was lost exactly

@@ -4341,9 +4341,15 @@ object Queries {
       .agg(min(col("ts").cast("date")).as("birth"),
         min(when(col("event_type") === "error", col("ts").cast("date")))
           .as("death"))
-    val horizon = ev.agg(max(col("ts").cast("date"))).head().getDate(0)
+    // the max-date literal collects as a STRING, not java.sql.Date:
+    // decoding a Date to the driver needs `--add-opens …sun.util.calendar`
+    // (sbt/spark-shell set it, a bare `java -cp` launcher does not), and
+    // this query must run under both
+    val horizon = ev.agg(max(col("ts").cast("date")).cast("string"))
+      .head().getString(0)
     val subjects = perUser.select(lit("all").as("g"),
-      datediff(coalesce(col("death"), lit(horizon)), col("birth")).as("dur"),
+      datediff(coalesce(col("death"), lit(horizon).cast("date")),
+        col("birth")).as("dur"),
       when(col("death").isNotNull, 1L).otherwise(0L).as("died"))
     operators.Stats.kaplanMeier(subjects, Seq("g"), "dur", "died")
       .select(col("t"), col("n_risk"), col("n_events"), col("survival"))
@@ -4453,15 +4459,19 @@ object Queries {
     */
   def q201RollingActives(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val horizon = ev.agg(max(col("ts").cast("date"))).head().getDate(0)
+    // string-collected horizon: a java.sql.Date driver decode needs
+    // `--add-opens …sun.util.calendar`, absent under a bare `java -cp`
+    val horizon = ev.agg(max(col("ts").cast("date")).cast("string"))
+      .head().getString(0)
+    val hz = lit(horizon).cast("date")
     val dau = ev.select(col("event_type"), col("user_id"),
         col("ts").cast("date").as("d")).distinct()
     dau.select(col("event_type"), col("user_id"),
         explode(sequence(col("d"), least(date_add(col("d"), 6),
-          lit(horizon)))).as("wend"))
+          hz))).as("wend"))
       .groupBy(col("event_type"), col("wend"))
       .agg(countDistinct(col("user_id")).as("active_7d"))
-      .filter(col("wend") >= date_add(lit(horizon), -20))
+      .filter(col("wend") >= date_add(hz, -20))
       .orderBy(col("event_type"), col("wend"))
   }
 

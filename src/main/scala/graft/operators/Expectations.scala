@@ -110,6 +110,41 @@ object Expectations {
       max(col("_nv")).as("max_variants"))
   }
 
+  /** Referential-integrity audit for one FK relation: ONE row
+    * `(relation, n_child_rows, n_null_keys, n_orphans,
+    * n_orphan_keys)` — child rows whose (non-null) key has no match in
+    * the parent. NULL keys are counted separately, not as orphans (SQL
+    * FK semantics: a NULL reference is absent, not dangling). The
+    * per-relation rows of a multi-FK audit union cheaply.
+    *
+    * Scale shape: the child collapses to its key-DOMAIN count relation
+    * first (map-side-combined), so the anti-join against the parent's
+    * distinct keys runs on two key-domain-sized relations — never the
+    * raw child.
+    */
+  def fkOrphans(child: DataFrame, childKeys: Seq[String],
+                parent: DataFrame, parentKeys: Seq[String],
+                relation: String): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.length == parentKeys.length,
+      s"key arity mismatch: $childKeys vs $parentKeys")
+    val notNull = childKeys.map(c => col(c).isNotNull).reduce(_ && _)
+    val keyed = child.groupBy(childKeys.map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    val nulls = keyed.filter(!notNull)
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n_null_keys"))
+    val parentK = parent
+      .select(parentKeys.zip(childKeys).map { case (p, c) => col(p).as(c) }: _*)
+      .distinct()
+    val orphans = keyed.filter(notNull)
+      .join(parentK, childKeys, "left_anti")
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n_orphans"),
+        count(lit(1)).as("n_orphan_keys"))
+    val totals = child.agg(count(lit(1)).as("n_child_rows"))
+    totals.crossJoin(nulls).crossJoin(orphans)
+      .select(lit(relation).as("relation"), col("n_child_rows"),
+        col("n_null_keys"), col("n_orphans"), col("n_orphan_keys"))
+  }
+
   /** Route rows by the scalar rules: (clean rows with the ORIGINAL
     * schema, violating rows with the `violations` column attached).
     */

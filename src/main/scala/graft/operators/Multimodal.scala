@@ -1179,6 +1179,84 @@ object Multimodal {
     hash
   }
 
+  /** Average-hash (aHash) variant of [[imageDHash]] — bit (y,x) set iff
+    * the 8×8 block's mean luma EXCEEDS the global mean (strictly; the
+    * compare is the exact integer cross-product `s_b·A > S·a_b`, no
+    * float means anywhere). aHash catches global-structure duplicates
+    * (crops/recompressions shifting absolute brightness little) where
+    * dHash tracks local gradients — production near-dup screens run
+    * both and OR the hamming gates. Same honesty contract: undecodable
+    * payloads yield NULLs; partition-local mapPartitions, no shuffle.
+    * Output: input columns + `ahash, img_w, img_h`.
+    */
+  def imageAHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("ahash", LongType), StructField("img_w", IntegerType),
+      StructField("img_h", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val img =
+          if (payload == null || payload.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else Row.fromSeq(r.toSeq ++ Seq(
+          aHashOfImage(img), img.getWidth, img.getHeight))
+      }
+    }(enc)
+  }
+
+  /** The exact-integer aHash core (see [[imageAHash]]); exposed for spec
+    * vectors.
+    */
+  private[operators] def aHashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](8 * 8)
+    val areas = new Array[Long](8 * 8)
+    var totalS = 0L
+    var totalA = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+        val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+        var s = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            s += (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        val a = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+        sums(by * 8 + bx) = s
+        areas(by * 8 + bx) = a
+        totalS += s
+        totalA += a
+        bx += 1
+      }
+      by += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      // mean(block) > mean(all) ⟺ s_b·A > S·a_b (exact integer compare)
+      if (sums(i) * totalA > totalS * areas(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
   /** Audio decode in one partition-local batch pass. Output schema: input
     * columns + `samples: array<float>` (mono-mixed, [-1,1]),
     * `sample_rate: int`, `audio_channels: int`, `audio_ms: long`. WAV/PCM

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval-grade relevance scoring over a document corpus: BM25 (the
@@ -278,5 +279,42 @@ object Relevance {
       .agg(min(abs(col("pa") - col("pb"))).as("min_dist"),
         countDistinct(col("pa")).as("n_a"),
         countDistinct(col("pb")).as("n_b"))
+  }
+
+  /** Vocabulary coverage curve — for each candidate vocab size k: how
+    * many token OCCURRENCES the top-k most frequent types cover
+    * (`cov_ppm`, exact integer ppm) and the k-th type's frequency. The
+    * tokenizer-budget question (how big a vocab before <1% of the
+    * stream is OOV) answered from corpus statistics, not trial
+    * tokenizer training. Ranking ties break by token string ascending —
+    * deterministic on both engines.
+    *
+    * Scale shape: tokens collapse to the type-DOMAIN count relation
+    * map-side; the cumulative sum is one ordered window over types
+    * (vocabulary-sized, not occurrence-sized). Whitespace tokenization
+    * on lowercased text (the [[bm25]] tokenizer).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks=$ks")
+    val spark = docs.sparkSession
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(desc("_c"), col("tok"))
+    val ranked = counts
+      .withColumn("_rank", row_number().over(w))
+      .withColumn("_cum", sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_total", sum(col("_c")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    import spark.implicits._
+    ranked.join(broadcast(ks.toDF("k")), col("_rank") === col("k"))
+      .select(col("k"), col("_c").as("kth_count"),
+        col("_cum").as("covered"), col("_total").as("total_tokens"),
+        expr("_cum * 1000000 div _total").as("cov_ppm"))
+      .orderBy(col("k"))
   }
 }

@@ -992,4 +992,152 @@ object Stats {
     dom.join(fit, groupCols :+ "x")
       .select(keys ++ Seq(col("x"), col("n"), col("y_sum"), col("fitted")): _*)
   }
+
+  /** Kendall's τ-b per group — rank correlation from concordant/
+    * discordant pair counts with the standard tie correction: the
+    * monotone-association test that, unlike Spearman ([[spearman]]),
+    * degrades gracefully under heavy ties (count series, bucketed
+    * values). All counts are exact integers over the pair relation;
+    * τ-b = (nc − nd)/√((n0−n1)(n0−n2)) is the ONE double expression,
+    * floor-scaled to micro-units (`tau_micro`; NULL when a side is
+    * constant — τ undefined). x and y cast to long (floor-scale
+    * currency first).
+    *
+    * The pair relation is O(d²) in the per-group series length —
+    * aggregate to a bounded series first (daily/hourly rollup);
+    * `maxPoints` fails loud beyond the bound (the [[theilSen]]
+    * posture). Returns `(…, n_points, concordant, discordant, ties_x,
+    * ties_y, ties_xy, tau_micro)`.
+    */
+  def kendallTau(df: DataFrame, groupCols: Seq[String], xCol: String,
+                 yCol: String, maxPoints: Int = 4096): DataFrame = {
+    require(groupCols.nonEmpty, "kendallTau requires group columns")
+    val keys = groupCols.map(col)
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keys ++ Seq(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y")): _*)
+    val nRow = pts.groupBy(keys: _*).agg(count(lit(1)).as("_d"))
+      .agg(max(col("_d"))).head()
+    val nMax = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    require(nMax <= maxPoints,
+      s"kendallTau series length $nMax exceeds maxPoints=$maxPoints — " +
+        "aggregate to a bounded series (daily/hourly rollup) first: the " +
+        "pair relation is O(points²)")
+    // unordered pairs once: a total row order (x, y, then an md5 of the
+    // pair for full determinism is unnecessary — equal (x,y) rows are
+    // interchangeable for every count below, so (x,y) order suffices)
+    val w = Window.partitionBy(keys: _*).orderBy(col("_x"), col("_y"))
+    val rn = pts.withColumn("_rn", row_number().over(w))
+    val a = rn.select(keys ++ Seq(col("_x").as("_xi"), col("_y").as("_yi"),
+      col("_rn").as("_ri")): _*)
+    val b = rn.select(keys ++ Seq(col("_x").as("_xj"), col("_y").as("_yj"),
+      col("_rn").as("_rj")): _*)
+    val pairs = a.join(b, groupCols).filter(col("_ri") < col("_rj"))
+    val agg = pairs.groupBy(keys: _*).agg(
+      sum(when((col("_xi") < col("_xj") && col("_yi") < col("_yj")) ||
+        (col("_xi") > col("_xj") && col("_yi") > col("_yj")), 1L)
+        .otherwise(0L)).as("concordant"),
+      sum(when((col("_xi") < col("_xj") && col("_yi") > col("_yj")) ||
+        (col("_xi") > col("_xj") && col("_yi") < col("_yj")), 1L)
+        .otherwise(0L)).as("discordant"),
+      sum(when(col("_xi") === col("_xj") && col("_yi") =!= col("_yj"), 1L)
+        .otherwise(0L)).as("ties_x"),
+      sum(when(col("_yi") === col("_yj") && col("_xi") =!= col("_xj"), 1L)
+        .otherwise(0L)).as("ties_y"),
+      sum(when(col("_xi") === col("_xj") && col("_yi") === col("_yj"), 1L)
+        .otherwise(0L)).as("ties_xy"))
+    val n = pts.groupBy(keys: _*).agg(count(lit(1)).as("n_points"))
+    n.join(agg, groupCols)
+      .withColumn("_n0", expr("(n_points * (n_points - 1)) div 2"))
+      .withColumn("_d1", col("_n0") - col("ties_x") - col("ties_xy"))
+      .withColumn("_d2", col("_n0") - col("ties_y") - col("ties_xy"))
+      .select(keys ++ Seq(col("n_points"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"), col("ties_xy"),
+        when(col("_d1") > 0 && col("_d2") > 0,
+          floor(lit(1000000d) *
+            (col("concordant") - col("discordant")).cast("double") /
+            sqrt(col("_d1").cast("double") * col("_d2").cast("double")))
+            .cast("long")).as("tau_micro")): _*)
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement for m raters per unit
+    * (the multi-annotator generalization of [[cohenKappa]], the standard
+    * label-quality gate on crowd/ensemble-labeled training data). Input
+    * is one row per (unit, rating); rater identity is irrelevant, but m
+    * MUST be constant across units (the statistic is undefined
+    * otherwise — fails loud). Everything is exact-integer until one
+    * double expression: with S2 = Σ_u Σ_c n_uc², E = Σ_c C_c², N units,
+    * m ratings each, `kappa = (A·D − B·E) / (B·(D − E))` where
+    * A = S2 − Nm, B = Nm(m−1), D = (Nm)² — products in DECIMAL(38,0)
+    * (N³m⁴ passes long at corpus scale). Emits the exact-integer
+    * `po_ppm` (`A·10⁶ div B`, pure long arithmetic) alongside — the
+    * hash-stable audit tier; pe is recoverable from po and kappa. NULL
+    * kappa when Pe = 1 (all ratings one category).
+    */
+  def fleissKappa(df: DataFrame, unitCol: String,
+                  categoryCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cells = df.filter(col(unitCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"), col(categoryCol).as("_c"))
+      .agg(count(lit(1)).as("_n"))
+    val perUnit = cells.groupBy(col("_u"))
+      .agg(sum(col("_n")).as("_m"), sum(col("_n") * col("_n")).as("_s2u"))
+    val mRow = perUnit.agg(min(col("_m")), max(col("_m")),
+      count(lit(1)), sum(col("_s2u"))).head()
+    require(!mRow.isNullAt(0), "fleissKappa: no ratable units")
+    val (mMin, mMax) = (mRow.getLong(0), mRow.getLong(1))
+    require(mMin == mMax,
+      s"fleissKappa requires a constant rating count per unit — saw " +
+        s"m ∈ [$mMin, $mMax]; filter to complete units (e.g. first-m per " +
+        "unit) before calling")
+    val cat = cells.groupBy(col("_c")).agg(sum(col("_n")).as("_cc"))
+      .agg(sum(col("_cc").cast(dec38) * col("_cc")).as("_e"))
+    perUnit.agg(count(lit(1)).as("n_units"), max(col("_m")).as("m_raters"),
+        sum(col("_s2u")).as("_s2"))
+      .crossJoin(cat)
+      .withColumn("_nm", col("n_units") * col("m_raters"))
+      .withColumn("_aL", col("_s2") - col("_nm"))
+      .withColumn("_a", col("_aL").cast(dec38))
+      .withColumn("_b",
+        (col("_nm") * (col("m_raters") - 1)).cast(dec38))
+      .withColumn("_d", col("_nm").cast(dec38) * col("_nm"))
+      .select(col("n_units"), col("m_raters"),
+        expr("(_aL * 1000000) div (_nm * (m_raters - 1))").as("po_ppm"),
+        when(col("_d") =!= col("_e"),
+          (col("_a") * col("_d") - col("_b") * col("_e")).cast("double") /
+            (col("_b") * (col("_d") - col("_e"))).cast("double"))
+          .as("kappa"))
+  }
+
+  /** Benjamini-Hochberg FDR control over a family of p-values — the
+    * multiple-testing gate a metrics screen needs once it runs hundreds
+    * of per-segment tests (raw p < 0.05 across 1,000 tests ships ~50
+    * false discoveries; BH bounds the EXPECTED false-discovery RATE at
+    * `alpha`). Per test: ascending-p rank i (ties broken by the id
+    * columns — deterministic on both engines), the adjusted
+    * `q_value = min_{j ≥ i} p_(j)·n/j` (one ordered window for the rank,
+    * one current-row-to-end window MIN — min is order-independent, so
+    * the double stays engine-exact), and `significant = q ≤ alpha`.
+    * Scale shape: the family is tests-sized (already aggregated), never
+    * row-scale; one exchange total.
+    */
+  def bhFdr(df: DataFrame, idCols: Seq[String], pCol: String,
+            alpha: Double): DataFrame = {
+    require(idCols.nonEmpty, "bhFdr requires test-id columns")
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
+    val ord = col(pCol).asc +: idCols.map(col(_).asc)
+    val wRank = Window.orderBy(ord: _*)
+    val wTail = Window.orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("n_tests", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("q_value",
+        min(col(pCol) * col("n_tests") / col("rank")).over(wTail))
+      .withColumn("significant", col("q_value") <= lit(alpha))
+      .select(idCols.map(col) ++ Seq(col(pCol), col("rank"),
+        col("n_tests"), col("q_value"), col("significant")): _*)
+  }
 }
