@@ -4601,6 +4601,198 @@ object Queries {
         sum(col("lat")).as("sum_view_latency_us"))
   }
 
+  /** Kendall's τ-b (X169): per order priority, the rank association
+    * between a day's order COUNT and its revenue
+    * ([[operators.Stats.kendallTau]]) — the tie-robust monotone test
+    * (daily counts tie constantly; Spearman's midranks blur there).
+    * Revenue sums in DECIMAL cents before the long cast (double sums are
+    * order-dependent); the series is the bounded WEEKLY rollup (~343
+    * points — the O(points²) pair relation is 59k rows per group where
+    * daily's 2.4k points would be 2.9M), the theilSen/q203 posture; the
+    * week index is an epoch-day integer division, identical on both
+    * engines. The oracle replays the pair classification and the
+    * tie-corrected denominator.
+    */
+  def q206KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        expr("datediff(o_orderdate, DATE'1970-01-01') div 7").as("wk"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+    operators.Stats.kendallTau(weekly, Seq("o_orderpriority"), "n", "cents")
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Fleiss' kappa (X170): agreement among each user's first three event
+    * types ([[operators.Stats.fleissKappa]]) — are a user's first
+    * actions consistent beyond chance, the multi-rater label-quality
+    * gate (m = 3 "raters" per unit; users with fewer than three events
+    * are incomplete units and are excluded, keeping m constant as the
+    * statistic requires). Total order: (micros, event_id). The oracle
+    * replays S2/E/A/B/D and the single double division.
+    */
+  def q207FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val first3 = ev.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+    val eligible = first3.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") === 3)
+      .select(col("user_id"))
+    operators.Stats.fleissKappa(first3.join(eligible, "user_id"),
+        "user_id", "event_type")
+      .select(col("n_units"), col("m_raters"), col("po_ppm"),
+        round(col("kappa"), 9).as("kappa_r"))
+  }
+
+  /** Sync-reconciliation fingerprint (X171): order-independent
+    * per-bucket (count, checksum) of a source relation vs a target that
+    * silently corrupted one value per 1009th order
+    * ([[operators.Diagnostics.reconcile]]) — the incremental-pipeline
+    * validation that localizes a mismatch to a bucket instead of
+    * re-sorting both sides. Digest columns are integer/string typed
+    * (cross-engine string rendering of doubles is not parity-safe — the
+    * operator's contract note). The oracle recomputes both fingerprints
+    * from the same md5 formula.
+    */
+  def q208Reconcile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_linenumber", "cents", "l_returnflag")
+    val src = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).cast("long").as("cents"),
+        col("l_returnflag"))
+    val tgt = src.withColumn("cents",
+      when(col("l_orderkey") % 1009 === 0, col("cents") + 1)
+        .otherwise(col("cents")))
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val fs = operators.Diagnostics.reconcile(src, keys, cols, buckets = 16)
+    val ft = operators.Diagnostics.reconcile(tgt, keys, cols, buckets = 16)
+      .select(col("bucket"), col("n_rows").as("t_rows"),
+        col("checksum").as("t_checksum"))
+    fs.join(ft, "bucket")
+      .select(col("bucket"), col("n_rows"), col("checksum"),
+        col("t_checksum"),
+        (col("n_rows") === col("t_rows") &&
+          col("checksum") === col("t_checksum")).as("matches"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Benjamini-Hochberg FDR (X172): a 25-test family (one deterministic
+    * md5-derived p-value per brand — the id-pure construction every
+    * split/sample op uses) adjusted at α = 0.1
+    * ([[operators.Stats.bhFdr]]) — the multiple-testing correction a
+    * per-segment metrics screen needs. p_micro is the exact integer
+    * tier; q_value is the p·n/i + running-min double (identical ops on
+    * both engines).
+    */
+  def q209BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val tests = t(s, dir, "part").select(col("p_brand")).distinct()
+      .withColumn("p_micro",
+        conv(substring(md5(concat(lit("bh:"), col("p_brand"))), 1, 15),
+          16, 10).cast("long") % 1000000L)
+      .withColumn("p_value", col("p_micro").cast("double") / 1000000d)
+    operators.Stats.bhFdr(tests.select(col("p_brand"), col("p_value"),
+        col("p_micro")), Seq("p_brand"), "p_value", alpha = 0.1)
+      .select(col("p_brand"), col("p_micro"), col("rank"), col("n_tests"),
+        round(col("q_value"), 9).as("q_value_r"), col("significant"))
+      .orderBy(col("rank"))
+  }
+
+  /** Referential-integrity audit (X173): three FK relations in one
+    * report ([[operators.Expectations.fkOrphans]]) — two genuinely clean
+    * (lineitem→orders, lineitem→part) and one staged-returns feed whose
+    * every 97th order key was corrupted upstream and every 101st is
+    * NULL, exercising the orphan and null tiers the audit separates
+    * (SQL FK semantics: NULL references are absent, not dangling).
+    */
+  def q210FkOrphans(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+    val staged = li.select(
+      when(col("l_orderkey") % 101 === 0, lit(null))
+        .otherwise(when(col("l_orderkey") % 97 === 0,
+          col("l_orderkey") + 100000000L).otherwise(col("l_orderkey")))
+        .as("r_orderkey"))
+    operators.Expectations.fkOrphans(li, Seq("l_orderkey"), ords,
+        Seq("o_orderkey"), "lineitem->orders")
+      .unionByName(operators.Expectations.fkOrphans(li, Seq("l_partkey"),
+        t(s, dir, "part"), Seq("p_partkey"), "lineitem->part"))
+      .unionByName(operators.Expectations.fkOrphans(staged,
+        Seq("r_orderkey"), ords, Seq("o_orderkey"), "staged_returns->orders"))
+      .orderBy(col("relation"))
+  }
+
+  /** Vocabulary coverage (X174): how much of the corpus token stream the
+    * top-{10, 100, 1000} most frequent types cover
+    * ([[operators.Relevance.vocabCoverage]]) — the tokenizer-budget
+    * curve, answered from corpus statistics. Exact integer ppm; ranking
+    * ties break by token string on both engines.
+    */
+  def q211VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    // the synthetic corpus has a ~31-type vocabulary at every sf — the
+    // candidate sizes must sit inside it or their curve rows are empty
+    operators.Relevance.vocabCoverage(
+      t(s, dir, "documents"), "text", Seq(5, 10, 25))
+
+  /** Image aHash (X175): the mean-threshold perceptual hash
+    * ([[operators.Multimodal.imageAHash]]) beside q191's gradient dHash
+    * — 32×32 deterministic gray PNGs through the REAL ImageIO decode,
+    * odd-id copies brightening one 8×8 corner block by +50 (a local edit
+    * aHash reads as a handful of bits). 32×32 makes every 4×4 block area
+    * equal, so the oracle's bit is the pure integer compare
+    * `64·S_block > S_total` replayed from the pixel formula (PNG
+    * lossless, gray luma = v exactly — the q191/q128 precedent).
+    */
+  def q212ImageAhash(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf((id: Long) => {
+      val base = if (id % 2 == 0) id else id - 1
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          var v = ((base * 29 + x * 11 + y * 5) % 256).toInt
+          if (id % 2 == 1 && x >= 24 && y >= 24) v = (v + 50) % 256
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") % 18 === 0)
+      .select(col("doc_id").as("base"), col("lang"),
+        explode(array(col("doc_id"), col("doc_id") + 1)).as("img_id"))
+      .withColumn("payload", gen(col("img_id")))
+    val hashed = operators.Multimodal.imageAHash(media, "payload")
+      .select(col("lang"), col("base"), col("img_id"),
+        shiftrightunsigned(col("ahash"), 32).as("hi"),
+        col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+    val perLang = hashed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_imgs"),
+        (sum(col("hi")) % 1000000007L).as("hi_csum"),
+        (sum(col("lo")) % 1000000007L).as("lo_csum"))
+    val ev = hashed.filter(col("img_id") % 2 === 0)
+      .select(col("lang"), col("base"), col("hi").as("ha"), col("lo").as("la"))
+    val od = hashed.filter(col("img_id") % 2 === 1)
+      .select(col("base"), col("hi").as("hb"), col("lo").as("lb"))
+    val pairs = ev.join(od, "base")
+      .withColumn("ham",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ham")).cast("long").as("sum_ham"),
+        max(col("ham")).as("max_ham"))
+    perLang.join(pairs, Seq("lang")).orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_global_minmax" -> (q02GlobalMinMax _),
@@ -4806,7 +4998,14 @@ object Queries {
     "q202_attribution" -> (q202Attribution _),
     "q203_theil_sen" -> (q203TheilSen _),
     "q204_centroid_outliers" -> (q204CentroidOutliers _),
-    "q205_windowed_funnel" -> (q205WindowedFunnel _)
+    "q205_windowed_funnel" -> (q205WindowedFunnel _),
+    "q206_kendall_tau" -> (q206KendallTau _),
+    "q207_fleiss_kappa" -> (q207FleissKappa _),
+    "q208_reconcile" -> (q208Reconcile _),
+    "q209_bh_fdr" -> (q209BhFdr _),
+    "q210_fk_orphans" -> (q210FkOrphans _),
+    "q211_vocab_coverage" -> (q211VocabCoverage _),
+    "q212_image_ahash" -> (q212ImageAhash _)
   )
 
   /** DuckDB-runnable oracle SQL, alias-matched to the Spark outputs. */
@@ -8659,4 +8858,224 @@ object Queries {
         |    AND nv_us - s_us <= 3600000000 THEN nv_us - s_us
         |    ELSE 0 END) AS BIGINT) AS sum_view_latency_us
         |FROM f""".stripMargin)
+    // pair classification + tie-corrected denominator replayed; revenue
+    // sums in DECIMAL cents (double sums are order-dependent); the
+    // row_number pair enumeration is (x, y)-ordered on both engines —
+    // equal (x, y) rows are interchangeable for every count
+    .updated("q206_kendall_tau",
+      """WITH daily AS (SELECT o_orderpriority AS g,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) // 7 AS wk,
+        |    COUNT(*) AS n,
+        |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |pts AS (SELECT g, n AS x, cents AS y,
+        |    row_number() OVER (PARTITION BY g ORDER BY n, cents) AS rn
+        |  FROM daily),
+        |pr AS (SELECT a.g,
+        |    CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties_x,
+        |    CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties_y,
+        |    CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties_xy
+        |  FROM pts a JOIN pts b ON a.g = b.g AND a.rn < b.rn GROUP BY 1),
+        |np AS (SELECT g, COUNT(*) AS n_points FROM pts GROUP BY 1),
+        |x AS (SELECT np.g, n_points, concordant, discordant, ties_x,
+        |    ties_y, ties_xy,
+        |    (n_points * (n_points - 1)) // 2 - ties_x - ties_xy AS d1,
+        |    (n_points * (n_points - 1)) // 2 - ties_y - ties_xy AS d2
+        |  FROM np JOIN pr ON np.g = pr.g)
+        |SELECT g AS o_orderpriority, n_points, concordant, discordant,
+        |  ties_x, ties_y, ties_xy,
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+        |    CAST(FLOOR(1000000.0 * (concordant - discordant) /
+        |      sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))) AS BIGINT)
+        |  END AS tau_micro
+        |FROM x ORDER BY 1""".stripMargin)
+    // S2/E/A/B/D replayed as exact integers; po_ppm integer-quotient;
+    // the one double division rounded to 9 dp on both sides
+    .updated("q207_fleiss_kappa",
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+        |r3 AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e),
+        |f3 AS (SELECT user_id, event_type FROM r3 WHERE rn <= 3),
+        |el AS (SELECT user_id FROM f3 GROUP BY 1 HAVING COUNT(*) = 3),
+        |cells AS (SELECT f3.user_id AS u, event_type AS c, COUNT(*) AS n
+        |  FROM f3 JOIN el ON f3.user_id = el.user_id GROUP BY 1, 2),
+        |pu AS (SELECT u, SUM(n) AS m, SUM(n * n) AS s2u FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_units, MAX(m) AS m_raters,
+        |    SUM(s2u) AS s2 FROM pu),
+        |cat AS (SELECT SUM(cc * cc) AS e FROM (
+        |  SELECT SUM(n) AS cc FROM cells GROUP BY c)),
+        |x AS (SELECT n_units, m_raters,
+        |    s2 - n_units * m_raters AS a,
+        |    n_units * m_raters * (m_raters - 1) AS b,
+        |    (n_units * m_raters) * (n_units * m_raters) AS d, e
+        |  FROM tot CROSS JOIN cat)
+        |SELECT CAST(n_units AS BIGINT) AS n_units,
+        |  CAST(m_raters AS BIGINT) AS m_raters,
+        |  CAST((a * 1000000) // b AS BIGINT) AS po_ppm,
+        |  CASE WHEN d <> e THEN round(CAST(a * d - b * e AS DOUBLE) /
+        |    CAST(b * (d - e) AS DOUBLE), 9) END AS kappa_r
+        |FROM x""".stripMargin)
+    // both fingerprints recomputed from the same md5(concat_ws(chr(1)))
+    // formula; digest columns are integer/string typed by construction
+    .updated("q208_reconcile",
+      """WITH src AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS cents, l_returnflag
+        |  FROM lineitem),
+        |kd AS (SELECT *, CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+        |      1, 15)) AS BIGINT) % 16 AS bucket FROM src),
+        |fs AS (SELECT bucket, COUNT(*) AS n_rows,
+        |    CAST(SUM(dg % 1000000007) % 1000000007 AS BIGINT) AS checksum
+        |  FROM (SELECT bucket, CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      CAST(cents AS VARCHAR), l_returnflag)), 1, 15)) AS BIGINT)
+        |      AS dg FROM kd) GROUP BY 1),
+        |ft AS (SELECT bucket, COUNT(*) AS t_rows,
+        |    CAST(SUM(dg % 1000000007) % 1000000007 AS BIGINT) AS t_checksum
+        |  FROM (SELECT bucket, CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      CAST(CASE WHEN l_orderkey % 1009 = 0 THEN cents + 1
+        |        ELSE cents END AS VARCHAR), l_returnflag)), 1, 15))
+        |      AS BIGINT) AS dg FROM kd) GROUP BY 1)
+        |SELECT CAST(fs.bucket AS BIGINT) AS bucket,
+        |  CAST(n_rows AS BIGINT) AS n_rows, checksum, t_checksum,
+        |  (n_rows = t_rows AND checksum = t_checksum) AS matches
+        |FROM fs JOIN ft ON fs.bucket = ft.bucket ORDER BY 1""".stripMargin)
+    // id-pure md5 p-values; rank + current-to-end running MIN replayed
+    // with the identical p·n/i double expression
+    .updated("q209_bh_fdr",
+      """WITH tests AS (SELECT DISTINCT p_brand FROM part),
+        |p AS (SELECT p_brand,
+        |    CAST(('0x' || substr(md5('bh:' || p_brand), 1, 15)) AS BIGINT)
+        |      % 1000000 AS p_micro
+        |  FROM tests),
+        |r AS (SELECT p_brand, p_micro,
+        |    CAST(p_micro AS DOUBLE) / 1000000 AS pv,
+        |    row_number() OVER (ORDER BY CAST(p_micro AS DOUBLE) / 1000000,
+        |      p_brand) AS rank,
+        |    COUNT(*) OVER () AS n_tests
+        |  FROM p),
+        |q AS (SELECT *, MIN(pv * n_tests / rank) OVER (
+        |    ORDER BY pv, p_brand
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS qv
+        |  FROM r)
+        |SELECT p_brand, CAST(p_micro AS BIGINT) AS p_micro,
+        |  CAST(rank AS BIGINT) AS rank, CAST(n_tests AS BIGINT) AS n_tests,
+        |  round(qv, 9) AS q_value_r, qv <= 0.1 AS significant
+        |FROM q ORDER BY rank""".stripMargin)
+    // three FK relations: NOT EXISTS replays the anti-join; NULL keys
+    // counted apart (SQL FK semantics)
+    .updated("q210_fk_orphans",
+      """WITH st AS (SELECT CASE WHEN l_orderkey % 101 = 0 THEN NULL
+        |    WHEN l_orderkey % 97 = 0 THEN l_orderkey + 100000000
+        |    ELSE l_orderkey END AS k FROM lineitem)
+        |SELECT 'lineitem->orders' AS relation,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |    AS n_null_keys,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+        |    WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS n_orphan_keys
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+        |  (SELECT COUNT(*) FROM lineitem l WHERE l_partkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM part p
+        |      WHERE p.p_partkey = l.l_partkey)),
+        |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem l
+        |    WHERE l_partkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'staged_returns->orders',
+        |  (SELECT COUNT(*) FROM st),
+        |  (SELECT COUNT(*) FROM st WHERE k IS NULL),
+        |  (SELECT COUNT(*) FROM st WHERE k IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = st.k)),
+        |  (SELECT COUNT(DISTINCT k) FROM st WHERE k IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = st.k))
+        |ORDER BY relation""".stripMargin)
+    // the bm25-oracle tokenizer; desc-count/asc-token ranking replayed;
+    // exact integer ppm
+    .updated("q211_vocab_coverage",
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(
+        |    lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> ''
+        |  GROUP BY 1),
+        |rk AS (SELECT tok, c,
+        |    row_number() OVER (ORDER BY c DESC, tok) AS rnk,
+        |    SUM(c) OVER (ORDER BY c DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS total
+        |  FROM cnt)
+        |SELECT k, CAST(c AS BIGINT) AS kth_count,
+        |  CAST(cum AS BIGINT) AS covered,
+        |  CAST(total AS BIGINT) AS total_tokens,
+        |  CAST(cum * 1000000 // total AS BIGINT) AS cov_ppm
+        |FROM rk JOIN (SELECT unnest([5, 10, 25]) AS k) ks ON rnk = k
+        |ORDER BY k""".stripMargin)
+    // the aHash recomputed from the pixel formula (PNG lossless; gray
+    // luma = v): 32×32 → equal-area 4×4 blocks, bit = 64·S_block >
+    // S_total, packed into 32-bit halves; planted-pair hamming via
+    // bit_count(xor) per half (the q191 template)
+    .updated("q212_image_ahash",
+      """WITH ids AS (SELECT doc_id AS base, lang,
+        |    unnest([doc_id, doc_id + 1]) AS img_id
+        |  FROM documents WHERE doc_id % 18 = 0),
+        |px AS (SELECT i.lang, i.base, i.img_id, xs.x, ys.y,
+        |    CASE WHEN i.img_id % 2 = 1 AND xs.x >= 24 AND ys.y >= 24
+        |      THEN ((i.base * 29 + xs.x * 11 + ys.y * 5) % 256 + 50) % 256
+        |      ELSE (i.base * 29 + xs.x * 11 + ys.y * 5) % 256 END AS v
+        |  FROM ids i
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS y) ys),
+        |blk AS (SELECT lang, base, img_id, x // 4 AS bx, y // 4 AS by,
+        |    SUM(v) AS s
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |tot AS (SELECT lang, base, img_id, SUM(v) AS st FROM px
+        |  GROUP BY 1, 2, 3),
+        |bits AS (SELECT b.lang, b.base, b.img_id, b.by, b.bx,
+        |    CASE WHEN 64 * b.s > t.st THEN 1 ELSE 0 END AS bit
+        |  FROM blk b JOIN tot t ON b.lang = t.lang AND b.base = t.base
+        |    AND b.img_id = t.img_id),
+        |hsh AS (SELECT lang, base, img_id,
+        |    CAST(SUM(CASE WHEN by * 8 + bx >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (by * 8 + bx - 32))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN by * 8 + bx < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (by * 8 + bx))
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2, 3),
+        |pl AS (SELECT lang, COUNT(*) AS n_imgs,
+        |    CAST(SUM(hi) AS BIGINT) % 1000000007 AS hi_csum,
+        |    CAST(SUM(lo) AS BIGINT) % 1000000007 AS lo_csum
+        |  FROM hsh GROUP BY 1),
+        |pr AS (SELECT a.lang, COUNT(*) AS n_pairs,
+        |    CAST(SUM(bit_count(xor(a.hi, b.hi)) +
+        |             bit_count(xor(a.lo, b.lo))) AS BIGINT) AS sum_ham,
+        |    CAST(MAX(bit_count(xor(a.hi, b.hi)) +
+        |             bit_count(xor(a.lo, b.lo))) AS INT) AS max_ham
+        |  FROM hsh a JOIN hsh b ON a.base = b.base
+        |    AND a.img_id % 2 = 0 AND b.img_id % 2 = 1
+        |  GROUP BY 1)
+        |SELECT pl.lang, n_imgs, hi_csum, lo_csum, n_pairs, sum_ham, max_ham
+        |FROM pl JOIN pr ON pl.lang = pr.lang ORDER BY pl.lang""".stripMargin)
 }

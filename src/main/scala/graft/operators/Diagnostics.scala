@@ -62,30 +62,35 @@ object Diagnostics {
   /** Order-independent per-bucket reconciliation fingerprint — the
     * source-vs-sink validation an incremental pipeline runs after every
     * sync (row counts alone miss value corruption; full sort-compare
-    * doesn't scale). Each row digests to
-    * `md5(concat_ws(0x1, cols…))` (the 0x1 separator keeps `("ab","c")`
-    * and `("a","bc")` distinct; concat_ws SKIPS null columns — null and
-    * absent collide, acceptable for a fingerprint, documented); digests
-    * SUM mod 1000000007 per hash bucket (`pmod(digest, buckets)`), so
-    * the checksum is insensitive to row order and partitioning, and a
-    * mismatch localizes to 1/`buckets` of the key space instead of
-    * "somewhere". Compare two tables with an equi-join on `bucket` —
+    * doesn't scale). The bucket comes from the KEY columns' digest and
+    * the checksum from the FULL row digest
+    * (`md5(concat_ws(0x1, cols…))` each — the 0x1 separator keeps
+    * `("ab","c")` and `("a","bc")` distinct; concat_ws SKIPS null
+    * columns, so null and absent collide — acceptable for a
+    * fingerprint, documented): a corrupted VALUE therefore stays in its
+    * key's bucket, where it shows as same-count/different-checksum —
+    * the mismatch localizes to 1/`buckets` of the KEY space instead of
+    * "somewhere" (bucketing by the full row digest would move the row
+    * and smear one corruption across two buckets as count drift).
+    * Checksums SUM mod 1000000007, so row order and partitioning are
+    * invisible. Compare two tables with an equi-join on `bucket` —
     * equal iff every (n_rows, checksum) pair matches. One
     * map-side-combined aggregation; output is buckets-sized.
     */
-  def reconcile(df: DataFrame, cols: Seq[String],
+  def reconcile(df: DataFrame, keyCols: Seq[String], cols: Seq[String],
                 buckets: Int = 16): DataFrame = {
-    require(cols.nonEmpty, "reconcile needs at least one column")
+    require(keyCols.nonEmpty, "reconcile needs key columns")
+    require(cols.nonEmpty, "reconcile needs checksum columns")
     require(buckets >= 1, s"buckets=$buckets")
-    val digest = conv(substring(
-      md5(concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)),
+    def digest(cs: Seq[String]) = conv(substring(
+      md5(concat_ws("\u0001", cs.map(c => col(c).cast("string")): _*)),
       1, 15), 16, 10).cast("long")
     // the mod-prime sum accumulates in DECIMAL(38,0) (the q119 export
     // precedent): a long accumulator overflows at ~9e18, within reach of
     // 1e10 rows × 1e9 residues at the 100 TB tier
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    df.select(pmod(digest, lit(buckets.toLong)).as("bucket"),
-        (digest % 1000000007L).as("_d"))
+    df.select(pmod(digest(keyCols), lit(buckets.toLong)).as("bucket"),
+        (digest(cols) % 1000000007L).as("_d"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         (sum(col("_d").cast(dec38)) % 1000000007L).cast("long")

@@ -1129,6 +1129,9 @@ object Stats {
     val wRank = Window.orderBy(ord: _*)
     val wTail = Window.orderBy(ord: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // all input columns pass through (a test family usually carries
+    // statistics alongside its p-value); rank/n_tests/q_value/significant
+    // append
     df.filter(col(pCol).isNotNull)
       .withColumn("rank", row_number().over(wRank))
       .withColumn("n_tests", count(lit(1)).over(
@@ -1137,7 +1140,5 @@ object Stats {
       .withColumn("q_value",
         min(col(pCol) * col("n_tests") / col("rank")).over(wTail))
       .withColumn("significant", col("q_value") <= lit(alpha))
-      .select(idCols.map(col) ++ Seq(col(pCol), col("rank"),
-        col("n_tests"), col("q_value"), col("significant")): _*)
   }
 }

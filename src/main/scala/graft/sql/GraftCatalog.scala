@@ -306,6 +306,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "welch_t", "moments", "bootstrap_ci", "ridge", "coverage",
           "pareto", "frequent_triples", "k_anonymity", "isotonic_fit",
           "kaplan_meier", "weighted_quantile", "theil_sen",
+          "kendall_tau", "fleiss_kappa", "reconcile",
           "profile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -378,6 +379,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "kaplan_meier" => new KaplanMeierProcedure
       case "weighted_quantile" => new WeightedQuantileProcedure
       case "theil_sen" => new TheilSenProcedure
+      case "kendall_tau" => new KendallTauProcedure
+      case "fleiss_kappa" => new FleissKappaProcedure
+      case "reconcile" => new ReconcileProcedure
       case "auc" => new AucProcedure
       case "calibration" => new CalibrationProcedure
       case "markov_stationary" => new MarkovStationaryProcedure
@@ -2777,6 +2781,119 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.unsafe.types.UTF8String.fromString(
             String.valueOf(r.get(0))),
           r.get(1), r.get(2), r.get(3))))
+    }
+  }
+
+  private final class KendallTauProcedure extends MaintenanceProcedure {
+    override def name(): String = "kendall_tau"
+    override def description(): String =
+      "Kendall's tau-b rank correlation per group with tie correction " +
+        "over a bounded series; returns (group, n_points, concordant, " +
+        "discordant, tau_micro)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("group_col", StringType).build(),
+        procedures.ProcedureParameter.in("x_col", StringType).build(),
+        procedures.ProcedureParameter.in("y_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val gCol = input.getUTF8String(1).toString
+      val rows = graft.operators.Stats.kendallTau(table(id).read,
+          Seq(gCol), input.getUTF8String(2).toString,
+          input.getUTF8String(3).toString)
+        .orderBy(col(gCol)).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("group", StringType, nullable = true),
+          StructField("n_points", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("concordant", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("discordant", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("tau_micro", org.apache.spark.sql.types.LongType, nullable = true))),
+        rows.map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            String.valueOf(r.get(0))),
+          r.get(1), r.get(2), r.get(3),
+          if (r.isNullAt(7)) null else r.get(7))))
+    }
+  }
+
+  private final class FleissKappaProcedure extends MaintenanceProcedure {
+    override def name(): String = "fleiss_kappa"
+    override def description(): String =
+      "Fleiss' kappa: chance-corrected multi-rater agreement (constant " +
+        "m ratings per unit); one row (n_units, m_raters, po_ppm, kappa)"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("unit_col", StringType).build(),
+        procedures.ProcedureParameter.in("category_col", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val id = resolveIdent(input.getUTF8String(0).toString, "table")
+      security.requirePriv(spark, "SELECT", id.namespace.toSeq, id.name)
+      val rows = graft.operators.Stats.fleissKappa(table(id).read,
+          input.getUTF8String(1).toString,
+          input.getUTF8String(2).toString).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("n_units", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("m_raters", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("po_ppm", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("kappa", org.apache.spark.sql.types.DoubleType, nullable = true))),
+        rows.map(r => InternalRow(r.get(0), r.get(1), r.get(2),
+          if (r.isNullAt(3)) null else r.get(3))))
+    }
+  }
+
+  private final class ReconcileProcedure extends MaintenanceProcedure {
+    override def name(): String = "reconcile"
+    override def description(): String =
+      "order-independent per-bucket sync fingerprint of two tables " +
+        "(key-addressed buckets, md5 row checksums); one row per bucket " +
+        "with both sides' counts/checksums and a match flag"
+    override def parameters(): Array[procedures.ProcedureParameter] =
+      Array(
+        procedures.ProcedureParameter.in("source", StringType).build(),
+        procedures.ProcedureParameter.in("target", StringType).build(),
+        procedures.ProcedureParameter.in("key_cols", StringType).build(),
+        procedures.ProcedureParameter.in("cols", StringType).build(),
+        procedures.ProcedureParameter.in("buckets",
+          org.apache.spark.sql.types.IntegerType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = resolveIdent(input.getUTF8String(0).toString, "source")
+      val tgt = resolveIdent(input.getUTF8String(1).toString, "target")
+      security.requirePriv(spark, "SELECT", src.namespace.toSeq, src.name)
+      security.requirePriv(spark, "SELECT", tgt.namespace.toSeq, tgt.name)
+      val keys = input.getUTF8String(2).toString.split(",").map(_.trim).toSeq
+      val cols0 = input.getUTF8String(3).toString.split(",").map(_.trim).toSeq
+      val b = input.getInt(4)
+      val fs = graft.operators.Diagnostics.reconcile(table(src).read,
+        keys, cols0, b)
+      val ft = graft.operators.Diagnostics.reconcile(table(tgt).read,
+          keys, cols0, b)
+        .select(col("bucket"), col("n_rows").as("t_rows"),
+          col("checksum").as("t_checksum"))
+      val rows = fs.join(ft, Seq("bucket"), "full_outer")
+        .orderBy(col("bucket")).collect()
+      rowsScan(
+        StructType(Seq(
+          StructField("bucket", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("checksum", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("t_rows", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("t_checksum", org.apache.spark.sql.types.LongType, nullable = true),
+          StructField("matches", org.apache.spark.sql.types.BooleanType, nullable = true))),
+        rows.map { r =>
+          val ok = !r.isNullAt(1) && !r.isNullAt(3) &&
+            r.getLong(1) == r.getLong(3) && !r.isNullAt(2) &&
+            !r.isNullAt(4) && r.getLong(2) == r.getLong(4)
+          InternalRow(r.get(0),
+            if (r.isNullAt(1)) null else r.get(1),
+            if (r.isNullAt(2)) null else r.get(2),
+            if (r.isNullAt(3)) null else r.get(3),
+            if (r.isNullAt(4)) null else r.get(4), ok)
+        })
     }
   }
 

@@ -65,4 +65,37 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(rep > 0 && one > 0 && one < 1.0)
     assert(rep < one * 0.6, s"rep=$rep one=$one")
   }
+
+  test("reconcile: order- and partitioning-independent; a changed value localizes") {
+    import graft.operators.Diagnostics
+    val rows = (0 until 1000).map(i => (i.toLong, s"v$i"))
+    val a = rows.toDF("k", "v").repartition(7)
+    val b = scala.util.Random.shuffle(rows).toDF("k", "v").repartition(3)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Diagnostics.reconcile(df, Seq("k"), Seq("k", "v"), buckets = 8)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    assert(fp(a) == fp(b)) // row order and partitioning are invisible
+    // one corrupted VALUE: key-addressed buckets keep every count, and
+    // exactly ONE bucket's checksum moves (the localization contract —
+    // content-addressed buckets would smear it across two as count drift)
+    val c = rows.map { case (k, v) => (k, if (k == 500L) "CORRUPT" else v) }
+      .toDF("k", "v")
+    val (fa, fc) = (fp(a), fp(c))
+    assert(fa.keySet == fc.keySet)
+    assert(fa.forall { case (bk, (n, _)) => fc(bk)._1 == n })
+    assert(fa.count { case (bk, (_, cs)) => fc(bk)._2 != cs } == 1)
+  }
+
+  test("reconcile: separator keeps shifted column boundaries distinct") {
+    import graft.operators.Diagnostics
+    // ("ab","c") vs ("a","bc") concatenate identically WITHOUT the 0x1
+    // separator — the fingerprints must differ
+    val x = Seq(("ab", "c")).toDF("a", "b")
+    val y = Seq(("a", "bc")).toDF("a", "b")
+    def cs(df: org.apache.spark.sql.DataFrame) =
+      Diagnostics.reconcile(df, Seq("a"), Seq("a", "b"), 1)
+        .head().getLong(2)
+    assert(cs(x) != cs(y))
+  }
 }

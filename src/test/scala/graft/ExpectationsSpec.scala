@@ -55,4 +55,21 @@ class ExpectationsSpec extends AnyFunSuite {
     // global single-row agg: partial + final, exactly one exchange
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
+
+  test("fkOrphans: orphans, null keys and clean relations audit separately") {
+    import graft.operators.Expectations
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), Some(99L),
+      Some(77L), None).toDF("fk")
+    val r = Expectations.fkOrphans(child, Seq("fk"), parent, Seq("pk"),
+      "child->parent").head()
+    assert(r.getString(0) == "child->parent")
+    assert(r.getLong(1) == 7L) // n_child_rows
+    assert(r.getLong(2) == 1L) // n_null_keys (NULL is absent, not dangling)
+    assert(r.getLong(3) == 3L) // n_orphans (99, 99, 77)
+    assert(r.getLong(4) == 2L) // n_orphan_keys (99, 77)
+    val clean = Expectations.fkOrphans(parent, Seq("pk"), parent, Seq("pk"),
+      "self").head()
+    assert(clean.getLong(3) == 0L && clean.getLong(4) == 0L)
+  }
 }

@@ -69,4 +69,64 @@ class ImageDHashSpec extends AnyFunSuite {
       .select(col("dhash"), col("img_w")).head()
     assert(out.isNullAt(0) && out.isNullAt(1))
   }
+
+  private def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Multimodal.imageAHash(
+        Seq(Tuple1(bos.toByteArray)).toDF("payload"), "payload")
+      .select(col("ahash")).head().getLong(0)
+  }
+
+  test("aHash: uniform image hashes to 0 (no block strictly above the mean)") {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, 0x646464)
+    assert(aHashOf(img) == 0L)
+  }
+
+  test("aHash: half-bright 32x32 sets exactly the bright half's bits") {
+    // left half luma 0, right half 200: blocks bx 0-3 below the mean,
+    // bx 4-7 above -> bits (by*8+bx) for bx >= 4
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0 else 0xC8C8C8)
+    var want = 0L
+    for (by <- 0 until 8; bx <- 4 until 8) want |= 1L << (by * 8 + bx)
+    assert(aHashOf(img) == want)
+  }
+
+  test("aHash via the codec path equals the pixel-formula closed form") {
+    // the q212 construction: gray v = (base*29 + 11x + 5y) % 256 on 32x32
+    val base = 54L
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = ((base * 29 + x * 11 + y * 5) % 256).toInt
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val viaCodec = Multimodal.imageAHash(
+        Seq(Tuple1(bos.toByteArray)).toDF("payload"), "payload")
+      .select(col("ahash")).head().getLong(0)
+    def blockSum(bx: Int, by: Int): Long = {
+      var s = 0L
+      for (y <- by * 4 until by * 4 + 4; x <- bx * 4 until bx * 4 + 4)
+        s += (base * 29 + x * 11 + y * 5) % 256
+      s
+    }
+    val total = (for (bx <- 0 until 8; by <- 0 until 8)
+      yield blockSum(bx, by)).sum
+    var want = 0L
+    for (by <- 0 until 8; bx <- 0 until 8)
+      if (64L * blockSum(bx, by) > total) want |= 1L << (by * 8 + bx)
+    assert(viaCodec == want)
+    // undecodable -> NULL, same contract as dHash
+    assert(Multimodal.imageAHash(
+        Seq(Tuple1(Array[Byte](9, 9))).toDF("payload"), "payload")
+      .select(col("ahash")).head().isNullAt(0))
+  }
 }

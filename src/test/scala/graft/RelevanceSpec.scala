@@ -145,4 +145,16 @@ class RelevanceSpec extends AnyFunSuite {
     assert(r3a == r3b, "fixed-point ranks must be bit-deterministic")
     assert(r3a(3L) > r3a(2L) && r3a(2L) > r3a(1L), "authority ordering")
   }
+
+  test("vocabCoverage: cumulative coverage at each k, ties by token string") {
+    // counts: w 4, x 2, y 2, z 1 -> ranked (w, x, y, z); total 9
+    val docs = Seq("w w x y", "w x y", "w z").toDF("text")
+    val out = graft.operators.Relevance.vocabCoverage(docs, "text",
+        Seq(1, 2, 4))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out(1) == ((4L, 4L, 4L * 1000000 / 9)))
+    assert(out(2) == ((2L, 6L, 6L * 1000000 / 9))) // x before y: count tie
+    assert(out(4) == ((1L, 9L, 1000000L)))
+  }
 }

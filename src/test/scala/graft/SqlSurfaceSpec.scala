@@ -1423,6 +1423,48 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(tsr.getLong(3) == 2000000L)
   }
 
+  test("agreement/sync procedures: kendall_tau/fleiss_kappa/reconcile from SQL (r12)") {
+    import spark.implicits._
+    graft.sql.GraftCatalog.register(spark, "llm18",
+      java.nio.file.Files.createTempDirectory("sql_llm18_").toString)
+    spark.sql("CREATE NAMESPACE llm18.G")
+
+    // kendall_tau: one discordant pair of six -> tau 2/3
+    Seq(("g", 1L, 1L), ("g", 2L, 3L), ("g", 3L, 2L), ("g", 4L, 4L))
+      .toDF("grp", "x", "y").createOrReplaceTempView("s18k")
+    spark.sql("CREATE TABLE llm18.G.K AS SELECT * FROM s18k")
+    val kt = spark.sql("CALL llm18.system.kendall_tau(table => 'G.K', " +
+      "group_col => 'grp', x_col => 'x', y_col => 'y')").head
+    assert(kt.getLong(2) == 5L && kt.getLong(3) == 1L &&
+      kt.getLong(4) == 666666L)
+
+    // fleiss_kappa: the hand case from StatsSpec (kappa -1/3)
+    Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"))
+      .toDF("u", "c").createOrReplaceTempView("s18f")
+    spark.sql("CREATE TABLE llm18.G.F AS SELECT * FROM s18f")
+    val fk = spark.sql("CALL llm18.system.fleiss_kappa(table => 'G.F', " +
+      "unit_col => 'u', category_col => 'c')").head
+    assert(fk.getLong(2) == 500000L &&
+      math.abs(fk.getDouble(3) - (-1.0 / 3)) < 1e-12)
+
+    // reconcile: identical tables match on every bucket; a corrupted
+    // value flips exactly the buckets holding it
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("s18r")
+    spark.sql("CREATE TABLE llm18.G.SRC AS SELECT * FROM s18r")
+    spark.sql("CREATE TABLE llm18.G.TGT AS SELECT * FROM s18r")
+    val rc = spark.sql("CALL llm18.system.reconcile(source => 'G.SRC', " +
+      "target => 'G.TGT', key_cols => 'k', cols => 'k,v', buckets => 4)")
+      .collect()
+    assert(rc.length == 4 && rc.forall(_.getBoolean(5)))
+    spark.sql("CREATE TABLE llm18.G.BAD AS " +
+      "SELECT k, CASE WHEN k = 7 THEN 'X' ELSE v END AS v FROM s18r")
+    val rb = spark.sql("CALL llm18.system.reconcile(source => 'G.SRC', " +
+      "target => 'G.BAD', key_cols => 'k', cols => 'k,v', buckets => 4)")
+      .collect()
+    assert(rb.count(!_.getBoolean(5)) == 1)
+  }
+
   test("eval procedures: mutual_info/wasserstein/auc/calibration/" +
       "markov_stationary/label_propagate from SQL (r10)") {
     import spark.implicits._

@@ -541,4 +541,83 @@ class StatsSpec extends AnyFunSuite {
       Stats.isotonicFit(df, Seq("k"), "x", "y", maxDomain = 10))
     assert(e.getMessage.contains("quantize"))
   }
+
+  test("kendallTau: hand case without ties") {
+    // x=1..4, y=(1,3,2,4): one discordant pair (2,3) of six
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 3L), ("g", 3L, 2L), ("g", 4L, 4L))
+      .toDF("k", "x", "y")
+    val r = Stats.kendallTau(df, Seq("k"), "x", "y").head()
+    assert(r.getAs[Long]("concordant") == 5 &&
+      r.getAs[Long]("discordant") == 1)
+    assert(r.getAs[Long]("ties_x") == 0 && r.getAs[Long]("ties_y") == 0)
+    // tau = 4/6 -> floor(1e6 * 4 / sqrt(36)) = 666666
+    assert(r.getAs[Long]("tau_micro") == 666666L)
+  }
+
+  test("kendallTau: tie correction shrinks the denominator") {
+    // x=(1,1,2,3), y=(1,2,2,3): nc=4, tie_x=1, tie_y=1 -> tau_b = 4/5
+    val df = Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 2L), ("g", 3L, 3L))
+      .toDF("k", "x", "y")
+    val r = Stats.kendallTau(df, Seq("k"), "x", "y").head()
+    assert(r.getAs[Long]("concordant") == 4 &&
+      r.getAs[Long]("ties_x") == 1 && r.getAs[Long]("ties_y") == 1)
+    assert(r.getAs[Long]("tau_micro") == 800000L)
+  }
+
+  test("kendallTau: constant side yields NULL tau; maxPoints fails loud") {
+    val const = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L))
+      .toDF("k", "x", "y")
+    assert(Stats.kendallTau(const, Seq("k"), "x", "y")
+      .head().isNullAt(7))
+    val big = (0 until 50).map(i => ("g", i.toLong, 1L)).toDF("k", "x", "y")
+    val e = intercept[IllegalArgumentException](
+      Stats.kendallTau(big, Seq("k"), "x", "y", maxPoints = 10))
+    assert(e.getMessage.contains("rollup"))
+  }
+
+  test("fleissKappa: two-unit hand case; inconsistent m fails loud") {
+    // unit1 (a,a), unit2 (a,b): Po=1/2, Pe=5/8 -> kappa = -1/3
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"))
+      .toDF("u", "c")
+    val r = Stats.fleissKappa(df, "u", "c").head()
+    assert(r.getAs[Long]("n_units") == 2 && r.getAs[Long]("m_raters") == 2)
+    assert(r.getAs[Long]("po_ppm") == 500000L)
+    assert(math.abs(r.getAs[Double]("kappa") - (-1.0 / 3)) < 1e-12)
+    val uneven = df.union(Seq(("u3", "a")).toDF("u", "c"))
+    val e = intercept[IllegalArgumentException](
+      Stats.fleissKappa(uneven, "u", "c").head())
+    assert(e.getMessage.contains("constant rating count"))
+  }
+
+  test("fleissKappa: perfect agreement is kappa 1; all-one-category is NULL") {
+    val perfect = Seq(("u1", "a"), ("u1", "a"), ("u2", "b"), ("u2", "b"))
+      .toDF("u", "c")
+    assert(math.abs(
+      Stats.fleissKappa(perfect, "u", "c").head().getAs[Double]("kappa")
+        - 1.0) < 1e-12)
+    val constant = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "a"))
+      .toDF("u", "c")
+    assert(Stats.fleissKappa(constant, "u", "c").head().isNullAt(3))
+  }
+
+  test("bhFdr: adjusted q-values are the reverse running min; alpha gates") {
+    val df = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.5))
+      .toDF("id", "p")
+    val out = Stats.bhFdr(df, Seq("id"), "p", alpha = 0.1)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("q_value"),
+          r.getAs[Boolean]("significant"))).toMap
+    // raw p*n/i = (0.04, 0.04, 0.04, 0.5); reverse min leaves them as-is
+    assert(out("t1") == ((1, 0.04, true)))
+    assert(out("t2") == ((2, 0.04, true)))
+    assert(out("t3") == ((3, 0.04, true)))
+    assert(out("t4") == ((4, 0.5, false)))
+    // monotone repair: a later SMALLER raw value pulls earlier q down
+    val df2 = Seq(("a", 0.04), ("b", 0.05)).toDF("id", "p")
+    val q2 = Stats.bhFdr(df2, Seq("id"), "p", 0.1)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Double]("q_value")).toMap
+    // raw = (0.08, 0.05) -> q(a) = min(0.08, 0.05) = 0.05
+    assert(q2("a") == 0.05 && q2("b") == 0.05)
+  }
 }
