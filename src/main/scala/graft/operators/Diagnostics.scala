@@ -82,14 +82,24 @@ object Diagnostics {
     require(keyCols.nonEmpty, "reconcile needs key columns")
     require(cols.nonEmpty, "reconcile needs checksum columns")
     require(buckets >= 1, s"buckets=$buckets")
-    def digest(cs: Seq[String]) = conv(substring(
-      md5(concat_ws("\u0001", cs.map(c => col(c).cast("string")): _*)),
-      1, 15), 16, 10).cast("long")
+    // fused digest kernel: value-identical to
+    // conv(substring(md5(concat_ws(0x1, ...)), 1, 15), 16, 10) - one
+    // digest + shifts per row, no hex-string/substring/base-16-parse
+    // materialization - and NON-NULLABLE, so a bucket equi-join's pushed
+    // isnotnull() folds to true instead of re-running the digest per row
+    def digest(cs: Seq[String]) = graft.plans.expressions.md5Head60(
+      concat_ws("\u0001", cs.map(c => col(c).cast("string")): _*))
     // the mod-prime sum accumulates in DECIMAL(38,0) (the q119 export
     // precedent): a long accumulator overflows at ~9e18, within reach of
     // 1e10 rows × 1e9 residues at the 100 TB tier
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    df.select(pmod(digest(keyCols), lit(buckets.toLong)).as("bucket"),
+    // pmod stays nullable in Catalyst (divisor-zero case) even over the
+    // non-nullable digest, so a bucket equi-join would push an
+    // isnotnull(pmod(digest…)) filter that RE-RUNS the digest per row;
+    // the coalesce never fires (buckets >= 1, digest non-null) but makes
+    // the key provably non-nullable, folding that filter to true
+    df.select(coalesce(pmod(digest(keyCols), lit(buckets.toLong)), lit(0L))
+          .as("bucket"),
         (digest(cols) % 1000000007L).as("_d"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),

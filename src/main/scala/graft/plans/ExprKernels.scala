@@ -442,6 +442,24 @@ object ExprKernels {
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  /** First 60 bits of md5 as an unsigned long — the fused form of the
+    * id-pure digest idiom `conv(substring(md5(x), 1, 15), 16, 10)` used
+    * throughout the catalog (membership sampling, sync checksums, derived
+    * p-values). Value-identical to the SQL chain (15 hex chars = bytes
+    * 0..6 + the high nibble of byte 7, always non-negative), but skips
+    * materializing the 32-char hex string, the substring copy and the
+    * base-16 string parse — one digest + 8 shifts per row.
+    */
+  def md5Head60(u: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(u.getBytes)
+    var h = 0L
+    var k = 0
+    while (k < 7) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+    (h << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+
   /** 60-bit SimHash whose word hash is the first 15 hex chars of md5 —
     * a fingerprint spec reproducible bit-for-bit in ANSI SQL
     * (`CAST('0x' || substr(md5(word),1,15) AS BIGINT)`), unlike the

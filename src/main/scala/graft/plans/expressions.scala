@@ -48,6 +48,22 @@ object expressions {
     override def prettyName: String = "md5_simhash60"
   }
 
+  /** First 60 bits of md5 as a long — fused, value-identical form of the
+    * catalog's `conv(substring(md5(x), 1, 15), 16, 10)` digest idiom (see
+    * [[ExprKernels.md5Head60]]). Non-nullable over non-nullable input, so
+    * join-key `isnotnull` pushdowns over digest-derived keys fold away
+    * instead of re-running the digest per row.
+    */
+  case class Md5Head60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.md5Head60(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.md5Head60($c)")
+    override protected def withNewChildInternal(c: Expression): Md5Head60 = copy(c)
+    override def prettyName: String = "md5_head60"
+  }
+
   /** Cosine similarity of two float-array embeddings — one fused loop.
     * NULL if either side is NULL or lengths differ; 0.0 on zero norm.
     */
@@ -491,6 +507,7 @@ object expressions {
   def charEntropyStats(c: Column): Column = col(CharEntropyStats(ex(c)))
   def ngramHashes(c: Column, n: Int): Column = col(NgramHashes(ex(c), n))
   def md5SimHash60(c: Column): Column = col(Md5SimHash60(ex(c)))
+  def md5Head60(c: Column): Column = col(Md5Head60(ex(c)))
   def minhashSig(c: Column, k: Int): Column = col(MinHashSig(ex(c), k))
   def shingleSet(c: Column, k: Int): Column = col(ShingleSet(ex(c), k))
   def minhashText(c: Column, shingleSize: Int, k: Int): Column =
