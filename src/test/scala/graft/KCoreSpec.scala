@@ -44,4 +44,19 @@ class KCoreSpec extends AnyFunSuite {
     val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L))
     assert(core(messy, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("driver and distributed peeling paths agree exactly") {
+    // clique + cascading chain + triangle + isolated-ish pendant: exercises
+    // multi-round peel, cap behaviour, and the d=0 output drop
+    val edges = k5 ++ Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 6L), (8L, 9L))
+    import spark.implicits._
+    def run(limit: Long, k: Int, rounds: Int) =
+      KCore.kCore(edges.toDF("src", "dst"), k, rounds,
+          driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(2, 3, 4); rounds <- Seq(1, 2, 30)) {
+      assert(run(0L, k, rounds) == run(1000000L, k, rounds),
+        s"paths disagree at k=$k maxRounds=$rounds")
+    }
+  }
 }
