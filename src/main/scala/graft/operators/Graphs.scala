@@ -127,19 +127,73 @@ object Graphs {
     * vote + one `min_by((−count, label))` argmax — the PageRank round
     * shape with labels instead of mass; lineage truncated every 5 rounds.
     */
-  def labelPropagate(edges: DataFrame, seeds: DataFrame,
-                     iters: Int): DataFrame = {
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, iters: Int,
+                     driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
+    require(driverEdgeLimit <= PageRank.driverEdgeCeiling,
+      s"driverEdgeLimit=$driverEdgeLimit exceeds the 10M driver LPA " +
+        "ceiling; larger graphs take the distributed path (lower " +
+        "driverEdgeLimit instead of raising it)")
     val dir = edges
       .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
-    val nodes = und.select(col("a").as("id")).distinct()
     val sd = seeds
       .select(col("id").cast("long").as("id"), col("label").cast("long").as("_sl"))
       .filter(col("id").isNotNull && col("_sl").isNotNull)
       .groupBy(col("id")).agg(min(col("_sl")).as("_sl"))
+    // one eager materialization of the undirected fold feeds the size
+    // gate, the driver collect and every distributed round (the
+    // [[PageRank]] contract)
+    val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    // DRIVER loop under the edge ceiling (the [[PageRank]] precedent):
+    // each LPA round is a synchronous vote barrier — pure job-scheduling
+    // latency once the edge list fits in memory — and the vote/argmax
+    // rule is order-independent, so both paths agree exactly (spec-pinned)
+    if (und.count() <= driverEdgeLimit) {
+      val spark = und.sparkSession
+      import spark.implicits._
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val seedMap = new java.util.HashMap[Long, Long]()
+      sd.collect().foreach(r => seedMap.put(r.getLong(0), r.getLong(1)))
+      val nodeSet = new java.util.LinkedHashSet[Long]()
+      es.foreach { case (a, _) => nodeSet.add(a) }
+      var labels = new java.util.HashMap[Long, Long]()
+      nodeSet.forEach { v =>
+        if (seedMap.containsKey(v)) labels.put(v, seedMap.get(v)); () }
+      var i = 0
+      while (i < iters) {
+        // votes: for each edge (a → b), a's label votes on b
+        val votes = new java.util.HashMap[(Long, Long), Long]()
+        es.foreach { case (a, b) =>
+          if (labels.containsKey(a))
+            votes.merge((b, labels.get(a)), 1L, _ + _)
+        }
+        // winner per node = min_by(label, (-count, label)); seeds clamp
+        val win = new java.util.HashMap[Long, (Long, Long)]()
+        votes.forEach { case ((v, lbl), c) =>
+          val cur = win.get(v)
+          if (cur == null || c > cur._2 || (c == cur._2 && lbl < cur._1))
+            win.put(v, (lbl, c))
+          ()
+        }
+        val next = new java.util.HashMap[Long, Long]()
+        nodeSet.forEach { v =>
+          if (seedMap.containsKey(v)) next.put(v, seedMap.get(v))
+          else if (win.containsKey(v)) next.put(v, win.get(v)._1)
+          ()
+        }
+        labels = next
+        i += 1
+      }
+      val out = Seq.newBuilder[(Long, Option[Long])]
+      nodeSet.forEach { v =>
+        out += ((v, if (labels.containsKey(v)) Some(labels.get(v)) else None))
+        ()
+      }
+      return out.result().toDF("id", "label")
+    }
+    val nodes = und.select(col("a").as("id")).distinct()
     val base = nodes.join(sd, Seq("id"), "left").localCheckpoint(true)
     var labels = base.select(col("id"), col("_sl").as("lbl"))
     var i = 0
@@ -175,15 +229,74 @@ object Graphs {
     * nodes×walksPerNode-sized throughout. Lineage cut every few steps.
     */
   def deterministicWalks(edges: DataFrame, walkLen: Int,
-                         walksPerNode: Int = 1): DataFrame = {
+                         walksPerNode: Int = 1,
+                         driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(walkLen >= 1 && walkLen <= 40, s"walkLen=$walkLen out of [1,40]")
     require(walksPerNode >= 1 && walksPerNode <= 100,
       s"walksPerNode=$walksPerNode out of [1,100]")
+    require(driverEdgeLimit <= PageRank.driverEdgeCeiling,
+      s"driverEdgeLimit=$driverEdgeLimit exceeds the 10M driver walk " +
+        "ceiling; larger graphs take the distributed path (lower " +
+        "driverEdgeLimit instead of raising it)")
     val dir = edges
       .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // one eager materialization + checkpointed size gate (the
+    // [[labelPropagate]] contract)
     val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
+    // DRIVER loop under the edge ceiling (the [[PageRank]] precedent):
+    // walkLen synchronous frontier barriers collapse to an in-memory
+    // loop; the hash-argmin step rule is engine-independent (md5 of the
+    // same rendered string, lexicographic hex order), so both paths
+    // produce the identical walk corpus (spec-pinned)
+    if (und.count() <= driverEdgeLimit) {
+      val spark = und.sparkSession
+      import spark.implicits._
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      val starts = new java.util.LinkedHashSet[Long]()
+      es.foreach { case (a, b) =>
+        adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty) += b
+        starts.add(a)
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String = {
+        md.reset()
+        md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      }
+      val out = Seq.newBuilder[(Long, Int, Int, Long)]
+      starts.forEach { start =>
+        var w = 0
+        while (w < walksPerNode) {
+          var node = start
+          out += ((start, w, 0, node))
+          var i = 1
+          var dead = false
+          while (i <= walkLen && !dead) {
+            val ns = adj.get(node)
+            if (ns == null) dead = true
+            else {
+              var best = ns(0)
+              var bestH = md5hex(s"${start}_${w}_${i}_${ns(0)}")
+              var j = 1
+              while (j < ns.length) {
+                val h = md5hex(s"${start}_${w}_${i}_${ns(j)}")
+                if (h < bestH) { best = ns(j); bestH = h }
+                j += 1
+              }
+              node = best
+              out += ((start, w, i, node))
+            }
+            i += 1
+          }
+          w += 1
+        }
+        ()
+      }
+      return out.result().toDF("start", "w", "step", "node")
+    }
     var frontier = und.select(col("a").as("start")).distinct()
       .select(col("start"),
         explode(sequence(lit(0), lit(walksPerNode - 1))).as("w"))

@@ -35,28 +35,91 @@ object Hits {
   /** Bipartite HITS over `edges(src, dst)`. Returns one row per node per
     * side: (id, kind ∈ {hub, auth}, score). `iters` full (auth, hub)
     * rounds; hubs initialize to `scale`.
+    *
+    * Graphs under `driverEdgeLimit` edges run the loop on the DRIVER
+    * (the [[PageRank]] / [[Dedup.connectedComponents]] precedent): every
+    * half-round is a synchronous barrier — join+agg+max-rescale — that
+    * costs a full job-scheduling round trip at any size, and the integer
+    * arithmetic is order-independent, so both paths are bit-identical
+    * (spec-pinned). Capped at 10M edges like every driver fast path.
     */
   def scaledHits(edges: DataFrame, iters: Int,
-                 scale: Long = 1000000L): DataFrame = {
+                 scale: Long = 1000000L,
+                 driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
     require(scale >= 1000L && scale <= 1000000000L,
       s"scale=$scale out of [1e3,1e9]")
+    require(driverEdgeLimit <= PageRank.driverEdgeCeiling,
+      s"driverEdgeLimit=$driverEdgeLimit exceeds the 10M driver HITS " +
+        "ceiling; larger graphs take the distributed path (lower " +
+        "driverEdgeLimit instead of raising it)")
+    // one eager materialization feeds the size gate, the driver collect
+    // and every distributed half-round (the [[PageRank]] contract: an
+    // un-checkpointed gate would recompute an expensive upstream per
+    // action)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
 
+    if (e.count() <= driverEdgeLimit) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      def rescaledM(raw: java.util.HashMap[Long, Long])
+          : java.util.HashMap[Long, Long] = {
+        var m = 0L
+        raw.forEach { (_, s) => if (s > m) m = s }
+        require(m > 0, "HITS on an empty edge set")
+        require(m <= Long.MaxValue / scale,
+          s"raw score $m would overflow at scale=$scale; lower the scale")
+        val out = new java.util.HashMap[Long, Long]()
+        raw.forEach { (id, s) => out.put(id, s * scale / m); () }
+        out
+      }
+      def halfRound(from: java.util.HashMap[Long, Long],
+                    bySrc: Boolean): java.util.HashMap[Long, Long] = {
+        val raw = new java.util.HashMap[Long, Long]()
+        es.foreach { case (s, d) =>
+          val (key, grp) = if (bySrc) (s, d) else (d, s)
+          val sc = from.get(key)
+          // inner join: only keyed endpoints with a score contribute,
+          // and only reached group nodes appear — from covers all keyed
+          // endpoints by construction, so sc is always present
+          raw.merge(grp, sc, _ + _)
+        }
+        rescaledM(raw)
+      }
+      val raw0 = new java.util.HashMap[Long, Long]()
+      es.foreach { case (_, d) => raw0.merge(d, scale, _ + _) }
+      var auth = rescaledM(raw0)
+      var hub = halfRound(auth, bySrc = false)
+      var i = 1
+      while (i < iters) {
+        auth = halfRound(hub, bySrc = true)
+        hub = halfRound(auth, bySrc = false)
+        i += 1
+      }
+      val out = Seq.newBuilder[(Long, String, Long)]
+      hub.forEach { (id, s) => out += ((id, "hub", s)); () }
+      auth.forEach { (id, s) => out += ((id, "auth", s)); () }
+      return out.result().toDF("id", "kind", "score")
+    }
+
     def rescaled(raw0: DataFrame): DataFrame = {
-      // materialize the join+agg ONCE: the 1-row max action and the next
-      // half-round's join both reread the checkpointed raw scores instead
-      // of each re-running the shuffle chain
-      val raw = raw0.localCheckpoint(true)
-      // 1-row driver scalar, the A1 pattern; also the loud overflow gate:
-      // raw * scale must fit a long for every row, and raw is maximal here
-      val mRow = raw.agg(max(col("s"))).head
-      require(!mRow.isNullAt(0) && mRow.getLong(0) > 0,
-        "HITS on an empty edge set")
-      val m = mRow.getLong(0)
+      // materialize the join+agg ONCE: the next half-round's join rereads
+      // the checkpointed raw scores instead of re-running the shuffle
+      // chain, and the 1-row max RIDES that checkpoint action as an
+      // Observation (the KCore r12 pattern) — one job per half-round
+      // instead of two
+      val obs = new org.apache.spark.sql.Observation()
+      val raw = raw0.observe(obs, max(col("s")).as("m"))
+        .localCheckpoint(true)
+      // loud overflow gate: raw * scale must fit a long for every row,
+      // and raw is maximal here
+      val mOpt = Option(obs.get("m")).collect { case l: Long => l }
+      require(mOpt.exists(_ > 0), "HITS on an empty edge set")
+      val m = mOpt.get
       require(m <= Long.MaxValue / scale,
         s"raw score $m would overflow at scale=$scale; lower the scale")
       // `div`, not `/`: Column `/` on longs is DOUBLE division in Spark

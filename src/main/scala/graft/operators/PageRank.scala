@@ -25,16 +25,77 @@ import org.apache.spark.sql.functions._
   * MapReduce PageRank round. Lineage is truncated per iteration with an
   * eager localCheckpoint (same contract as [[Dedup.starComponents]]).
   * Iterations are FIXED (deterministic output), not convergence-driven.
+  *
+  * Graphs under `driverEdgeLimit` edges iterate on the DRIVER (the
+  * [[Dedup.connectedComponents]] union-find / [[KCore]] peeling
+  * precedent): a fixed-iteration rank loop is `iters` SYNCHRONOUS rounds
+  * of pure job-scheduling latency once the edge list fits in memory, and
+  * the integer arithmetic is order-independent, so both paths produce
+  * bit-identical ranks (spec-pinned). The limit is capped at 10M edges —
+  * the driver path is a bounded fast path, never an opt-in to a
+  * driver-OOM-scale collect.
   */
 object PageRank {
 
+  private[operators] val driverEdgeCeiling = 10000000L
+
+  /** Shared driver-side rank loop: `seedSet = None` is uniform PageRank
+    * (r0 = scale everywhere, teleport everywhere); `Some(s)` is the
+    * personalized variant (r0/teleport on the seed set only). Arithmetic
+    * is EXACTLY the distributed round's: long multiply + floor division
+    * on non-negative values.
+    */
+  private def driverRanks(es: Array[(Long, Long)], iters: Int, scale: Long,
+                          seedSet: Option[scala.collection.Set[Long]])
+      : Seq[(Long, Long)] = {
+    val deg = new java.util.HashMap[Long, Long]()
+    es.foreach { case (s, _) => deg.merge(s, 1L, _ + _) }
+    val nodes = new java.util.LinkedHashSet[Long]()
+    es.foreach { case (s, d) => nodes.add(s); nodes.add(d) }
+    val base = scale * 15L / 100L
+    def seeded(v: Long): Boolean = seedSet.forall(_.contains(v))
+    var rank = new java.util.HashMap[Long, Long]()
+    nodes.forEach { v =>
+      rank.put(v, if (seeded(v)) scale else 0L); () }
+    var i = 0
+    while (i < iters) {
+      val next = new java.util.HashMap[Long, Long]()
+      nodes.forEach { v =>
+        next.put(v, if (seeded(v)) base else 0L); () }
+      es.foreach { case (u, v) =>
+        val c = rank.get(u) * 85L / (100L * deg.get(u))
+        next.merge(v, c, _ + _)
+      }
+      rank = next
+      i += 1
+    }
+    val out = Seq.newBuilder[(Long, Long)]
+    nodes.forEach { v => out += ((v, rank.get(v))); () }
+    out.result()
+  }
+
   def scaledRanks(edges: DataFrame, iters: Int,
-                  scale: Long = 1000000000L): DataFrame = {
+                  scale: Long = 1000000000L,
+                  driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    require(driverEdgeLimit <= driverEdgeCeiling,
+      s"driverEdgeLimit=$driverEdgeLimit exceeds the 10M driver rank-loop " +
+        "ceiling; larger graphs take the distributed path (lower " +
+        "driverEdgeLimit instead of raising it)")
+    // one eager materialization of the deduped edge relation feeds the
+    // size gate, the driver collect AND every distributed-loop consumer —
+    // an un-checkpointed gate would recompute a possibly expensive
+    // upstream (e.g. a co-occurrence projection) once per action
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
+    if (e.count() <= driverEdgeLimit) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return driverRanks(es, iters, scale, None).toDF("id", "rank")
+    }
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct().localCheckpoint(true)
     // out-degree pre-joined onto the edge list ONCE: the loop then does a
@@ -44,27 +105,38 @@ object PageRank {
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .localCheckpoint(true)
     val base = scale * 15L / 100L
-    var ranks = nodes.withColumn("rank", lit(scale))
-    var i = 0
+    // loop state = the INBOUND SUM only (`in_c`), not the full rank table:
+    // every node's rank is base + coalesce(in_c, 0) from round 1 on, so
+    // carrying in_c instead of rank drops the per-round nodes⋈ranks left
+    // join (one exchange + sort per round in the r11 shape) — the node
+    // table is joined back exactly ONCE after the loop. Round 1 needs no
+    // join at all: rank₀ = scale everywhere, so each edge contributes
+    // (scale·85) div (100·deg) straight off the static eDeg relation.
+    var inC = eDeg
+      .select(col("dst").as("id"),
+        expr(s"(${scale}L * 85) div (100 * deg)").as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("in_c"))
+    var i = 1
     while (i < iters) {
-      val contrib = ranks
-        .join(eDeg, ranks("id") === eDeg("src"))
+      // rank_{i}(u) = base + in_c(u) (0 when unreferenced) — left join
+      // from the EDGE side keeps every contributing source
+      inC = eDeg
+        .join(inC.withColumnRenamed("id", "src"), Seq("src"), "left")
         .select(col("dst").as("id"),
-          expr("(rank * 85) div (100 * deg)").as("c"))
-      ranks = nodes
-        .join(contrib.groupBy(col("id")).agg(sum(col("c")).as("in_c")),
-          Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank"))
-      // each rank feeds the next iteration exactly once, so a short loop
+          expr(s"((${base}L + coalesce(in_c, 0L)) * 85) div (100 * deg)")
+            .as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_c"))
+      // each in_c feeds the next iteration exactly once, so a short loop
       // is a pure chain one action executes end-to-end — checkpoint only
       // every few iterations to bound plan growth on long runs, not per
       // iteration (which forces a full materialization each round)
       if ((i + 1) % 5 == 0 && i + 1 < iters)
-        ranks = ranks.localCheckpoint(true)
+        inC = inC.localCheckpoint(true)
       i += 1
     }
-    ranks
+    nodes.join(inC, Seq("id"), "left")
+      .select(col("id"),
+        (lit(base) + coalesce(col("in_c"), lit(0L))).as("rank"))
   }
 
   /** Personalized PageRank (random walk with restart to a SEED SET): the
@@ -83,40 +155,68 @@ object PageRank {
     * are small → AQE broadcasts them).
     */
   def scaledRanksPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
-                              scale: Long = 1000000000L): DataFrame = {
+                              scale: Long = 1000000000L,
+                              driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    require(driverEdgeLimit <= driverEdgeCeiling,
+      s"driverEdgeLimit=$driverEdgeLimit exceeds the 10M driver rank-loop " +
+        "ceiling; larger graphs take the distributed path (lower " +
+        "driverEdgeLimit instead of raising it)")
+    // checkpointed size gate, as in [[scaledRanks]]
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
     val sd = seeds.select(col("id").cast("long").as("id")).distinct()
+    if (e.count() <= driverEdgeLimit) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // seed ids outside the graph contribute nothing in the distributed
+      // round (nodes ⋈ seeds is a left join from the node side), so the
+      // in-memory seed set need not be pruned to the graph first; the
+      // seed relation is small by contract ("seed set")
+      val sset = sd.collect().map(_.getLong(0)).toSet
+      return driverRanks(es, iters, scale, Some(sset)).toDF("id", "rank")
+    }
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
       .join(sd.withColumn("_s", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(false)).as("_seed"))
       .localCheckpoint(true)
+    // seed flag pre-joined onto the static edge relation ONCE (seed sets
+    // are small → AQE broadcasts), so the loop below never touches the
+    // node table: same in_c-only state as [[scaledRanks]]
     val eDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .join(sd.withColumnRenamed("id", "src").withColumn("_ss", lit(true)),
+        Seq("src"), "left")
+      .select(col("src"), col("dst"), col("deg"),
+        coalesce(col("_ss"), lit(false)).as("_sseed"))
       .localCheckpoint(true)
     val base = scale * 15L / 100L
-    var ranks = nodes.select(col("id"),
-      when(col("_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
-    var i = 0
+    // rank_i(u) = [seed u]·base + in_c(u) for i ≥ 1; rank₀ = scale·[seed],
+    // so round 1 reads straight off the static relation (no join)
+    var inC = eDeg
+      .filter(col("_sseed"))
+      .select(col("dst").as("id"),
+        expr(s"(${scale}L * 85) div (100 * deg)").as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("in_c"))
+    var i = 1
     while (i < iters) {
-      val contrib = ranks
-        .join(eDeg, ranks("id") === eDeg("src"))
+      inC = eDeg
+        .join(inC.withColumnRenamed("id", "src"), Seq("src"), "left")
         .select(col("dst").as("id"),
-          expr("(rank * 85) div (100 * deg)").as("c"))
-      ranks = nodes
-        .join(contrib.groupBy(col("id")).agg(sum(col("c")).as("in_c")),
-          Seq("id"), "left")
-        .select(col("id"),
-          (when(col("_seed"), lit(base)).otherwise(lit(0L)) +
-            coalesce(col("in_c"), lit(0L))).as("rank"))
+          expr(s"(((CASE WHEN _sseed THEN ${base}L ELSE 0L END) + " +
+            "coalesce(in_c, 0L)) * 85) div (100 * deg)").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_c"))
       if ((i + 1) % 5 == 0 && i + 1 < iters)
-        ranks = ranks.localCheckpoint(true)
+        inC = inC.localCheckpoint(true)
       i += 1
     }
-    ranks
+    nodes.join(inC, Seq("id"), "left")
+      .select(col("id"),
+        (when(col("_seed"), lit(base)).otherwise(lit(0L)) +
+          coalesce(col("in_c"), lit(0L))).as("rank"))
   }
 }
