@@ -2099,7 +2099,12 @@ object Queries {
         unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
       .filter(col("prev_id").isNotNull && col("gap") <= 600L)
       .select(col("event_id").as("id_a"), col("prev_id").as("id_b"))
-    val comp = operators.Dedup.starComponents(pairs)
+    // connectedComponents, not starComponents directly: the session-pair
+    // graph is bounded by the event count, so the union-find driver path
+    // resolves it without the per-round contraction shuffles (identical
+    // min-id components either way; the distributed path remains the
+    // >1M-edge fallback)
+    val comp = operators.Dedup.connectedComponents(pairs)
     // events with no qualifying neighbor are their own singleton component
     ev.join(comp, ev("event_id") === comp("id"), "left")
       .select(col("user_id"),
@@ -3021,8 +3026,12 @@ object Queries {
     val e = operators.Graphs
       .coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 100)
       .filter(col("weight") >= 2)
+    // materialized once: the basket-count action (`n`, the A1
+    // minmax-to-literal pattern) and the popularity relation both read
+    // the checkpoint instead of each re-running the scan + distinct
     val gi = li.select(col("l_orderkey").as("g"),
       col("l_partkey").cast("long").as("i")).distinct()
+      .localCheckpoint(true)
     val pop = gi.groupBy(col("i")).agg(count(lit(1)).as("c"))
     val n = gi.select(col("g")).distinct().count()
     e.join(pop.select(col("i").as("src"), col("c").as("ca")), "src")
@@ -4238,10 +4247,15 @@ object Queries {
       .select(col("doc_id").as("base"), col("lang"),
         explode(array(col("doc_id"), col("doc_id") + 1)).as("img_id"))
       .withColumn("payload", gen(col("img_id")))
+    // materialized ONCE: three consumers (per-lang checksums, the even
+    // and odd pair sides) would otherwise each re-run the PNG encode +
+    // decode + hash chain — the plan carried six parquet scans; the
+    // hash relation is sampled-ids-sized (2 longs + lang per image)
     val hashed = operators.Multimodal.imageDHash(media, "payload")
       .select(col("lang"), col("base"), col("img_id"),
         shiftrightunsigned(col("dhash"), 32).as("hi"),
         col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+      .localCheckpoint(true)
     val perLang = hashed.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_imgs"),
         (sum(col("hi")) % 1000000007L).as("hi_csum"),
@@ -4770,10 +4784,12 @@ object Queries {
       .select(col("doc_id").as("base"), col("lang"),
         explode(array(col("doc_id"), col("doc_id") + 1)).as("img_id"))
       .withColumn("payload", gen(col("img_id")))
+    // materialized ONCE — same three-consumer re-decode hazard as q191
     val hashed = operators.Multimodal.imageAHash(media, "payload")
       .select(col("lang"), col("base"), col("img_id"),
         shiftrightunsigned(col("ahash"), 32).as("hi"),
         col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+      .localCheckpoint(true)
     val perLang = hashed.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_imgs"),
         (sum(col("hi")) % 1000000007L).as("hi_csum"),

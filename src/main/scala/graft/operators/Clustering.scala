@@ -62,7 +62,11 @@ object Clustering {
       .filter(col("_nk") > col("_ck"))
     val edges = nbr.join(dense.select(col("_ck").as("_nk")), Seq("_nk"))
       .select(col("_ck").as("id_a"), col("_nk").as("id_b"))
-    val comps = Dedup.starComponents(edges)
+    // connectedComponents, not starComponents directly: the dense-cell
+    // adjacency is cells-domain sized (≤ 8 edges per dense cell), so the
+    // union-find driver path resolves it without per-round contraction
+    // shuffles; the distributed star loop remains the >1M-edge fallback
+    val comps = Dedup.connectedComponents(edges)
       .select(col("id").as("_ck"), col("component").as("_comp"))
     // singleton dense cells (no dense neighbor) are their own cluster
     val labeled = dense.join(comps, Seq("_ck"), "left")

@@ -166,48 +166,69 @@ object Expectations {
       case r @ (_: NotNull | _: InRange | _: Matches | _: OneOf |
                 _: Satisfies) => r
     }
-    // one scan, every scalar rule a conditional sum
-    val scalarReport: Seq[(String, Long, Long)] =
-      if (scalars.isEmpty) Seq.empty
-      else {
-        val aggs = count(lit(1)).as("_n") +:
-          scalars.zipWithIndex.map { case (r, i) =>
-            sum(when(violation(df, r), 1L).otherwise(0L)).as(s"_v$i")
-          }
-        val row = df.agg(aggs.head, aggs.tail: _*).collect().head
-        val n = row.getLong(0)
+    // ONE action for the whole audit: the scalar conditional-sum scan,
+    // each Unique groupBy and each RefIntegrity anti-join become 1-row
+    // branches of a single union, so Spark schedules their stages
+    // CONCURRENTLY inside one job instead of one synchronous
+    // action-per-rule-family round trip (three sequential scans before).
+    // Every branch emits (slot, n, viol); slot < 0 is the row-count
+    // carrier used when no scalar pass runs.
+    val parts = Seq.newBuilder[DataFrame]
+    if (scalars.nonEmpty) {
+      val aggs = count(lit(1)).as("_n") +:
         scalars.zipWithIndex.map { case (r, i) =>
-          (r.name, n, if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
+          sum(when(violation(df, r), 1L).otherwise(0L)).as(s"_v$i")
         }
-      }
-
-    // total row count: free from the scalar pass when one ran; computed
-    // lazily (at most once) otherwise — RefIntegrity must not re-scan per
-    // rule
-    lazy val totalRows: Long =
-      scalarReport.headOption.map(_._2).getOrElse(df.count())
-
-    val keyedReport: Seq[(String, Long, Long)] = rules.collect {
-      case Unique(cols) =>
-        // each copy beyond the first is a violation; one narrow groupBy
-        val row = df.groupBy(cols.map(col): _*)
-          .agg(count(lit(1)).as("_c"))
-          .agg(sum(col("_c")).as("_n"),
-            sum(col("_c") - 1).as("_extra")).collect().head
-        val n = if (row.isNullAt(0)) 0L else row.getLong(0)
-        val extra = if (row.isNullAt(1)) 0L else row.getLong(1)
-        (Unique(cols).name, n, extra)
-      case r @ RefIntegrity(c, dim, dimCol) =>
-        val orphans = df.filter(col(c).isNotNull)
-          .join(dim.select(col(dimCol).as(c)).distinct(),
-            Seq(c), "left_anti")
-          .count()
-        (r.name, totalRows, orphans)
+      parts += df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(scalars.zipWithIndex.map { case (_, i) =>
+          struct(lit(i).as("slot"), col("_n").as("n"),
+            coalesce(col(s"_v$i"), lit(0L)).as("viol"))
+        }: _*)).as("_r"))
+        .select(col("_r.slot"), col("_r.n"), col("_r.viol"))
     }
+    val hasRef = rules.exists(_.isInstanceOf[RefIntegrity])
+    if (scalars.isEmpty && hasRef) {
+      // RefIntegrity reports n_rows; without a scalar pass, count in a
+      // parallel branch of the same job rather than a separate scan
+      parts += df.agg(count(lit(1)).as("n"))
+        .select(lit(-1).as("slot"), col("n"), lit(0L).as("viol"))
+    }
+    // keyed rules live in slot space [scalars.size, …) so they can never
+    // collide with the scalar slots [0, scalars.size)
+    val keyedBase = scalars.size
+    rules.zipWithIndex.foreach {
+      case (Unique(cols), i) =>
+        // each copy beyond the first is a violation; one narrow groupBy
+        parts += df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(col("_c")), lit(0L)).as("n"),
+            coalesce(sum(col("_c") - 1), lit(0L)).as("viol"))
+          .select(lit(keyedBase + i).as("slot"), col("n"), col("viol"))
+      case (RefIntegrity(c, dim, dimCol), i) =>
+        parts += df.filter(col(c).isNotNull)
+          .join(dim.select(col(dimCol).as(c)).distinct(), Seq(c), "left_anti")
+          .agg(count(lit(1)).as("viol"))
+          .select(lit(keyedBase + i).as("slot"), lit(0L).as("n"), col("viol"))
+      case _ => ()
+    }
+    val collected = parts.result().reduce(_ unionAll _).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
 
-    val byName = (scalarReport ++ keyedReport).map(t => t._1 -> t).toMap
-    rules.map(r => byName(r.name))
-      .toDF("rule", "n_rows", "n_violations")
+    val totalRows: Long =
+      if (scalars.nonEmpty) collected(0)._1
+      else collected.get(-1).map(_._1).getOrElse(0L)
+    val scalarSlots = scalars.zipWithIndex.map { case (r, i) => r.name -> i }.toMap
+    val report = rules.zipWithIndex.map {
+      case (r: Unique, i) =>
+        val (n, v) = collected(keyedBase + i)
+        (r.name, n, v)
+      case (r: RefIntegrity, i) =>
+        (r.name, totalRows, collected(keyedBase + i)._2)
+      case (r, _) =>
+        val (n, v) = collected(scalarSlots(r.name))
+        (r.name, n, v)
+    }
+    report.toDF("rule", "n_rows", "n_violations")
       .withColumn("passed", col("n_violations") === 0L)
   }
 }
