@@ -96,8 +96,10 @@ object PageRank {
       val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       return driverRanks(es, iters, scale, None).toDF("id", "rank")
     }
+    // nodes has exactly ONE consumer now (the single post-loop join), so
+    // no eager checkpoint: it evaluates lazily off the checkpointed e
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst"))).distinct()
     // out-degree pre-joined onto the edge list ONCE: the loop then does a
     // single rank⋈edge join per iteration instead of rank⋈deg⋈edge, and
     // the static relations don't recompute under each checkpoint action
@@ -179,11 +181,11 @@ object PageRank {
       val sset = sd.collect().map(_.getLong(0)).toSet
       return driverRanks(es, iters, scale, Some(sset)).toDF("id", "rank")
     }
+    // single post-loop consumer — no eager checkpoint (see scaledRanks)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
       .join(sd.withColumn("_s", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(false)).as("_seed"))
-      .localCheckpoint(true)
     // seed flag pre-joined onto the static edge relation ONCE (seed sets
     // are small → AQE broadcasts), so the loop below never touches the
     // node table: same in_c-only state as [[scaledRanks]]

@@ -231,13 +231,25 @@ object Privacy {
       base.groupBy(qis :+ shiftright(col("_b0"), level).as("qi_bucket"): _*)
         .agg(sum(col("_cnt")).as("class_size"),
           countDistinct(col("_s")).as("l_diversity"))
-    var level = 0
-    while (level <= maxLevel) {
-      val risky = classesAt(level)
-        .filter(col("class_size") < k || col("l_diversity") < l)
-      if (risky.isEmpty) return (level, classesAt(level))
-      level += 1
+    // ALL levels checked in ONE job instead of one sequential
+    // risky-isEmpty action per level: explode the (domain-sized) base
+    // across the ≤ maxLevel+1 levels, aggregate per (level, class), and
+    // count each level's (k, l) violations — the chosen level is the
+    // smallest with zero, exactly the old per-level loop's fixpoint
+    val riskyPerLevel = base
+      .withColumn("_lvl", explode(sequence(lit(0), lit(maxLevel))))
+      .groupBy(col("_lvl") +: qis :+
+        expr("shiftright(_b0, _lvl)").as("qi_bucket"): _*)
+      .agg(sum(col("_cnt")).as("class_size"),
+        countDistinct(col("_s")).as("l_diversity"))
+      .groupBy(col("_lvl"))
+      .agg(count(when(col("class_size") < k || col("l_diversity") < l, 1))
+        .as("_risky"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chosen = (0 to maxLevel).find(lv => riskyPerLevel.getOrElse(lv, 0L) == 0L)
+    chosen match {
+      case Some(level) => (level, classesAt(level))
+      case None => (-1, classesAt(maxLevel))
     }
-    (-1, classesAt(maxLevel))
   }
 }
