@@ -139,7 +139,10 @@ object Expectations {
       .join(parentK, childKeys, "left_anti")
       .agg(coalesce(sum(col("_c")), lit(0L)).as("n_orphans"),
         count(lit(1)).as("n_orphan_keys"))
-    val totals = child.agg(count(lit(1)).as("n_child_rows"))
+    // total child rows = Σ per-key counts — read off the SAME keyed
+    // aggregation the other two branches reuse (exchange reuse dedupes
+    // the subtree) instead of a third full child scan
+    val totals = keyed.agg(coalesce(sum(col("_c")), lit(0L)).as("n_child_rows"))
     totals.crossJoin(nulls).crossJoin(orphans)
       .select(lit(relation).as("relation"), col("n_child_rows"),
         col("n_null_keys"), col("n_orphans"), col("n_orphan_keys"))

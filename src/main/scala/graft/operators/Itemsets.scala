@@ -115,10 +115,18 @@ object Itemsets {
     val dict = spark.createDataFrame(dictRows, dictSchema)
     val kept = baskets.join(broadcast(dict), Seq("i"))
       .select(col("b"), col("code"))
+    // the array relation is COMPACT (ints, no basket key), so AQE
+    // coalesces it to a handful of partitions — and then the k³ explode
+    // cascade, the actual work, runs on that handful of cores while the
+    // rest idle (measured: a single 0.4 s straggler task at sf0.1). The
+    // round-robin respread is priced in bytes (tiny) but paid back in
+    // explode parallelism; defaultParallelism keeps it scale-adaptive
+    // (the q176 bootstrap precedent).
     def basketArrays: DataFrame = kept.groupBy(col("b"))
       .agg(sort_array(collect_list(col("code"))).as("arr"))
       .filter(size(col("arr")) <= maxBasketItems)
       .select(col("arr"))
+      .repartition(spark.sparkContext.defaultParallelism)
     def decode(counts: DataFrame): DataFrame = counts
       .join(broadcast(dict.select(col("code").as("a"), col("i").as("item_a"))),
         Seq("a"))
