@@ -24,7 +24,7 @@ import graft.storage.VersionedTable
   *  2. the components the delta touches resolve via one broadcast
   *     membership probe (delta-sized build side; the state scan is
   *     map-only — no state shuffle);
-  *  3. [[Dedup.starComponents]] contracts (touched members' star edges ∪
+  *  3. [[Dedup.connectedComponents]] resolves (touched members' star edges ∪
   *     delta) — the old part is already stars, so rounds track the
   *     DELTA's chain structure, not corpus history;
   *  4. only buckets holding relabeled/new nodes are rewritten; untouched
@@ -76,7 +76,7 @@ final class IncrementalComponents(spark: SparkSession,
       val empty = !state.exists || state.state.exists(_.parts.isEmpty)
       if (empty) {
         state.overwritePartitions(
-          withBucket(Dedup.starComponents(delta)), "_b",
+          withBucket(Dedup.connectedComponents(delta)), "_b",
           Map(OFFSET_KEY -> latest))
         return latest - from
       }
@@ -91,7 +91,7 @@ final class IncrementalComponents(spark: SparkSession,
       val subEdges = members.filter(col("id") =!= col("component"))
         .select(col("id").as("id_a"), col("component").as("id_b"))
         .union(delta)
-      val newLabels = withBucket(Dedup.starComponents(subEdges)).cache()
+      val newLabels = withBucket(Dedup.connectedComponents(subEdges)).cache()
       try {
         // rewrite ONLY buckets that hold a relabeled or new node; the
         // bucket list is driver-side but bounded by nBuckets

@@ -60,11 +60,51 @@ object Markov {
     * round is a broadcast-sized join + grouped sum.
     */
   def scaledStationary(trans: DataFrame, iters: Int,
-                       scale: Long = 1000000000L): DataFrame = {
+                       scale: Long = 1000000000L,
+                       driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    require(driverEdgeLimit <= PageRank.driverEdgeCeiling,
+      s"driverEdgeLimit=$driverEdgeLimit exceeds the 10M driver " +
+        "power-iteration ceiling; larger matrices take the distributed " +
+        "path (lower driverEdgeLimit instead of raising it)")
     val t = trans.select(col("from_state").as("_f"), col("to_state").as("_t"),
       col("n").cast("long").as("_n"), col("out_total").cast("long").as("_o"))
       .localCheckpoint(true)
+    // DRIVER power iteration under the matrix-entry ceiling (the
+    // [[PageRank]] precedent): the transition matrix is state-domain²
+    // bounded, each round is a synchronous barrier, and the scaled-integer
+    // arithmetic is order-independent — both paths bit-identical
+    // (spec-pinned)
+    if (t.count() <= driverEdgeLimit) {
+      val spark = t.sparkSession
+      // states are whatever type the caller's state column carries —
+      // boxed values key the maps and re-enter through an explicit schema
+      val es = t.collect()
+        .map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3)))
+      val states = new java.util.LinkedHashSet[Any]()
+      es.foreach { case (f, tt, _, _) => states.add(f); states.add(tt) }
+      var pi = new java.util.HashMap[Any, Long]()
+      states.forEach { s => pi.put(s, scale); () }
+      var i = 0
+      while (i < iters) {
+        val next = new java.util.HashMap[Any, Long]()
+        states.forEach { s => next.put(s, 0L); () }
+        es.foreach { case (f, tt, n, o) =>
+          next.merge(tt, pi.get(f) * n / o, _ + _)
+        }
+        pi = next
+        i += 1
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      states.forEach { s =>
+        rows.add(org.apache.spark.sql.Row(s, pi.get(s))); () }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("state",
+          t.schema("_f").dataType),
+        org.apache.spark.sql.types.StructField("pi",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(rows, schema)
+    }
     val states = t.select(col("_f").as("state"))
       .union(t.select(col("_t"))).distinct().localCheckpoint(true)
     var pi = states.withColumn("pi", lit(scale))

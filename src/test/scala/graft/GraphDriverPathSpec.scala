@@ -72,6 +72,21 @@ class GraphDriverPathSpec extends AnyFunSuite {
     assert(drv(6L) == Some(5L))
   }
 
+  test("scaledStationary: both paths agree on every (state, pi)") {
+    val trans = Seq(
+      ("a", "b", 3L, 4L), ("a", "c", 1L, 4L), ("b", "a", 2L, 2L),
+      ("c", "c", 5L, 5L), ("d", "a", 1L, 1L))
+      .toDF("from_state", "to_state", "n", "out_total")
+    for (iters <- Seq(1, 3, 6)) {
+      val drv = graft.operators.Markov.scaledStationary(trans, iters)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val dist = graft.operators.Markov
+        .scaledStationary(trans, iters, driverEdgeLimit = 0L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(drv == dist, s"stationary disagrees at iters=$iters")
+    }
+  }
+
   test("deterministicWalks: both paths emit the identical walk corpus") {
     for ((len, wpn) <- Seq((1, 1), (4, 2))) {
       def walks(limit: Long) =
