@@ -261,10 +261,23 @@ object Graphs {
         starts.add(a)
       }
       val md = java.security.MessageDigest.getInstance("MD5")
-      def md5hex(s: String): String = {
+      // raw digest bytes, compared UNSIGNED-lexicographically: hex
+      // encoding is order-preserving over unsigned byte order, so this
+      // argmin picks exactly the candidate the distributed
+      // `min_by(b, md5(...))` string comparison picks — without a
+      // per-candidate hex format
+      def md5of(s: String): Array[Byte] = {
         md.reset()
         md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
+      }
+      def ltUnsigned(x: Array[Byte], y: Array[Byte]): Boolean = {
+        var k = 0
+        while (k < x.length) {
+          val a = x(k) & 0xff; val b = y(k) & 0xff
+          if (a != b) return a < b
+          k += 1
+        }
+        false
       }
       val out = Seq.newBuilder[(Long, Int, Int, Long)]
       starts.forEach { start =>
@@ -279,11 +292,11 @@ object Graphs {
             if (ns == null) dead = true
             else {
               var best = ns(0)
-              var bestH = md5hex(s"${start}_${w}_${i}_${ns(0)}")
+              var bestH = md5of(s"${start}_${w}_${i}_${ns(0)}")
               var j = 1
               while (j < ns.length) {
-                val h = md5hex(s"${start}_${w}_${i}_${ns(j)}")
-                if (h < bestH) { best = ns(j); bestH = h }
+                val h = md5of(s"${start}_${w}_${i}_${ns(j)}")
+                if (ltUnsigned(h, bestH)) { best = ns(j); bestH = h }
                 j += 1
               }
               node = best
