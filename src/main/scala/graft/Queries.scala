@@ -2898,8 +2898,12 @@ object Queries {
     // density. A production corpus graph is power-law, where orientation
     // wins; here we bound the demo's density, not the operator.
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
-    val edges = operators.Graphs.coOccurrenceEdges(
-      li, "l_orderkey", "l_partkey", maxGroupSize = 100)
+    // checkpointed pair relation: the subset graph is broadcast-join
+    // sized, where the lazy form duplicates the scan+distinct chain under
+    // the self-join's BroadcastExchange (see coOccurrencePairs)
+    val edges = operators.Graphs.coOccurrenceEdgesFromPairs(
+      operators.Graphs.coOccurrencePairs(li, "l_orderkey", "l_partkey"),
+      maxGroupSize = 100)
     operators.Triangles.triangleCounts(edges)
       .select(col("node_id"), col("degree"), col("triangles"),
         round(col("lcc"), 6).as("lcc_r"))
@@ -2947,8 +2951,10 @@ object Queries {
     */
   def q129KCore(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
-    val edges = operators.Graphs.coOccurrenceEdges(
-      li, "l_orderkey", "l_partkey", maxGroupSize = 100)
+    // checkpointed pair relation — same rationale as q127
+    val edges = operators.Graphs.coOccurrenceEdgesFromPairs(
+      operators.Graphs.coOccurrencePairs(li, "l_orderkey", "l_partkey"),
+      maxGroupSize = 100)
     operators.KCore.kCore(edges, k = 12, maxRounds = 30)
   }
 
@@ -3023,17 +3029,17 @@ object Queries {
     */
   def q132CopurchaseLift(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // ONE deduped (order, part) pair checkpoint feeds everything: the
+    // co-occurrence projection (both self-join sides + the size gate),
+    // the item popularity counts, and the basket-count scalar (`n`, the
+    // A1 minmax-to-literal pattern) — previously the scan + distinct ran
+    // three times (once per self-join side, once for the gi relation)
+    val gi = operators.Graphs.coOccurrencePairs(li, "l_orderkey", "l_partkey")
     val e = operators.Graphs
-      .coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 100)
+      .coOccurrenceEdgesFromPairs(gi, maxGroupSize = 100)
       .filter(col("weight") >= 2)
-    // materialized once: the basket-count action (`n`, the A1
-    // minmax-to-literal pattern) and the popularity relation both read
-    // the checkpoint instead of each re-running the scan + distinct
-    val gi = li.select(col("l_orderkey").as("g"),
-      col("l_partkey").cast("long").as("i")).distinct()
-      .localCheckpoint(true)
-    val pop = gi.groupBy(col("i")).agg(count(lit(1)).as("c"))
-    val n = gi.select(col("g")).distinct().count()
+    val pop = gi.groupBy(col("_i").as("i")).agg(count(lit(1)).as("c"))
+    val n = gi.select(col("_g")).distinct().count()
     e.join(pop.select(col("i").as("src"), col("c").as("ca")), "src")
       .join(pop.select(col("i").as("dst"), col("c").as("cb")), "dst")
       .select(col("src"), col("dst"), col("weight"),
@@ -3318,6 +3324,10 @@ object Queries {
     * degenerate-group-gated, thinned to pairs seen at least twice.
     */
   private def copurchaseGraph(s: SparkSession, dir: String): DataFrame =
+    // deliberately the LAZY co-occurrence form: this full-size pair
+    // relation self-joins sort-merge-sized, where the two sides share one
+    // exchange at runtime — an eager pairs checkpoint was A/B'd here
+    // (r13) and lost ~0.1-0.3 s/query on q147/q148/q159/q169
     operators.Graphs
       .coOccurrenceEdges(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         maxGroupSize = 100)

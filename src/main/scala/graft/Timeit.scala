@@ -80,6 +80,23 @@ object Timeit {
           -1.0
         }
       }
+      // SPARK_GRAFT_FINAL_PLAN=1: execute the query's OWN QueryExecution
+      // (not the noop command's) and dump the post-execution plan — with
+      // AQE this is the final re-optimised plan (isFinalPlan=true,
+      // ReusedExchange/AQEShuffleRead nodes visible), the evidence a
+      // static pre-execution dump cannot show (guide §7.2)
+      if (sys.env.get("SPARK_GRAFT_FINAL_PLAN").contains("1")) {
+        try {
+          val df = fn(spark, sfDir)
+          df.queryExecution.executedPlan.execute().count()
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(planDir, s"${name}_final.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        } catch { case e: Throwable =>
+          System.err.println(s"[finalplan] $name failed: ${e.getMessage}")
+        }
+      }
       spark.sparkContext.setJobDescription(null)
       val ok = ts.filter(_ >= 0)
       val mn = if (ok.isEmpty) -1.0 else ok.min

@@ -163,15 +163,6 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
         Co2Functions.co2Volatility(col("CO2_PPM"), col("PREV_DAY_CO2")).as("DAILY_VOLATILITY"),
         Co2Functions.normalizeCo2(col("CO2_PPM"), lit(minCo2), lit(maxCo2)).as("NORMALIZED_CO2"),
         batchTs.as("META_UPDATED_AT"))
-    // key-unique by construction: harmonized is keyed by DATE and OrderedLag
-    // emits one output row per input row — skip the duplicate-source pass.
-    // Reference scales to LARGE around the analytics merges
-    // (co2_analytical_sp/function.py:91,151).
-    val dr = withScaledResources("LARGE") {
-      MergeInto(spark, dailyStats, daily, Seq("DATE"),
-        checkDuplicateKeys = false)
-    }
-
     // weekly: Monday-truncated buckets; the reference labels the weekly
     // MIN/MAX as WEEK_START_CO2/WEEK_END_CO2 — replicated faithfully, and
     // weekly change/volatility compare that min and max (not adjacent weeks).
@@ -188,11 +179,29 @@ final class Co2Pipeline(spark: SparkSession, warehouseRoot: String) {
         Co2Functions.co2Volatility(col("WEEK_END_CO2"), col("WEEK_START_CO2")).as("WEEKLY_VOLATILITY"),
         Co2Functions.normalizeCo2(col("AVG_WEEKLY_CO2"), lit(minCo2), lit(maxCo2)).as("NORMALIZED_WEEKLY_CO2"),
         batchTs.as("META_UPDATED_AT"))
-    // key-unique by construction: weekly IS a groupBy on WEEK_START
-    val wr = withScaledResources("LARGE") {
+
+    // key-unique by construction: harmonized is keyed by DATE and OrderedLag
+    // emits one output row per input row (daily); weekly IS a groupBy on
+    // WEEK_START — both skip the duplicate-source pass. Reference scales to
+    // LARGE around the analytics merges (co2_analytical_sp/function.py:91,151).
+    // The two merges target DIFFERENT tables with NO data dependency, so
+    // they run as two concurrent driver threads (the scheduler back-fills
+    // each job's straggler tail with the other's tasks) — each commit keeps
+    // its own per-root lock and exactly-once protocol, and neither consumes
+    // stream offsets, so the semantics are byte-identical to sequential.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dF = Future(withScaledResources("LARGE") {
+      MergeInto(spark, dailyStats, daily, Seq("DATE"),
+        checkDuplicateKeys = false)
+    })
+    val wF = Future(withScaledResources("LARGE") {
       MergeInto(spark, weeklyStats, weekly, Seq("WEEK_START"),
         checkDuplicateKeys = false)
-    }
+    })
+    val dr = Await.result(dF, Duration.Inf)
+    val wr = Await.result(wF, Duration.Inf)
 
     s"Analytics: daily ${dr.updated}u/${dr.inserted}i, weekly ${wr.updated}u/${wr.inserted}i"
   }

@@ -577,7 +577,7 @@ object Dedup {
         col("id_b").cast("long").as("id_b"))
       .cache()
     val nEdges = cached.count()
-    if (nEdges <= driverEdgeLimit) {
+    if (nEdges <= DriverPath.effective(driverEdgeLimit)) {
       val edges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
       cached.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()

@@ -26,12 +26,38 @@ object Graphs {
     * window form re-introduces the very skew it guards against).
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
-                        maxGroupSize: Int = 1000): DataFrame = {
-    require(maxGroupSize >= 2, s"maxGroupSize=$maxGroupSize must be >= 2")
-    val g = df
-      .select(col(groupCol).as("_g"), col(itemCol).cast("long").as("_i"))
+                        maxGroupSize: Int = 1000): DataFrame =
+    coOccurrenceEdgesFromPairs(
+      df.select(col(groupCol).as("_g"), col(itemCol).cast("long").as("_i"))
+        .filter(col("_g").isNotNull && col("_i").isNotNull)
+        .distinct(), maxGroupSize)
+
+  /** The deduped, non-null `(_g, _i)` pair relation behind
+    * [[coOccurrenceEdges]], materialized ONCE (eager localCheckpoint) for
+    * callers that consume it MORE than once. When the pair relation is
+    * small enough that the [[coOccurrenceEdgesFromPairs]] self-join
+    * broadcasts one side, Catalyst DUPLICATES the whole scan + distinct
+    * chain under the BroadcastExchange instead of sharing it (exchange
+    * reuse only dedupes shuffle subtrees) — and callers that also need
+    * the pair relation itself (basket counts, item popularity) would
+    * re-deduplicate a third time. Measured on the q132/q127/q129 shapes:
+    * sharing the checkpoint is a 0.2–0.9 s/query win at sf0.1. For a
+    * single-consumer sort-merge-sized input (q147/q148's full co-purchase
+    * graph) the lazy [[coOccurrenceEdges]] form is cheaper — its two join
+    * sides share one exchange at runtime and no materialization is paid.
+    */
+  private[graft] def coOccurrencePairs(df: DataFrame, groupCol: String,
+                                       itemCol: String): DataFrame =
+    df.select(col(groupCol).as("_g"), col(itemCol).cast("long").as("_i"))
       .filter(col("_g").isNotNull && col("_i").isNotNull)
-      .distinct()
+      .distinct().localCheckpoint(true)
+
+  /** [[coOccurrenceEdges]] over an already-deduped non-null `(_g, _i)`
+    * pair relation (normally the [[coOccurrencePairs]] checkpoint).
+    */
+  private[graft] def coOccurrenceEdgesFromPairs(
+      g: DataFrame, maxGroupSize: Int = 1000): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize=$maxGroupSize must be >= 2")
     val small = g.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxGroupSize)
       .select(col("_g"))
@@ -150,46 +176,100 @@ object Graphs {
     // each LPA round is a synchronous vote barrier — pure job-scheduling
     // latency once the edge list fits in memory — and the vote/argmax
     // rule is order-independent, so both paths agree exactly (spec-pinned)
-    if (und.count() <= driverEdgeLimit) {
+    if (und.count() <= DriverPath.effective(driverEdgeLimit)) {
       val spark = und.sparkSession
       import spark.implicits._
       val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val seedMap = new java.util.HashMap[Long, Long]()
-      sd.collect().foreach(r => seedMap.put(r.getLong(0), r.getLong(1)))
-      val nodeSet = new java.util.LinkedHashSet[Long]()
-      es.foreach { case (a, _) => nodeSet.add(a) }
-      var labels = new java.util.HashMap[Long, Long]()
-      nodeSet.forEach { v =>
-        if (seedMap.containsKey(v)) labels.put(v, seedMap.get(v)); () }
+      // dense-int remap for nodes AND labels (a label can only ever be a
+      // seed label, so the label dictionary is the distinct seed-label
+      // set): the vote table then keys on one packed long
+      // (nodeIdx << 32 | labelIdx) instead of a boxed (Long, Long) tuple
+      // per edge per round, and per-node state is primitive arrays
+      // (§1.2 step 2). Vote/argmax rule unchanged: max count, ties to
+      // the smallest label VALUE; seeds clamp.
+      val m = es.length
+      val idx = new java.util.HashMap[Long, Integer]()
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      def codeOf(v: Long): Int = {
+        val c = idx.get(v)
+        if (c != null) c.intValue
+        else { val nn = ids.length; idx.put(v, nn); ids += v; nn }
+      }
+      val srcI = new Array[Int](m)
+      val dstI = new Array[Int](m)
+      var k = 0
+      while (k < m) {
+        srcI(k) = codeOf(es(k)._1); dstI(k) = codeOf(es(k)._2); k += 1
+      }
+      val n = ids.length
+      // after the undirected fold every endpoint appears as a source, so
+      // the node universe (previous LinkedHashSet over sources) is the
+      // src-side first-seen order
+      val seenNode = new Array[Boolean](n)
+      val nodeOrder = new scala.collection.mutable.ArrayBuffer[Int]()
+      k = 0
+      while (k < m) {
+        val a = srcI(k)
+        if (!seenNode(a)) { seenNode(a) = true; nodeOrder += a }
+        k += 1
+      }
+      // label dictionary from the deduped seed relation; a seed id that
+      // never appears in the graph gets code -1 lookups below and simply
+      // never votes (exactly the previous containsKey semantics)
+      val seedRows = sd.collect()
+      val labelVals = new scala.collection.mutable.ArrayBuffer[Long]()
+      val labelIdx = new java.util.HashMap[Long, Integer]()
+      val seedOf = new Array[Int](n) // -1 = unseeded
+      java.util.Arrays.fill(seedOf, -1)
+      seedRows.foreach { r =>
+        val id = r.getLong(0); val lv = r.getLong(1)
+        var li = labelIdx.get(lv)
+        if (li == null) {
+          li = labelVals.length; labelIdx.put(lv, li); labelVals += lv
+        }
+        val c = idx.get(id)
+        if (c != null) seedOf(c.intValue) = li.intValue
+      }
+      var lbl = new Array[Int](n) // label INDEX per node, -1 = unlabeled
+      var v = 0
+      while (v < n) { lbl(v) = seedOf(v); v += 1 }
       var i = 0
       while (i < iters) {
         // votes: for each edge (a → b), a's label votes on b
-        val votes = new java.util.HashMap[(Long, Long), Long]()
-        es.foreach { case (a, b) =>
-          if (labels.containsKey(a))
-            votes.merge((b, labels.get(a)), 1L, _ + _)
+        val votes = new java.util.HashMap[java.lang.Long, Long]()
+        k = 0
+        while (k < m) {
+          val la = lbl(srcI(k))
+          if (la >= 0)
+            votes.merge((dstI(k).toLong << 32) | la.toLong, 1L, _ + _)
+          k += 1
         }
-        // winner per node = min_by(label, (-count, label)); seeds clamp
-        val win = new java.util.HashMap[Long, (Long, Long)]()
-        votes.forEach { case ((v, lbl), c) =>
-          val cur = win.get(v)
-          if (cur == null || c > cur._2 || (c == cur._2 && lbl < cur._1))
-            win.put(v, (lbl, c))
+        // winner per node = max count, ties to smallest label VALUE
+        val winIdx = new Array[Int](n)
+        java.util.Arrays.fill(winIdx, -1)
+        val winCnt = new Array[Long](n)
+        votes.forEach { (key, c) =>
+          val node = (key.longValue >>> 32).toInt
+          val li = (key.longValue & 0xffffffffL).toInt
+          val cur = winIdx(node)
+          if (cur < 0 || c > winCnt(node) ||
+              (c == winCnt(node) && labelVals(li) < labelVals(cur))) {
+            winIdx(node) = li; winCnt(node) = c
+          }
           ()
         }
-        val next = new java.util.HashMap[Long, Long]()
-        nodeSet.forEach { v =>
-          if (seedMap.containsKey(v)) next.put(v, seedMap.get(v))
-          else if (win.containsKey(v)) next.put(v, win.get(v)._1)
-          ()
+        val next = new Array[Int](n)
+        v = 0
+        while (v < n) {
+          next(v) = if (seedOf(v) >= 0) seedOf(v) else winIdx(v)
+          v += 1
         }
-        labels = next
+        lbl = next
         i += 1
       }
       val out = Seq.newBuilder[(Long, Option[Long])]
-      nodeSet.forEach { v =>
-        out += ((v, if (labels.containsKey(v)) Some(labels.get(v)) else None))
-        ()
+      nodeOrder.foreach { nd =>
+        out += ((ids(nd), if (lbl(nd) >= 0) Some(labelVals(lbl(nd))) else None))
       }
       return out.result().toDF("id", "label")
     }
@@ -250,63 +330,108 @@ object Graphs {
     // loop; the hash-argmin step rule is engine-independent (md5 of the
     // same rendered string, lexicographic hex order), so both paths
     // produce the identical walk corpus (spec-pinned)
-    if (und.count() <= driverEdgeLimit) {
+    if (und.count() <= DriverPath.effective(driverEdgeLimit)) {
       val spark = und.sparkSession
       import spark.implicits._
       val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-      val starts = new java.util.LinkedHashSet[Long]()
-      es.foreach { case (a, b) =>
-        adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty) += b
-        starts.add(a)
+      // dense-int remap + CSR adjacency (edge order preserved — matches
+      // the previous per-node append order), candidate-id decimal bytes
+      // precomputed ONCE per node: the walk loop's cost is one md5 per
+      // candidate (contract — the oracle replays the same argmin), and
+      // the boxed adjacency buffers plus a fresh interpolated string per
+      // candidate were a comparable second cost (§1.2 step 2)
+      val m = es.length
+      val idx = new java.util.HashMap[Long, Integer]()
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      def codeOf(v: Long): Int = {
+        val c = idx.get(v)
+        if (c != null) c.intValue
+        else { val nn = ids.length; idx.put(v, nn); ids += v; nn }
       }
+      val srcI = new Array[Int](m)
+      val dstI = new Array[Int](m)
+      var k = 0
+      while (k < m) {
+        srcI(k) = codeOf(es(k)._1); dstI(k) = codeOf(es(k)._2); k += 1
+      }
+      val n = ids.length
+      val deg = new Array[Int](n)
+      k = 0; while (k < m) { deg(srcI(k)) += 1; k += 1 }
+      val off = new Array[Int](n + 1)
+      var v = 0
+      while (v < n) { off(v + 1) = off(v) + deg(v); v += 1 }
+      val fill = java.util.Arrays.copyOf(off, n)
+      val nbr = new Array[Int](m)
+      k = 0
+      while (k < m) {
+        val a = srcI(k); nbr(fill(a)) = dstI(k); fill(a) += 1; k += 1
+      }
+      // walk starts = source endpoints in first-seen edge order (the
+      // previous LinkedHashSet semantics)
+      val seenStart = new Array[Boolean](n)
+      val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+      k = 0
+      while (k < m) {
+        val a = srcI(k)
+        if (!seenStart(a)) { seenStart(a) = true; starts += a }
+        k += 1
+      }
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val candBytes: Array[Array[Byte]] =
+        ids.map(_.toString.getBytes(utf8)).toArray
       val md = java.security.MessageDigest.getInstance("MD5")
       // raw digest bytes, compared UNSIGNED-lexicographically: hex
       // encoding is order-preserving over unsigned byte order, so this
       // argmin picks exactly the candidate the distributed
       // `min_by(b, md5(...))` string comparison picks — without a
-      // per-candidate hex format
-      def md5of(s: String): Array[Byte] = {
-        md.reset()
-        md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
+      // per-candidate hex format. The digest input is the shared
+      // "start_w_i_" prefix bytes followed by the candidate's decimal
+      // bytes — byte-identical (all ASCII) to the full rendered string.
       def ltUnsigned(x: Array[Byte], y: Array[Byte]): Boolean = {
-        var k = 0
-        while (k < x.length) {
-          val a = x(k) & 0xff; val b = y(k) & 0xff
+        var k2 = 0
+        while (k2 < x.length) {
+          val a = x(k2) & 0xff; val b = y(k2) & 0xff
           if (a != b) return a < b
-          k += 1
+          k2 += 1
         }
         false
       }
       val out = Seq.newBuilder[(Long, Int, Int, Long)]
-      starts.forEach { start =>
+      starts.foreach { s0 =>
+        val startId = ids(s0)
         var w = 0
         while (w < walksPerNode) {
-          var node = start
-          out += ((start, w, 0, node))
+          var node = s0
+          out += ((startId, w, 0, ids(node)))
           var i = 1
           var dead = false
           while (i <= walkLen && !dead) {
-            val ns = adj.get(node)
-            if (ns == null) dead = true
+            val d = deg(node)
+            if (d == 0) dead = true
             else {
-              var best = ns(0)
-              var bestH = md5of(s"${start}_${w}_${i}_${ns(0)}")
-              var j = 1
-              while (j < ns.length) {
-                val h = md5of(s"${start}_${w}_${i}_${ns(j)}")
-                if (ltUnsigned(h, bestH)) { best = ns(j); bestH = h }
+              val pre = s"${startId}_${w}_${i}_".getBytes(utf8)
+              var best = -1
+              var bestH: Array[Byte] = null
+              var j = off(node)
+              val end = j + d
+              while (j < end) {
+                val c = nbr(j)
+                md.reset()
+                md.update(pre)
+                md.update(candBytes(c))
+                val h = md.digest()
+                if (bestH == null || ltUnsigned(h, bestH)) {
+                  best = c; bestH = h
+                }
                 j += 1
               }
               node = best
-              out += ((start, w, i, node))
+              out += ((startId, w, i, ids(node)))
             }
             i += 1
           }
           w += 1
         }
-        ()
       }
       return out.result().toDF("start", "w", "step", "node")
     }

@@ -62,36 +62,67 @@ object Hits {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
 
-    if (e.count() <= driverEdgeLimit) {
+    if (e.count() <= DriverPath.effective(driverEdgeLimit)) {
       val spark = e.sparkSession
       import spark.implicits._
       val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-      def rescaledM(raw: java.util.HashMap[Long, Long])
-          : java.util.HashMap[Long, Long] = {
-        var m = 0L
-        raw.forEach { (_, s) => if (s > m) m = s }
-        require(m > 0, "HITS on an empty edge set")
-        require(m <= Long.MaxValue / scale,
-          s"raw score $m would overflow at scale=$scale; lower the scale")
-        val out = new java.util.HashMap[Long, Long]()
-        raw.forEach { (id, s) => out.put(id, s * scale / m); () }
+      // dense-int remap + primitive-array half-rounds: the boxed
+      // HashMap.merge per edge per half-round dominated the driver path
+      // (§1.2 step 2). A score of -1 marks "not reached on this side" —
+      // raw scores are otherwise non-negative by construction — so the
+      // inner-join contribution semantics and the per-side output node
+      // sets are EXACTLY the previous HashMap's. Output order: the
+      // previous HashMap iteration order was unspecified (the consumer
+      // sorts); here it is deterministic first-seen order.
+      val m = es.length
+      val idx = new java.util.HashMap[Long, Integer]()
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      def code(v: Long): Int = {
+        val c = idx.get(v)
+        if (c != null) c.intValue
+        else { val n = ids.length; idx.put(v, n); ids += v; n }
+      }
+      val srcI = new Array[Int](m)
+      val dstI = new Array[Int](m)
+      var k = 0
+      while (k < m) {
+        srcI(k) = code(es(k)._1); dstI(k) = code(es(k)._2); k += 1
+      }
+      val n = ids.length
+      def rescaledM(raw: Array[Long]): Array[Long] = {
+        var mx = 0L
+        var v = 0
+        while (v < n) { if (raw(v) > mx) mx = raw(v); v += 1 }
+        require(mx > 0, "HITS on an empty edge set")
+        require(mx <= Long.MaxValue / scale,
+          s"raw score $mx would overflow at scale=$scale; lower the scale")
+        val out = new Array[Long](n)
+        v = 0
+        while (v < n) {
+          out(v) = if (raw(v) < 0) -1L else raw(v) * scale / mx; v += 1
+        }
         out
       }
-      def halfRound(from: java.util.HashMap[Long, Long],
-                    bySrc: Boolean): java.util.HashMap[Long, Long] = {
-        val raw = new java.util.HashMap[Long, Long]()
-        es.foreach { case (s, d) =>
-          val (key, grp) = if (bySrc) (s, d) else (d, s)
-          val sc = from.get(key)
-          // inner join: only keyed endpoints with a score contribute,
-          // and only reached group nodes appear — from covers all keyed
-          // endpoints by construction, so sc is always present
-          raw.merge(grp, sc, _ + _)
+      def halfRound(from: Array[Long], bySrc: Boolean): Array[Long] = {
+        val raw = Array.fill(n)(-1L)
+        var k2 = 0
+        while (k2 < m) {
+          val key = if (bySrc) srcI(k2) else dstI(k2)
+          val grp = if (bySrc) dstI(k2) else srcI(k2)
+          // inner join: `from` covers all keyed endpoints by construction
+          val sc = from(key)
+          raw(grp) = (if (raw(grp) < 0) 0L else raw(grp)) + sc
+          k2 += 1
         }
         rescaledM(raw)
       }
-      val raw0 = new java.util.HashMap[Long, Long]()
-      es.foreach { case (_, d) => raw0.merge(d, scale, _ + _) }
+      val raw0 = Array.fill(n)(-1L)
+      k = 0
+      while (k < m) {
+        val d = dstI(k)
+        raw0(d) = (if (raw0(d) < 0) 0L else raw0(d)) + scale
+        k += 1
+      }
       var auth = rescaledM(raw0)
       var hub = halfRound(auth, bySrc = false)
       var i = 1
@@ -101,8 +132,14 @@ object Hits {
         i += 1
       }
       val out = Seq.newBuilder[(Long, String, Long)]
-      hub.forEach { (id, s) => out += ((id, "hub", s)); () }
-      auth.forEach { (id, s) => out += ((id, "auth", s)); () }
+      var v = 0
+      while (v < n) {
+        if (hub(v) >= 0) out += ((ids(v), "hub", hub(v))); v += 1
+      }
+      v = 0
+      while (v < n) {
+        if (auth(v) >= 0) out += ((ids(v), "auth", auth(v))); v += 1
+      }
       return out.result().toDF("id", "kind", "score")
     }
 

@@ -83,9 +83,15 @@ object Itemsets {
                       maxDirectTriples: Long = 100000): DataFrame = {
     require(minSupport >= 1, s"minSupport=$minSupport")
     val spark = df.sparkSession
-    val baskets = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .filter(col("b").isNotNull && col("i").isNotNull)
-      .distinct()
+    // deduped (basket, item) relation materialized ONCE: it feeds the F1
+    // dictionary pass AND the basket-array build, and without the lineage
+    // cut each of those actions re-ran the scan + distinct (measured: a
+    // duplicated 0.45–0.55 s single-straggler job per rep at sf0.1). Same
+    // durable-scratch/local-checkpoint split as `arrs` below.
+    val baskets = materialize(
+      df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+        .filter(col("b").isNotNull && col("i").isNotNull)
+        .distinct(), scratchDir, "baskets")
     def emptyResult: DataFrame = baskets
       .select(col("i").as("item_a"), col("i").as("item_b"),
         col("i").as("item_c"), lit(0L).as("support"))

@@ -58,7 +58,7 @@ object KCore {
     // the distributed loop: simultaneous removal of every survivor with
     // within-survivor degree < k, maxRounds cap, d = 0 survivors dropped
     // from the output.
-    if (und.count() <= driverEdgeLimit) {
+    if (und.count() <= DriverPath.effective(driverEdgeLimit)) {
       val spark = und.sparkSession
       import spark.implicits._
       val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))

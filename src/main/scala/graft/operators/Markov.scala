@@ -75,7 +75,7 @@ object Markov {
     // bounded, each round is a synchronous barrier, and the scaled-integer
     // arithmetic is order-independent — both paths bit-identical
     // (spec-pinned)
-    if (t.count() <= driverEdgeLimit) {
+    if (t.count() <= DriverPath.effective(driverEdgeLimit)) {
       val spark = t.sparkSession
       // states are whatever type the caller's state column carries —
       // boxed values key the maps and re-enter through an explicit schema

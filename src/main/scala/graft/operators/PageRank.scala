@@ -48,29 +48,49 @@ object PageRank {
   private def driverRanks(es: Array[(Long, Long)], iters: Int, scale: Long,
                           seedSet: Option[scala.collection.Set[Long]])
       : Seq[(Long, Long)] = {
-    val deg = new java.util.HashMap[Long, Long]()
-    es.foreach { case (s, _) => deg.merge(s, 1L, _ + _) }
-    val nodes = new java.util.LinkedHashSet[Long]()
-    es.foreach { case (s, d) => nodes.add(s); nodes.add(d) }
+    // dense-int remap in FIRST-SEEN (src-then-dst per edge) order — the
+    // same node order the previous LinkedHashSet produced, so the output
+    // row order is unchanged. The rank loop then runs on primitive
+    // arrays: the boxed HashMap.merge per edge per round dominated the
+    // driver path at 600k edges (§1.2 step 2 — per-task work).
+    val m = es.length
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def code(v: Long): Int = {
+      val c = idx.get(v)
+      if (c != null) c.intValue
+      else { val n = ids.length; idx.put(v, n); ids += v; n }
+    }
+    val srcI = new Array[Int](m)
+    val dstI = new Array[Int](m)
+    var k = 0
+    while (k < m) {
+      srcI(k) = code(es(k)._1); dstI(k) = code(es(k)._2); k += 1
+    }
+    val n = ids.length
+    val deg = new Array[Long](n)
+    k = 0; while (k < m) { deg(srcI(k)) += 1L; k += 1 }
     val base = scale * 15L / 100L
-    def seeded(v: Long): Boolean = seedSet.forall(_.contains(v))
-    var rank = new java.util.HashMap[Long, Long]()
-    nodes.forEach { v =>
-      rank.put(v, if (seeded(v)) scale else 0L); () }
+    val seed = new Array[Boolean](n)
+    var v = 0
+    while (v < n) { seed(v) = seedSet.forall(_.contains(ids(v))); v += 1 }
+    var rank = new Array[Long](n)
+    v = 0; while (v < n) { rank(v) = if (seed(v)) scale else 0L; v += 1 }
     var i = 0
     while (i < iters) {
-      val next = new java.util.HashMap[Long, Long]()
-      nodes.forEach { v =>
-        next.put(v, if (seeded(v)) base else 0L); () }
-      es.foreach { case (u, v) =>
-        val c = rank.get(u) * 85L / (100L * deg.get(u))
-        next.merge(v, c, _ + _)
+      val next = new Array[Long](n)
+      v = 0; while (v < n) { next(v) = if (seed(v)) base else 0L; v += 1 }
+      k = 0
+      while (k < m) {
+        val u = srcI(k)
+        next(dstI(k)) += rank(u) * 85L / (100L * deg(u))
+        k += 1
       }
       rank = next
       i += 1
     }
     val out = Seq.newBuilder[(Long, Long)]
-    nodes.forEach { v => out += ((v, rank.get(v))); () }
+    v = 0; while (v < n) { out += ((ids(v), rank(v))); v += 1 }
     out.result()
   }
 
@@ -90,7 +110,7 @@ object PageRank {
       col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
-    if (e.count() <= driverEdgeLimit) {
+    if (e.count() <= DriverPath.effective(driverEdgeLimit)) {
       val spark = e.sparkSession
       import spark.implicits._
       val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -100,11 +120,15 @@ object PageRank {
     // no eager checkpoint: it evaluates lazily off the checkpointed e
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
-    // out-degree pre-joined onto the edge list ONCE: the loop then does a
-    // single rank⋈edge join per iteration instead of rank⋈deg⋈edge, and
-    // the static relations don't recompute under each checkpoint action
+    // out-degree annotated onto the edge list ONCE, as a whole-partition
+    // count window keyed on src: one exchange + one pass over e instead of
+    // the groupBy+join form's aggregate exchange plus a second probe scan
+    // (§2.4 — an aggregation and a "join" keyed the same way share one
+    // exchange). Skew posture unchanged: the join form's sort-merge
+    // fallback colocates by src exactly like the window does.
     val eDeg = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint(true)
     val base = scale * 15L / 100L
     // loop state = the INBOUND SUM only (`in_c`), not the full rank table:
@@ -170,7 +194,7 @@ object PageRank {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
     val sd = seeds.select(col("id").cast("long").as("id")).distinct()
-    if (e.count() <= driverEdgeLimit) {
+    if (e.count() <= DriverPath.effective(driverEdgeLimit)) {
       val spark = e.sparkSession
       import spark.implicits._
       val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -186,11 +210,15 @@ object PageRank {
       .union(e.select(col("dst"))).distinct()
       .join(sd.withColumn("_s", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(false)).as("_seed"))
-    // seed flag pre-joined onto the static edge relation ONCE (seed sets
-    // are small → AQE broadcasts), so the loop below never touches the
+    // degree + seed flag annotated onto the static edge relation in ONE
+    // exchange: the out-degree is a whole-partition count window keyed on
+    // src (§2.4 — replaces the groupBy+join form's aggregate exchange and
+    // second probe scan of e), and the seed flag joins broadcast (seed
+    // sets are small by contract), so the loop below never touches the
     // node table: same in_c-only state as [[scaledRanks]]
     val eDeg = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .join(sd.withColumnRenamed("id", "src").withColumn("_ss", lit(true)),
         Seq("src"), "left")
       .select(col("src"), col("dst"), col("deg"),

@@ -628,8 +628,15 @@ object Stats {
     val full = base.groupBy(keys: _*)
       .agg(count(lit(1)).as("n"),
         (esum(col("_v")).cast("double") / count(lit(1))).as("mean"))
-    val u = conv(substring(md5(concat_ws(":", lit(seed.toString),
-        col("_id"), col("_rep").cast("string"))), 1, 13), 16, 10)
+    // first 52 md5 bits via the fused md5_head60 kernel (>> 8 drops hex
+    // chars 14-15): value-identical to the SQL chain
+    // conv(substring(md5(x), 1, 13), 16, 10) the oracle replays — the
+    // 60-bit head is the first 15 hex chars, so head >> 8 is the first 13
+    // — but skips materializing the 32-char hex string, the substring
+    // copy and the base-16 parse on every rows×reps draw
+    val u = shiftright(graft.plans.expressions.md5Head60(
+        concat_ws(":", lit(seed.toString),
+          col("_id"), col("_rep").cast("string"))), 8)
       .cast("double") / lit(4503599627370496.0) // 2^52
     // the draw is PROJECTED once (each inverse-CDF term references u,
     // and repeated inlining would re-evaluate the md5 per term —
@@ -863,11 +870,36 @@ object Stats {
     val dom = df.filter(v.isNotNull && w.isNotNull && w > 0)
       .groupBy(keys :+ v.cast("long").as("_v"): _*)
       .agg(sum(w.cast("long")).as("_w"))
-    val wCum = Window.partitionBy(keys: _*).orderBy(col("_v"))
+    // Two-phase range-bucketed prefix sum: a per-group ordered window over
+    // a large value domain is ONE task per group (the cumulation is
+    // inherently sequential within its partition). Bucketing the domain by
+    // the value's high bits (arithmetic shift — floor semantics, so bucket
+    // order is value order, no min/max pre-pass) makes phase 1 a window
+    // per (group, bucket) — parallel across buckets — and phase 2 a
+    // bucket-domain-sized (≈4096× smaller) offsets window whose result
+    // broadcasts back. `_cw = offset(bucket) + within-bucket prefix` is
+    // the same exact integer as the single-window cumulation; `dom`'s
+    // exchange is shared between the two branches at runtime.
+    val bkt = shiftright(col("_v"), 12)
+    val wInB = Window.partitionBy(keys :+ col("_b"): _*).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = dom
-      .withColumn("_cw", sum(col("_w")).over(wCum))
-      .withColumn("_tw", sum(col("_w")).over(Window.partitionBy(keys: _*)))
+    val part = dom.withColumn("_b", bkt)
+      .withColumn("_cwb", sum(col("_w")).over(wInB))
+    val wOff = Window.partitionBy(keys: _*).orderBy(col("_b"))
+    // bucket totals derive from `part`, NOT dom: both branches then carry
+    // the IDENTICAL (group, bucket) exchange subtree, which runtime
+    // exchange reuse dedupes — an off-from-dom branch re-ran the whole
+    // scan + domain aggregation (measured: two concurrent 0.3 s jobs)
+    val off = part
+      .groupBy(keys :+ col("_b"): _*).agg(sum(col("_w")).as("_bt"))
+      .withColumn("_off",
+        coalesce(sum(col("_bt")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_tw", sum(col("_bt")).over(Window.partitionBy(keys: _*)))
+    val cum = part
+      .join(off.select(keys ++ Seq(col("_b"), col("_off"), col("_tw")): _*),
+        groupCols :+ "_b")
+      .withColumn("_cw", col("_off") + col("_cwb"))
     cum
       .select(keys ++ Seq(col("_v"), col("_cw"), col("_tw"),
         explode(array(qs.map(lit): _*)).as("q")): _*)
