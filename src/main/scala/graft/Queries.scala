@@ -3036,14 +3036,18 @@ object Queries {
     // three times (once per self-join side, once for the gi relation)
     val gi = operators.Graphs.coOccurrencePairs(li, "l_orderkey", "l_partkey")
     val e = operators.Graphs
-      .coOccurrenceEdgesFromPairs(gi, maxGroupSize = 100)
+      .coOccurrenceEdgesFromPairs(gi, maxGroupSize = 100, respread = true)
       .filter(col("weight") >= 2)
     val pop = gi.groupBy(col("_i").as("i")).agg(count(lit(1)).as("c"))
-    val n = gi.select(col("_g")).distinct().count()
+    // the basket-count scalar rides the ONE write action as a broadcast
+    // 1-row cross join (the q82 fused-audit pattern) instead of a
+    // separate distinct+count driver round trip
+    val nRel = gi.agg(countDistinct(col("_g")).as("_n"))
     e.join(pop.select(col("i").as("src"), col("c").as("ca")), "src")
       .join(pop.select(col("i").as("dst"), col("c").as("cb")), "dst")
+      .crossJoin(broadcast(nRel))
       .select(col("src"), col("dst"), col("weight"),
-        round(col("weight").cast("double") * lit(n) /
+        round(col("weight").cast("double") * col("_n") /
           (col("ca") * col("cb")), 4).as("lift_r"))
   }
 

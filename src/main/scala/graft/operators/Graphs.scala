@@ -56,12 +56,28 @@ object Graphs {
     * pair relation (normally the [[coOccurrencePairs]] checkpoint).
     */
   private[graft] def coOccurrenceEdgesFromPairs(
-      g: DataFrame, maxGroupSize: Int = 1000): DataFrame = {
+      g: DataFrame, maxGroupSize: Int = 1000,
+      respread: Boolean = false): DataFrame = {
     require(maxGroupSize >= 2, s"maxGroupSize=$maxGroupSize must be >= 2")
     val small = g.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxGroupSize)
       .select(col("_g"))
-    val keep = g.join(small, Seq("_g"), "left_semi")
+    // respread (opt-in): pin the self-join's parallelism to
+    // defaultParallelism — the pair relation is compact (a group id +
+    // a long), so with a broadcast-sized build side the k² explode — the
+    // actual work — otherwise pipelines over the relation's couple of
+    // AQE/source partitions while the rest of the cores idle (measured:
+    // a 0.24 s single-straggler stage on q132 at sf0.1). Scale-adaptive
+    // via defaultParallelism (the itemsets/bootstrap respread
+    // precedent), never a tuned constant; callers whose explode is small
+    // (subset graphs) skip it — the extra exchange costs more than the
+    // parallelism pays there.
+    val keep0 = g.join(small, Seq("_g"), "left_semi")
+    val keep =
+      if (respread)
+        keep0.repartition(g.sparkSession.sparkContext.defaultParallelism,
+          col("_g"))
+      else keep0
     val a = keep.select(col("_g"), col("_i").as("src"))
     val b = keep.select(col("_g"), col("_i").as("dst"))
     a.join(b, Seq("_g"))

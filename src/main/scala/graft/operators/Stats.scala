@@ -55,6 +55,7 @@ object Stats {
       .withColumn("_dy", nD * col("_syy").cast("double") - syD * syD)
   }
 
+
   /** Per-group simple OLS fit `y ≈ intercept + slope·x` (+ Pearson r²):
     * one row per group with `n, slope, intercept, r2`. Degenerate groups
     * (constant x) get null slope/intercept/r2; r2 is additionally null
@@ -196,6 +197,12 @@ object Stats {
       .groupBy(v.as("_v"))
       .agg(count(when(g === ga, 1)).as("_ca"),
         count(when(g === gb, 1)).as("_cb"))
+    // single-task domain cumulation kept DELIBERATELY: a two-phase
+    // bucketed variant ([[bucketedCumSums]], the weightedQuantile device)
+    // was A/B'd here (r13) and lost ~0.15 s/query at sf0.1 — the extra
+    // exchange + broadcast join outweighs the tiny serial window on this
+    // operator's bounded value domain. Revisit only if the domain grows
+    // past ~10⁶ distinct values.
     val w = Window.orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = byValue
@@ -281,6 +288,7 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // avg rank (2x) of every row holding value v:
     //   2·cum_before + t + 1  =  2·(cum_through − t) + t + 1
+    // (single-task domain window kept — see the ksTest A/B note)
     val ranked = byValue
       .withColumn("_cumt", sum(col("_t")).over(w))
       .withColumn("_r2", lit(2) * (col("_cumt") - col("_t")) + col("_t") + 1)
@@ -384,6 +392,7 @@ object Stats {
       .withColumn("_t", col("_cp") + col("_cn"))
     val w = Window.orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // (single-task domain window kept — see the ksTest A/B note)
     val ranked = byValue
       .withColumn("_cumt", sum(col("_t")).over(w))
       .withColumn("_r2", lit(2) * (col("_cumt") - col("_t")) + col("_t") + 1)
